@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet fixtures (TESTDATA.md /
+  * FIXTURES.md). One parquet per table under `$dir/`. All reads are plain
+  * `spark.read.parquet` — schema comes from the footer, scans are
+  * vectorized + column-pruned + filter-pushed by Catalyst, so every query
+  * that projects/filters gets pushdown for free (verified via
+  * `.explain("formatted")`: `PushedFilters`, `ReadSchema`).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy conf) and
+    * truncate to a microsecond TimestampType — the same ns→µs truncation
+    * DuckDB applies on `CAST(ts AS TIMESTAMP)`, so oracle comparisons agree.
+    * Integer `div` (not `/`) — ns since epoch ≈ 1.7e18 exceeds double
+    * precision (2^53).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** One registry entry: a named query (the driver contract's
+  * `(SparkSession, sfDir) => DataFrame`) plus, when the semantics are
+  * ANSI-SQL-expressible, the DuckDB oracle SQL the driver hash-compares
+  * against. Column names/types are aligned on both sides (the driver sorts
+  * columns by name before hashing).
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)

@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+import graft.functions.Exact._
+
+/** Core relational surface (SURVEY.md §2.B / §2.8 Q3–Q5): scans with
+  * pushdown, hash aggregation (partial+final), rollup, and the full join
+  * family. Join-strategy posture for 100 TB: dimension tables
+  * (region/nation/supplier/part) are explicitly `broadcast()`; the
+  * orders⋈lineitem fact-fact join shuffles on the join key and is left to
+  * sort-merge + AQE. All hash-compared float aggregates go through exact
+  * decimal sums (see [[graft.functions.Exact]]).
+  */
+object Relational {
+
+  /** Q3 — scan + filter + project: predicates and both projected columns
+    * must reach the parquet scan (PushedFilters / ReadSchema). Per-row
+    * arithmetic on doubles is single-op IEEE, deterministic across engines.
+    */
+  val q03: Q = Q(
+    "q03_scan_filter_project",
+    run = { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount").between(0.02, 0.09) && col("l_quantity") < 30)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          concat_ws("/", col("l_returnflag"), col("l_linestatus")).as("flag_status"),
+          year(col("l_shipdate")).as("ship_year"))
+    },
+    oracle = Some("""
+      SELECT l_orderkey, l_linenumber,
+        l_extendedprice * (1 - l_discount) AS revenue,
+        l_returnflag || '/' || l_linestatus AS flag_status,
+        CAST(year(l_shipdate) AS INTEGER) AS ship_year
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 30"""))
+
+  /** Q4 — TPC-H Q1 shape: multi-aggregate hash agg with map-side partial
+    * aggregation; sums in exact decimal so Spark's partial/final order and
+    * DuckDB's single-node order produce bit-identical doubles.
+    */
+  val q04: Q = Q(
+    "q04_agg_tpch_q1",
+    run = { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsumExpr(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .as("sum_disc_price"),
+          dsumExpr(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+            * (lit(1) + dec(col("l_tax")))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+    oracle = Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(38,12))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) * (1 + CAST(l_tax AS DECIMAL(12,4))) AS DECIMAL(38,12))) AS DOUBLE) AS sum_charge,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+        CAST(sum(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / count(l_discount) AS avg_disc,
+        CAST(count(*) AS BIGINT) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus"""))
+
+  /** Q5 — rollup (grouping-set lattice) with partial aggregation. */
+  val q05: Q = Q(
+    "q05_agg_rollup",
+    run = { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    },
+    oracle = Some("""
+      SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+
+  /** Q6 — star join through two broadcast dimensions (nation, region):
+    * at 100 TB this is two broadcast hash joins, zero shuffles of the fact.
+    */
+  val q06: Q = Q(
+    "q06_join_dims_broadcast",
+    run = { (spark, dir) =>
+      Tables.customer(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          dsum(col("c_acctbal")).as("bal_sum"),
+          davg(col("c_acctbal")).as("bal_avg"))
+    },
+    oracle = Some("""
+      SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS bal_sum,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) / count(c_acctbal) AS bal_avg
+      FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name"""))
+
+  /** Q7 — fact⋈fact join (orders⋈lineitem): shuffles both sides on the
+    * order key → sort-merge join; AQE coalesces post-shuffle partitions.
+    */
+  val q07: Q = Q(
+    "q07_join_large",
+    run = { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          dsumExpr(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lines"))
+    },
+    oracle = Some("""
+      SELECT o_orderpriority,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(38,12))) AS DOUBLE) AS revenue,
+        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        CAST(count(*) AS BIGINT) AS n_lines
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority"""))
+
+  /** Q8 — left-semi join (EXISTS): customers with at least one order. */
+  val q08: Q = Q(
+    "q08_join_semi",
+    run = { (spark, dir) =>
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust_with_orders"))
+    },
+    oracle = Some("""
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust_with_orders
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY n_name"""))
+
+  /** Q9 — left-anti join (NOT EXISTS): customers with no high-value order
+    * (threshold keeps the result non-empty on the fixtures: at sf0.01
+    * every customer has *some* order, so a plain anti join is vacuous).
+    */
+  val q09: Q = Q(
+    "q09_join_anti",
+    run = { (spark, dir) =>
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust_no_big_orders"))
+    },
+    oracle = Some("""
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust_no_big_orders
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      GROUP BY n_name"""))
+
+  /** Q10 — left outer join preserving order-less customers. */
+  val q10: Q = Q(
+    "q10_join_left",
+    run = { (spark, dir) =>
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("c_custkey")).as("n_customers"),
+          count(col("o_orderkey")).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+    },
+    oracle = Some("""
+      SELECT c_mktsegment,
+        CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+        CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total_price
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment"""))
+
+  /** Q11 — full outer join of two aggregates on the nation key. */
+  val q11: Q = Q(
+    "q11_join_full",
+    run = { (spark, dir) =>
+      val cc = Tables.customer(spark, dir).groupBy(col("c_nationkey").as("k"))
+        .agg(count(lit(1)).as("n_cust"))
+      val ss = Tables.supplier(spark, dir).groupBy(col("s_nationkey").as("k2"))
+        .agg(count(lit(1)).as("n_supp"))
+      cc.join(ss, col("k") === col("k2"), "full")
+        .select(
+          coalesce(col("k"), col("k2")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    },
+    oracle = Some("""
+      WITH cc AS (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS n_cust FROM customer GROUP BY 1),
+           ss AS (SELECT s_nationkey AS k, CAST(count(*) AS BIGINT) AS n_supp FROM supplier GROUP BY 1)
+      SELECT COALESCE(cc.k, ss.k) AS nationkey,
+        COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      FROM cc FULL JOIN ss ON cc.k = ss.k"""))
+
+  /** Q12 — theta join: equi key (nation) + non-equi predicate (acctbal
+    * comparison) evaluated as a join residual, not a cartesian product.
+    */
+  val q12: Q = Q(
+    "q12_join_theta",
+    run = { (spark, dir) =>
+      Tables.supplier(spark, dir)
+        .join(Tables.customer(spark, dir),
+          col("s_nationkey") === col("c_nationkey") &&
+            col("s_acctbal") > col("c_acctbal"))
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_pairs"),
+          dsum(col("s_acctbal") - col("c_acctbal")).as("bal_gap"))
+    },
+    oracle = Some("""
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(CAST(s_acctbal - c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS bal_gap
+      FROM supplier
+        JOIN customer ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+        JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name"""))
+
+  val all: Seq[Q] = Seq(q03, q04, q05, q06, q07, q08, q09, q10, q11, q12)
+}
