@@ -10,7 +10,9 @@ import graft.{queries => qs}
 object SparkEntry {
 
   /** Every implemented query, in registry order. */
-  def registry: Seq[Q] = qs.WineParity.all ++ qs.Relational.all
+  def registry: Seq[Q] =
+    qs.WineParity.all ++ qs.Relational.all ++ qs.Analytic.all ++
+      qs.EventWindows.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

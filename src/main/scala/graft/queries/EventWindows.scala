@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+import graft.functions.Exact._
+
+/** Event-time windowing (SURVEY.md §2.8 Q11), computed in BATCH mode so
+  * DuckDB can oracle it — the same `window`/`session_window` expressions
+  * run unchanged under Structured Streaming (see graft.streaming, which
+  * asserts streaming ≡ batch on these exact queries).
+  *
+  * Spark's `window()` aligns to the epoch; the sliding oracle
+  * materializes the same epoch-aligned 15-minute grid with
+  * generate_series. Session windows follow Spark semantics: a session
+  * ends gap after its last event (end = max(ts) + gap).
+  */
+object EventWindows {
+
+  /** Q20 — tumbling 1-hour windows per event type. */
+  val q20: Q = Q(
+    "q20_window_tumbling",
+    run = { (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("val_sum"))
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("event_type"), col("n"), col("val_sum"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+      SELECT date_trunc('hour', ts) AS w_start,
+        date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+        event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
+      FROM e GROUP BY 1, 2, 3"""))
+
+  /** Q21 — sliding 1-hour windows every 15 minutes: each event lands in 4
+    * windows; only windows containing events are emitted (groupBy
+    * semantics), which the oracle reproduces via an epoch-aligned grid
+    * join. */
+  val q21: Q = Q(
+    "q21_window_sliding",
+    run = { (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("val_sum"))
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("event_type"), col("n"), col("val_sum"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      ws AS (SELECT unnest(generate_series(TIMESTAMP '2023-12-31 23:15:00',
+                      TIMESTAMP '2024-01-31 00:00:00', INTERVAL 15 MINUTE)) AS w_start)
+      SELECT ws.w_start, ws.w_start + INTERVAL 1 HOUR AS w_end,
+        event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
+      FROM e JOIN ws ON e.ts >= ws.w_start AND e.ts < ws.w_start + INTERVAL 1 HOUR
+      GROUP BY 1, 2, 3"""))
+
+  /** Q22 — session windows (30-minute gap) per user; oracle is the classic
+    * gaps-and-islands construction. */
+  val q22: Q = Q(
+    "q22_window_session",
+    run = { (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("val_sum"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("user_id"), col("n"), col("val_sum"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      m AS (SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+            FROM e),
+      g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM m)
+      SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
+        user_id, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
+      FROM g GROUP BY user_id, sid"""))
+
+  val all: Seq[Q] = Seq(q20, q21, q22)
+}
