@@ -12,7 +12,8 @@ object SparkEntry {
   /** Every implemented query, in registry order. */
   def registry: Seq[Q] =
     qs.WineParity.all ++ qs.Relational.all ++ qs.Analytic.all ++
-      qs.EventWindows.all
+      qs.EventWindows.all ++ qs.TextOps.all ++ qs.VectorOps.all ++
+      ext.MinHashDedup.all ++ ext.SimHashDedup.all ++ ext.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** MinHash-LSH near-duplicate detection (SURVEY.md §2.D) — the
+  * sub-quadratic 100 TB path: shingle → binary HashingTF vector →
+  * MinHash signatures → LSH band-bucket join. Spark ML's
+  * `approxSimilarityJoin` shuffles only on band-hash buckets, so the
+  * candidate set is |bucket|²-bounded rather than N². Not oracle-checked
+  * (approximate, hash-seed-dependent); its recall against the exact
+  * Jaccard query (q24) is asserted in unit tests.
+  */
+object MinHashDedup {
+
+  /** q30 — near-dup candidate pairs with MinHash-estimated Jaccard
+    * distance <= 0.5 (i.e. similarity >= 0.5). Deterministic given the
+    * fixed seed. */
+  val q30: Q = Q(
+    "q30_dedup_minhash_lsh",
+    run = { (spark, dir) =>
+      // Shingle (3-gram) sets, not raw token sets: the fixture vocabulary
+      // is tiny, so token-set Jaccard is high for nearly every pair;
+      // shingles recover the same near-dup semantics as the exact q24.
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.shinglesExpr("toks", 3).as("shingles"))
+      val tf = new HashingTF()
+        .setInputCol("shingles").setOutputCol("features")
+        .setBinary(true).setNumFeatures(1 << 18)
+      val feat = tf.transform(docs)
+      val mh = new MinHashLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(8).setSeed(42L)
+      val model = mh.fit(feat)
+      model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
+        .select(
+          col("datasetA.doc_id").as("doc_a"),
+          col("datasetB.doc_id").as("doc_b"),
+          col("jaccard_dist"))
+        .filter(col("doc_a") < col("doc_b"))
+    },
+    oracle = None)
+
+  val all: Seq[Q] = Seq(q30)
+}

@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{Q, Tables}
+
+/** Multimodal-column plumbing (SURVEY.md §2.D): media payloads travel as
+  * opaque `binary` columns with typed metadata; decode/feature-extract
+  * runs batched per partition. The decode step itself is a STUB — this
+  * container has no image/audio codecs — but everything Spark-side
+  * (schema, typed Dataset boundary, partition batching, feature
+  * signature) is real and tested; a real decoder drops into
+  * [[decodeStub]] without touching the plan.
+  *
+  * The fixtures have no binary table, so document text bytes stand in as
+  * the payload (cast string→binary), exactly as an image-bytes column
+  * would arrive from parquet.
+  */
+object Multimodal {
+
+  /** Typed row for the feature-extraction stage. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      mean_byte: Double,
+      head_bytes: Array[Byte],
+      histo16: Array[Long])
+
+  /** STUB decoder: deterministic per-payload "features" (byte stats +
+    * 16-bin histogram + 4-byte frame sample). A real implementation
+    * would decode the media container here; the signature — bytes in,
+    * fixed-width features out, no per-row session state — is the
+    * contract a distributed decode needs. */
+  def decodeStub(docId: Long, payload: Array[Byte]): MediaFeatures = {
+    val histo = new Array[Long](16)
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      histo(b >> 4) += 1
+      sum += b
+      i += 1
+    }
+    MediaFeatures(
+      docId,
+      payload.length,
+      if (payload.length == 0) 0.0 else sum.toDouble / payload.length,
+      payload.take(4),
+      histo)
+  }
+
+  /** q33 — metadata pass over the binary column: pure built-in
+    * expressions, oracle-checked (byte length + content hash). */
+  val q33: Q = Q(
+    "q33_multimodal_meta",
+    run = { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+    },
+    oracle = Some("""
+      SELECT doc_id,
+        CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        md5(text) AS payload_md5
+      FROM documents"""))
+
+  /** q34 — feature extraction through the typed partition-batched path
+    * (the `mapPartitions` seam where a real decoder plugs in). Output is
+    * flattened to SQL types so downstream relational ops compose. */
+  val q34: Q = Q(
+    "q34_multimodal_features",
+    run = { (spark, dir) =>
+      import spark.implicits._
+      val payloads = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .as[(Long, Array[Byte])]
+      payloads
+        .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+        .select(col("doc_id"), col("n_bytes"), col("mean_byte"),
+          hex(col("head_bytes")).as("head_hex"),
+          col("histo16"))
+    },
+    oracle = None)
+
+  val all: Seq[Q] = Seq(q33, q34)
+}

@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.TextFunctions
+
+/** SimHash near-duplicate detection (SURVEY.md §2.D): 64-bit signature
+  * per document computed in ONE projection (higher-order folds, no
+  * explode/shuffle — see TextFunctions.simhash64), then banded into
+  * 4×16-bit keys; docs sharing a band are Hamming-distance candidates.
+  * Not oracle-checked (depends on xxhash64, which DuckDB lacks);
+  * signature properties are unit-tested instead.
+  */
+object SimHashDedup {
+
+  /** q31 — per-doc simhash + band keys + number of same-band candidate
+    * docs (0 when no near-dup shares a band). Output is per-document so
+    * the result is always non-empty. */
+  val q31: Q = Q(
+    "q31_dedup_simhash",
+    run = { (spark, dir) =>
+      val sigs = Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), TextFunctions.simhash64("toks").as("simhash"))
+        .select(Seq(col("doc_id"), col("simhash")) ++
+          (0 until 4).map(i =>
+            shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
+              .as(s"band$i")): _*)
+      // same-band candidates via 4 band-bucket self-joins, union-counted
+      val bands = (0 until 4).map { i =>
+        sigs.select(col("doc_id"), lit(i).as("band_idx"), col(s"band$i").as("band_key"))
+      }.reduce(_ union _)
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("cand_id"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_band_candidates"))
+      sigs.join(cand, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_band_candidates"))
+    },
+    oracle = None)
+
+  val all: Seq[Q] = Seq(q31)
+}

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline building blocks (SURVEY.md §2.D): tokenization, word
+  * n-gram shingling, document fingerprinting, SimHash. All pure built-in
+  * expressions — each stays a per-row projection (no shuffle) until the
+  * caller aggregates or joins.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word `n`-gram shingles (positional n-grams joined by a
+    * space) over a NAMED array<string> column; caller must ensure
+    * size >= n. SQL-expression form because lambda-with-index is most
+    * direct in SQL syntax. */
+  def shinglesExpr(toksCol: String, n: Int): Column = {
+    val parts = (0 until n).map(j => s"$toksCol[i + $j]").mkString(", ")
+    expr(s"array_distinct(transform(sequence(0, size($toksCol) - $n), " +
+      s"i -> concat_ws(' ', $parts)))")
+  }
+
+  /** Order-insensitive document fingerprint: md5 over the sorted distinct
+    * token set. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(text, " ")))))
+
+  /** 64-bit SimHash over the distinct tokens of `toksCol` (a named
+    * array<string> column): per-token xxhash64, ±1 vote per bit, sign →
+    * bit. Entirely in one projection via higher-order folds — no explode,
+    * no shuffle; at 100 TB this is embarrassingly parallel per row.
+    */
+  def simhash64(toksCol: String): Column = expr(
+    s"""aggregate(
+          zip_with(
+            aggregate(
+              transform(array_distinct($toksCol), t -> xxhash64(t)),
+              array_repeat(0L, 64),
+              (acc, h) -> zip_with(acc, sequence(0, 63),
+                            (a, b) -> a + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)),
+            sequence(0, 63),
+            (s, b) -> CASE WHEN s > 0 THEN shiftleft(1L, b) ELSE 0L END),
+          0L, (acc, x) -> acc | x)""")
+}

@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dense-vector math over `array<float>` embedding columns, built from
+  * codegen'd higher-order functions (SURVEY.md §2.D) — no UDFs, no
+  * serialization boundary.
+  *
+  * Determinism: floats are widened to double BEFORE any arithmetic, and
+  * `aggregate` folds element-by-element in index order — the same
+  * sequential order DuckDB's list_sum uses, so cosine values are
+  * bit-identical to the oracle.
+  */
+object VectorFunctions {
+
+  /** array<float> → array<double>. */
+  def vecToDouble(a: Column): Column = transform(a, x => x.cast(DoubleType))
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Euclidean norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity; expression shape mirrors the oracle SQL exactly
+    * (dot / (sqrt(ssA) * sqrt(ssB))) so every IEEE op matches. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+import graft.functions.TextFunctions
+
+/** Text-analysis + deduplication suite over `documents`
+  * (SURVEY.md §2.D): exact dedup, n-gram Jaccard near-dup, token stats,
+  * quality scoring, language-ID heuristic, fingerprinting. Every query is
+  * oracle-checked.
+  *
+  * Scale notes: the Jaccard near-dup is blocked by `source` (a realistic
+  * blocking key) so candidate generation is |block|²-bounded instead of
+  * N²; the shingle→join plan shuffles once on (source, shingle). The
+  * MinHash-LSH variant (graft.ext.MinHashDedup) is the sub-quadratic
+  * 100 TB path for unblocked corpora.
+  */
+object TextOps {
+
+  /** Q23 — exact dedup via content hash (group-by md5). */
+  val q23: Q = Q(
+    "q23_dedup_exact",
+    run = { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .groupBy(md5(col("text").cast(BinaryType)).as("text_hash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+    },
+    oracle = Some("""
+      SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+             min(doc_id) AS min_doc_id
+      FROM documents GROUP BY 1"""))
+
+  /** Q24 — near-duplicate pairs by word-3-gram Jaccard, blocked by
+    * source. Catches the fixtures' planted near-dups (max J ≈ 0.97). */
+  val q24: Q = Q(
+    "q24_dedup_ngram_jaccard",
+    run = { (spark, dir) =>
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+      val sh = d.select(col("doc_id"), col("source"),
+        explode(TextFunctions.shinglesExpr("toks", 3)).as("shingle"))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
+        col("shingle").as("shingle_b"))
+      val inter = a.join(b,
+          col("source") === col("source_b") && col("shingle") === col("shingle_b") &&
+            col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, source, string_split(text,' ') AS toks FROM documents),
+      d3 AS (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks)-2)) AS i
+             FROM d WHERE len(toks) >= 3),
+      sh AS (SELECT DISTINCT doc_id, source,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM d3),
+      cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+                FROM sh a JOIN sh b
+                  ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b, inter,
+        CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+      FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5"""))
+
+  /** Q26 — token statistics per (lang, source): integer sums are exactly
+    * associative, so no decimal dance needed. */
+  val q26: Q = Q(
+    "q26_text_token_stats",
+    run = { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("lang"), col("source"), col("n_chars"),
+          size(split(col("text"), " ")).as("n_toks"))
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_toks"),
+          (sum(col("n_toks")).cast(DoubleType) / count(lit(1))).as("avg_toks"),
+          max(col("n_chars")).as("max_chars"),
+          min(col("n_chars")).as("min_chars"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT lang, source, n_chars,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks
+                 FROM documents)
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_toks) AS BIGINT) AS total_toks,
+        CAST(sum(n_toks) AS DOUBLE) / count(*) AS avg_toks,
+        max(n_chars) AS max_chars, min(n_chars) AS min_chars
+      FROM d GROUP BY lang, source"""))
+
+  /** Q27 — per-document quality scoring: stopword ratio, distinct-token
+    * ratio, length factor — the standard pretraining-data quality gates,
+    * as one codegen'd projection. */
+  val q27: Q = Q(
+    "q27_text_quality",
+    run = { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("n_distinct", size(array_distinct(col("toks"))))
+        .withColumn("n_stop",
+          expr("size(filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and' OR t = 'to'))"))
+        .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_toks"))
+        .withColumn("distinct_ratio", col("n_distinct").cast(DoubleType) / col("n_toks"))
+        .withColumn("len_factor", least(col("n_chars").cast(DoubleType) / 500.0, lit(1.0)))
+        .withColumn("quality",
+          col("stop_ratio") * 0.5 + col("distinct_ratio") * 0.3 + col("len_factor") * 0.2)
+        .select(col("doc_id"), col("n_toks"), col("n_distinct"), col("n_stop"),
+          col("stop_ratio"), col("distinct_ratio"), col("quality"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+      m AS (SELECT doc_id, n_chars,
+              CAST(len(toks) AS INTEGER) AS n_toks,
+              CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+              CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and' OR t = 'to')) AS INTEGER) AS n_stop
+            FROM d)
+      SELECT doc_id, n_toks, n_distinct, n_stop,
+        CAST(n_stop AS DOUBLE) / n_toks AS stop_ratio,
+        CAST(n_distinct AS DOUBLE) / n_toks AS distinct_ratio,
+        (CAST(n_stop AS DOUBLE) / n_toks) * 0.5
+          + (CAST(n_distinct AS DOUBLE) / n_toks) * 0.3
+          + least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.2 AS quality
+      FROM m"""))
+
+  /** Q28 — language-ID heuristic: marker-token votes with a fixed
+    * precedence tie-break (the deterministic skeleton of an n-gram
+    * language classifier; real marker lists slot in unchanged). */
+  val q28: Q = Q(
+    "q28_text_lang_id",
+    run = { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("s_en", expr("size(filter(toks, t -> t = 'the' OR t = 'a'))"))
+        .withColumn("s_de", expr("size(filter(toks, t -> t = 'der' OR t = 'die'))"))
+        .withColumn("s_es", expr("size(filter(toks, t -> t = 'el' OR t = 'la'))"))
+        .withColumn("s_fr", expr("size(filter(toks, t -> t = 'le' OR t = 'les'))"))
+        .withColumn("lang_guess",
+          when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")), "en")
+            .when(col("s_de") >= greatest(col("s_es"), col("s_fr")), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+        .select(col("doc_id"), col("lang"), col("lang_guess"),
+          (col("lang") === col("lang_guess")).as("hit"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      s AS (SELECT doc_id, lang,
+              len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS s_en,
+              len(list_filter(toks, t -> t = 'der' OR t = 'die')) AS s_de,
+              len(list_filter(toks, t -> t = 'el' OR t = 'la')) AS s_es,
+              len(list_filter(toks, t -> t = 'le' OR t = 'les')) AS s_fr
+            FROM d)
+      SELECT doc_id, lang,
+        CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+             WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr' END AS lang_guess,
+        lang = (CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+                     WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+                     WHEN s_es >= s_fr THEN 'es'
+                     ELSE 'fr' END) AS hit
+      FROM s"""))
+
+  /** Q29 — order-insensitive document fingerprint (md5 of the sorted
+    * distinct token set): catches shuffled/reordered duplicates that the
+    * exact hash misses. */
+  val q29: Q = Q(
+    "q29_text_fingerprint",
+    run = { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+    },
+    oracle = Some("""
+      SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+        CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc_id
+      FROM documents GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(q23, q24, q26, q27, q28, q29)
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+import graft.functions.VectorFunctions._
+
+/** Embedding similarity over `array<float>` columns (SURVEY.md §2.D):
+  * brute-force cosine top-k (the exactness baseline the LSH/IVF variants
+  * in graft.ext are measured against) and blocked near-duplicate pairs.
+  *
+  * Scale shape: the query set is broadcast, so the scan side streams once
+  * with no shuffle; top-k per query is a windowed rank over qid (k tiny).
+  * For 100 TB corpora swap in graft.ext.Similarity's LSH-bucketed
+  * variant — same output contract.
+  */
+object VectorOps {
+
+  /** Q25 — brute-force cosine top-5 neighbors for query vectors
+    * vec_id < 10 (deterministic tie-break on neighbor id). */
+  val q25: Q = Q(
+    "q25_similarity_topk",
+    run = { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), vecToDouble(col("embedding")).as("emb"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          cosine(col("emb"), col("qemb")).as("cos_sim"))
+      import org.apache.spark.sql.expressions.Window
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))))
+        .filter(col("rnk") <= 5)
+    },
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
+      p AS (SELECT q.qid, e.vec_id AS nid,
+              list_sum(list_transform(list_zip(e.emb, q.qemb), x -> x[1]*x[2])) /
+              (sqrt(list_sum(list_transform(e.emb, x -> x*x)))
+                * sqrt(list_sum(list_transform(q.qemb, x -> x*x)))) AS cos_sim
+            FROM e, q WHERE e.vec_id <> q.qid),
+      r AS (SELECT qid, nid, cos_sim,
+              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS INTEGER) AS rnk
+            FROM p)
+      SELECT qid, nid, cos_sim, rnk FROM r WHERE rnk <= 5"""))
+
+  /** Q32 — embedding near-duplicate pairs, blocked by label (the
+    * realistic blocking key): cosine above threshold within each block. */
+  val q32: Q = Q(
+    "q32_embedding_neardup",
+    run = { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), vecToDouble(col("embedding")).as("emb"))
+      val a = e.select(col("vec_id").as("id_a"), col("label"), col("emb").as("emb_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+        col("emb").as("emb_b"))
+      a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("label"),
+          cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.35)
+    },
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+        list_sum(list_transform(list_zip(a.emb, b.emb), x -> x[1]*x[2])) /
+        (sqrt(list_sum(list_transform(a.emb, x -> x*x)))
+          * sqrt(list_sum(list_transform(b.emb, x -> x*x)))) AS cos_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.emb, b.emb), x -> x[1]*x[2])) /
+        (sqrt(list_sum(list_transform(a.emb, x -> x*x)))
+          * sqrt(list_sum(list_transform(b.emb, x -> x*x)))) >= 0.35"""))
+
+  val all: Seq[Q] = Seq(q25, q32)
+}
