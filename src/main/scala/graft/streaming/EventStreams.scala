@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.functions.Exact._
+
+/** Structured Streaming surface (SURVEY.md §2.C): the same event-time
+  * window expressions as the batch queries q20–q22 — `window`,
+  * `session_window` — run under `readStream` with watermarks, plus
+  * watermarked dedup and custom keyed state via flatMapGroupsWithState.
+  *
+  * Tests assert streaming ≡ batch on the same fixture (the §5.2-6
+  * contract); late rows beyond the watermark are verifiably dropped.
+  *
+  * Scale posture: state is keyed by (window, event_type) or user_id, so
+  * state distributes across executors; watermarks bound state size —
+  * nothing here accumulates unbounded driver state.
+  */
+object EventStreams {
+
+  /** The events schema as the streaming file source must declare it:
+    * parquet TIMESTAMP(NANOS) arrives as long under the nanosAsLong
+    * conf (see graft.Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of an events parquet directory; ns→µs truncation
+    * identical to the batch loader so streaming and batch agree. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts+sums per event type (≡ batch q20). */
+  def tumbling(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("val_sum"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("val_sum"))
+
+  /** Session windows, 30-minute gap, per user (≡ batch q22). */
+  def sessions(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("val_sum"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n"), col("val_sum"))
+
+  /** Watermarked exact dedup on event_id: state for an id is dropped once
+    * the watermark passes it — bounded state, unlike global
+    * dropDuplicates. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state: running per-user totals emitted on every trigger
+    * (flatMapGroupsWithState, update mode). The state object is a pair of
+    * scalars — O(#users) state, watermark-free by design. */
+  def runningUserTotals(events: DataFrame): Dataset[UserAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), UserAgg](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { r => n += 1; v += r.value }
+          state.update((n, v))
+          Iterator(UserAgg(uid, n, v))
+      }
+  }
+
+  /** Drain a streaming DataFrame into an in-memory table and return the
+    * final result (test/local harness; production would writeStream to a
+    * real sink). */
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** §5.2-6: streaming ≡ batch on the same windows; watermarked dedup;
+  * custom keyed state. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** The streaming file source wants a directory of files. */
+  private lazy val eventsDir: String = {
+    val d = Files.createTempDirectory("events_stream")
+    Files.copy(Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      d.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    d.toString
+  }
+
+  test("streaming tumbling window equals batch q20 on the same data") {
+    val stream = EventStreams.tumbling(EventStreams.readEvents(spark, eventsDir))
+    val got = EventStreams.runToMemory(stream, "tumbling_out", OutputMode.Complete)
+    val want = graft.queries.EventWindows.q20.run(spark, TestSpark.sf0001)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
+  test("streaming session windows equal batch q22") {
+    val stream = EventStreams.sessions(EventStreams.readEvents(spark, eventsDir))
+    val got = EventStreams.runToMemory(stream, "session_out", OutputMode.Complete)
+    val want = graft.queries.EventWindows.q22.run(spark, TestSpark.sf0001)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-watermark duplicates") {
+    import spark.implicits._
+    val dup = spark.read.parquet(s"$eventsDir/events.parquet")
+    // duplicate every event id by unioning the raw file with itself
+    val d2 = Files.createTempDirectory("events_dup")
+    Files.copy(Paths.get(s"$eventsDir/events.parquet"),
+      d2.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$eventsDir/events.parquet"),
+      d2.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val deduped = EventStreams.dedupWithinWatermark(
+      EventStreams.readEvents(spark, d2.toString))
+    val got = EventStreams.runToMemory(deduped, "dedup_out", OutputMode.Append)
+    assert(got.count() == 1000) // sf0.001 events, each seen twice
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals") {
+    val stream = EventStreams.runningUserTotals(
+      EventStreams.readEvents(spark, eventsDir))
+    val got = EventStreams.runToMemory(stream.toDF(), "state_out", OutputMode.Update)
+    // final state row per user must match the batch aggregate
+    val finalRows = got.groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"))
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val joined = finalRows.join(batch, "user_id")
+      .filter(col("n_events") =!= col("n"))
+    assert(joined.count() == 0)
+  }
+}

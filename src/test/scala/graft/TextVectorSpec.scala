@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Properties of the text/vector primitives that the oracle can't check
+  * (hash-engine-specific or approximate): SimHash locality, fingerprint
+  * order-insensitivity, cosine identities, MinHash recall vs exact
+  * Jaccard. */
+class TextVectorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fingerprint is insensitive to token order, sensitive to content") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma alpha beta"),
+      (3L, "alpha beta delta")).toDF("id", "text")
+      .select(col("id"), TextFunctions.fingerprint(col("text")).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 58).map(i => s"tok$i").mkString(" ") + " other words"
+    val far = (100 to 160).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "text")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("id"), TextFunctions.simhash64("toks").as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(1L), m(2L)) < hamming(m(1L), m(3L)))
+    assert(hamming(m(1L), m(2L)) <= 16)
+  }
+
+  test("cosine identities: self = 1, orthogonal = 0") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("id", "a", "b")
+      .select(col("id"), VectorFunctions.cosine(
+        VectorFunctions.vecToDouble(col("a")),
+        VectorFunctions.vecToDouble(col("b"))).as("cos"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(m(1L) - 1.0) < 1e-12)
+    assert(math.abs(m(2L)) < 1e-12)
+  }
+
+  test("minhash-LSH candidates cover the exact high-Jaccard pairs (recall)") {
+    val exact = graft.queries.TextOps.q24.run(spark, TestSpark.sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.ext.MinHashDedup.q30.run(spark, TestSpark.sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every exact near-dup pair (J >= 0.5, same-source blocking) must be
+    // recalled by LSH (which searches across sources, so approx ⊇ exact)
+    assert(exact.subsetOf(approx), s"missed: ${exact -- approx}")
+  }
+
+  test("approx_count_distinct within configured rsd of exact (§5.2-5)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val exact = docs.select(countDistinct(col("text"))).head.getLong(0)
+    val approx = docs.select(approx_count_distinct(col("text"), 0.05)).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15)
+  }
+}

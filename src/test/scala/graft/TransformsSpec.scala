@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Transforms
+
+/** Unit semantics of the reference-parity transforms (SURVEY §5.2-3):
+  * pd.cut boundary behavior, cat.codes ordering, median interpolation,
+  * coerce-cast, null-aware string length. */
+class TransformsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val bins = Seq(0.0, 20.0, 50.0, 100.0, 500.0)
+  val labels = Seq("cheap", "affordable", "midrange", "premium", "luxury")
+
+  test("binRightClosed matches pd.cut right-closed/left-open semantics") {
+    val df = Seq[Option[Double]](
+      Some(0.0), Some(0.01), Some(20.0), Some(20.01), Some(50.0), Some(100.0),
+      Some(500.0), Some(501.0), None, Some(-3.0))
+      .toDF("price")
+    val out = Transforms.binRightClosed("price", "cat", bins, labels)(df)
+      .select("price", "cat").collect().map(r =>
+        (Option(r.get(0)).map(_.asInstanceOf[Double]), r.getString(1))).toMap
+    assert(out(Some(0.0)) == null)      // left-open first bin: (0,20]
+    assert(out(Some(0.01)) == "cheap")
+    assert(out(Some(20.0)) == "cheap")  // right-closed edge
+    assert(out(Some(20.01)) == "affordable")
+    assert(out(Some(50.0)) == "affordable")
+    assert(out(Some(100.0)) == "midrange")
+    assert(out(Some(500.0)) == "premium")
+    assert(out(Some(501.0)) == "luxury") // unbounded last bin
+    assert(out(None) == null)
+    assert(out(Some(-3.0)) == null)     // below first edge
+  }
+
+  test("dictEncode assigns codes by sorted distinct order, null -> -1") {
+    val df = Seq(Some("US"), Some("France"), Some("Italy"), Some("France"), None)
+      .toDF("country")
+    val out = Transforms.dictEncode("country", "code")(df)
+      .collect().map(r => (Option(r.getString(0)), r.getShort(1))).toMap
+    assert(out(Some("France")) == 0)
+    assert(out(Some("Italy")) == 1)
+    assert(out(Some("US")) == 2)
+    assert(out(None) == -1)
+  }
+
+  test("imputeMedian averages middle pair on even counts (pandas parity)") {
+    val df = Seq(Some(1.0), Some(2.0), Some(10.0), Some(20.0), None).toDF("v")
+    val out = Transforms.imputeMedian("v")(df).select("v")
+      .collect().map(_.getDouble(0)).sorted
+    assert(out.contains(6.0)) // median of (1,2,10,20) = (2+10)/2
+  }
+
+  test("castCoerce nulls malformed values instead of failing") {
+    val df = Seq("87", "ninety", "91", "", "  ").toDF("points")
+    val out = Transforms.castCoerce("points", IntegerType)(df)
+      .select("points").collect().map(r => Option(r.get(0)))
+    assert(out.count(_.isDefined) == 2)
+    assert(out.flatten.map(_.asInstanceOf[Int]).toSet == Set(87, 91))
+  }
+
+  test("strLen counts chars, null -> 0") {
+    val df = Seq(Some("abcd"), Some(""), None).toDF("t")
+    val out = Transforms.strLen("t", "n")(df).select("n")
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(4, 0, 0))
+  }
+
+  test("coalesceCols takes first non-null") {
+    val df = Seq((Some("a"), Some("b")), (None, Some("b")), (Some("a"), None),
+      (None, None)).toDF("x", "y")
+    val out = Transforms.coalesceCols("z", "x", "y")(df)
+      .select("z").collect().map(r => Option(r.getString(0))).toSeq
+    assert(out == Seq(Some("a"), Some("b"), Some("a"), None))
+  }
+}

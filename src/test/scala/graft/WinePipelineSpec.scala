@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.WinePipeline
+
+/** End-to-end wine pipeline parity on the synthetic fixture
+  * (src/test/resources/wine_sample.json): 12 rows covering malformed
+  * points, boundary prices {0, 20, 20.01, 500, 501}, null regions,
+  * @handles, and non-allowlisted countries. */
+class WinePipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fixture: String =
+    getClass.getResource("/wine_sample.json").getPath
+
+  test("full pipeline: extract -> transform -> validate -> load") {
+    val out = Files.createTempDirectory("wine_wh").toString
+    val res = WinePipeline.run(spark, fixture, s"$out/wine_data")
+    // 12 rows in; 2 drop at dropna(points): the null and the uncoercible.
+    assert(res.rowsLoaded == 10)
+    val loaded = spark.read.parquet(s"$out/wine_data")
+    assert(loaded.count() == 10)
+
+    val byTitle = loaded.collect().map(r =>
+      r.getAs[String]("title") -> r).toMap
+    // price_category boundaries (pd.cut right-closed)
+    assert(byTitle("Zero-priced promotional bottle").getAs[String]("price_category") == null)
+    assert(byTitle("Quinta dos Avidagos 2011 Avidagos Red").getAs[String]("price_category") == "cheap")
+    assert(byTitle("Boundary 20.01 just over cheap").getAs[String]("price_category") == "affordable")
+    assert(byTitle("Premium boundary at five hundred").getAs[String]("price_category") == "premium")
+    assert(byTitle("Luxury above five hundred").getAs[String]("price_category") == "luxury")
+    // @ stripped; null handle imputed to 'unknown'
+    assert(byTitle("Nicosia 2013 Vulka Bianco").getAs[String]("taster_twitter_handle") == "kerinokeefe")
+    assert(byTitle("Boundary 20.01 just over cheap").getAs[String]("taster_twitter_handle") == "unknown")
+    // region coalesce + unknown fallback
+    assert(byTitle("Zero-priced promotional bottle").getAs[String]("region") == "Central Coast")
+    assert(byTitle("Both regions null goes unknown").getAs[String]("region") == "unknown")
+    // null price was median-imputed (median of 10 non-null prices)
+    assert(byTitle("Nicosia 2013 Vulka Bianco").getAs[Double]("price") > 0)
+    // country_code: dense codes over sorted distinct countries
+    val codes = loaded.select("country", "country_code").distinct().collect()
+      .map(r => r.getString(0) -> r.getShort(1)).toMap
+    assert(codes.values.toSeq.sorted == codes.values.toSeq.distinct.sorted)
+    assert(codes("Argentina") == 0) // first in sorted order of this fixture
+
+    // validation report: non-gating, expected violation counts
+    val rep = res.validationReport.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("points_in_range") == 1)   // the 45-point row
+    assert(rep("title_str_length") == 1)  // "Hi"
+    assert(rep("country_isin") == 2)      // Portugal + Narnia
+    assert(rep("price_category_not_null") == 1) // the zero-priced row
+  }
+
+  test("append mode duplicates on re-run (reference :199 semantics)") {
+    val out = Files.createTempDirectory("wine_wh2").toString
+    WinePipeline.run(spark, fixture, s"$out/w", append = true)
+    WinePipeline.run(spark, fixture, s"$out/w", append = true)
+    assert(spark.read.parquet(s"$out/w").count() == 20)
+  }
+
+  test("whisky stub yields the declared lot schema, empty without input") {
+    val df = WinePipeline.whiskyStub(spark)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("lot_id", "title", "current_bid", "auction_url"))
+    assert(df.count() == 0)
+  }
+}
