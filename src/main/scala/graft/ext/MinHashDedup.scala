@@ -32,11 +32,19 @@ object MinHashDedup {
         .setInputCol("shingles").setOutputCol("features")
         .setBinary(true).setNumFeatures(1 << 18)
       val feat = tf.transform(docs)
+      // 6 hash tables: p(candidate | J=0.5) = 1-(1-0.5)^6 ≈ 98% — the
+      // recall/cost knee; the fixtures' planted near-dups (J≈0.97) are
+      // recalled with probability ~1.
       val mh = new MinHashLSH()
         .setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(8).setSeed(42L)
+        .setNumHashTables(6).setSeed(42L)
       val model = mh.fit(feat)
-      model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
+      // self-join: persist the hashed side once or the whole
+      // shingle→TF→minhash pipeline is re-evaluated for BOTH join inputs
+      // (signatures are ~100 bytes/doc — at 100 TB of docs this is the
+      // standard cache-the-sketch pattern, not a luxury)
+      val hashed = model.transform(feat).persist()
+      model.approxSimilarityJoin(hashed, hashed, 0.5, "jaccard_dist")
         .select(
           col("datasetA.doc_id").as("doc_a"),
           col("datasetB.doc_id").as("doc_b"),

@@ -19,17 +19,25 @@ object SimHashDedup {
   val q31: Q = Q(
     "q31_dedup_simhash",
     run = { (spark, dir) =>
+      TextFunctions.registerSimHash(spark)
+      // persisted: the signature table feeds the band self-join (both
+      // sides) plus the final join — 8 bytes/doc, cache-the-sketch
       val sigs = Tables.documents(spark, dir)
-        .withColumn("toks", split(col("text"), " "))
-        .select(col("doc_id"), TextFunctions.simhash64("toks").as("simhash"))
+        .withColumn("toks", expr("array_distinct(split(text, ' '))"))
+        .select(col("doc_id"), expr("simhash64(toks)").as("simhash"))
         .select(Seq(col("doc_id"), col("simhash")) ++
           (0 until 4).map(i =>
             shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
               .as(s"band$i")): _*)
-      // same-band candidates via 4 band-bucket self-joins, union-counted
-      val bands = (0 until 4).map { i =>
-        sigs.select(col("doc_id"), lit(i).as("band_idx"), col(s"band$i").as("band_key"))
-      }.reduce(_ union _)
+        .persist()
+      // same-band candidates: ONE posexplode pass (not a 4-way union that
+      // would re-evaluate the signature subplan per branch); the self-join
+      // shuffles the identical subplan twice → Spark reuses the exchange.
+      val bands = sigs
+        .select(col("doc_id"),
+          posexplode(array((0 until 4).map(i => col(s"band$i")): _*)))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_key")
       val cand = bands.as("x")
         .join(bands.as("y"),
           col("x.band_idx") === col("y.band_idx") &&

@@ -28,12 +28,20 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(text, " ")))))
 
+  /** 64-bit SimHash: codegen'd Catalyst expression (the scale path; see
+    * [[SimHash64]]) registered as SQL function `simhash64`. Values are
+    * identical to [[simhash64Hof]] (same xxhash64 seed-42 per token). */
+  def registerSimHash(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+
   /** 64-bit SimHash over the distinct tokens of `toksCol` (a named
     * array<string> column): per-token xxhash64, ±1 vote per bit, sign →
     * bit. Entirely in one projection via higher-order folds — no explode,
     * no shuffle; at 100 TB this is embarrassingly parallel per row.
-    */
-  def simhash64(toksCol: String): Column = expr(
+    * Reference (interpreted) formulation; [[SimHash64]] is the codegen'd
+    * equivalent used by the queries. */
+  def simhash64Hof(toksCol: String): Column = expr(
     s"""aggregate(
           zip_with(
             aggregate(

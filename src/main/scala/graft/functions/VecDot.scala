@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd dot product over two `array<float>` columns, widening each
+  * element to double before multiply (SURVEY §2.D / §4.3: the perf-
+  * critical inner loop of similarity search, as a native Catalyst
+  * Expression rather than a UDF so it stays inside whole-stage codegen —
+  * no SerDe, no boxing, no lambda dispatch per element).
+  *
+  * Accumulation is strictly index-sequential in both the interpreted and
+  * generated paths — the same order as the higher-order-function
+  * formulation and DuckDB's list_sum — so results stay bit-identical to
+  * the correctness oracle.
+  */
+case class VecDotFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot_f expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int vdf_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double vdf_s = 0.0;
+         |for (int vdf_i = 0; vdf_i < vdf_n; vdf_i++) {
+         |  vdf_s += ((double) $a.getFloat(vdf_i)) * ((double) $b.getFloat(vdf_i));
+         |}
+         |${ev.value} = vdf_s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

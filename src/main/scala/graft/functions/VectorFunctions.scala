@@ -29,4 +29,13 @@ object VectorFunctions {
   /** Cosine similarity; expression shape mirrors the oracle SQL exactly
     * (dot / (sqrt(ssA) * sqrt(ssB))) so every IEEE op matches. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Codegen'd float-array dot product (see [[VecDotFloat]]): the scale
+    * path — same values as [[dot]] over [[vecToDouble]]'d inputs, ~an
+    * order of magnitude faster (stays in whole-stage codegen). Exposed
+    * through the session's function registry so no private Column
+    * constructors are needed. */
+  def registerVecDot(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot_f", exprs => VecDotFloat(exprs.head, exprs(1)), "built-in")
 }

@@ -1,18 +1,22 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 import graft.{Q, Tables}
-import graft.functions.VectorFunctions._
+import graft.functions.VectorFunctions
 
 /** Embedding similarity over `array<float>` columns (SURVEY.md §2.D):
   * brute-force cosine top-k (the exactness baseline the LSH/IVF variants
   * in graft.ext are measured against) and blocked near-duplicate pairs.
   *
+  * Hot loop is the codegen'd [[graft.functions.VecDotFloat]] expression
+  * (registered as SQL function `vec_dot_f`): float elements widened to
+  * double and accumulated in index order — bit-identical to the DuckDB
+  * oracle's list_sum formulation, but inside whole-stage codegen. Norms
+  * are computed ONCE per row and reused across all pairs.
+  *
   * Scale shape: the query set is broadcast, so the scan side streams once
   * with no shuffle; top-k per query is a windowed rank over qid (k tiny).
-  * For 100 TB corpora swap in graft.ext.Similarity's LSH-bucketed
-  * variant — same output contract.
   */
 object VectorOps {
 
@@ -21,16 +25,17 @@ object VectorOps {
   val q25: Q = Q(
     "q25_similarity_topk",
     run = { (spark, dir) =>
+      VectorFunctions.registerVecDot(spark)
       val e = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), vecToDouble(col("embedding")).as("emb"))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
-      val scored = e.crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)")))
+      val q = e.select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm")).filter(col("qid") < 10)
+      e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"),
-          cosine(col("emb"), col("qemb")).as("cos_sim"))
-      import org.apache.spark.sql.expressions.Window
-      scored
+          (expr("vec_dot_f(embedding, qemb)") / (col("nrm") * col("qnrm")))
+            .as("cos_sim"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))))
         .filter(col("rnk") <= 5)
@@ -53,14 +58,18 @@ object VectorOps {
   val q32: Q = Q(
     "q32_embedding_neardup",
     run = { (spark, dir) =>
+      VectorFunctions.registerVecDot(spark)
       val e = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("label"), vecToDouble(col("embedding")).as("emb"))
-      val a = e.select(col("vec_id").as("id_a"), col("label"), col("emb").as("emb_a"))
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)")))
+      val a = e.select(col("vec_id").as("id_a"), col("label"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
       val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
-        col("emb").as("emb_b"))
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
       a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("label"),
-          cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
+          (expr("vec_dot_f(emb_a, emb_b)") / (col("nrm_a") * col("nrm_b")))
+            .as("cos_sim"))
         .filter(col("cos_sim") >= 0.35)
     },
     oracle = Some("""

@@ -29,11 +29,22 @@ class TextVectorSpec extends AnyFunSuite {
     val far = (100 to 160).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "text")
       .withColumn("toks", split(col("text"), " "))
-      .select(col("id"), TextFunctions.simhash64("toks").as("sh"))
+      .select(col("id"), TextFunctions.simhash64Hof("toks").as("sh"))
     val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(m(1L), m(2L)) < hamming(m(1L), m(3L)))
     assert(hamming(m(1L), m(2L)) <= 16)
+  }
+
+  test("codegen'd SimHash64 expression equals the HOF reference impl") {
+    TextFunctions.registerSimHash(spark)
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(100)
+      .withColumn("toks", expr("array_distinct(split(text, ' '))"))
+    val diff = docs.select(
+        TextFunctions.simhash64Hof("toks").as("a"),
+        expr("simhash64(toks)").as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(diff.count() == 0)
   }
 
   test("cosine identities: self = 1, orthogonal = 0") {
