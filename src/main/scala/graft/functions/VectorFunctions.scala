@@ -38,4 +38,9 @@ object VectorFunctions {
   def registerVecDot(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot_f", exprs => VecDotFloat(exprs.head, exprs(1)), "built-in")
+
+  /** Column form of the codegen'd dot product (requires registerVecDot
+    * on the session; inputs must be array<float>). */
+  def dotF(a: Column, b: Column): Column =
+    call_function("vec_dot_f", a, b)
 }

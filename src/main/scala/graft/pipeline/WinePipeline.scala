@@ -42,9 +42,11 @@ object WinePipeline {
 
   /** Extract: the Kaggle file is ONE JSON array → multiLine; a missing
     * path fails fast like the reference's glob+FileNotFoundError
-    * (`:57-64`), via Spark's AnalysisException on no matching files. */
-  def extract(spark: SparkSession, jsonPath: String): DataFrame =
-    spark.read.schema(ingestSchema).option("multiLine", true).json(jsonPath)
+    * (`:57-64`) via the staged-source glob assert. */
+  def extract(spark: SparkSession, jsonPath: String): DataFrame = {
+    graft.sources.Staged.globAssert(spark, jsonPath)
+    graft.sources.Staged.readJsonArray(spark, jsonPath, ingestSchema)
+  }
 
   /** Transform: the full process_data chain (`:69-93`), order preserved. */
   def transform(df: DataFrame): DataFrame = Transforms.chain(
@@ -101,7 +103,8 @@ object WinePipeline {
     * duplication (`:199`); default is the safe overwrite. */
   def run(spark: SparkSession, jsonPath: String, warehousePath: String,
       append: Boolean = false, jdbcUrl: Option[String] = None,
-      jdbcTable: String = "wine_data"): Result = {
+      jdbcTable: String = "wine_data",
+      cleanupStagingDir: Option[String] = None): Result = {
     val transformed = transform(extract(spark, jsonPath))
     // Validation is a side observation on the same data — evaluated, never
     // gating (wine_etl_kaggle.py:100). Cache so validate+load share a scan.
@@ -110,15 +113,15 @@ object WinePipeline {
     val mode = if (append) "append" else "overwrite"
     jdbcUrl match {
       case Some(url) =>
-        val props = new java.util.Properties()
-        transformed.write.mode(mode)
-          .option("createTableColumnTypes", warehouseColumnTypes)
-          .jdbc(url, jdbcTable, props)
+        graft.sinks.Sinks.jdbcWrite(
+          transformed, url, jdbcTable, warehouseColumnTypes, mode)
       case None =>
-        transformed.write.mode(mode).parquet(warehousePath)
+        graft.sinks.Sinks.writeParquet(transformed, warehousePath, mode)
     }
     val n = transformed.count()
     transformed.unpersist()
+    // cleanup AFTER the successful write, like the reference's final task
+    cleanupStagingDir.foreach(d => graft.sources.Staged.cleanup(spark, d))
     Result(n, report)
   }
 

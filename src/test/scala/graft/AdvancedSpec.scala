@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Similarity
+
+/** ANN recall, top-k aggregator vs window formulation, staged sources. */
+class AdvancedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("LSH top-k recalls most of the exact brute-force neighbors") {
+    val exact = graft.queries.VectorOps.q25.run(spark, TestSpark.sf0001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(
+      Tables.embeddings(spark, TestSpark.sf0001))
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low (|exact∩approx|=${(exact intersect approx).size}/${exact.size})")
+  }
+
+  test("TopKAggregator equals the window row_number formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val viaAgg = graft.queries.Advanced.q35.run(spark, TestSpark.sf0001)
+      .select("o_orderpriority", "rnk", "o_orderkey").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val viaWindow = Tables.orders(spark, TestSpark.sf0001)
+      .withColumn("rnk", row_number().over(Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rnk") <= 3)
+      .select("o_orderpriority", "rnk", "o_orderkey").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("globAssert throws FileNotFoundException on empty glob") {
+    intercept[java.io.FileNotFoundException] {
+      graft.sources.Staged.globAssert(spark, "/tmp/definitely-missing-*.json")
+    }
+  }
+
+  test("staged cleanup deletes children, tolerates missing dir") {
+    val d = java.nio.file.Files.createTempDirectory("staging")
+    java.nio.file.Files.writeString(d.resolve("a.json"), "[]")
+    java.nio.file.Files.writeString(d.resolve("b.csv"), "x")
+    val deleted = graft.sources.Staged.cleanup(spark, d.toString)
+    assert(deleted.size == 2)
+    assert(graft.sources.Staged.cleanup(spark, "/tmp/no-such-staging-dir").isEmpty)
+  }
+}
