@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SkewJoin
+import graft.sources.EventsLayout
+
+/** Scale-mechanics specs: salted joins preserve semantics, partitioned
+  * layout prunes, approx aggregates stay within bounds, late streaming
+  * rows beyond the watermark are dropped. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows") {
+    val left = Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val right = Tables.customer(spark, TestSpark.sf0001)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val plain = left.join(right, col("o_custkey") === col("c_custkey")).count()
+    val salted = SkewJoin.saltedInnerJoin(left, "o_custkey", right, "c_custkey", 8)
+    assert(salted.count() == plain)
+    assert(salted.columns.toSet ==
+      Set("o_orderkey", "o_custkey", "c_custkey", "c_mktsegment"))
+  }
+
+  test("date-partitioned events layout prunes partitions on a date filter") {
+    val dir = Files.createTempDirectory("events_part").toString
+    EventsLayout.writePartitionedByDay(Tables.events(spark, TestSpark.sf0001), dir)
+    val read = EventsLayout.readPartitioned(spark, dir)
+      .filter(col("event_date") === "2024-01-05")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("event_date"))
+    // pruned read returns exactly that day's rows
+    val expect = Tables.events(spark, TestSpark.sf0001)
+      .filter(to_date(col("ts")) === "2024-01-05").count()
+    assert(read.count() == expect)
+  }
+
+  test("approx aggregates stay within configured error of exact") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("d"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val approx = graft.queries.Approximate.q39.run(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    approx.foreach { case (flag, (d, m)) =>
+      val (ed, em) = exact(flag)
+      assert(math.abs(d - ed).toDouble / ed < 0.1, s"$flag distinct off: $d vs $ed")
+      assert(math.abs(m - em) / em < 0.05, s"$flag median off: $m vs $em")
+    }
+  }
+
+  test("streaming drops late rows beyond the watermark (append mode)") {
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("late_events")
+    def mk(rows: Seq[(Long, String, Long, String, Double, String)], f: String): Unit =
+      rows.toDF("event_id", "tsStr", "user_id", "event_type", "value", "props")
+        .withColumn("ts", unix_micros(to_timestamp(col("tsStr"))) * 1000)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(1).write.mode("overwrite").parquet(s"$dir/$f")
+    // batch 1: events up to 12:00; watermark (1h) will settle at 11:00
+    mk(Seq(
+      (1L, "2024-01-01 09:30:00", 1L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 12:00:00", 1L, "click", 1.0, "{}")), "f1")
+    val src = spark.readStream.schema(graft.streaming.EventStreams.rawSchema)
+      .parquet(s"$dir/f*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = src.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_test").start()
+    q.processAllAvailable() // batch 1 only: watermark now 11:00
+    // batch 2, AFTER the watermark advanced: a late 09:45 row (dropped)
+    // plus a 12:30 row (kept, but its window never finalizes)
+    mk(Seq(
+      (3L, "2024-01-01 09:45:00", 1L, "click", 1.0, "{}"),
+      (4L, "2024-01-01 12:30:00", 1L, "click", 1.0, "{}")), "f2")
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("late_test").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    // the 09:00 window was finalized by the watermark after batch 1 with
+    // n=1; the late 09:45 row must NOT appear in any later emission
+    assert(emitted.getOrElse("2024-01-01 09:00:00.0", 0L) == 1L,
+      s"expected 09:00 window emitted with n=1, got $emitted")
+  }
+}
