@@ -13,7 +13,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     qs.WineParity.all ++ qs.Relational.all ++ qs.Analytic.all ++
       qs.EventWindows.all ++ qs.TextOps.all ++ qs.VectorOps.all ++
-      qs.Advanced.all ++ qs.Approximate.all ++ ext.MinHashDedup.all ++
+      qs.Advanced.all ++ qs.Approximate.all ++ qs.Relational2.all ++
+      ext.MinHashDedup.all ++
       ext.SimHashDedup.all ++ ext.Multimodal.all ++ ext.Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -89,6 +89,29 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream inner join with event-time bounds: each purchase
+    * joined to the same user's errors in the preceding 5 minutes
+    * (streaming twin of the batch q36 interval join). Both sides carry
+    * watermarks so the join state is bounded: a buffered error can be
+    * evicted once the purchase-side watermark passes its 5-minute
+    * usefulness horizon. */
+  def purchaseErrorJoin(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+    val e = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", watermark)
+    p.join(e,
+      col("user_id") === col("err_user") &&
+        col("err_ts") >= col("ts") - expr("INTERVAL 5 MINUTES") &&
+        col("err_ts") < col("ts"))
+      .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+        col("err_id"), col("err_ts").as("err_ts_us"))
+  }
+
   /** Drain a streaming DataFrame into an in-memory table and return the
     * final result (test/local harness; production would writeStream to a
     * real sink). */

@@ -51,6 +51,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == 1000) // sf0.001 events, each seen twice
   }
 
+  test("stream-stream interval join equals the batch formulation") {
+    val joined = EventStreams.purchaseErrorJoin(
+      EventStreams.readEvents(spark, eventsDir))
+    val got = EventStreams.runToMemory(joined, "ssjoin_out", OutputMode.Append)
+    // batch twin: q36 counts errors per purchase; the join row count must
+    // equal the batch sum of n_errors_5m
+    val batchTotal = graft.queries.Advanced.q36.run(spark, TestSpark.sf0001)
+      .agg(sum(col("n_errors_5m"))).head.getLong(0)
+    assert(got.count() == batchTotal)
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     val stream = EventStreams.runningUserTotals(
       EventStreams.readEvents(spark, eventsDir))
