@@ -34,6 +34,14 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+
+  /** Documents spread across the session's cores: each fixture table is
+    * ONE small parquet file → one input partition, which serializes
+    * CPU-heavy per-row work (simhash, shingling, hashing TF). A 100 TB
+    * corpus arrives pre-split, so an explicit round-robin repartition
+    * here reproduces the parallelism production would get for free. */
+  def documentsParallel(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
 

@@ -23,7 +23,7 @@ object MinHashDedup {
       // Shingle (3-gram) sets, not raw token sets: the fixture vocabulary
       // is tiny, so token-set Jaccard is high for nearly every pair;
       // shingles recover the same near-dup semantics as the exact q24.
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsParallel(spark, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"),

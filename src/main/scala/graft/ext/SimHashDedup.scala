@@ -22,7 +22,7 @@ object SimHashDedup {
       TextFunctions.registerSimHash(spark)
       // persisted: the signature table feeds the band self-join (both
       // sides) plus the final join — 8 bytes/doc, cache-the-sketch
-      val sigs = Tables.documents(spark, dir)
+      val sigs = Tables.documentsParallel(spark, dir)
         .withColumn("toks", expr("array_distinct(split(text, ' '))"))
         .select(col("doc_id"), expr("simhash64(toks)").as("simhash"))
         .select(Seq(col("doc_id"), col("simhash")) ++

@@ -76,7 +76,7 @@ object Advanced {
   val q37: Q = Q(
     "q37_token_regex",
     run = { (spark, dir) =>
-      Tables.documents(spark, dir).select(
+      Tables.documentsParallel(spark, dir).select(
         col("doc_id"),
         size(split(col("text"), " ")).as("n_ws_toks"),
         size(regexp_extract_all(col("text"),

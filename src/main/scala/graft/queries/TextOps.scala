@@ -36,7 +36,7 @@ object TextOps {
   val q24: Q = Q(
     "q24_dedup_ngram_jaccard",
     run = { (spark, dir) =>
-      val d = Tables.documents(spark, dir)
+      val d = Tables.documentsParallel(spark, dir)
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
       val sh = d.select(col("doc_id"), col("source"),
@@ -105,7 +105,7 @@ object TextOps {
   val q27: Q = Q(
     "q27_text_quality",
     run = { (spark, dir) =>
-      Tables.documents(spark, dir)
+      Tables.documentsParallel(spark, dir)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_toks", size(col("toks")))
         .withColumn("n_distinct", size(array_distinct(col("toks"))))
@@ -140,7 +140,7 @@ object TextOps {
   val q28: Q = Q(
     "q28_text_lang_id",
     run = { (spark, dir) =>
-      Tables.documents(spark, dir)
+      Tables.documentsParallel(spark, dir)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("s_en", expr("size(filter(toks, t -> t = 'the' OR t = 'a'))"))
         .withColumn("s_de", expr("size(filter(toks, t -> t = 'der' OR t = 'die'))"))
@@ -179,7 +179,7 @@ object TextOps {
   val q29: Q = Q(
     "q29_text_fingerprint",
     run = { (spark, dir) =>
-      Tables.documents(spark, dir)
+      Tables.documentsParallel(spark, dir)
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .groupBy(col("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))

@@ -40,6 +40,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(read.count() == expect)
   }
 
+  test("bucketed co-located join plans without an exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.sources.Bucketing.writeBucketed(
+        Tables.orders(spark, TestSpark.sf0001), "orders_b", "o_orderkey", 4)
+      graft.sources.Bucketing.writeBucketed(
+        Tables.lineitem(spark, TestSpark.sf0001), "lineitem_b", "l_orderkey", 4)
+      val joined = graft.sources.Bucketing.bucketedJoin(
+        spark, "orders_b", "lineitem_b", "o_orderkey", "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n${plan.take(2000)}")
+      // and it returns the same rows as the plain join
+      val plain = Tables.orders(spark, TestSpark.sf0001)
+        .join(Tables.lineitem(spark, TestSpark.sf0001),
+          col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() == plain)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("approx aggregates stay within configured error of exact") {
     val li = Tables.lineitem(spark, TestSpark.sf0001)
     val exact = li.groupBy("l_returnflag")
