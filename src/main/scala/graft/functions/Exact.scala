@@ -20,8 +20,16 @@ import org.apache.spark.sql.types._
   * money-scale inputs (max ~1e5 * 1e12 rows = 1e17 << 1e34).
   */
 object Exact {
-  /** Money-scale values (prices, balances): 4 decimal places. */
-  val Money: DecimalType = DecimalType(28, 4)
+  /** Money-scale values (prices, balances): 4 decimal places.
+    * Precision 11 is deliberate and load-bearing: a triple product
+    * (price * (1-disc) * (1+tax)) is (11,4)×(12,4)×(12,4) → (37,12),
+    * which stays UNDER Spark's 38-digit cap, so no allowPrecisionLoss
+    * scale reduction ever fires and every product is exact. At (28,4)
+    * the same chain hits the cap, Spark silently rounds intermediate
+    * scale to 6, and sums drift from the oracle at sf0.1+ (observed:
+    * 7th decimal of a 2.8e9 total). Max representable 9,999,999.9999
+    * comfortably covers all fixture money columns. */
+  val Money: DecimalType = DecimalType(11, 4)
   /** Product-of-money terms (price * (1-disc) * (1+tax)): 12 places. */
   val Fine: DecimalType = DecimalType(38, 12)
 

@@ -100,9 +100,9 @@ object Analytic {
       SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
         lag(o_totalprice)  OVER w AS prev_price,
         lead(o_totalprice) OVER w AS next_price,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(12,4)))
+        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,4)))
           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving3_sum,
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS moving3_sum,
         CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
       FROM orders
@@ -124,7 +124,7 @@ object Analytic {
     },
     oracle = Some("""
       SELECT c_custkey, c_name,
-        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(38,12))) AS DOUBLE) AS revenue
+        CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS revenue
       FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -170,7 +170,7 @@ object Analytic {
     },
     oracle = Some("""
       SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS bal_sum
+        CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS bal_sum
       FROM customer
       GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())"""))
 

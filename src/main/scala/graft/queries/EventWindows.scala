@@ -32,7 +32,7 @@ object EventWindows {
       SELECT date_trunc('hour', ts) AS w_start,
         date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
         event_type, CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
+        CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS val_sum
       FROM e GROUP BY 1, 2, 3"""))
 
   /** Q21 — sliding 1-hour windows every 15 minutes: each event lands in 4
@@ -54,7 +54,7 @@ object EventWindows {
                       TIMESTAMP '2024-01-31 00:00:00', INTERVAL 15 MINUTE)) AS w_start)
       SELECT ws.w_start, ws.w_start + INTERVAL 1 HOUR AS w_end,
         event_type, CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
+        CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS val_sum
       FROM e JOIN ws ON e.ts >= ws.w_start AND e.ts < ws.w_start + INTERVAL 1 HOUR
       GROUP BY 1, 2, 3"""))
 
@@ -80,7 +80,7 @@ object EventWindows {
             FROM m)
       SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
         user_id, CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
+        CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS val_sum
       FROM g GROUP BY user_id, sid"""))
 
   val all: Seq[Q] = Seq(q20, q21, q22)

@@ -65,13 +65,13 @@ object Relational {
     },
     oracle = Some("""
       SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
-        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(38,12))) AS DOUBLE) AS sum_disc_price,
-        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) * (1 + CAST(l_tax AS DECIMAL(12,4))) AS DECIMAL(38,12))) AS DOUBLE) AS sum_charge,
-        CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
-        CAST(sum(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / count(l_discount) AS avg_disc,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) * (1 + CAST(l_tax AS DECIMAL(12,4))) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+        CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) / count(l_discount) AS avg_disc,
         CAST(count(*) AS BIGINT) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -87,7 +87,7 @@ object Relational {
     },
     oracle = Some("""
       SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
 
   /** Q6 — star join through two broadcast dimensions (nation, region):
@@ -108,8 +108,8 @@ object Relational {
     },
     oracle = Some("""
       SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust,
-        CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS bal_sum,
-        CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) / count(c_acctbal) AS bal_avg
+        CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS bal_sum,
+        CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) / count(c_acctbal) AS bal_avg
       FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -132,7 +132,7 @@ object Relational {
     },
     oracle = Some("""
       SELECT o_orderpriority,
-        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(38,12))) AS DOUBLE) AS revenue,
+        CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS revenue,
         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
         CAST(count(*) AS BIGINT) AS n_lines
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -195,7 +195,7 @@ object Relational {
       SELECT c_mktsegment,
         CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
         CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total_price
+        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total_price
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_mktsegment"""))
 
@@ -238,7 +238,7 @@ object Relational {
     },
     oracle = Some("""
       SELECT n_name, CAST(count(*) AS BIGINT) AS n_pairs,
-        CAST(sum(CAST(s_acctbal - c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS bal_gap
+        CAST(CAST(sum(CAST(s_acctbal - c_acctbal AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS bal_gap
       FROM supplier
         JOIN customer ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
         JOIN nation ON s_nationkey = n_nationkey

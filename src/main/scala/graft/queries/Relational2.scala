@@ -45,7 +45,7 @@ object Relational2 {
     },
     oracle = Some("""
       SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS disc_sum
+        CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS disc_sum
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
 
   /** Q42 — pivot: event counts per user-bucket pivoted by event type

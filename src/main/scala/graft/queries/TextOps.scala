@@ -95,7 +95,7 @@ object TextOps {
                  FROM documents)
       SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
         CAST(sum(n_toks) AS BIGINT) AS total_toks,
-        CAST(sum(n_toks) AS DOUBLE) / count(*) AS avg_toks,
+        CAST(CAST(sum(n_toks) AS VARCHAR) AS DOUBLE) / count(*) AS avg_toks,
         max(n_chars) AS max_chars, min(n_chars) AS min_chars
       FROM d GROUP BY lang, source"""))
 
