@@ -19,13 +19,33 @@ import graft.{Q, Tables}
   */
 object Multimodal {
 
-  /** Typed row for the feature-extraction stage. */
+  /** Typed row for the feature-extraction stage. `thumb` is the resize
+    * stub's fixed-width output; `n_frames` the frame-sample count. */
   final case class MediaFeatures(
       doc_id: Long,
       n_bytes: Int,
       mean_byte: Double,
       head_bytes: Array[Byte],
-      histo16: Array[Long])
+      histo16: Array[Long],
+      thumb: Array[Byte],
+      n_frames: Int)
+
+  /** STUB resize: a real implementation decodes + bilinear-resamples;
+    * the stub keeps the contract (arbitrary bytes in, fixed-width bytes
+    * out) by striding the payload down to `width` bytes. */
+  def resizeStub(payload: Array[Byte], width: Int = 16): Array[Byte] = {
+    if (payload.isEmpty) new Array[Byte](width)
+    else Array.tabulate(width)(i => payload((i.toLong * payload.length / width).toInt))
+  }
+
+  /** STUB frame sampler: a real implementation seeks container keyframes;
+    * the stub chunks the payload into fixed-size pseudo-frames and
+    * reports how many a stride-`stride` sample would visit. */
+  def frameSampleStub(payload: Array[Byte], frameSize: Int = 64,
+      stride: Int = 4): Int = {
+    val frames = (payload.length + frameSize - 1) / frameSize
+    (frames + stride - 1) / stride
+  }
 
   /** STUB decoder: deterministic per-payload "features" (byte stats +
     * 16-bin histogram + 4-byte frame sample). A real implementation
@@ -47,7 +67,9 @@ object Multimodal {
       payload.length,
       if (payload.length == 0) 0.0 else sum.toDouble / payload.length,
       payload.take(4),
-      histo)
+      histo,
+      resizeStub(payload),
+      frameSampleStub(payload))
   }
 
   /** q33 — metadata pass over the binary column: pure built-in
@@ -81,7 +103,9 @@ object Multimodal {
         .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
         .select(col("doc_id"), col("n_bytes"), col("mean_byte"),
           hex(col("head_bytes")).as("head_hex"),
-          col("histo16"))
+          col("histo16"),
+          hex(col("thumb")).as("thumb_hex"),
+          col("n_frames"))
     },
     oracle = None)
 

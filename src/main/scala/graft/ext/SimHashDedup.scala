@@ -24,8 +24,9 @@ object SimHashDedup {
       // sides) plus the final join — 8 bytes/doc, cache-the-sketch
       val sigs = Tables.documentsParallel(spark, dir)
         .withColumn("toks", expr("array_distinct(split(text, ' '))"))
-        .select(col("doc_id"), expr("simhash64(toks)").as("simhash"))
-        .select(Seq(col("doc_id"), col("simhash")) ++
+        .select(col("doc_id"), expr("simhash64(toks)").as("simhash"),
+          TextFunctions.rollingFingerprint("toks").as("rolling_fp"))
+        .select(Seq(col("doc_id"), col("simhash"), col("rolling_fp")) ++
           (0 until 4).map(i =>
             shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
               .as(s"band$i")): _*)

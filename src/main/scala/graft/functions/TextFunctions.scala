@@ -28,6 +28,16 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(text, " ")))))
 
+  /** Order-SENSITIVE rolling-hash fingerprint (Rabin–Karp shape): fold
+    * h ← (h·P + hash(token)) mod M over the token sequence — catches
+    * documents with identical token sets but different order,
+    * complementing [[fingerprint]]. Modular (M = 2³¹−1, P = 1000003)
+    * keeps every intermediate ≤ 2⁵¹, so ANSI mode (Spark 4 default)
+    * never sees a long overflow. Pure projection, no shuffle. */
+  def rollingFingerprint(toksCol: String): Column =
+    expr(s"aggregate($toksCol, 0L, (h, t) -> " +
+      "pmod(h * 1000003L + pmod(xxhash64(t), 2147483647L), 2147483647L))")
+
   /** 64-bit SimHash: codegen'd Catalyst expression (the scale path; see
     * [[SimHash64]]) registered as SQL function `simhash64`. Values are
     * identical to [[simhash64Hof]] (same xxhash64 seed-42 per token). */

@@ -54,14 +54,20 @@ object Windows2 {
   val q45: Q = Q(
     "q45_percentiles",
     run = { (spark, dir) =>
+      // one array-percentile call: a single counting structure per group
+      // instead of three (3x less state, one final sort)
       Tables.lineitem(spark, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
-          percentile(col("l_extendedprice"), lit(0.5)).as("median"),
-          percentile(col("l_extendedprice"), lit(0.75)).as("p75"),
+          percentile(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("ps"),
           min(col("l_extendedprice")).as("lo"),
           max(col("l_extendedprice")).as("hi"))
+        .select(col("l_returnflag"),
+          col("ps").getItem(0).as("p25"),
+          col("ps").getItem(1).as("median"),
+          col("ps").getItem(2).as("p75"),
+          col("lo"), col("hi"))
     },
     oracle = Some("""
       SELECT l_returnflag,

@@ -33,6 +33,32 @@ class AdvancedSpec extends AnyFunSuite {
     assert(viaAgg == viaWindow)
   }
 
+  test("KaggleSource stages from a local mirror; errors clearly offline") {
+    val mirror = java.nio.file.Files.createTempDirectory("mirror")
+    java.nio.file.Files.writeString(mirror.resolve("wine.json"), "[]")
+    val staging = java.nio.file.Files.createTempDirectory("staging").toString
+    val staged = graft.sources.KaggleSource.fetch(
+      "zynicide/wine-reviews", staging, Some(mirror.toString))
+    assert(staged.size == 1 && staged.head.endsWith("wine.json"))
+    val e = intercept[java.io.IOException] {
+      graft.sources.KaggleSource.fetch("zynicide/wine-reviews", staging)
+    }
+    assert(e.getMessage.contains("no network egress"))
+  }
+
+  test("rolling fingerprint is order-sensitive; set fingerprint is not") {
+    import graft.functions.TextFunctions
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"))
+      .toDF("id", "text")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("id"),
+        TextFunctions.fingerprint(col("text")).as("set_fp"),
+        TextFunctions.rollingFingerprint("toks").as("roll_fp"))
+    val rows = df.collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(rows(0)._1 == rows(1)._1)  // same token set
+    assert(rows(0)._2 != rows(1)._2)  // different order
+  }
+
   test("globAssert throws FileNotFoundException on empty glob") {
     intercept[java.io.FileNotFoundException] {
       graft.sources.Staged.globAssert(spark, "/tmp/definitely-missing-*.json")
