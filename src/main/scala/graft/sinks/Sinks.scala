@@ -17,6 +17,12 @@ object Sinks {
   def writeParquet(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).parquet(path)
 
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
+  def writeJsonLines(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
   /** JDBC write with explicit column DDL (the reference's dtype map —
     * see graft.pipeline.WinePipeline.warehouseColumnTypes). */
   def jdbcWrite(df: DataFrame, url: String, table: String,

@@ -65,6 +65,25 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("format round-trips: csv (declared schema), orc, json lines") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("fmt").toString
+    val src = Tables.nation(spark, TestSpark.sf0001)
+    val schema = src.schema
+    graft.sinks.Sinks.writeCsv(src, s"$dir/csv")
+    graft.sinks.Sinks.writeOrc(src, s"$dir/orc")
+    graft.sinks.Sinks.writeJsonLines(src, s"$dir/json")
+    // CSV re-read with DECLARED schema (the reference's §4.1 dtype-erasure
+    // round-trip, minus inference)
+    val csv = graft.sources.Staged.readCsv(spark, s"$dir/csv", schema)
+    val orc = spark.read.orc(s"$dir/orc")
+    val jsn = graft.sources.Staged.readJsonLines(spark, s"$dir/json", schema)
+    for (df <- Seq(csv, orc, jsn)) {
+      assert(df.count() == 25)
+      assert(df.exceptAll(src).count() == 0)
+    }
+  }
+
   test("staged cleanup deletes children, tolerates missing dir") {
     val d = java.nio.file.Files.createTempDirectory("staging")
     java.nio.file.Files.writeString(d.resolve("a.json"), "[]")
