@@ -14,13 +14,17 @@ object TextFunctions {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct word `n`-gram shingles (positional n-grams joined by a
-    * space) over a NAMED array<string> column; caller must ensure
-    * size >= n. SQL-expression form because lambda-with-index is most
-    * direct in SQL syntax. */
+    * space) over a NAMED array<string> column. TOTAL: arrays shorter than
+    * `n` yield an empty shingle set (without the guard, sequence(0, neg)
+    * runs descending into negative indices, which ANSI mode rejects).
+    * SQL-expression form because lambda-with-index is most direct in SQL
+    * syntax. */
   def shinglesExpr(toksCol: String, n: Int): Column = {
     val parts = (0 until n).map(j => s"$toksCol[i + $j]").mkString(", ")
-    expr(s"array_distinct(transform(sequence(0, size($toksCol) - $n), " +
-      s"i -> concat_ws(' ', $parts)))")
+    expr(s"CASE WHEN size($toksCol) >= $n THEN " +
+      s"array_distinct(transform(sequence(0, size($toksCol) - $n), " +
+      s"i -> concat_ws(' ', $parts))) " +
+      s"ELSE array_repeat('', 0) END")
   }
 
   /** Order-insensitive document fingerprint: md5 over the sorted distinct
@@ -40,22 +44,25 @@ object TextFunctions {
 
   /** 64-bit SimHash: codegen'd Catalyst expression (the scale path; see
     * [[SimHash64]]) registered as SQL function `simhash64`. Values are
-    * identical to [[simhash64Hof]] (same xxhash64 seed-42 per token). */
+    * identical to [[simhash64Hof]] on the SAME token array (same xxhash64
+    * seed-42 per token, one vote per element) — callers choose whether to
+    * array_distinct first; neither implementation dedupes internally. */
   def registerSimHash(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
 
-  /** 64-bit SimHash over the distinct tokens of `toksCol` (a named
-    * array<string> column): per-token xxhash64, ±1 vote per bit, sign →
-    * bit. Entirely in one projection via higher-order folds — no explode,
-    * no shuffle; at 100 TB this is embarrassingly parallel per row.
-    * Reference (interpreted) formulation; [[SimHash64]] is the codegen'd
-    * equivalent used by the queries. */
+  /** 64-bit SimHash over the tokens of `toksCol` (a named array<string>
+    * column): per-token xxhash64, ±1 vote per bit, sign → bit. One vote
+    * PER ELEMENT — pass array_distinct(toks) for set semantics. Entirely
+    * in one projection via higher-order folds — no explode, no shuffle;
+    * at 100 TB this is embarrassingly parallel per row. Reference
+    * (interpreted) formulation; [[SimHash64]] is the codegen'd equivalent
+    * used by the queries. */
   def simhash64Hof(toksCol: String): Column = expr(
     s"""aggregate(
           zip_with(
             aggregate(
-              transform(array_distinct($toksCol), t -> xxhash64(t)),
+              transform($toksCol, t -> xxhash64(t)),
               array_repeat(0L, 64),
               (acc, h) -> zip_with(acc, sequence(0, 63),
                             (a, b) -> a + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)),

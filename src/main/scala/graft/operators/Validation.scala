@@ -53,8 +53,12 @@ object Validation {
   final case class IsIn(column: String, allowed: Seq[String],
       nullable: Boolean = false) extends Check {
     val name = s"${column}_isin"
+    // non-nullable needs the explicit isNotNull conjunct: bare isin()
+    // returns NULL (not false) for null input, and a NULL pass-predicate
+    // would make the violation counter silently skip null rows
     def pass(c: Column): Column =
-      if (nullable) c.isNull || c.isin(allowed: _*) else c.isin(allowed: _*)
+      if (nullable) c.isNull || c.isin(allowed: _*)
+      else c.isNotNull && c.isin(allowed: _*)
   }
 
   /** Lazy-validate: returns one row per check —

@@ -107,9 +107,15 @@ object WinePipeline {
       cleanupStagingDir: Option[String] = None): Result = {
     val transformed = transform(extract(spark, jsonPath))
     // Validation is a side observation on the same data — evaluated, never
-    // gating (wine_etl_kaggle.py:100). Cache so validate+load share a scan.
+    // gating (wine_etl_kaggle.py:100). Cache so validate+load share a scan,
+    // and MATERIALIZE the report while the cache (and the staged input)
+    // still exist — the report is O(#checks) rows, so pinning it locally
+    // is bounded regardless of data size.
     transformed.cache()
     val report = Validation.validate(transformed, checks)
+    val reportRows = report.collect().toSeq
+    val materializedReport = spark.createDataFrame(
+      spark.sparkContext.parallelize(reportRows, 1), report.schema)
     val mode = if (append) "append" else "overwrite"
     jdbcUrl match {
       case Some(url) =>
@@ -120,9 +126,10 @@ object WinePipeline {
     }
     val n = transformed.count()
     transformed.unpersist()
-    // cleanup AFTER the successful write, like the reference's final task
+    // cleanup AFTER the successful write, like the reference's final task;
+    // safe because the report no longer depends on the staged input
     cleanupStagingDir.foreach(d => graft.sources.Staged.cleanup(spark, d))
-    Result(n, report)
+    Result(n, materializedReport)
   }
 
   /** The whisky pipeline stub (reference dags/whisky_etl.py: declares a

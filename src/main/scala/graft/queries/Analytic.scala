@@ -200,7 +200,7 @@ object Analytic {
         CAST(round(CAST(value AS DECIMAL(12,4)) * 3, 2) AS DOUBLE) AS value_x3,
         upper(event_type) AS etype_u,
         substring(props, 2, 4) AS props_sub,
-        event_type || '|' || CAST(user_id AS VARCHAR) AS tag,
+        concat_ws('|', event_type, CAST(user_id AS VARCHAR)) AS tag,
         user_id % 7 AS mod7,
         greatest(value, 100.0) AS hi,
         least(value, 100.0) AS lo

@@ -35,7 +35,7 @@ object Relational {
     oracle = Some("""
       SELECT l_orderkey, l_linenumber,
         l_extendedprice * (1 - l_discount) AS revenue,
-        l_returnflag || '/' || l_linestatus AS flag_status,
+        concat_ws('/', l_returnflag, l_linestatus) AS flag_status,
         CAST(year(l_shipdate) AS INTEGER) AS ship_year
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'

@@ -58,6 +58,9 @@ object Relational2 {
         .groupBy("user_bucket")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
+        // pivot cells with no rows come back NULL from PivotFirst; the
+        // oracle's count(*) FILTER yields 0 — align on 0
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
     },
     oracle = Some("""
       SELECT user_id % 10 AS user_bucket,

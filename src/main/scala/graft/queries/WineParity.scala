@@ -93,10 +93,10 @@ object WineParity {
       FROM e
       UNION ALL
       SELECT 'event_type_isin',
-        CAST(count(*) FILTER (WHERE NOT event_type IN ('click','purchase','view','signup')) AS BIGINT),
+        CAST(count(*) FILTER (WHERE event_type IS NULL OR NOT event_type IN ('click','purchase','view','signup')) AS BIGINT),
         CAST(count(*) AS BIGINT),
-        min(CASE WHEN NOT event_type IN ('click','purchase','view','signup') THEN event_type END),
-        max(CASE WHEN NOT event_type IN ('click','purchase','view','signup') THEN event_type END)
+        min(CASE WHEN event_type IS NULL OR NOT event_type IN ('click','purchase','view','signup') THEN event_type END),
+        max(CASE WHEN event_type IS NULL OR NOT event_type IN ('click','purchase','view','signup') THEN event_type END)
       FROM e
       UNION ALL
       SELECT 'props_str_length',

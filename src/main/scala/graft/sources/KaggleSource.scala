@@ -43,18 +43,21 @@ object KaggleSource {
       case Some(dir) =>
         val src = Paths.get(dir)
         require(Files.isDirectory(src), s"local mirror $dir is not a directory")
-        val it = Files.list(src).iterator()
-        var out = List.empty[String]
-        while (it.hasNext) {
-          val f: Path = it.next()
-          if (Files.isRegularFile(f)) {
-            val dst = staging.resolve(f.getFileName)
-            Files.copy(f, dst,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            out ::= dst.toString
+        val stream = Files.list(src) // backed by an open DirectoryStream
+        try {
+          val it = stream.iterator()
+          var out = List.empty[String]
+          while (it.hasNext) {
+            val f: Path = it.next()
+            if (Files.isRegularFile(f)) {
+              val dst = staging.resolve(f.getFileName)
+              Files.copy(f, dst,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              out ::= dst.toString
+            }
           }
-        }
-        out.reverse
+          out.reverse
+        } finally stream.close()
       case None =>
         throw new java.io.IOException(
           s"Cannot download kaggle dataset '$dataset': no network egress in " +

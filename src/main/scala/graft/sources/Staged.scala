@@ -52,8 +52,13 @@ object Staged {
     fs.listStatus(p).toSeq.flatMap { st =>
       val child = st.getPath
       try {
-        fs.delete(child, true)
-        Seq(child.toString)
+        // Hadoop FileSystems report most failures via a false return, not
+        // an exception — treat both as "not deleted" and warn
+        if (fs.delete(child, true)) Seq(child.toString)
+        else {
+          System.err.println(s"[staged] could not delete $child: delete returned false")
+          Seq.empty
+        }
       } catch {
         case e: Exception =>
           System.err.println(s"[staged] could not delete $child: ${e.getMessage}")

@@ -26,7 +26,7 @@ class ValidationSpec extends AnyFunSuite {
     assert(rep("points_in_range") == (2L, 3L))  // 40 fails, null fails
     assert(rep("title_str_length") == (1L, 3L)) // "hi" fails, null passes
     assert(rep("price_ge") == (1L, 3L))         // -1 fails, null passes
-    assert(rep("country_isin") == (1L, 3L))     // Narnia fails (null -> no vote)
+    assert(rep("country_isin") == (2L, 3L))     // Narnia AND null both fail
   }
 
   test("violation samples report min/max offending values as strings") {
