@@ -132,6 +132,29 @@ object WinePipeline {
     Result(n, materializedReport)
   }
 
+  /** Reference-compat run: materializes the transformed table to CSV
+    * between transform and validate/load, then re-reads it with the
+    * declared post-transform schema — reproducing the reference's
+    * observable CSV round-trip semantics (wine_etl_kaggle.py:92-102:
+    * dtype erasure + schema-on-re-read; SURVEY §4.1). The default
+    * [[run]] fuses this away; use this mode when byte-level stage
+    * artifacts are part of the contract. */
+  def runWithCsvStaging(spark: SparkSession, jsonPath: String,
+      csvStagePath: String, warehousePath: String): Result = {
+    val transformed = transform(extract(spark, jsonPath))
+    graft.sinks.Sinks.writeCsv(transformed, csvStagePath)
+    // schema-on-re-read: the declared schema plays the role of pandera's
+    // coerce=True re-casting after pandas' dtype erasure
+    val reRead = graft.sources.Staged.readCsv(
+      spark, csvStagePath, transformed.schema)
+    val report = Validation.validate(reRead, checks)
+    val reportRows = report.collect().toSeq
+    val materializedReport = spark.createDataFrame(
+      spark.sparkContext.parallelize(reportRows, 1), report.schema)
+    graft.sinks.Sinks.writeParquet(reRead, warehousePath)
+    Result(spark.read.parquet(warehousePath).count(), materializedReport)
+  }
+
   /** The whisky pipeline stub (reference dags/whisky_etl.py: declares a
     * scraper, never extracts). Modeled as a source stub that reads
     * pre-scraped lot files if present and otherwise yields an empty,

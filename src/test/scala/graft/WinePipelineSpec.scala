@@ -54,6 +54,21 @@ class WinePipelineSpec extends AnyFunSuite {
     assert(rep("price_category_not_null") == 1) // the zero-priced row
   }
 
+  test("CSV-staged compat run equals the fused run (reference 4.1 round-trip)") {
+    val out = Files.createTempDirectory("wine_csv").toString
+    val fused = WinePipeline.run(spark, fixture, s"$out/fused")
+    val staged = WinePipeline.runWithCsvStaging(
+      spark, fixture, s"$out/stage_csv", s"$out/staged")
+    assert(staged.rowsLoaded == fused.rowsLoaded)
+    val a = spark.read.parquet(s"$out/fused")
+    val b = spark.read.parquet(s"$out/staged").select(a.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // and the validation reports agree
+    val ra = fused.validationReport.collect().map(_.toString).sorted
+    val rb = staged.validationReport.collect().map(_.toString).sorted
+    assert(ra.sameElements(rb))
+  }
+
   test("append mode duplicates on re-run (reference :199 semantics)") {
     val out = Files.createTempDirectory("wine_wh2").toString
     WinePipeline.run(spark, fixture, s"$out/w", append = true)
