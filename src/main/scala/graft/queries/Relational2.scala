@@ -87,5 +87,28 @@ object Relational2 {
       FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
       GROUP BY token ORDER BY n DESC, token LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43)
+  /** Q46 — map-typed columns: parse JSON props into map<string,int>,
+    * explode to (key, value) rows, carry the map cardinality. The
+    * fixture's props shape is {"k": int}, which the oracle mirrors via
+    * scalar JSON extraction; the Spark side runs the real
+    * from_json → MapType → explode pipeline. */
+  val q46: Q = Q(
+    "q46_map_ops",
+    run = { (spark, dir) =>
+      import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+      Tables.events(spark, dir)
+        .select(col("event_id"),
+          from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
+        .filter(col("m").isNotNull)
+        .select(col("event_id"), size(col("m")).as("n_keys"),
+          explode(col("m")))
+        .withColumnRenamed("key", "map_key")
+        .withColumnRenamed("value", "map_val")
+    },
+    oracle = Some("""
+      SELECT event_id, CAST(1 AS INTEGER) AS n_keys, 'k' AS map_key,
+        CAST(json_extract_string(props, '$.k') AS INTEGER) AS map_val
+      FROM events WHERE props IS NOT NULL"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q46)
 }

@@ -112,6 +112,21 @@ object EventStreams {
         col("err_id"), col("err_ts").as("err_ts_us"))
   }
 
+  /** Idempotent durable sink: foreachBatch writing each micro-batch to a
+    * batchId-addressed parquet directory with overwrite — re-processing a
+    * batch after a crash/restart overwrites the same directory instead of
+    * duplicating rows, which together with the checkpoint gives
+    * effectively-exactly-once file output. Returns the started query;
+    * caller drives/stops it. */
+  def startIdempotentParquetSink(df: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+      }
+      .start()
+
   /** Drain a streaming DataFrame into an in-memory table and return the
     * final result (test/local harness; production would writeStream to a
     * real sink). */

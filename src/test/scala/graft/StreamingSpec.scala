@@ -51,6 +51,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == 1000) // sf0.001 events, each seen twice
   }
 
+  test("foreachBatch idempotent sink: checkpoint restart does not duplicate") {
+    val src = Files.createTempDirectory("fb_src")
+    val out = Files.createTempDirectory("fb_out").toString
+    val ckpt = Files.createTempDirectory("fb_ckpt").toString
+    Files.copy(Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      src.resolve("a.parquet"))
+    def readSrc = EventStreams.readEvents(spark, src.toString)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // run 1: process the first file
+    val q1 = EventStreams.startIdempotentParquetSink(readSrc, out, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    val after1 = spark.read.parquet(s"$out/batch_*").count()
+    assert(after1 == 1000)
+    // restart with NO new data: checkpoint must prevent reprocessing
+    val q2 = EventStreams.startIdempotentParquetSink(readSrc, out, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$out/batch_*").count() == 1000)
+    // restart with one new file: only the new file's rows are appended
+    Files.copy(Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      src.resolve("b.parquet"))
+    val q3 = EventStreams.startIdempotentParquetSink(readSrc, out, ckpt)
+    q3.processAllAvailable(); q3.stop()
+    assert(spark.read.parquet(s"$out/batch_*").count() == 2000)
+  }
+
   test("stream-stream interval join equals the batch formulation") {
     val joined = EventStreams.purchaseErrorJoin(
       EventStreams.readEvents(spark, eventsDir))
