@@ -35,19 +35,24 @@ object Bench {
     // two timed passes per query, report the min — local[32] run-to-run
     // noise (GC, thread scheduling) is ±30% on sub-second queries and the
     // min is the stable estimator of the plan's actual cost
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a failed run must surface as -1 in the JSON, never as a (fast)
+    // wall-time that makes a broken query look well-optimized
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] query failed: ${e.getMessage}"); false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries that persist sketches (minhash/simhash) must not leak
       // cached blocks into later queries' memory or timings
       spark.catalog.clearCache()
-      dt
+      if (ok) Some(dt) else None
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = ordered.map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
+      name -> (for (a <- once(fn); b <- once(fn)) yield math.min(a, b))
+        .getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -52,7 +52,12 @@ object Multimodal {
     * would decode the media container here; the signature — bytes in,
     * fixed-width features out, no per-row session state — is the
     * contract a distributed decode needs. */
-  def decodeStub(docId: Long, payload: Array[Byte]): MediaFeatures = {
+  def decodeStub(docId: Long, payloadOrNull: Array[Byte]): MediaFeatures = {
+    // null payloads (null source column) decode as empty media, the same
+    // graceful degradation the expression-based q33 gets from null-safe
+    // built-ins
+    val payload =
+      if (payloadOrNull == null) Array.emptyByteArray else payloadOrNull
     val histo = new Array[Long](16)
     var sum = 0L
     var i = 0

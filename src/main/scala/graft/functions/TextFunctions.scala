@@ -49,7 +49,11 @@ object TextFunctions {
     * array_distinct first; neither implementation dedupes internally. */
   def registerSimHash(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+      "simhash64", { exprs =>
+        require(exprs.length == 1,
+          s"simhash64 expects 1 argument, got ${exprs.length}")
+        SimHash64(exprs.head)
+      }, "built-in")
 
   /** 64-bit SimHash over the tokens of `toksCol` (a named array<string>
     * column): per-token xxhash64, ±1 vote per bit, sign → bit. One vote

@@ -37,7 +37,11 @@ object VectorFunctions {
     * constructors are needed. */
   def registerVecDot(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot_f", exprs => VecDotFloat(exprs.head, exprs(1)), "built-in")
+      "vec_dot_f", { exprs =>
+        require(exprs.length == 2,
+          s"vec_dot_f expects 2 arguments, got ${exprs.length}")
+        VecDotFloat(exprs.head, exprs(1))
+      }, "built-in")
 
   /** Column form of the codegen'd dot product (requires registerVecDot
     * on the session; inputs must be array<float>). */

@@ -68,19 +68,29 @@ object Validation {
     * so the result is bounded by #checks, not #rows).
     */
   def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
-    val aggs = checks.flatMap { ck =>
+    require(checks.nonEmpty, "validate() needs at least one check")
+    // disambiguate repeated (column, check-type) pairs — duplicate names
+    // would collide as aggregate aliases and break the stack() unpivot
+    val named: Seq[(String, Check)] = {
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      checks.map { ck =>
+        val n = seen.updateWith(ck.name)(c => Some(c.getOrElse(0) + 1)).get
+        (if (n == 1) ck.name else s"${ck.name}_$n") -> ck
+      }
+    }
+    val aggs = named.flatMap { case (name, ck) =>
       val c = col(ck.column)
       val fail = !ck.pass(c)
       Seq(
-        sum(when(fail, 1L).otherwise(0L)).as(s"${ck.name}__n"),
-        min(when(fail, c.cast(StringType))).as(s"${ck.name}__lo"),
-        max(when(fail, c.cast(StringType))).as(s"${ck.name}__hi"))
+        sum(when(fail, 1L).otherwise(0L)).as(s"${name}__n"),
+        min(when(fail, c.cast(StringType))).as(s"${name}__lo"),
+        max(when(fail, c.cast(StringType))).as(s"${name}__hi"))
     }
     val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
     // unpivot the single summary row into (check_name, violations, …) rows
-    val stackExpr = checks.map { ck =>
-      s"'${ck.name}', `${ck.name}__n`, `${ck.name}__lo`, `${ck.name}__hi`"
-    }.mkString(s"stack(${checks.length}, ", ", ", ")")
+    val stackExpr = named.map { case (name, _) =>
+      s"'$name', `${name}__n`, `${name}__lo`, `${name}__hi`"
+    }.mkString(s"stack(${named.length}, ", ", ", ")")
     one.select(col("__rows"),
         expr(s"$stackExpr as (check_name, violations, sample_min, sample_max)"))
       .select(col("check_name"), col("violations"), col("__rows").as("n_rows"),

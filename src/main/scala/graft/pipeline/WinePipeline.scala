@@ -112,33 +112,37 @@ object WinePipeline {
     // still exist — the report is O(#checks) rows, so pinning it locally
     // is bounded regardless of data size.
     transformed.cache()
-    val report = Validation.validate(transformed, checks)
-    val reportRows = report.collect().toSeq
-    val materializedReport = spark.createDataFrame(
-      spark.sparkContext.parallelize(reportRows, 1), report.schema)
-    val mode = if (append) "append" else "overwrite"
-    jdbcUrl match {
-      case Some(url) =>
-        graft.sinks.Sinks.jdbcWrite(
-          transformed, url, jdbcTable, warehouseColumnTypes, mode)
-      case None =>
-        graft.sinks.Sinks.writeParquet(transformed, warehousePath, mode)
-    }
-    val n = transformed.count()
-    transformed.unpersist()
-    // cleanup AFTER the successful write, like the reference's final task;
-    // safe because the report no longer depends on the staged input
-    cleanupStagingDir.foreach(d => graft.sources.Staged.cleanup(spark, d))
-    Result(n, materializedReport)
+    try {
+      val report = Validation.validate(transformed, checks)
+      val reportRows = report.collect().toSeq
+      val materializedReport = spark.createDataFrame(
+        spark.sparkContext.parallelize(reportRows, 1), report.schema)
+      val mode = if (append) "append" else "overwrite"
+      jdbcUrl match {
+        case Some(url) =>
+          graft.sinks.Sinks.jdbcWrite(
+            transformed, url, jdbcTable, warehouseColumnTypes, mode)
+        case None =>
+          graft.sinks.Sinks.writeParquet(transformed, warehousePath, mode)
+      }
+      val n = transformed.count()
+      // cleanup AFTER the successful write, like the reference's final
+      // task; safe because the report no longer depends on the staged input
+      cleanupStagingDir.foreach(d => graft.sources.Staged.cleanup(spark, d))
+      Result(n, materializedReport)
+    } finally transformed.unpersist() // never leak cache on a failed write
   }
 
   /** Reference-compat run: materializes the transformed table to CSV
     * between transform and validate/load, then re-reads it with the
     * declared post-transform schema — reproducing the reference's
     * observable CSV round-trip semantics (wine_etl_kaggle.py:92-102:
-    * dtype erasure + schema-on-re-read; SURVEY §4.1). The default
-    * [[run]] fuses this away; use this mode when byte-level stage
-    * artifacts are part of the contract. */
+    * dtype erasure + schema-on-re-read; SURVEY §4.1). Note the round-trip
+    * conflates empty strings with nulls (CSV has one empty
+    * representation) — faithful to the reference's pandas behavior, and
+    * the one observable way this mode can differ from the fused [[run]].
+    * The default [[run]] fuses this away; use this mode when byte-level
+    * stage artifacts are part of the contract. */
   def runWithCsvStaging(spark: SparkSession, jsonPath: String,
       csvStagePath: String, warehousePath: String): Result = {
     val transformed = transform(extract(spark, jsonPath))

@@ -90,8 +90,10 @@ object Relational2 {
   /** Q46 — map-typed columns: parse JSON props into map<string,int>,
     * explode to (key, value) rows, carry the map cardinality. The
     * fixture's props shape is {"k": int}, which the oracle mirrors via
-    * scalar JSON extraction; the Spark side runs the real
-    * from_json → MapType → explode pipeline. */
+    * scalar JSON extraction (DuckDB 1.0 has no json_each); both sides
+    * drop empty/malformed maps ('{}', non-JSON) — the oracle is only a
+    * faithful mirror for the declared single-key fixture shape. The
+    * Spark side runs the real from_json → MapType → explode pipeline. */
   val q46: Q = Q(
     "q46_map_ops",
     run = { (spark, dir) =>
@@ -108,7 +110,9 @@ object Relational2 {
     oracle = Some("""
       SELECT event_id, CAST(1 AS INTEGER) AS n_keys, 'k' AS map_key,
         CAST(json_extract_string(props, '$.k') AS INTEGER) AS map_val
-      FROM events WHERE props IS NOT NULL"""))
+      FROM events
+      WHERE props IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL"""))
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q46)
 }

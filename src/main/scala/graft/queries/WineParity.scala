@@ -42,10 +42,14 @@ object WineParity {
     },
     oracle = Some("""
       WITH codes AS (
+        -- code table and median are computed AFTER the dropna stage
+        -- (event_id IS NOT NULL), matching the engine's transform order
         SELECT event_type,
                CAST(row_number() OVER (ORDER BY event_type) - 1 AS SMALLINT) AS type_code
-        FROM (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL) d
-      ), med AS (SELECT median(value) AS m FROM events WHERE value IS NOT NULL)
+        FROM (SELECT DISTINCT event_type FROM events
+              WHERE event_type IS NOT NULL AND event_id IS NOT NULL) d
+      ), med AS (SELECT median(value) AS m FROM events
+                 WHERE value IS NOT NULL AND event_id IS NOT NULL)
       SELECT e.event_id, e.user_id, e.event_type,
         COALESCE(c.type_code, CAST(-1 AS SMALLINT)) AS type_code,
         COALESCE(e.value, (SELECT m FROM med)) AS value_filled,

@@ -82,13 +82,20 @@ def main():
                 for c in cols[:4]:
                     print(f"  row {i} col {c}: engine={ce.at[i, c]!r} oracle={co.at[i, c]!r}")
             failures += 1
-    # queries without oracle: rows-only check
-    for d in sorted(glob.glob(f"{out_dir}/*/")):
-        name = d.rstrip("/").split("/")[-1]
+    # queries without oracle: rows-only check, driven by the manifest so a
+    # crashed query (missing/empty output dir) is a FAIL, not a skip
+    try:
+        manifest = json.load(open(f"{out_dir}/queries.json"))
+    except FileNotFoundError:
+        manifest = [d.rstrip("/").split("/")[-1]
+                    for d in glob.glob(f"{out_dir}/*/")]
+    for name in sorted(manifest):
         if name in oracle:
             continue
-        parts = sorted(glob.glob(f"{d}/*.parquet"))
+        parts = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not parts:
+            print(f"FAIL {name} (rows-only: no engine output)")
+            failures += 1
             continue
         n = sum(len(pd.read_parquet(p)) for p in parts)
         print(f"{'PASS' if n > 0 else 'FAIL'} {name} (rows-only: {n} rows)")
