@@ -59,9 +59,9 @@ object EventWindows {
       GROUP BY 1, 2, 3"""))
 
   /** Q22 — session windows (30-minute gap) per user; oracle is the classic
-    * gaps-and-islands construction. Spark's session end is EXCLUSIVE
-    * (an event at exactly prev_ts + gap starts a NEW session), so the
-    * oracle's merge condition is strict `<`. */
+    * gaps-and-islands construction. Spark MERGES an event at exactly
+    * prev_ts + gap into the session (inclusive boundary — verified
+    * empirically in ScaleSpec), so the oracle's merge condition is `<=`. */
   val q22: Q = Q(
     "q22_window_session",
     run = { (spark, dir) =>
@@ -75,7 +75,7 @@ object EventWindows {
     oracle = Some("""
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
       m AS (SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                             < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+                             <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
             FROM e),
       g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid

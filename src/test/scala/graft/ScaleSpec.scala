@@ -78,6 +78,26 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("session_window MERGES at exactly the gap (inclusive boundary)") {
+    import spark.implicits._
+    // verified empirically: an event at exactly prev_ts + gap extends the
+    // session (Spark merges on newStart <= sessionEnd), so the q22 oracle
+    // must use <= in its gaps-and-islands merge condition
+    val df = Seq(
+      (1L, "2024-01-01 09:00:00", 1L),
+      (2L, "2024-01-01 09:30:00", 1L),   // == gap -> SAME session
+      (3L, "2024-01-02 09:00:00", 2L),
+      (4L, "2024-01-02 09:30:00.000001", 2L)) // > gap -> new session
+      .toDF("event_id", "tsStr", "user_id")
+      .withColumn("ts", to_timestamp(col("tsStr")))
+    val sessions = df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count()
+    val byUser = sessions.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byUser(1L) == 1, "exact-gap events must merge")
+    assert(byUser(2L) == 2, "beyond-gap events must split")
+  }
+
   test("streaming drops late rows beyond the watermark (append mode)") {
     import java.sql.Timestamp
     val dir = Files.createTempDirectory("late_events")
