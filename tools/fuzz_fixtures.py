@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Adversarial fixture perturbation for the parity gate.
+
+Copies an sf directory and injects the data hazards the clean fixtures
+never exercise — NULLs in nullable columns, sub-shingle-length and
+duplicated documents, tied order dates — while respecting the declared
+column contracts (ids/timestamps stay non-null, props keeps its
+single-key JSON shape). Running tools/check.py against the fuzzed copy
+then exercises every oracle query's null/tie/boundary semantics.
+
+Usage: python3 tools/fuzz_fixtures.py <srcSfDir> <dstDir>
+"""
+import sys
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 1234
+
+
+def fuzz_events(t: pa.Table, rng) -> pa.Table:
+    n = t.num_rows
+    cols = {c: t[c].to_pylist() for c in t.column_names}
+    # 5% null value, 3% null props, 2% null event_type
+    for i in rng.choice(n, n // 20, replace=False):
+        cols["value"][i] = None
+    for i in rng.choice(n, max(n // 33, 1), replace=False):
+        cols["props"][i] = None
+    for i in rng.choice(n, max(n // 50, 1), replace=False):
+        cols["event_type"][i] = None
+    return pa.table(
+        {c: pa.array(cols[c], type=t.schema.field(c).type) for c in t.column_names})
+
+
+def fuzz_documents(t: pa.Table, rng) -> pa.Table:
+    cols = {c: t[c].to_pylist() for c in t.column_names}
+    n = t.num_rows
+    # a handful of sub-3-token docs (shingle totality) and exact+shuffled dups
+    for k, txt in enumerate(["a", "a b", "", "x y"]):
+        i = int(rng.integers(0, n))
+        cols["text"][i] = txt
+        cols["n_chars"][i] = len(txt)
+    src = int(rng.integers(0, n))
+    dup = int(rng.integers(0, n))
+    if dup != src:
+        cols["text"][dup] = cols["text"][src]          # exact duplicate
+        cols["n_chars"][dup] = cols["n_chars"][src]
+    shuf = int(rng.integers(0, n))
+    toks = cols["text"][src].split(" ")
+    rng.shuffle(toks)
+    cols["text"][shuf] = " ".join(toks)                 # shuffled duplicate
+    cols["n_chars"][shuf] = len(cols["text"][shuf])
+    return pa.table(
+        {c: pa.array(cols[c], type=t.schema.field(c).type) for c in t.column_names})
+
+
+def fuzz_orders(t: pa.Table, rng) -> pa.Table:
+    cols = {c: t[c].to_pylist() for c in t.column_names}
+    n = t.num_rows
+    # force order-date ties within customers (window tie-break stress)
+    for _ in range(n // 10):
+        i, j = rng.integers(0, n, 2)
+        cols["o_orderdate"][int(j)] = cols["o_orderdate"][int(i)]
+    # tied total prices (top-k / rank ties)
+    for _ in range(n // 20):
+        i, j = rng.integers(0, n, 2)
+        cols["o_totalprice"][int(j)] = cols["o_totalprice"][int(i)]
+    return pa.table(
+        {c: pa.array(cols[c], type=t.schema.field(c).type) for c in t.column_names})
+
+
+def main():
+    src, dst = sys.argv[1], sys.argv[2]
+    import os, shutil
+    os.makedirs(dst, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    for name in ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents", "embeddings"]:
+        t = pq.read_table(f"{src}/{name}.parquet")
+        if name == "events":
+            t = fuzz_events(t, rng)
+        elif name == "documents":
+            t = fuzz_documents(t, rng)
+        elif name == "orders":
+            t = fuzz_orders(t, rng)
+        pq.write_table(t, f"{dst}/{name}.parquet")
+    print(f"fuzzed fixtures written to {dst}")
+
+
+if __name__ == "__main__":
+    main()
