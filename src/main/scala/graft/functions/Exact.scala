@@ -46,4 +46,9 @@ object Exact {
   /** Exact average = exact sum / count, divided as doubles at the end. */
   def davg(c: Column): Column =
     (sum(c.cast(Money)).cast(DoubleType) / count(c)).cast(DoubleType)
+
+  /** Exact product-sum kept as DECIMAL — for two-level aggregations
+    * (partial agg below a join, re-aggregated after) where the double
+    * cast must wait until the FINAL sum. */
+  def dsumExprDec(c: Column): Column = sum(c.cast(Fine))
 }

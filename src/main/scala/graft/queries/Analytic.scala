@@ -109,16 +109,27 @@ object Analytic {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))
 
   /** Q16 — top-k: Catalyst fuses orderBy+limit into TakeOrderedAndProject
-    * (per-partition heaps + driver merge — no global sort at scale). */
+    * (per-partition heaps + driver merge — no global sort at scale).
+    * Aggregation is eagerly pushed below both joins (exact decimal sums
+    * re-aggregate losslessly): lineitem → per-order revenue → per-customer
+    * revenue → broadcast-join customer names last, so the wide name
+    * column never rides through a shuffle. */
   val q16: Q = Q(
     "q16_topk",
     run = { (spark, dir) =>
+      import graft.functions.Exact.dsumExprDec
+      val perOrder = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(dsumExprDec(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .as("rev_dec"))
+      val perCust = Tables.orders(spark, dir)
+        .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev_dec")).as("rev_dec2"))
       Tables.customer(spark, dir)
-        .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
-        .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("c_custkey"), col("c_name"))
-        .agg(dsumExpr(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .as("revenue"))
+        .join(perCust, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("rev_dec2").cast(DoubleType).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(10)
     },

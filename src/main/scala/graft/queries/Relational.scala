@@ -115,20 +115,31 @@ object Relational {
         JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name"""))
 
-  /** Q7 — fact⋈fact join (orders⋈lineitem): shuffles both sides on the
-    * order key → sort-merge join; AQE coalesces post-shuffle partitions.
+  /** Q7 — fact⋈fact join (orders⋈lineitem), with the aggregation PUSHED
+    * BELOW the join (an eager-aggregation rewrite Catalyst doesn't do
+    * itself): lineitem pre-aggregates per order key — exact decimal sums,
+    * so re-aggregating after the join is lossless — which shrinks the
+    * join's probe side ~4:1, turns countDistinct into a plain count
+    * (order keys are unique post-agg), and shuffles the pre-agg output
+    * instead of raw lineitem. Same result set as the naive
+    * join-then-aggregate formulation the oracle uses.
     */
   val q07: Q = Q(
     "q07_join_large",
     run = { (spark, dir) =>
+      val liAgg = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          dsumExprDec(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .as("rev_dec"),
+          count(lit(1)).as("n_lines_o"))
       Tables.orders(spark, dir)
-        .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(liAgg, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(
-          dsumExpr(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"),
-          count(lit(1)).as("n_lines"))
+          sum(col("rev_dec")).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_orders"),
+          sum(col("n_lines_o")).as("n_lines"))
     },
     oracle = Some("""
       SELECT o_orderpriority,
