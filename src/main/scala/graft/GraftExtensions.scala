@@ -22,18 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("vec_dot_f"),
       new ExpressionInfo(classOf[VecDotFloat].getName, "vec_dot_f"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2,
-          s"vec_dot_f expects 2 arguments, got ${args.length}")
-        VecDotFloat(args.head, args(1))
-      }))
+      graft.functions.VectorFunctions.vecDotBuilder))
     e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => {
-        require(args.length == 1,
-          s"simhash64 expects 1 argument, got ${args.length}")
-        SimHash64(args.head)
-      }))
+      graft.functions.TextFunctions.simHashBuilder))
   }
 }

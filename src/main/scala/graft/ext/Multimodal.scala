@@ -53,9 +53,9 @@ object Multimodal {
     * fixed-width features out, no per-row session state — is the
     * contract a distributed decode needs. */
   def decodeStub(docId: Long, payloadOrNull: Array[Byte]): MediaFeatures = {
-    // null payloads (null source column) decode as empty media, the same
-    // graceful degradation the expression-based q33 gets from null-safe
-    // built-ins
+    // null payloads (null source column) decode as EMPTY media (zeros),
+    // which keeps the task alive; note this differs from q33's null-safe
+    // built-ins, which would yield NULL metadata for the same row
     val payload =
       if (payloadOrNull == null) Array.emptyByteArray else payloadOrNull
     val histo = new Array[Long](16)

@@ -49,11 +49,16 @@ object TextFunctions {
     * array_distinct first; neither implementation dedupes internally. */
   def registerSimHash(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", { exprs =>
-        require(exprs.length == 1,
-          s"simhash64 expects 1 argument, got ${exprs.length}")
-        SimHash64(exprs.head)
-      }, "built-in")
+      "simhash64", simHashBuilder, "built-in")
+
+  /** Single arity-checked builder shared by the temp-function path and
+    * GraftExtensions' injectFunction path. */
+  val simHashBuilder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression = { exprs =>
+    require(exprs.length == 1,
+      s"simhash64 expects 1 argument, got ${exprs.length}")
+    SimHash64(exprs.head)
+  }
 
   /** 64-bit SimHash over the tokens of `toksCol` (a named array<string>
     * column): per-token xxhash64, ±1 vote per bit, sign → bit. One vote

@@ -37,11 +37,16 @@ object VectorFunctions {
     * constructors are needed. */
   def registerVecDot(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot_f", { exprs =>
-        require(exprs.length == 2,
-          s"vec_dot_f expects 2 arguments, got ${exprs.length}")
-        VecDotFloat(exprs.head, exprs(1))
-      }, "built-in")
+      "vec_dot_f", vecDotBuilder, "built-in")
+
+  /** Single arity-checked builder shared by the temp-function path and
+    * GraftExtensions' injectFunction path. */
+  val vecDotBuilder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression = { exprs =>
+    require(exprs.length == 2,
+      s"vec_dot_f expects 2 arguments, got ${exprs.length}")
+    VecDotFloat(exprs.head, exprs(1))
+  }
 
   /** Column form of the codegen'd dot product (requires registerVecDot
     * on the session; inputs must be array<float>). */

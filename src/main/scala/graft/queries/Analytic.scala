@@ -117,7 +117,6 @@ object Analytic {
   val q16: Q = Q(
     "q16_topk",
     run = { (spark, dir) =>
-      import graft.functions.Exact.dsumExprDec
       val perOrder = Tables.lineitem(spark, dir)
         .groupBy(col("l_orderkey"))
         .agg(dsumExprDec(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))

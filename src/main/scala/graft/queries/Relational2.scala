@@ -91,9 +91,12 @@ object Relational2 {
     * explode to (key, value) rows, carry the map cardinality. The
     * fixture's props shape is {"k": int}, which the oracle mirrors via
     * scalar JSON extraction (DuckDB 1.0 has no json_each); both sides
-    * drop empty/malformed maps ('{}', non-JSON) — the oracle is only a
-    * faithful mirror for the declared single-key fixture shape. The
-    * Spark side runs the real from_json → MapType → explode pipeline. */
+    * drop empty maps ('{}'). Caveat: on NON-JSON props the sides are
+    * asymmetric — Spark's from_json degrades to null (row dropped) but
+    * DuckDB's json_extract_string ERRORS, so the oracle is only a
+    * faithful mirror for the declared well-formed single-key fixture
+    * shape. The Spark side runs the real from_json → MapType → explode
+    * pipeline. */
   val q46: Q = Q(
     "q46_map_ops",
     run = { (spark, dir) =>

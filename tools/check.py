@@ -86,7 +86,9 @@ def main():
     # crashed query (missing/empty output dir) is a FAIL, not a skip
     try:
         manifest = json.load(open(f"{out_dir}/queries.json"))
-    except FileNotFoundError:
+    except (FileNotFoundError, ValueError):
+        # missing OR truncated/corrupt manifest (Verify killed mid-write):
+        # fall back to the directory listing rather than crashing the gate
         manifest = [d.rstrip("/").split("/")[-1]
                     for d in glob.glob(f"{out_dir}/*/")]
     for name in sorted(manifest):

@@ -22,7 +22,7 @@ def fuzz_events(t: pa.Table, rng) -> pa.Table:
     n = t.num_rows
     cols = {c: t[c].to_pylist() for c in t.column_names}
     # 5% null value, 3% null props, 2% null event_type
-    for i in rng.choice(n, n // 20, replace=False):
+    for i in rng.choice(n, max(n // 20, 1), replace=False):
         cols["value"][i] = None
     for i in rng.choice(n, max(n // 33, 1), replace=False):
         cols["props"][i] = None
@@ -40,15 +40,22 @@ def fuzz_documents(t: pa.Table, rng) -> pa.Table:
         i = int(rng.integers(0, n))
         cols["text"][i] = txt
         cols["n_chars"][i] = len(txt)
+    # exact + shuffled duplicates — resample so the hazards are ALWAYS
+    # injected (a fixed seed would otherwise skip them forever for the
+    # unlucky fixture size)
     src = int(rng.integers(0, n))
     dup = int(rng.integers(0, n))
-    if dup != src:
-        cols["text"][dup] = cols["text"][src]          # exact duplicate
-        cols["n_chars"][dup] = cols["n_chars"][src]
+    while n >= 2 and dup == src:
+        dup = int(rng.integers(0, n))
+    cols["text"][dup] = cols["text"][src]               # exact duplicate
+    cols["n_chars"][dup] = cols["n_chars"][src]
     shuf = int(rng.integers(0, n))
     toks = cols["text"][src].split(" ")
-    rng.shuffle(toks)
-    cols["text"][shuf] = " ".join(toks)                 # shuffled duplicate
+    for _ in range(10):                                  # force a real permutation
+        rng.shuffle(toks)
+        if " ".join(toks) != cols["text"][src] or len(set(toks)) <= 1:
+            break
+    cols["text"][shuf] = " ".join(toks)                  # shuffled duplicate
     cols["n_chars"][shuf] = len(cols["text"][shuf])
     return pa.table(
         {c: pa.array(cols[c], type=t.schema.field(c).type) for c in t.column_names})
@@ -57,10 +64,16 @@ def fuzz_documents(t: pa.Table, rng) -> pa.Table:
 def fuzz_orders(t: pa.Table, rng) -> pa.Table:
     cols = {c: t[c].to_pylist() for c in t.column_names}
     n = t.num_rows
-    # force order-date ties within customers (window tie-break stress)
-    for _ in range(n // 10):
-        i, j = rng.integers(0, n, 2)
-        cols["o_orderdate"][int(j)] = cols["o_orderdate"][int(i)]
+    # force order-date ties WITHIN customers (the hazard q15's window
+    # tie-break actually faces) — global random pairs would mostly create
+    # cross-customer "ties" that stress nothing
+    by_cust = {}
+    for idx, ck in enumerate(cols["o_custkey"]):
+        by_cust.setdefault(ck, []).append(idx)
+    for rows in by_cust.values():
+        if len(rows) >= 2 and rng.random() < 0.5:
+            i, j = rng.choice(len(rows), 2, replace=False)
+            cols["o_orderdate"][rows[int(j)]] = cols["o_orderdate"][rows[int(i)]]
     # tied total prices (top-k / rank ties)
     for _ in range(n // 20):
         i, j = rng.integers(0, n, 2)
@@ -71,7 +84,7 @@ def fuzz_orders(t: pa.Table, rng) -> pa.Table:
 
 def main():
     src, dst = sys.argv[1], sys.argv[2]
-    import os, shutil
+    import os
     os.makedirs(dst, exist_ok=True)
     rng = np.random.default_rng(SEED)
     for name in ["region", "nation", "customer", "supplier", "part",
