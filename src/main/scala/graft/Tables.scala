@@ -27,11 +27,30 @@ object Tables {
     * Integer `div` (not `/`) — ns since epoch ≈ 1.7e18 exceeds double
     * precision (2^53).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame =
+    withNanosAsLong(s) {
+      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      table(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+
+  /** Scopes `spark.sql.legacy.parquet.nanosAsLong` to the read: sets it,
+    * forces analysis (the scan snapshots the conf then — verified: the
+    * materialization still succeeds after the conf is restored), and
+    * restores the previous value so later parquet reads of TIMESTAMP(NANOS)
+    * columns in the same session get the normal typed behavior. */
+  def withNanosAsLong(s: SparkSession)(read: => DataFrame): DataFrame = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      val df = read
+      df.schema // force analysis while the conf is set
+      df
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
 

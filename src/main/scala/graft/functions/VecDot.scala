@@ -47,13 +47,20 @@ case class VecDotFloat(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not fixed locals: several vec_dot_f calls can land in
+      // ONE non-null-wrapped scope (e.g. two non-nullable inputs), where
+      // duplicate local declarations would fail janino and silently drop
+      // the whole stage to interpreted execution
+      val n = ctx.freshName("vdfN")
+      val s = ctx.freshName("vdfS")
+      val i = ctx.freshName("vdfI")
       s"""
-         |int vdf_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double vdf_s = 0.0;
-         |for (int vdf_i = 0; vdf_i < vdf_n; vdf_i++) {
-         |  vdf_s += ((double) $a.getFloat(vdf_i)) * ((double) $b.getFloat(vdf_i));
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
-         |${ev.value} = vdf_s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -50,8 +50,13 @@ object EventWindows {
     },
     oracle = Some("""
       WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
-      ws AS (SELECT unnest(generate_series(TIMESTAMP '2023-12-31 23:15:00',
-                      TIMESTAMP '2024-01-31 00:00:00', INTERVAL 15 MINUTE)) AS w_start)
+      -- grid bounds derived from the data (not hard-coded): earliest window
+      -- containing min(ts) starts 45 min before its 15-min bucket; time_bucket
+      -- is epoch-aligned for 15-min intervals, matching Spark's window grid
+      ws AS (SELECT unnest(generate_series(
+               (SELECT time_bucket(INTERVAL 15 MINUTE, min(ts)) - INTERVAL 45 MINUTE FROM e),
+               (SELECT time_bucket(INTERVAL 15 MINUTE, max(ts)) FROM e),
+               INTERVAL 15 MINUTE)) AS w_start)
       SELECT ws.w_start, ws.w_start + INTERVAL 1 HOUR AS w_end,
         event_type, CAST(count(*) AS BIGINT) AS n,
         CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS val_sum

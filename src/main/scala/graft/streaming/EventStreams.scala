@@ -33,13 +33,13 @@ object EventStreams {
 
   /** Streaming read of an events parquet directory; ns→µs truncation
     * identical to the batch loader so streaming and batch agree. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.withNanosAsLong(spark) {
+      spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
 
   /** Tumbling 1-hour counts+sums per event type (≡ batch q20). */
   def tumbling(events: DataFrame, watermark: String = "1 hour"): DataFrame =
