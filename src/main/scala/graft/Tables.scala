@@ -34,24 +34,34 @@ object Tables {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     }
 
-  /** Scopes `spark.sql.legacy.parquet.nanosAsLong` to the read: sets it,
-    * forces analysis (the scan snapshots the conf then — verified: the
-    * materialization still succeeds after the conf is restored), and
-    * restores the previous value so later parquet reads of TIMESTAMP(NANOS)
-    * columns in the same session get the normal typed behavior. */
-  def withNanosAsLong(s: SparkSession)(read: => DataFrame): DataFrame = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "true")
-    try {
-      val df = read
-      df.schema // force analysis while the conf is set
-      df
-    } finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
+  /** Scopes `spark.sql.legacy.parquet.nanosAsLong` to a BATCH read: sets
+    * it, forces analysis (a batch scan snapshots the conf then —
+    * verified: the materialization still succeeds after the conf is
+    * restored), and restores the previous value so later parquet reads of
+    * TIMESTAMP(NANOS) columns in the same session get the normal typed
+    * behavior. Not for streaming reads — a streaming source re-converts
+    * footer schemas at micro-batch execution, after this scope has
+    * closed; see `EventStreams.readEvents`, which sets the flag
+    * session-wide instead.
+    *
+    * The set/analyze/restore window is serialized by synchronizing on the
+    * session's shared state, so two threads loading tables on the same
+    * SparkSession can't interleave and leak (or prematurely clear) the
+    * legacy flag. */
+  def withNanosAsLong(s: SparkSession)(read: => DataFrame): DataFrame =
+    s.sharedState.synchronized {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        val df = read
+        df.schema // force analysis while the conf is set
+        df
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
 
   /** Documents spread across the session's cores: each fixture table is

@@ -39,11 +39,13 @@ object MinHashDedup {
         .setInputCol("features").setOutputCol("hashes")
         .setNumHashTables(6).setSeed(42L)
       val model = mh.fit(feat)
-      // self-join: persist the hashed side once or the whole
+      // self-join: materialize the hashed side once or the whole
       // shingle→TF→minhash pipeline is re-evaluated for BOTH join inputs
       // (signatures are ~100 bytes/doc — at 100 TB of docs this is the
-      // standard cache-the-sketch pattern, not a luxury)
-      val hashed = model.transform(feat).persist()
+      // standard stage-the-sketch pattern). Staged to temp parquet, not
+      // persist(): no cached blocks leak into the caller's session.
+      val hashed = graft.operators.Stage.materialize(
+        model.transform(feat).select("doc_id", "features", "hashes"), "minhash")
       model.approxSimilarityJoin(hashed, hashed, 0.5, "jaccard_dist")
         .select(
           col("datasetA.doc_id").as("doc_a"),

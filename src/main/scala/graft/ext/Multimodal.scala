@@ -108,7 +108,10 @@ object Multimodal {
         .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
         .select(col("doc_id"), col("n_bytes"), col("mean_byte"),
           hex(col("head_bytes")).as("head_hex"),
-          col("histo16"),
+          // rendered as a scalar, not array<long>: the driver gate's
+          // pandas canonicalizer sorts every output column, and numpy
+          // arrays are unhashable/unsortable there
+          concat_ws(",", col("histo16")).as("histo16_csv"),
           hex(col("thumb")).as("thumb_hex"),
           col("n_frames"))
     },

@@ -20,17 +20,20 @@ object SimHashDedup {
     "q31_dedup_simhash",
     run = { (spark, dir) =>
       TextFunctions.registerSimHash(spark)
-      // persisted: the signature table feeds the band self-join (both
-      // sides) plus the final join — 8 bytes/doc, cache-the-sketch
-      val sigs = Tables.documentsParallel(spark, dir)
+      // staged once to temp parquet: the signature table feeds the band
+      // self-join (both sides) plus the final join. A persist() here
+      // would leak cached blocks to non-Bench callers; staging gives the
+      // same evaluate-once guarantee with no session cache state.
+      val sigs = graft.operators.Stage.materialize(
+        Tables.documentsParallel(spark, dir)
         .withColumn("toks", expr("array_distinct(split(text, ' '))"))
         .select(col("doc_id"), expr("simhash64(toks)").as("simhash"),
           TextFunctions.rollingFingerprint("toks").as("rolling_fp"))
         .select(Seq(col("doc_id"), col("simhash"), col("rolling_fp")) ++
           (0 until 4).map(i =>
             shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
-              .as(s"band$i")): _*)
-        .persist()
+              .as(s"band$i")): _*),
+        "simhash")
       // same-band candidates: ONE posexplode pass (not a 4-way union that
       // would re-evaluate the signature subplan per branch); the self-join
       // shuffles the identical subplan twice → Spark reuses the exchange.

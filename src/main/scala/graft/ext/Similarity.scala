@@ -28,11 +28,12 @@ object Similarity {
     * fraction at the same recall. */
   val Bits = 4
 
-  /** Deterministic pseudo-random hyperplanes, dim x Bits, as float
-    * literal columns compatible with vec_dot_f. */
-  private def hyperplanes(dim: Int): Seq[Column] = {
-    val rng = new scala.util.Random(42L)
-    (0 until Bits).map { _ =>
+  /** Deterministic pseudo-random hyperplanes, dim x bits, as float
+    * literal columns compatible with vec_dot_f. `seed` varies per hash
+    * table so tables are independent. */
+  private def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Seq[Column] = {
+    val rng = new scala.util.Random(seed)
+    (0 until bits).map { _ =>
       typedlit((0 until dim).map(_ => (rng.nextGaussian()).toFloat).toArray)
     }
   }
@@ -40,16 +41,29 @@ object Similarity {
   /** Bucket id: B sign bits packed into an int. */
   private def bucketOf(emb: Column, planes: Seq[Column]): Column =
     planes.zipWithIndex.map { case (h, i) =>
-      when(graft.functions.VectorFunctions.dotF(emb, h) > 0, lit(1 << i)).otherwise(lit(0))
+      when(VectorFunctions.dotF(emb, h) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Embedding dimensionality, sampled from the first row (one tiny
+    * bounded job, like the median scalar). Hyperplanes are sized to the
+    * DATA, not a hard-coded 64 — vec_dot_f truncates to min length, so a
+    * wrong constant would silently bucket on a prefix. */
+  private def dimOf(embeddings: DataFrame, embCol: String): Int = {
+    val head = embeddings.select(size(col(embCol)).as("d")).head()
+    val d = head.getInt(0)
+    require(d > 0, s"lsh: empty $embCol in first row — cannot derive dim")
+    d
+  }
+
   /** LSH-bucketed top-k: same output contract as the brute-force q25
-    * (qid, nid, cos_sim, rnk) but scanning only same/adjacent buckets. */
-  def lshTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    * (qid, nid, cos_sim, rnk) but scanning only same/adjacent buckets.
+    * `dim` defaults to the dimensionality of the data (first row). */
+  def lshTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+      dim: Int = -1): DataFrame = {
     val spark = embeddings.sparkSession
     VectorFunctions.registerVecDot(spark)
-    val dim = 64
-    val planes = hyperplanes(dim)
+    val d = if (dim > 0) dim else dimOf(embeddings, "embedding")
+    val planes = hyperplanes(d, Bits)
     val e = embeddings
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)")))
@@ -73,6 +87,61 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Sub-quadratic embedding near-dup: the scale path for q32's
+    * label-blocked all-pairs. T independent sign-LSH tables of `bits`
+    * hyperplanes each; vectors sharing (label, table, bucket) become
+    * candidates (a banded self-join, |bucket|²-bounded like MinHash-LSH
+    * banding), and the EXACT cosine test runs on candidates only — so
+    * every emitted pair is a true q32 pair, and recall is
+    * 1-(1-p^bits)^tables per pair (p = 1-θ/π).
+    *
+    * At 100 TB: candidate work per label block is Σ|bucket|² ≈
+    * T·|block|²/2^bits with uniform buckets — the 2^bits knob turns the
+    * quadratic blow-up into a tunable constant; real (clustered)
+    * embedding corpora raise `bits` for far smaller buckets at the same
+    * recall. The fixture vectors are near-random (the LSH-adversarial
+    * case), so the defaults trade candidate volume for recall.
+    */
+  def neardupLsh(embeddings: DataFrame, threshold: Double = 0.35,
+      bits: Int = 4, tables: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorFunctions.registerVecDot(spark)
+    val d = dimOf(embeddings, "embedding")
+    // bucket keys for all tables in ONE codegen projection; staged to
+    // temp parquet (not persisted) because three joins consume it
+    val e = graft.operators.Stage.materialize(
+      embeddings
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)")))
+        .withColumn("buckets", array((0 until tables).map { t =>
+          bucketOf(col("embedding"), hyperplanes(d, bits, seed = 1000L + t))
+        }: _*)),
+      "neardup-lsh")
+    val bands = e.select(col("vec_id"), col("label"),
+        posexplode(col("buckets")))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
+    // banded candidate pairs: shuffle on (label, tbl, bucket) — never on
+    // the raw label alone, so a hot label no longer implies |block|² work
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.label") === col("y.label") && col("x.tbl") === col("y.tbl") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        col("x.label").as("label"))
+      .distinct()
+    // exact cosine on survivors only (same expression as q32)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("label"),
+        (expr("vec_dot_f(emb_a, emb_b)") / (col("nrm_a") * col("nrm_b")))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** q38 — the ANN variant of q25 (rows-only: bucketing is engine-
     * specific; recall vs exact brute force is the tested contract). */
   val q38: Q = Q(
@@ -80,5 +149,13 @@ object Similarity {
     run = { (spark, dir) => lshTopK(Tables.embeddings(spark, dir)) },
     oracle = None)
 
-  val all: Seq[Q] = Seq(q38)
+  /** q47 — the sub-quadratic variant of q32 (rows-only: candidate set is
+    * engine-specific; precision is 1 by construction — exact cosine on
+    * survivors — and recall vs q32 is the tested contract). */
+  val q47: Q = Q(
+    "q47_embedding_neardup_lsh",
+    run = { (spark, dir) => neardupLsh(Tables.embeddings(spark, dir)) },
+    oracle = None)
+
+  val all: Seq[Q] = Seq(q38, q47)
 }

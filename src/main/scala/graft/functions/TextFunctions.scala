@@ -47,9 +47,14 @@ object TextFunctions {
     * identical to [[simhash64Hof]] on the SAME token array (same xxhash64
     * seed-42 per token, one vote per element) — callers choose whether to
     * array_distinct first; neither implementation dedupes internally. */
-  def registerSimHash(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", simHashBuilder, "built-in")
+  def registerSimHash(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // no-op when already registered (GraftExtensions sessions) — see
+    // VectorFunctions.registerVecDot for rationale
+    val reg = spark.sessionState.functionRegistry
+    val ident = new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64")
+    if (!reg.functionExists(ident))
+      reg.createOrReplaceTempFunction("simhash64", simHashBuilder, "built-in")
+  }
 
   /** Single arity-checked builder shared by the temp-function path and
     * GraftExtensions' injectFunction path. */

@@ -35,9 +35,16 @@ object VectorFunctions {
     * order of magnitude faster (stays in whole-stage codegen). Exposed
     * through the session's function registry so no private Column
     * constructors are needed. */
-  def registerVecDot(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot_f", vecDotBuilder, "built-in")
+  def registerVecDot(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // no-op when already registered (e.g. the session was built with
+    // spark.sql.extensions=graft.GraftExtensions — the preferred front
+    // door): re-registering would spam "replaced a previously registered
+    // function" warnings on every query invocation
+    val reg = spark.sessionState.functionRegistry
+    val ident = new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot_f")
+    if (!reg.functionExists(ident))
+      reg.createOrReplaceTempFunction("vec_dot_f", vecDotBuilder, "built-in")
+  }
 
   /** Single arity-checked builder shared by the temp-function path and
     * GraftExtensions' injectFunction path. */

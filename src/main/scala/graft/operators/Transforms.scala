@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -86,16 +85,34 @@ object Transforms {
   /** `astype('category').cat.codes` (wine_etl_kaggle.py:90): dense int
     * codes assigned by sorted order of distinct values; null → -1.
     *
-    * Scale shape: the distinct set is tiny (categorical by definition), so
-    * the window over it is a few rows on one partition, and the join back
-    * is a broadcast hash join — the only exchange in the wine chain.
+    * Scale shape: codes are built by a range-partitioned sort of the
+    * distinct set followed by RDD `zipWithIndex` — contiguous global ids
+    * without an unpartitioned window, so a high-cardinality column (10⁶+
+    * distinct values, tested) never funnels through one partition.
+    * `zipWithIndex` costs one lightweight extra job (per-partition counts)
+    * over the distinct set only.
+    *
+    * `broadcastCodes` (default true — categorical by definition) hints the
+    * join back; pass false for high-cardinality dictionaries so the join
+    * shuffles instead of shipping the whole code table to every executor.
+    * `codeType` mirrors pandas' cat.codes dtype widening: ShortType
+    * matches the reference's SMALLINT warehouse column, IntegerType for
+    * dictionaries past 32k codes.
     */
-  def dictEncode(src: String, dst: String): DataFrame => DataFrame = { df =>
-    val codes = df.select(col(src)).na.drop().distinct()
-      .withColumn(dst,
-        (row_number().over(Window.orderBy(col(src))) - 1).cast(ShortType))
-    df.join(broadcast(codes), Seq(src), "left")
-      .withColumn(dst, coalesce(col(dst), lit(-1).cast(ShortType)))
+  def dictEncode(src: String, dst: String, codeType: DataType = ShortType,
+      broadcastCodes: Boolean = true): DataFrame => DataFrame = { df =>
+    val spark = df.sparkSession
+    val distinctVals = df.select(col(src)).na.drop().distinct()
+    val srcField = distinctVals.schema.fields.head
+    val indexed = distinctVals.orderBy(col(src)).rdd.zipWithIndex.map {
+      case (r, i) => org.apache.spark.sql.Row(r.get(0), i)
+    }
+    val codes = spark.createDataFrame(indexed, StructType(Seq(
+        srcField, StructField("__code", LongType, nullable = false))))
+      .withColumn(dst, col("__code").cast(codeType)).drop("__code")
+    val codesHinted = if (broadcastCodes) broadcast(codes) else codes
+    df.join(codesHinted, Seq(src), "left")
+      .withColumn(dst, coalesce(col(dst), lit(-1).cast(codeType)))
   }
 
   /** Compose a chain of transform stages. */

@@ -84,17 +84,26 @@ object WinePipeline {
       NotNull("country_code"))                               // :151
   }
 
-  /** The reference's explicit warehouse DDL type map (`:175-194`), for
-    * the JDBC sink path. */
+  /** The reference's explicit warehouse DDL type map (`:175-194`),
+    * expressed in the Spark DDL the JDBC writer's
+    * `createTableColumnTypes` option parses: the reference's `Text`
+    * columns (`:178` description) are STRING here — the JDBC dialect
+    * renders STRING as the warehouse's text type (TEXT on Postgres, the
+    * reference's exact DDL; CLOB on Derby) — and `Float` (`:181`) is
+    * DOUBLE (Postgres DOUBLE PRECISION). `price_category` is
+    * VARCHAR(50) per `:190` (String(length=50)); the rest VARCHAR(255).
+    * Executed-at-runtime evidence: WinePipelineSpec round-trips this map
+    * through an embedded Derby warehouse. */
   val warehouseColumnTypes: String = Seq(
-    "points INTEGER", "title VARCHAR(255)", "description TEXT",
+    "points INTEGER", "title VARCHAR(255)", "description STRING",
     "taster_name VARCHAR(255)", "taster_twitter_handle VARCHAR(255)",
-    "price DOUBLE PRECISION", "designation VARCHAR(255)",
+    "price DOUBLE", "designation VARCHAR(255)",
     "variety VARCHAR(255)", "region_1 VARCHAR(255)", "region_2 VARCHAR(255)",
     "province VARCHAR(255)", "country VARCHAR(255)", "winery VARCHAR(255)",
     "title_length INTEGER", "description_length INTEGER",
-    "price_category VARCHAR(255)", "region VARCHAR(255)",
+    "price_category VARCHAR(50)", "region VARCHAR(255)",
     "country_code SMALLINT").mkString(", ")
+
 
   final case class Result(rowsLoaded: Long, validationReport: DataFrame)
 
@@ -104,7 +113,8 @@ object WinePipeline {
   def run(spark: SparkSession, jsonPath: String, warehousePath: String,
       append: Boolean = false, jdbcUrl: Option[String] = None,
       jdbcTable: String = "wine_data",
-      cleanupStagingDir: Option[String] = None): Result = {
+      cleanupStagingDir: Option[String] = None,
+      jdbcColumnTypes: String = warehouseColumnTypes): Result = {
     val transformed = transform(extract(spark, jsonPath))
     // Validation is a side observation on the same data — evaluated, never
     // gating (wine_etl_kaggle.py:100). Cache so validate+load share a scan,
@@ -121,7 +131,7 @@ object WinePipeline {
       jdbcUrl match {
         case Some(url) =>
           graft.sinks.Sinks.jdbcWrite(
-            transformed, url, jdbcTable, warehouseColumnTypes, mode)
+            transformed, url, jdbcTable, jdbcColumnTypes, mode)
         case None =>
           graft.sinks.Sinks.writeParquet(transformed, warehousePath, mode)
       }

@@ -51,11 +51,13 @@ object EventWindows {
     oracle = Some("""
       WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
       -- grid bounds derived from the data (not hard-coded): earliest window
-      -- containing min(ts) starts 45 min before its 15-min bucket; time_bucket
-      -- is epoch-aligned for 15-min intervals, matching Spark's window grid
+      -- containing min(ts) starts 45 min before its 15-min bucket; the
+      -- bucket origin is pinned to the epoch explicitly so the grid matches
+      -- Spark's epoch-aligned window() for ANY slide, not just slides that
+      -- happen to divide DuckDB's default 2000-01-03 origin evenly
       ws AS (SELECT unnest(generate_series(
-               (SELECT time_bucket(INTERVAL 15 MINUTE, min(ts)) - INTERVAL 45 MINUTE FROM e),
-               (SELECT time_bucket(INTERVAL 15 MINUTE, max(ts)) FROM e),
+               (SELECT time_bucket(INTERVAL 15 MINUTE, min(ts), TIMESTAMP '1970-01-01 00:00:00') - INTERVAL 45 MINUTE FROM e),
+               (SELECT time_bucket(INTERVAL 15 MINUTE, max(ts), TIMESTAMP '1970-01-01 00:00:00') FROM e),
                INTERVAL 15 MINUTE)) AS w_start)
       SELECT ws.w_start, ws.w_start + INTERVAL 1 HOUR AS w_end,
         event_type, CAST(count(*) AS BIGINT) AS n,

@@ -32,14 +32,26 @@ object EventStreams {
     StructField("props", StringType)))
 
   /** Streaming read of an events parquet directory; ns→µs truncation
-    * identical to the batch loader so streaming and batch agree. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    graft.Tables.withNanosAsLong(spark) {
-      spark.readStream.schema(rawSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    }
+    * identical to the batch loader so streaming and batch agree.
+    *
+    * Conf lifetime: unlike batch scans (which snapshot
+    * `spark.sql.legacy.parquet.nanosAsLong` at analysis — see
+    * `graft.Tables.withNanosAsLong`), a streaming parquet source
+    * re-converts each file's footer schema when its micro-batch
+    * *executes*, which may be long after this method returns. A
+    * save/restore scope around the builder therefore breaks the second
+    * micro-batch ([PARQUET_TYPE_ILLEGAL]). So the flag is set here for
+    * the lifetime of the session and deliberately NOT restored; its only
+    * observable effect is that TIMESTAMP(NANOS) parquet columns read as
+    * LongType nanos, which every events loader in this library converts
+    * explicitly (`ts div 1000` → timestamp_micros). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Tumbling 1-hour counts+sums per event type (≡ batch q20). */
   def tumbling(events: DataFrame, watermark: String = "1 hour"): DataFrame =

@@ -72,6 +72,66 @@ class TextVectorSpec extends AnyFunSuite {
     assert(exact.subsetOf(approx), s"missed: ${exact -- approx}")
   }
 
+  test("lshTopK derives dim from the data: non-64-d vectors work correctly") {
+    // 8-d corpus with a planted exact duplicate of the query vector: an
+    // identical vector falls on the same side of EVERY hyperplane, so
+    // bucket collision is certain and top-1 must be the duplicate with
+    // cosine == 1 — if dim were still hard-coded to 64, vec_dot_f's
+    // min-length truncation would read garbage-free prefixes but the
+    // hyperplanes would be 64-d literals bucketing on an 8-d prefix only;
+    // the planted-duplicate contract would still hold, so ALSO assert an
+    // orthogonal vector is ranked below a parallel one (real geometry).
+    val rng = new scala.util.Random(7)
+    def v() = Array.fill(8)(rng.nextGaussian().toFloat)
+    val q = v()
+    val dup = q.clone()
+    val scaled = q.map(_ * 3.0f) // parallel: cos = 1
+    val rows = Seq((0L, q), (1L, dup), (2L, scaled)) ++
+      (3L until 40L).map(i => (i, v()))
+    val df = rows.toDF("vec_id", "embedding")
+    val top = graft.ext.Similarity.lshTopK(df, k = 2, nQueries = 1)
+      .orderBy("rnk").collect()
+    assert(top.length == 2)
+    val best = top.map(r => (r.getLong(1), r.getDouble(2)))
+    assert(best.map(_._1).toSet == Set(1L, 2L)) // dup + parallel vector
+    assert(best.forall(p => math.abs(p._2 - 1.0) < 1e-6))
+  }
+
+  test("q47 embedding near-dup LSH: precision 1 and recall vs exact q32") {
+    val exact = graft.queries.VectorOps.q32.run(spark, TestSpark.sf0001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.ext.Similarity.q47.run(spark, TestSpark.sf0001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1 by construction: exact cosine runs on LSH survivors
+    assert(approx.subsetOf(exact), s"false positives: ${approx -- exact}")
+    // recall on the adversarial near-random fixture vectors (deterministic
+    // seeds): must catch most of the exact pairs sub-quadratically
+    if (exact.nonEmpty) {
+      val recall = approx.size.toDouble / exact.size
+      assert(recall >= 0.6, s"recall $recall (${approx.size}/${exact.size})")
+    }
+  }
+
+  test("sketch queries leave no cached blocks behind (q30/q31)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    graft.ext.MinHashDedup.q30.run(spark, TestSpark.sf0001)
+      .queryExecution.toRdd.count()
+    graft.ext.SimHashDedup.q31.run(spark, TestSpark.sf0001)
+      .queryExecution.toRdd.count()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
+
+  test("q34 output is canonicalizer-safe: no array columns, rows > 0") {
+    val out = graft.ext.Multimodal.q34.run(spark, TestSpark.sf0001)
+    assert(!out.schema.exists(_.dataType.isInstanceOf[
+      org.apache.spark.sql.types.ArrayType]))
+    assert(out.count() > 0)
+  }
+
   test("approx_count_distinct within configured rsd of exact (§5.2-5)") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val exact = docs.select(countDistinct(col("text"))).head.getLong(0)

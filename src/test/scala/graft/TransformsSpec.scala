@@ -47,6 +47,23 @@ class TransformsSpec extends AnyFunSuite {
     assert(out(None) == -1)
   }
 
+  test("dictEncode handles 10^6 distinct values without an unpartitioned window") {
+    // zero-padded strings: lexicographic sort order == numeric order, so
+    // the expected dense code of value i is exactly i
+    val n = 1000000L
+    val df = spark.range(n)
+      .select(format_string("%07d", col("id")).as("v"), col("id"))
+    val out = Transforms.dictEncode("v", "code",
+      codeType = IntegerType, broadcastCodes = false)(df)
+    // no Window node anywhere in the plan: the codes come from a
+    // range-partitioned sort + zipWithIndex, never a single-partition
+    // global window
+    assert(!out.queryExecution.optimizedPlan.toString.contains("Window"))
+    val bad = out.filter(col("code") =!= col("id").cast(IntegerType)).count()
+    assert(bad == 0)
+    assert(out.count() == n)
+  }
+
   test("imputeMedian averages middle pair on even counts (pandas parity)") {
     val df = Seq(Some(1.0), Some(2.0), Some(10.0), Some(20.0), None).toDF("v")
     val out = Transforms.imputeMedian("v")(df).select("v")
