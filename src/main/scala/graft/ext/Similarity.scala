@@ -142,6 +142,58 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** IVF (inverted-file) ANN top-k: the coarse-quantizer scale path that
+    * complements sign-LSH (q38). KMeans learns `nCells` centroids (at
+    * 100 TB the fit runs on a sample — KMeans itself is distributed, and
+    * cell count ~ √N keeps cells balanced); every vector is assigned to
+    * its nearest centroid cell, queries probe their `nProbe` nearest
+    * cells, and exact cosine ranks only vectors in probed cells —
+    * expected scan fraction nProbe/nCells per query. The assignment
+    * table is the staged "index": in production it is written once and
+    * reused across query batches, exactly as staged here.
+    */
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    VectorFunctions.registerVecDot(spark)
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("fvec", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fvec").setPredictionCol("cell")
+      .fit(base)
+    val assigned = graft.operators.Stage.materialize(
+      model.transform(base).drop("fvec")
+        .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)"))),
+      "ivf-index")
+    // centroid table is tiny (nCells rows) — broadcast everywhere
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat))
+      }).toDF("pcell", "centroid")
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"))
+    // nProbe nearest cells per query by euclidean distance to centroid
+    // (|q|² is constant per query — rank by |c|² − 2·q·c)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("pdist",
+        expr("vec_dot_f(centroid, centroid) - 2 * vec_dot_f(qemb, centroid)"))
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("pdist"), col("pcell"))))
+      .filter(col("prnk") <= nProbe)
+      .select(col("qid"), col("qemb"), col("qnrm"), col("pcell"))
+    assigned.join(broadcast(probes),
+        col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (expr("vec_dot_f(embedding, qemb)") / (col("nrm") * col("qnrm")))
+          .as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))))
+      .filter(col("rnk") <= k)
+  }
+
   /** q38 — the ANN variant of q25 (rows-only: bucketing is engine-
     * specific; recall vs exact brute force is the tested contract). */
   val q38: Q = Q(
@@ -157,5 +209,12 @@ object Similarity {
     run = { (spark, dir) => neardupLsh(Tables.embeddings(spark, dir)) },
     oracle = None)
 
-  val all: Seq[Q] = Seq(q38, q47)
+  /** q48 — IVF coarse-quantizer ANN (rows-only: cell assignment is
+    * engine-specific; recall vs exact q25 is the tested contract). */
+  val q48: Q = Q(
+    "q48_similarity_ivf_topk",
+    run = { (spark, dir) => ivfTopK(Tables.embeddings(spark, dir)) },
+    oracle = None)
+
+  val all: Seq[Q] = Seq(q38, q47, q48)
 }

@@ -42,16 +42,22 @@ object TextOps {
       val sh = d.select(col("doc_id"), col("source"),
         explode(TextFunctions.shinglesExpr("toks", 3)).as("shingle"))
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("shingle"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
-        col("shingle").as("shingle_b"))
-      val inter = a.join(b,
+      // each side carries its shingle-set size so the classic size-ratio
+      // bound prunes candidates INSIDE the self-join: J <= min/max, so a
+      // pair with max > 2*min can never reach J >= 0.5 — a lossless
+      // filter (same result set) that cuts the quadratic candidate
+      // stream before the aggregation, and carrying n_a/n_b through the
+      // group keys removes the two post-agg count-joins entirely
+      val shc = sh.join(broadcast(cnt), "doc_id")
+      val a = shc.select(col("doc_id").as("doc_a"), col("source"),
+        col("shingle"), col("n_sh").as("n_a"))
+      val b = shc.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
+        col("shingle").as("shingle_b"), col("n_sh").as("n_b"))
+      a.join(b,
           col("source") === col("source_b") && col("shingle") === col("shingle_b") &&
-            col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+            col("doc_a") < col("doc_b") &&
+            greatest(col("n_a"), col("n_b")) <= least(col("n_a"), col("n_b")) * 2)
+        .groupBy("doc_a", "doc_b", "n_a", "n_b").agg(count(lit(1)).as("inter"))
         .withColumn("jaccard",
           col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")))
         .filter(col("jaccard") >= 0.5)

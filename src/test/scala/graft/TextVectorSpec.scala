@@ -114,6 +114,21 @@ class TextVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("q48 IVF top-k: recall vs exact q25 on probed cells only") {
+    val exact = graft.queries.VectorOps.q25.run(spark, TestSpark.sf0001)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.ext.Similarity.q48.run(spark, TestSpark.sf0001)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // near-random fixture vectors are the IVF-adversarial case (true
+    // neighbors scatter across cells); deterministic seeds make the
+    // measured value stable run to run
+    info(s"IVF recall = $recall (${(exact & ivf).size}/${exact.size})")
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
   test("sketch queries leave no cached blocks behind (q30/q31)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
