@@ -1,14 +1,16 @@
 package graft.operators
 
-import java.io.File
-import java.nio.file.Files
+import java.util.UUID
 import java.util.concurrent.atomic.AtomicLong
 
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 
 /** Materialization barrier for multi-use intermediates (sketches,
-  * signature tables) that feed self-joins: writes the DataFrame to a
-  * JVM-scoped temp parquet directory and reads it back.
+  * signature tables) that feed self-joins: writes the DataFrame once to
+  * a staging parquet directory and reads it back.
   *
   * Why not `persist()`: a cached block inside a query closure either
   * leaks into the caller's session (persist-without-unpersist) or, if
@@ -16,25 +18,41 @@ import org.apache.spark.sql.DataFrame
   * recomputes the subplan per join side. Staging to parquet gives the
   * same evaluate-once guarantee with no session cache state — and it is
   * the pattern that actually survives 100 TB, where a sketch table is
-  * staged to distributed storage (here: a local temp dir) rather than
-  * pinned in executor memory.
+  * staged to shared storage rather than pinned in executor memory.
   *
-  * The temp root is deleted on JVM shutdown; each call gets a fresh
-  * subdirectory, so concurrent queries never collide.
+  * The staging root must be visible to every executor. It defaults to
+  * `<spark.sql.warehouse.dir>/_graft_stage` — shared storage on a real
+  * cluster, a local directory in local mode — and is overridable with
+  * the session conf `graft.stage.dir` (e.g. an HDFS/S3 scratch path).
+  * Every staged directory is deleted through the Hadoop FileSystem API
+  * on JVM shutdown; each call gets a fresh unique subdirectory, so
+  * concurrent queries and concurrent JVMs never collide.
   */
 object Stage {
 
-  private lazy val root: File = {
-    val dir = Files.createTempDirectory("graft-stage-").toFile
-    sys.addShutdownHook(deleteRecursively(dir))
-    dir
-  }
+  private val jvmId = UUID.randomUUID().toString.take(8)
   private val counter = new AtomicLong()
+  private val staged = mutable.Set.empty[(String, String)] // (root, path)
+  @volatile private var hookInstalled = false
 
-  private def deleteRecursively(f: File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete(): Unit
+  private def stagingRoot(df: DataFrame): String =
+    df.sparkSession.conf.getOption("graft.stage.dir").getOrElse {
+      df.sparkSession.conf.get("spark.sql.warehouse.dir") + "/_graft_stage"
+    }
+
+  private def installHook(df: DataFrame): Unit = synchronized {
+    if (!hookInstalled) {
+      hookInstalled = true
+      val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
+      sys.addShutdownHook {
+        staged.synchronized(staged.toSeq).foreach { case (_, p) =>
+          try {
+            val path = new Path(p)
+            path.getFileSystem(hadoopConf).delete(path, true): Unit
+          } catch { case _: Throwable => () }
+        }
+      }
+    }
   }
 
   /** Write `df` once and return a scan over the staged bytes. Spark
@@ -42,7 +60,10 @@ object Stage {
     * the parquet footer metadata, so the staged frame is
     * schema-identical to the input. */
   def materialize(df: DataFrame, hint: String = "stage"): DataFrame = {
-    val path = new File(root, s"$hint-${counter.incrementAndGet()}").getAbsolutePath
+    val path =
+      s"${stagingRoot(df)}/$hint-$jvmId-${counter.incrementAndGet()}"
+    installHook(df)
+    staged.synchronized(staged += (stagingRoot(df) -> path))
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
