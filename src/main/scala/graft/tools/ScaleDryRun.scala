@@ -62,6 +62,89 @@ object ScaleDryRun {
         .agg(sum(col("l_extendedprice")).as("r"))
         .orderBy(col("r").desc, col("o_custkey")).limit(10)
     }
+
+    // ---- text / embedding shapes at 10x corpus size ----
+    // Replicated copies get SHUFFLED tokens (fresh doc_ids), so shingle/
+    // order-based near-dup ops see a genuinely 10x corpus with the same
+    // planted near-dup density — naive replication would instead create
+    // 10-deep duplicate groups and measure the (semantic, expected)
+    // quadratic pair blow-up rather than plan scaling.
+    val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+    val docs10 = (0 until mult).map { i =>
+      if (i == 0) docs0
+      else docs0.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        concat_ws(" ", shuffle(split(col("text"), " "))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt)
+    docs10.createOrReplaceTempView("docs10")
+
+    time("exact_dedup (q23 shape)") {
+      docs10.groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("m"))
+    }
+    time("simhash_band (q31 shape)") {
+      graft.functions.TextFunctions.registerSimHash(spark)
+      // simhash is order-INsensitive, so the shuffled copies above would
+      // still collide (10-deep duplicate groups, a semantic blow-up, not
+      // plan scaling) — salt every token with the copy index instead,
+      // decorrelating signatures across copies
+      val sigs = docs10
+        .withColumn("toks", expr(
+          "transform(array_distinct(split(text, ' ')), " +
+            "t -> concat(t, '_', cast(doc_id div 10000000 as string)))"))
+        .select(col("doc_id"), expr("simhash64(toks)").as("simhash"))
+        .select(Seq(col("doc_id")) ++ (0 until 4).map(i =>
+          shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
+            .as(s"band$i")): _*)
+      val bands = sigs.select(col("doc_id"),
+        posexplode(array((0 until 4).map(i => col(s"band$i")): _*)))
+      bands.as("x").join(bands.as("y"),
+          col("x.pos") === col("y.pos") && col("x.col") === col("y.col") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct()
+        .agg(count(lit(1)).as("n_candidates"))
+    }
+    time("ngram_jaccard_pruned (q24 shape)") {
+      val d = docs10.select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+      val sh = d.select(col("doc_id"), col("source"),
+        explode(graft.functions.TextFunctions.shinglesExpr("toks", 3))
+          .as("shingle"))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val shc = sh.join(broadcast(cnt), "doc_id")
+      val a = shc.select(col("doc_id").as("doc_a"), col("source"),
+        col("shingle"), col("n_sh").as("n_a"))
+      val b = shc.select(col("doc_id").as("doc_b"),
+        col("source").as("source_b"), col("shingle").as("shingle_b"),
+        col("n_sh").as("n_b"))
+      a.join(b,
+          col("source") === col("source_b") &&
+            col("shingle") === col("shingle_b") &&
+            col("doc_a") < col("doc_b") &&
+            greatest(col("n_a"), col("n_b")) <=
+              least(col("n_a"), col("n_b")) * 2)
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+    }
+
+    // embeddings: fresh pseudo-random vectors per copy (same label
+    // distribution) -> label blocks grow 10x; the banded sign-LSH join
+    // must stay bucket-bounded rather than |block|^2
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb10 = (0 until mult).map { i =>
+      if (i == 0) emb0
+      else emb0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        expr("transform(embedding, x -> cast(rand() * 2 - 1 as float))")
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt)
+    time("embedding_neardup_lsh (q47 shape)") {
+      graft.ext.Similarity.neardupLsh(emb10)
+    }
     spark.stop()
   }
 }
