@@ -16,7 +16,8 @@ object SparkEntry {
       qs.Advanced.all ++ qs.Approximate.all ++ qs.Relational2.all ++
       qs.Windows2.all ++
       ext.MinHashDedup.all ++
-      ext.SimHashDedup.all ++ ext.Multimodal.all ++ ext.Similarity.all
+      ext.SimHashDedup.all ++ ext.Multimodal.all ++ ext.Similarity.all ++
+      ext.DedupCluster.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

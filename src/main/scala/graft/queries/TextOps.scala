@@ -18,6 +18,38 @@ import graft.functions.TextFunctions
   */
 object TextOps {
 
+  /** Source-blocked 3-gram-Jaccard near-dup pairs at `threshold`
+    * (doc_a < doc_b): the exact formulation q24 checks against the
+    * oracle, reusable as an edge generator for duplicate clustering
+    * (graft.ext.DedupCluster). Includes the lossless size-ratio prune
+    * (J <= min/max) inside the self-join. */
+  def jaccardPairs(docs: org.apache.spark.sql.DataFrame,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    val d = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val sh = d.select(col("doc_id"), col("source"),
+      explode(TextFunctions.shinglesExpr("toks", 3)).as("shingle"))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shc = sh.join(broadcast(cnt), "doc_id")
+    val a = shc.select(col("doc_id").as("doc_a"), col("source"),
+      col("shingle"), col("n_sh").as("n_a"))
+    val b = shc.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
+      col("shingle").as("shingle_b"), col("n_sh").as("n_b"))
+    // size-ratio bound generalized to any threshold t: J <= min/max, so
+    // max * t <= min is necessary for J >= t — lossless prune
+    a.join(b,
+        col("source") === col("source_b") && col("shingle") === col("shingle_b") &&
+          col("doc_a") < col("doc_b") &&
+          greatest(col("n_a"), col("n_b")) * threshold <=
+            least(col("n_a"), col("n_b")))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b").agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
   /** Q23 — exact dedup via content hash (group-by md5). */
   val q23: Q = Q(
     "q23_dedup_exact",
@@ -36,32 +68,7 @@ object TextOps {
   val q24: Q = Q(
     "q24_dedup_ngram_jaccard",
     run = { (spark, dir) =>
-      val d = Tables.documentsParallel(spark, dir)
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 3)
-      val sh = d.select(col("doc_id"), col("source"),
-        explode(TextFunctions.shinglesExpr("toks", 3)).as("shingle"))
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      // each side carries its shingle-set size so the classic size-ratio
-      // bound prunes candidates INSIDE the self-join: J <= min/max, so a
-      // pair with max > 2*min can never reach J >= 0.5 — a lossless
-      // filter (same result set) that cuts the quadratic candidate
-      // stream before the aggregation, and carrying n_a/n_b through the
-      // group keys removes the two post-agg count-joins entirely
-      val shc = sh.join(broadcast(cnt), "doc_id")
-      val a = shc.select(col("doc_id").as("doc_a"), col("source"),
-        col("shingle"), col("n_sh").as("n_a"))
-      val b = shc.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
-        col("shingle").as("shingle_b"), col("n_sh").as("n_b"))
-      a.join(b,
-          col("source") === col("source_b") && col("shingle") === col("shingle_b") &&
-            col("doc_a") < col("doc_b") &&
-            greatest(col("n_a"), col("n_b")) <= least(col("n_a"), col("n_b")) * 2)
-        .groupBy("doc_a", "doc_b", "n_a", "n_b").agg(count(lit(1)).as("inter"))
-        .withColumn("jaccard",
-          col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+      jaccardPairs(Tables.documentsParallel(spark, dir), 0.5)
     },
     oracle = Some("""
       WITH d AS (SELECT doc_id, source, string_split(text,' ') AS toks FROM documents),

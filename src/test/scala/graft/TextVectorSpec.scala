@@ -140,6 +140,22 @@ class TextVectorSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
   }
 
+  test("dedup clustering merges transitively (a~b, b~c => one cluster)") {
+    // doc 1 ~ doc 2 (exact dup), doc 2 ~ doc 3 (near dup via shared
+    // shingles in the same source), doc 4 unrelated: expect {1,2,3}
+    // to share cluster_id 1 and 4 to be a singleton
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "s1"),
+      (2L, "the quick brown fox jumps over the lazy dog", "s1"),
+      (3L, "the quick brown fox jumps over the lazy cat", "s1"),
+      (4L, "completely different words about parquet shuffles here", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ext.DedupCluster.clusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    assert(out(4L) == 4L)
+  }
+
   test("q34 output is canonicalizer-safe: no array columns, rows > 0") {
     val out = graft.ext.Multimodal.q34.run(spark, TestSpark.sf0001)
     assert(!out.schema.exists(_.dataType.isInstanceOf[
