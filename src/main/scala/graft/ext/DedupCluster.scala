@@ -52,15 +52,16 @@ object DedupCluster {
     while (changed > 0 && round < maxRounds) {
       val nbrMin = e.join(labels, col("ea") === col("doc_id"))
         .groupBy(col("eb")).agg(min(col("cluster_id")).as("nbr_min"))
+      // prev label rides along in the staged output, so convergence is a
+      // cheap filter-count over the staged bytes, not another join
       val next = graft.operators.Stage.materialize(
         labels.join(nbrMin, col("doc_id") === col("eb"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("cluster_id").as("prev_id"),
             least(col("cluster_id"),
               coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id")),
         s"dedup-labels-$round")
-      changed = next.as("n").join(labels.as("p"), "doc_id")
-        .filter(col("n.cluster_id") =!= col("p.cluster_id")).count()
-      labels = next
+      changed = next.filter(col("cluster_id") =!= col("prev_id")).count()
+      labels = next.select(col("doc_id"), col("cluster_id"))
       round += 1
     }
     labels
