@@ -29,9 +29,14 @@ object DedupCluster {
   def edges(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val hashed = docs.select(col("doc_id"),
       md5(col("text").cast("binary")).as("h"))
-    val exactPairs = hashed.as("x").join(hashed.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("ea"), col("y.doc_id").as("eb"))
+    // STAR edges for exact duplicates (each doc -> its hash group's min
+    // id), not the all-pairs self-join: a 10k-deep duplicate group is
+    // 10k-1 edges instead of ~50M, and the connected components are
+    // identical (every group member reaches the same root)
+    val canon = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("root"))
+    val exactPairs = hashed.join(canon, "h")
+      .filter(col("root") =!= col("doc_id"))
+      .select(col("root").as("ea"), col("doc_id").as("eb"))
     val nearPairs = graft.queries.TextOps.jaccardPairs(docs, threshold)
       .select(col("doc_a").as("ea"), col("doc_b").as("eb"))
     val und = exactPairs.union(nearPairs).distinct()
@@ -64,6 +69,13 @@ object DedupCluster {
       labels = next.select(col("doc_id"), col("cluster_id"))
       round += 1
     }
+    // never return silently-wrong labels: a component with diameter >
+    // maxRounds must fail loudly (raise maxRounds, or switch to the
+    // large-star/small-star formulation for pathological chain graphs)
+    require(changed == 0,
+      s"dedup clustering did not converge within $maxRounds rounds " +
+        s"($changed labels still changing) — component diameter exceeds " +
+        "maxRounds; raise it or use a star-contraction variant")
     labels
   }
 

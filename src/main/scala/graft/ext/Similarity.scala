@@ -49,9 +49,12 @@ object Similarity {
     * DATA, not a hard-coded 64 — vec_dot_f truncates to min length, so a
     * wrong constant would silently bucket on a prefix. */
   private def dimOf(embeddings: DataFrame, embCol: String): Int = {
-    val head = embeddings.select(size(col(embCol)).as("d")).head()
+    // first NON-NULL row: fuzzed/real corpora can lead with a null
+    // embedding, which would null the size and NPE the getInt
+    val head = embeddings.filter(col(embCol).isNotNull)
+      .select(size(col(embCol)).as("d")).head()
     val d = head.getInt(0)
-    require(d > 0, s"lsh: empty $embCol in first row — cannot derive dim")
+    require(d > 0, s"lsh: empty $embCol in first non-null row — cannot derive dim")
     d
   }
 

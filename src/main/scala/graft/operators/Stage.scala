@@ -32,7 +32,7 @@ object Stage {
 
   private val jvmId = UUID.randomUUID().toString.take(8)
   private val counter = new AtomicLong()
-  private val staged = mutable.Set.empty[(String, String)] // (root, path)
+  private val staged = mutable.Set.empty[String]
   @volatile private var hookInstalled = false
 
   private def stagingRoot(df: DataFrame): String =
@@ -44,14 +44,20 @@ object Stage {
     if (!hookInstalled) {
       hookInstalled = true
       val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
-      sys.addShutdownHook {
-        staged.synchronized(staged.toSeq).foreach { case (_, p) =>
-          try {
-            val path = new Path(p)
-            path.getFileSystem(hadoopConf).delete(path, true): Unit
-          } catch { case _: Throwable => () }
-        }
-      }
+      // Hadoop's hook manager, ABOVE FileSystem.SHUTDOWN_HOOK_PRIORITY
+      // (10): a plain JVM hook runs in arbitrary order relative to the
+      // FileSystem-cache close, so deletes could hit a closed FS and
+      // staged dirs would silently accumulate on shared storage
+      org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+        new Runnable {
+          override def run(): Unit =
+            staged.synchronized(staged.toSeq).foreach { p =>
+              try {
+                val path = new Path(p)
+                path.getFileSystem(hadoopConf).delete(path, true): Unit
+              } catch { case _: Throwable => () }
+            }
+        }, 50)
     }
   }
 
@@ -63,7 +69,7 @@ object Stage {
     val path =
       s"${stagingRoot(df)}/$hint-$jvmId-${counter.incrementAndGet()}"
     installHook(df)
-    staged.synchronized(staged += (stagingRoot(df) -> path))
+    staged.synchronized(staged += path): Unit
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }

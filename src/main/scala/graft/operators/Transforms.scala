@@ -107,9 +107,23 @@ object Transforms {
     val indexed = distinctVals.orderBy(col(src)).rdd.zipWithIndex.map {
       case (r, i) => org.apache.spark.sql.Row(r.get(0), i)
     }
+    // fail loudly if the dictionary outgrows the code type (e.g. 40k
+    // distinct values into ShortType): a silent wrap would collide with
+    // the -1 null sentinel and assign duplicate codes
+    val maxCode: Long = codeType match {
+      case ShortType   => Short.MaxValue.toLong
+      case ByteType    => Byte.MaxValue.toLong
+      case IntegerType => Int.MaxValue.toLong
+      case _           => Long.MaxValue
+    }
     val codes = spark.createDataFrame(indexed, StructType(Seq(
         srcField, StructField("__code", LongType, nullable = false))))
-      .withColumn(dst, col("__code").cast(codeType)).drop("__code")
+      .withColumn(dst,
+        when(col("__code") <= lit(maxCode), col("__code").cast(codeType))
+          .otherwise(raise_error(concat(
+            lit(s"dictEncode: dictionary exceeds ${codeType.simpleString} "
+              + "range at code "), col("__code").cast(StringType)))))
+      .drop("__code")
     val codesHinted = if (broadcastCodes) broadcast(codes) else codes
     df.join(codesHinted, Seq(src), "left")
       .withColumn(dst, coalesce(col(dst), lit(-1).cast(codeType)))

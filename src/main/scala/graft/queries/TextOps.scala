@@ -31,7 +31,12 @@ object TextOps {
     val sh = d.select(col("doc_id"), col("source"),
       explode(TextFunctions.shinglesExpr("toks", 3)).as("shingle"))
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shc = sh.join(broadcast(cnt), "doc_id")
+    // NO broadcast hint: cnt is one row PER DOCUMENT, so forcing a
+    // broadcast would ship the whole corpus's counts to every executor
+    // at scale. AQE still broadcasts it automatically while it is under
+    // the threshold (fixture scale), and falls back to a shuffle join
+    // when it is not (100 TB scale).
+    val shc = sh.join(cnt, "doc_id")
     val a = shc.select(col("doc_id").as("doc_a"), col("source"),
       col("shingle"), col("n_sh").as("n_a"))
     val b = shc.select(col("doc_id").as("doc_b"), col("source").as("source_b"),

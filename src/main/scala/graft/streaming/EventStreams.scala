@@ -46,7 +46,12 @@ object EventStreams {
     * LongType nanos, which every events loader in this library converts
     * explicitly (`ts div 1000` → timestamp_micros). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same lock as Tables.withNanosAsLong: without it, a concurrent
+    // batch loader's save/restore scope could snapshot the flag as
+    // unset and then clear it underneath this query's micro-batches
+    spark.sharedState.synchronized {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)

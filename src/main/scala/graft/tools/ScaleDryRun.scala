@@ -76,7 +76,6 @@ object ScaleDryRun {
         concat_ws(" ", shuffle(split(col("text"), " "))).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _).repartition(cpus.toInt)
-    docs10.createOrReplaceTempView("docs10")
 
     time("exact_dedup (q23 shape)") {
       docs10.groupBy(md5(col("text").cast("binary")).as("h"))

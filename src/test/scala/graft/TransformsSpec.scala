@@ -64,6 +64,18 @@ class TransformsSpec extends AnyFunSuite {
     assert(out.count() == n)
   }
 
+  test("dictEncode fails loudly when the dictionary overflows the code type") {
+    val df = spark.range(40000)
+      .select(format_string("%07d", col("id")).as("v"))
+    val ex = intercept[Exception] {
+      Transforms.dictEncode("v", "code")(df) // default ShortType, 40k codes
+        .queryExecution.toRdd.count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("dictEncode")), messages(ex).mkString(" | "))
+  }
+
   test("imputeMedian averages middle pair on even counts (pandas parity)") {
     val df = Seq(Some(1.0), Some(2.0), Some(10.0), Some(20.0), None).toDF("v")
     val out = Transforms.imputeMedian("v")(df).select("v")
