@@ -17,7 +17,7 @@ object SparkEntry {
       qs.Windows2.all ++
       ext.MinHashDedup.all ++
       ext.SimHashDedup.all ++ ext.Multimodal.all ++ ext.Similarity.all ++
-      ext.DedupCluster.all
+      ext.DedupCluster.all ++ ext.Sampling.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

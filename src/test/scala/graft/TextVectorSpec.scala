@@ -156,6 +156,38 @@ class TextVectorSpec extends AnyFunSuite {
     assert(out(4L) == 4L)
   }
 
+  test("hash split is deterministic, partitions fully, near target fractions") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val a = graft.ext.Sampling.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = graft.ext.Sampling.hashSplit(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b) // stable under repartitioning / re-runs
+    assert(a.size == docs.count())
+    val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size)
+    assert(math.abs(frac("train") - 0.8) < 0.1, frac.toMap.toString)
+    assert(frac.getOrElse("val", 0.0) > 0 && frac.getOrElse("test", 0.0) > 0)
+  }
+
+  test("stratified sample hits per-stratum fractions within tolerance") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = graft.ext.Sampling.stratifiedSample(docs, "source", 0.3)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (s, n) =>
+      val got = sampled.getOrElse(s, 0L).toDouble / n
+      // 4-sigma Bernoulli band — wide for tiny strata, tight for large
+      val band = 4 * math.sqrt(0.3 * 0.7 / n)
+      assert(math.abs(got - 0.3) < band,
+        s"stratum $s fraction $got of n=$n (band ±$band)")
+    }
+    // overall draw close to the target
+    val overall = sampled.values.sum.toDouble / totals.values.sum
+    assert(math.abs(overall - 0.3) < 0.05, s"overall $overall")
+  }
+
   test("q34 output is canonicalizer-safe: no array columns, rows > 0") {
     val out = graft.ext.Multimodal.q34.run(spark, TestSpark.sf0001)
     assert(!out.schema.exists(_.dataType.isInstanceOf[
