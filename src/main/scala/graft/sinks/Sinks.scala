@@ -23,6 +23,18 @@ object Sinks {
   def writeJsonLines(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(path)
 
+  /** Sharded corpus writer for training pipelines: bounded-size output
+    * files (`maxRecordsPerFile`) over a spread of `numShards` output
+    * tasks. Round-robin repartition gives uniformly-sized shards
+    * regardless of input skew; downstream loaders stream shard-by-shard
+    * without any shard exceeding memory. */
+  def writeSharded(df: DataFrame, path: String, numShards: Int,
+      maxRecordsPerShard: Long, mode: String = "overwrite"): Unit =
+    df.repartition(numShards)
+      .write.mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerShard)
+      .parquet(path)
+
   /** JDBC write with explicit column DDL (the reference's dtype map —
     * see graft.pipeline.WinePipeline.warehouseColumnTypes). */
   def jdbcWrite(df: DataFrame, url: String, table: String,

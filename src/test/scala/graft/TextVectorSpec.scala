@@ -188,6 +188,41 @@ class TextVectorSpec extends AnyFunSuite {
     assert(math.abs(overall - 0.3) < 0.05, s"overall $overall")
   }
 
+  test("leakage-safe split keeps every dedup cluster inside ONE split") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "s1"),
+      (2L, "the quick brown fox jumps over the lazy dog", "s1"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat", "s1"), // near dup of 1/2
+      (4L, "completely different words about parquet shuffles here", "s1"),
+      (5L, "completely different words about parquet shuffles here", "s2")) // exact dup of 4
+      .toDF("doc_id", "text", "source")
+    val out = graft.ext.Sampling.leakageSafeSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // members of a cluster always share the cluster's split
+    out.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.size == 1,
+        s"cluster $c split across ${members.toSeq}")
+    }
+    // the near-dup chain {1,2,3} is one cluster; {4,5} another
+    val byDoc = out.map(t => t._1 -> t._2).toMap
+    assert(byDoc(1L) == byDoc(2L) && byDoc(2L) == byDoc(3L))
+    assert(byDoc(4L) == byDoc(5L) && byDoc(4L) != byDoc(1L))
+  }
+
+  test("sharded writer bounds records per output file") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    graft.sinks.Sinks.writeSharded(docs, dir, numShards = 4,
+      maxRecordsPerShard = 50)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 4)
+    val counts = files.map(f =>
+      spark.read.parquet(f.getAbsolutePath).count())
+    assert(counts.forall(_ <= 50), counts.mkString(","))
+    assert(counts.sum == docs.count())
+  }
+
   test("q34 output is canonicalizer-safe: no array columns, rows > 0") {
     val out = graft.ext.Multimodal.q34.run(spark, TestSpark.sf0001)
     assert(!out.schema.exists(_.dataType.isInstanceOf[
