@@ -27,8 +27,11 @@ object DedupCluster {
   /** Undirected dedup edges: exact content-hash duplicates plus
     * source-blocked 3-gram Jaccard pairs at `threshold`. */
   def edges(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val hashed = docs.select(col("doc_id"),
-      md5(col("text").cast("binary")).as("h"))
+    // null-text docs are NOT duplicates of each other: Spark's groupBy
+    // would collapse the null hash group into one cluster, while SQL
+    // equality (the oracle, and the sane semantics) never matches NULLs
+    val hashed = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
     // STAR edges for exact duplicates (each doc -> its hash group's min
     // id), not the all-pairs self-join: a 10k-deep duplicate group is
     // 10k-1 edges instead of ~50M, and the connected components are

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -10,10 +10,12 @@ import graft.{Q, Tables}
   *
   * Splitting is HASH-based, not RNG-based: a document's split is a pure
   * function of its content hash, so it is stable across runs, engines,
-  * partitionings, and corpus growth (a new doc never moves an old doc
-  * between splits — the property RNG-based splitting lacks). That also
-  * makes it oracle-checkable: md5 hex is identical in Spark and DuckDB,
-  * and the threshold compare is plain string ordering.
+  * and partitionings. [[hashSplit]] additionally guarantees corpus-
+  * growth stability (a new doc never moves an old doc between splits);
+  * [[leakageSafeSplit]] trades a bounded amount of that stability for
+  * contamination safety — see its scaladoc. Hash-keyed splits are also
+  * oracle-checkable: md5 hex is identical in Spark and DuckDB, and the
+  * threshold compare is plain string ordering.
   *
   * Stratified sampling uses Spark's per-stratum Bernoulli `sampleBy`
   * (seeded, distributed, single pass). The draw is engine-specific, so
@@ -22,33 +24,35 @@ import graft.{Q, Tables}
   */
 object Sampling {
 
-  /** Deterministic train/val/test assignment from the md5 of
-    * (doc_id, text). Fractions are expressed as hex-prefix thresholds
-    * over the first 4 hex chars (65536 buckets): e.g. the default
-    * ("cccc", "e666") ≈ 80% / 10% / 10%. */
-  def hashSplit(docs: DataFrame, trainTo: String = "cccc",
-      valTo: String = "e666"): DataFrame = {
+  /** The shared split recipe: md5 over "key|text" (null text reads as
+    * empty — concat, not concat_ws, so the oracle's COALESCE(text,'')
+    * '||' chain produces the identical pre-image), first 4 hex chars as
+    * the bucket (65536 buckets), hex-prefix thresholds as fractions. */
+  private def splitOf(key: Column, text: Column,
+      trainTo: String, valTo: String): Column = {
     val bucket = substring(
-      md5(concat_ws("|", col("doc_id").cast("string"), col("text"))), 1, 4)
-    docs.select(col("doc_id"),
-      when(bucket < lit(trainTo), lit("train"))
-        .when(bucket < lit(valTo), lit("val"))
-        .otherwise(lit("test")).as("split"))
+      md5(concat(key.cast("string"), lit("|"), coalesce(text, lit("")))), 1, 4)
+    when(bucket < lit(trainTo), lit("train"))
+      .when(bucket < lit(valTo), lit("val"))
+      .otherwise(lit("test"))
   }
 
-  /** Seeded stratified sample: `fraction` per stratum of `strataCol`.
-    * One pass, no shuffle (per-row Bernoulli keyed by stratum). The
-    * distinct-strata collect is bounded by the stratum cardinality —
-    * strata are config-sized (languages, sources) by definition, like
-    * the validation report's O(#checks); a high-cardinality column is
-    * the wrong stratification key for this API. */
+  /** Deterministic train/val/test assignment from the md5 of
+    * (doc_id, text). Defaults ("cccc", "e666") ≈ 80% / 10% / 10%. */
+  def hashSplit(docs: DataFrame, trainTo: String = "cccc",
+      valTo: String = "e666"): DataFrame =
+    docs.select(col("doc_id"),
+      splitOf(col("doc_id"), col("text"), trainTo, valTo).as("split"))
+
+  /** Seeded stratified sample with per-stratum fractions — the real
+    * operator is source/language REBALANCING (upsample rare strata,
+    * downsample dominant ones); a uniform map degenerates to a seeded
+    * Bernoulli filter. Single pass, no shuffle, no driver collect: the
+    * caller supplies the (config-sized, like the validation check list)
+    * fractions map. */
   def stratifiedSample(docs: DataFrame, strataCol: String,
-      fraction: Double, seed: Long = 42L): DataFrame = {
-    val strata = docs.select(strataCol).distinct()
-      .collect().map(_.get(0)).toSeq
-    docs.stat.sampleBy(strataCol,
-      strata.map(s => s -> fraction).toMap, seed)
-  }
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    docs.stat.sampleBy(strataCol, fractions, seed)
 
   /** q50 — deterministic hash split: full doc→split map, hash-checked
     * against the same md5-prefix expression in DuckDB. */
@@ -57,8 +61,8 @@ object Sampling {
     run = { (spark, dir) => hashSplit(Tables.documents(spark, dir)) },
     oracle = Some("""
       SELECT doc_id,
-        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 4) < 'cccc' THEN 'train'
-             WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 4) < 'e666' THEN 'val'
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|' || COALESCE(text, '')), 1, 4) < 'cccc' THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|' || COALESCE(text, '')), 1, 4) < 'e666' THEN 'val'
              ELSE 'test' END AS split
       FROM documents"""))
 
@@ -67,30 +71,40 @@ object Sampling {
     * land in val/test (train/test contamination — the failure mode of
     * per-doc splitting that [[hashSplit]] alone cannot prevent). The
     * split is keyed on the md5 of the cluster's canonical (min-id)
-    * document, so it stays deterministic and content-derived. */
+    * document, so it stays deterministic and content-derived.
+    *
+    * Stability caveat (unlike [[hashSplit]]): a NEW document that
+    * near-dup-bridges two existing clusters merges them, and the merged
+    * cluster re-keys on the surviving canonical doc — members of the
+    * absorbed cluster can change split. That is inherent to the
+    * contamination guarantee (the merged group must share one split);
+    * don't cache these assignments across corpus snapshots without
+    * re-running. */
   def leakageSafeSplit(docs: DataFrame, trainTo: String = "cccc",
       valTo: String = "e666"): DataFrame = {
     val clusters = DedupCluster.clusters(docs)
     val canonical = docs.select(col("doc_id").as("cluster_id"),
       col("text").as("canon_text"))
-    val clusterSplit = clusters.join(canonical, "cluster_id")
+    clusters.join(canonical, "cluster_id")
       .select(col("doc_id"), col("cluster_id"),
-        substring(md5(concat_ws("|", col("cluster_id").cast("string"),
-          col("canon_text"))), 1, 4).as("bucket"))
-    clusterSplit.select(col("doc_id"), col("cluster_id"),
-      when(col("bucket") < lit(trainTo), lit("train"))
-        .when(col("bucket") < lit(valTo), lit("val"))
-        .otherwise(lit("test")).as("split"))
+        splitOf(col("cluster_id"), col("canon_text"), trainTo, valTo)
+          .as("split"))
   }
 
   /** q51 — stratified 30% sample per source (rows-only: the Bernoulli
     * draw is engine-specific; per-stratum fractions are
-    * property-tested). Aggregated so the output is deterministic in
-    * SHAPE (one row per stratum) even though membership is not. */
+    * property-tested). The strata map comes from a distinct scan here
+    * because the QUERY wants uniform coverage of whatever strata exist;
+    * the operator itself takes the map. Aggregated so the output is
+    * deterministic in SHAPE (one row per stratum) even though
+    * membership is not. */
   val q51: Q = Q(
     "q51_stratified_sample",
     run = { (spark, dir) =>
-      stratifiedSample(Tables.documents(spark, dir), "source", 0.3)
+      val docs = Tables.documents(spark, dir)
+      val strata = docs.select(col("source")).distinct()
+        .collect().map(_.getString(0))
+      stratifiedSample(docs, "source", strata.map(_ -> 0.3).toMap)
         .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
     },
     oracle = None)
@@ -131,7 +145,7 @@ object Sampling {
         SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
       cc AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
       cb AS (SELECT cc.doc_id, cc.cluster_id,
-               substr(md5(CAST(cc.cluster_id AS VARCHAR) || '|' || t.text), 1, 4) AS bucket
+               substr(md5(CAST(cc.cluster_id AS VARCHAR) || '|' || COALESCE(t.text, '')), 1, 4) AS bucket
              FROM cc JOIN documents t ON t.doc_id = cc.cluster_id)
       SELECT doc_id, cluster_id,
         CASE WHEN bucket < 'cccc' THEN 'train'

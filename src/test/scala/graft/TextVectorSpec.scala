@@ -173,7 +173,8 @@ class TextVectorSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val totals = docs.groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val sampled = graft.ext.Sampling.stratifiedSample(docs, "source", 0.3)
+    val fractions = totals.keys.map(_ -> 0.3).toMap
+    val sampled = graft.ext.Sampling.stratifiedSample(docs, "source", fractions)
       .groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     totals.foreach { case (s, n) =>
@@ -207,6 +208,20 @@ class TextVectorSpec extends AnyFunSuite {
     val byDoc = out.map(t => t._1 -> t._2).toMap
     assert(byDoc(1L) == byDoc(2L) && byDoc(2L) == byDoc(3L))
     assert(byDoc(4L) == byDoc(5L) && byDoc(4L) != byDoc(1L))
+  }
+
+  test("null-text docs: split assigns all rows, clustering never merges them") {
+    val docs = Seq((1L, null.asInstanceOf[String], "s1"),
+      (2L, null.asInstanceOf[String], "s1"),
+      (3L, "some real text tokens here now", "s1"))
+      .toDF("doc_id", "text", "source")
+    val split = graft.ext.Sampling.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size == 3 && split.values.forall(_ != null))
+    // two null-text docs are NOT duplicates of each other
+    val cl = graft.ext.DedupCluster.clusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(1L) == 1L && cl(2L) == 2L && cl(3L) == 3L)
   }
 
   test("sharded writer bounds records per output file") {
