@@ -67,7 +67,10 @@ object Similarity {
     VectorFunctions.registerVecDot(spark)
     val d = if (dim > 0) dim else dimOf(embeddings, "embedding")
     val planes = hyperplanes(d, Bits)
-    val e = embeddings
+    // undecodable (null) embeddings are skipped, not bucketed: a null
+    // dot product would otherwise silently land every null row in
+    // bucket 0 with null cosines downstream
+    val e = embeddings.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)")))
       .withColumn("bucket", bucketOf(col("embedding"), planes))
@@ -113,7 +116,7 @@ object Similarity {
     // bucket keys for all tables in ONE codegen projection; staged to
     // temp parquet (not persisted) because three joins consume it
     val e = graft.operators.Stage.materialize(
-      embeddings
+      embeddings.filter(col("embedding").isNotNull)
         .select(col("vec_id"), col("label"), col("embedding"))
         .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)")))
         .withColumn("buckets", array((0 until tables).map { t =>
@@ -161,7 +164,9 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     VectorFunctions.registerVecDot(spark)
-    val base = embeddings.select(col("vec_id"), col("embedding"))
+    // array_to_vector NPEs on null input — undecodable rows are skipped
+    val base = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
       .withColumn("fvec", array_to_vector(col("embedding")))
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("fvec").setPredictionCol("cell")

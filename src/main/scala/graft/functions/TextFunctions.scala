@@ -28,9 +28,12 @@ object TextFunctions {
   }
 
   /** Order-insensitive document fingerprint: md5 over the sorted distinct
-    * token set. */
+    * token set. NULL text yields a NULL fingerprint (SQL null
+    * propagation — concat_ws alone would silently treat the null token
+    * array as empty and fingerprint null docs as if they were ""). */
   def fingerprint(text: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(split(text, " ")))))
+    when(text.isNull, lit(null))
+      .otherwise(md5(concat_ws(" ", array_sort(array_distinct(split(text, " "))))))
 
   /** Order-SENSITIVE rolling-hash fingerprint (Rabin–Karp shape): fold
     * h ← (h·P + hash(token)) mod M over the token sequence — catches

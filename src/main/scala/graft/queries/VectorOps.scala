@@ -26,7 +26,11 @@ object VectorOps {
     "q25_similarity_topk",
     run = { (spark, dir) =>
       VectorFunctions.registerVecDot(spark)
+      // null (undecodable) embeddings are excluded on BOTH engine and
+      // oracle sides — declared semantics, not engine-specific null
+      // ordering inside the rank window
       val e = Tables.embeddings(spark, dir)
+        .filter(col("embedding").isNotNull)
         .select(col("vec_id"), col("embedding"))
         .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)")))
       val q = e.select(col("vec_id").as("qid"), col("embedding").as("qemb"),
@@ -41,7 +45,8 @@ object VectorOps {
         .filter(col("rnk") <= 5)
     },
     oracle = Some("""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+                 WHERE embedding IS NOT NULL),
       q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
       p AS (SELECT q.qid, e.vec_id AS nid,
               list_sum(list_transform(list_zip(e.emb, q.qemb), x -> x[1]*x[2])) /
@@ -60,6 +65,7 @@ object VectorOps {
     run = { (spark, dir) =>
       VectorFunctions.registerVecDot(spark)
       val e = Tables.embeddings(spark, dir)
+        .filter(col("embedding").isNotNull)
         .select(col("vec_id"), col("label"), col("embedding"))
         .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)")))
       val a = e.select(col("vec_id").as("id_a"), col("label"),
@@ -73,7 +79,8 @@ object VectorOps {
         .filter(col("cos_sim") >= 0.35)
     },
     oracle = Some("""
-      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+                 WHERE embedding IS NOT NULL)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
         list_sum(list_transform(list_zip(a.emb, b.emb), x -> x[1]*x[2])) /
         (sqrt(list_sum(list_transform(a.emb, x -> x*x)))

@@ -57,6 +57,26 @@ def fuzz_documents(t: pa.Table, rng) -> pa.Table:
             break
     cols["text"][shuf] = " ".join(toks)                  # shuffled duplicate
     cols["n_chars"][shuf] = len(cols["text"][shuf])
+    # NULL text (after the dup machinery so it never picks a null src):
+    # exercises null propagation through every text query AND the
+    # null-text semantics of dedup clustering / hash splits
+    special = {src, dup, shuf}
+    candidates = [i for i in range(n) if i not in special]
+    for i in rng.choice(len(candidates), min(3, len(candidates)), replace=False):
+        j = candidates[int(i)]
+        cols["text"][j] = None
+        cols["n_chars"][j] = 0
+    return pa.table(
+        {c: pa.array(cols[c], type=t.schema.field(c).type) for c in t.column_names})
+
+
+def fuzz_embeddings(t: pa.Table, rng) -> pa.Table:
+    cols = {c: t[c].to_pylist() for c in t.column_names}
+    n = t.num_rows
+    # null embeddings (undecodable rows) + a null label (blocking key)
+    for i in rng.choice(n, 2, replace=False):
+        cols["embedding"][int(i)] = None
+    cols["label"][int(rng.integers(0, n))] = None
     return pa.table(
         {c: pa.array(cols[c], type=t.schema.field(c).type) for c in t.column_names})
 
@@ -96,6 +116,8 @@ def main():
             t = fuzz_documents(t, rng)
         elif name == "orders":
             t = fuzz_orders(t, rng)
+        elif name == "embeddings":
+            t = fuzz_embeddings(t, rng)
         pq.write_table(t, f"{dst}/{name}.parquet")
     print(f"fuzzed fixtures written to {dst}")
 
