@@ -207,5 +207,45 @@ object TextOps {
         CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc_id
       FROM documents GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(q23, q24, q26, q27, q28, q29)
+  /** q53 — corpus-statistics quality score: every token's corpus
+    * frequency is aggregated once, joined back per token occurrence,
+    * and each document scores by its mean and rarest token frequency —
+    * the two-pass shape of a statistical quality filter (a document of
+    * corpus-rare tokens is likely noise). All-integer inputs and an
+    * exact decimal mean keep it deterministic for the oracle (no logs,
+    * whose last-ulp libm differences diverge between engines).
+    *
+    * Scale shape: one explode + two hash-agg shuffles + one join on
+    * `token` — the frequency table is corpus-vocabulary-sized, so the
+    * join broadcasts while the vocabulary is small and shuffles when it
+    * is not (no forced hint).
+    */
+  val q53: Q = Q(
+    "q53_text_rarity_score",
+    run = { (spark, dir) =>
+      val toks = Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val freq = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      toks.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_toks"),
+          // exact decimal mean of integer frequencies (order-free),
+          // surfaced as double (the canonicalizer's numeric type)
+          (sum(col("tf").cast(DecimalType(20, 0)))
+            .cast(DecimalType(24, 6)) / count(lit(1)))
+            .cast(DecimalType(24, 6)).cast(DoubleType).as("mean_tf"),
+          min(col("tf")).as("rarest_tf"))
+    },
+    oracle = Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents),
+      freq AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        CAST(CAST(CAST(sum(tf) AS DECIMAL(24,6)) / count(*) AS DECIMAL(24,6)) AS DOUBLE) AS mean_tf,
+        min(tf) AS rarest_tf
+      FROM toks JOIN freq USING (token)
+      GROUP BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q23, q24, q26, q27, q28, q29, q53)
 }
