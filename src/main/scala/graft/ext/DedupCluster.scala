@@ -10,23 +10,36 @@ import graft.{Q, Tables}
   * Jaccard pairs) into transitive duplicate groups so one canonical doc
   * per group survives.
   *
-  * Algorithm: iterative min-label propagation over the undirected edge
-  * set — every round each doc adopts the smallest cluster id among
-  * itself and its neighbors; fixpoint = min doc_id of the connected
-  * component, a deterministic canonical id (oracle-checkable via a
-  * recursive CTE). Rounds needed = component diameter, and dedup
-  * components are near-cliques (every member pairs with most others),
-  * so 2–3 rounds suffice in practice; the loop is capped and each
-  * round's labels are staged (lineage barrier) so plans don't grow
-  * exponentially. At extreme diameters the alternating
-  * large-star/small-star formulation (same joins, O(log n) rounds)
-  * drops in without changing the contract.
+  * Algorithm: iterative min-label propagation WITH pointer doubling —
+  * every round each doc adopts the smallest label among itself, its
+  * neighbors, and its current label's label (the label table applied to
+  * itself — one extra equi-join per round on the staged labels). The
+  * neighbor step alone converges in diameter rounds (fine for dedup
+  * components, which are near-cliques); the label-of-label step contracts
+  * paths geometrically, so pathological high-diameter graphs (crawl-chain
+  * duplicates) converge in O(log diameter) rounds instead of hitting the
+  * round cap — the logarithmic-round MapReduce CC technique (Rastogi et
+  * al., "Finding Connected Components in Map-Reduce in Logarithmic
+  * Rounds"). Fixpoint = min doc_id of the connected component, a
+  * deterministic canonical id (oracle-checkable via a recursive CTE).
+  * Each round's labels are staged (lineage barrier) so plans don't grow
+  * exponentially, and superseded rounds' staging dirs are deleted
+  * eagerly, not at JVM exit.
   */
 object DedupCluster {
 
   /** Undirected dedup edges: exact content-hash duplicates plus
-    * source-blocked 3-gram Jaccard pairs at `threshold`. */
-  def edges(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    * source-blocked 3-gram Jaccard pairs at `threshold`.
+    *
+    * Near-pair generation defaults to the sub-quadratic MinHash banding
+    * ([[MinHashDedup.bandedJaccardPairs]] — candidates from LSH buckets,
+    * exact Jaccard on survivors), so a duplicate-dense block costs
+    * bucket-bounded work, not |block|². `exactNearPairs = true` switches
+    * to the all-pairs shingle self-join
+    * ([[graft.queries.TextOps.jaccardPairs]]) — the oracle formulation,
+    * same output on everything the banding recalls. */
+  def edges(docs: DataFrame, threshold: Double = 0.5,
+      exactNearPairs: Boolean = false): DataFrame = {
     // null-text docs are NOT duplicates of each other: Spark's groupBy
     // would collapse the null hash group into one cluster, while SQL
     // equality (the oracle, and the sane semantics) never matches NULLs
@@ -40,8 +53,10 @@ object DedupCluster {
     val exactPairs = hashed.join(canon, "h")
       .filter(col("root") =!= col("doc_id"))
       .select(col("root").as("ea"), col("doc_id").as("eb"))
-    val nearPairs = graft.queries.TextOps.jaccardPairs(docs, threshold)
-      .select(col("doc_a").as("ea"), col("doc_b").as("eb"))
+    val nearGen =
+      if (exactNearPairs) graft.queries.TextOps.jaccardPairs(docs, threshold)
+      else MinHashDedup.bandedJaccardPairs(docs, threshold)
+    val nearPairs = nearGen.select(col("doc_a").as("ea"), col("doc_b").as("eb"))
     val und = exactPairs.union(nearPairs).distinct()
     und.union(und.select(col("eb").as("ea"), col("ea").as("eb")))
   }
@@ -49,10 +64,10 @@ object DedupCluster {
   /** (doc_id, cluster_id) for every doc; cluster_id = min doc_id in the
     * doc's connected component (singletons cluster with themselves). */
   def clusters(docs: DataFrame, threshold: Double = 0.5,
-      maxRounds: Int = 20): DataFrame = {
-    val e = graft.operators.Stage.materialize(
-      edges(docs, threshold), "dedup-edges")
-    var labels = graft.operators.Stage.materialize(
+      maxRounds: Int = 20, exactNearPairs: Boolean = false): DataFrame = {
+    val (e, ePath) = graft.operators.Stage.materializeWithPath(
+      edges(docs, threshold, exactNearPairs), "dedup-edges")
+    var (labels, labelsPath) = graft.operators.Stage.materializeWithPath(
       docs.select(col("doc_id"),
         col("doc_id").as("cluster_id")), "dedup-labels")
     var round = 0
@@ -60,32 +75,48 @@ object DedupCluster {
     while (changed > 0 && round < maxRounds) {
       val nbrMin = e.join(labels, col("ea") === col("doc_id"))
         .groupBy(col("eb")).agg(min(col("cluster_id")).as("nbr_min"))
+      val stepped = labels.join(nbrMin, col("doc_id") === col("eb"), "left")
+        .select(col("doc_id"), col("cluster_id").as("prev_id"),
+          least(col("cluster_id"),
+            coalesce(col("nbr_min"), col("cluster_id"))).as("mid_id"))
+      // pointer doubling: follow the stepped label through the PREVIOUS
+      // round's label table (mid_id is always a doc_id, so the join hits)
+      // — contracts label paths ~2x per round, the O(log d) ingredient
+      val hop = labels.select(col("doc_id").as("hop_doc"),
+        col("cluster_id").as("hop_cluster"))
       // prev label rides along in the staged output, so convergence is a
       // cheap filter-count over the staged bytes, not another join
-      val next = graft.operators.Stage.materialize(
-        labels.join(nbrMin, col("doc_id") === col("eb"), "left")
-          .select(col("doc_id"), col("cluster_id").as("prev_id"),
-            least(col("cluster_id"),
-              coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id")),
+      val (next, nextPath) = graft.operators.Stage.materializeWithPath(
+        stepped.join(hop, col("mid_id") === col("hop_doc"), "left")
+          .select(col("doc_id"), col("prev_id"),
+            least(col("mid_id"),
+              coalesce(col("hop_cluster"), col("mid_id"))).as("cluster_id")),
         s"dedup-labels-$round")
       changed = next.filter(col("cluster_id") =!= col("prev_id")).count()
+      // next is fully written — the superseded round's dir can go now
+      graft.operators.Stage.drop(next, labelsPath)
       labels = next.select(col("doc_id"), col("cluster_id"))
+      labelsPath = nextPath
       round += 1
     }
-    // never return silently-wrong labels: a component with diameter >
-    // maxRounds must fail loudly (raise maxRounds, or switch to the
-    // large-star/small-star formulation for pathological chain graphs)
+    // never return silently-wrong labels: a component that is still
+    // changing at maxRounds must fail loudly. With pointer doubling this
+    // needs diameter > ~2^maxRounds — a graph that is not a dedup graph.
     require(changed == 0,
       s"dedup clustering did not converge within $maxRounds rounds " +
         s"($changed labels still changing) — component diameter exceeds " +
-        "maxRounds; raise it or use a star-contraction variant")
+        "~2^maxRounds; raise maxRounds")
+    graft.operators.Stage.drop(labels, ePath)
     labels
   }
 
   /** q49 — duplicate clusters over `documents`: transitive closure of
     * exact-hash + Jaccard(0.5) pairs, canonical min-id labels. The
     * recursive-CTE oracle verifies the FULL doc→cluster map, and the
-    * fixture fuzzer (duplicated docs) exercises non-trivial clusters. */
+    * fixture fuzzer (duplicated docs) exercises non-trivial clusters.
+    * Runs the banded (sub-quadratic) edge generator; the oracle is the
+    * exact formulation, so hash-green here also certifies the banding
+    * recalled every cluster-relevant pair. */
   val q49: Q = Q(
     "q49_dedup_clusters",
     run = { (spark, dir) =>

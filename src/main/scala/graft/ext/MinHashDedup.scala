@@ -1,7 +1,9 @@
 package graft.ext
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, MinHashLSHModel}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 import graft.{Q, Tables}
 
 /** MinHash-LSH near-duplicate detection (SURVEY.md §2.D) — the
@@ -14,6 +16,80 @@ import graft.{Q, Tables}
   */
 object MinHashDedup {
 
+  /** Per-doc distinct 3-gram shingle sets (docs with < 3 tokens have no
+    * shingles and can never reach Jaccard >= any positive threshold). */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.shinglesExpr("toks", 3).as("shingles"))
+
+  /** Shingle sets → binary TF vectors → fitted MinHash model + staged
+    * signature table. Staged (not persisted) because a self-join consumes
+    * it — see [[graft.operators.Stage]]. */
+  private def sketch(sh: DataFrame, numTables: Int,
+      hint: String): (MinHashLSHModel, DataFrame) = {
+    val tf = new HashingTF()
+      .setInputCol("shingles").setOutputCol("features")
+      .setBinary(true).setNumFeatures(1 << 18)
+    val feat = tf.transform(sh)
+    val mh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numTables).setSeed(42L)
+    val model = mh.fit(feat)
+    val hashed = graft.operators.Stage.materialize(
+      model.transform(feat).select("doc_id", "features", "hashes"), hint)
+    (model, hashed)
+  }
+
+  /** Sub-quadratic drop-in for [[graft.queries.TextOps.jaccardPairs]]:
+    * same output contract (source-blocked pairs with EXACT 3-gram-set
+    * Jaccard >= `threshold`, doc_a < doc_b), but candidates come from the
+    * MinHash banding instead of the all-pairs shingle self-join — within
+    * a duplicate-dense block the exact path is |block|², the banded path
+    * is LSH-bucket-bounded.
+    *
+    * Two-phase shape: (1) `approxSimilarityJoin` at a LOOSENED distance
+    * cut (threshold − 0.1 similarity): the join's pre-filter distance is
+    * Jaccard over the 2^18-bucket TF space, which can jitter around the
+    * true shingle-set Jaccard near the cut, so the margin keeps
+    * borderline true pairs in the candidate set; (2) candidates join
+    * back to the staged shingle sets (ids only ride the band join — the
+    * arrays join in afterwards) and the TRUE Jaccard decides, so every
+    * emitted pair satisfies exactly the q24 predicate.
+    *
+    * Residual approximation is candidate recall only: a true pair at
+    * J = t is banded with p = 1 − (1−t)^numTables (98.9% at t = 0.5 with
+    * the default 8 tables, →1 for the near-exact duplicates dedup
+    * targets), deterministic under the fixed seed. The fixture fixpoint
+    * is verified equal to the exact path in tests, and q49/q52 built on
+    * this stay hash-green against the recursive-CTE oracle.
+    */
+  def bandedJaccardPairs(docs: DataFrame, threshold: Double,
+      numTables: Int = 8): DataFrame = {
+    val sh = graft.operators.Stage.materialize(shingled(docs), "banded-shingles")
+    val (model, hashed) = sketch(sh, numTables, "banded-minhash")
+    val margin = math.max(0.0, threshold - 0.1)
+    val cand = model.approxSimilarityJoin(hashed, hashed, 1.0 - margin, "d")
+      .select(col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    val a = sh.select(col("doc_id").as("doc_a"), col("source"),
+      col("shingles").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
+      col("shingles").as("sh_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .filter(col("source") === col("source_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
   /** q30 — near-dup candidate pairs with MinHash-estimated Jaccard
     * distance <= 0.5 (i.e. similarity >= 0.5). Deterministic given the
     * fixed seed. */
@@ -23,29 +99,12 @@ object MinHashDedup {
       // Shingle (3-gram) sets, not raw token sets: the fixture vocabulary
       // is tiny, so token-set Jaccard is high for nearly every pair;
       // shingles recover the same near-dup semantics as the exact q24.
-      val docs = Tables.documentsParallel(spark, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"),
-          graft.functions.TextFunctions.shinglesExpr("toks", 3).as("shingles"))
-      val tf = new HashingTF()
-        .setInputCol("shingles").setOutputCol("features")
-        .setBinary(true).setNumFeatures(1 << 18)
-      val feat = tf.transform(docs)
       // 6 hash tables: p(candidate | J=0.5) = 1-(1-0.5)^6 ≈ 98% — the
       // recall/cost knee; the fixtures' planted near-dups (J≈0.97) are
       // recalled with probability ~1.
-      val mh = new MinHashLSH()
-        .setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(6).setSeed(42L)
-      val model = mh.fit(feat)
-      // self-join: materialize the hashed side once or the whole
-      // shingle→TF→minhash pipeline is re-evaluated for BOTH join inputs
-      // (signatures are ~100 bytes/doc — at 100 TB of docs this is the
-      // standard stage-the-sketch pattern). Staged to temp parquet, not
-      // persist(): no cached blocks leak into the caller's session.
-      val hashed = graft.operators.Stage.materialize(
-        model.transform(feat).select("doc_id", "features", "hashes"), "minhash")
+      val (model, hashed) = sketch(
+        shingled(Tables.documentsParallel(spark, dir)).drop("source"),
+        numTables = 6, "minhash")
       model.approxSimilarityJoin(hashed, hashed, 0.5, "jaccard_dist")
         .select(
           col("datasetA.doc_id").as("doc_a"),

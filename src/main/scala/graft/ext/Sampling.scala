@@ -49,10 +49,54 @@ object Sampling {
     * downsample dominant ones); a uniform map degenerates to a seeded
     * Bernoulli filter. Single pass, no shuffle, no driver collect: the
     * caller supplies the (config-sized, like the validation check list)
-    * fractions map. */
+    * fractions map.
+    *
+    * Fractions may exceed 1.0 (upsampling): a row in a stratum with
+    * fraction f is emitted floor(f) times plus one more with probability
+    * f − floor(f), so E[copies] = f exactly for every f >= 0. For f <= 1
+    * that expression IS a Bernoulli(f) draw, but the all-<=1 case still
+    * routes through `sampleBy` (a filter — no generator in the plan).
+    * The explode path stays one pass and shuffle-free too: per-row copy
+    * counts are a projection and `explode(sequence(...))` a generator,
+    * so at 100 TB rebalancing is embarrassingly parallel, with output
+    * partition sizes scaled by max(f). Strata absent from the map are
+    * dropped (sampleBy semantics). */
   def stratifiedSample(docs: DataFrame, strataCol: String,
-      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
-    docs.stat.sampleBy(strataCol, fractions, seed)
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(fractions.values.forall(_ >= 0.0),
+      s"stratified sampling: negative fraction in $fractions")
+    if (fractions.values.forall(_ <= 1.0))
+      docs.stat.sampleBy(strataCol, fractions, seed)
+    else {
+      val f = coalesce(
+        element_at(typedlit(fractions), col(strataCol)), lit(0.0))
+      val copies = (floor(f).cast("int") +
+        when(rand(seed) < (f - floor(f)), lit(1)).otherwise(lit(0)))
+      docs.withColumn("__copies", copies)
+        .filter(col("__copies") > 0)
+        .withColumn("__copy", explode(sequence(lit(1), col("__copies"))))
+        .drop("__copies", "__copy")
+    }
+  }
+
+  /** Distinct strata of `strataCol`, with a loud cardinality guard (the
+    * dictEncode pattern): a fractions map is driver-side CONFIG, so the
+    * stratum count must be config-sized — pointing this at a
+    * high-cardinality column (doc_id, text) gets a diagnostic, not a
+    * driver OOM. The scan itself is bounded by `limit` BEFORE collect,
+    * so even the failing case never materializes more than
+    * maxStrata + 1 rows on the driver. */
+  def strataOf(docs: DataFrame, strataCol: String,
+      maxStrata: Int = 10000): Seq[String] = {
+    val vals = docs.select(col(strataCol).cast("string"))
+      .filter(col(strataCol).isNotNull)
+      .distinct().limit(maxStrata + 1).collect()
+    require(vals.length <= maxStrata,
+      s"stratified sampling: column '$strataCol' has more than " +
+        s"$maxStrata distinct values — not a stratification key; " +
+        "pass an explicit fractions map or raise maxStrata")
+    vals.toIndexedSeq.map(_.getString(0))
+  }
 
   /** q50 — deterministic hash split: full doc→split map, hash-checked
     * against the same md5-prefix expression in DuckDB. */
@@ -102,9 +146,31 @@ object Sampling {
     "q51_stratified_sample",
     run = { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
-      val strata = docs.select(col("source")).distinct()
-        .collect().map(_.getString(0))
+      val strata = strataOf(docs, "source")
       stratifiedSample(docs, "source", strata.map(_ -> 0.3).toMap)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+    },
+    oracle = None)
+
+  /** q54 — stratified REBALANCE: upweight below-median-count sources
+    * 2.5x, downweight the rest to 0.5 — the rare-language upweighting a
+    * pretraining mix actually runs (rows-only: the Bernoulli fractional
+    * draw is engine-specific; the E[copies] = f contract is
+    * property-tested). Aggregated to one row per source so the output
+    * shape is deterministic. */
+  val q54: Q = Q(
+    "q54_stratified_rebalance",
+    run = { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val strata = strataOf(docs, "source")
+      // per-stratum counts: bounded by the strataOf guard above
+      val counts = docs.filter(col("source").isNotNull)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val median = counts.values.toSeq.sorted.apply(counts.size / 2)
+      val fractions = strata.map(s =>
+        s -> (if (counts(s) < median) 2.5 else 0.5)).toMap
+      stratifiedSample(docs, "source", fractions)
         .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
     },
     oracle = None)
@@ -153,5 +219,5 @@ object Sampling {
              ELSE 'test' END AS split
       FROM cb"""))
 
-  val all: Seq[Q] = Seq(q50, q51, q52)
+  val all: Seq[Q] = Seq(q50, q51, q52, q54)
 }

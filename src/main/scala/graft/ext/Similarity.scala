@@ -50,10 +50,14 @@ object Similarity {
     * wrong constant would silently bucket on a prefix. */
   private def dimOf(embeddings: DataFrame, embCol: String): Int = {
     // first NON-NULL row: fuzzed/real corpora can lead with a null
-    // embedding, which would null the size and NPE the getInt
-    val head = embeddings.filter(col(embCol).isNotNull)
-      .select(size(col(embCol)).as("d")).head()
-    val d = head.getInt(0)
+    // embedding, which would null the size and NPE the getInt; take(1)
+    // instead of head() so an all-null/empty table gets a diagnostic,
+    // not a bare NoSuchElementException
+    val rows = embeddings.filter(col(embCol).isNotNull)
+      .select(size(col(embCol)).as("d")).take(1)
+    require(rows.nonEmpty,
+      s"lsh: no non-null $embCol rows — cannot derive embedding dim")
+    val d = rows.head.getInt(0)
     require(d > 0, s"lsh: empty $embCol in first non-null row — cannot derive dim")
     d
   }
@@ -149,28 +153,50 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN top-k: the coarse-quantizer scale path that
-    * complements sign-LSH (q38). KMeans learns `nCells` centroids (at
-    * 100 TB the fit runs on a sample — KMeans itself is distributed, and
-    * cell count ~ √N keeps cells balanced); every vector is assigned to
-    * its nearest centroid cell, queries probe their `nProbe` nearest
-    * cells, and exact cosine ranks only vectors in probed cells —
-    * expected scan fraction nProbe/nCells per query. The assignment
-    * table is the staged "index": in production it is written once and
-    * reused across query batches, exactly as staged here.
+    * complements sign-LSH (q38). KMeans learns `nCells` centroids; every
+    * vector is assigned to its nearest centroid cell, queries probe their
+    * `nProbe` nearest cells, and exact cosine ranks only vectors in
+    * probed cells — expected scan fraction nProbe/nCells per query. The
+    * assignment table is the staged "index": in production it is written
+    * once and reused across query batches, exactly as staged here.
+    *
+    * The fit input is BOUNDED: KMeans iterates maxIter times over its
+    * input, and 10 full passes over 100 TB of embeddings to place a
+    * handful of centroids is a cluster bill nobody should pay — a
+    * uniform sample capped at `maxFitRows` estimates the same centroids
+    * (centroid error shrinks as 1/√sample, and the coarse quantizer only
+    * needs cells roughly balanced). Assignment still runs on every
+    * vector, one pass. The corpus count used to size the sample fraction
+    * is one cheap aggregate job.
     */
   def ivfTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, maxFitRows: Long = 100000L): DataFrame = {
     val spark = embeddings.sparkSession
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     VectorFunctions.registerVecDot(spark)
+    require(maxFitRows >= nCells,
+      s"ivf: maxFitRows ($maxFitRows) must cover nCells ($nCells)")
     // array_to_vector NPEs on null input — undecodable rows are skipped
     val base = embeddings.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
       .withColumn("fvec", array_to_vector(col("embedding")))
+    val nBase = base.count()
+    val fitInput =
+      if (nBase <= maxFitRows) base
+      else {
+        val sampled = base.sample(withReplacement = false,
+          fraction = maxFitRows.toDouble / nBase, seed = 42L)
+        // provably bounded: Bernoulli overshoot beyond 2x the cap would
+        // mean the sampler is broken — fail rather than fit on the world
+        val m = sampled.count()
+        require(m <= 2 * maxFitRows && m > 0,
+          s"ivf: fit sample of $m rows outside (0, ${2 * maxFitRows}]")
+        sampled
+      }
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("fvec").setPredictionCol("cell")
-      .fit(base)
+      .fit(fitInput)
     val assigned = graft.operators.Stage.materialize(
       model.transform(base).drop("fvec")
         .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)"))),

@@ -55,7 +55,13 @@ object Stage {
               try {
                 val path = new Path(p)
                 path.getFileSystem(hadoopConf).delete(path, true): Unit
-              } catch { case _: Throwable => () }
+              } catch { case e: Throwable =>
+                // a failed delete leaves bytes on shared storage — say so
+                // (stderr: logging frameworks may already be torn down
+                // inside a shutdown hook)
+                System.err.println(
+                  s"[graft.Stage] failed to delete staged dir $p: $e")
+              }
             }
         }, 50)
     }
@@ -65,12 +71,35 @@ object Stage {
     * round-trips its Catalyst schema (including ML vector UDTs) through
     * the parquet footer metadata, so the staged frame is
     * schema-identical to the input. */
-  def materialize(df: DataFrame, hint: String = "stage"): DataFrame = {
+  def materialize(df: DataFrame, hint: String = "stage"): DataFrame =
+    materializeWithPath(df, hint)._1
+
+  /** Like [[materialize]], but also returns the staged directory so
+    * iterative callers (e.g. the clustering loop, which stages labels
+    * every round) can [[drop]] superseded rounds eagerly instead of
+    * accumulating directories until JVM shutdown. */
+  def materializeWithPath(df: DataFrame,
+      hint: String = "stage"): (DataFrame, String) = {
     val path =
       s"${stagingRoot(df)}/$hint-$jvmId-${counter.incrementAndGet()}"
     installHook(df)
     staged.synchronized(staged += path): Unit
     df.write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
+    (df.sparkSession.read.parquet(path), path)
+  }
+
+  /** Eagerly delete a staged directory returned by
+    * [[materializeWithPath]]. The caller asserts no live DataFrame still
+    * scans it. Failures are logged, never thrown (cleanup must not fail
+    * the query that finished its real work). */
+  def drop(df: DataFrame, path: String): Unit = {
+    staged.synchronized(staged -= path): Unit
+    try {
+      val p = new Path(path)
+      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(p, true): Unit
+    } catch { case e: Throwable =>
+      System.err.println(s"[graft.Stage] failed to delete staged dir $path: $e")
+    }
   }
 }

@@ -156,6 +156,97 @@ class TextVectorSpec extends AnyFunSuite {
     assert(out(4L) == 4L)
   }
 
+  test("banded (MinHash) edge generation reproduces the exact clusters") {
+    // the q49/q52 production path: candidates from MinHash banding,
+    // exact Jaccard on survivors — must yield the identical doc→cluster
+    // fixpoint as the all-pairs exact edge generator on the fuzzed
+    // fixtures (planted exact + near dups, null-text rows)
+    val docs = Tables.documentsParallel(spark, TestSpark.sf0001)
+    val banded = graft.ext.DedupCluster.clusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = graft.ext.DedupCluster.clusters(docs, exactNearPairs = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(banded == exact)
+  }
+
+  test("banded pair generator matches exact jaccardPairs on the fixtures") {
+    val docs = Tables.documentsParallel(spark, TestSpark.sf0001)
+    val exact = graft.queries.TextOps.jaccardPairs(docs, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = graft.ext.MinHashDedup.bandedJaccardPairs(docs, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exact, s"banded-only: ${banded -- exact}; missed: ${exact -- banded}")
+  }
+
+  test("clustering converges in O(log n) rounds on a 1000-doc chain") {
+    // pathological diameter: doc i near-dups ONLY doc i±1 (sliding
+    // 8-token windows over a globally-unique token stream overlap 6
+    // tokens with the next doc → J(adjacent) = 4/8 = 0.5, J(i, i±2) =
+    // 2/10 = 0.2). Plain min-label propagation needs ~1000 rounds; the
+    // pointer-doubling loop must finish inside the default maxRounds=20
+    // (2^20 ≫ 1000) with every doc labeled by the chain head.
+    val n = 1000
+    val docs = (0 until n).map { i =>
+      (i.toLong, (2 * i until 2 * i + 8).map(t => s"tok$t").mkString(" "), "s1")
+    }.toDF("doc_id", "text", "source")
+    val out = graft.ext.DedupCluster.clusters(docs, exactNearPairs = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == n)
+    assert(out.values.forall(_ == 0L), s"non-root labels: ${out.filter(_._2 != 0L).take(5)}")
+  }
+
+  test("stratified rebalance upsamples: fraction 2.5 hits ~2.5x (4-sigma)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = totals.keys.map(_ -> 2.5).toMap
+    val sampled = graft.ext.Sampling.stratifiedSample(docs, "source", fractions)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (s, nTot) =>
+      val got = sampled.getOrElse(s, 0L).toDouble / nTot
+      // copies = 2 + Bernoulli(0.5): sd per row = 0.5 → 4σ band on the
+      // per-stratum ratio is 2/sqrt(n)
+      val band = 2.0 / math.sqrt(nTot.toDouble)
+      assert(math.abs(got - 2.5) < band,
+        s"stratum $s ratio $got of n=$nTot (band ±$band)")
+    }
+  }
+
+  test("mixed rebalance map: up AND down fractions in one pass") {
+    val docs = Seq.tabulate(400)(i =>
+      (i.toLong, s"text $i", if (i % 4 == 0) "rare" else "common"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ext.Sampling.stratifiedSample(docs, "source",
+        Map("rare" -> 3.0, "common" -> 0.5))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("rare") == 300L) // integer fraction: exactly 3 copies each
+    assert(math.abs(out("common") - 150.0) < 4 * math.sqrt(300 * 0.25))
+  }
+
+  test("strataOf fails loudly on high-cardinality strata columns") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Sampling.strataOf(docs, "doc_id", maxStrata = 100)
+    }
+    assert(e.getMessage.contains("distinct values"))
+    // the sane column still works
+    assert(graft.ext.Sampling.strataOf(docs, "source").nonEmpty)
+  }
+
+  test("IVF fit input is bounded by maxFitRows (sampled branch)") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    // force the sampling branch with a cap far below the corpus size;
+    // the query must still run end-to-end and return k rows per query
+    val out = graft.ext.Similarity.ivfTopK(emb, k = 3, nQueries = 5,
+      maxFitRows = 64)
+    val rows = out.collect()
+    assert(rows.length == 15, s"got ${rows.length} rows")
+  }
+
   test("hash split is deterministic, partitions fully, near target fractions") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val a = graft.ext.Sampling.hashSplit(docs).collect()
