@@ -6,10 +6,22 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line.
   *
   * Methodology: a small untimed warm-up first (JIT + codegen + parquet
-  * footer caches), then each query timed once. Timing forces FULL
-  * materialization via queryExecution.toRdd.count() — a plain
-  * DataFrame.count() would let Catalyst prune every projected column and
-  * under-report scan/compute cost.
+  * footer caches), then THREE full interleaved passes over the whole
+  * registry (pass 1 runs q01..q54, then pass 2, then pass 3). Each
+  * query's reported time is the min of its three samples. Interleaving
+  * means a transient machine-load window degrades one PASS, not one
+  * query's entire sample set — the min per query then comes from a quiet
+  * pass, which a back-to-back min-of-N at a loaded moment cannot
+  * guarantee. Timing forces FULL materialization via
+  * queryExecution.toRdd.count() — a plain DataFrame.count() would let
+  * Catalyst prune every projected column and under-report scan/compute
+  * cost.
+  *
+  * Noise accounting (so a reader can tell signal from noise without
+  * re-running): the JSON carries `pass_totals` (wall time of each full
+  * pass), `spread` (per-query max/min ratio across the three samples),
+  * and `noisy` (queries whose spread exceeds 2× — their min is still the
+  * best estimate, but cross-round deltas on them are suspect).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,9 +45,6 @@ object Bench {
         .foreach(f => f(spark, sfDir).queryExecution.toRdd.count())
     } catch { case _: Throwable => () }
 
-    // two timed passes per query, report the min — local[32] run-to-run
-    // noise (GC, thread scheduling) is ±30% on sub-second queries and the
-    // min is the stable estimator of the plan's actual cost
     // a failed run must surface as -1 in the JSON, never as a (fast)
     // wall-time that makes a broken query look well-optimized
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
@@ -50,18 +59,42 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) Some(dt) else None
     }
+
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val results = ordered.map { case (name, fn) =>
-      name -> (for (a <- once(fn); b <- once(fn)) yield math.min(a, b))
-        .getOrElse(-1.0)
+    val nPasses = 3
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    val passTotals = (0 until nPasses).map { _ =>
+      // settle the heap between passes so one pass's garbage doesn't
+      // become the next pass's GC pause
+      System.gc()
+      val p0 = System.nanoTime()
+      ordered.foreach { case (name, fn) =>
+        once(fn).foreach(dt => samples(name) = dt :: samples(name))
+      }
+      (System.nanoTime() - p0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    val results = ordered.map { case (name, _) =>
+      val s = samples(name)
+      name -> (if (s.size == nPasses) s.min else -1.0)
+    }
+    def jmap(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, v) => k -> f"$v%.4f" })
+    val spread = jmap(results.collect { case (k, v) if v > 0 =>
+      val s = samples(k); k -> f"${s.max / s.min}%.2f"
+    })
+    val noisy = results.collect {
+      case (k, v) if v > 0 && samples(k).max / samples(k).min > 2.0 =>
+        "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total =
       if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val passes = passTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passes,"spread":$spread,"noisy":$noisy,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,6 +15,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // oracle-gated run: approximate-candidate queries that are compared
+    // against EXACT oracles (q49/q52 clustering) must use their exact
+    // pair generators, so an oracle mismatch always means an engine bug
+    // and never an expected LSH recall miss (DedupCluster.oracleExactMode)
+    System.setProperty("graft.oracle.exact", "true")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

