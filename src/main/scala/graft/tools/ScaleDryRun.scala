@@ -144,6 +144,99 @@ object ScaleDryRun {
     time("embedding_neardup_lsh (q47 shape)") {
       graft.ext.Similarity.neardupLsh(emb10)
     }
+
+    // ---- duplicate-DENSE near-pair generation: banded vs exact ----
+    // The decorrelated corpora above deliberately avoid deep duplicate
+    // groups; this is the opposite case — every doc gets `depth` near-
+    // copies (text + one trailing salt token, so J(copies) ≈ 0.93 and
+    // the copies ride the NEAR-pair path, not the exact-hash star
+    // edges). The true pair set is then quadratic in depth (that IS the
+    // output), and the question is generator COST: the exact shingle
+    // self-join must enumerate every co-shingle pair across each
+    // source block (buckets grow ~depth, pairs ~depth²), while the
+    // banded generator pays LSH-bucket-bounded candidates + one exact
+    // verification per survivor. Wall-time ratio dense/base is the
+    // scaling evidence for BASELINE.md.
+    def dense(depth: Int): DataFrame =
+      (0 until depth).map { k =>
+        if (k == 0) docs0
+        else docs0.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          concat(col("text"), lit(s" salt$k")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _).repartition(cpus.toInt)
+    def timed(df: => DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (tExact1, nExact1) =
+      timed(graft.queries.TextOps.jaccardPairs(docs0, 0.5))
+    val (tExact10, nExact10) =
+      timed(graft.queries.TextOps.jaccardPairs(dense(10), 0.5))
+    val (tBand1, nBand1) =
+      timed(graft.ext.MinHashDedup.bandedJaccardPairs(docs0, 0.5))
+    val (tBand10, nBand10) =
+      timed(graft.ext.MinHashDedup.bandedJaccardPairs(dense(10), 0.5))
+    println(f"[scale-dry-run] dup_dense_exact_1x   $tExact1%8.2f s  ($nExact1 pairs)")
+    println(f"[scale-dry-run] dup_dense_exact_10x  $tExact10%8.2f s  ($nExact10 pairs, ratio ${tExact10 / tExact1}%.1fx)")
+    println(f"[scale-dry-run] dup_dense_banded_1x  $tBand1%8.2f s  ($nBand1 pairs)")
+    println(f"[scale-dry-run] dup_dense_banded_10x $tBand10%8.2f s  ($nBand10 pairs, ratio ${tBand10 / tBand1}%.1fx)")
+
+    // ---- HOT-SHINGLE (Zipf-head) corpus: where exact and r=1 banding
+    // actually blow up ----
+    // Real text has a Zipf head: boilerplate/stopword shingles shared
+    // across whole blocks. Model it with a 5-token preamble on every
+    // doc: the preamble contributes 3 shingles shared by ALL docs, so
+    // J(unrelated) ≈ 0.05 — far under threshold, yet (a) the exact
+    // generator's (source, shingle) buckets now span the block → pair
+    // enumeration quadratic in block size, and (b) Spark's
+    // approxSimilarityJoin OR-joins single minhashes, so a J=0.05 pair
+    // still collides with p = 1-(1-J)^8 ≈ 0.34 → candidates quadratic
+    // too. AND-banding (bandWidth=2: candidates must match BOTH
+    // minhashes of some band, p = 1-(1-J²)^8 ≈ 0.02 at J=0.05) is the
+    // configuration that survives this corpus. Base is a 2000-doc
+    // subset so the quadratic cases stay measurable rather than
+    // multi-minute.
+    val hotBase = docs0.filter(col("doc_id") < 2000)
+    def hot(m: Int): DataFrame =
+      (0 until m).map { k =>
+        val c =
+          if (k == 0) hotBase
+          else hotBase.select(
+            (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            concat_ws(" ", shuffle(split(col("text"), " "))).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        c.withColumn("text", concat(lit("h1 h2 h3 h4 h5 "), col("text")))
+      }.reduce(_ unionByName _).repartition(cpus.toInt)
+    val (h1, hp1) = (hot(1), hot(4))
+    val (tHx1, nHx1) = timed(graft.queries.TextOps.jaccardPairs(h1, 0.5))
+    val (tHx4, nHx4) = timed(graft.queries.TextOps.jaccardPairs(hp1, 0.5))
+    val (tHb1, nHb1) = timed(graft.ext.MinHashDedup.bandedJaccardPairs(h1, 0.5))
+    val (tHb4, nHb4) = timed(graft.ext.MinHashDedup.bandedJaccardPairs(hp1, 0.5))
+    val (tHw1, nHw1) = timed(
+      graft.ext.MinHashDedup.bandedJaccardPairs(h1, 0.5, bandWidth = 2))
+    val (tHw4, nHw4) = timed(
+      graft.ext.MinHashDedup.bandedJaccardPairs(hp1, 0.5, bandWidth = 2))
+    println(f"[scale-dry-run] hot_exact_1x        $tHx1%8.2f s  ($nHx1 pairs)")
+    println(f"[scale-dry-run] hot_exact_4x        $tHx4%8.2f s  ($nHx4 pairs, ratio ${tHx4 / tHx1}%.1fx for 4x docs)")
+    println(f"[scale-dry-run] hot_banded_r1_1x    $tHb1%8.2f s  ($nHb1 pairs)")
+    println(f"[scale-dry-run] hot_banded_r1_4x    $tHb4%8.2f s  ($nHb4 pairs, ratio ${tHb4 / tHb1}%.1fx)")
+    println(f"[scale-dry-run] hot_banded_r2_1x    $tHw1%8.2f s  ($nHw1 pairs)")
+    println(f"[scale-dry-run] hot_banded_r2_4x    $tHw4%8.2f s  ($nHw4 pairs, ratio ${tHw4 / tHw1}%.1fx)")
+
+    // ---- q54 explode-path rebalance under stratum skew ----
+    // One stratum upweighted 10x (explode path emits ~10 copies/row for
+    // it), the rest downsampled to 0.5 — output partition sizes scale by
+    // max(f), which AQE re-splits; time must stay ~linear in corpus size
+    val skewFracs = docs0.select("source").distinct().collect()
+      .map(_.getString(0)).zipWithIndex
+      .map { case (s, i) => s -> (if (i == 0) 10.0 else 0.5) }.toMap
+    val (tSkew1, nSkew1) = timed(
+      graft.ext.Sampling.stratifiedSample(docs0, "source", skewFracs))
+    val (tSkew10, nSkew10) = timed(
+      graft.ext.Sampling.stratifiedSample(docs10, "source", skewFracs))
+    println(f"[scale-dry-run] q54_skew_rebalance_1x  $tSkew1%8.2f s  ($nSkew1 rows)")
+    println(f"[scale-dry-run] q54_skew_rebalance_10x $tSkew10%8.2f s  ($nSkew10 rows, ratio ${tSkew10 / tSkew1}%.1fx)")
     spark.stop()
   }
 }
