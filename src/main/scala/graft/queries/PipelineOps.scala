@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.{Q, Tables}
+
+/** Training-data pipeline operators beyond dedup/sampling (SURVEY.md
+  * §2.D): benchmark decontamination, document chunking, repetition-based
+  * quality filtering, and sequence packing — the steps between "corpus"
+  * and "token stream" in a pretraining data pipeline. All four are pure
+  * relational plans (generators, windows, joins) and hash-checkable
+  * against DuckDB oracles.
+  *
+  * Scale posture: q55 broadcasts the benchmark shingle set (benchmark
+  * suites are MBs against a 100 TB corpus — the canonical broadcast-dim
+  * shape); q56/q57 are per-row generators/projections (embarrassingly
+  * parallel); q58 is one window over (source, doc_id) — a single shuffle
+  * on the partition key.
+  */
+object PipelineOps {
+
+  /** q55 — benchmark decontamination: for every training doc, count the
+    * distinct 8-token shingles it shares with any benchmark doc (the
+    * n-gram-overlap test-set contamination check every serious eval
+    * hygiene pipeline runs; 8 because the fixture docs are ~54 tokens —
+    * production uses 13 with the same plan). The "benchmark" side is the
+    * deterministic doc_id % 97 == 0 slice of the corpus, so exact and
+    * near duplicates of benchmark docs are flagged, not just
+    * themselves. */
+  /** Core of q55 over any (doc_id, text) frame. */
+  def decontaminate(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val sh = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.shinglesExpr("toks", 8))
+            .as("s"))
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("s")).distinct()
+      val hits = sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "s")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("s")).as("n_overlap"))
+      docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  val q55: Q = Q(
+    "q55_decontaminate",
+    run = { (spark, dir) => decontaminate(Tables.documentsParallel(spark, dir)) },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      g AS (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks) - 7)) AS i
+            FROM d WHERE len(toks) >= 8),
+      sh AS (SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+               toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+               toks[i+6] || ' ' || toks[i+7] AS s
+             FROM g),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+      hits AS (SELECT sh.doc_id, CAST(count(DISTINCT sh.s) AS BIGINT) AS n
+               FROM sh JOIN bench USING (s)
+               WHERE sh.doc_id % 97 <> 0 GROUP BY sh.doc_id)
+      SELECT t.doc_id, COALESCE(hits.n, 0) AS n_overlap,
+        COALESCE(hits.n, 0) > 0 AS contaminated
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) t
+      LEFT JOIN hits ON hits.doc_id = t.doc_id"""))
+
+  /** q56 — fixed-size document chunking: split every doc into
+    * non-overlapping 32-token chunks (the context-window pre-tokenization
+    * step). Pure generator — `sequence` + `slice` per row, no shuffle;
+    * integer arithmetic only ((n+31) div 32 chunks), so the chunk grid is
+    * bit-identical in any engine. */
+  /** Core of q56: fixed 32-token chunk grid over any (doc_id, text). */
+  def chunk(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      docs
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, (size(toks) + 31) div 32 - 1)"))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+          expr("size(slice(toks, chunk_idx * 32 + 1, 32))")
+            .as("n_chunk_toks"),
+          expr("concat_ws(' ', slice(toks, chunk_idx * 32 + 1, 32))")
+            .as("chunk_text"))
+
+  val q56: Q = Q(
+    "q56_doc_chunking",
+    run = { (spark, dir) => chunk(Tables.documentsParallel(spark, dir)) },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      c AS (SELECT doc_id, toks,
+              unnest(generate_series(0, (len(toks) + 31) // 32 - 1)) AS chunk_idx
+            FROM d)
+      SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        CAST(len(toks[chunk_idx*32 + 1 : chunk_idx*32 + 32]) AS INTEGER)
+          AS n_chunk_toks,
+        array_to_string(toks[chunk_idx*32 + 1 : chunk_idx*32 + 32], ' ')
+          AS chunk_text
+      FROM c"""))
+
+  /** q57 — repetition-based quality filter (the Gopher-rules shape):
+    * duplicate-bigram fraction and top-token fraction per doc, with the
+    * keep/drop verdict. Per-row HOF projection — the inner
+    * distinct×filter scan is O(L²) in DOC length (bounded, ~54 tokens),
+    * never in corpus size. */
+  /** Core of q57 over any (doc_id, text) frame. */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      docs
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("bigrams", expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .withColumn("dup_bigram_frac",
+          lit(1.0) - size(array_distinct(col("bigrams"))).cast(DoubleType) /
+            (col("n_toks") - 1))
+        .withColumn("top_tok_frac", expr(
+          "array_max(transform(array_distinct(toks), " +
+            "t -> size(filter(toks, x -> x = t))))").cast(DoubleType) /
+          col("n_toks"))
+        .select(col("doc_id"), col("n_toks"), col("dup_bigram_frac"),
+          col("top_tok_frac"),
+          (col("dup_bigram_frac") <= 0.2 && col("top_tok_frac") <= 0.2)
+            .as("keep"))
+
+  val q57: Q = Q(
+    "q57_repetition_filter",
+    run = { (spark, dir) => repetitionStats(Tables.documentsParallel(spark, dir)) },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      m AS (SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n_toks,
+              list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+            FROM d WHERE len(toks) >= 2),
+      f AS (SELECT doc_id, n_toks,
+              1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / (n_toks - 1)
+                AS dup_bigram_frac,
+              CAST(list_max(list_transform(list_distinct(toks),
+                t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / n_toks
+                AS top_tok_frac
+            FROM m)
+      SELECT doc_id, n_toks, dup_bigram_frac, top_tok_frac,
+        dup_bigram_frac <= 0.2 AND top_tok_frac <= 0.2 AS keep
+      FROM f"""))
+
+  /** q58 — sequence packing: assign every doc to a 2048-token pack by
+    * its start offset in the per-source concatenated token stream
+    * (docs ordered by doc_id). The streaming-concat packing a
+    * pretraining loader runs, as ONE window aggregation: cum-sum of
+    * token counts over (source, doc_id) — a single shuffle on source,
+    * and a doc that straddles a boundary belongs to the pack it starts
+    * in (the loader's continuation semantics). Null-text docs count 0
+    * tokens and ride along so the doc→pack map is total. */
+  /** Core of q58 over any (doc_id, source, text) frame. */
+  def packSequences(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .select(col("doc_id"), col("source"),
+          coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
+            .as("n_toks"))
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          (col("cum") - col("n_toks")).as("start_off"),
+          expr("(cum - n_toks) div 2048").as("pack_id"))
+  }
+
+  val q58: Q = Q(
+    "q58_pack_sequences",
+    run = { (spark, dir) => packSequences(Tables.documentsParallel(spark, dir)) },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, source,
+                   COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0)
+                     AS n_toks
+                 FROM documents),
+      w AS (SELECT doc_id, source, n_toks,
+              sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d)
+      SELECT doc_id, source, n_toks,
+        CAST(cum - n_toks AS BIGINT) AS start_off,
+        CAST((cum - n_toks) // 2048 AS BIGINT) AS pack_id
+      FROM w"""))
+
+  val all: Seq[Q] = Seq(q55, q56, q57, q58)
+}
