@@ -40,9 +40,15 @@ object DedupCluster {
     * bucket-bounded work, not |block|². `exactNearPairs = true` switches
     * to the all-pairs shingle self-join
     * ([[graft.queries.TextOps.jaccardPairs]]) — the oracle formulation,
-    * same output on everything the banding recalls. */
-  def edges(docs: DataFrame, threshold: Double = 0.5,
-      exactNearPairs: Boolean = false): DataFrame = {
+    * same output on everything the banding recalls.
+    *
+    * Returns the lazy edge plan plus a cleanup thunk (the banded
+    * generator's staged shingle/signature dirs): the caller stages the
+    * edges and THEN calls cleanup, so the pair set is written exactly
+    * once (not once inside the generator and again in the edges
+    * stage). */
+  private[ext] def edges(docs: DataFrame, threshold: Double = 0.5,
+      exactNearPairs: Boolean = false): (DataFrame, () => Unit) = {
     // null-text docs are NOT duplicates of each other: Spark's groupBy
     // would collapse the null hash group into one cluster, while SQL
     // equality (the oracle, and the sane semantics) never matches NULLs
@@ -56,20 +62,25 @@ object DedupCluster {
     val exactPairs = hashed.join(canon, "h")
       .filter(col("root") =!= col("doc_id"))
       .select(col("root").as("ea"), col("doc_id").as("eb"))
-    val nearGen =
-      if (exactNearPairs) graft.queries.TextOps.jaccardPairs(docs, threshold)
-      else MinHashDedup.bandedJaccardPairs(docs, threshold)
+    val (nearGen, cleanup) =
+      if (exactNearPairs)
+        (graft.queries.TextOps.jaccardPairs(docs, threshold), () => ())
+      else MinHashDedup.bandedJaccardPairsRaw(docs, threshold)
     val nearPairs = nearGen.select(col("doc_a").as("ea"), col("doc_b").as("eb"))
     val und = exactPairs.union(nearPairs).distinct()
-    und.union(und.select(col("eb").as("ea"), col("ea").as("eb")))
+    (und.union(und.select(col("eb").as("ea"), col("ea").as("eb"))), cleanup)
   }
 
   /** (doc_id, cluster_id) for every doc; cluster_id = min doc_id in the
     * doc's connected component (singletons cluster with themselves). */
   def clusters(docs: DataFrame, threshold: Double = 0.5,
       maxRounds: Int = 20, exactNearPairs: Boolean = false): DataFrame = {
+    val (edgePlan, edgeCleanup) = edges(docs, threshold, exactNearPairs)
     val (e, ePath) = graft.operators.Stage.materializeWithPath(
-      edges(docs, threshold, exactNearPairs), "dedup-edges")
+      edgePlan, "dedup-edges")
+    // edges are on disk — the banded generator's staged intermediates
+    // (shingles, signatures) can go now
+    edgeCleanup()
     var (labels, labelsPath) = graft.operators.Stage.materializeWithPath(
       docs.select(col("doc_id"),
         col("doc_id").as("cluster_id")), "dedup-labels")

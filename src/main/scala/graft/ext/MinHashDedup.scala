@@ -102,6 +102,24 @@ object MinHashDedup {
     * the setting this operator is designed to run at. */
   def bandedJaccardPairs(docs: DataFrame, threshold: Double,
       numTables: Int = 8, bandWidth: Int = 1): DataFrame = {
+    val (pairs, cleanup) =
+      bandedJaccardPairsRaw(docs, threshold, numTables, bandWidth)
+    // general-purpose callers get a self-contained frame: the big
+    // intermediates (shingles, signatures) are dropped as soon as the
+    // small verified-pairs output is staged
+    val staged = graft.operators.Stage.materialize(pairs, "banded-pairs")
+    cleanup()
+    staged
+  }
+
+  /** [[bandedJaccardPairs]] without the final defensive staging: returns
+    * the lazy verified-pairs plan plus a cleanup thunk dropping the
+    * shingle/signature staging dirs. For callers that stage the result
+    * themselves (the clustering loop stages edges anyway) — they call
+    * `cleanup()` AFTER materializing, and skip one full write of the
+    * pair set. */
+  private[ext] def bandedJaccardPairsRaw(docs: DataFrame, threshold: Double,
+      numTables: Int = 8, bandWidth: Int = 1): (DataFrame, () => Unit) = {
     val (sh, shPath) = graft.operators.Stage.materializeWithPath(
       shingled(docs), "banded-shingles")
     val (model, hashed, mhPath) =
@@ -144,10 +162,10 @@ object MinHashDedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
-    val staged = graft.operators.Stage.materialize(pairs, "banded-pairs")
-    graft.operators.Stage.drop(sh, shPath)
-    graft.operators.Stage.drop(sh, mhPath)
-    staged
+    (pairs, () => {
+      graft.operators.Stage.drop(sh, shPath)
+      graft.operators.Stage.drop(sh, mhPath)
+    })
   }
 
   /** q30 — near-dup candidate pairs with MinHash-estimated Jaccard
