@@ -13,6 +13,22 @@ object ExplainAudit {
       println(s.linesIterator.take(40).mkString("\n"))
     }
     p("q03_scan_filter_project"); p("q06_join_dims_broadcast"); p("q16_topk")
+
+    // q55: the benchmark shingle set must ride a broadcast, never a
+    // shuffle (it is the canonical tiny-dim side at 100 TB)
+    val q55Plan = graft.SparkEntry.queries("q55_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q55Plan.contains("BroadcastHashJoin"),
+      "q55: benchmark overlap join is not broadcast")
+    println("===== q55 BROADCAST ASSERT OK")
+    // q58: sequence packing is ONE hash shuffle (the window on source)
+    val q58Plan = graft.SparkEntry.queries("q58_pack_sequences")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val nHashExchanges = q58Plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(nHashExchanges == 1,
+      s"q58: expected exactly 1 hash shuffle, found $nHashExchanges")
+    println("===== q58 SINGLE-SHUFFLE ASSERT OK")
     // partitioned events layout: date filter must prune at planning time
     val part = java.nio.file.Files.createTempDirectory("events_part").toString
     graft.sources.EventsLayout.writePartitionedByDay(
