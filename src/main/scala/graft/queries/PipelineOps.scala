@@ -194,5 +194,47 @@ object PipelineOps {
         CAST((cum - n_toks) // 2048 AS BIGINT) AS pack_id
       FROM w"""))
 
-  val all: Seq[Q] = Seq(q55, q56, q57, q58)
+  /** Core of q59 over any (doc_id, source, text) frame. */
+  def crossSourceOverlap(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sh = docs.filter(col("text").isNotNull)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.shinglesExpr("toks", 3))
+          .as("s"))
+      .distinct()
+    sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
+  /** q59 — cross-source contamination matrix: distinct 3-gram shingles
+    * shared by each source pair (the "how much does source A leak into
+    * source B" diagnostic behind mix design and contamination triage).
+    * The key scale move is the DISTINCT (source, shingle) projection
+    * BEFORE the self-join: every shingle bucket is then bounded by the
+    * number of SOURCES (config-sized), never by document count, so a
+    * hot shingle costs |sources|² pairs, not |docs|² — the same
+    * dictionary-bounding trick as the strata guard. */
+  val q59: Q = Q(
+    "q59_cross_source_overlap",
+    run = { (spark, dir) =>
+      crossSourceOverlap(Tables.documentsParallel(spark, dir))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT source, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      g AS (SELECT source, toks,
+              unnest(generate_series(1, len(toks) - 2)) AS i
+            FROM d WHERE len(toks) >= 3),
+      sh AS (SELECT DISTINCT source,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+             FROM g)
+      SELECT a.source AS source_a, b.source AS source_b,
+        CAST(count(*) AS BIGINT) AS n_shared_shingles
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      GROUP BY a.source, b.source"""))
+
+  val all: Seq[Q] = Seq(q55, q56, q57, q58, q59)
 }

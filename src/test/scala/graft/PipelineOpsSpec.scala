@@ -64,6 +64,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L)._2 > 0.3 && !out(3L)._3)  // spam = 4/12 tokens
   }
 
+  test("q59 cross-source overlap counts distinct shared shingles once") {
+    val docs = Seq(
+      (1L, "a b c d e", "s1"),
+      (2L, "a b c x y", "s2"),   // shares shingle "a b c" with s1
+      (3L, "a b c z w", "s2"),   // same shared shingle — must count ONCE
+      (4L, "p q r s t", "s3"))   // no overlap with anyone
+      .toDF("doc_id", "text", "source")
+    val out = queries.PipelineOps.crossSourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("s1", "s2") -> 1L))
+  }
+
   test("q58 packing: offsets contiguous per source, pack = start div 2048") {
     val out = PipelineOps.packSequences(
       Tables.documents(spark, TestSpark.sf0001))
