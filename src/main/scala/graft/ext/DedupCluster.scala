@@ -193,5 +193,90 @@ object DedupCluster {
         SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea)
       SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src"""))
 
-  val all: Seq[Q] = Seq(q49)
+  /** Canonical-document selection — the step AFTER clustering: keep one
+    * doc per duplicate cluster, chosen by the q27 quality score
+    * (stopword/distinct/length mix) with min-doc_id tie-break (exact
+    * duplicates score identically). One window over the cluster id —
+    * a single shuffle on top of the clustering output. Null-text docs
+    * are singleton clusters (see [[edges]]), so a null quality can only
+    * ever "win" its own cluster. */
+  def canonicalDocs(docs: DataFrame,
+      exactNearPairs: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = clusters(docs, exactNearPairs = exactNearPairs)
+    val quality = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")))
+      .select(col("doc_id"),
+        ((expr("size(filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and' OR t = 'to'))")
+            .cast("double") / col("n_toks")) * 0.5 +
+          (size(array_distinct(col("toks"))).cast("double") / col("n_toks")) * 0.3 +
+          least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.2)
+          .as("quality"))
+    val byQuality = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc_nulls_last, col("doc_id"))
+    cl.join(quality, Seq("doc_id"), "left")
+      .withColumn("rn", row_number().over(byQuality))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canon_doc_id"),
+        col("n_members"), col("quality").as("canon_quality"))
+  }
+
+  /** q60 — one canonical doc per duplicate cluster (the dedup
+    * RESOLUTION step: cluster → best member → clean corpus). Oracle =
+    * the recursive-CTE components + the q27 quality expression + the
+    * same NULLS LAST window. */
+  val q60: Q = Q(
+    "q60_canonical_docs",
+    run = { (spark, dir) =>
+      canonicalDocs(Tables.documentsParallel(spark, dir),
+        exactNearPairs = oracleExactMode)
+    },
+    oracle = Some("""
+      WITH RECURSIVE
+      hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      hpairs AS (SELECT a.doc_id AS ea, b.doc_id AS eb FROM hx a JOIN hx b
+                   ON a.h = b.h AND a.doc_id < b.doc_id),
+      d AS (SELECT doc_id, source, string_split(text,' ') AS toks FROM documents),
+      d3 AS (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks)-2)) AS i
+             FROM d WHERE len(toks) >= 3),
+      sh AS (SELECT DISTINCT doc_id, source,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM d3),
+      cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS ea, b.doc_id AS eb, CAST(count(*) AS BIGINT) AS inter
+                FROM sh a JOIN sh b
+                  ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      jpairs AS (SELECT ea, eb FROM pairs JOIN cnt ca ON ca.doc_id = ea
+                   JOIN cnt cb ON cb.doc_id = eb
+                 WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+      e0 AS (SELECT ea, eb FROM hpairs UNION SELECT ea, eb FROM jpairs),
+      edges AS (SELECT ea, eb FROM e0 UNION SELECT eb, ea FROM e0),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+      cc AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+      qd AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+      qm AS (SELECT doc_id, n_chars, CAST(len(toks) AS INTEGER) AS n_toks,
+               CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+               CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and' OR t = 'to')) AS INTEGER) AS n_stop
+             FROM qd),
+      qf AS (SELECT doc_id,
+               (CAST(n_stop AS DOUBLE) / n_toks) * 0.5
+                 + (CAST(n_distinct AS DOUBLE) / n_toks) * 0.3
+                 + least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.2 AS quality
+             FROM qm),
+      r AS (SELECT cc.cluster_id, cc.doc_id, qf.quality,
+              row_number() OVER (PARTITION BY cc.cluster_id
+                ORDER BY qf.quality DESC NULLS LAST, cc.doc_id) AS rn,
+              count(*) OVER (PARTITION BY cc.cluster_id) AS n_members
+            FROM cc LEFT JOIN qf ON qf.doc_id = cc.doc_id)
+      SELECT cluster_id, doc_id AS canon_doc_id,
+        CAST(n_members AS BIGINT) AS n_members, quality AS canon_quality
+      FROM r WHERE rn = 1"""))
+
+  val all: Seq[Q] = Seq(q49, q60)
 }

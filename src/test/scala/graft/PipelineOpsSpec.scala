@@ -76,6 +76,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Map(("s1", "s2") -> 1L))
   }
 
+  test("q60 canonical docs: quality winner per cluster, min-id tie-break") {
+    // docs 1,2 exact dups (equal quality -> min id 1 wins the tie);
+    // doc 3 near-dups them with MORE stopwords (higher quality) -> the
+    // {1,2,3} cluster's canonical is 3; doc 4 is a singleton
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "s1", 43),
+      (2L, "the quick brown fox jumps over the lazy dog", "s1", 43),
+      (3L, "the quick brown fox jumps over the lazy dog and a cat of", "s1", 57),
+      (4L, "completely different words about parquet shuffles here", "s1", 54))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = graft.ext.DedupCluster.canonicalDocs(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._2 == 3L)        // cluster 1 has 3 members
+    assert(out(1L)._1 == 3L,        // doc 3's stopword-rich text wins
+      s"expected canonical 3, got ${out(1L)._1}")
+    assert(out(4L) == (4L, 1L))     // singleton canonicalizes itself
+  }
+
   test("q58 packing: offsets contiguous per source, pack = start div 2048") {
     val out = PipelineOps.packSequences(
       Tables.documents(spark, TestSpark.sf0001))
