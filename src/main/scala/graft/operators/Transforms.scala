@@ -104,7 +104,7 @@ object Transforms {
     val spark = df.sparkSession
     val distinctVals = df.select(col(src)).na.drop().distinct()
     val srcField = distinctVals.schema.fields.head
-    val indexed = distinctVals.orderBy(col(src)).rdd.zipWithIndex.map {
+    val indexed = distinctVals.orderBy(col(src)).rdd.zipWithIndex().map {
       case (r, i) => org.apache.spark.sql.Row(r.get(0), i)
     }
     // fail loudly if the dictionary outgrows the code type (e.g. 40k

@@ -26,10 +26,10 @@ class ExtensionsSpec extends AnyFunSuite {
     try {
       val dot = s.sql(
         "SELECT vec_dot_f(array(cast(1.0 as float), cast(2.0 as float)), " +
-          "array(cast(3.0 as float), cast(4.0 as float))) AS d").head.getDouble(0)
+          "array(cast(3.0 as float), cast(4.0 as float))) AS d").head().getDouble(0)
       assert(dot == 11.0)
       val sh = s.sql(
-        "SELECT simhash64(array('alpha', 'beta')) AS h").head.getLong(0)
+        "SELECT simhash64(array('alpha', 'beta')) AS h").head().getLong(0)
       assert(sh != 0L)
     } finally {
       // don't stop (shared SparkContext); restore the prior session slots

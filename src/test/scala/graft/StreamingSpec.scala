@@ -81,7 +81,7 @@ class StreamingSpec extends AnyFunSuite {
     // batch twin: q36 counts errors per purchase; the join row count must
     // equal the batch sum of n_errors_5m
     val batchTotal = graft.queries.Advanced.q36.run(spark, TestSpark.sf0001)
-      .agg(sum(col("n_errors_5m"))).head.getLong(0)
+      .agg(sum(col("n_errors_5m"))).head().getLong(0)
     assert(got.count() == batchTotal)
   }
 

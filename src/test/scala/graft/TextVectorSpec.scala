@@ -148,7 +148,7 @@ class TextVectorSpec extends AnyFunSuite {
       .queryExecution.toRdd.count()
     graft.ext.SimHashDedup.q31.run(spark, TestSpark.sf0001)
       .queryExecution.toRdd.count()
-    val leaked = sc.getPersistentRDDs.keySet -- before
+    val leaked = sc.getPersistentRDDs.keySet.toSet.diff(before)
     assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
   }
 
@@ -371,8 +371,8 @@ class TextVectorSpec extends AnyFunSuite {
 
   test("approx_count_distinct within configured rsd of exact (§5.2-5)") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
-    val exact = docs.select(countDistinct(col("text"))).head.getLong(0)
-    val approx = docs.select(approx_count_distinct(col("text"), 0.05)).head.getLong(0)
+    val exact = docs.select(countDistinct(col("text"))).head().getLong(0)
+    val approx = docs.select(approx_count_distinct(col("text"), 0.05)).head().getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.15)
   }
 }

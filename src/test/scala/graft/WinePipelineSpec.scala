@@ -61,7 +61,7 @@ class WinePipelineSpec extends AnyFunSuite {
       spark, fixture, s"$out/stage_csv", s"$out/staged")
     assert(staged.rowsLoaded == fused.rowsLoaded)
     val a = spark.read.parquet(s"$out/fused")
-    val b = spark.read.parquet(s"$out/staged").select(a.columns.map(org.apache.spark.sql.functions.col): _*)
+    val b = spark.read.parquet(s"$out/staged").select(a.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
     // and the validation reports agree
     val ra = fused.validationReport.collect().map(_.toString).sorted
