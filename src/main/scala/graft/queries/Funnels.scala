@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Event-sequence analytics over `events` (SURVEY.md §2.B): ordered
+  * funnels and retention cohorts — the two workhorse product-analytics
+  * shapes a general engine must express.
+  *
+  * Scale posture: every aggregate and join here is keyed on `user_id`
+  * (or the tiny cohort date), so after the first shuffle the stage
+  * chain is co-partitioned; nothing materializes per-event state wider
+  * than a timestamp per user per stage.
+  */
+object Funnels {
+
+  /** Core of q61: strictly-ordered view → click → purchase funnel.
+    * Stage k's timestamp is the user's first qualifying event AFTER
+    * their stage-(k−1) timestamp — the sequence-sensitive definition
+    * (a click before the first view does not count), which is what
+    * separates a funnel from three independent mins. */
+  def funnel(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"),
+        col("t_purchase"),
+        (lit(1) +
+          when(col("t_click").isNotNull, 1).otherwise(0) +
+          when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+  }
+
+  /** q61 — per-user funnel stages with the reached-stage index. */
+  val q61: Q = Q(
+    "q61_funnel",
+    run = { (spark, dir) => funnel(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events),
+      v AS (SELECT user_id, min(ts) AS t_view FROM e
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.ts) AS t_click FROM e
+            JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e
+            JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id)
+      SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        CAST(1 + (CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END)
+               + (CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+             AS INTEGER) AS stage
+      FROM v LEFT JOIN c ON c.user_id = v.user_id
+             LEFT JOIN p ON p.user_id = v.user_id"""))
+
+  /** Core of q62: retention cohorts — users grouped by first-seen date,
+    * activity counted per (cohort, day offset) on distinct active
+    * days. */
+  def retention(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("ts"))
+    val first = e.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort_date"))
+    val active = e.select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    active.join(first, "user_id")
+      .groupBy(col("cohort_date"),
+        datediff(col("d"), col("cohort_date")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      // ISO string, not DateType: pandas renders an arrow date32 column
+      // as python dates but a DuckDB DATE as datetime64, so a raw date
+      // column can never hash-match across the two loaders
+      .select(date_format(col("cohort_date"), "yyyy-MM-dd").as("cohort_date"),
+        col("day_offset"), col("n_active"))
+  }
+
+  /** q62 — cohort retention matrix. */
+  val q62: Q = Q(
+    "q62_retention_cohorts",
+    run = { (spark, dir) => retention(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_date FROM e
+            GROUP BY user_id),
+      a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM e)
+      SELECT strftime(f.cohort_date, '%Y-%m-%d') AS cohort_date,
+        CAST(date_diff('day', f.cohort_date, a.d) AS INTEGER) AS day_offset,
+        CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+      FROM a JOIN f ON f.user_id = a.user_id
+      GROUP BY f.cohort_date, day_offset"""))
+
+  val all: Seq[Q] = Seq(q61, q62)
+}

@@ -94,6 +94,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(4L) == (4L, 1L))     // singleton canonicalizes itself
   }
 
+  test("q61 funnel: stages strictly ordered and monotonically shrinking") {
+    val out = queries.Funnels.funnel(Tables.events(spark, TestSpark.sf0001))
+    // ordering invariant: each stage timestamp strictly after the prior
+    assert(out.filter(col("t_click").isNotNull &&
+      col("t_click") <= col("t_view")).count() == 0)
+    assert(out.filter(col("t_purchase").isNotNull &&
+      col("t_purchase") <= col("t_click")).count() == 0)
+    // monotone funnel: stage-k population contains stage-(k+1)
+    val n1 = out.count()
+    val n2 = out.filter(col("stage") >= 2).count()
+    val n3 = out.filter(col("stage") === 3).count()
+    assert(n1 >= n2 && n2 >= n3 && n1 > 0)
+    // a click BEFORE the first view must not count: craft one
+    val crafted = Seq(
+      (10L, "click", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (10L, "view", java.sql.Timestamp.valueOf("2024-01-01 01:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val c = queries.Funnels.funnel(crafted).collect()
+    assert(c.length == 1 && c(0).getInt(4) == 1) // view only — no ordered click
+  }
+
+  test("q62 retention: day 0 counts every cohort member exactly once") {
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val out = queries.Funnels.retention(events)
+    // every user is active on their own cohort day, so summing day 0
+    // across cohorts = total distinct users
+    val day0 = out.filter(col("day_offset") === 0)
+      .agg(sum(col("n_active"))).head().getLong(0)
+    val users = events.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(day0 == users)
+    assert(out.filter(col("day_offset") < 0).count() == 0)
+  }
+
   test("q58 packing: offsets contiguous per source, pack = start div 2048") {
     val out = PipelineOps.packSequences(
       Tables.documents(spark, TestSpark.sf0001))
