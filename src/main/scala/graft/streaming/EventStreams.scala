@@ -170,6 +170,60 @@ object EventStreams {
       }
   }
 
+  // full java.sql.Timestamp in state, NOT epoch-millis: getTime drops
+  // the microsecond component and the batch q61 timestamps carry µs
+  final case class FunnelState(tView: Option[java.sql.Timestamp],
+      tClick: Option[java.sql.Timestamp],
+      tPurchase: Option[java.sql.Timestamp])
+  final case class FunnelRow(user_id: Long, t_view: java.sql.Timestamp,
+      t_click: java.sql.Timestamp, t_purchase: java.sql.Timestamp, stage: Int)
+
+  /** Streaming twin of the batch q61 ordered funnel: a per-user state
+    * machine over view → click → purchase, via flatMapGroupsWithState.
+    * State per user is three optional timestamps — O(#users), same as
+    * the batch aggregate's width.
+    *
+    * Ordering contract: events are applied in event-time order WITHIN
+    * each micro-batch (the handler sorts its group's rows), so streaming
+    * ≡ batch whenever arrival order across batches respects event time
+    * (the file-source default for chronologically written logs). A
+    * late-arriving EARLIER view can tighten t_view but cannot retract a
+    * click/purchase decision already taken against the old t_view —
+    * exact repair of that non-monotonic case is a batch backfill's job
+    * (the standard production split: streaming approximation + periodic
+    * batch recompute). */
+  def streamingFunnel(events: DataFrame): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(None, None, None))
+          rows.toSeq.sortWith((a, b) => a.ts.before(b.ts)).foreach { r =>
+            val t = r.ts
+            r.event_type match {
+              case "view" if s.tView.forall(t.before) =>
+                s = s.copy(tView = Some(t))
+              case "click" if s.tView.exists(t.after) &&
+                  s.tClick.forall(t.before) =>
+                s = s.copy(tClick = Some(t))
+              case "purchase" if s.tClick.exists(t.after) &&
+                  s.tPurchase.forall(t.before) =>
+                s = s.copy(tPurchase = Some(t))
+              case _ => ()
+            }
+          }
+          state.update(s)
+          if (s.tView.isEmpty) Iterator.empty
+          else Iterator(FunnelRow(uid, s.tView.orNull, s.tClick.orNull,
+            s.tPurchase.orNull,
+            1 + s.tClick.size + s.tPurchase.size))
+      }
+  }
+
   /** Stream-stream inner join with event-time bounds: each purchase
     * joined to the same user's errors in the preceding 5 minutes
     * (streaming twin of the batch q36 interval join). Both sides carry

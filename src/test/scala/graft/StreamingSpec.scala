@@ -85,6 +85,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == batchTotal)
   }
 
+  test("streaming funnel state machine equals batch q61 on ordered arrival") {
+    val stream = EventStreams.streamingFunnel(
+      EventStreams.readEvents(spark, eventsDir))
+    val got = EventStreams.runToMemory(stream.toDF(), "funnel_out",
+      OutputMode.Update)
+    val want = graft.queries.Funnels.q61.run(spark, TestSpark.sf0001)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
   test("nanosAsLong is restored after the last streaming query terminates") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     // drive one events stream to completion
