@@ -30,6 +30,30 @@ object Multimodal {
       thumb: Array[Byte],
       n_frames: Int)
 
+  /** Container-format sniffing by magic bytes — NOT a stub: format
+    * detection needs no codec, just the header, so this is the real
+    * production operator (route payloads to the right decoder, reject
+    * mislabeled media before wasting decode CPU). Pure built-in column
+    * expressions (substring + hex + when-chain), codegen-friendly, no
+    * UDF. Covers the containers a crawl actually yields; anything else
+    * is "unknown", null is "empty". */
+  def sniffMedia(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = hex(substring(payload, 1, 12)) // first 12 bytes as uppercase hex
+    when(payload.isNull, "empty")
+      .when(h.startsWith("89504E47"), "png")
+      .when(h.startsWith("FFD8FF"), "jpeg")
+      .when(h.startsWith("47494638"), "gif")
+      .when(h.startsWith("25504446"), "pdf")
+      // RIFF....WAVE — chunk id at offset 0, format tag at offset 8
+      .when(h.startsWith("52494646") &&
+        substring(h, 17, 8) === lit("57415645"), "wav")
+      .when(h.startsWith("1A45DFA3"), "webm")
+      .when(h.startsWith("4F676753"), "ogg")
+      // MP4-family: "ftyp" brand at byte offset 4
+      .when(substring(h, 9, 8) === lit("66747970"), "mp4")
+      .otherwise("unknown")
+  }
+
   /** STUB resize: a real implementation decodes + bilinear-resamples;
     * the stub keeps the contract (arbitrary bytes in, fixed-width bytes
     * out) by striding the payload down to `width` bytes. */
