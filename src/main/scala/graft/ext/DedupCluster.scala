@@ -116,12 +116,17 @@ object DedupCluster {
               least(col("mid_id"),
                 coalesce(col("hop_cluster"), col("mid_id"))).as("cluster_id"))
         }
-      // prev label rides along in the staged output, so convergence is a
-      // cheap filter-count over the staged bytes, not another join
+      // convergence metric rides the WRITE job via observe(): no second
+      // pass over the staged bytes, and prev_id never hits disk
+      val obs = org.apache.spark.sql.Observation(s"dedup-round-$round")
       val (next, nextPath) = graft.operators.Stage.materializeWithPath(
-        hopped.select(col("doc_id"), col("prev_id"), col("cluster_id")),
+        hopped
+          .observe(obs, coalesce(sum(when(
+            col("cluster_id") =!= col("prev_id"), 1L)
+            .otherwise(0L)), lit(0L)).as("changed"))
+          .select(col("doc_id"), col("cluster_id")),
         s"dedup-labels-$round")
-      hist = next.filter(col("cluster_id") =!= col("prev_id")).count() :: hist
+      hist = obs.get("changed").asInstanceOf[Long] :: hist
       // next is fully written — the superseded round's dir can go now
       graft.operators.Stage.drop(next, labelsPath)
       labels = next.select(col("doc_id"), col("cluster_id"))
