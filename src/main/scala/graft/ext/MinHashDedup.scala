@@ -50,16 +50,14 @@ object MinHashDedup {
     * a duplicate-dense block the exact path is |block|², the banded path
     * is LSH-bucket-bounded.
     *
-    * Two-phase shape: (1) `approxSimilarityJoin` at a LOOSENED distance
-    * cut (threshold − 0.1 similarity). The loosening is purely
-    * defensive: the join's pre-filter distance is Jaccard over the
-    * 2^18-bucket TF space, where hash collisions can only INFLATE
-    * similarity relative to the true shingle-set Jaccard, so a tight cut
-    * would already keep every true pair — the margin costs a few extra
-    * candidates and buys nothing for recall. (2) Candidates join back to
-    * the staged shingle sets (ids only ride the band join — the arrays
-    * join in afterwards) and the TRUE Jaccard decides, so every emitted
-    * pair satisfies exactly the q24 predicate.
+    * Two-phase shape: (1) a band-bucket self-join over codegen'd
+    * [[graft.functions.MinHashK]] signatures — k longs per doc hashed
+    * directly from shingle identity, no ML pipeline, no term-frequency
+    * bucketing layer (P(slot collision) is exactly the true Jaccard);
+    * (2) candidates join back to the staged shingle sets (ids only ride
+    * the band join — the arrays join in afterwards) and the TRUE
+    * Jaccard decides, so every emitted pair satisfies exactly the q24
+    * predicate.
     *
     * Residual approximation is candidate recall only, and its ONLY
     * mechanism is band non-collision — a true pair sharing zero of the
@@ -86,8 +84,9 @@ object MinHashDedup {
     * `numTables` (b) bands. Candidate probability for a pair at Jaccard
     * J is 1 − (1 − J^r)^b:
     *
-    *   - r = 1 (default; Spark's own `approxSimilarityJoin` OR-join on
-    *     single minhashes): 99.6% recall at J = 0.5 with b = 8, but an
+    *   - r = 1 (default; the OR-join on single minhashes, same math as
+    *     Spark's `approxSimilarityJoin`): 99.6% recall at J = 0.5 with
+    *     b = 8, but an
     *     UNRELATED pair at J = 0.08 (a hot-shingle preamble, boilerplate,
     *     stopword 3-grams — the Zipf head of any real corpus) still
     *     collides with p ≈ 0.49, so a block sharing boilerplate
@@ -120,36 +119,34 @@ object MinHashDedup {
     * pair set. */
   private[ext] def bandedJaccardPairsRaw(docs: DataFrame, threshold: Double,
       numTables: Int = 8, bandWidth: Int = 1): (DataFrame, () => Unit) = {
+    val spark = docs.sparkSession
+    graft.functions.TextFunctions.registerMinHash(spark)
     val (sh, shPath) = graft.operators.Stage.materializeWithPath(
       shingled(docs), "banded-shingles")
-    val (model, hashed, mhPath) =
-      sketch(sh, numTables * bandWidth, "banded-minhash")
-    val margin = math.max(0.0, threshold - 0.1)
-    val cand =
-      if (bandWidth == 1)
-        model.approxSimilarityJoin(hashed, hashed, 1.0 - margin, "d")
-          .select(col("datasetA.doc_id").as("doc_a"),
-            col("datasetB.doc_id").as("doc_b"))
-          .filter(col("doc_a") < col("doc_b"))
-          .distinct()
-      else {
-        // compound bands: hash r adjacent minhashes into one band key;
-        // candidates must agree on ALL r values of some band (AND
-        // within a band, OR across the b bands)
-        import org.apache.spark.ml.functions.vector_to_array
-        val bandCols = array((0 until numTables).map { b =>
-          hash(Seq(lit(b)) ++ (0 until bandWidth).map(i =>
-            vector_to_array(col("hashes")(b * bandWidth + i))(0)): _*)
-        }: _*)
-        val banded = hashed.select(col("doc_id"),
-          posexplode(bandCols).as(Seq("band", "bkey")))
-        banded.as("x").join(banded.as("y"),
-            col("x.band") === col("y.band") &&
-              col("x.bkey") === col("y.bkey") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-      }
+    // staged signature table: doc_id + (numTables·bandWidth) longs per
+    // doc — a fraction of the ML variant's TF vectors + hash-vector UDTs
+    val (sig, sigPath) = graft.operators.Stage.materializeWithPath(
+      sh.select(col("doc_id"),
+        call_function("minhash_k", col("shingles"),
+          lit(numTables * bandWidth)).as("sig")),
+      "banded-minhash")
+    // band key b = the r adjacent signature slots [b·r, (b+1)·r) hashed
+    // together: candidates must agree on ALL r values of some band (AND
+    // within a band, OR across the b bands); r = 1 degenerates to the
+    // plain slot value
+    val bandCols = array((0 until numTables).map { b =>
+      if (bandWidth == 1) col("sig")(b)
+      else hash(Seq(lit(b)) ++ (0 until bandWidth).map(i =>
+        col("sig")(b * bandWidth + i)): _*).cast("long")
+    }: _*)
+    val banded = sig.select(col("doc_id"),
+      posexplode(bandCols).as(Seq("band", "bkey")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
     val a = sh.select(col("doc_id").as("doc_a"), col("source"),
       col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
@@ -164,7 +161,7 @@ object MinHashDedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
     (pairs, () => {
       graft.operators.Stage.drop(sh, shPath)
-      graft.operators.Stage.drop(sh, mhPath)
+      graft.operators.Stage.drop(sh, sigPath)
     })
   }
 

@@ -68,6 +68,25 @@ object TextFunctions {
     SimHash64(exprs.head)
   }
 
+  /** k-minhash signature (codegen'd — see [[MinHashK]]) registered as
+    * SQL function `minhash_k(shingles, k)`. */
+  def registerMinHash(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val ident = new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_k")
+    if (!reg.functionExists(ident))
+      reg.createOrReplaceTempFunction("minhash_k", minHashBuilder, "built-in")
+  }
+
+  /** Arity/foldability-checked builder shared by the temp-function path
+    * and GraftExtensions. */
+  val minHashBuilder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression = { exprs =>
+    require(exprs.length == 2,
+      s"minhash_k expects 2 arguments (shingles, k), got ${exprs.length}")
+    require(exprs(1).foldable, "minhash_k: k must be a literal")
+    MinHashK(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+  }
+
   /** 64-bit SimHash over the tokens of `toksCol` (a named array<string>
     * column): per-token xxhash64, ±1 vote per bit, sign → bit. One vote
     * PER ELEMENT — pass array_distinct(toks) for set semantics. Entirely
