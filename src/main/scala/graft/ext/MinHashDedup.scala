@@ -84,23 +84,25 @@ object MinHashDedup {
     * `numTables` (b) bands. Candidate probability for a pair at Jaccard
     * J is 1 − (1 − J^r)^b:
     *
-    *   - r = 1 (default; the OR-join on single minhashes, same math as
-    *     Spark's `approxSimilarityJoin`): 99.6% recall at J = 0.5 with
-    *     b = 8, but an
-    *     UNRELATED pair at J = 0.08 (a hot-shingle preamble, boilerplate,
-    *     stopword 3-grams — the Zipf head of any real corpus) still
-    *     collides with p ≈ 0.49, so a block sharing boilerplate
-    *     re-quadratizes the candidate join.
-    *   - r = 2, b = 8 (16 minhashes): J = 0.5 recall drops to 90%, but
-    *     the J = 0.08 collision rate collapses to ~2.5% — the
-    *     configuration that stays sub-quadratic on boilerplate-heavy
-    *     corpora (dry-run-measured; see BASELINE.md).
+    *   - r = 1 (the OR-join on single minhashes, same math as Spark's
+    *     `approxSimilarityJoin`): 99.6% recall at J = 0.5 with b = 8 —
+    *     but ANY frequent shingle (boilerplate, stopword 3-grams, a
+    *     small vocabulary) becomes the band minimum for every doc
+    *     containing it, gluing unrelated docs into mega-buckets
+    *     (measured: p99 bucket 119 docs, 10M junk join pairs on the
+    *     dup-dense dry-run corpus — tools/BucketProbe), and a J = 0.08
+    *     boilerplate pair still collides with p ≈ 0.49.
+    *   - r = 2, b = 8 (16 minhashes, the DEFAULT): junk collision
+    *     collapses by J² (~2.5% at J = 0.08) while high-J dedup targets
+    *     stay at recall →1; J = 0.5 margin recall is 90%. On BOTH
+    *     adversarial dry-run corpora r = 2 emits the identical pair set
+    *     as the exact generator at the exact generator's wall time,
+    *     where r = 1 is ~5× slower (BASELINE.md).
     *
-    * The default stays r = 1 because the oracle-parity fixtures reward
-    * maximum recall near the threshold; at 100 TB on real text, r = 2 is
-    * the setting this operator is designed to run at. */
+    * r = 1 remains available when maximum recall at the threshold
+    * margin matters more than junk-candidate cost. */
   def bandedJaccardPairs(docs: DataFrame, threshold: Double,
-      numTables: Int = 8, bandWidth: Int = 1): DataFrame = {
+      numTables: Int = 8, bandWidth: Int = 2): DataFrame = {
     val (pairs, cleanup) =
       bandedJaccardPairsRaw(docs, threshold, numTables, bandWidth)
     // general-purpose callers get a self-contained frame: the big
@@ -118,7 +120,7 @@ object MinHashDedup {
     * `cleanup()` AFTER materializing, and skip one full write of the
     * pair set. */
   private[ext] def bandedJaccardPairsRaw(docs: DataFrame, threshold: Double,
-      numTables: Int = 8, bandWidth: Int = 1): (DataFrame, () => Unit) = {
+      numTables: Int = 8, bandWidth: Int = 2): (DataFrame, () => Unit) = {
     val spark = docs.sparkSession
     graft.functions.TextFunctions.registerMinHash(spark)
     val (sh, shPath) = graft.operators.Stage.materializeWithPath(

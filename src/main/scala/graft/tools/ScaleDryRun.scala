@@ -177,10 +177,21 @@ object ScaleDryRun {
       timed(graft.ext.MinHashDedup.bandedJaccardPairs(docs0, 0.5))
     val (tBand10, nBand10) =
       timed(graft.ext.MinHashDedup.bandedJaccardPairs(dense(10), 0.5))
+    // r=2 on the dup-dense corpus: the fixture vocabulary is small, so
+    // frequent shingles become band minima for MANY unrelated docs and
+    // r=1 buckets glue them together (junk candidates each dragging two
+    // shingle arrays through the verify join); AND-banding collapses
+    // that junk by J^2
+    val (tBandW1, nBandW1) = timed(
+      graft.ext.MinHashDedup.bandedJaccardPairs(docs0, 0.5, bandWidth = 2))
+    val (tBandW10, nBandW10) = timed(
+      graft.ext.MinHashDedup.bandedJaccardPairs(dense(10), 0.5, bandWidth = 2))
     println(f"[scale-dry-run] dup_dense_exact_1x   $tExact1%8.2f s  ($nExact1 pairs)")
     println(f"[scale-dry-run] dup_dense_exact_10x  $tExact10%8.2f s  ($nExact10 pairs, ratio ${tExact10 / tExact1}%.1fx)")
     println(f"[scale-dry-run] dup_dense_banded_1x  $tBand1%8.2f s  ($nBand1 pairs)")
     println(f"[scale-dry-run] dup_dense_banded_10x $tBand10%8.2f s  ($nBand10 pairs, ratio ${tBand10 / tBand1}%.1fx)")
+    println(f"[scale-dry-run] dup_dense_banded_r2_1x  $tBandW1%8.2f s  ($nBandW1 pairs)")
+    println(f"[scale-dry-run] dup_dense_banded_r2_10x $tBandW10%8.2f s  ($nBandW10 pairs, ratio ${tBandW10 / tBandW1}%.1fx)")
 
     // ---- HOT-SHINGLE (Zipf-head) corpus: where exact and r=1 banding
     // actually blow up ----
