@@ -97,5 +97,44 @@ object Funnels {
       FROM a JOIN f ON f.user_id = a.user_id
       GROUP BY f.cohort_date, day_offset"""))
 
-  val all: Seq[Q] = Seq(q61, q62)
+  /** Core of q63: hourly event counts per type with ZERO-FILLED gaps —
+    * the resample/gap-fill step before any time-series model sees the
+    * data. The hour grid is generated from the corpus bounds (one tiny
+    * aggregate), cross-joined with the distinct type dim via BROADCAST
+    * (both are config-sized — never a CartesianProduct), and the
+    * observed counts left-join in. */
+  def gapFill(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"), col("ts"))
+    val hourly = e.groupBy(date_trunc("hour", col("ts")).as("h"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val grid = e.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val types = e.select(col("event_type")).distinct()
+    grid.join(broadcast(types))
+      .join(hourly, Seq("h", "event_type"), "left")
+      .select(col("h"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** q63 — gap-filled hourly counts (dense time grid × type dim). */
+  val q63: Q = Q(
+    "q63_gapfill_hourly",
+    run = { (spark, dir) => gapFill(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      h AS (SELECT date_trunc('hour', ts) AS h, event_type,
+              CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY 1, 2),
+      b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+              date_trunc('hour', max(ts)) AS h1 FROM e),
+      grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+               FROM b),
+      types AS (SELECT DISTINCT event_type FROM e)
+      SELECT g.h, t.event_type, COALESCE(hh.n, 0) AS n
+      FROM grid g CROSS JOIN types t
+      LEFT JOIN h hh ON hh.h = g.h AND hh.event_type = t.event_type"""))
+
+  val all: Seq[Q] = Seq(q61, q62, q63)
 }
