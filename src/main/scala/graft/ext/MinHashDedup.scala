@@ -60,13 +60,10 @@ object MinHashDedup {
     * predicate.
     *
     * Residual approximation is candidate recall only, and its ONLY
-    * mechanism is band non-collision — a true pair sharing zero of the
-    * numTables hash buckets never becomes a candidate, and no distance
-    * margin can recover it (the distance filter sees candidates only).
-    * A true pair at J = t survives banding with p = 1 − (1−t)^numTables
-    * (99.6% at t = 0.5 with the default 8 tables, →1 for the near-exact
-    * duplicates dedup targets), deterministic under the fixed seed; the
-    * knob that buys recall is `numTables`. The fixture fixpoint is
+    * mechanism is band non-collision — a true pair sharing zero band
+    * buckets never becomes a candidate, and nothing downstream can
+    * recover it. Survival probability at Jaccard J is 1 − (1 − J^r)^b,
+    * deterministic under the fixed seeds. The fixture fixpoint is
     * verified equal to the exact path in tests, and q49/q52 built on
     * this stay hash-green against the recursive-CTE oracle — though an
     * oracle-red on a NEW corpus may be an expected recall miss of a
@@ -79,10 +76,9 @@ object MinHashDedup {
     * staged; only the small pairs output lives until JVM shutdown, so
     * iterative callers (q49 + q52 in one run) don't accumulate
     * signature-sized staging.
-    */
-  /** AND-amplification knob: `bandWidth` (r) minhashes per band,
-    * `numTables` (b) bands. Candidate probability for a pair at Jaccard
-    * J is 1 − (1 − J^r)^b:
+    *
+    * AND-amplification knob: `bandWidth` (r) minhashes per band,
+    * `numTables` (b) bands:
     *
     *   - r = 1 (the OR-join on single minhashes, same math as Spark's
     *     `approxSimilarityJoin`): 99.6% recall at J = 0.5 with b = 8 —
