@@ -81,9 +81,11 @@ object DedupCluster {
     // edges are on disk — the banded generator's staged intermediates
     // (shingles, signatures) can go now
     edgeCleanup()
-    var (labels, labelsPath) = graft.operators.Stage.materializeWithPath(
-      docs.select(col("doc_id"),
-        col("doc_id").as("cluster_id")), "dedup-labels")
+    // round-0 labels are a trivial column-pruned projection of the
+    // source — no lineage to barrier yet, so staging it would be a
+    // pure wasted write; the empty path skips the (nonexistent) drop
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var labelsPath = ""
     var round = 0
     // changed-count history, newest first, drives the adaptive hop below
     var hist = List.empty[Long]
@@ -128,7 +130,8 @@ object DedupCluster {
         s"dedup-labels-$round")
       hist = obs.get("changed").asInstanceOf[Long] :: hist
       // next is fully written — the superseded round's dir can go now
-      graft.operators.Stage.drop(next, labelsPath)
+      // (round 0's labels were an unstaged projection: nothing to drop)
+      if (labelsPath.nonEmpty) graft.operators.Stage.drop(next, labelsPath)
       labels = next.select(col("doc_id"), col("cluster_id"))
       labelsPath = nextPath
       round += 1
