@@ -136,5 +136,54 @@ object Funnels {
       FROM grid g CROSS JOIN types t
       LEFT JOIN h hh ON hh.h = g.h AND hh.event_type = t.event_type"""))
 
-  val all: Seq[Q] = Seq(q61, q62, q63)
+  /** Core of q64: daily-volume anomaly detection per event type — the
+    * z-score of each day's event count against that type's 30-day
+    * mean/std. Hash-parity discipline for a NON-LINEAR aggregate: the
+    * moments are integer sums (exact in any engine, any partial-agg
+    * order), variance is assembled as (n·Σx² − (Σx)²) / (n(n−1)) with
+    * ONE double division at the end, and the per-row z arithmetic is
+    * bit-identical across engines. One window over the (tiny) per-day
+    * aggregate — no second shuffle of the raw events. */
+  def dailyAnomaly(events: DataFrame, zCut: Double = 2.0): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    daily
+      .withColumn("days", count(lit(1)).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("sq", sum(col("n") * col("n")).over(w))
+      .withColumn("mean", col("s").cast("double") / col("days"))
+      .withColumn("std", sqrt(
+        (col("days") * col("sq") - col("s") * col("s")).cast("double") /
+          (col("days") * (col("days") - 1))))
+      .select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("d"), col("n"),
+        ((col("n") - col("mean")) / col("std")).as("z"),
+        (abs((col("n") - col("mean")) / col("std")) > zCut)
+          .as("is_anomaly"))
+  }
+
+  /** q64 — per-type daily z-scores with anomaly flags. */
+  val q64: Q = Q(
+    "q64_daily_anomaly",
+    run = { (spark, dir) => dailyAnomaly(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type, d, n,
+              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS days,
+              CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+              CAST(sum(n * n) OVER (PARTITION BY event_type) AS BIGINT) AS sq
+            FROM daily),
+      z AS (SELECT event_type, strftime(d, '%Y-%m-%d') AS d, n,
+              (n - CAST(s AS DOUBLE) / days) /
+                sqrt(CAST(days * sq - s * s AS DOUBLE) / (days * (days - 1)))
+                AS z
+            FROM m)
+      SELECT event_type, d, n, z, abs(z) > 2.0 AS is_anomaly FROM z"""))
+
+  val all: Seq[Q] = Seq(q61, q62, q63, q64)
 }
