@@ -29,6 +29,14 @@ object ExplainAudit {
     assert(nHashExchanges == 1,
       s"q58: expected exactly 1 hash shuffle, found $nHashExchanges")
     println("===== q58 SINGLE-SHUFFLE ASSERT OK")
+    // q61 funnel: the whole stage chain is keyed on user_id; print the
+    // hash-exchange count so partitioning reuse is visible evidence
+    val q61Plan = graft.SparkEntry.queries("q61_funnel")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val q61Ex = q61Plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    println(s"===== q61 funnel: $q61Ex hash exchanges " +
+      "(stage aggs + joins, all on user_id)")
     // partitioned events layout: date filter must prune at planning time
     val part = java.nio.file.Files.createTempDirectory("events_part").toString
     graft.sources.EventsLayout.writePartitionedByDay(
