@@ -47,6 +47,50 @@ class TextVectorSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("MinHashK codegen equals the interpreted eval path") {
+    // a doGenCode bug would silently diverge from nullSafeEval inside
+    // whole-stage codegen; force both execution modes and compare
+    graft.functions.TextFunctions.registerMinHash(spark)
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(200)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(col("toks").isNotNull)
+    def run(): Map[Long, Seq[Long]] =
+      docs.select(col("doc_id"),
+          expr("minhash_k(toks, 8)").as("sig")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val withCodegen = run()
+    val prevWS = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFM = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = run()
+      assert(withCodegen == interpreted)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWS)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFM)
+    }
+  }
+
+  test("MinHashK slot-collision frequency estimates the true Jaccard") {
+    // the statistical contract behind the banding math: with k=64 slots,
+    // the fraction of equal slots for a pair with known Jaccard J is an
+    // unbiased estimate, sd = sqrt(J(1-J)/64) ≈ 0.06 at J = 0.5 —
+    // assert within 4 sigma. Deterministic under the fixed seeds.
+    graft.functions.TextFunctions.registerMinHash(spark)
+    import spark.implicits._
+    // |A| = |B| = 60, |A∩B| = 40 -> J = 40/80 = 0.5
+    val a = (0 until 60).map(i => s"s$i")
+    val b = (20 until 80).map(i => s"s$i")
+    val df = Seq((1L, a), (2L, b)).toDF("id", "sh")
+      .select(col("id"), expr("minhash_k(sh, 64)").as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val matches = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y }
+    val est = matches / 64.0
+    info(f"minhash J estimate = $est%.3f (true 0.5)")
+    assert(math.abs(est - 0.5) <= 4 * math.sqrt(0.5 * 0.5 / 64), s"est $est")
+  }
+
   test("cosine identities: self = 1, orthogonal = 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
