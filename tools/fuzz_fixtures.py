@@ -28,6 +28,18 @@ def fuzz_events(t: pa.Table, rng) -> pa.Table:
         cols["props"][i] = None
     for i in rng.choice(n, max(n // 50, 1), replace=False):
         cols["event_type"][i] = None
+    # within-user timestamp TIES across event types: the hazard the
+    # funnel's strict-ordering (a click at exactly t_view must not
+    # count), the as-of boundary, and the interval-join edges actually
+    # face — global random ties would mostly land on different users and
+    # stress nothing
+    by_user = {}
+    for idx, u in enumerate(cols["user_id"]):
+        by_user.setdefault(u, []).append(idx)
+    for rows in by_user.values():
+        if len(rows) >= 2 and rng.random() < 0.3:
+            i, j = rng.choice(len(rows), 2, replace=False)
+            cols["ts"][rows[int(j)]] = cols["ts"][rows[int(i)]]
     return pa.table(
         {c: pa.array(cols[c], type=t.schema.field(c).type) for c in t.column_names})
 
