@@ -235,6 +235,35 @@ object ScaleDryRun {
     println(f"[scale-dry-run] hot_banded_r2_1x    $tHw1%8.2f s  ($nHw1 pairs)")
     println(f"[scale-dry-run] hot_banded_r2_4x    $tHw4%8.2f s  ($nHw4 pairs, ratio ${tHw4 / tHw1}%.1fx)")
 
+    // ---- newest pipeline/analytics shapes at 10x ----
+    // q55 decontamination: the benchmark shingle set stays broadcast as
+    // the corpus grows (it is corpus-fraction-sized here, worst case;
+    // real benchmark suites are constant-sized)
+    val (tDecon1, _) = timed(
+      graft.queries.PipelineOps.decontaminate(docs0))
+    val (tDecon10, _) = timed(
+      graft.queries.PipelineOps.decontaminate(docs10))
+    println(f"[scale-dry-run] q55_decontaminate_1x   $tDecon1%8.2f s")
+    println(f"[scale-dry-run] q55_decontaminate_10x  $tDecon10%8.2f s  (ratio ${tDecon10 / tDecon1}%.1fx)")
+    // q58 packing: one window on source
+    val (tPack1, _) = timed(graft.queries.PipelineOps.packSequences(docs0))
+    val (tPack10, _) = timed(graft.queries.PipelineOps.packSequences(docs10))
+    println(f"[scale-dry-run] q58_pack_1x            $tPack1%8.2f s")
+    println(f"[scale-dry-run] q58_pack_10x           $tPack10%8.2f s  (ratio ${tPack10 / tPack1}%.1fx)")
+    // q61 funnel at 10x events (fresh event/user ids per copy so the
+    // per-user state chain grows in USERS, not in per-user depth)
+    val ev0 = graft.Tables.events(spark, dir)
+    val ev10 = (0 until mult).map { i =>
+      if (i == 0) ev0
+      else ev0.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+        col("ts"), (col("user_id") + lit(i * 1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt)
+    val (tFun1, _) = timed(graft.queries.Funnels.funnel(ev0))
+    val (tFun10, _) = timed(graft.queries.Funnels.funnel(ev10))
+    println(f"[scale-dry-run] q61_funnel_1x          $tFun1%8.2f s")
+    println(f"[scale-dry-run] q61_funnel_10x         $tFun10%8.2f s  (ratio ${tFun10 / tFun1}%.1fx)")
+
     // ---- q54 explode-path rebalance under stratum skew ----
     // One stratum upweighted 10x (explode path emits ~10 copies/row for
     // it), the rest downsampled to 0.5 — output partition sizes scale by

@@ -16,4 +16,16 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
+
+  test("registry contract: unique names, oracle keys resolve, count") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicate names: ${names.diff(names.distinct)}")
+    // every oracle belongs to a registered query (a typo'd key would
+    // silently drop its correctness check at the driver)
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracle keys without queries: $dangling")
+    // the declared §2.8 inventory size — update together with SURVEY.md
+    assert(names.size == 64, s"registry has ${names.size} queries")
+  }
 }
