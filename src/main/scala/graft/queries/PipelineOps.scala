@@ -236,5 +236,34 @@ object PipelineOps {
       FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
       GROUP BY a.source, b.source"""))
 
-  val all: Seq[Q] = Seq(q55, q56, q57, q58, q59)
+  /** Core of q65: canonical text normalization — lowercase, strip
+    * non-alphanumerics, collapse runs of whitespace, trim. Patterns are
+    * restricted to classes Java regex and RE2 interpret identically
+    * (`[^a-z0-9 ]`, ` +`), so the oracle is exact; per-row projection,
+    * no shuffle. */
+  def normalizeText(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.filter(col("text").isNotNull)
+      .withColumn("norm", trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .select(col("doc_id"), col("norm"),
+        when(col("norm") === "", 0)
+          .otherwise(size(split(col("norm"), " "))).as("n_norm_toks"))
+
+  /** q65 — normalized text + token count (the cleanup step ahead of
+    * every tokenizer). */
+  val q65: Q = Q(
+    "q65_text_normalize",
+    run = { (spark, dir) => normalizeText(Tables.documentsParallel(spark, dir)) },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+                 FROM documents WHERE text IS NOT NULL)
+      SELECT doc_id, norm,
+        CASE WHEN norm = '' THEN 0
+             ELSE CAST(len(string_split(norm, ' ')) AS INTEGER) END
+          AS n_norm_toks
+      FROM d"""))
+
+  val all: Seq[Q] = Seq(q55, q56, q57, q58, q59, q65)
 }
