@@ -90,5 +90,41 @@ object VectorOps {
         (sqrt(list_sum(list_transform(a.emb, x -> x*x)))
           * sqrt(list_sum(list_transform(b.emb, x -> x*x)))) >= 0.35"""))
 
-  val all: Seq[Q] = Seq(q25, q32)
+  /** Q66 — per-label embedding centroids (class centroids / mean
+    * pooling): element-wise mean of all vectors in each label block.
+    * Exact-parity recipe for summing FLOAT array elements: widen
+    * float→double (exact), cast to DECIMAL(20,10) (both engines round
+    * the binary value identically), sum exactly (order-independent),
+    * divide once in double. One posexplode + one hash agg on
+    * (label, pos) — at scale this is the map-side-combining shape, 64
+    * partial sums per label per partition. */
+  val q66: Q = Q(
+    "q66_label_centroids",
+    run = { (spark, dir) =>
+      Tables.embeddings(spark, dir)
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("double").cast("decimal(20,10)"))
+            .cast("double").as("sum_v"))
+        .select(col("label"), col("pos"), col("n"),
+          (col("sum_v") / col("n")).as("mean_v"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT label, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      x AS (SELECT label, embedding,
+              unnest(generate_series(0, len(embedding) - 1)) AS pos
+            FROM e),
+      s AS (SELECT label, CAST(pos AS INTEGER) AS pos,
+              CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(CAST(embedding[pos + 1] AS DOUBLE) AS DECIMAL(20,10)))
+                AS sum_dec
+            FROM x GROUP BY label, pos)
+      SELECT label, pos, n,
+        CAST(CAST(sum_dec AS VARCHAR) AS DOUBLE) / n AS mean_v
+      FROM s"""))
+
+  val all: Seq[Q] = Seq(q25, q32, q66)
 }
