@@ -226,14 +226,21 @@ class TextVectorSpec extends AnyFunSuite {
   }
 
   test("banded pair generator matches exact jaccardPairs on the fixtures") {
+    // BOTH band widths: r=2 is the default scale path, r=1 the
+    // max-recall knob — each must reproduce the exact pair set on the
+    // fixture (the default flip must not silently orphan the r=1 branch)
     val docs = Tables.documentsParallel(spark, TestSpark.sf0001)
     val exact = graft.queries.TextOps.jaccardPairs(docs, 0.5)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val banded = graft.ext.MinHashDedup.bandedJaccardPairs(docs, 0.5)
-      .select("doc_a", "doc_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(banded == exact, s"banded-only: ${banded -- exact}; missed: ${exact -- banded}")
+    Seq(1, 2).foreach { r =>
+      val banded = graft.ext.MinHashDedup
+        .bandedJaccardPairs(docs, 0.5, bandWidth = r)
+        .select("doc_a", "doc_b").collect()
+        .map(p => (p.getLong(0), p.getLong(1))).toSet
+      assert(banded == exact,
+        s"r=$r banded-only: ${banded -- exact}; missed: ${exact -- banded}")
+    }
   }
 
   test("AND-banded (bandWidth=2) generator: precision 1, high recall") {
