@@ -94,7 +94,9 @@ object Bench {
     val total =
       if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     val passes = passTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passes,"spread":$spread,"noisy":$noisy,"sf":"$sfDir"}""")
+    // headline fields LAST: the driver keeps only the tail of the output,
+    // so value/pass_totals must follow the (long) per-query maps to survive
+    println(s"""{"metric":"total","spread":$spread,"queries":$qs,"noisy":$noisy,"failed":$failed,"pass_totals":$passes,"unit":"sec","sf":"$sfDir","value":$total}""")
     spark.stop()
   }
 }

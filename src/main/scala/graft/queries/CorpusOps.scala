@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.{Q, Tables}
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators (SURVEY.md §2.D, round 6): the filtering /
+  * scrubbing / reporting layer of a pretraining data pipeline that sits
+  * between raw ingestion and tokenization — term-blocklist + PII-pattern
+  * scrubbing, TF-IDF distinctive-term extraction, percentile length-band
+  * filtering, boilerplate n-gram removal, per-source corpus statistics —
+  * plus ordered event-path mining over the `events` stream.
+  *
+  * All six are pure relational plans with DuckDB oracles. Determinism
+  * rules follow the repo recipes: integer arithmetic wherever a score
+  * feeds a comparison or a sort (the TF-IDF idf factor is an integer
+  * proxy `n_docs*1e6 div df`, not a float log — libm last-ulp
+  * differences between engines are not hash-stable), exact decimal
+  * means, and single-division doubles only in leaf projections.
+  */
+object CorpusOps {
+
+  private def nonNullDocs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.documentsParallel(spark, dir).filter(col("text").isNotNull)
+
+  /** q67 — blocklist / PII scrubbing: redact blocklisted terms tokenwise,
+    * then an email-regex sweep over the reconstruction; emit the per-doc
+    * redaction count. Pure per-row projection — no shuffle; the
+    * blocklist is a literal here (production: a broadcast join against a
+    * blocklist table — the q55 benchmark-side shape). The email regex
+    * uses only character classes Java regex and RE2 interpret
+    * identically, so the oracle is exact. */
+  val q67: Q = Q(
+    "q67_blocklist_scrub",
+    run = { (spark, dir) =>
+      nonNullDocs(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(
+          col("doc_id"),
+          expr("size(filter(toks, t -> t = 'customer' OR t = 'secret' OR t = 'password'))")
+            .as("n_redacted"),
+          regexp_replace(
+            expr("concat_ws(' ', transform(toks, t -> CASE WHEN t = 'customer' OR t = 'secret' OR t = 'password' THEN '[REDACTED]' ELSE t END))"),
+            "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]").as("clean_text"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL)
+      SELECT doc_id,
+        CAST(len(list_filter(toks,
+          t -> t = 'customer' OR t = 'secret' OR t = 'password')) AS INTEGER)
+          AS n_redacted,
+        regexp_replace(
+          array_to_string(list_transform(toks,
+            t -> CASE WHEN t = 'customer' OR t = 'secret' OR t = 'password'
+                 THEN '[REDACTED]' ELSE t END), ' '),
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g')
+          AS clean_text
+      FROM d"""))
+
+  /** q68 — TF-IDF distinctive terms: top-3 terms per document ranked by
+    * tf × idf with an INTEGER idf proxy (`n_docs * 1_000_000 div df`) so
+    * the ranking is bit-identical in any engine (a float `ln(N/df)`
+    * ranks identically — log is monotone — but its hash isn't portable).
+    *
+    * Scale shape: explode → two hash aggs → join back on `token` (the
+    * df table is vocabulary-sized: broadcasts while small, shuffles when
+    * not — same posture as q53's frequency join) → one window top-k per
+    * doc. The corpus-size scalar rides in as a broadcast single row. */
+  val q68: Q = Q(
+    "q68_tfidf_terms",
+    run = { (spark, dir) =>
+      val d = nonNullDocs(spark, dir)
+      val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfTab = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token").asc)
+      tf.join(dfTab, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * expr("(n_docs * 1000000) div df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+          col("df"), col("score"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM d),
+      tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+             FROM toks GROUP BY doc_id, token),
+      dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY token),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+      s AS (SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+              tf.tf * ((n.n_docs * 1000000) // dft.df) AS score
+            FROM tf JOIN dft USING (token) CROSS JOIN n),
+      r AS (SELECT doc_id, token, tf, df, score,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, token ASC) AS INTEGER) AS rank
+            FROM s)
+      SELECT doc_id, rank, token, tf, df, score
+      FROM r WHERE rank <= 3"""))
+
+  /** Core of q69: each user's ordered path through their first five
+    * events (ties broken by event_id — the fixtures fuzz within-user
+    * timestamp ties deliberately), then path frequencies. The pivot
+    * `max(when(rn = k, …))` aggregates the path WITHOUT collect_list
+    * (whose element order is partition-nondeterministic); concat_ws
+    * skips the nulls of users with fewer than five events, matching
+    * SQL string_agg over missing rows. */
+  def userPaths(events: DataFrame, depth: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val r = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= depth)
+    val stageCols = (1 to depth).map(k =>
+      max(when(col("rn") === k, col("event_type"))))
+    r.groupBy(col("user_id"))
+      .agg(concat_ws(">", stageCols: _*).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"), min(col("user_id")).as("min_user"))
+  }
+
+  /** q69 — ordered event-path mining (the "top navigation flows"
+    * product-analytics query): one shuffle on user_id shared by the
+    * window and the first agg, then a small agg on path. */
+  val q69: Q = Q(
+    "q69_user_paths",
+    run = { (spark, dir) => userPaths(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH r AS (SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS rn
+                 FROM events),
+      p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM r WHERE rn <= 5 GROUP BY user_id)
+      SELECT path, CAST(count(*) AS BIGINT) AS n_users,
+        min(user_id) AS min_user
+      FROM p GROUP BY path"""))
+
+  /** q70 — percentile length-band filter: keep documents whose token
+    * count lies inside the corpus [p05, p95] band (the standard
+    * too-short/too-long cut, with data-driven thresholds rather than
+    * magic constants). The percentile pair is ONE sort-based aggregate
+    * producing a single row, broadcast back over the corpus — at 100 TB
+    * the band computation is a partial-aggregate tree, not a global
+    * sort, and the join side stays a one-row broadcast. */
+  val q70: Q = Q(
+    "q70_length_band_filter",
+    run = { (spark, dir) =>
+      val lens = nonNullDocs(spark, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+      val band = lens.agg(
+        percentile(col("n_toks"), array(lit(0.05), lit(0.95))).as("ps"))
+        .select(col("ps").getItem(0).as("lo"), col("ps").getItem(1).as("hi"))
+      lens.crossJoin(broadcast(band))
+        .select(col("doc_id"), col("n_toks"), col("lo"), col("hi"),
+          (col("n_toks") >= col("lo") && col("n_toks") <= col("hi")).as("keep"))
+    },
+    oracle = Some("""
+      WITH lens AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks
+                    FROM documents WHERE text IS NOT NULL),
+      band AS (SELECT quantile_cont(n_toks, 0.05) AS lo,
+                 quantile_cont(n_toks, 0.95) AS hi FROM lens)
+      SELECT doc_id, n_toks, lo, hi,
+        n_toks >= lo AND n_toks <= hi AS keep
+      FROM lens CROSS JOIN band"""))
+
+  /** Core of q71: boilerplate 3-gram detection. A shingle appearing in
+    * ≥ minDocs distinct documents is "boilerplate" (headers, footers,
+    * navigation chrome); each document scores by the fraction of its
+    * distinct shingles that are boilerplate. The hot set is
+    * vocabulary-bounded — never corpus-bounded — so it broadcasts at any
+    * corpus size (the same dictionary-bounding argument as q59). */
+  def boilerplateScore(docs: DataFrame, minDocs: Long = 5L): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(TextFunctions.shinglesExpr("toks", 3)).as("s"))
+      .distinct()
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("s"))
+    val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val boiler = sh.join(broadcast(hot), "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    perDoc.join(boiler, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        (coalesce(col("n_boiler"), lit(0L)).cast(DoubleType) / col("n_shingles"))
+          .as("boiler_ratio"))
+      .withColumn("keep", col("boiler_ratio") <= 0.5)
+  }
+
+  /** q71 — boilerplate n-gram filter (CCNet-style chrome removal). */
+  val q71: Q = Q(
+    "q71_boilerplate_ngrams",
+    run = { (spark, dir) => boilerplateScore(nonNullDocs(spark, dir)) },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+            FROM d WHERE len(toks) >= 3),
+      sh AS (SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s FROM g),
+      hot AS (SELECT s FROM (SELECT s, count(*) AS nd FROM sh GROUP BY s)
+              WHERE nd >= 5),
+      per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+                  FROM sh GROUP BY doc_id),
+      boiler AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+                 FROM sh JOIN hot USING (s) GROUP BY sh.doc_id)
+      SELECT p.doc_id, p.n_shingles,
+        COALESCE(b.n_boiler, 0) AS n_boiler,
+        CAST(COALESCE(b.n_boiler, 0) AS DOUBLE) / p.n_shingles AS boiler_ratio,
+        CAST(COALESCE(b.n_boiler, 0) AS DOUBLE) / p.n_shingles <= 0.5 AS keep
+      FROM per_doc p LEFT JOIN boiler b ON b.doc_id = p.doc_id"""))
+
+  /** q72 — corpus statistics per (source, lang): document count, token
+    * count, vocabulary size, exact-decimal mean document length, and
+    * type-token ratio — the per-slice report a mix-design dashboard
+    * reads. Two-level distinct aggregation (Catalyst plans the
+    * multi-distinct via Expand); one shuffle on the tiny group key. */
+  val q72: Q = Q(
+    "q72_corpus_stats",
+    run = { (spark, dir) =>
+      nonNullDocs(spark, dir)
+        .select(col("source"), col("lang"), col("doc_id"),
+          explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("token")).as("n_vocab"))
+        .withColumn("avg_doc_toks",
+          (col("n_tokens").cast(DecimalType(24, 6)) / col("n_docs"))
+            .cast(DecimalType(24, 6)).cast(DoubleType))
+        .withColumn("type_token_ratio",
+          col("n_vocab").cast(DoubleType) / col("n_tokens"))
+    },
+    oracle = Some("""
+      WITH toks AS (SELECT source, lang, doc_id,
+                      unnest(string_split(text, ' ')) AS token
+                    FROM documents WHERE text IS NOT NULL),
+      a AS (SELECT source, lang,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(count(DISTINCT token) AS BIGINT) AS n_vocab
+            FROM toks GROUP BY source, lang)
+      SELECT source, lang, n_docs, n_tokens, n_vocab,
+        CAST(CAST(CAST(n_tokens AS DECIMAL(24,6)) / n_docs AS DECIMAL(24,6))
+          AS DOUBLE) AS avg_doc_toks,
+        CAST(n_vocab AS DOUBLE) / n_tokens AS type_token_ratio
+      FROM a"""))
+
+  val all: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72)
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.CorpusOps
+
+/** Behavioral checks for the round-6 corpus-curation operators
+  * (q67–q72). Oracle hash parity is the driver's gate; these assert the
+  * operator-level invariants a hash can't express (blocklist actually
+  * scrubbed, ranks bounded, path depth bounded, band coverage sane,
+  * boilerplate subset relation). */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.sf0001
+
+  test("q67: no blocklisted token survives; counts match the scrub") {
+    val out = CorpusOps.q67.run(spark, dir).cache()
+    try {
+      val dirty = out.filter(
+        col("clean_text").rlike("(^| )(customer|secret|password)( |$)"))
+      assert(dirty.count() == 0, "blocklisted token survived the scrub")
+      val redacted = out.agg(sum(col("n_redacted"))).head.getLong(0)
+      assert(redacted > 0, "fixture corpus contains 'customer'; expected hits")
+      val markers = out
+        .select(expr("size(filter(split(clean_text, ' '), t -> t = '[REDACTED]'))").as("m"),
+          col("n_redacted"))
+        .filter(col("m") =!= col("n_redacted"))
+      assert(markers.count() == 0, "marker count != n_redacted")
+    } finally { out.unpersist(); () }
+  }
+
+  test("q68: at most 3 ranked terms per doc, scores non-increasing in rank") {
+    val out = CorpusOps.q68.run(spark, dir).cache()
+    try {
+      val over = out.groupBy("doc_id").count().filter(col("count") > 3)
+      assert(over.count() == 0)
+      assert(out.filter(col("rank") > 3 || col("rank") < 1).count() == 0)
+      // within a doc, rank order must agree with (score desc, token asc)
+      val bad = out.as("a").join(out.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("a.rank") < col("b.rank") &&
+            col("a.score") < col("b.score"))
+      assert(bad.count() == 0, "higher rank with lower score")
+    } finally { out.unpersist(); () }
+  }
+
+  test("q69: users partition across paths; path depth <= 5") {
+    val out = CorpusOps.q69.run(spark, dir)
+    val users = Tables.events(spark, dir)
+      .select(countDistinct(col("user_id"))).head.getLong(0)
+    val pathUsers = out.agg(sum(col("n_users"))).head.getLong(0)
+    assert(pathUsers == users, s"$pathUsers path-users != $users users")
+    val deep = out.filter(size(split(col("path"), ">")) > 5)
+    assert(deep.count() == 0, "path deeper than 5 stages")
+  }
+
+  test("q70: band keeps ~90% of docs and is the [p05,p95] interval") {
+    val out = CorpusOps.q70.run(spark, dir).cache()
+    try {
+      val n = out.count().toDouble
+      val kept = out.filter(col("keep")).count().toDouble
+      assert(kept / n >= 0.85 && kept / n <= 0.95,
+        s"band keeps ${kept / n} of docs, expected ~0.9")
+      // every dropped doc is strictly outside the band
+      val badDrop = out.filter(!col("keep") &&
+        col("n_toks") >= col("lo") && col("n_toks") <= col("hi"))
+      assert(badDrop.count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("q71: boilerplate shingles are a subset; ratio in [0,1]") {
+    val out = CorpusOps.q71.run(spark, dir).cache()
+    try {
+      assert(out.filter(col("n_boiler") > col("n_shingles")).count() == 0)
+      assert(out.filter(col("boiler_ratio") < 0.0 ||
+        col("boiler_ratio") > 1.0).count() == 0)
+      // threshold 5 must actually fire on the small-vocab fixture
+      assert(out.agg(sum(col("n_boiler"))).head.getLong(0) > 0,
+        "no boilerplate shingles found — threshold miscalibrated")
+    } finally { out.unpersist(); () }
+  }
+
+  test("q72: per-slice stats are internally consistent") {
+    val out = CorpusOps.q72.run(spark, dir).cache()
+    try {
+      assert(out.filter(col("n_vocab") > col("n_tokens")).count() == 0)
+      assert(out.filter(col("type_token_ratio") > 1.0).count() == 0)
+      val total = out.agg(sum(col("n_docs"))).head.getLong(0)
+      val docs = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull).count()
+      assert(total == docs, s"slice doc counts $total != $docs corpus docs")
+    } finally { out.unpersist(); () }
+  }
+}
