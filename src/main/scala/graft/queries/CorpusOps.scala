@@ -75,8 +75,12 @@ object CorpusOps {
     run = { (spark, dir) =>
       val d = nonNullDocs(spark, dir)
       val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      val tf = toks.groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf"))
+      // tf feeds both the df aggregation and the score join — staged so
+      // the explode+agg runs once, not twice
+      val tf = graft.operators.Stage.materialize(
+        toks.groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf")),
+        "tfidf-tf")
       val dfTab = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val n = d.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
@@ -182,12 +186,17 @@ object CorpusOps {
     * vocabulary-bounded — never corpus-bounded — so it broadcasts at any
     * corpus size (the same dictionary-bounding argument as q59). */
   def boilerplateScore(docs: DataFrame, minDocs: Long = 5L): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        explode(TextFunctions.shinglesExpr("toks", 3)).as("s"))
-      .distinct()
+    // the distinct (doc, shingle) projection feeds THREE consumers (hot
+    // set, per-doc denominators, boilerplate counts) — staged once so the
+    // explode+distinct runs once, not per consumer
+    val sh = graft.operators.Stage.materialize(
+      docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          explode(TextFunctions.shinglesExpr("toks", 3)).as("s"))
+        .distinct(),
+      "boiler-sh")
     val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select(col("s"))
     val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
