@@ -244,5 +244,41 @@ object Sampling {
              ELSE 'test' END AS split
       FROM cb"""))
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q54)
+  /** q74 — balanced downsampling: cap every source at the SMALLEST
+    * source's document count (the equal-share mix a contrastive or
+    * multi-domain training run wants), selecting survivors by md5 rank
+    * so the draw is a pure function of doc identity — stable across
+    * runs, engines, and partitionings, hence hash-oracle-checkable
+    * (unlike an RNG sample). One row_number window per source + a
+    * broadcast single-row target; the window never sees more than one
+    * source's rows per partition — the q58 shuffle shape. */
+  val q74: Q = Q(
+    "q74_balanced_downsample",
+    run = { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"), col("source"))
+      val target = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_src"))
+        .agg(min(col("n_src")).as("target_n"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      d.withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(target))
+        .select(col("doc_id"), col("source"), col("rk"), col("target_n"),
+          (col("rk") <= col("target_n")).as("keep"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, source FROM documents),
+      t AS (SELECT min(n_src) AS target_n
+            FROM (SELECT count(*) AS n_src FROM d GROUP BY source)),
+      r AS (SELECT doc_id, source,
+              CAST(row_number() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER)
+                AS rk
+            FROM d)
+      SELECT doc_id, source, rk, target_n, rk <= target_n AS keep
+      FROM r CROSS JOIN t"""))
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q54, q74)
 }

@@ -270,5 +270,43 @@ object CorpusOps {
         CAST(n_vocab AS DOUBLE) / n_tokens AS type_token_ratio
       FROM a"""))
 
-  val all: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72)
+  /** q76 — length-decile profile: doc-length distribution summarized by
+    * value cutpoints. NOT ntile: a global ntile/percent_rank window is a
+    * single-partition sort — the one shape that cannot survive 100 TB.
+    * Instead the nine decile boundaries come from ONE percentile
+    * aggregate (partial-agg tree, single output row, broadcast back),
+    * and each doc's decile is "how many cutpoints lie strictly below my
+    * length" — a per-row fold over a 9-element literal-sized array.
+    * Docs tied on length land in the same decile (value semantics,
+    * deterministic), which is what makes the result hash-checkable
+    * where ntile's arbitrary tie-splitting is not. */
+  val q76: Q = Q(
+    "q76_length_deciles",
+    run = { (spark, dir) =>
+      val lens = nonNullDocs(spark, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+      val cuts = lens.agg(percentile(col("n_toks"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
+      lens.crossJoin(broadcast(cuts))
+        .select(col("n_toks"),
+          expr("size(filter(cuts, c -> c < n_toks))").as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_toks")).as("min_toks"),
+          max(col("n_toks")).as("max_toks"))
+    },
+    oracle = Some("""
+      WITH lens AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks
+                    FROM documents WHERE text IS NOT NULL),
+      cuts AS (SELECT quantile_cont(n_toks,
+                 [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs FROM lens)
+      SELECT CAST(len(list_filter(cs, c -> c < n_toks)) AS INTEGER)
+          AS decile,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        min(n_toks) AS min_toks, max(n_toks) AS max_toks
+      FROM lens CROSS JOIN cuts
+      GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q76)
 }

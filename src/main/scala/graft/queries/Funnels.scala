@@ -185,5 +185,39 @@ object Funnels {
             FROM m)
       SELECT event_type, d, n, z, abs(z) > 2.0 AS is_anomaly FROM z"""))
 
-  val all: Seq[Q] = Seq(q61, q62, q63, q64)
+  /** q75 — rolling 7-day distinct users per event type. Distinct counts
+    * do NOT decompose over sliding windows (yesterday's actives overlap
+    * today's), so the scale-correct plan is: dedup to (type, day, user)
+    * first — the only corpus-sized shuffle — then range-join that
+    * pre-aggregate to the CALENDAR-BOUNDED day grid (30 rows here, 365/yr
+    * at any corpus size; broadcast nested-loop is deliberate and cheap)
+    * and count distinct per (type, grid day). The factor-7 row expansion
+    * applies to the deduped frame, never the raw events. Day strings
+    * render ISO on both sides (raw DATE never hash-matches the oracle). */
+  val q75: Q = Q(
+    "q75_rolling_distinct_users",
+    run = { (spark, dir) =>
+      val e = Tables.events(spark, dir)
+      val du = e.select(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id")).distinct()
+      val grid = e.select(to_date(col("ts")).as("g")).distinct()
+      du.join(broadcast(grid),
+          col("day") <= col("g") && col("day") >= date_sub(col("g"), 6))
+        .groupBy(col("event_type"), col("g"))
+        .agg(countDistinct(col("user_id")).as("users_7d"))
+        .select(col("event_type"),
+          date_format(col("g"), "yyyy-MM-dd").as("day"), col("users_7d"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   user_id FROM events),
+      du AS (SELECT DISTINCT event_type, day, user_id FROM e),
+      grid AS (SELECT DISTINCT day AS g FROM e)
+      SELECT du.event_type, strftime(grid.g, '%Y-%m-%d') AS day,
+        CAST(count(DISTINCT du.user_id) AS BIGINT) AS users_7d
+      FROM du JOIN grid
+        ON du.day <= grid.g AND du.day >= grid.g - INTERVAL 6 DAY
+      GROUP BY du.event_type, grid.g"""))
+
+  val all: Seq[Q] = Seq(q61, q62, q63, q64, q75)
 }

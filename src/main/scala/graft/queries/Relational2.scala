@@ -117,5 +117,33 @@ object Relational2 {
       WHERE props IS NOT NULL
         AND json_extract_string(props, '$.k') IS NOT NULL"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q46)
+  /** q73 — UNPIVOT/melt (the inverse of q42's pivot): the four lineitem
+    * measures go long as (measure, value) rows via the native
+    * `Dataset.unpivot` (Expand under the hood — one generator pass, no
+    * shuffle, 4× the input rows but ¼ the columns each). Raw per-row
+    * values, no aggregation, so doubles hash exactly. */
+  val q73: Q = Q(
+    "q73_unpivot",
+    run = { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+          "measure", "value")
+    },
+    oracle = Some("""
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q46, q73)
 }

@@ -80,6 +80,51 @@ class CorpusOpsSpec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  test("q73: unpivot emits 4x the input rows, one per measure") {
+    val base = Tables.lineitem(spark, dir).count()
+    val out = queries.Relational2.q73.run(spark, dir)
+    assert(out.count() == base * 4)
+    assert(out.select(countDistinct(col("measure"))).head.getLong(0) == 4)
+  }
+
+  test("q74: every source is capped at exactly the smallest source's count") {
+    val out = ext.Sampling.q74.run(spark, dir).cache()
+    try {
+      val perSrc = out.filter(col("keep")).groupBy("source").count()
+      val counts = perSrc.select(collect_set(col("count"))).head.getSeq[Long](0)
+      assert(counts.size == 1, s"unequal kept counts: $counts")
+      val target = out.select(max(col("target_n"))).head.getLong(0)
+      assert(counts.head == target)
+    } finally { out.unpersist(); () }
+  }
+
+  test("q75: a 7-day distinct count is never below its own day's count") {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("users_1d"))
+    val out = queries.Funnels.q75.run(spark, dir)
+    val bad = out.join(daily, Seq("event_type", "day"))
+      .filter(col("users_7d") < col("users_1d"))
+    assert(bad.count() == 0)
+  }
+
+  test("q76: deciles partition the corpus and are ordered by length") {
+    val out = CorpusOps.q76.run(spark, dir).cache()
+    try {
+      val total = out.agg(sum(col("n_docs"))).head.getLong(0)
+      val docs = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull).count()
+      assert(total == docs)
+      // decile k's max must not exceed decile k+1's min
+      val bad = out.as("a").join(out.as("b"),
+        col("a.decile") < col("b.decile") &&
+          col("a.max_toks") > col("b.min_toks"))
+      assert(bad.count() == 0, "decile value ranges overlap")
+    } finally { out.unpersist(); () }
+  }
+
   test("q72: per-slice stats are internally consistent") {
     val out = CorpusOps.q72.run(spark, dir).cache()
     try {
