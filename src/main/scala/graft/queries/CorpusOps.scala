@@ -70,10 +70,8 @@ object CorpusOps {
     * df table is vocabulary-sized: broadcasts while small, shuffles when
     * not — same posture as q53's frequency join) → one window top-k per
     * doc. The corpus-size scalar rides in as a broadcast single row. */
-  val q68: Q = Q(
-    "q68_tfidf_terms",
-    run = { (spark, dir) =>
-      val d = nonNullDocs(spark, dir)
+  /** Core of q68 over any (doc_id, text) frame. */
+  def tfidfTerms(d: DataFrame): DataFrame = {
       val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       // tf feeds both the df aggregation and the score join — staged so
       // the explode+agg runs once, not twice
@@ -92,7 +90,11 @@ object CorpusOps {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("token"), col("tf"),
           col("df"), col("score"))
-    },
+  }
+
+  val q68: Q = Q(
+    "q68_tfidf_terms",
+    run = { (spark, dir) => tfidfTerms(nonNullDocs(spark, dir)) },
     oracle = Some("""
       WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
       toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM d),

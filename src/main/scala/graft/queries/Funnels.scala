@@ -194,20 +194,21 @@ object Funnels {
     * and count distinct per (type, grid day). The factor-7 row expansion
     * applies to the deduped frame, never the raw events. Day strings
     * render ISO on both sides (raw DATE never hash-matches the oracle). */
+  def rollingDistinctUsers(e: DataFrame): DataFrame = {
+    val du = e.select(col("event_type"), to_date(col("ts")).as("day"),
+      col("user_id")).distinct()
+    val grid = e.select(to_date(col("ts")).as("g")).distinct()
+    du.join(broadcast(grid),
+        col("day") <= col("g") && col("day") >= date_sub(col("g"), 6))
+      .groupBy(col("event_type"), col("g"))
+      .agg(countDistinct(col("user_id")).as("users_7d"))
+      .select(col("event_type"),
+        date_format(col("g"), "yyyy-MM-dd").as("day"), col("users_7d"))
+  }
+
   val q75: Q = Q(
     "q75_rolling_distinct_users",
-    run = { (spark, dir) =>
-      val e = Tables.events(spark, dir)
-      val du = e.select(col("event_type"), to_date(col("ts")).as("day"),
-        col("user_id")).distinct()
-      val grid = e.select(to_date(col("ts")).as("g")).distinct()
-      du.join(broadcast(grid),
-          col("day") <= col("g") && col("day") >= date_sub(col("g"), 6))
-        .groupBy(col("event_type"), col("g"))
-        .agg(countDistinct(col("user_id")).as("users_7d"))
-        .select(col("event_type"),
-          date_format(col("g"), "yyyy-MM-dd").as("day"), col("users_7d"))
-    },
+    run = { (spark, dir) => rollingDistinctUsers(Tables.events(spark, dir)) },
     oracle = Some("""
       WITH e AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                    user_id FROM events),
@@ -219,5 +220,40 @@ object Funnels {
         ON du.day <= grid.g AND du.day >= grid.g - INTERVAL 6 DAY
       GROUP BY du.event_type, grid.g"""))
 
-  val all: Seq[Q] = Seq(q61, q62, q63, q64, q75)
+  /** Core of q77: the SKETCH formulation of q75. One DataSketches HLL
+    * sketch per (type, day) — corpus-sized work happens exactly once,
+    * in that partial-aggregable sketch build — then the 7-day window is
+    * a UNION OF SKETCHES (hll_union_agg), which is the whole point:
+    * distinct counts don't decompose over sliding windows but sketches
+    * do, so the window pass touches #types × #days × 7 sketch blobs,
+    * never the users. At 100 TB this is the difference between
+    * re-scanning a week of raw events per day and merging seven ~KB
+    * sketches; the exact q75 stays as the oracle-checkable formulation
+    * and the suite pins the estimate to it. */
+  def rollingDistinctUsersSketch(e: DataFrame): DataFrame = {
+    val daily = e.select(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val grid = daily.select(col("day").as("g")).distinct()
+    daily.join(broadcast(grid),
+        col("day") <= col("g") && col("day") >= date_sub(col("g"), 6))
+      .groupBy(col("event_type"), col("g"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("users_7d_est"))
+      .select(col("event_type"),
+        date_format(col("g"), "yyyy-MM-dd").as("day"), col("users_7d_est"))
+  }
+
+  /** q77 — rolling 7-day distinct users via mergeable HLL sketches
+    * (rows-only in the driver gate: sketch estimates are
+    * engine-specific; the suite asserts ≤2% deviation from exact q75
+    * on every (type, day) row). */
+  val q77: Q = Q(
+    "q77_rolling_users_sketch",
+    run = { (spark, dir) =>
+      rollingDistinctUsersSketch(Tables.events(spark, dir))
+    },
+    oracle = None)
+
+  val all: Seq[Q] = Seq(q61, q62, q63, q64, q75, q77)
 }

@@ -277,6 +277,37 @@ object ScaleDryRun {
       graft.ext.Sampling.stratifiedSample(docs10, "source", skewFracs))
     println(f"[scale-dry-run] q54_skew_rebalance_1x  $tSkew1%8.2f s  ($nSkew1 rows)")
     println(f"[scale-dry-run] q54_skew_rebalance_10x $tSkew10%8.2f s  ($nSkew10 rows, ratio ${tSkew10 / tSkew1}%.1fx)")
+
+    // ---- round-6 corpus-curation shapes at 10x ----
+    // tfidf: the df join-back's build side is vocabulary-sized. The
+    // decorrelated docs10 keeps the same vocabulary at 10x docs, so the
+    // frequency tables grow ~0x while the fact side grows 10x — the
+    // ratio shows whether the plan exploits that (it must stay ~linear)
+    val (tTfidf1, _) = timed(graft.queries.CorpusOps.tfidfTerms(docs0))
+    val (tTfidf10, _) = timed(graft.queries.CorpusOps.tfidfTerms(docs10))
+    println(f"[scale-dry-run] q68_tfidf_1x           $tTfidf1%8.2f s")
+    println(f"[scale-dry-run] q68_tfidf_10x          $tTfidf10%8.2f s  (ratio ${tTfidf10 / tTfidf1}%.1fx)")
+    // boilerplate: the hot set is shingle-vocabulary-bounded; at 10x docs
+    // more shingles cross the >=5-doc threshold but the broadcast stays
+    // dictionary-sized — again the time ratio is the evidence
+    val (tBp1, _) = timed(graft.queries.CorpusOps.boilerplateScore(
+      docs0.filter(col("text").isNotNull)))
+    val (tBp10, _) = timed(graft.queries.CorpusOps.boilerplateScore(
+      docs10.filter(col("text").isNotNull)))
+    println(f"[scale-dry-run] q71_boilerplate_1x     $tBp1%8.2f s")
+    println(f"[scale-dry-run] q71_boilerplate_10x    $tBp10%8.2f s  (ratio ${tBp10 / tBp1}%.1fx)")
+    // rolling distinct users, exact vs sketch, at 10x events (ev10 from
+    // the funnel case above: fresh users per copy, same 30-day grid).
+    // Exact re-counts users per window; the sketch path's window step
+    // merges 7 pre-built blobs per (type, day) regardless of user count
+    val (tRoll1, _) = timed(graft.queries.Funnels.rollingDistinctUsers(ev0))
+    val (tRoll10, _) = timed(graft.queries.Funnels.rollingDistinctUsers(ev10))
+    println(f"[scale-dry-run] q75_rolling_exact_1x   $tRoll1%8.2f s")
+    println(f"[scale-dry-run] q75_rolling_exact_10x  $tRoll10%8.2f s  (ratio ${tRoll10 / tRoll1}%.1fx)")
+    val (tHll1, _) = timed(graft.queries.Funnels.rollingDistinctUsersSketch(ev0))
+    val (tHll10, _) = timed(graft.queries.Funnels.rollingDistinctUsersSketch(ev10))
+    println(f"[scale-dry-run] q77_rolling_hll_1x     $tHll1%8.2f s")
+    println(f"[scale-dry-run] q77_rolling_hll_10x    $tHll10%8.2f s  (ratio ${tHll10 / tHll1}%.1fx)")
     spark.stop()
   }
 }

@@ -110,6 +110,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("q77: sketch estimate within 2% of exact rolling distinct (every row)") {
+    val exact = queries.Funnels.q75.run(spark, dir)
+    val est = queries.Funnels.q77.run(spark, dir)
+    val joined = exact.join(est, Seq("event_type", "day"))
+    assert(joined.count() == exact.count(), "sketch rows != exact rows")
+    val bad = joined.filter(
+      abs(col("users_7d_est") - col("users_7d")) >
+        col("users_7d") * 0.02)
+    assert(bad.count() == 0, s"sketch off by >2%: ${bad.head(3).mkString}")
+  }
+
   test("q76: deciles partition the corpus and are ordered by length") {
     val out = CorpusOps.q76.run(spark, dir).cache()
     try {
