@@ -310,5 +310,70 @@ object CorpusOps {
       FROM lens CROSS JOIN cuts
       GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q76)
+  /** q78 — bigram collocations per language: adjacent token pairs seen
+    * ≥5 times ranked by an INTEGER pointwise-mutual-information proxy,
+    * `n_ab·N·1e6 div (n_a·n_b)` — monotone with PMI = log of the same
+    * ratio, but hash-portable (the collocation-strength ordering is the
+    * deliverable; the log is presentation). Top-20 per lang with full
+    * lexical tie-break. Three hash aggs + two vocabulary-sized joins +
+    * one top-k window per lang — the q68 posture. At a 100 TB corpus the
+    * n_ab·N·1e6 product needs DECIMAL(38) headroom; BIGINT holds to
+    * ~10¹⁸ (fixture N·n_ab·1e6 ≈ 10¹⁵). */
+  val q78: Q = Q(
+    "q78_collocations",
+    run = { (spark, dir) =>
+      val d = nonNullDocs(spark, dir)
+        .select(col("lang"), split(col("text"), " ").as("toks"))
+      val uni = d.select(col("lang"), explode(col("toks")).as("w"))
+      val nTok = uni.groupBy(col("lang")).agg(count(lit(1)).as("n_tokens"))
+      val nW = uni.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n_w"))
+      val bg = d.filter(size(col("toks")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2))"))
+          .as("b"))
+        .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("w1").asc, col("w2").asc)
+      bg.join(nW.select(col("lang"), col("w").as("w1"), col("n_w").as("n_a")),
+          Seq("lang", "w1"))
+        .join(nW.select(col("lang"), col("w").as("w2"), col("n_w").as("n_b")),
+          Seq("lang", "w2"))
+        .join(nTok, Seq("lang"))
+        .withColumn("score",
+          expr("(n_ab * n_tokens * 1000000) div (n_a * n_b)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("rank"), col("w1"), col("w2"),
+          col("n_ab"), col("score"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT lang, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      uni AS (SELECT lang, unnest(toks) AS w FROM d),
+      n_tok AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens
+                FROM uni GROUP BY lang),
+      n_w AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS n_w
+              FROM uni GROUP BY lang, w),
+      g AS (SELECT lang, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM d WHERE len(toks) >= 2),
+      bg AS (SELECT lang, toks[i] AS w1, toks[i+1] AS w2,
+               CAST(count(*) AS BIGINT) AS n_ab
+             FROM g GROUP BY 1, 2, 3 HAVING count(*) >= 5),
+      s AS (SELECT bg.lang, bg.w1, bg.w2, bg.n_ab,
+              (bg.n_ab * t.n_tokens * 1000000) // (a.n_w * b.n_w) AS score
+            FROM bg
+            JOIN n_w a ON a.lang = bg.lang AND a.w = bg.w1
+            JOIN n_w b ON b.lang = bg.lang AND b.w = bg.w2
+            JOIN n_tok t ON t.lang = bg.lang),
+      r AS (SELECT lang, w1, w2, n_ab, score,
+              CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY score DESC, w1 ASC, w2 ASC) AS INTEGER) AS rank
+            FROM s)
+      SELECT lang, rank, w1, w2, n_ab, score FROM r WHERE rank <= 20"""))
+
+  val all: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q76, q78)
 }

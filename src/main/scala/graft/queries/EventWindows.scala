@@ -92,5 +92,50 @@ object EventWindows {
         CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS val_sum
       FROM g GROUP BY user_id, sid"""))
 
-  val all: Seq[Q] = Seq(q20, q21, q22)
+  /** q79 — per-event sessionization: the event-level counterpart of
+    * q22's session AGGREGATES — every event gets its user-relative
+    * session index (30-minute gap rule) so downstream ops can key on
+    * (user, session). Classic gaps-and-islands: lag + boundary flag +
+    * running sum, all over ONE (user_id) window shuffle. The gap compare
+    * is µs-exact on both sides (unix_micros ≡ epoch_us); ordering
+    * carries the event_id tie-break (the fixtures fuzz within-user ts
+    * ties). Boundary semantics match q22/Spark session_window: an event
+    * at exactly prev + 30 min MERGES (`>` starts a new session, not
+    * `>=`). */
+  val q79: Q = Q(
+    "q79_sessionize",
+    run = { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val run = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("new_s")).over(run))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("session_idx"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events),
+      m AS (SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800 * 1000000 OR lag(epoch_us(ts))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_s
+            FROM e)
+      SELECT event_id, user_id, ts,
+        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_idx
+      FROM m"""))
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q79)
 }

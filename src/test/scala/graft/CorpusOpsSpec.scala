@@ -136,6 +136,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  test("q78: collocation ranks bounded per lang; support threshold holds") {
+    val out = queries.CorpusOps.q78.run(spark, dir).cache()
+    try {
+      assert(out.filter(col("n_ab") < 5).count() == 0)
+      val over = out.groupBy("lang").count().filter(col("count") > 20)
+      assert(over.count() == 0)
+      // rank order must agree with score within each lang
+      val bad = out.as("a").join(out.as("b"),
+        col("a.lang") <=> col("b.lang") && col("a.rank") < col("b.rank") &&
+          col("a.score") < col("b.score"))
+      assert(bad.count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("q79: session indices are dense from 1 and only advance on >30min gaps") {
+    val out = queries.EventWindows.q79.run(spark, dir).cache()
+    try {
+      // per user: max session_idx == number of >30min boundaries + 1
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val expected = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .groupBy("user_id")
+        .agg((sum(when(col("gap") > 1800L * 1000000L, 1L).otherwise(0L)) + 1L)
+          .as("n_sessions"))
+      val got = out.groupBy("user_id")
+        .agg(max(col("session_idx")).as("max_idx"),
+          min(col("session_idx")).as("min_idx"))
+      assert(got.filter(col("min_idx") =!= 1L).count() == 0)
+      val bad = got.join(expected, "user_id")
+        .filter(col("max_idx") =!= col("n_sessions"))
+      assert(bad.count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
   test("q72: per-slice stats are internally consistent") {
     val out = CorpusOps.q72.run(spark, dir).cache()
     try {
