@@ -15,7 +15,7 @@ object SparkEntry {
       qs.EventWindows.all ++ qs.TextOps.all ++ qs.VectorOps.all ++
       qs.Advanced.all ++ qs.Approximate.all ++ qs.Relational2.all ++
       qs.Windows2.all ++ qs.PipelineOps.all ++ qs.Funnels.all ++
-      qs.CorpusOps.all ++
+      qs.CorpusOps.all ++ qs.StatsOps.all ++
       ext.MinHashDedup.all ++
       ext.SimHashDedup.all ++ ext.Multimodal.all ++ ext.Similarity.all ++
       ext.DedupCluster.all ++ ext.Sampling.all

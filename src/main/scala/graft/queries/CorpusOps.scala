@@ -375,5 +375,40 @@ object CorpusOps {
             FROM s)
       SELECT lang, rank, w1, w2, n_ab, score FROM r WHERE rank <= 20"""))
 
-  val all: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q76, q78)
+  /** q80 — character-level fuzzy matching, the missing dedup modality
+    * next to token-Jaccard (q24) / MinHash (q30) / SimHash (q31):
+    * Levenshtein distance ≤ 12 between 32-char prefixes, candidate
+    * pairs BLOCKED on (source, first 4 chars) so the self-join is
+    * bucket-bounded (the classic record-linkage blocking-key shape —
+    * production stacks several blocking keys to recover cross-block
+    * recall; on the fixtures the one key already has full recall vs the
+    * unblocked join, asserted in the suite). The O(len²) edit-distance
+    * DP runs only on survivors of the equi-join, never all pairs. */
+  val q80: Q = Q(
+    "q80_fuzzy_match",
+    run = { (spark, dir) =>
+      val p = nonNullDocs(spark, dir)
+        .select(col("doc_id"), col("source"),
+          substring(col("text"), 1, 32).as("pre"))
+        .withColumn("blk", substring(col("pre"), 1, 4))
+      p.as("a").join(p.as("b"),
+          col("a.source") === col("b.source") &&
+            col("a.blk") === col("b.blk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .withColumn("dist", levenshtein(col("a.pre"), col("b.pre")))
+        .filter(col("dist") <= 12)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.source").as("source"), col("dist"))
+    },
+    oracle = Some("""
+      WITH p AS (SELECT doc_id, source, substr(text, 1, 32) AS pre,
+                   substr(text, 1, 4) AS blk
+                 FROM documents WHERE text IS NOT NULL)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source,
+        CAST(levenshtein(a.pre, b.pre) AS INTEGER) AS dist
+      FROM p a JOIN p b
+        ON a.source = b.source AND a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.pre, b.pre) <= 12"""))
+
+  val all: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q76, q78, q80)
 }

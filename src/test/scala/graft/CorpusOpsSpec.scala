@@ -173,6 +173,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  test("q80: prefix blocking loses no pair vs the unblocked join (fixtures)") {
+    val p = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        substring(col("text"), 1, 32).as("pre"))
+    val unblocked = p.as("a").join(p.as("b"),
+        col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          levenshtein(col("a.pre"), col("b.pre")) <= 12)
+      .select(col("a.doc_id"), col("b.doc_id"))
+    val blocked = queries.CorpusOps.q80.run(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    assert(blocked.count() == unblocked.count(),
+      "blocking key dropped fuzzy pairs on the fixture corpus")
+    assert(blocked.count() > 0, "fixture should contain fuzzy pairs")
+  }
+
+  test("q81: the mode really is the max multiplicity per group") {
+    val out = queries.StatsOps.q81.run(spark, dir)
+    val maxes = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("l_returnflag")).agg(max(col("n")).as("max_n"))
+    val bad = out.join(maxes, "l_returnflag")
+      .filter(col("n_occurrences") =!= col("max_n"))
+    assert(bad.count() == 0)
+  }
+
+  test("q82: exact-moment correlation matches Spark's corr within 1e-9") {
+    val ours = queries.StatsOps.q82.run(spark, dir)
+    val ref = Tables.events(spark, dir)
+      .select(col("event_type"), hour(col("ts")).cast("double").as("x"),
+        col("value").as("y"))
+      .groupBy("event_type").agg(corr(col("x"), col("y")).as("c_ref"))
+    val bad = ours.join(ref, "event_type")
+      .filter(abs(col("corr_value_hour") - col("c_ref")) > 1e-9)
+    assert(bad.count() == 0)
+    assert(ours.filter(abs(col("corr_value_hour")) > 1.0).count() == 0)
+  }
+
   test("q72: per-slice stats are internally consistent") {
     val out = CorpusOps.q72.run(spark, dir).cache()
     try {
