@@ -280,5 +280,51 @@ object Sampling {
       SELECT doc_id, source, rk, target_n, rk <= target_n AS keep
       FROM r CROSS JOIN t"""))
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q54, q74)
+  /** q83 — quality-weighted sampling: keep each doc with probability
+    * equal to its q27 quality score, but DETERMINISTICALLY — the coin
+    * flip is the doc's md5 8-hex prefix compared against the quality
+    * rendered as an 8-hex threshold (floor(q·2³²)), so the draw is a
+    * pure function of doc identity: stable across runs/engines/
+    * partitionings and hash-oracle-checkable, unlike `rand() < q`.
+    * E[keep fraction] = mean quality; the suite asserts the realized
+    * rate at 4σ. Pure projection — no shuffle, no RNG state. */
+  val q83: Q = Q(
+    "q83_weighted_sample",
+    run = { (spark, dir) =>
+      val quality =
+        (expr("size(filter(split(text, ' '), " +
+          "t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and' OR t = 'to'))")
+          .cast("double") / size(split(col("text"), " "))) * 0.5 +
+          (size(array_distinct(split(col("text"), " "))).cast("double") /
+            size(split(col("text"), " "))) * 0.3 +
+          least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.2
+      Tables.documentsParallel(spark, dir)
+        .filter(col("text").isNotNull)
+        .withColumn("quality", quality)
+        .withColumn("h",
+          md5(concat(col("doc_id").cast("string"), lit("|"), col("text"))))
+        .withColumn("qhex", lpad(lower(hex(
+          floor(col("quality") * 4294967296.0).cast("long"))), 8, "0"))
+        .select(col("doc_id"), col("quality"),
+          (substring(col("h"), 1, 8) < col("qhex")).as("keep"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, n_chars, text,
+                   string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      q AS (SELECT doc_id, text,
+              (CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a'
+                  OR t = 'of' OR t = 'and' OR t = 'to')) AS DOUBLE)
+                / len(toks)) * 0.5
+              + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.3
+              + least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.2
+                AS quality
+            FROM d)
+      SELECT doc_id, quality,
+        substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8) <
+          lpad(lower(hex(CAST(floor(quality * 4294967296.0) AS BIGINT))),
+            8, '0') AS keep
+      FROM q"""))
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q54, q74, q83)
 }

@@ -78,6 +78,33 @@ object ExplainAudit {
       "expected a dynamicpruning expression in the fact scan's " +
         "PartitionFilters — DPP did not engage")
     println("===== DPP ASSERT OK (dynamicpruningexpression present)")
+
+    // q75: the day grid must ride a broadcast nested-loop (calendar-
+    // bounded dim side), and the only hash shuffles are the distinct
+    // pre-agg + the final group — never a shuffle of the range join
+    val q75Plan = graft.SparkEntry.queries("q75_rolling_distinct_users")(
+      spark, dir).queryExecution.executedPlan.toString
+    assert(q75Plan.contains("BroadcastNestedLoopJoin"),
+      "q75: day-grid range join is not broadcast")
+    println("===== q75 GRID BROADCAST ASSERT OK")
+    // q80: blocking keys make the fuzzy match an EQUI-join (hash or
+    // sort-merge) with levenshtein only in the post-join filter — a
+    // cartesian/NLJ here would be the O(n²) record-linkage trap
+    val q80Plan = graft.SparkEntry.queries("q80_fuzzy_match")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!q80Plan.contains("CartesianProduct") &&
+      !q80Plan.contains("BroadcastNestedLoopJoin"),
+      "q80: fuzzy match lost its equi-join blocking keys")
+    println("===== q80 BLOCKED EQUI-JOIN ASSERT OK")
+    // q81: the mode's top-1 window must run over the DISTINCT-value agg
+    // output (one row per (flag, qty)), after partial map-side combine —
+    // i.e. exactly two hash shuffles, none of them window-over-raw-rows
+    val q81Plan = graft.SparkEntry.queries("q81_grouped_mode")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val q81Ex = q81Plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(q81Ex <= 2, s"q81: expected <=2 hash shuffles, found $q81Ex")
+    println("===== q81 TWO-SHUFFLE ASSERT OK")
     spark.stop()
   }
 }

@@ -212,6 +212,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(ours.filter(abs(col("corr_value_hour")) > 1.0).count() == 0)
   }
 
+  test("q83: realized keep rate matches mean quality within 4 sigma") {
+    // sf0.001 has only 50 docs — 4σ on n=50 is too loose to mean much,
+    // so this property runs at sf0.01 (500 docs)
+    val out = ext.Sampling.q83.run(spark, "/root/testdata/sf0.01").cache()
+    try {
+      val row = out.agg(
+        avg(col("quality")).as("p"),
+        avg(col("keep").cast("double")).as("rate"),
+        count(lit(1)).as("n")).head
+      val (p, rate, n) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
+      val sigma = math.sqrt(p * (1 - p) / n)
+      assert(math.abs(rate - p) <= 4 * sigma,
+        s"keep rate $rate vs mean quality $p (4 sigma = ${4 * sigma})")
+      // determinism: a second run draws the identical sample
+      val again = ext.Sampling.q83.run(spark, "/root/testdata/sf0.01")
+      assert(out.select("doc_id", "keep").except(
+        again.select("doc_id", "keep")).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
   test("q72: per-slice stats are internally consistent") {
     val out = CorpusOps.q72.run(spark, dir).cache()
     try {
