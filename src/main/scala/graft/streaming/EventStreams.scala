@@ -224,6 +224,46 @@ object EventStreams {
       }
   }
 
+  final case class SessState(lastUs: Option[Long], idx: Long)
+  final case class SessionRow(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, session_idx: Long)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Streaming twin of the batch q79 per-event sessionization: a
+    * per-user state machine (flatMapGroupsWithState, append mode) whose
+    * state is two numbers — last event time in µs and the running
+    * session index — O(#users), independent of history length. The gap
+    * rule is the SAME µs-exact compare as batch q79 (> 30 min starts a
+    * session; the exact boundary merges), applied in (ts, event_id)
+    * order within each micro-batch, so streaming ≡ batch on arrival
+    * that respects event time; out-of-order repair across sessions is
+    * the batch backfill's job (same contract as [[streamingFunnel]]). */
+  def streamingSessionize(events: DataFrame): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[SessState]) =>
+          var s = state.getOption.getOrElse(SessState(None, 0L))
+          val out = rows.toSeq
+            .sortBy(r => (micros(r.ts), r.event_id))
+            .map { r =>
+              val us = micros(r.ts)
+              if (s.lastUs.forall(prev => us - prev > 1800L * 1000000L))
+                s = s.copy(idx = s.idx + 1)
+              s = s.copy(lastUs = Some(us))
+              SessionRow(r.event_id, uid, r.ts, s.idx)
+            }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Stream-stream inner join with event-time bounds: each purchase
     * joined to the same user's errors in the preceding 5 minutes
     * (streaming twin of the batch q36 interval join). Both sides carry

@@ -96,6 +96,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() == 0)
   }
 
+  test("streaming sessionize equals batch q79 on ordered arrival") {
+    val stream = EventStreams.streamingSessionize(
+      EventStreams.readEvents(spark, eventsDir))
+    val got = EventStreams.runToMemory(stream.toDF(), "sessionize_out",
+      OutputMode.Append)
+    val want = graft.queries.EventWindows.q79.run(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("session_idx"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
   test("nanosAsLong is restored after the last streaming query terminates") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     // drive one events stream to completion
