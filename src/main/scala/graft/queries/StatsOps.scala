@@ -101,5 +101,90 @@ object StatsOps {
           AS corr_value_hour
       FROM m"""))
 
-  val all: Seq[Q] = Seq(q81, q82)
+  /** q84 — corpus snapshot diff (dataset versioning): classify every
+    * doc_id as added / removed / changed / unchanged between two corpus
+    * versions by FULL OUTER join on identity + content-hash compare.
+    * The fixtures carry one corpus, so the "previous" version is derived
+    * deterministically from it (doc_id % 7 == 0 slice absent from old →
+    * those ids are `added`; % 11 == 0 absent from new → `removed`;
+    * % 5 == 0 token-reversed in old → `changed`); in production the two
+    * sides are two snapshot directories and the plan is identical — one
+    * co-partitioned join on doc_id, hashes computed in the scan
+    * projection, never a byte-compare of full texts across the shuffle. */
+  val q84: Q = Q(
+    "q84_corpus_diff",
+    run = { (spark, dir) =>
+      val docs = Tables.documentsParallel(spark, dir)
+        .filter(col("text").isNotNull)
+      val oldV = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 5 === 0,
+            concat_ws(" ", reverse(split(col("text"), " "))))
+            .otherwise(col("text")).cast("binary")).as("h_old"))
+      val newV = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h_new"))
+      oldV.join(newV, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") =!= col("h_new"), "changed")
+            .otherwise("unchanged").as("status"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      oldv AS (SELECT doc_id,
+                 md5(CASE WHEN doc_id % 5 = 0
+                     THEN array_to_string(list_reverse(string_split(text, ' ')), ' ')
+                     ELSE text END) AS h_old
+               FROM d WHERE doc_id % 7 <> 0),
+      newv AS (SELECT doc_id, md5(text) AS h_new
+               FROM d WHERE doc_id % 11 <> 0)
+      SELECT COALESCE(oldv.doc_id, newv.doc_id) AS doc_id,
+        CASE WHEN h_old IS NULL THEN 'added'
+             WHEN h_new IS NULL THEN 'removed'
+             WHEN h_old <> h_new THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM oldv FULL OUTER JOIN newv ON oldv.doc_id = newv.doc_id"""))
+
+  /** q85 — column profiling (the data-quality report a warehouse runs on
+    * every new partition): per column of `events`, row count, null
+    * count, exact distinct count. ONE pass: a single aggregate computes
+    * all twelve statistics (Catalyst plans the multi-distinct via
+    * Expand), then an inline-table unpivot reshapes the one-row result
+    * long — the q73 surface applied to profiling. Count-only stats on
+    * purpose: min/max would need cross-engine numeric string rendering,
+    * which is not hash-stable. */
+  val q85: Q = Q(
+    "q85_data_profile",
+    run = { (spark, dir) =>
+      def nulls(c: String) =
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c")
+      val cols = Seq("event_type", "user_id", "value", "props")
+      val stats = count(lit(1)).as("n_rows") +: cols.flatMap(c =>
+        Seq(nulls(c), countDistinct(col(c)).as(s"dist_$c")))
+      val agg = Tables.events(spark, dir).agg(stats.head, stats.tail: _*)
+      agg.select(col("n_rows"), explode(array(cols.map(c =>
+          struct(lit(c).as("column"), col(s"null_$c").as("n_null"),
+            col(s"dist_$c").as("n_distinct"))): _*)).as("p"))
+        .select(col("p.column").as("column"), col("n_rows"),
+          col("p.n_null").as("n_null"), col("p.n_distinct").as("n_distinct"))
+    },
+    oracle = Some("""
+      WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+        CAST(count(DISTINCT event_type) AS BIGINT) AS dist_event_type,
+        CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS dist_user_id,
+        CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+        CAST(count(DISTINCT value) AS BIGINT) AS dist_value,
+        CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+        CAST(count(DISTINCT props) AS BIGINT) AS dist_props
+        FROM events)
+      SELECT 'event_type' AS column, n_rows, null_event_type AS n_null,
+        dist_event_type AS n_distinct FROM a
+      UNION ALL SELECT 'user_id', n_rows, null_user_id, dist_user_id FROM a
+      UNION ALL SELECT 'value', n_rows, null_value, dist_value FROM a
+      UNION ALL SELECT 'props', n_rows, null_props, dist_props FROM a"""))
+
+  val all: Seq[Q] = Seq(q81, q82, q84, q85)
 }

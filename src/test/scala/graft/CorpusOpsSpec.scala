@@ -232,6 +232,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  test("q84: diff statuses partition the id space with the declared slices") {
+    val out = queries.StatsOps.q84.run(spark, dir).cache()
+    try {
+      // %7 ids exist only in new -> added; %11 (and not %7) only in old
+      // -> removed; %5 survivors -> changed (unless also added/removed)
+      val bad = out.filter(
+        (col("status") === "added" && col("doc_id") % 7 =!= 0) ||
+        (col("status") === "removed" && col("doc_id") % 11 =!= 0) ||
+        (col("status") === "changed" &&
+          (col("doc_id") % 5 =!= 0 || col("doc_id") % 7 === 0 ||
+            col("doc_id") % 11 === 0)))
+      assert(bad.count() == 0)
+      val statuses = out.select(collect_set(col("status"))).head.getSeq[String](0)
+      assert(Set("added", "removed", "changed", "unchanged")
+        .subsetOf(statuses.toSet), s"missing statuses: $statuses")
+    } finally { out.unpersist(); () }
+  }
+
+  test("q85: profile counts are consistent with direct aggregation") {
+    val out = queries.StatsOps.q85.run(spark, dir)
+    val events = Tables.events(spark, dir)
+    val n = events.count()
+    assert(out.filter(col("n_rows") =!= n).count() == 0)
+    val distTypes = events.select(countDistinct(col("event_type")))
+      .head.getLong(0)
+    val row = out.filter(col("column") === "event_type").head
+    assert(row.getAs[Long]("n_distinct") == distTypes)
+    assert(out.count() == 4)
+  }
+
   test("q72: per-slice stats are internally consistent") {
     val out = CorpusOps.q72.run(spark, dir).cache()
     try {
