@@ -186,5 +186,104 @@ object StatsOps {
       UNION ALL SELECT 'value', n_rows, null_value, dist_value FROM a
       UNION ALL SELECT 'props', n_rows, null_props, dist_props FROM a"""))
 
-  val all: Seq[Q] = Seq(q81, q82, q84, q85)
+  /** q86 — per-type daily-volume TREND (least-squares slope/intercept
+    * over day index): the "is error volume growing?" monitor. Stage 1
+    * collapses events to integer day counts; stage 2 sums the four
+    * regression moments — ALL integers (day index × count), so every
+    * intermediate is exact under any partial-agg order; the slope and
+    * intercept are assembled from the single aggregated row per group
+    * with one fixed double expression tree (q82's recipe, one variable
+    * simpler — no decimals needed at all). */
+  val q86: Q = Q(
+    "q86_daily_trend",
+    run = { (spark, dir) =>
+      val daily = Tables.events(spark, dir)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("x"))
+        .groupBy(col("event_type"), col("x"))
+        .agg(count(lit(1)).as("y"))
+      val m = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sx2"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"))
+      m.withColumn("slope",
+          (col("n").cast(DoubleType) * col("sxy").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+            (col("n").cast(DoubleType) * col("sx2").cast(DoubleType) -
+              col("sx").cast(DoubleType) * col("sx").cast(DoubleType)))
+        .withColumn("intercept",
+          (col("sy").cast(DoubleType) - col("slope") * col("sx").cast(DoubleType)) /
+            col("n").cast(DoubleType))
+        .select(col("event_type"), col("n"), col("slope"), col("intercept"))
+    },
+    oracle = Some("""
+      WITH daily AS (SELECT event_type,
+                       CAST(date_diff('day', DATE '2024-01-01',
+                         CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS x,
+                       CAST(count(*) AS BIGINT) AS y
+                     FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx,
+              CAST(sum(x * x) AS BIGINT) AS sx2,
+              CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM daily GROUP BY event_type),
+      s AS (SELECT event_type, n,
+              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+              CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+            FROM m)
+      SELECT event_type, n, slope,
+        (syd - slope * sxd) / CAST(n AS DOUBLE) AS intercept
+      FROM s"""))
+
+  /** q87 — join-key skew diagnosis: the top-10 heaviest l_partkey values
+    * with their share and cumulative share of all lineitem rows — the
+    * report that decides whether a join needs salting (§4's skew story
+    * as a QUERY, not just a mitigation). Scale shape: the top-10 comes
+    * from orderBy+limit (TakeOrderedAndProject — a distributed
+    * partial-top-k, never a global sort of the key frame, whose
+    * cardinality at 100 TB is unbounded); the rank/cum-share window then
+    * runs over ten rows. The cumulative sum over the limited frame
+    * equals the full-frame prefix because both use the same total
+    * order. */
+  val q87: Q = Q(
+    "q87_skew_report",
+    run = { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir)
+      val top10 = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l_partkey").asc).limit(10)
+      val total = li.agg(count(lit(1)).as("n_total"))
+      val w = Window.partitionBy().orderBy(col("n").desc, col("l_partkey").asc)
+      val run = Window.partitionBy()
+        .orderBy(col("n").desc, col("l_partkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top10
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum_n", sum(col("n")).over(run))
+        .crossJoin(broadcast(total))
+        .select(col("rank"), col("l_partkey"), col("n"),
+          (col("n").cast(DoubleType) / col("n_total")).as("share"),
+          (col("cum_n").cast(DoubleType) / col("n_total")).as("cum_share"))
+    },
+    oracle = Some("""
+      WITH top10 AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+                     FROM lineitem GROUP BY 1
+                     ORDER BY n DESC, l_partkey ASC LIMIT 10),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lineitem),
+      r AS (SELECT l_partkey, n,
+              CAST(row_number() OVER (ORDER BY n DESC, l_partkey ASC)
+                AS INTEGER) AS rank,
+              CAST(sum(n) OVER (ORDER BY n DESC, l_partkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_n
+            FROM top10)
+      SELECT rank, l_partkey, n,
+        CAST(n AS DOUBLE) / n_total AS share,
+        CAST(cum_n AS DOUBLE) / n_total AS cum_share
+      FROM r CROSS JOIN t"""))
+
+  val all: Seq[Q] = Seq(q81, q82, q84, q85, q86, q87)
 }

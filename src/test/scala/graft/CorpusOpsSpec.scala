@@ -262,6 +262,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.count() == 4)
   }
 
+  test("q86: slope/intercept reproduce the least-squares fit of daily counts") {
+    val out = queries.StatsOps.q86.run(spark, dir)
+    // cross-check one group against an independent fit via Spark's
+    // covar_pop/var_pop (float path, so tolerance not equality)
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("double").as("x"))
+      .groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    val ref = daily.groupBy("event_type")
+      .agg((covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("slope_ref"))
+    val bad = out.join(ref, "event_type")
+      .filter(abs(col("slope") - col("slope_ref")) > 1e-9)
+    assert(bad.count() == 0)
+  }
+
+  test("q87: shares ordered, cumulative share is the running sum of shares") {
+    val out = queries.StatsOps.q87.run(spark, dir).cache()
+    try {
+      assert(out.count() == 10)
+      val bad = out.as("a").join(out.as("b"),
+        col("a.rank") < col("b.rank") && col("a.n") < col("b.n"))
+      assert(bad.count() == 0, "rank order disagrees with counts")
+      val sumShare = out.agg(sum(col("share"))).head.getDouble(0)
+      val lastCum = out.filter(col("rank") === 10)
+        .head.getAs[Double]("cum_share")
+      assert(math.abs(sumShare - lastCum) < 1e-12)
+    } finally { out.unpersist(); () }
+  }
+
   test("q72: per-slice stats are internally consistent") {
     val out = CorpusOps.q72.run(spark, dir).cache()
     try {
