@@ -30,8 +30,16 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     withNanosAsLong(s) {
       import org.apache.spark.sql.functions.{expr, timestamp_micros}
-      table(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val t = table(s, d, "events")
+      // the driver fixture is TIMESTAMP(NANOS) parquet, which the nanos
+      // scope surfaces as LongType; a user's ordinary µs/ms parquet
+      // arrives already typed — pass it through instead of failing the
+      // `ts div 1000` analysis on a timestamp column
+      t.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          t.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => t
+      }
     }
 
   /** Scopes `spark.sql.legacy.parquet.nanosAsLong` to a BATCH read: sets

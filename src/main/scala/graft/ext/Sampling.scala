@@ -183,16 +183,18 @@ object Sampling {
       val counts = docs.filter(col("source").isNotNull)
         .groupBy("source").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      // all-null source column → no strata: fail with a diagnostic, not
-      // an IndexOutOfBoundsException from indexing into an empty seq
-      require(counts.nonEmpty,
-        "stratified rebalance: no non-null strata in 'source' — " +
-          "nothing to rebalance")
-      val median = counts.values.toSeq.sorted.apply(counts.size / 2)
-      val fractions = strata.map(s =>
-        s -> (if (counts(s) < median) 2.5 else 0.5)).toMap
-      stratifiedSample(docs, "source", fractions)
-        .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+      // empty corpus / all-null source column → no strata: rebalancing
+      // nothing is an empty report, not a failure (an empty partition is
+      // a legitimate input to a library operator)
+      if (counts.isEmpty)
+        docs.select(col("source"), lit(0L).as("n_sampled")).limit(0)
+      else {
+        val median = counts.values.toSeq.sorted.apply(counts.size / 2)
+        val fractions = strata.map(s =>
+          s -> (if (counts(s) < median) 2.5 else 0.5)).toMap
+        stratifiedSample(docs, "source", fractions)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+      }
     },
     oracle = None)
 

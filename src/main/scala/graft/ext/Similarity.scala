@@ -51,15 +51,20 @@ object Similarity {
   private def dimOf(embeddings: DataFrame, embCol: String): Int = {
     // first NON-NULL row: fuzzed/real corpora can lead with a null
     // embedding, which would null the size and NPE the getInt; take(1)
-    // instead of head() so an all-null/empty table gets a diagnostic,
-    // not a bare NoSuchElementException
+    // instead of head() so an all-null/empty table is handled, not a
+    // bare NoSuchElementException. An EMPTY/all-null table has no dim to
+    // derive — any positive dim then yields the correct empty result
+    // through the unchanged plan (empty in, empty out), so return 1
+    // rather than failing the whole job on a legitimate empty partition.
     val rows = embeddings.filter(col(embCol).isNotNull)
       .select(size(col(embCol)).as("d")).take(1)
-    require(rows.nonEmpty,
-      s"lsh: no non-null $embCol rows — cannot derive embedding dim")
-    val d = rows.head.getInt(0)
-    require(d > 0, s"lsh: empty $embCol in first non-null row — cannot derive dim")
-    d
+    if (rows.isEmpty) 1
+    else {
+      val d = rows.head.getInt(0)
+      require(d > 0,
+        s"lsh: empty $embCol in first non-null row — cannot derive dim")
+      d
+    }
   }
 
   /** LSH-bucketed top-k: same output contract as the brute-force q25
@@ -182,6 +187,11 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
       .withColumn("fvec", array_to_vector(col("embedding")))
     val nBase = base.count()
+    // empty corpus: nothing to index — KMeans cannot fit on zero rows
+    // (and shouldn't); return the schema-correct empty result instead
+    if (nBase == 0)
+      return base.select(col("vec_id").as("qid"), col("vec_id").as("nid"),
+        lit(0.0).as("cos_sim"), lit(1).as("rnk")).limit(0)
     val fitInput =
       if (nBase <= maxFitRows) base
       else {
