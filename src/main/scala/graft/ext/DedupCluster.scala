@@ -71,10 +71,24 @@ object DedupCluster {
     (und.union(und.select(col("eb").as("ea"), col("ea").as("eb"))), cleanup)
   }
 
+  /** Propagation telemetry for scale evidence: total label-propagation
+    * rounds, how many engaged the pointer-doubling hop, and the
+    * changed-label count per round (oldest first). */
+  final case class ClusterStats(rounds: Int, hopRounds: Int,
+      changed: List[Long])
+
   /** (doc_id, cluster_id) for every doc; cluster_id = min doc_id in the
     * doc's connected component (singletons cluster with themselves). */
   def clusters(docs: DataFrame, threshold: Double = 0.5,
-      maxRounds: Int = 20, exactNearPairs: Boolean = false): DataFrame = {
+      maxRounds: Int = 20, exactNearPairs: Boolean = false): DataFrame =
+    clustersWithStats(docs, threshold, maxRounds, exactNearPairs)._1
+
+  /** [[clusters]] plus [[ClusterStats]] — the labels are fully staged
+    * (materialized) before return, so the stats describe the completed
+    * run, not a pending plan. */
+  def clustersWithStats(docs: DataFrame, threshold: Double = 0.5,
+      maxRounds: Int = 20,
+      exactNearPairs: Boolean = false): (DataFrame, ClusterStats) = {
     val (edgePlan, edgeCleanup) = edges(docs, threshold, exactNearPairs)
     val (e, ePath) = graft.operators.Stage.materializeWithPath(
       edgePlan, "dedup-edges")
@@ -87,6 +101,7 @@ object DedupCluster {
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
     var labelsPath = ""
     var round = 0
+    var hopRounds = 0
     // changed-count history, newest first, drives the adaptive hop below
     var hist = List.empty[Long]
     while (hist.headOption.forall(_ > 0) && round < maxRounds) {
@@ -108,6 +123,7 @@ object DedupCluster {
       // ⇒ all labels in a component equal its min id), which the hop
       // cannot perturb.
       val useHop = hist.size >= 2 && hist.head * 2 > hist(1)
+      if (useHop) hopRounds += 1
       val hopped =
         if (!useHop) stepped.withColumn("cluster_id", col("mid_id"))
         else {
@@ -146,7 +162,7 @@ object DedupCluster {
         s"(${hist.headOption.getOrElse(-1L)} labels still changing) — " +
         "component diameter too large; raise maxRounds")
     graft.operators.Stage.drop(labels, ePath)
-    labels
+    (labels, ClusterStats(round, hopRounds, hist.reverse))
   }
 
   /** True when the JVM is an oracle-gated correctness run

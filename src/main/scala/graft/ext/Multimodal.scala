@@ -7,28 +7,45 @@ import graft.{Q, Tables}
 
 /** Multimodal-column plumbing (SURVEY.md §2.D): media payloads travel as
   * opaque `binary` columns with typed metadata; decode/feature-extract
-  * runs batched per partition. The decode step itself is a STUB — this
-  * container has no image/audio codecs — but everything Spark-side
-  * (schema, typed Dataset boundary, partition batching, feature
-  * signature) is real and tested; a real decoder drops into
-  * [[decodeStub]] without touching the plan.
+  * runs batched per partition.
+  *
+  * Two containers get REAL decoders — BMP (header parse → pixel stats +
+  * nearest-neighbor luminance thumbnail) and WAV (chunk walk → PCM
+  * sample stats + envelope thumbnail) — because both are dependency-
+  * free: raw little-endian header math, no codec library. Compressed
+  * formats (jpeg/png/mp4/...) still route through the labeled STUB;
+  * this container ships no codecs, and the stub keeps the contract
+  * (bytes in, fixed-width features out) so a real decoder drops in
+  * without touching the plan.
   *
   * The fixtures have no binary table, so document text bytes stand in as
   * the payload (cast string→binary), exactly as an image-bytes column
-  * would arrive from parquet.
+  * would arrive from parquet; real BMP/WAV payloads are exercised in the
+  * suite with exact-value assertions against independently-computed
+  * pixel/PCM stats.
   */
 object Multimodal {
 
-  /** Typed row for the feature-extraction stage. `thumb` is the resize
-    * stub's fixed-width output; `n_frames` the frame-sample count. */
+  /** Typed row for the feature-extraction stage. Common fields carry
+    * whole-payload stats; `width`/`height`/`channels`/`sample_rate`/
+    * `mean_signal` are REAL decoded values for bmp/wav and zeros for
+    * stub formats. `thumb` is a fixed 16-byte downsample (4x4 luminance
+    * grid for images, 16-segment envelope for audio, byte stride for
+    * stubs); `n_frames` is the real frame count where decodable. */
   final case class MediaFeatures(
       doc_id: Long,
+      format: String,
       n_bytes: Int,
       mean_byte: Double,
       head_bytes: Array[Byte],
       histo16: Array[Long],
       thumb: Array[Byte],
-      n_frames: Int)
+      n_frames: Int,
+      width: Int,
+      height: Int,
+      channels: Int,
+      sample_rate: Int,
+      mean_signal: Double)
 
   /** Container-format sniffing by magic bytes — NOT a stub: format
     * detection needs no codec, just the header, so this is the real
@@ -36,7 +53,8 @@ object Multimodal {
     * mislabeled media before wasting decode CPU). Pure built-in column
     * expressions (substring + hex + when-chain), codegen-friendly, no
     * UDF. Covers the containers a crawl actually yields; anything else
-    * is "unknown", null is "empty". */
+    * is "unknown", null is "empty". Kept bit-for-bit consistent with
+    * [[sniffBytes]] (suite-asserted). */
   def sniffMedia(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val h = hex(substring(payload, 1, 12)) // first 12 bytes as uppercase hex
     when(payload.isNull, "empty")
@@ -51,54 +69,239 @@ object Multimodal {
       .when(h.startsWith("4F676753"), "ogg")
       // MP4-family: "ftyp" brand at byte offset 4
       .when(substring(h, 9, 8) === lit("66747970"), "mp4")
+      .when(h.startsWith("424D"), "bmp")
       .otherwise("unknown")
   }
 
-  /** STUB resize: a real implementation decodes + bilinear-resamples;
-    * the stub keeps the contract (arbitrary bytes in, fixed-width bytes
-    * out) by striding the payload down to `width` bytes. */
-  def resizeStub(payload: Array[Byte], width: Int = 16): Array[Byte] = {
-    if (payload.isEmpty) new Array[Byte](width)
-    else Array.tabulate(width)(i => payload((i.toLong * payload.length / width).toInt))
+  /** JVM twin of [[sniffMedia]] for the decode router (same magic
+    * bytes, same order, same labels — the suite asserts agreement). */
+  def sniffBytes(p: Array[Byte]): String = {
+    def at(off: Int, sig: Int*): Boolean =
+      sig.zipWithIndex.forall { case (b, i) =>
+        off + i < p.length && (p(off + i) & 0xff) == b
+      }
+    if (p == null) "empty"
+    else if (at(0, 0x89, 0x50, 0x4E, 0x47)) "png"
+    else if (at(0, 0xFF, 0xD8, 0xFF)) "jpeg"
+    else if (at(0, 0x47, 0x49, 0x46, 0x38)) "gif"
+    else if (at(0, 0x25, 0x50, 0x44, 0x46)) "pdf"
+    else if (at(0, 0x52, 0x49, 0x46, 0x46) &&
+      at(8, 0x57, 0x41, 0x56, 0x45)) "wav"
+    else if (at(0, 0x1A, 0x45, 0xDF, 0xA3)) "webm"
+    else if (at(0, 0x4F, 0x67, 0x67, 0x53)) "ogg"
+    else if (at(4, 0x66, 0x74, 0x79, 0x70)) "mp4"
+    else if (at(0, 0x42, 0x4D)) "bmp"
+    else "unknown"
   }
 
-  /** STUB frame sampler: a real implementation seeks container keyframes;
-    * the stub chunks the payload into fixed-size pseudo-frames and
-    * reports how many a stride-`stride` sample would visit. */
-  def frameSampleStub(payload: Array[Byte], frameSize: Int = 64,
-      stride: Int = 4): Int = {
-    val frames = (payload.length + frameSize - 1) / frameSize
-    (frames + stride - 1) / stride
+  // little-endian header readers (BMP and WAV are both LE formats)
+  private def u16(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+  private def i32(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+      ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+
+  private def meanByteOf(p: Array[Byte]): Double =
+    if (p.isEmpty) 0.0
+    else {
+      var s = 0L; var i = 0
+      while (i < p.length) { s += p(i) & 0xff; i += 1 }
+      s.toDouble / p.length
+    }
+
+  /** REAL BMP decode: BITMAPINFOHEADER parse + raw pixel math for
+    * uncompressed (BI_RGB) 8/24/32-bpp payloads — width/height/channels
+    * from the header, `mean_signal` the mean over all pixel channel
+    * bytes, `histo16` the pixel-byte histogram (header and row padding
+    * excluded — unlike the stub's whole-file stats), and `thumb` a 4x4
+    * nearest-neighbor luminance grid (integer Rec.601 luma; BMP rows are
+    * stored bottom-up for positive heights, so sampling flips). Returns
+    * None on structural violations (truncation, unsupported bpp,
+    * compressed) — the caller falls back to the stub rather than
+    * throwing, because at 100 TB a crawl WILL contain truncated files
+    * and one bad row must not kill a 1000-executor stage. */
+  def decodeBmp(docId: Long, p: Array[Byte]): Option[MediaFeatures] = {
+    if (p.length < 54) return None
+    val dataOffset = i32(p, 10)
+    val width = i32(p, 18)
+    val heightRaw = i32(p, 22)
+    val bpp = u16(p, 28)
+    val compression = i32(p, 30)
+    val height = math.abs(heightRaw)
+    if (compression != 0 || width <= 0 || height == 0 ||
+      !(bpp == 8 || bpp == 24 || bpp == 32)) return None
+    val bytesPerPx = bpp / 8
+    val rowSize = ((bpp * width + 31) / 32) * 4 // rows pad to 4 bytes
+    if (dataOffset < 54 ||
+      dataOffset.toLong + rowSize.toLong * height > p.length) return None
+    val histo = new Array[Long](16)
+    var sum = 0L
+    var n = 0L
+    var row = 0
+    while (row < height) {
+      val base = dataOffset + row * rowSize
+      var x = 0
+      while (x < width) {
+        var c = 0
+        while (c < bytesPerPx) {
+          val b = p(base + x * bytesPerPx + c) & 0xff
+          histo(b >> 4) += 1
+          sum += b
+          n += 1
+          c += 1
+        }
+        x += 1
+      }
+      row += 1
+    }
+    val thumb = new Array[Byte](16)
+    var ty = 0
+    while (ty < 4) {
+      var tx = 0
+      while (tx < 4) {
+        val iy = ty * height / 4
+        val ix = tx * width / 4
+        val storedRow = if (heightRaw > 0) height - 1 - iy else iy
+        val px = dataOffset + storedRow * rowSize + ix * bytesPerPx
+        val lum =
+          if (bytesPerPx == 1) p(px) & 0xff
+          else {
+            // pixel order is BGR(A)
+            val b = p(px) & 0xff
+            val g = p(px + 1) & 0xff
+            val r = p(px + 2) & 0xff
+            (29 * b + 150 * g + 77 * r) >> 8
+          }
+        thumb(ty * 4 + tx) = lum.toByte
+        tx += 1
+      }
+      ty += 1
+    }
+    Some(MediaFeatures(docId, "bmp", p.length, meanByteOf(p), p.take(4),
+      histo, thumb, 1, width, height,
+      if (bpp == 8) 1 else bytesPerPx, 0,
+      if (n == 0) 0.0 else sum.toDouble / n))
   }
 
-  /** STUB decoder: deterministic per-payload "features" (byte stats +
-    * 16-bin histogram + 4-byte frame sample). A real implementation
-    * would decode the media container here; the signature — bytes in,
-    * fixed-width features out, no per-row session state — is the
-    * contract a distributed decode needs. */
-  def decodeStub(docId: Long, payloadOrNull: Array[Byte]): MediaFeatures = {
-    // null payloads (null source column) decode as EMPTY media (zeros),
-    // which keeps the task alive; note this differs from q33's null-safe
-    // built-ins, which would yield NULL metadata for the same row
-    val payload =
-      if (payloadOrNull == null) Array.emptyByteArray else payloadOrNull
+  /** REAL WAV decode: RIFF chunk walk (word-aligned) to the `fmt ` and
+    * `data` chunks, then raw PCM sample math for 8-bit (unsigned) and
+    * 16-bit (signed LE) integer PCM — channels/sample rate from the
+    * header, `n_frames` the real per-channel frame count, `mean_signal`
+    * the mean sample value (DC offset — ~0 for real audio), `histo16`
+    * the 16-bin amplitude histogram over the full signed range, and
+    * `thumb` a 16-segment mean-|amplitude| envelope scaled to bytes.
+    * None on structural violations (no fmt/data chunk, compressed
+    * format tag, truncation) — caller falls back to the stub. */
+  def decodeWav(docId: Long, p: Array[Byte]): Option[MediaFeatures] = {
+    if (p.length < 12) return None
+    var off = 12
+    var fmtOk = false
+    var channels = 0
+    var sampleRate = 0
+    var bits = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= p.length) {
+      val id = new String(p, off, 4, "US-ASCII")
+      val sz = i32(p, off + 4)
+      if (sz < 0) return None
+      if (id == "fmt " && off + 8 + 16 <= p.length) {
+        val audioFormat = u16(p, off + 8)
+        channels = u16(p, off + 10)
+        sampleRate = i32(p, off + 12)
+        bits = u16(p, off + 22)
+        fmtOk = audioFormat == 1 && (bits == 8 || bits == 16) &&
+          channels > 0 && sampleRate > 0
+      } else if (id == "data" && dataOff < 0) {
+        dataOff = off + 8
+        dataLen = math.min(sz.toLong, (p.length - dataOff).toLong).toInt
+      }
+      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0) return None
+    val bytesPerSample = bits / 8
+    val nSamples = dataLen / bytesPerSample
+    // signed sample value at index j (8-bit WAV is unsigned, centered)
+    def sample(j: Int): Int =
+      if (bits == 8) (p(dataOff + j) & 0xff) - 128
+      else (p(dataOff + 2 * j + 1) << 8) | (p(dataOff + 2 * j) & 0xff)
+    val histo = new Array[Long](16)
+    var sum = 0L
+    var j = 0
+    while (j < nSamples) {
+      val v = sample(j)
+      sum += v
+      // shift to [0, 2^16) then take the top 4 bits → 16 bins
+      val u = if (bits == 8) (v + 128) << 8 else v + 32768
+      histo(u >> 12) += 1
+      j += 1
+    }
+    val thumb = new Array[Byte](16)
+    if (nSamples > 0) {
+      var t = 0
+      while (t < 16) {
+        val s0 = (t.toLong * nSamples / 16).toInt
+        val s1 = ((t + 1).toLong * nSamples / 16).toInt
+        var acc = 0L
+        var k = s0
+        while (k < s1) { acc += math.abs(sample(k)); k += 1 }
+        val m = if (s1 > s0) acc / (s1 - s0) else 0L
+        thumb(t) =
+          (if (bits == 8) math.min(255L, m << 1)
+           else math.min(255L, m >> 7)).toByte
+        t += 1
+      }
+    }
+    Some(MediaFeatures(docId, "wav", p.length, meanByteOf(p), p.take(4),
+      histo, thumb, nSamples / channels, 0, 0, channels, sampleRate,
+      if (nSamples == 0) 0.0 else sum.toDouble / nSamples))
+  }
+
+  /** STUB features for formats whose decode needs an external codec
+    * (jpeg/png/gif/mp4/...): deterministic whole-payload byte stats +
+    * 16-bin byte histogram + strided pseudo-thumbnail + chunked
+    * pseudo-frame count. The signature — bytes in, fixed-width features
+    * out, no per-row session state — is the contract a distributed
+    * decode needs; [[decodeBmp]]/[[decodeWav]] are the proof the seam
+    * takes real decoders without touching the plan. */
+  def stubFeatures(docId: Long, p: Array[Byte], format: String): MediaFeatures = {
     val histo = new Array[Long](16)
     var sum = 0L
     var i = 0
-    while (i < payload.length) {
-      val b = payload(i) & 0xff
+    while (i < p.length) {
+      val b = p(i) & 0xff
       histo(b >> 4) += 1
       sum += b
       i += 1
     }
-    MediaFeatures(
-      docId,
-      payload.length,
-      if (payload.length == 0) 0.0 else sum.toDouble / payload.length,
-      payload.take(4),
-      histo,
-      resizeStub(payload),
-      frameSampleStub(payload))
+    // strided pseudo-thumbnail + chunked pseudo-frame count
+    val thumb =
+      if (p.isEmpty) new Array[Byte](16)
+      else Array.tabulate(16)(k => p((k.toLong * p.length / 16).toInt))
+    val frames = (p.length + 63) / 64
+    MediaFeatures(docId, format, p.length,
+      if (p.length == 0) 0.0 else sum.toDouble / p.length,
+      p.take(4), histo, thumb, (frames + 3) / 4, 0, 0, 0, 0,
+      if (p.length == 0) 0.0 else sum.toDouble / p.length)
+  }
+
+  /** Decode router: real decoders where the container allows it, the
+    * labeled stub elsewhere. Payloads that sniff as bmp/wav but fail
+    * structural validation fall back to the stub under a '_corrupt'
+    * format label — visible in the output, never a task failure. Null
+    * payloads (null source column) decode as EMPTY media (zeros), which
+    * keeps the task alive; note this differs from q33's null-safe
+    * built-ins, which would yield NULL metadata for the same row. */
+  def decode(docId: Long, payloadOrNull: Array[Byte]): MediaFeatures = {
+    val p =
+      if (payloadOrNull == null) Array.emptyByteArray else payloadOrNull
+    sniffBytes(payloadOrNull) match { // sniff the ORIGINAL: null → "empty"
+      case "bmp" =>
+        decodeBmp(docId, p).getOrElse(stubFeatures(docId, p, "bmp_corrupt"))
+      case "wav" =>
+        decodeWav(docId, p).getOrElse(stubFeatures(docId, p, "wav_corrupt"))
+      case f => stubFeatures(docId, p, f)
+    }
   }
 
   /** q33 — metadata pass over the binary column: pure built-in
@@ -119,7 +322,8 @@ object Multimodal {
       FROM documents"""))
 
   /** q34 — feature extraction through the typed partition-batched path
-    * (the `mapPartitions` seam where a real decoder plugs in). Output is
+    * (the `mapPartitions` seam where the decode router runs: real
+    * BMP/WAV decoders, labeled stub for codec-bound formats). Output is
     * flattened to SQL types so downstream relational ops compose. */
   val q34: Q = Q(
     "q34_multimodal_features",
@@ -129,15 +333,17 @@ object Multimodal {
         .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
         .as[(Long, Array[Byte])]
       payloads
-        .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
-        .select(col("doc_id"), col("n_bytes"), col("mean_byte"),
+        .mapPartitions(_.map { case (id, bytes) => decode(id, bytes) })
+        .select(col("doc_id"), col("format"), col("n_bytes"),
+          col("mean_byte"),
           hex(col("head_bytes")).as("head_hex"),
           // rendered as a scalar, not array<long>: the driver gate's
           // pandas canonicalizer sorts every output column, and numpy
           // arrays are unhashable/unsortable there
           concat_ws(",", col("histo16")).as("histo16_csv"),
           hex(col("thumb")).as("thumb_hex"),
-          col("n_frames"))
+          col("n_frames"), col("width"), col("height"), col("channels"),
+          col("sample_rate"), col("mean_signal"))
     },
     oracle = None)
 

@@ -17,10 +17,13 @@ import graft.{Q, Tables}
   * oracle-checkable: md5 hex is identical in Spark and DuckDB, and the
   * threshold compare is plain string ordering.
   *
-  * Stratified sampling uses Spark's per-stratum Bernoulli `sampleBy`
-  * (seeded, distributed, single pass). The draw is engine-specific, so
-  * its contract is property-tested (per-stratum fractions), not
-  * hash-compared.
+  * Stratified sampling is hash-based too: each row's Bernoulli draw is
+  * the first 8 hex chars of md5 over a salted row key compared against
+  * the stratum's fraction rendered as an 8-hex threshold (the q83
+  * recipe), so the draw is a pure function of row identity — stable
+  * across runs, engines, and partitionings, and hash-oracle-checkable,
+  * unlike `sampleBy`/`rand`. The statistical contract (per-stratum
+  * fractions, E[copies] = f) is additionally property-tested.
   */
 object Sampling {
 
@@ -44,54 +47,65 @@ object Sampling {
     docs.select(col("doc_id"),
       splitOf(col("doc_id"), col("text"), trainTo, valTo).as("split"))
 
-  /** Seeded stratified sample with per-stratum fractions — the real
-    * operator is source/language REBALANCING (upsample rare strata,
-    * downsample dominant ones); a uniform map degenerates to a seeded
-    * Bernoulli filter. Single pass, no shuffle, no driver collect: the
-    * caller supplies the (config-sized, like the validation check list)
-    * fractions map.
+  /** Per-row copy count for a fraction f: floor(f) copies plus one more
+    * iff the row's deterministic draw lands below f − floor(f), so
+    * E[copies] = f exactly for every f >= 0. The draw is the q83 md5-
+    * threshold recipe — `substr(md5('strat|' || key), 1, 8)` compared
+    * against `lpad(hex(floor(frac·2³²)), 8, '0')` — identical in Spark
+    * and DuckDB. The "strat|" salt decorrelates the draw from the
+    * [[splitOf]] hash: without it, a low sampling fraction would keep
+    * only low-bucket docs, i.e. only 'train'-split docs. */
+  private def drawCopies(key: Column, f: Column): Column = {
+    val frac = f - floor(f)
+    val draw = substring(md5(concat(lit("strat|"), key.cast("string"))), 1, 8)
+    val thresh = lpad(lower(hex(floor(frac * 4294967296.0).cast("long"))), 8, "0")
+    floor(f).cast("int") + when(draw < thresh, lit(1)).otherwise(lit(0))
+  }
+
+  /** Deterministic stratified sample with per-stratum fractions — the
+    * real operator is source/language REBALANCING (upsample rare strata,
+    * downsample dominant ones); a uniform map degenerates to a Bernoulli
+    * filter. Single pass, no shuffle, no driver collect: the caller
+    * supplies the (config-sized, like the validation check list)
+    * fractions map and the row-identity column the draw is keyed on.
     *
     * Fractions may exceed 1.0 (upsampling): a row in a stratum with
     * fraction f is emitted floor(f) times plus one more with probability
-    * f − floor(f), so E[copies] = f exactly for every f >= 0. For f <= 1
-    * that expression IS a Bernoulli(f) draw, but the all-<=1 case still
-    * routes through `sampleBy` (a filter — no generator in the plan).
-    * The explode path stays one pass and shuffle-free too: per-row copy
-    * counts are a projection and `explode(sequence(...))` a generator,
-    * so at 100 TB rebalancing is embarrassingly parallel, with output
-    * partition sizes scaled by max(f). Strata absent from the map are
-    * dropped (sampleBy semantics).
+    * f − floor(f) — see [[drawCopies]]. The all-<=1 case is a pure
+    * filter (no generator in the plan); the explode path stays one pass
+    * and shuffle-free too: per-row copy counts are a projection and
+    * `explode(sequence(...))` a generator, so at 100 TB rebalancing is
+    * embarrassingly parallel, with output partition sizes scaled by
+    * max(f). Strata absent from the map are dropped. Because both paths
+    * share one draw function of (key, fraction), per-stratum MEMBERSHIP
+    * is stable across runs, engines, partitionings, and code paths —
+    * changing one stratum's fraction never reshuffles another's rows
+    * (the `sampleBy`/`rand` formulation this replaced could not promise
+    * that).
     *
-    * Two caveats, by design: (1) fractions are capped at 1000 — a fat-
+    * One caveat, by design: fractions are capped at 1000 — a fat-
     * fingered fraction (1e9) would otherwise build a 1e9-element
     * `sequence` per row and OOM an executor with no diagnostic, and no
-    * real rebalance upweights 1000x; (2) per-stratum MEMBERSHIP is not
-    * stable across the two code paths — `sampleBy` and `rand(seed)` draw
-    * from different RNG streams, so changing some OTHER stratum's
-    * fraction across the 1.0 boundary switches paths and reshuffles
-    * which rows of an f <= 1 stratum are kept (expected counts are
-    * unchanged). Callers needing draw-stable membership should pin one
-    * path (e.g. pass max(f, 1.0001) to force the explode path). */
+    * real rebalance upweights 1000x. */
   def stratifiedSample(docs: DataFrame, strataCol: String,
-      fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
+      fractions: Map[String, Double],
+      key: Column = col("doc_id")): DataFrame = {
     require(fractions.values.forall(_ >= 0.0),
       s"stratified sampling: negative fraction in $fractions")
     require(fractions.values.forall(_ <= 1000.0),
       s"stratified sampling: fraction > 1000 in $fractions — " +
         "an upweight this large is almost certainly a typo, and the " +
         "explode path would emit that many copies per row")
+    val f = coalesce(
+      element_at(typedlit(fractions), col(strataCol)), lit(0.0))
+    val withCopies = docs.withColumn("__copies", drawCopies(key, f))
+      .filter(col("__copies") > 0)
     if (fractions.values.forall(_ <= 1.0))
-      docs.stat.sampleBy(strataCol, fractions, seed)
-    else {
-      val f = coalesce(
-        element_at(typedlit(fractions), col(strataCol)), lit(0.0))
-      val copies = (floor(f).cast("int") +
-        when(rand(seed) < (f - floor(f)), lit(1)).otherwise(lit(0)))
-      docs.withColumn("__copies", copies)
-        .filter(col("__copies") > 0)
+      withCopies.drop("__copies") // copies ∈ {0, 1}: plain filter
+    else
+      withCopies
         .withColumn("__copy", explode(sequence(lit(1), col("__copies"))))
         .drop("__copies", "__copy")
-    }
   }
 
   /** Distinct strata of `strataCol`, with a loud cardinality guard (the
@@ -151,13 +165,13 @@ object Sampling {
           .as("split"))
   }
 
-  /** q51 — stratified 30% sample per source (rows-only: the Bernoulli
-    * draw is engine-specific; per-stratum fractions are
-    * property-tested). The strata map comes from a distinct scan here
-    * because the QUERY wants uniform coverage of whatever strata exist;
-    * the operator itself takes the map. Aggregated so the output is
-    * deterministic in SHAPE (one row per stratum) even though
-    * membership is not. */
+  /** q51 — stratified 30% sample per source, hash-checked end to end:
+    * the md5-threshold draw is a pure function of doc_id, so the DuckDB
+    * oracle replays the identical coin flips. The strata map comes from
+    * a distinct scan here because the QUERY wants uniform coverage of
+    * whatever strata exist; the operator itself takes the map.
+    * Aggregated to one row per stratum (membership itself is asserted
+    * deterministic in the suite). */
   val q51: Q = Q(
     "q51_stratified_sample",
     run = { (spark, dir) =>
@@ -166,14 +180,21 @@ object Sampling {
       stratifiedSample(docs, "source", strata.map(_ -> 0.3).toMap)
         .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
     },
-    oracle = None)
+    oracle = Some("""
+      SELECT source, CAST(count(*) AS BIGINT) AS n_sampled
+      FROM documents
+      WHERE source IS NOT NULL
+        AND substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 8)
+            < lpad(lower(hex(CAST(floor(0.3 * 4294967296.0) AS BIGINT))), 8, '0')
+      GROUP BY source"""))
 
   /** q54 — stratified REBALANCE: upweight below-median-count sources
     * 2.5x, downweight the rest to 0.5 — the rare-language upweighting a
-    * pretraining mix actually runs (rows-only: the Bernoulli fractional
-    * draw is engine-specific; the E[copies] = f contract is
-    * property-tested). Aggregated to one row per source so the output
-    * shape is deterministic. */
+    * pretraining mix actually runs. Hash-checked end to end: the DuckDB
+    * oracle recomputes the same upper-median (1-indexed rank n/2+1 ==
+    * Scala's sorted.apply(n/2)) and replays the md5-threshold fractional
+    * draws, summing copies per source instead of exploding. Aggregated
+    * to one row per source. */
   val q54: Q = Q(
     "q54_stratified_rebalance",
     run = { (spark, dir) =>
@@ -196,7 +217,23 @@ object Sampling {
           .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
       }
     },
-    oracle = None)
+    oracle = Some("""
+      WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                 FROM documents WHERE source IS NOT NULL GROUP BY source),
+      m AS (SELECT n AS med
+            FROM (SELECT n, row_number() OVER (ORDER BY n) AS rk FROM c)
+            WHERE rk = (SELECT count(*) // 2 + 1 FROM c)),
+      f AS (SELECT source,
+              CASE WHEN n < (SELECT med FROM m) THEN 2.5 ELSE 0.5 END AS f
+            FROM c),
+      k AS (SELECT d.source,
+              CAST(floor(f.f) AS BIGINT)
+              + CASE WHEN substr(md5('strat|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                     < lpad(lower(hex(CAST(floor((f.f - floor(f.f)) * 4294967296.0) AS BIGINT))), 8, '0')
+                THEN 1 ELSE 0 END AS copies
+            FROM documents d JOIN f ON d.source = f.source)
+      SELECT source, CAST(sum(copies) AS BIGINT) AS n_sampled
+      FROM k GROUP BY source HAVING sum(copies) > 0"""))
 
   /** q52 — leakage-safe split: per-cluster assignment, hash-checked end
     * to end (the oracle recomputes the connected components via the

@@ -48,24 +48,32 @@ object Similarity {
     * bounded job, like the median scalar). Hyperplanes are sized to the
     * DATA, not a hard-coded 64 — vec_dot_f truncates to min length, so a
     * wrong constant would silently bucket on a prefix. */
-  private def dimOf(embeddings: DataFrame, embCol: String): Int = {
+  private def dimOf(embeddings: DataFrame, embCol: String): Option[Int] = {
     // first NON-NULL row: fuzzed/real corpora can lead with a null
     // embedding, which would null the size and NPE the getInt; take(1)
     // instead of head() so an all-null/empty table is handled, not a
     // bare NoSuchElementException. An EMPTY/all-null table has no dim to
-    // derive — any positive dim then yields the correct empty result
-    // through the unchanged plan (empty in, empty out), so return 1
-    // rather than failing the whole job on a legitimate empty partition.
+    // derive — None, and the caller must short-circuit to its
+    // schema-correct empty result. (Returning a placeholder dim here
+    // would be a trap: DataFrames are lazy, so a source that gains rows
+    // between plan build and execution would silently bucket with
+    // wrong-dim hyperplanes — vec_dot_f truncates to min length — and
+    // degrade recall with no error.)
     val rows = embeddings.filter(col(embCol).isNotNull)
       .select(size(col(embCol)).as("d")).take(1)
-    if (rows.isEmpty) 1
-    else {
-      val d = rows.head.getInt(0)
+    rows.headOption.map { r =>
+      val d = r.getInt(0)
       require(d > 0,
         s"lsh: empty $embCol in first non-null row — cannot derive dim")
       d
     }
   }
+
+  /** Schema-correct empty (qid, nid, cos_sim, rnk) frame for the
+    * no-derivable-dim short circuit (shared by lshTopK and ivfTopK). */
+  private def emptyTopK(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id").as("qid"), col("vec_id").as("nid"),
+      lit(0.0).as("cos_sim"), lit(1).as("rnk")).limit(0)
 
   /** LSH-bucketed top-k: same output contract as the brute-force q25
     * (qid, nid, cos_sim, rnk) but scanning only same/adjacent buckets.
@@ -74,8 +82,9 @@ object Similarity {
       dim: Int = -1): DataFrame = {
     val spark = embeddings.sparkSession
     VectorFunctions.registerVecDot(spark)
-    val d = if (dim > 0) dim else dimOf(embeddings, "embedding")
-    val planes = hyperplanes(d, Bits)
+    val dOpt = if (dim > 0) Some(dim) else dimOf(embeddings, "embedding")
+    if (dOpt.isEmpty) return emptyTopK(embeddings)
+    val planes = hyperplanes(dOpt.get, Bits)
     // undecodable (null) embeddings are skipped, not bucketed: a null
     // dot product would otherwise silently land every null row in
     // bucket 0 with null cosines downstream
@@ -121,7 +130,13 @@ object Similarity {
       bits: Int = 4, tables: Int = 16): DataFrame = {
     val spark = embeddings.sparkSession
     VectorFunctions.registerVecDot(spark)
-    val d = dimOf(embeddings, "embedding")
+    val dOpt = dimOf(embeddings, "embedding")
+    // all-null/empty at plan-build time: schema-correct empty pairs
+    if (dOpt.isEmpty)
+      return embeddings
+        .select(col("vec_id").as("id_a"), col("vec_id").as("id_b"),
+          col("label"), lit(0.0).as("cos_sim")).limit(0)
+    val d = dOpt.get
     // bucket keys for all tables in ONE codegen projection; staged to
     // temp parquet (not persisted) because three joins consume it
     val e = graft.operators.Stage.materialize(

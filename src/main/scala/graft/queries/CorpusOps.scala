@@ -119,12 +119,16 @@ object CorpusOps {
     * `max(when(rn = k, …))` aggregates the path WITHOUT collect_list
     * (whose element order is partition-nondeterministic); concat_ws
     * skips the nulls of users with fewer than five events, matching
-    * SQL string_agg over missing rows. */
+    * SQL string_agg over missing rows. NULL event_types are filtered
+    * before ranking (mirrored in the oracle): a user whose first events
+    * were ALL null would otherwise get path '' from concat_ws but NULL
+    * from string_agg — a latent hash divergence. */
   def userPaths(events: DataFrame, depth: Int = 5): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     val r = events
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .filter(col("event_type").isNotNull)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= depth)
     val stageCols = (1 to depth).map(k =>
@@ -145,7 +149,7 @@ object CorpusOps {
       WITH r AS (SELECT user_id, event_type,
                    row_number() OVER (PARTITION BY user_id
                      ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS rn
-                 FROM events),
+                 FROM events WHERE event_type IS NOT NULL),
       p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
             FROM r WHERE rn <= 5 GROUP BY user_id)
       SELECT path, CAST(count(*) AS BIGINT) AS n_users,
@@ -378,37 +382,55 @@ object CorpusOps {
   /** q80 — character-level fuzzy matching, the missing dedup modality
     * next to token-Jaccard (q24) / MinHash (q30) / SimHash (q31):
     * Levenshtein distance ≤ 12 between 32-char prefixes, candidate
-    * pairs BLOCKED on (source, first 4 chars) so the self-join is
-    * bucket-bounded (the classic record-linkage blocking-key shape —
-    * production stacks several blocking keys to recover cross-block
-    * recall; on the fixtures the one key already has full recall vs the
-    * unblocked join, asserted in the suite). The O(len²) edit-distance
-    * DP runs only on survivors of the equi-join, never all pairs. */
+    * pairs BLOCKED on STACKED keys — (source, first 4 chars) UNION
+    * (source, last 4 chars of the prefix) — the classic record-linkage
+    * multi-key shape: an edit inside the first 4 characters escapes the
+    * prefix block but still collides on the suffix key (and vice
+    * versa), so single-edit pairs are unreachable only if the edit
+    * lands in BOTH key regions at once. Keys are tagged ('p|'/'s|') so
+    * a prefix of one doc never aliases a suffix of another. The
+    * self-join stays bucket-bounded per key, pairs are deduped BEFORE
+    * the O(len²) edit-distance DP, so the DP runs once per candidate,
+    * never all pairs. Recall on prefix-edited near-pairs (where the old
+    * single key provably missed) is asserted in the suite. */
   val q80: Q = Q(
     "q80_fuzzy_match",
-    run = { (spark, dir) =>
-      val p = nonNullDocs(spark, dir)
-        .select(col("doc_id"), col("source"),
-          substring(col("text"), 1, 32).as("pre"))
-        .withColumn("blk", substring(col("pre"), 1, 4))
-      p.as("a").join(p.as("b"),
-          col("a.source") === col("b.source") &&
-            col("a.blk") === col("b.blk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .withColumn("dist", levenshtein(col("a.pre"), col("b.pre")))
-        .filter(col("dist") <= 12)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.source").as("source"), col("dist"))
-    },
+    run = { (spark, dir) => fuzzyMatch(nonNullDocs(spark, dir)) },
     oracle = Some("""
-      WITH p AS (SELECT doc_id, source, substr(text, 1, 32) AS pre,
-                   substr(text, 1, 4) AS blk
-                 FROM documents WHERE text IS NOT NULL)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source,
-        CAST(levenshtein(a.pre, b.pre) AS INTEGER) AS dist
-      FROM p a JOIN p b
-        ON a.source = b.source AND a.blk = b.blk AND a.doc_id < b.doc_id
-      WHERE levenshtein(a.pre, b.pre) <= 12"""))
+      WITH p AS (SELECT doc_id, source, substr(text, 1, 32) AS pre
+                 FROM documents WHERE text IS NOT NULL),
+      k AS (SELECT doc_id, source, pre, 'p|' || substr(pre, 1, 4) AS blk FROM p
+            UNION ALL
+            SELECT doc_id, source, pre, 's|' || right(pre, 4) AS blk FROM p),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.source, a.pre AS pre_a, b.pre AS pre_b
+               FROM k a JOIN k b
+                 ON a.source = b.source AND a.blk = b.blk
+                   AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, source,
+        CAST(levenshtein(pre_a, pre_b) AS INTEGER) AS dist
+      FROM cand WHERE levenshtein(pre_a, pre_b) <= 12"""))
+
+  /** q80 core (testable on arbitrary doc frames): stacked-blocking-key
+    * fuzzy match over (doc_id, source, text). */
+  def fuzzyMatch(docs: DataFrame, maxDist: Int = 12): DataFrame = {
+    val p = docs.select(col("doc_id"), col("source"),
+      substring(col("text"), 1, 32).as("pre"))
+    val keyed = p.withColumn("blk", explode(array(
+      concat(lit("p|"), substring(col("pre"), 1, 4)),
+      concat(lit("s|"), expr("right(pre, 4)")))))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.source") === col("b.source") &&
+          col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.source").as("source"),
+        col("a.pre").as("pre_a"), col("b.pre").as("pre_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("pre_a"), col("pre_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("source"), col("dist"))
+  }
 
   val all: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q76, q78, q80)
 }

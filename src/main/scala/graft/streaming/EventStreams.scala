@@ -264,6 +264,78 @@ object EventStreams {
       }
   }
 
+  final case class DayUser(event_type: String, day: String, user_id: Long)
+  final case class SketchWindowRow(event_type: String, day: String,
+      users_7d_est: Long, seq: Long)
+  /** Per-type state: one serialized HLL sketch per day plus a monotone
+    * sequence number (stamped on emitted rows so a keep-last consumer
+    * can supersede earlier estimates of the same (type, day)). */
+  final case class TypeSketchState(days: Map[String, Array[Byte]], seq: Long)
+
+  /** Streaming twin of the batch q77 rolling 7-day distinct-users
+    * sketch: a per-event_type state machine (flatMapGroupsWithState,
+    * update mode) holding ONE DataSketches HLL sketch per day — the
+    * same lgConfigK=12 / HLL_8 configuration as Spark's
+    * `hll_sketch_agg`, so on any prefix of the stream the emitted
+    * estimate is EXACTLY the batch q77 value over the events seen so
+    * far (suite-asserted, not approximately). Each trigger updates the
+    * touched days' sketches and re-emits every (type, day) whose 7-day
+    * window intersects a touched day, with a per-key monotone `seq` for
+    * keep-last semantics downstream.
+    *
+    * Because HLL sketches are commutative mergeable monoids, the final
+    * state is arrival-order-INDEPENDENT — late or shuffled events
+    * converge to the same per-day sketches, a strictly stronger
+    * contract than the funnel/sessionize twins' ordered-arrival one.
+    * State per type is #days × ~KB sketch blobs — bounded by the
+    * calendar, not the user count, which is the whole point of the
+    * sketch formulation at 100 TB (the batch side merges 7 blobs per
+    * grid day instead of re-scanning a week of raw events; the
+    * streaming side carries those blobs as keyed state). */
+  def streamingRollingUsersSketch(events: DataFrame): Dataset[SketchWindowRow] = {
+    import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("user_id")).as[DayUser]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[TypeSketchState, SketchWindowRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[DayUser], state: GroupState[TypeSketchState]) =>
+          val st = state.getOption.getOrElse(TypeSketchState(Map.empty, 0L))
+          val sketches = scala.collection.mutable.Map.empty[String, HllSketch]
+          st.days.foreach { case (d, b) =>
+            sketches(d) = HllSketch.heapify(b)
+          }
+          val touched = scala.collection.mutable.Set.empty[String]
+          rows.foreach { r =>
+            val sk = sketches.getOrElseUpdate(r.day,
+              new HllSketch(12, TgtHllType.HLL_8))
+            sk.update(r.user_id)
+            touched += r.day
+          }
+          val days = sketches.keys.map(java.time.LocalDate.parse).toSeq
+          val seq = st.seq + 1
+          val out = days.filter { g =>
+            touched.exists { t =>
+              val td = java.time.LocalDate.parse(t)
+              !td.isAfter(g) && !td.isBefore(g.minusDays(6))
+            }
+          }.sortBy(_.toString).map { g =>
+            val u = new Union(12)
+            days.filter(d => !d.isAfter(g) && !d.isBefore(g.minusDays(6)))
+              .foreach(d => u.update(sketches(d.toString)))
+            SketchWindowRow(etype, g.toString,
+              Math.round(u.getResult(TgtHllType.HLL_8).getEstimate), seq)
+          }
+          state.update(TypeSketchState(
+            sketches.map { case (k, v) => k -> v.toUpdatableByteArray }.toMap,
+            seq))
+          out.iterator
+      }
+  }
+
   /** Stream-stream inner join with event-time bounds: each purchase
     * joined to the same user's errors in the preceding 5 minutes
     * (streaming twin of the batch q36 interval join). Both sides carry

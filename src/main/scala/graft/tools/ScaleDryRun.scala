@@ -308,6 +308,45 @@ object ScaleDryRun {
     val (tHll10, _) = timed(graft.queries.Funnels.rollingDistinctUsersSketch(ev10))
     println(f"[scale-dry-run] q77_rolling_hll_1x     $tHll1%8.2f s")
     println(f"[scale-dry-run] q77_rolling_hll_10x    $tHll10%8.2f s  (ratio ${tHll10 / tHll1}%.1fx)")
+
+    // ---- skewed fact-dim join: plain SMJ vs salted vs AQE skew-split ----
+    // q87 DIAGNOSES join-key skew; this is the MITIGATION A/B. 90% of the
+    // 10x fact rows (~54M) share ONE join key, the dim side is forced
+    // non-broadcastable (threshold -1), so a plain static-partition
+    // shuffle join lands the hot key on a single reducer of 32 and the
+    // stage runs at 1/32 parallelism. SkewJoin.saltedInnerJoin spreads
+    // the hot key over `factor` reducers at the cost of replicating the
+    // dim side; AQE's runtime skew split (thresholds lowered to fire at
+    // this scale) is the built-in equivalent. All three must return the
+    // SAME row count — multiplicity preservation is also suite-asserted
+    // in SkewJoinSpec.
+    val dim = o.select(col("o_orderkey").as("k2"), col("o_orderpriority"))
+    val skewedFact = li.withColumn("k",
+        when(rand(7L) < 0.9, lit(1L)).otherwise(col("l_orderkey")))
+      .select(col("k"), col("l_extendedprice"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (tPlain, nPlain) = timed(
+      skewedFact.join(dim, col("k") === col("k2")))
+    val (tSalt, nSalt) = timed(graft.operators.SkewJoin.saltedInnerJoin(
+      skewedFact, "k", dim, "k2", factor = 32))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    val (tAqe, nAqe) = timed(
+      skewedFact.join(dim, col("k") === col("k2")))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+    println(f"[scale-dry-run] skew_join_plain_smj    $tPlain%8.2f s  ($nPlain rows, hot key on 1 of $cpus reducers)")
+    println(f"[scale-dry-run] skew_join_salted_f32   $tSalt%8.2f s  ($nSalt rows, speedup ${tPlain / tSalt}%.1fx)")
+    println(f"[scale-dry-run] skew_join_aqe_split    $tAqe%8.2f s  ($nAqe rows, speedup ${tPlain / tAqe}%.1fx)")
+    require(nPlain == nSalt && nPlain == nAqe,
+      s"skew mitigation changed row multiplicity: $nPlain / $nSalt / $nAqe")
     spark.stop()
   }
 }

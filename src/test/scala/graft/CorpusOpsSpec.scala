@@ -189,6 +189,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(blocked.count() > 0, "fixture should contain fuzzy pairs")
   }
 
+  test("q80: stacked keys catch edits where each single key must miss") {
+    import spark.implicits._
+    val docs = Seq(
+      // edit inside the FIRST 4 chars: escapes the prefix-4 block, the
+      // suffix key (same last 4 chars of the 32-char prefix) catches it
+      (1L, "abcdefghijklmnopqrstuvwxyz012345 tail", "s1"),
+      (2L, "Xbcdefghijklmnopqrstuvwxyz012345 tail", "s1"),
+      // edit at the END of the prefix: escapes the suffix key, the
+      // prefix key catches it
+      (3L, "samePrefixHere_0123456789abcdef0", "s1"),
+      (4L, "samePrefixHere_0123456789abcdXYZ", "s1"),
+      // far pair: same suffix block, distance > 12 — DP must reject
+      (5L, "zzzz zz zzz zzzzz zzzz zzz012345", "s1"))
+      .toDF("doc_id", "text", "source")
+    val rows = queries.CorpusOps.fuzzyMatch(docs)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = rows.toSet
+    assert(rows.length == pairs.size, "duplicate candidate pairs emitted")
+    assert(pairs.contains((1L, 2L)),
+      "prefix-edited near-pair missed — suffix blocking key broken")
+    assert(pairs.contains((3L, 4L)),
+      "suffix-edited near-pair missed — prefix blocking key broken")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      "far pair leaked through the distance filter")
+  }
+
   test("q81: the mode really is the max multiplicity per group") {
     val out = queries.StatsOps.q81.run(spark, dir)
     val maxes = Tables.lineitem(spark, dir)

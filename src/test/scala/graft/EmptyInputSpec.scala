@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions.col
+import scala.util.control.NonFatal
 
 /** Degenerate-input robustness: every registry query must run to
   * completion on ZERO-ROW copies of the fixture tables (schemas
@@ -33,7 +34,9 @@ class EmptyInputSpec extends AnyFunSuite {
   test("every registry query completes on zero-row inputs") {
     val failures = SparkEntry.registry.flatMap { q =>
       try { q.run(spark, emptyDir).queryExecution.toRdd.count(); None }
-      catch { case e: Throwable =>
+      // NonFatal only: an OOM/linkage error must abort the suite, not
+      // masquerade as one query's robustness failure
+      catch { case NonFatal(e) =>
         Some(q.name -> e.toString.linesIterator.next()) }
     }
     assert(failures.isEmpty,

@@ -1,0 +1,156 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Real-decode verification for the multimodal seam: synthetic BMP/WAV
+  * payloads with independently-computed expected stats, exact-value
+  * asserts (no tolerance — header math and integer pixel/PCM sums are
+  * deterministic), corrupt-payload fallback, and JVM-vs-SQL sniffer
+  * agreement. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import ext.Multimodal
+
+  /** Uncompressed 24-bpp BMP: pix(x, y) = (r, g, b) in IMAGE coords
+    * (y = 0 is the top row); rows are stored bottom-up per the spec. */
+  def bmp24(width: Int, height: Int,
+      pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowSize = ((24 * width + 31) / 32) * 4
+    val dataSize = rowSize * height
+    val buf = ByteBuffer.allocate(54 + dataSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize).putInt(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height)
+    buf.putShort(1).putShort(24)
+    buf.putInt(0).putInt(dataSize)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (row <- 0 until height) {
+      val y = height - 1 - row // stored bottom-up
+      for (x <- 0 until width) {
+        val (r, g, b) = pix(x, y)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+      }
+      for (_ <- 0 until rowSize - width * 3) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
+  /** Canonical 44-byte-header PCM-16 WAV. */
+  def wav16(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(channels.toShort)
+    buf.putInt(sampleRate).putInt(sampleRate * channels * 2)
+    buf.putShort((channels * 2).toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  test("BMP decode: exact header fields, pixel mean, histogram, thumbnail") {
+    // 4x4, pixel (x, y) = (r = 10x, g = 10y, b = 100)
+    val payload = bmp24(4, 4, (x, y) => (10 * x, 10 * y, 100))
+    val f = Multimodal.decode(7L, payload)
+    assert(f.format == "bmp")
+    assert(f.width == 4 && f.height == 4 && f.channels == 3)
+    assert(f.n_frames == 1 && f.sample_rate == 0)
+    // channel-byte mean: Σr = Σg = 4·(0+10+20+30) = 240, Σb = 16·100
+    assert(f.mean_signal == (240.0 + 240.0 + 1600.0) / 48.0)
+    // pixel-byte histogram: r,g ∈ {0,10} → bin 0 (16 values), {20,30} →
+    // bin 1 (16), b = 100 → bin 6 (16)
+    val expectedHisto = Array.tabulate(16)(i =>
+      if (i == 0 || i == 1 || i == 6) 16L else 0L)
+    assert(f.histo16.toSeq == expectedHisto.toSeq)
+    // 4x4 thumb over a 4x4 image is the per-pixel integer luma
+    val expectedThumb = for (ty <- 0 until 4; tx <- 0 until 4)
+      yield ((29 * 100 + 150 * (10 * ty) + 77 * (10 * tx)) >> 8).toByte
+    assert(f.thumb.toSeq == expectedThumb)
+  }
+
+  test("BMP decode: bottom-up storage flips rows (top-left pixel sampled first)") {
+    // top row white, everything else black — thumb row 0 must be bright
+    val payload = bmp24(8, 8, (_, y) => if (y == 0) (255, 255, 255) else (0, 0, 0))
+    val f = Multimodal.decode(1L, payload)
+    val t = f.thumb.map(_ & 0xff)
+    assert(t.slice(0, 4).forall(_ == 255), s"thumb row 0: ${t.slice(0, 4).toSeq}")
+    assert(t.slice(4, 16).forall(_ == 0), s"thumb rows 1..3: ${t.slice(4, 16).toSeq}")
+  }
+
+  test("WAV decode: exact header fields, DC offset, amplitude histogram, envelope") {
+    val samples = Array[Short](1000, -1000, 2000, -2000, 32767, -32768)
+    val payload = wav16(8000, 2, samples)
+    val f = Multimodal.decode(9L, payload)
+    assert(f.format == "wav")
+    assert(f.channels == 2 && f.sample_rate == 8000)
+    assert(f.n_frames == 3 && f.width == 0 && f.height == 0)
+    assert(f.mean_signal == -1.0 / 6.0) // Σ samples = −1 over 6 samples
+    // bins of (v + 32768) >> 12
+    val expectedHisto = new Array[Long](16)
+    samples.foreach(v => expectedHisto((v + 32768) >> 12) += 1)
+    assert(f.histo16.toSeq == expectedHisto.toSeq)
+    // envelope: segment 15 covers only the -32768 sample → 32768>>7 = 256,
+    // clamped to 255; segment 0 covers no sample (6 samples / 16 segs) → 0
+    assert((f.thumb(15) & 0xff) == 255)
+    assert((f.thumb(0) & 0xff) == 0)
+  }
+
+  test("corrupt bmp/wav payloads fall back to the labeled stub, never throw") {
+    val truncatedBmp = Array[Byte]('B', 'M', 1, 2, 3)
+    assert(Multimodal.decode(1L, truncatedBmp).format == "bmp_corrupt")
+    // declares 24bpp but the pixel array is missing
+    val headerOnly = bmp24(4, 4, (_, _) => (0, 0, 0)).take(54)
+    assert(Multimodal.decode(2L, headerOnly).format == "bmp_corrupt")
+    val truncatedWav = wav16(8000, 1, Array[Short](1, 2, 3)).take(20)
+    assert(Multimodal.decode(3L, truncatedWav).format == "wav_corrupt")
+    // non-PCM format tag (0xFFFE = extensible) is not decodable here
+    val nonPcm = {
+      val w = wav16(8000, 1, Array[Short](1, 2, 3))
+      w(20) = 0xFE.toByte; w(21) = 0xFF.toByte; w
+    }
+    assert(Multimodal.decode(4L, nonPcm).format == "wav_corrupt")
+    assert(Multimodal.decode(5L, null).format == "empty")
+  }
+
+  test("JVM sniffer agrees with the SQL sniffer on every fixture payload") {
+    import spark.implicits._
+    val payloads: Seq[(Long, Array[Byte])] = Seq(
+      1L -> bmp24(2, 2, (_, _) => (1, 2, 3)),
+      2L -> wav16(8000, 1, Array[Short](0)),
+      3L -> Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A),
+      4L -> Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte),
+      5L -> "not media at all".getBytes("US-ASCII"),
+      6L -> Array[Byte](0, 0, 0, 0x18, 0x66, 0x74, 0x79, 0x70), // mp4 ftyp
+      7L -> null)
+    val df = payloads.toDF("id", "payload")
+      .withColumn("sql_sniff", Multimodal.sniffMedia(col("payload")))
+    val sqlSide = df.select("id", "sql_sniff").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    payloads.foreach { case (id, p) =>
+      assert(Multimodal.sniffBytes(p) == sqlSide(id),
+        s"sniffer disagreement on payload $id")
+    }
+  }
+
+  test("the q34 seam routes real payloads to real decoders end to end") {
+    import spark.implicits._
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      1L -> bmp24(4, 2, (x, _) => (x, x, x)),
+      2L -> wav16(16000, 1, Array[Short](100, -100, 200, -200)),
+      3L -> "plain text payload".getBytes("US-ASCII"))
+    val out = rows.toDS()
+      .mapPartitions(_.map { case (id, b) => Multimodal.decode(id, b) })
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).format == "bmp" && out(1L).width == 4 && out(1L).height == 2)
+    assert(out(2L).format == "wav" && out(2L).sample_rate == 16000 &&
+      out(2L).n_frames == 4)
+    assert(out(3L).format == "unknown" && out(3L).n_bytes == 18)
+  }
+}

@@ -109,6 +109,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() == 0)
   }
 
+  test("streaming HLL sketch twin equals batch q77 exactly (multi-batch)") {
+    // two time-split files → two micro-batches: the second batch's days
+    // fall inside the first's 7-day windows, so incremental sketch
+    // merges AND window re-emission are both exercised, not just a
+    // single-batch replay of the batch plan
+    val d = Files.createTempDirectory("events_hll")
+    val tmpA = Files.createTempDirectory("hll_a").toString
+    val tmpB = Files.createTempDirectory("hll_b").toString
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    try {
+      // raw ns-longs preserved so readEvents' LongType schema holds
+      spark.conf.set(key, "true")
+      val raw = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      val mid = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+      raw.filter(col("ts") <= mid).coalesce(1)
+        .write.mode("overwrite").parquet(tmpA)
+      raw.filter(col("ts") > mid).coalesce(1)
+        .write.mode("overwrite").parquet(tmpB)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    def partOf(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    val fa = d.resolve("a.parquet")
+    val fb = d.resolve("b.parquet")
+    Files.copy(partOf(tmpA), fa)
+    Files.copy(partOf(tmpB), fb)
+    fa.toFile.setLastModified(1000000L) // file-source processes a before b
+    fb.toFile.setLastModified(2000000L)
+    val stream = EventStreams.streamingRollingUsersSketch(
+      EventStreams.readEvents(spark, d.toString))
+    val all = EventStreams.runToMemory(stream.toDF(), "hll_twin_out",
+      OutputMode.Update)
+    // keep-last per (type, day): seq is monotone per event_type
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("day")).orderBy(col("seq").desc)
+    val got = all.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day"), col("users_7d_est"))
+    val want = graft.queries.Funnels.q77.run(spark, TestSpark.sf0001)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0, "streaming estimates diverge from batch q77")
+    assert(want.exceptAll(got).count() == 0, "batch rows missing from streaming output")
+    // update mode really did supersede first-batch estimates
+    assert(all.count() > got.count(),
+      "expected re-emission of windows across micro-batches")
+  }
+
   test("nanosAsLong is restored after the last streaming query terminates") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     // drive one events stream to completion

@@ -311,6 +311,19 @@ class TextVectorSpec extends AnyFunSuite {
     assert(math.abs(out("common") - 150.0) < 4 * math.sqrt(300 * 0.25))
   }
 
+  test("stratified sample membership is stable across repartitionings") {
+    // the md5-threshold draw is a pure function of doc_id, so the kept
+    // MULTISET (not just the counts) must be identical however the
+    // input is partitioned — the guarantee sampleBy/rand could not make
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val fractions = graft.ext.Sampling.strataOf(docs, "source")
+      .map(_ -> 2.5).toMap // >1 exercises the explode path
+    def draw(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      graft.ext.Sampling.stratifiedSample(d, "source", fractions)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(draw(docs) == draw(docs.repartition(7)))
+  }
+
   test("strataOf fails loudly on high-cardinality strata columns") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val e = intercept[IllegalArgumentException] {
