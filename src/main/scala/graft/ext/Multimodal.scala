@@ -127,13 +127,17 @@ object Multimodal {
     val heightRaw = i32(p, 22)
     val bpp = u16(p, 28)
     val compression = i32(p, 30)
+    // math.abs(Int.MinValue) stays negative — reject before abs
+    if (heightRaw == Int.MinValue) return None
     val height = math.abs(heightRaw)
     if (compression != 0 || width <= 0 || height == 0 ||
       !(bpp == 8 || bpp == 24 || bpp == 32)) return None
     val bytesPerPx = bpp / 8
-    val rowSize = ((bpp * width + 31) / 32) * 4 // rows pad to 4 bytes
+    // all size math in Long: a hostile width (~9e7 at 24bpp) wraps Int
+    val rowSizeL = ((bpp.toLong * width + 31) / 32) * 4 // rows pad to 4 bytes
     if (dataOffset < 54 ||
-      dataOffset.toLong + rowSize.toLong * height > p.length) return None
+      dataOffset.toLong + rowSizeL * height > p.length) return None
+    val rowSize = rowSizeL.toInt // safe: bounded by p.length above
     val histo = new Array[Long](16)
     var sum = 0L
     var n = 0L
@@ -191,10 +195,13 @@ object Multimodal {
     * the 16-bin amplitude histogram over the full signed range, and
     * `thumb` a 16-segment mean-|amplitude| envelope scaled to bytes.
     * None on structural violations (no fmt/data chunk, compressed
-    * format tag, truncation) — caller falls back to the stub. */
+    * format tag, truncation — including a `data` chunk whose declared
+    * size overruns the payload) — caller falls back to the stub. */
   def decodeWav(docId: Long, p: Array[Byte]): Option[MediaFeatures] = {
     if (p.length < 12) return None
-    var off = 12
+    // Long offsets: a corrupt chunk size near Int.MaxValue would wrap an
+    // Int cursor negative and re-enter the loop out of bounds
+    var off = 12L
     var fmtOk = false
     var channels = 0
     var sampleRate = 0
@@ -202,21 +209,25 @@ object Multimodal {
     var dataOff = -1
     var dataLen = 0
     while (off + 8 <= p.length) {
-      val id = new String(p, off, 4, "US-ASCII")
-      val sz = i32(p, off + 4)
+      val o = off.toInt
+      val id = new String(p, o, 4, "US-ASCII")
+      val sz = i32(p, o + 4)
       if (sz < 0) return None
       if (id == "fmt " && off + 8 + 16 <= p.length) {
-        val audioFormat = u16(p, off + 8)
-        channels = u16(p, off + 10)
-        sampleRate = i32(p, off + 12)
-        bits = u16(p, off + 22)
+        val audioFormat = u16(p, o + 8)
+        channels = u16(p, o + 10)
+        sampleRate = i32(p, o + 12)
+        bits = u16(p, o + 22)
         fmtOk = audioFormat == 1 && (bits == 8 || bits == 16) &&
           channels > 0 && sampleRate > 0
       } else if (id == "data" && dataOff < 0) {
-        dataOff = off + 8
-        dataLen = math.min(sz.toLong, (p.length - dataOff).toLong).toInt
+        // declared size must fit: a truncated data chunk is structural
+        // corruption, not valid audio — fall back to the stub
+        if (off + 8 + sz > p.length) return None
+        dataOff = o + 8
+        dataLen = sz
       }
-      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      off += 8L + sz + (sz & 1) // RIFF chunks are word-aligned
     }
     if (!fmtOk || dataOff < 0) return None
     val bytesPerSample = bits / 8
@@ -293,14 +304,19 @@ object Multimodal {
     * keeps the task alive; note this differs from q33's null-safe
     * built-ins, which would yield NULL metadata for the same row. */
   def decode(docId: Long, payloadOrNull: Array[Byte]): MediaFeatures = {
+    import scala.util.control.NonFatal
     val p =
       if (payloadOrNull == null) Array.emptyByteArray else payloadOrNull
+    // belt-and-suspenders: the decoders validate structure up front, but
+    // a payload crafted past those checks must still degrade to the
+    // labeled stub, never kill the task
+    def safely(d: => Option[MediaFeatures], corrupt: String): MediaFeatures =
+      (try d catch { case NonFatal(_) => None })
+        .getOrElse(stubFeatures(docId, p, corrupt))
     sniffBytes(payloadOrNull) match { // sniff the ORIGINAL: null → "empty"
-      case "bmp" =>
-        decodeBmp(docId, p).getOrElse(stubFeatures(docId, p, "bmp_corrupt"))
-      case "wav" =>
-        decodeWav(docId, p).getOrElse(stubFeatures(docId, p, "wav_corrupt"))
-      case f => stubFeatures(docId, p, f)
+      case "bmp" => safely(decodeBmp(docId, p), "bmp_corrupt")
+      case "wav" => safely(decodeWav(docId, p), "wav_corrupt")
+      case f     => stubFeatures(docId, p, f)
     }
   }
 
@@ -321,16 +337,71 @@ object Multimodal {
         md5(text) AS payload_md5
       FROM documents"""))
 
+  /** Deterministic real-container payloads unioned into q34's input so
+    * the registry run itself exercises the REAL decode paths (not just
+    * the suite): two BMPs (gradient + flat), two WAVs (sine-ish ramp +
+    * silence), one corrupt of each. Built from pure header math — no
+    * fixtures, no randomness — under negative doc_ids so they can never
+    * collide with the documents table. */
+  private[graft] def syntheticMediaPayloads: Seq[(Long, Array[Byte])] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def bmp24(width: Int, height: Int, pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val rowSize = ((24 * width + 31) / 32) * 4
+      val dataSize = rowSize * height
+      val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte)
+      buf.putInt(54 + dataSize).putInt(0).putInt(54)
+      buf.putInt(40).putInt(width).putInt(height)
+      buf.putShort(1).putShort(24)
+      buf.putInt(0).putInt(dataSize)
+      buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (row <- 0 until height; y = height - 1 - row) { // stored bottom-up
+        for (x <- 0 until width) {
+          val (r, g, b) = pix(x, y)
+          buf.put(b.toByte).put(g.toByte).put(r.toByte)
+        }
+        for (_ <- 0 until rowSize - width * 3) buf.put(0.toByte)
+      }
+      buf.array()
+    }
+    def wav16(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      buf.putShort(1).putShort(channels.toShort)
+      buf.putInt(sampleRate).putInt(sampleRate * channels * 2)
+      buf.putShort((channels * 2).toShort).putShort(16)
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+    Seq(
+      -1L -> bmp24(16, 16, (x, y) => (x * 16, y * 16, (x + y) * 8)),
+      -2L -> bmp24(8, 4, (_, _) => (200, 100, 50)),
+      -3L -> wav16(16000, 1, Array.tabulate(64)(i => ((i % 16) * 1000 - 8000).toShort)),
+      -4L -> wav16(8000, 2, new Array[Short](32)),
+      -5L -> bmp24(4, 4, (_, _) => (0, 0, 0)).take(40), // truncated → bmp_corrupt
+      -6L -> wav16(8000, 1, Array[Short](1, 2, 3, 4)).take(48)) // → wav_corrupt
+  }
+
   /** q34 — feature extraction through the typed partition-batched path
     * (the `mapPartitions` seam where the decode router runs: real
-    * BMP/WAV decoders, labeled stub for codec-bound formats). Output is
-    * flattened to SQL types so downstream relational ops compose. */
+    * BMP/WAV decoders, labeled stub for codec-bound formats). The input
+    * unions [[syntheticMediaPayloads]] with the documents table so the
+    * driver-run plan exercises real decode, corrupt fallback, AND the
+    * stub router in one pass. Output is flattened to SQL types so
+    * downstream relational ops compose. */
   val q34: Q = Q(
     "q34_multimodal_features",
     run = { (spark, dir) =>
       import spark.implicits._
+      val media = spark.createDataset(syntheticMediaPayloads)
+        .toDF("doc_id", "payload")
       val payloads = Tables.documents(spark, dir)
         .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .unionByName(media)
         .as[(Long, Array[Byte])]
       payloads
         .mapPartitions(_.map { case (id, bytes) => decode(id, bytes) })

@@ -119,6 +119,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(5L, null).format == "empty")
   }
 
+  test("hostile headers that overflow Int math fall back to the stub") {
+    // WAV chunk size near Int.MaxValue: an Int cursor would wrap negative
+    // and re-enter the chunk walk out of bounds
+    val hostileWav = {
+      val buf = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(24)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("junk".getBytes("US-ASCII")).putInt(Int.MaxValue - 5)
+      buf.putInt(0).putInt(0).putInt(0)
+      buf.array()
+    }
+    assert(Multimodal.decode(1L, hostileWav).format == "wav_corrupt")
+    // BMP width that wraps bpp*width: 1e8 px at 24bpp = 2.4e9 > Int.MaxValue
+    val hostileBmp = {
+      val buf = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte)
+      buf.putInt(64).putInt(0).putInt(54)
+      buf.putInt(40).putInt(100000000).putInt(3)
+      buf.putShort(1).putShort(24)
+      buf.putInt(0).putInt(0)
+      buf.putInt(0).putInt(0).putInt(0).putInt(0)
+      buf.array()
+    }
+    assert(Multimodal.decode(2L, hostileBmp).format == "bmp_corrupt")
+    // heightRaw == Int.MinValue survives math.abs as a negative
+    val minHeightBmp = {
+      val b = bmp24(2, 2, (_, _) => (0, 0, 0))
+      val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(22, Int.MinValue)
+      b
+    }
+    assert(Multimodal.decode(3L, minHeightBmp).format == "bmp_corrupt")
+  }
+
+  test("a data chunk whose declared size overruns the payload is corrupt, not clamped") {
+    val whole = wav16(8000, 1, Array[Short](1, 2, 3, 4)) // 44 + 8 bytes
+    assert(Multimodal.decode(1L, whole).format == "wav")
+    // cut mid-samples: header intact, declared data size 8 > 4 available
+    assert(Multimodal.decode(2L, whole.take(48)).format == "wav_corrupt")
+  }
+
   test("JVM sniffer agrees with the SQL sniffer on every fixture payload") {
     import spark.implicits._
     val payloads: Seq[(Long, Array[Byte])] = Seq(
@@ -137,6 +178,16 @@ class MultimodalSpec extends AnyFunSuite {
       assert(Multimodal.sniffBytes(p) == sqlSide(id),
         s"sniffer disagreement on payload $id")
     }
+  }
+
+  test("q34 registry run exercises real decode, corrupt fallback, and the stub") {
+    val formats = Multimodal.q34.run(spark, TestSpark.sf0001)
+      .select("format").distinct().collect().map(_.getString(0)).toSet
+    // synthetic payloads guarantee the real paths fire in the driver run
+    assert(Set("bmp", "wav", "bmp_corrupt", "wav_corrupt").subsetOf(formats),
+      s"formats seen: $formats")
+    // documents' text bytes still route through the labeled stub
+    assert(formats.contains("unknown"))
   }
 
   test("the q34 seam routes real payloads to real decoders end to end") {
