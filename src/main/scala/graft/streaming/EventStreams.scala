@@ -291,7 +291,19 @@ object EventStreams {
     * calendar, not the user count, which is the whole point of the
     * sketch formulation at 100 TB (the batch side merges 7 blobs per
     * grid day instead of re-scanning a week of raw events; the
-    * streaming side carries those blobs as keyed state). */
+    * streaming side carries those blobs as keyed state).
+    *
+    * GRID CONTRACT: batch q77 windows every type over the GLOBAL
+    * distinct-day grid, but a per-key state machine cannot observe
+    * other types' days. So each type emits the full CALENDAR span of
+    * its touched days — every g in [t, t+6] per touched day t, whose
+    * window [g-6, g] necessarily contains t — a deterministic SUPERSET
+    * of any global grid restricted to that type. Keep-last rows
+    * semijoined to the global day grid (a calendar dimension any
+    * consumer already has, or `SELECT DISTINCT to_date(ts)` over the
+    * landed events) are then EXACTLY batch q77, including (type, g)
+    * rows where the type was quiet on g but active in the prior six
+    * days (suite-asserted on a sparse-day fixture). */
   def streamingRollingUsersSketch(events: DataFrame): Dataset[SketchWindowRow] = {
     import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
     val spark = events.sparkSession
@@ -315,20 +327,21 @@ object EventStreams {
             sk.update(r.user_id)
             touched += r.day
           }
-          val days = sketches.keys.map(java.time.LocalDate.parse).toSeq
+          val typeDays = sketches.keys.map(java.time.LocalDate.parse).toSeq
           val seq = st.seq + 1
-          val out = days.filter { g =>
-            touched.exists { t =>
-              val td = java.time.LocalDate.parse(t)
-              !td.isAfter(g) && !td.isBefore(g.minusDays(6))
+          // every window a touched day can affect: g in [t, t+6] — see
+          // GRID CONTRACT above; each union is non-empty (contains t)
+          val out = touched.toSeq.map(java.time.LocalDate.parse)
+            .flatMap(t => (0 to 6).map(t.plusDays(_)))
+            .distinct
+            .sortBy(_.toString)
+            .map { g =>
+              val u = new Union(12)
+              typeDays.filter(d => !d.isAfter(g) && !d.isBefore(g.minusDays(6)))
+                .foreach(d => u.update(sketches(d.toString)))
+              SketchWindowRow(etype, g.toString,
+                Math.round(u.getResult(TgtHllType.HLL_8).getEstimate), seq)
             }
-          }.sortBy(_.toString).map { g =>
-            val u = new Union(12)
-            days.filter(d => !d.isAfter(g) && !d.isBefore(g.minusDays(6)))
-              .foreach(d => u.update(sketches(d.toString)))
-            SketchWindowRow(etype, g.toString,
-              Math.round(u.getResult(TgtHllType.HLL_8).getEstimate), seq)
-          }
           state.update(TypeSketchState(
             sketches.map { case (k, v) => k -> v.toUpdatableByteArray }.toMap,
             seq))

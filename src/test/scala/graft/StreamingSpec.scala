@@ -149,16 +149,105 @@ class StreamingSpec extends AnyFunSuite {
     // keep-last per (type, day): seq is monotone per event_type
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type"), col("day")).orderBy(col("seq").desc)
-    val got = all.withColumn("rn", row_number().over(w))
+    val gotAll = all.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("event_type"), col("day"), col("users_7d_est"))
     val want = graft.queries.Funnels.q77.run(spark, TestSpark.sf0001)
+    // streaming emits each type's calendar-span SUPERSET; the contract is
+    // equality after semijoin to the global day grid (= batch q77's days)
+    val got = gotAll.join(want.select("day").distinct(), Seq("day"), "left_semi")
+      .select(col("event_type"), col("day"), col("users_7d_est"))
     assert(got.count() == want.count())
     assert(got.exceptAll(want).count() == 0, "streaming estimates diverge from batch q77")
     assert(want.exceptAll(got).count() == 0, "batch rows missing from streaming output")
     // update mode really did supersede first-batch estimates
-    assert(all.count() > got.count(),
+    assert(all.count() > gotAll.count(),
       "expected re-emission of windows across micro-batches")
+  }
+
+  /** Sparse-day fixture for the HLL twin grid contract: clicks on day 1
+    * only, purchases on day 3 only — so the global grid has a day where
+    * each type is quiet but still windowed by batch q77. Rows are
+    * (event_id, ts_ns, user_id, event_type); written one file per group
+    * with mtimes forcing the given trigger order. */
+  private def writeSparseEvents(groups: Seq[Seq[(Long, Long, Long, String)]]): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("events_sparse")
+    groups.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = Files.createTempDirectory(s"sparse_$i").toString
+      rows.map { case (id, ts, uid, et) => (id, ts, uid, et, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = d.resolve(f"g$i%02d.parquet")
+      Files.copy(part, dst)
+      dst.toFile.setLastModified(1000000L * (i + 1))
+    }
+    d.toString
+  }
+
+  private val dayNs = 86400L * 1000000000L
+  private val sparseRows: Seq[(Long, Long, Long, String)] = Seq(
+    (1L, 1 * dayNs + 1000L, 10L, "click"),
+    (2L, 1 * dayNs + 2000L, 11L, "click"),
+    (3L, 3 * dayNs + 1000L, 20L, "purchase"),
+    (4L, 3 * dayNs + 2000L, 21L, "purchase"),
+    (5L, 3 * dayNs + 3000L, 10L, "purchase"))
+
+  private def batchSketchOf(rows: Seq[(Long, Long, Long, String)]) = {
+    import spark.implicits._
+    val batch = rows
+      .map { case (id, ts, uid, et) => (id, ts / 1000L, uid, et) }
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+    graft.queries.Funnels.rollingDistinctUsersSketch(batch)
+  }
+
+  private def keepLastOnGrid(streamDir: String, name: String) = {
+    val stream = EventStreams.streamingRollingUsersSketch(
+      EventStreams.readEvents(spark, streamDir))
+    val all = EventStreams.runToMemory(stream.toDF(), name, OutputMode.Update)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("day")).orderBy(col("seq").desc)
+    all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_type"), col("day"), col("users_7d_est"))
+  }
+
+  test("streaming HLL twin emits grid rows for days where a type is quiet") {
+    // one trigger per type → the click group's machine never sees day 3
+    val dir = writeSparseEvents(Seq(
+      sparseRows.filter(_._4 == "click"),
+      sparseRows.filter(_._4 == "purchase")))
+    val want = batchSketchOf(sparseRows)
+    val got = keepLastOnGrid(dir, "hll_sparse_out")
+      .join(want.select("day").distinct(), Seq("day"), "left_semi")
+      .select(col("event_type"), col("day"), col("users_7d_est"))
+    // batch emits (click, day3): quiet that day, active within the window
+    assert(want.filter(col("event_type") === "click").count() == 2)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "sparse-day grid rows diverge from batch q77")
+  }
+
+  test("streaming HLL twin is arrival-order independent (shuffled triggers)") {
+    // same rows, two hostile orders: later days first, types interleaved,
+    // one event per trigger
+    val orderA = Seq(sparseRows(4), sparseRows(0), sparseRows(2),
+      sparseRows(1), sparseRows(3)).map(Seq(_))
+    val orderB = Seq(sparseRows(1), sparseRows(3), sparseRows(0),
+      sparseRows(4), sparseRows(2)).map(Seq(_))
+    val want = batchSketchOf(sparseRows)
+    val grid = want.select("day").distinct()
+    Seq(writeSparseEvents(orderA) -> "hll_ooo_a",
+        writeSparseEvents(orderB) -> "hll_ooo_b").foreach { case (dir, nm) =>
+      val got = keepLastOnGrid(dir, nm)
+        .join(grid, Seq("day"), "left_semi")
+        .select(col("event_type"), col("day"), col("users_7d_est"))
+      assert(got.count() == want.count(), s"$nm row count")
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        s"$nm diverges from batch under shuffled arrival")
+    }
   }
 
   test("nanosAsLong is restored after the last streaming query terminates") {
