@@ -31,12 +31,109 @@ object KaggleSource {
     }
   }
 
+  /** Injectable HTTP seam: the download transport is a one-method
+    * interface so the real client ([[HttpTransport]]) and test fakes
+    * (a local HttpServer in the suite) are interchangeable — and so a
+    * zero-egress environment fails with a clear error instead of a
+    * hung socket. Returns (status, body). */
+  trait Transport {
+    def get(url: String, headers: Map[String, String]): (Int, Array[Byte])
+  }
+
+  /** JDK-only HTTP GET with manual redirect following (the Kaggle API
+    * 302s dataset downloads to object storage; `HttpURLConnection`
+    * won't follow a cross-host/https hop itself). The Authorization
+    * header is dropped on a cross-host redirect — the redirect target
+    * carries its own signed credentials, and forwarding basic auth to
+    * a third-party host would leak the key. */
+  object HttpTransport extends Transport {
+    def get(url: String, headers: Map[String, String]): (Int, Array[Byte]) = {
+      var current = url
+      var auth = headers
+      var hops = 0
+      while (true) {
+        val u = java.net.URI.create(current).toURL
+        val conn = u.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setInstanceFollowRedirects(false)
+        conn.setConnectTimeout(30000)
+        conn.setReadTimeout(120000)
+        auth.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        val status = conn.getResponseCode
+        if (status >= 300 && status < 400) {
+          val loc = Option(conn.getHeaderField("Location")).getOrElse(
+            throw new java.io.IOException(s"redirect without Location from $current"))
+          conn.disconnect()
+          hops += 1
+          if (hops > 5)
+            throw new java.io.IOException(s"too many redirects fetching $url")
+          val next = u.toURI.resolve(loc).toString
+          if (java.net.URI.create(next).getHost != u.getHost)
+            auth = auth - "Authorization"
+          current = next
+        } else {
+          val is = if (status >= 400) conn.getErrorStream else conn.getInputStream
+          val body =
+            if (is == null) Array.emptyByteArray
+            else try is.readAllBytes() finally is.close()
+          conn.disconnect()
+          return (status, body)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** Unzip an archive's regular files into `staging`, rejecting entries
+    * that escape it (zip-slip), and return the extracted paths. */
+  private[graft] def unzipInto(zipBytes: Array[Byte],
+      staging: Path): Seq[String] = {
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(zipBytes))
+    try {
+      var out = List.empty[String]
+      var entry = zin.getNextEntry
+      if (entry == null)
+        throw new java.io.IOException("downloaded archive is not a zip or is empty")
+      while (entry != null) {
+        if (!entry.isDirectory) {
+          val dst = staging.resolve(entry.getName).normalize()
+          if (!dst.startsWith(staging.normalize()))
+            throw new java.io.IOException(
+              s"zip entry '${entry.getName}' escapes the staging directory")
+          Files.createDirectories(dst.getParent)
+          Files.write(dst, zin.readAllBytes())
+          out ::= dst.toString
+        }
+        zin.closeEntry()
+        entry = zin.getNextEntry
+      }
+      out.reverse
+    } finally zin.close()
+  }
+
+  /** The Kaggle dataset download endpoint (reference
+    * wine_etl_kaggle.py:50-56 calls the same API via the kaggle
+    * client). Overridable base URL so tests point it at a local fake. */
+  def datasetUrl(dataset: String,
+      baseUrl: String = "https://www.kaggle.com/api/v1"): String =
+    s"$baseUrl/datasets/download/$dataset"
+
   /** Fetch `dataset` (e.g. "zynicide/wine-reviews") into `stagingDir` and
-    * return the staged file paths. `localMirror`, when given, is a
-    * directory whose files are copied into staging instead of any
-    * network call (the offline/test path). */
+    * return the staged file paths.
+    *
+    * Three paths, in precedence order:
+    *   1. `localMirror` — a directory whose files are copied into
+    *      staging, no network (the offline/driver-test path);
+    *   2. `transport` — a real download: basic-auth GET of the dataset
+    *      archive (credentials in the reference's `kaggle.json`
+    *      {username, key} shape), unzipped into staging;
+    *   3. neither — a clear no-egress error, never a hung socket. */
   def fetch(dataset: String, stagingDir: String,
-      localMirror: Option[String] = None): Seq[String] = {
+      localMirror: Option[String] = None,
+      transport: Option[Transport] = None,
+      credentials: Option[Credentials] = None,
+      baseUrl: String = "https://www.kaggle.com/api/v1"): Seq[String] = {
     val staging = Paths.get(stagingDir)
     Files.createDirectories(staging)
     localMirror match {
@@ -58,10 +155,26 @@ object KaggleSource {
           }
           out.reverse
         } finally stream.close()
-      case None =>
-        throw new java.io.IOException(
-          s"Cannot download kaggle dataset '$dataset': no network egress in " +
-            "this environment. Provide localMirror with pre-staged files.")
+      case None => transport match {
+        case Some(t) =>
+          val creds = credentials.orElse(loadCredentials()).getOrElse(
+            throw new java.io.IOException(
+              s"Cannot download kaggle dataset '$dataset': no credentials " +
+                "(expected ~/.kaggle/kaggle.json {username, key})"))
+          val token = java.util.Base64.getEncoder.encodeToString(
+            s"${creds.username}:${creds.key}".getBytes("UTF-8"))
+          val (status, body) = t.get(datasetUrl(dataset, baseUrl),
+            Map("Authorization" -> s"Basic $token"))
+          if (status != 200)
+            throw new java.io.IOException(
+              s"kaggle download of '$dataset' failed: HTTP $status")
+          unzipInto(body, staging)
+        case None =>
+          throw new java.io.IOException(
+            s"Cannot download kaggle dataset '$dataset': no network egress in " +
+              "this environment. Provide localMirror with pre-staged files " +
+              "or a Transport for a live fetch.")
+      }
     }
   }
 }

@@ -54,6 +54,156 @@ class WinePipelineSpec extends AnyFunSuite {
     assert(rep("price_category_not_null") == 1) // the zero-priced row
   }
 
+  // ---- Kaggle HTTP transport against a local fake server (no egress) ----
+
+  /** Build an in-memory zip of (name → content) entries. */
+  private def zipOf(entries: (String, String)*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (name, content) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  /** Local HTTP server serving `routes` (path → (status, body)); runs the
+    * test body with its base URL, always shut down after. */
+  private def withFakeServer(routes: Map[String, (Int, Array[Byte])])(
+      body: String => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val seenAuth = new java.util.concurrent.atomic.AtomicReference[String]()
+    routes.foreach { case (path, (status, bytes)) =>
+      server.createContext(path, exchange => {
+        seenAuth.set(exchange.getRequestHeaders.getFirst("Authorization"))
+        exchange.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+        if (bytes.nonEmpty) exchange.getResponseBody.write(bytes)
+        exchange.close()
+      })
+    }
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/api/v1")
+    finally server.stop(0)
+  }
+
+  private val testCreds = sources.KaggleSource.Credentials("alice", "s3cret")
+
+  test("kaggle transport: live fetch downloads, authenticates, and unzips") {
+    val archive = zipOf("wine.json" -> """[{"points":"87"}]""",
+      "readme.txt" -> "hello")
+    withFakeServer(Map(
+      "/api/v1/datasets/download/zynicide/wine-reviews" -> (200, archive))) { base =>
+      val staging = Files.createTempDirectory("kaggle_live").toString
+      val got = sources.KaggleSource.fetch("zynicide/wine-reviews", staging,
+        transport = Some(sources.KaggleSource.HttpTransport),
+        credentials = Some(testCreds), baseUrl = base)
+      assert(got.map(p => java.nio.file.Paths.get(p).getFileName.toString).toSet ==
+        Set("wine.json", "readme.txt"))
+      val content = Files.readString(java.nio.file.Paths.get(s"$staging/wine.json"))
+      assert(content == """[{"points":"87"}]""")
+    }
+  }
+
+  test("kaggle transport: basic-auth header carries the kaggle.json cred shape") {
+    val archive = zipOf("f.txt" -> "x")
+    var captured: String = null
+    val capturing = new sources.KaggleSource.Transport {
+      def get(url: String, headers: Map[String, String]): (Int, Array[Byte]) = {
+        captured = headers("Authorization"); (200, archive)
+      }
+    }
+    val staging = Files.createTempDirectory("kaggle_auth").toString
+    sources.KaggleSource.fetch("a/b", staging,
+      transport = Some(capturing), credentials = Some(testCreds))
+    val expected = "Basic " + java.util.Base64.getEncoder
+      .encodeToString("alice:s3cret".getBytes("UTF-8"))
+    assert(captured == expected)
+  }
+
+  test("kaggle transport: 404 and non-zip bodies fail loudly, mirror untouched") {
+    withFakeServer(Map(
+      "/api/v1/datasets/download/gone/gone" -> (404, "not found".getBytes("UTF-8")),
+      "/api/v1/datasets/download/bad/zip" -> (200, "this is no zip".getBytes("UTF-8")))) { base =>
+      val staging = Files.createTempDirectory("kaggle_err").toString
+      val e404 = intercept[java.io.IOException] {
+        sources.KaggleSource.fetch("gone/gone", staging,
+          transport = Some(sources.KaggleSource.HttpTransport),
+          credentials = Some(testCreds), baseUrl = base)
+      }
+      assert(e404.getMessage.contains("HTTP 404"))
+      val eZip = intercept[java.io.IOException] {
+        sources.KaggleSource.fetch("bad/zip", staging,
+          transport = Some(sources.KaggleSource.HttpTransport),
+          credentials = Some(testCreds), baseUrl = base)
+      }
+      assert(eZip.getMessage.contains("not a zip"))
+    }
+    // the offline path is unchanged: mirror wins even with a transport
+    val mirror = Files.createTempDirectory("kaggle_mirror")
+    Files.writeString(mirror.resolve("m.json"), "[]")
+    val staging2 = Files.createTempDirectory("kaggle_mirror_stage").toString
+    val got = sources.KaggleSource.fetch("any/thing", staging2,
+      localMirror = Some(mirror.toString),
+      transport = Some(sources.KaggleSource.HttpTransport))
+    assert(got.map(p => java.nio.file.Paths.get(p).getFileName.toString) ==
+      Seq("m.json"))
+  }
+
+  test("kaggle transport: zip-slip entries are rejected") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("../escape.txt"))
+    zos.write("evil".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val staging = Files.createTempDirectory("kaggle_slip")
+    val e = intercept[java.io.IOException] {
+      sources.KaggleSource.unzipInto(bos.toByteArray, staging)
+    }
+    assert(e.getMessage.contains("escapes"))
+    assert(!Files.exists(staging.getParent.resolve("escape.txt")))
+  }
+
+  test("kaggle transport: redirect is followed, auth dropped cross-host") {
+    val archive = zipOf("r.txt" -> "redirected")
+    // server A redirects to server B (a different host string: localhost
+    // vs 127.0.0.1), which requires NO auth and serves the archive
+    val serverB = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val authSeenAtB = new java.util.concurrent.atomic.AtomicReference[String]("unset")
+    serverB.createContext("/blob", exchange => {
+      authSeenAtB.set(exchange.getRequestHeaders.getFirst("Authorization"))
+      exchange.sendResponseHeaders(200, archive.length)
+      exchange.getResponseBody.write(archive)
+      exchange.close()
+    })
+    serverB.start()
+    val serverA = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    serverA.createContext("/api/v1/datasets/download/r/r", exchange => {
+      exchange.getResponseHeaders.set("Location",
+        s"http://localhost:${serverB.getAddress.getPort}/blob")
+      exchange.sendResponseHeaders(302, -1)
+      exchange.close()
+    })
+    serverA.start()
+    try {
+      val staging = Files.createTempDirectory("kaggle_redir").toString
+      val got = sources.KaggleSource.fetch("r/r", staging,
+        transport = Some(sources.KaggleSource.HttpTransport),
+        credentials = Some(testCreds),
+        baseUrl = s"http://127.0.0.1:${serverA.getAddress.getPort}/api/v1")
+      assert(got.map(p => java.nio.file.Paths.get(p).getFileName.toString) ==
+        Seq("r.txt"))
+      // 127.0.0.1 → localhost is a host change: auth must not be forwarded
+      assert(authSeenAtB.get() == null,
+        s"Authorization leaked cross-host: ${authSeenAtB.get()}")
+    } finally { serverA.stop(0); serverB.stop(0) }
+  }
+
   test("CSV-staged compat run equals the fused run (reference 4.1 round-trip)") {
     val out = Files.createTempDirectory("wine_csv").toString
     val fused = WinePipeline.run(spark, fixture, s"$out/fused")
