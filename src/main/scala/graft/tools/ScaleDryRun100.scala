@@ -1,0 +1,203 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 100× scale dry-run: the evidence pass for "would this plan survive a
+  * 100× scale-up" (the 10× pass lives in [[ScaleDryRun]]; this tool
+  * takes the headline shapes to 100× sf0.1 — 60M lineitem rows, 500k
+  * documents, 10M events, 200k vectors — and records 1×/10×/100×
+  * ratios). Run with SPARK_DRIVER_MEM=48g; results are transcribed into
+  * BASELINE.md's round-8 section.
+  *
+  * Growth is a BIGGER WORLD, not replication: every copy gets offset
+  * keys (fresh orderkeys/doc_ids/user_ids/vec_ids) and, for text,
+  * shuffled tokens — so joins stay 1:1 per key, dup groups keep their
+  * planted density, and a ratio measures PLAN scaling, not the
+  * (semantic) output blow-up of 100-deep duplicate groups.
+  */
+object ScaleDryRun100 {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+
+    def timed(df: => DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = df.queryExecution.toRdd.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    def row(name: String, t: Double, n: Long, note: String = ""): Unit =
+      println(f"[scale-100] $name%-28s $t%8.2f s  ($n rows)$note")
+
+    // ---- relational: 1x / 10x / 100x with offset join keys ----
+    val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o0 = spark.read.parquet(s"$dir/orders.parquet")
+    def growKeyed(df: DataFrame, mult: Int, keys: Seq[String],
+        stride: Long = 100000000L): DataFrame =
+      (0 until mult).map { i =>
+        if (i == 0) df
+        else keys.foldLeft(df)((d, k) =>
+          d.withColumn(k, col(k) + lit(i * stride)))
+      }.reduce(_ unionByName _).repartition(cpus.toInt)
+
+    def relational(tag: String, mult: Int): (Double, Double) = {
+      val li = growKeyed(li0, mult, Seq("l_orderkey"))
+      val o = growKeyed(o0, mult, Seq("o_orderkey"))
+      import graft.functions.Exact._
+      val (tAgg, nAgg) = timed(
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"),
+            dsumExpr(dec(col("l_extendedprice")) *
+              (lit(1) - dec(col("l_discount")))).as("rev"),
+            count(lit(1)).as("n")))
+      row(s"tpch_q1_agg_$tag", tAgg, nAgg)
+      val (tJoin, nJoin) = timed(
+        o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(dsumExpr(dec(col("l_extendedprice")) *
+            (lit(1) - dec(col("l_discount")))).as("rev"),
+            count(lit(1)).as("n")))
+      row(s"fact_fact_join_$tag", tJoin, nJoin)
+      (tAgg, tJoin)
+    }
+    // warm-up then measure
+    li0.agg(count(lit(1))).queryExecution.toRdd.count()
+    val (a1, j1) = relational("1x", 1)
+    val (a10, j10) = relational("10x", 10)
+    val (a100, j100) = relational("100x", 100)
+    println(f"[scale-100] RATIO tpch_q1_agg     10x=${a10 / a1}%.1fx 100x=${a100 / a1}%.1fx")
+    println(f"[scale-100] RATIO fact_fact_join  10x=${j10 / j1}%.1fx 100x=${j100 / j1}%.1fx")
+
+    // ---- clustering trio at 1x/10x/100x: banded generator + label
+    // propagation, with ClusterStats telemetry (rounds / pointer-
+    // doubling engagement / per-round changed counts) ----
+    val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+    // decorrelated base growth: shuffled tokens, fresh doc_ids — same
+    // vocabulary, distinct shingles, same planted near-dup density
+    def decorr(mult: Int): DataFrame =
+      (0 until mult).map { i =>
+        if (i == 0) docs0
+        else docs0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          concat_ws(" ", shuffle(split(col("text"), " "))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+    // dup-dense: `depth` near-copies per doc (trailing salt token →
+    // J ≈ 0.93, rides the NEAR-pair path, not exact-hash star edges)
+    def dense(base: DataFrame, depth: Int): DataFrame =
+      (0 until depth).map { k =>
+        if (k == 0) base
+        else base.select((col("doc_id") + lit(k * 100000000L)).as("doc_id"),
+          concat(col("text"), lit(s" salt$k")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _).repartition(cpus.toInt)
+
+    def clusterCase(tag: String, docs: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val (labels, stats) = graft.ext.DedupCluster.clustersWithStats(docs)
+      val n = labels.queryExecution.toRdd.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      row(s"cluster_banded_$tag", t, n,
+        s"  rounds=${stats.rounds} hopRounds=${stats.hopRounds} changed=${stats.changed.mkString(",")}")
+      t
+    }
+    val tc1 = clusterCase("1x", dense(docs0, 1))        // 5k docs
+    val tc10 = clusterCase("10x", dense(docs0, 10))     // 50k docs, 10-deep
+    val tc100 = clusterCase("100x", dense(decorr(10), 10)) // 500k docs, 10-deep
+    println(f"[scale-100] RATIO cluster_banded  10x=${tc10 / tc1}%.1fx 100x=${tc100 / tc1}%.1fx")
+    // exact generator comparison at 100x (gate configuration)
+    val (tex100, nex100) = timed(
+      graft.queries.TextOps.jaccardPairs(dense(decorr(10), 10), 0.5))
+    row("pairs_exact_100x", tex100, nex100)
+    val (tb100, nb100) = timed(
+      graft.ext.MinHashDedup.bandedJaccardPairs(dense(decorr(10), 10), 0.5))
+    row("pairs_banded_100x", tb100, nb100,
+      f"  banded/exact=${tb100 / tex100}%.2fx")
+
+    // ---- rolling distinct users: exact vs sketch at 1x/10x/100x ----
+    val ev0 = graft.Tables.events(spark, dir)
+    def growEvents(mult: Int): DataFrame =
+      (0 until mult).map { i =>
+        if (i == 0) ev0
+        else ev0.select((col("event_id") + lit(i * 1000000000L)).as("event_id"),
+          col("ts"), (col("user_id") + lit(i * 10000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _).repartition(cpus.toInt)
+    def rolling(tag: String, mult: Int): (Double, Double) = {
+      val ev = growEvents(mult)
+      val (tEx, nEx) = timed(graft.queries.Funnels.rollingDistinctUsers(ev))
+      row(s"q75_rolling_exact_$tag", tEx, nEx)
+      val (tSk, nSk) = timed(
+        graft.queries.Funnels.rollingDistinctUsersSketch(ev))
+      row(s"q77_rolling_hll_$tag", tSk, nSk)
+      (tEx, tSk)
+    }
+    val (re1, rs1) = rolling("1x", 1)
+    val (re10, rs10) = rolling("10x", 10)
+    val (re100, rs100) = rolling("100x", 100)
+    println(f"[scale-100] RATIO q75_exact       10x=${re10 / re1}%.1fx 100x=${re100 / re1}%.1fx")
+    println(f"[scale-100] RATIO q77_sketch      10x=${rs10 / rs1}%.1fx 100x=${rs100 / rs1}%.1fx")
+
+    // ---- IVF: cold build+query vs amortized query on a built index ----
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb100 = (0 until 100).map { i =>
+      if (i == 0) emb0
+      else emb0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        expr("transform(embedding, x -> cast(rand() * 2 - 1 as float))")
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt)
+    val (tCold, nCold) = timed(graft.ext.Similarity.ivfTopK(emb100))
+    row("ivf_cold_build+query_100x", tCold, nCold)
+    val tB0 = System.nanoTime()
+    val index = graft.ext.Similarity.ivfBuild(emb100).get
+    val tBuild = (System.nanoTime() - tB0) / 1e9
+    println(f"[scale-100] ivf_build_only_100x          $tBuild%8.2f s")
+    val (tQ1, nQ1) = timed(graft.ext.Similarity.ivfQuery(index))
+    row("ivf_query_reused_1", tQ1, nQ1)
+    val (tQ2, nQ2) = timed(graft.ext.Similarity.ivfQuery(index))
+    row("ivf_query_reused_2", tQ2, nQ2,
+      f"  amortized/cold=${tQ2 / tCold}%.2fx")
+
+    // ---- skewed fact-dim join A/B at 100x: plain SMJ vs salted vs AQE ----
+    // dim keys UNIQUE (single orders copy): output multiplicity 1 per
+    // fact row, so the 100x case measures reducer skew, not a key-
+    // duplication blow-up. 90% of 60M fact rows share one key → plain
+    // static shuffle lands 54M rows on 1 of 32 reducers.
+    val li100 = growKeyed(li0, 100, Seq("l_orderkey"))
+    val dim = o0.select(col("o_orderkey").as("k2"), col("o_orderpriority"))
+    val skewedFact = li100.withColumn("k",
+        when(rand(7L) < 0.9, lit(1L)).otherwise(
+          pmod(col("l_orderkey"), lit(6000000L)) + 1))
+      .select(col("k"), col("l_extendedprice"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (tPlain, nPlain) = timed(skewedFact.join(dim, col("k") === col("k2")))
+    val (tSalt, nSalt) = timed(graft.operators.SkewJoin.saltedInnerJoin(
+      skewedFact, "k", dim, "k2", factor = 32))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    val (tAqe, nAqe) = timed(skewedFact.join(dim, col("k") === col("k2")))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+    row("skew100_plain_smj", tPlain, nPlain, "  hot key on 1 of " + cpus + " reducers")
+    row("skew100_salted_f32", tSalt, nSalt, f"  speedup ${tPlain / tSalt}%.1fx")
+    row("skew100_aqe_split", tAqe, nAqe, f"  speedup ${tPlain / tAqe}%.1fx")
+    require(nPlain == nSalt && nPlain == nAqe,
+      s"skew mitigation changed row multiplicity: $nPlain / $nSalt / $nAqe")
+    spark.stop()
+  }
+}

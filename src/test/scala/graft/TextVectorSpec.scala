@@ -166,8 +166,11 @@ class TextVectorSpec extends AnyFunSuite {
     // near-random fixture vectors are the IVF-adversarial case (true
     // neighbors scatter across cells); deterministic seeds make every
     // point on the curve stable run to run. Scan fraction = nProbe/16.
+    // ONE index build serves the whole curve — the amortization shape
+    // production uses (ivfBuild once, ivfQuery per batch)
+    val index = graft.ext.Similarity.ivfBuild(emb).get
     val curve = Seq(2, 4, 8, 16).map { np =>
-      val ivf = graft.ext.Similarity.ivfTopK(emb, nProbe = np)
+      val ivf = graft.ext.Similarity.ivfQuery(index, nProbe = np)
         .select("qid", "nid").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (exact & ivf).size.toDouble / exact.size
@@ -183,6 +186,28 @@ class TextVectorSpec extends AnyFunSuite {
     assert(rs == rs.sorted, s"recall not monotone in nProbe: $curve")
     // probing every cell IS brute force — the curve must close at 1
     assert(byProbe(16) >= 0.99, s"full-probe recall: ${byProbe(16)}")
+  }
+
+  test("IVF index reuse: repeated and reloaded queries equal the cold path") {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    def keyOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val cold = keyOf(Similarity.ivfTopK(emb))
+    val index = Similarity.ivfBuild(emb).get
+    // same index, two query batches: identical to the cold build
+    assert(keyOf(Similarity.ivfQuery(index)) == cold)
+    assert(keyOf(Similarity.ivfQuery(index)) == cold)
+    // save → load round-trip (the cross-session reuse path)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.saveIvfIndex(index, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(keyOf(Similarity.ivfQuery(loaded)) == cold,
+      "reloaded index diverges from the cold build")
+    // a different batch shape on the same index still ranks exactly
+    assert(keyOf(Similarity.ivfQuery(loaded, k = 3, nQueries = 5)) ==
+      cold.filter { case (q, _, r) => q < 5 && r <= 3 })
   }
 
   test("sketch queries leave no cached blocks behind (q30/q31)") {
