@@ -432,5 +432,66 @@ object CorpusOps {
       .select(col("doc_a"), col("doc_b"), col("source"), col("dist"))
   }
 
-  val all: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q76, q78, q80)
+  /** q90 — bigram-surprisal quality score: the LM-perplexity proxy a
+    * codec-free pipeline can compute. Corpus-global bigram counts feed a
+    * per-occurrence integer surprisal `n_total·1e6 div c(bigram)` (the
+    * q68/q78 hash-portable recipe — monotone with −log p, no libm), and
+    * each doc gets the ×1e6 integer-proxy MEAN over its bigrams plus the
+    * MAX (its single rarest transition). High mean ⇒ improbable token
+    * transitions ⇒ gibberish/boilerplate candidates — the filter rank
+    * next to q27's surface stats and q53's unigram rarity, but at the
+    * TRANSITION level, which is what actually separates fluent from
+    * shuffled text. Docs with < 2 tokens have no transitions and are
+    * excluded by construction.
+    *
+    * Scale: bigram counts are a vocabulary²-bounded hash agg (map-side
+    * combining); the join-back is the q53 shape; n_total·1e6 needs
+    * DECIMAL(38) headroom at 100 TB (BIGINT holds to ~10¹⁸; fixture
+    * ≈ 10¹¹). */
+  /** Core of q90 over any (doc_id, text) frame. */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+      val b = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .as("bg"))
+      val cnt = b.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      val total = b.agg(count(lit(1)).as("n_total"))
+      // mean as a PURE-INTEGER proxy (×1e6, floor-divided): decimal
+      // division rounds its last digit differently across engines, but
+      // integer div is bit-identical — the q68/q78 recipe end to end
+      b.join(cnt, "bg")
+        .crossJoin(broadcast(total))
+        .withColumn("sp", expr("(n_total * 1000000) div c"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("sp")).as("sum_sp"),
+          max(col("sp")).as("max_surprisal"))
+        .select(col("doc_id"), col("n_bigrams"),
+          // sp is already the ×1e6 proxy; its floor-mean stays ×1e6
+          expr("sum_sp div n_bigrams").as("mean_surprisal_x1e6"),
+          col("max_surprisal"))
+  }
+
+  val q90: Q = Q(
+    "q90_bigram_surprisal",
+    run = { (spark, dir) => bigramSurprisal(nonNullDocs(spark, dir)) },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM d WHERE len(toks) >= 2),
+      b AS (SELECT doc_id, concat(toks[i], ' ', toks[i+1]) AS bg FROM g),
+      cnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        CAST(sum((n_total * 1000000) // c) // count(*) AS BIGINT)
+          AS mean_surprisal_x1e6,
+        max((n_total * 1000000) // c) AS max_surprisal
+      FROM b JOIN cnt USING (bg) CROSS JOIN tot
+      GROUP BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q76, q78, q80, q90)
 }

@@ -265,5 +265,47 @@ object PipelineOps {
           AS n_norm_toks
       FROM d"""))
 
-  val all: Seq[Q] = Seq(q55, q56, q57, q58, q59, q65)
+  /** Core of q88 over any (doc_id, source, text) frame: per-source
+    * token-budget fill — rank docs longest-first within their source and
+    * keep the prefix whose cumulative token count fits the per-source
+    * quota. This is the dataset-MIXING primitive: given per-source token
+    * budgets (uniform here; production passes a weights map), select
+    * which documents make the training mix, deterministically.
+    *
+    * Scale: one window shuffle on source (the q58 posture). The
+    * greedy-prefix rule means the selection is a pure function of
+    * (source, n_toks, doc_id) — re-running on a grown corpus yields a
+    * superset-or-shifted mix with no RNG state to persist. */
+  def tokenBudgetMix(docs: org.apache.spark.sql.DataFrame,
+      budgetPerSource: Long = 30000L): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_toks").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
+          .as("n_toks"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .filter(col("cum_toks") <= budgetPerSource)
+  }
+
+  /** q88 — token-budget dataset mix (greedy longest-first per-source
+    * quota fill). */
+  val q88: Q = Q(
+    "q88_token_budget_mix",
+    run = { (spark, dir) => tokenBudgetMix(Tables.documentsParallel(spark, dir)) },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, source,
+                   COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0)
+                     AS n_toks
+                 FROM documents),
+      w AS (SELECT doc_id, source, n_toks,
+              sum(n_toks) OVER (PARTITION BY source
+                ORDER BY n_toks DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+            FROM d)
+      SELECT doc_id, source, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks
+      FROM w WHERE cum_toks <= 30000"""))
+
+  val all: Seq[Q] = Seq(q55, q56, q57, q58, q59, q65, q88)
 }

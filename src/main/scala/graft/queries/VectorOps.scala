@@ -126,5 +126,50 @@ object VectorOps {
         CAST(CAST(sum_dec AS VARCHAR) AS DOUBLE) / n AS mean_v
       FROM s"""))
 
-  val all: Seq[Q] = Seq(q25, q32, q66)
+  /** Q89 — hard-negative mining: for each query vector (vec_id < 10,
+    * labeled), the top-3 most-similar vectors carrying a DIFFERENT
+    * label — the contrastive-training primitive (the best negatives are
+    * the near-misses, not random draws). Same broadcast-query scan
+    * shape as q25 — the corpus streams once, no shuffle — with the
+    * cross-label predicate applied before ranking; at 100 TB this is
+    * q25's plan plus one codegen'd filter. */
+  val q89: Q = Q(
+    "q89_hard_negatives",
+    run = { (spark, dir) =>
+      VectorFunctions.registerVecDot(spark)
+      val e = Tables.embeddings(spark, dir)
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)")))
+      val q = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qemb"), col("nrm").as("qnrm"))
+        .filter(col("qid") < 10)
+      e.crossJoin(broadcast(q))
+        .filter(col("label") =!= col("qlabel"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          col("label").as("neg_label"),
+          (expr("vec_dot_f(embedding, qemb)") / (col("nrm") * col("qnrm")))
+            .as("cos_sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))))
+        .filter(col("rnk") <= 3)
+    },
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+                 FROM embeddings
+                 WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      q AS (SELECT vec_id AS qid, label AS qlabel, emb AS qemb
+            FROM e WHERE vec_id < 10),
+      p AS (SELECT q.qid, e.vec_id AS nid, e.label AS neg_label,
+              list_sum(list_transform(list_zip(e.emb, q.qemb), x -> x[1]*x[2])) /
+              (sqrt(list_sum(list_transform(e.emb, x -> x*x)))
+                * sqrt(list_sum(list_transform(q.qemb, x -> x*x)))) AS cos_sim
+            FROM e, q WHERE e.label <> q.qlabel),
+      r AS (SELECT qid, nid, neg_label, cos_sim,
+              CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY cos_sim DESC, nid) AS INTEGER) AS rnk
+            FROM p)
+      SELECT qid, nid, neg_label, cos_sim, rnk FROM r WHERE rnk <= 3"""))
+
+  val all: Seq[Q] = Seq(q25, q32, q66, q89)
 }

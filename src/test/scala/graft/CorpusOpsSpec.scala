@@ -319,6 +319,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  test("q90: repetitive transitions score low, unique transitions score high") {
+    import spark.implicits._
+    // doc 1 repeats ONE bigram; docs 2/3 are all-distinct transitions.
+    // Corpus counts: "x x" appears 4x, every other bigram once → doc 1's
+    // surprisal must be the lowest, and its max == its mean (one bigram)
+    val docs = Seq(
+      (1L, "x x x x x"),
+      (2L, "a b c d e"),
+      (3L, "f g h i j"),
+      (4L, "k")) // single token: no transition, excluded
+      .toDF("doc_id", "text")
+    val out = CorpusOps.bigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(!out.contains(4L), "1-token doc must have no transitions")
+    assert(out(1L)._1 == 4 && out(2L)._1 == 4)
+    // 12 corpus bigrams total; sp("x x") = 12e6/4 = 3e6, sp(unique) = 12e6
+    assert(out(1L)._2 == 3000000L && out(1L)._3 == 3000000L)
+    assert(out(2L)._2 == 12000000L && out(2L)._3 == 12000000L)
+    assert(out(1L)._2 < out(2L)._2, "repetition must score lower")
+  }
+
   test("q72: per-slice stats are internally consistent") {
     val out = CorpusOps.q72.run(spark, dir).cache()
     try {

@@ -188,6 +188,42 @@ class TextVectorSpec extends AnyFunSuite {
     assert(byProbe(16) >= 0.99, s"full-probe recall: ${byProbe(16)}")
   }
 
+  test("q89 hard negatives: cross-label only, and truly the nearest misses") {
+    val out = graft.queries.VectorOps.q89.run(spark, TestSpark.sf0001).cache()
+    try {
+      val emb = Tables.embeddings(spark, TestSpark.sf0001)
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
+      val labels = emb.select(col("vec_id"), col("label")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // every negative carries a label different from its query's
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (qid, nid, negLabel) = (r.getLong(0), r.getLong(1), r.getInt(2))
+        assert(labels(nid) == negLabel)
+        assert(negLabel != labels(qid),
+          s"same-label 'negative' $nid for query $qid")
+      }
+      // ranks are 1..3 dense and cosine non-increasing within a query
+      rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+        val byRank = rs.sortBy(_.getInt(4))
+        assert(byRank.map(_.getInt(4)).toSeq == (1 to byRank.size),
+          s"ranks not dense for $qid")
+        val sims = byRank.map(_.getDouble(3))
+        assert(sims.zip(sims.drop(1)).forall { case (a, b) => a >= b },
+          s"cosine not non-increasing for $qid")
+      }
+      // against q25's unrestricted top-k: a query's best cross-label
+      // similarity can never exceed its best overall similarity
+      val best25 = graft.queries.VectorOps.q25.run(spark, TestSpark.sf0001)
+        .filter(col("rnk") === 1).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      rows.filter(_.getInt(4) == 1).foreach { r =>
+        assert(r.getDouble(3) <= best25(r.getLong(0)) + 1e-12)
+      }
+    } finally { out.unpersist(); () }
+  }
+
   test("IVF index reuse: repeated and reloaded queries equal the cold path") {
     import graft.ext.Similarity
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
