@@ -225,9 +225,21 @@ object DedupCluster {
     * are singleton clusters (see [[edges]]), so a null quality can only
     * ever "win" its own cluster. */
   def canonicalDocs(docs: DataFrame,
-      exactNearPairs: Boolean = false): DataFrame = {
+      exactNearPairs: Boolean = false): DataFrame =
+    canonicalFromLabels(clusters(docs, exactNearPairs = exactNearPairs), docs)
+
+  /** Resolution against ALREADY-COMPUTED cluster labels (doc_id,
+    * cluster_id) — the reuse seam: clustering is the expensive iterative
+    * half and its label table is staged parquet, so a production
+    * pipeline runs [[clusters]] once, lands the labels, and every
+    * downstream resolution (canonical pick here, the q52 leakage-safe
+    * split, re-resolution after a quality-model update) reads them back
+    * instead of re-propagating — the [[graft.ext.Similarity.IvfIndex]]
+    * build/query split, applied to dedup. [[canonicalDocs]] remains the
+    * cold path (what registry q60 measures). Suite-asserted identical
+    * from fresh and parquet-round-tripped labels. */
+  def canonicalFromLabels(cl: DataFrame, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cl = clusters(docs, exactNearPairs = exactNearPairs)
     val quality = docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_toks", size(col("toks")))

@@ -257,6 +257,24 @@ class TextVectorSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
   }
 
+  test("canonical resolution from staged labels equals the cold path") {
+    import graft.ext.DedupCluster
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    def keyOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("cluster_id", "canon_doc_id", "n_members").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cold = keyOf(DedupCluster.canonicalDocs(docs))
+    val labels = DedupCluster.clusters(docs)
+    // resolve from the in-flight label frame
+    assert(keyOf(DedupCluster.canonicalFromLabels(labels, docs)) == cold)
+    // and from labels landed to parquet (the production reuse path)
+    val dir = java.nio.file.Files.createTempDirectory("dedup_labels").toString
+    labels.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    assert(keyOf(DedupCluster.canonicalFromLabels(reloaded, docs)) == cold,
+      "resolution from landed labels diverges from the cold path")
+  }
+
   test("dedup clustering merges transitively (a~b, b~c => one cluster)") {
     // doc 1 ~ doc 2 (exact dup), doc 2 ~ doc 3 (near dup via shared
     // shingles in the same source), doc 4 unrelated: expect {1,2,3}
