@@ -133,27 +133,31 @@ object VectorOps {
     * shape as q25 — the corpus streams once, no shuffle — with the
     * cross-label predicate applied before ranking; at 100 TB this is
     * q25's plan plus one codegen'd filter. */
+  /** Core of q89 over any (vec_id, label, embedding) frame. */
+  def hardNegatives(embeddings: org.apache.spark.sql.DataFrame,
+      k: Int = 3, nQueries: Int = 10): org.apache.spark.sql.DataFrame = {
+    VectorFunctions.registerVecDot(embeddings.sparkSession)
+    val e = embeddings
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)")))
+    val q = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+      col("embedding").as("qemb"), col("nrm").as("qnrm"))
+      .filter(col("qid") < nQueries)
+    e.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        col("label").as("neg_label"),
+        (expr("vec_dot_f(embedding, qemb)") / (col("nrm") * col("qnrm")))
+          .as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))))
+      .filter(col("rnk") <= k)
+  }
+
   val q89: Q = Q(
     "q89_hard_negatives",
-    run = { (spark, dir) =>
-      VectorFunctions.registerVecDot(spark)
-      val e = Tables.embeddings(spark, dir)
-        .filter(col("embedding").isNotNull && col("label").isNotNull)
-        .select(col("vec_id"), col("label"), col("embedding"))
-        .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)")))
-      val q = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
-        col("embedding").as("qemb"), col("nrm").as("qnrm"))
-        .filter(col("qid") < 10)
-      e.crossJoin(broadcast(q))
-        .filter(col("label") =!= col("qlabel"))
-        .select(col("qid"), col("vec_id").as("nid"),
-          col("label").as("neg_label"),
-          (expr("vec_dot_f(embedding, qemb)") / (col("nrm") * col("qnrm")))
-            .as("cos_sim"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))))
-        .filter(col("rnk") <= 3)
-    },
+    run = { (spark, dir) => hardNegatives(Tables.embeddings(spark, dir)) },
     oracle = Some("""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
                  FROM embeddings

@@ -309,6 +309,26 @@ object ScaleDryRun {
     println(f"[scale-dry-run] q77_rolling_hll_1x     $tHll1%8.2f s")
     println(f"[scale-dry-run] q77_rolling_hll_10x    $tHll10%8.2f s  (ratio ${tHll10 / tHll1}%.1fx)")
 
+    // ---- round-8 operators at 10x ----
+    // q88 mixing: one window shuffle on source — the q58 posture
+    val (tMix1, _) = timed(graft.queries.PipelineOps.tokenBudgetMix(docs0))
+    val (tMix10, _) = timed(graft.queries.PipelineOps.tokenBudgetMix(docs10))
+    println(f"[scale-dry-run] q88_budget_mix_1x      $tMix1%8.2f s")
+    println(f"[scale-dry-run] q88_budget_mix_10x     $tMix10%8.2f s  (ratio ${tMix10 / tMix1}%.1fx)")
+    // q89 negatives: broadcast-query corpus scan, no shuffle
+    val (tNeg1, _) = timed(graft.queries.VectorOps.hardNegatives(emb0))
+    val (tNeg10, _) = timed(graft.queries.VectorOps.hardNegatives(emb10))
+    println(f"[scale-dry-run] q89_hard_neg_1x        $tNeg1%8.2f s")
+    println(f"[scale-dry-run] q89_hard_neg_10x       $tNeg10%8.2f s  (ratio ${tNeg10 / tNeg1}%.1fx)")
+    // q90 surprisal: the shuffled copies have mostly-distinct transitions,
+    // so the bigram count table grows ~10x WITH the corpus (worst case —
+    // real corpora repeat transitions); the ratio shows whether the
+    // hash-agg + join-back stays ~linear even then
+    val (tSurp1, _) = timed(graft.queries.CorpusOps.bigramSurprisal(docs0))
+    val (tSurp10, _) = timed(graft.queries.CorpusOps.bigramSurprisal(docs10))
+    println(f"[scale-dry-run] q90_surprisal_1x       $tSurp1%8.2f s")
+    println(f"[scale-dry-run] q90_surprisal_10x      $tSurp10%8.2f s  (ratio ${tSurp10 / tSurp1}%.1fx)")
+
     // ---- skewed fact-dim join: plain SMJ vs salted vs AQE skew-split ----
     // q87 DIAGNOSES join-key skew; this is the MITIGATION A/B. 90% of the
     // 10x fact rows (~54M) share ONE join key, the dim side is forced

@@ -354,10 +354,17 @@ class TextVectorSpec extends AnyFunSuite {
     val docs = (0 until n).map { i =>
       (i.toLong, (2 * i until 2 * i + 8).map(t => s"tok$t").mkString(" "), "s1")
     }.toDF("doc_id", "text", "source")
-    val out = graft.ext.DedupCluster.clusters(docs, exactNearPairs = true)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (labels, stats) = graft.ext.DedupCluster.clustersWithStats(
+      docs, exactNearPairs = true)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.size == n)
     assert(out.values.forall(_ == 0L), s"non-root labels: ${out.filter(_._2 != 0L).take(5)}")
+    // telemetry: the doubling hop must actually ENGAGE on this diameter
+    // (the 100x dry-run shows hopRounds=0 on shallow dup groups — this
+    // chain is the witness that depth triggers it)
+    assert(stats.hopRounds > 0,
+      s"pointer doubling never engaged: $stats")
+    assert(stats.rounds <= 20, s"did not converge in maxRounds: $stats")
   }
 
   test("stratified rebalance upsamples: fraction 2.5 hits ~2.5x (4-sigma)") {
