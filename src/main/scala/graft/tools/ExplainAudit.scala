@@ -105,6 +105,31 @@ object ExplainAudit {
       .count(_.contains("Exchange hashpartitioning"))
     assert(q81Ex <= 2, s"q81: expected <=2 hash shuffles, found $q81Ex")
     println("===== q81 TWO-SHUFFLE ASSERT OK")
+    // q88: the quota fill is ONE window over source — a single hash
+    // shuffle, no join, no sort beyond the window's
+    val q88Plan = graft.SparkEntry.queries("q88_token_budget_mix")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val q88Ex = q88Plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(q88Ex == 1, s"q88: expected exactly 1 hash shuffle, found $q88Ex")
+    println("===== q88 SINGLE-SHUFFLE ASSERT OK")
+    // q89: the query set is broadcast — the corpus side must stream with
+    // ZERO hash shuffles before the (tiny) top-k window
+    val q89Plan = graft.SparkEntry.queries("q89_hard_negatives")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q89Plan.contains("BroadcastNestedLoopJoin"),
+      "q89: query set not broadcast")
+    assert(!q89Plan.contains("CartesianProduct"),
+      "q89: cross join fell back to CartesianProduct")
+    println("===== q89 BROADCAST-SCAN ASSERT OK")
+    // q90: the per-occurrence surprisal join keys on the bigram — an
+    // equi-join, never a nested loop over occurrences; the one-row total
+    // rides a broadcast
+    val q90Plan = graft.SparkEntry.queries("q90_bigram_surprisal")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!q90Plan.contains("CartesianProduct"),
+      "q90: count join-back lost its bigram equi-key")
+    println("===== q90 EQUI-JOINBACK ASSERT OK")
     spark.stop()
   }
 }
