@@ -16,6 +16,7 @@ object SparkEntry {
       qs.Advanced.all ++ qs.Approximate.all ++ qs.Relational2.all ++
       qs.Windows2.all ++ qs.PipelineOps.all ++ qs.Funnels.all ++
       qs.CorpusOps.all ++ qs.StatsOps.all ++
+      qs.Hygiene.all ++ qs.Warehouse.all ++
       ext.MinHashDedup.all ++
       ext.SimHashDedup.all ++ ext.Multimodal.all ++ ext.Similarity.all ++
       ext.DedupCluster.all ++ ext.Sampling.all

@@ -493,5 +493,57 @@ object CorpusOps {
       FROM b JOIN cnt USING (bg) CROSS JOIN tot
       GROUP BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q67, q68, q69, q70, q71, q72, q76, q78, q80, q90)
+  /** Core of q95 over any (doc_id, source, text) frame: per-source
+    * vocabulary-growth profile — the Heaps-law dashboard row a crawl
+    * curator reads to spot sources whose vocabulary is saturating
+    * (templated/boilerplate feeds) vs still growing (diverse text).
+    * `hapax` = tokens seen exactly once in the source; the
+    * type-token and hapax ratios ride the ×1e6 integer-div proxy
+    * (the q68/q78/q90 hash-portable recipe). */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val wc = docs
+      .select(col("source"), col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val nd = docs.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    wc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .join(nd, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        expr("(n_types * 1000000) div n_tokens").as("ttr_ppm"),
+        expr("(n_hapax * 1000000) div n_types").as("hapax_ppm"))
+  }
+
+  /** q95 — per-source vocabulary growth (Heaps-law profile). Two hash
+    * aggs — (source, token) then source — plus a 20-row join; the wide
+    * shuffle is vocabulary-bounded per source, never corpus-bounded. */
+  val q95: Q = Q(
+    "q95_vocab_growth",
+    run = { (spark, dir) =>
+      vocabGrowth(nonNullDocs(spark, dir))
+    },
+    oracle = Some("""
+      WITH toks AS (SELECT source, doc_id,
+                      unnest(string_split(text, ' ')) AS token
+                    FROM documents WHERE text IS NOT NULL),
+      wc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+             FROM toks GROUP BY source, token),
+      nd AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+             FROM toks GROUP BY source),
+      a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+              CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+            FROM wc GROUP BY source)
+      SELECT a.source, nd.n_docs, a.n_tokens, a.n_types, a.n_hapax,
+        (a.n_types * 1000000) // a.n_tokens AS ttr_ppm,
+        (a.n_hapax * 1000000) // a.n_types AS hapax_ppm
+      FROM a JOIN nd ON nd.source = a.source"""))
+
+  val all: Seq[Q] =
+    Seq(q67, q68, q69, q70, q71, q72, q76, q78, q80, q90, q95)
 }

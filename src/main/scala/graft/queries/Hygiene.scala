@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Corpus hygiene operators: PII redaction and URL/domain auditing —
+  * the scrub-and-audit steps a training-data pipeline runs before any
+  * corpus leaves the ingest zone (reference analog: the wine ETL's
+  * strip-@-handle step, `/root/reference/dags/wine_etl_kaggle.py:79`,
+  * generalized from one vanity column to document text).
+  *
+  * Both queries are pure per-row regex projections followed by a hash
+  * aggregate — embarrassingly parallel, no joins, no window, nothing
+  * corpus-bounded on the reduce side (the domain table is
+  * web-graph-vocabulary-sized). The regexes are deliberately restricted
+  * to the Java∩RE2 common subset (`\b`, `\d`, classes, bounded
+  * repetition — no backrefs/lookaround) so Spark (java.util.regex) and
+  * the DuckDB oracle (RE2) match byte-identically.
+  *
+  * The driver fixture is word-soup with no organic PII/URLs, so both
+  * sides inject deterministic spans keyed off `doc_id` (same recipe as
+  * q34's synthetic BMP/WAV payloads): the redactor is then exercised on
+  * rows that genuinely contain emails/phones/IPs/URLs, and the expected
+  * counts are a pure function of the doc_id residue classes.
+  */
+object Hygiene {
+
+  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val IpRe    = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val PhoneRe = """\b555-\d{4}\b"""
+  private val UrlRe   = """https?://[^ ]+"""
+
+  /** Deterministic PII injection over (doc_id, text): every doc_id ≡ 0
+    * (mod 5/7/11) gains an email / phone / IPv4 span. Mirrored verbatim
+    * in the oracle SQL so counts hash-match. */
+  def injectPii(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@ex"), (col("doc_id") % 3).cast("string"), lit(".com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") / 256).cast("long") % 256).cast("string"),
+            lit(".7")))
+          .otherwise(lit(""))).as("text"))
+
+  /** Core of q91 over any (doc_id, text) frame: per-category match
+    * counts on the raw text, then email → IP → phone redaction (the
+    * categories are textually disjoint, so order only matters for
+    * defense in depth). */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_email", size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))))
+      .withColumn("n_ip",    size(regexp_extract_all(col("text"), lit(IpRe), lit(0))))
+      .withColumn("n_phone", size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+            IpRe, "[IP]"),
+          PhoneRe, "[PHONE]"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        col("redacted"))
+
+  /** q91 — PII scrub: count + redact emails, phone numbers, and IPv4
+    * addresses per document. */
+  val q91: Q = Q(
+    "q91_pii_scrub",
+    run = { (spark, dir) =>
+      piiScrub(injectPii(Tables.documentsParallel(spark, dir)))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id,
+              text ||
+              CASE WHEN doc_id % 5 = 0 THEN ' contact u' ||
+                CAST(doc_id AS VARCHAR) || '@ex' ||
+                CAST(doc_id % 3 AS VARCHAR) || '.com' ELSE '' END ||
+              CASE WHEN doc_id % 7 = 0 THEN ' call 555-' ||
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+              CASE WHEN doc_id % 11 = 0 THEN ' from 10.' ||
+                CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                CAST((doc_id // 256) % 256 AS VARCHAR) || '.7' ELSE '' END
+                AS text
+            FROM documents WHERE text IS NOT NULL)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+          AS n_email,
+        CAST(len(regexp_extract_all(text,
+          '\b555-\d{4}\b')) AS INTEGER) AS n_phone,
+        CAST(len(regexp_extract_all(text,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ip,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+          '\b555-\d{4}\b', '[PHONE]', 'g') AS redacted
+      FROM d"""))
+
+  /** Deterministic URL injection (same pattern as [[injectPii]]):
+    * doc_id ≡ 0 (mod 4) gains an https link, ≡ 0 (mod 6) an http one. */
+  def injectUrls(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" see https://site"), (col("doc_id") % 20).cast("string"),
+            lit(".example.org/p/"), col("doc_id").cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          concat(lit(" ref http://cdn"), (col("doc_id") % 5).cast("string"),
+            lit(".example.net/x")))
+          .otherwise(lit(""))).as("text"))
+
+  /** Core of q92: extract every URL, group by host. The reduce side is
+    * bounded by the distinct-host vocabulary (web-graph-sized, not
+    * corpus-sized) — the same bounding argument as q68's df table. */
+  def urlDomains(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("url"))
+      .select(col("doc_id"), col("url"),
+        regexp_extract(col("url"), "https?://([^/ ]+)", 1).as("domain"),
+        col("url").startsWith("https://").as("is_https"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(when(col("is_https"), 1L).otherwise(0L)).as("n_https"))
+
+  /** q92 — URL/domain audit: the per-host link census an allowlist /
+    * robots-compliance pass reads. */
+  val q92: Q = Q(
+    "q92_url_domains",
+    run = { (spark, dir) =>
+      urlDomains(injectUrls(Tables.documentsParallel(spark, dir)))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id,
+              text ||
+              CASE WHEN doc_id % 4 = 0 THEN ' see https://site' ||
+                CAST(doc_id % 20 AS VARCHAR) || '.example.org/p/' ||
+                CAST(doc_id AS VARCHAR) ELSE '' END ||
+              CASE WHEN doc_id % 6 = 0 THEN ' ref http://cdn' ||
+                CAST(doc_id % 5 AS VARCHAR) || '.example.net/x' ELSE '' END
+                AS text
+            FROM documents WHERE text IS NOT NULL),
+      u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^ ]+'))
+              AS url FROM d)
+      SELECT regexp_extract(url, 'https?://([^/ ]+)', 1) AS domain,
+        CAST(count(*) AS BIGINT) AS n_urls,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(count(*) FILTER (WHERE url LIKE 'https://%') AS BIGINT)
+          AS n_https
+      FROM u GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(q91, q92)
+}

@@ -307,5 +307,65 @@ object PipelineOps {
       SELECT doc_id, source, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks
       FROM w WHERE cum_toks <= 30000"""))
 
-  val all: Seq[Q] = Seq(q55, q56, q57, q58, q59, q65, q88)
+  /** Core of q96: corpus-wide chunk-level dedup over the q56 chunk
+    * grid — the "repeated passage" scrub that document-level dedup
+    * (q23/q30) cannot express: a boilerplate paragraph shared by
+    * thousands of otherwise-distinct pages survives doc dedup but dies
+    * here. Keep-first semantics: the occurrence with the smallest
+    * (doc_id, chunk_idx) wins; every later copy is dropped and each doc
+    * is re-assembled from its surviving chunks in grid order.
+    *
+    * Scale: the window partitions by chunk_text — a hash shuffle whose
+    * per-partition size is bounded by duplicate multiplicity, never a
+    * global sort (production keys the shuffle on sha2(chunk_text) and
+    * re-joins the text; same plan shape). Reassembly is one hash agg on
+    * doc_id with a sort_array over the per-doc chunk list — list length
+    * is doc-bounded (~16 chunks), not corpus-bounded. */
+  def chunkDedup(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ch = chunk(docs)
+    val w = Window.partitionBy(col("chunk_text"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    val kept = ch.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("concat_ws(' ', transform(" +
+          "sort_array(collect_list(struct(chunk_idx, chunk_text))), " +
+          "s -> s.chunk_text))").as("clean_text"))
+    ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** q96 — chunk-level (passage) dedup with keep-first reassembly. */
+  val q96: Q = Q(
+    "q96_chunk_dedup",
+    run = { (spark, dir) => chunkDedup(Tables.documentsParallel(spark, dir)) },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      c AS (SELECT doc_id, toks,
+              unnest(generate_series(0, (len(toks) + 31) // 32 - 1))
+                AS chunk_idx
+            FROM d),
+      ch AS (SELECT doc_id, chunk_idx,
+               array_to_string(toks[chunk_idx*32 + 1 : chunk_idx*32 + 32], ' ')
+                 AS chunk_text
+             FROM c),
+      k AS (SELECT doc_id, chunk_idx, chunk_text,
+              row_number() OVER (PARTITION BY chunk_text
+                ORDER BY doc_id, chunk_idx) AS rn
+            FROM ch),
+      r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text
+            FROM k WHERE rn = 1 GROUP BY doc_id),
+      t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+            FROM ch GROUP BY doc_id)
+      SELECT t.doc_id, t.n_chunks, COALESCE(r.n_kept, 0) AS n_kept,
+        COALESCE(r.clean_text, '') AS clean_text
+      FROM t LEFT JOIN r ON r.doc_id = t.doc_id"""))
+
+  val all: Seq[Q] = Seq(q55, q56, q57, q58, q59, q65, q88, q96)
 }

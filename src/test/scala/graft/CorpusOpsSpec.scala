@@ -11,6 +11,7 @@ import graft.queries.CorpusOps
   * boilerplate subset relation). */
 class CorpusOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+  import spark.implicits._
   val dir = TestSpark.sf0001
 
   test("q67: no blocklisted token survives; counts match the scrub") {
@@ -351,5 +352,40 @@ class CorpusOpsSpec extends AnyFunSuite {
         .filter(col("text").isNotNull).count()
       assert(total == docs, s"slice doc counts $total != $docs corpus docs")
     } finally { out.unpersist(); () }
+  }
+
+  test("q95: vocabulary growth invariants hold per source") {
+    val out = CorpusOps.vocabGrowth(
+      Tables.documents(spark, dir).filter(col("text").isNotNull)).cache()
+    try {
+      // hapax <= types <= tokens, and the ppm proxies are consistent
+      assert(out.filter(col("n_hapax") > col("n_types")).count() == 0)
+      assert(out.filter(col("n_types") > col("n_tokens")).count() == 0)
+      val badTtr = out.filter(
+        col("ttr_ppm") =!= expr("(n_types * 1000000) div n_tokens"))
+      assert(badTtr.count() == 0)
+      // every source with a non-null doc appears exactly once
+      val srcs = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull).select("source").distinct().count()
+      assert(out.count() == srcs)
+    } finally { out.unpersist(); () }
+  }
+
+  test("q95: a templated source saturates, a diverse one does not") {
+    val docs = Seq(
+      (1L, "tmpl", "the same words over and over"),
+      (2L, "tmpl", "the same words over and over"),
+      (3L, "tmpl", "the same words over and over"),
+      (4L, "div", "alpha beta gamma delta epsilon zeta"),
+      (5L, "div", "eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusOps.vocabGrowth(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // "the same words over and over" = 6 tokens but 5 types ('over' ×2)
+    val (tTok, tTyp, tHap, tPpm) = out("tmpl")
+    assert(tTok == 18L && tTyp == 5L && tHap == 0L && tPpm == 277777L)
+    val (dTok, dTyp, dHap, dPpm) = out("div")
+    assert(dTok == 12L && dTyp == 12L && dHap == 12L && dPpm == 1000000L)
   }
 }

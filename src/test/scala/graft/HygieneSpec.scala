@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Hygiene
+
+/** Semantic contracts for the q91/q92 hygiene operators: complete
+  * redaction (no survivor matches), count correctness against the
+  * deterministic injection schedule, and domain extraction. */
+class HygieneSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q91 redaction is complete and counts match the injection schedule") {
+    val injected = Hygiene.injectPii(
+      Tables.documents(spark, TestSpark.sf0001))
+    val out = Hygiene.piiScrub(injected).cache()
+    // nothing the three scrubbers target survives in redacted text
+    val survivors = out.filter(
+      size(regexp_extract_all(col("redacted"),
+        lit("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""), lit(0))) > 0 ||
+      size(regexp_extract_all(col("redacted"),
+        lit("""\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""), lit(0))) > 0 ||
+      size(regexp_extract_all(col("redacted"),
+        lit("""\b555-\d{4}\b"""), lit(0))) > 0)
+    assert(survivors.count() == 0)
+    // the injection schedule is a pure function of doc_id residues
+    val wrong = out.filter(
+      (col("doc_id") % 5 === 0 && col("n_email") < 1) ||
+      (col("doc_id") % 5 =!= 0 && col("n_email") > 0) ||
+      (col("doc_id") % 7 === 0 && col("n_phone") < 1) ||
+      (col("doc_id") % 11 === 0 && col("n_ip") < 1))
+    assert(wrong.count() == 0)
+    // redaction markers appear exactly where counts say they should
+    val marks = out.filter(col("n_email") > 0 &&
+      !col("redacted").contains("[EMAIL]"))
+    assert(marks.count() == 0)
+    out.unpersist()
+  }
+
+  test("q91 scrubs organic PII too, not just the synthetic injection") {
+    val docs = Seq(
+      (1L, "mail me at jane.doe+spam@corp.example.co then visit"),
+      (2L, "host is 192.168.0.1 port 8080"),
+      (3L, "call 555-0199 now"),
+      (4L, "clean text with no pii at all")).toDF("doc_id", "text")
+    val out = Hygiene.piiScrub(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._4.contains("[EMAIL]"))
+    assert(out(2L)._3 == 1 && out(2L)._4.contains("[IP]"))
+    assert(out(3L)._2 == 1 && out(3L)._4.contains("[PHONE]"))
+    assert(out(4L) == ((0, 0, 0, "clean text with no pii at all")))
+  }
+
+  test("q92 finds every injected URL and maps it to the right domain") {
+    val injected = Hygiene.injectUrls(
+      Tables.documents(spark, TestSpark.sf0001))
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .filter(col("text").isNotNull)
+    val nMod4 = docs.filter(col("doc_id") % 4 === 0).count()
+    val nMod6 = docs.filter(col("doc_id") % 6 === 0).count()
+    val out = Hygiene.urlDomains(injected).cache()
+    val total = out.agg(sum("n_urls")).as[Long].head()
+    assert(total == nMod4 + nMod6,
+      s"expected ${nMod4 + nMod6} urls, found $total")
+    // every domain is one of the two injected families, and the https
+    // flag follows the scheme of its family
+    val badDomain = out.filter(
+      !col("domain").rlike("""^site\d+\.example\.org$""") &&
+      !col("domain").rlike("""^cdn\d+\.example\.net$"""))
+    assert(badDomain.count() == 0)
+    val badScheme = out.filter(
+      (col("domain").startsWith("site") && col("n_https") =!= col("n_urls")) ||
+      (col("domain").startsWith("cdn") && col("n_https") =!= 0))
+    assert(badScheme.count() == 0)
+    out.unpersist()
+  }
+}

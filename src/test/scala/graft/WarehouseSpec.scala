@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Warehouse
+
+/** Semantic contracts for the q93/q94 warehouse operators: interval
+  * chaining for the SCD-2 compaction, and MERGE bookkeeping. */
+class WarehouseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("q93 compacts runs and chains intervals gaplessly") {
+    val events = Seq(
+      // user 10: A A B A  -> 3 intervals A,B,A
+      (1L, "A", ts("2024-01-01 00:00:00"), 10L),
+      (2L, "A", ts("2024-01-01 01:00:00"), 10L),
+      (3L, "B", ts("2024-01-01 02:00:00"), 10L),
+      (4L, "A", ts("2024-01-01 03:00:00"), 10L),
+      // user 2: single event -> one open interval
+      (5L, "C", ts("2024-01-02 00:00:00"), 20L),
+      // user 30: same-ts tie broken by event_id (B then A by id order)
+      (6L, "B", ts("2024-01-03 00:00:00"), 30L),
+      (7L, "A", ts("2024-01-03 00:00:00"), 30L))
+      .toDF("event_id", "event_type", "ts", "user_id")
+    val out = Warehouse.stateIntervals(events)
+      .orderBy("user_id", "valid_from")
+      .collect()
+
+    val u10 = out.filter(_.getLong(0) == 10L)
+    assert(u10.map(_.getString(1)).toSeq == Seq("A", "B", "A"))
+    // each interval's valid_to equals the next interval's valid_from
+    u10.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getTimestamp(3) == b.getTimestamp(2))
+    }
+    assert(u10.last.isNullAt(3) && u10.last.getBoolean(4))
+    assert(u10.count(_.getBoolean(4)) == 1)
+
+    val u20 = out.filter(_.getLong(0) == 20L)
+    assert(u20.length == 1 && u20.head.getBoolean(4))
+
+    // tie at identical ts: event_id 6 (B) precedes 7 (A)
+    val u30 = out.filter(_.getLong(0) == 30L)
+    assert(u30.map(_.getString(1)).toSeq == Seq("B", "A"))
+  }
+
+  test("q93 on the fixture: per-user intervals partition the event span") {
+    val events = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_type").isNotNull)
+    val out = Warehouse.stateIntervals(events).cache()
+    // exactly one open (current) interval per user
+    val open = out.groupBy("user_id")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_open"))
+      .filter(col("n_open") =!= 1)
+    assert(open.count() == 0)
+    // first interval starts at the user's first event
+    val firsts = events.groupBy("user_id").agg(min("ts").as("first_ts"))
+    val mismatch = out.groupBy("user_id")
+      .agg(min("valid_from").as("start"))
+      .join(firsts, "user_id")
+      .filter(col("start") =!= col("first_ts"))
+    assert(mismatch.count() == 0)
+    // compaction never grows the row count
+    assert(out.count() <= events.count())
+    out.unpersist()
+  }
+
+  test("q94 merge applies deletes, updates, and inserts exactly once") {
+    val base = Tables.customer(spark, TestSpark.sf0001).cache()
+    val out = Warehouse.mergeUpsert(base, Warehouse.syntheticChanges(base))
+      .cache()
+    val nBase = base.count()
+    val nDel = base.filter(col("c_custkey") % 100 === 0).count()
+    val nUpd = base.filter(col("c_custkey") % 100 =!= 0 &&
+      col("c_custkey") % 10 === 0).count()
+    val nIns = base.filter(col("c_custkey") % 50 === 0).count()
+    assert(out.count() == nBase - nDel + nIns)
+    assert(out.filter(col("change") === "updated").count() == nUpd)
+    assert(out.filter(col("change") === "inserted").count() == nIns)
+    // no deleted key survives (fixture keys start at 0; inserts at +1e6)
+    assert(out.filter(col("c_custkey") % 100 === 0 &&
+      col("c_custkey") < 1000000).count() == 0)
+    // updated rows carry base balance + 100
+    val delta = out.filter(col("change") === "updated")
+      .join(base.select(col("c_custkey"), col("c_acctbal").as("old_bal")),
+        "c_custkey")
+      .filter(abs(col("c_acctbal") - col("old_bal") - 100.0) > 1e-9)
+    assert(delta.count() == 0)
+    // inserted rows: re-keyed, zero balance, NEW segment
+    val badIns = out.filter(col("change") === "inserted" &&
+      (col("c_custkey") < 1000000 || col("c_acctbal") =!= 0.0 ||
+        col("c_mktsegment") =!= "NEW"))
+    assert(badIns.count() == 0)
+    out.unpersist(); base.unpersist()
+  }
+}
