@@ -367,5 +367,98 @@ object PipelineOps {
         COALESCE(r.clean_text, '') AS clean_text
       FROM t LEFT JOIN r ON r.doc_id = t.doc_id"""))
 
-  val all: Seq[Q] = Seq(q55, q56, q57, q58, q59, q65, q88, q96)
+  /** Core of q98: the composite quality gate — the four curation
+    * filters run as a SEQUENTIAL cascade (language → length band →
+    * repetition → boilerplate, cheap-to-expensive, the order a
+    * production pipeline uses so costly stages only see survivors),
+    * reported as a 4-row attrition funnel (docs_in/docs_out per stage).
+    * This is the integration query over q28/q70/q57/q71's predicates:
+    * the per-doc verdicts reuse [[repetitionStats]] and
+    * [[CorpusOps.boilerplateScore]] verbatim, so the cascade can never
+    * drift from the individual filters it composes.
+    *
+    * Scale: per-doc flags are projections + the q71 boilerplate joins
+    * (vocabulary-bounded); the funnel itself is ONE count aggregate
+    * reshaped by stack — a single row crosses the driver, never data. */
+  def filterCascade(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d = docs.filter(col("text").isNotNull)
+    val base = d.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).as("n_toks"))
+    val rep = repetitionStats(d).select(col("doc_id"), col("keep").as("p_rep"))
+    val boil = graft.queries.CorpusOps.boilerplateScore(d)
+      .select(col("doc_id"), col("keep").as("p_boil"))
+    val flags = base
+      .join(rep, Seq("doc_id"), "left")
+      .join(boil, Seq("doc_id"), "left")
+      .select(
+        col("lang").isin("de", "en", "es", "fr", "zh").as("p1"),
+        (col("n_toks") >= 20 && col("n_toks") <= 2000).as("p2"),
+        coalesce(col("p_rep"), lit(false)).as("p3"),
+        coalesce(col("p_boil"), lit(false)).as("p4"))
+    flags.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("p1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("p1") && col("p2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("p1") && col("p2") && col("p3"), 1L).otherwise(0L))
+          .as("n3"),
+        sum(when(col("p1") && col("p2") && col("p3") && col("p4"), 1L)
+          .otherwise(0L)).as("n4"))
+      .selectExpr("""stack(4,
+          1, 'lang_known',  n0, n1,
+          2, 'length_band', n1, n2,
+          3, 'repetition',  n2, n3,
+          4, 'boilerplate', n3, n4)
+        AS (stage_id, stage, docs_in, docs_out)""")
+  }
+
+  /** q98 — sequential quality-filter cascade with attrition funnel. */
+  val q98: Q = Q(
+    "q98_filter_cascade",
+    run = { (spark, dir) => filterCascade(Tables.documentsParallel(spark, dir)) },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      rep AS (SELECT doc_id,
+                1.0 - CAST(len(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+                  / (len(toks) - 1) AS dup_bigram_frac,
+                CAST(list_max(list_transform(list_distinct(toks),
+                    t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+                  / len(toks) AS top_tok_frac
+              FROM d WHERE len(toks) >= 2),
+      g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+            FROM d WHERE len(toks) >= 3),
+      sh AS (SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s FROM g),
+      hot AS (SELECT s FROM (SELECT s, count(*) AS nd FROM sh GROUP BY s)
+              WHERE nd >= 5),
+      per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+      boiler AS (SELECT sh.doc_id, count(*) AS n_boiler
+                 FROM sh JOIN hot USING (s) GROUP BY sh.doc_id),
+      flags AS (SELECT
+          d.lang IN ('de','en','es','fr','zh') AS p1,
+          len(d.toks) >= 20 AND len(d.toks) <= 2000 AS p2,
+          COALESCE(rep.dup_bigram_frac <= 0.2 AND rep.top_tok_frac <= 0.2,
+            false) AS p3,
+          COALESCE(CAST(COALESCE(boiler.n_boiler, 0) AS DOUBLE)
+            / per_doc.n_shingles <= 0.5, false) AS p4
+        FROM d
+        LEFT JOIN rep ON rep.doc_id = d.doc_id
+        LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+        LEFT JOIN boiler ON boiler.doc_id = d.doc_id),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+              CAST(count(*) FILTER (WHERE p1) AS BIGINT) AS n1,
+              CAST(count(*) FILTER (WHERE p1 AND p2) AS BIGINT) AS n2,
+              CAST(count(*) FILTER (WHERE p1 AND p2 AND p3) AS BIGINT) AS n3,
+              CAST(count(*) FILTER (WHERE p1 AND p2 AND p3 AND p4) AS BIGINT)
+                AS n4
+            FROM flags)
+      SELECT CAST(1 AS INTEGER) AS stage_id, 'lang_known' AS stage,
+        n0 AS docs_in, n1 AS docs_out FROM a
+      UNION ALL SELECT 2, 'length_band', n1, n2 FROM a
+      UNION ALL SELECT 3, 'repetition', n2, n3 FROM a
+      UNION ALL SELECT 4, 'boilerplate', n3, n4 FROM a"""))
+
+  val all: Seq[Q] = Seq(q55, q56, q57, q58, q59, q65, q88, q96, q98)
 }

@@ -247,5 +247,80 @@ object TextOps {
       FROM toks JOIN freq USING (token)
       GROUP BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q23, q24, q26, q27, q28, q29, q53)
+  /** Core of q97: DIRECTED shingle-containment pairs — doc a is
+    * "contained in" doc b when ≥ 80% of a's distinct 3-gram shingles
+    * also appear in b. The asymmetric twin of q24's Jaccard: a short
+    * doc quoting a long one scores near-zero Jaccard (union dominated
+    * by the long doc) but near-100% containment, so this is the
+    * modality that catches quotation/excerpt duplication.
+    *
+    * Scale: candidate pairs are generated per co-occurring shingle, and
+    * shingles with document frequency > maxDf are EXCLUDED first (a
+    * shingle shared by 50+ docs is boilerplate, not containment
+    * evidence — and it is exactly the bucket that would blow the
+    * self-join up quadratically). Both the numerator and denominator
+    * count only surviving rare shingles, so the 80% threshold stays an
+    * honest fraction of comparable sets. No source blocking on purpose:
+    * cross-source quoting is the signal (q59's overlap matrix shape,
+    * but at pair granularity). */
+  def containmentPairs(docs: org.apache.spark.sql.DataFrame,
+      minShingles: Int = 5, maxDf: Int = 50,
+      thresholdPct: Int = 80): org.apache.spark.sql.DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(TextFunctions.shinglesExpr("toks", 3)).as("shingle"))
+      .distinct()
+    // rare-shingle universe: df-capped (the hot set is vocabulary-
+    // bounded, so the exclusion join broadcasts at any corpus size)
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("shingle"))
+    val rare = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val cnt = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    val pairs = rare.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(rare.select(col("doc_id").as("doc_b"),
+        col("shingle").as("shingle_b")),
+        col("shingle") === col("shingle_b") && col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs.join(cnt.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .filter(col("n_a") >= minShingles &&
+        col("n_shared") * 100 >= col("n_a") * thresholdPct)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_shared"),
+        expr("(n_shared * 100) div n_a").as("cont_pct"))
+  }
+
+  /** q97 — directed shingle containment (quotation/excerpt detection). */
+  val q97: Q = Q(
+    "q97_shingle_containment",
+    run = { (spark, dir) =>
+      containmentPairs(Tables.documentsParallel(spark, dir)
+        .filter(col("text").isNotNull))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+            FROM d WHERE len(toks) >= 3),
+      sh AS (SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+             FROM g),
+      rare AS (SELECT doc_id, shingle FROM sh
+               WHERE shingle NOT IN (
+                 SELECT shingle FROM sh GROUP BY shingle
+                 HAVING count(*) > 50)),
+      cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_a
+              FROM rare GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(count(*) AS BIGINT) AS n_shared
+                FROM rare a JOIN rare b
+                  ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_a, n_shared,
+        (n_shared * 100) // n_a AS cont_pct
+      FROM pairs JOIN cnt ON cnt.doc_id = doc_a
+      WHERE n_a >= 5 AND n_shared * 100 >= n_a * 80"""))
+
+  val all: Seq[Q] = Seq(q23, q24, q26, q27, q28, q29, q53, q97)
 }
