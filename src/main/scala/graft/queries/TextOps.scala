@@ -273,7 +273,11 @@ object TextOps {
         explode(TextFunctions.shinglesExpr("toks", 3)).as("shingle"))
       .distinct()
     // rare-shingle universe: df-capped (the hot set is vocabulary-
-    // bounded, so the exclusion join broadcasts at any corpus size)
+    // bounded, so the exclusion join broadcasts at any corpus size).
+    // The shared (doc, shingle) subtree is deliberately NOT
+    // Stage.materialize'd: exchange reuse already deduplicates it (two
+    // ReusedExchange nodes in the executed plan) and a measured A/B at
+    // sf0.1 had parquet staging 17% SLOWER (2.49 s vs 2.13 s min-of-3)
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("shingle"))
     val rare = sh.join(broadcast(hot), Seq("shingle"), "left_anti")

@@ -130,6 +130,40 @@ object ExplainAudit {
     assert(!q90Plan.contains("CartesianProduct"),
       "q90: count join-back lost its bigram equi-key")
     println("===== q90 EQUI-JOINBACK ASSERT OK")
+    // q91: PII scrub is a pure per-row projection — ZERO exchanges of
+    // any kind (the embarrassingly-parallel contract)
+    val q91Plan = graft.SparkEntry.queries("q91_pii_scrub")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val q91Ex = q91Plan.linesIterator.count(_.contains("Exchange"))
+    assert(q91Ex == 1, // the documentsParallel round-robin repartition only
+      s"q91: expected only the input repartition, found $q91Ex exchanges")
+    println("===== q91 PROJECTION-ONLY ASSERT OK")
+    // q93: both windows (lag compaction + lead chaining) share ONE
+    // user_id hash shuffle — Catalyst must not re-exchange between them
+    val q93Plan = graft.SparkEntry.queries("q93_state_intervals")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val q93Ex = q93Plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(q93Ex == 1, s"q93: expected exactly 1 hash shuffle, found $q93Ex")
+    println("===== q93 SINGLE-SHUFFLE ASSERT OK")
+    // q96: chunk dedup must never plan a GLOBAL sort — the keep-first
+    // window partitions by chunk_text (hash), reassembly by doc_id
+    val q96Plan = graft.SparkEntry.queries("q96_chunk_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!q96Plan.contains("Exchange rangepartitioning"),
+      "q96: a global sort appeared — window lost its hash partitioning")
+    println("===== q96 NO-GLOBAL-SORT ASSERT OK")
+    // q97: the hot-shingle exclusion must ride a BROADCAST anti-join
+    // (the hot set is vocabulary-bounded); the pair generation itself
+    // stays an equi-join on the shingle
+    val q97Plan = graft.SparkEntry.queries("q97_shingle_containment")(
+      spark, dir).queryExecution.executedPlan.toString
+    assert(q97Plan.contains("BroadcastHashJoin") &&
+      q97Plan.contains("LeftAnti"),
+      "q97: hot-shingle exclusion is not a broadcast anti-join")
+    assert(!q97Plan.contains("CartesianProduct"),
+      "q97: containment pair generation lost its shingle equi-key")
+    println("===== q97 BROADCAST-ANTI ASSERT OK")
     spark.stop()
   }
 }
