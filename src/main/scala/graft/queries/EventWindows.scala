@@ -137,5 +137,67 @@ object EventWindows {
           AS session_idx
       FROM m"""))
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q79)
+  /** Core of q99 over any (event_id, user_id, ts, event_type) frame:
+    * the q79 gaps-and-islands assignment followed by the session-level
+    * rollup — the "session table" a product-analytics warehouse
+    * actually stores (duration, size, conversion flag per session).
+    * Both the assignment window and the rollup agg key on user_id, so
+    * the whole plan is ONE hash shuffle (the q79/q58 posture); the
+    * duration is integer µs→s floor-division, hash-portable. */
+  def sessionMetrics(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val run = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchase_flag"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_ts"), col("end_ts"),
+        expr("(unix_micros(end_ts) - unix_micros(start_ts)) div 1000000")
+          .as("duration_s"),
+        (col("purchase_flag") === 1L).as("converted"))
+  }
+
+  /** q99 — session metrics table (rollup of q79's sessionization). */
+  val q99: Q = Q(
+    "q99_session_metrics",
+    run = { (spark, dir) => sessionMetrics(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   event_type
+                 FROM events),
+      m AS (SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800 * 1000000 OR lag(epoch_us(ts))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_s
+            FROM e),
+      s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_idx
+            FROM m)
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        CAST(count(*) AS BIGINT) AS n_events,
+        min(ts) AS start_ts, max(ts) AS end_ts,
+        (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s,
+        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+          AS converted
+      FROM s GROUP BY user_id, session_idx"""))
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q79, q99)
 }

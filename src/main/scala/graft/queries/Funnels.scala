@@ -255,5 +255,57 @@ object Funnels {
     },
     oracle = None)
 
-  val all: Seq[Q] = Seq(q61, q62, q63, q64, q75, q77)
+  /** Core of q100 over any (event_id, user_id, ts, event_type) frame:
+    * last-touch attribution — for every purchase, the user's most
+    * recent PRECEDING non-purchase event (the touch that gets
+    * conversion credit) and the touch→purchase gap in whole seconds.
+    * One `last(..., ignoreNulls)` window over the rows-preceding frame;
+    * same user_id shuffle and (ts, event_id) tie-break as the
+    * funnel/sessionize family. First-session purchases with no prior
+    * touch surface as NULL attribution (kept — the "direct" bucket an
+    * attribution report needs). */
+  def lastTouch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .filter(col("event_type").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("attr_type",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .withColumn("attr_us",
+        last(when(col("event_type") =!= "purchase", unix_micros(col("ts"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("attr_type"),
+        expr("(unix_micros(ts) - attr_us) div 1000000").as("gap_s"))
+  }
+
+  /** q100 — last-touch conversion attribution. */
+  val q100: Q = Q(
+    "q100_last_touch",
+    run = { (spark, dir) => lastTouch(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   event_type
+                 FROM events WHERE event_type IS NOT NULL),
+      m AS (SELECT *,
+              last_value(CASE WHEN event_type <> 'purchase'
+                  THEN event_type END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS attr_type,
+              last_value(CASE WHEN event_type <> 'purchase'
+                  THEN epoch_us(ts) END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS attr_us
+            FROM e)
+      SELECT event_id, user_id, ts, attr_type,
+        (epoch_us(ts) - attr_us) // 1000000 AS gap_s
+      FROM m WHERE event_type = 'purchase'"""))
+
+  val all: Seq[Q] = Seq(q61, q62, q63, q64, q75, q77, q100)
 }

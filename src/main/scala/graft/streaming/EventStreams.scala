@@ -264,6 +264,52 @@ object EventStreams {
       }
   }
 
+  final case class IntervalState(curType: Option[String],
+      curFrom: Option[java.sql.Timestamp])
+  final case class ClosedInterval(user_id: Long, event_type: String,
+      valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp)
+
+  /** Streaming twin of batch q93's SCD-2 / CDC compaction
+    * (graft.queries.Warehouse.stateIntervals): a per-user state machine
+    * (flatMapGroupsWithState, append mode) that emits an interval the
+    * moment the user's event_type CHANGES. State is O(1) per user — the
+    * current run's type and start timestamp — independent of history
+    * length; the still-open run lives in state until its closing change
+    * arrives, which is exactly the closed-vs-open split a CDC sink
+    * (e.g. q94's MERGE) consumes. Within a micro-batch, rows are
+    * processed in (ts, event_id) order — the same tie-break as batch
+    * q93 — so on arrival in event-time order the emitted rows EQUAL
+    * batch q93's is_current=false rows (suite-asserted); out-of-order
+    * repair across runs is the batch backfill's job (the
+    * [[streamingFunnel]]/[[streamingSessionize]] contract). */
+  def streamingStateIntervals(events: DataFrame): Dataset[ClosedInterval] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(col("event_type").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[IntervalState, ClosedInterval](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow],
+            state: GroupState[IntervalState]) =>
+          var s = state.getOption.getOrElse(IntervalState(None, None))
+          val out = Seq.newBuilder[ClosedInterval]
+          rows.toSeq.sortBy(r => (micros(r.ts), r.event_id)).foreach { r =>
+            s.curType match {
+              case Some(t) if t == r.event_type => // run continues
+              case Some(t) =>
+                out += ClosedInterval(uid, t, s.curFrom.get, r.ts)
+                s = IntervalState(Some(r.event_type), Some(r.ts))
+              case None =>
+                s = IntervalState(Some(r.event_type), Some(r.ts))
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   final case class DayUser(event_type: String, day: String, user_id: Long)
   final case class SketchWindowRow(event_type: String, day: String,
       users_7d_est: Long, seq: Long)

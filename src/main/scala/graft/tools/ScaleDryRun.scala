@@ -329,6 +329,40 @@ object ScaleDryRun {
     println(f"[scale-dry-run] q90_surprisal_1x       $tSurp1%8.2f s")
     println(f"[scale-dry-run] q90_surprisal_10x      $tSurp10%8.2f s  (ratio ${tSurp10 / tSurp1}%.1fx)")
 
+    // ---- late-round-8 operators at 10x ----
+    // q93 CDC compaction: ONE user_id shuffle shared by both windows;
+    // ev10 is 10x events over 10x fresh users, so per-user run lengths
+    // are unchanged — the ratio isolates the shuffle+window cost
+    val (tScd1, _) = timed(graft.queries.Warehouse.stateIntervals(ev0))
+    val (tScd10, _) = timed(graft.queries.Warehouse.stateIntervals(ev10))
+    println(f"[scale-dry-run] q93_state_iv_1x        $tScd1%8.2f s")
+    println(f"[scale-dry-run] q93_state_iv_10x       $tScd10%8.2f s  (ratio ${tScd10 / tScd1}%.1fx)")
+    // q96 chunk dedup: the keep-first window hashes on chunk_text —
+    // bucket size is bounded by duplicate MULTIPLICITY, not corpus size;
+    // the shuffled copies keep multiplicity flat while volume grows 10x
+    val (tCd1, _) = timed(graft.queries.PipelineOps.chunkDedup(
+      docs0.filter(col("text").isNotNull)))
+    val (tCd10, _) = timed(graft.queries.PipelineOps.chunkDedup(
+      docs10.filter(col("text").isNotNull)))
+    println(f"[scale-dry-run] q96_chunk_dedup_1x     $tCd1%8.2f s")
+    println(f"[scale-dry-run] q96_chunk_dedup_10x    $tCd10%8.2f s  (ratio ${tCd10 / tCd1}%.1fx)")
+    // q97 containment: worst case for the exact modality — the shuffled
+    // copies make shingles mostly DISTINCT, so the rare universe grows
+    // 10x with the corpus; the df>50 cap is what must keep the
+    // per-shingle self-join buckets bounded
+    val (tCont1, _) = timed(graft.queries.TextOps.containmentPairs(
+      docs0.filter(col("text").isNotNull)))
+    val (tCont10, _) = timed(graft.queries.TextOps.containmentPairs(
+      docs10.filter(col("text").isNotNull)))
+    println(f"[scale-dry-run] q97_containment_1x     $tCont1%8.2f s")
+    println(f"[scale-dry-run] q97_containment_10x    $tCont10%8.2f s  (ratio ${tCont10 / tCont1}%.1fx)")
+    // q98 cascade: per-row predicates + the q71 vocabulary-bounded
+    // joins, ending in a single-row funnel aggregate
+    val (tCas1, _) = timed(graft.queries.PipelineOps.filterCascade(docs0))
+    val (tCas10, _) = timed(graft.queries.PipelineOps.filterCascade(docs10))
+    println(f"[scale-dry-run] q98_cascade_1x         $tCas1%8.2f s")
+    println(f"[scale-dry-run] q98_cascade_10x        $tCas10%8.2f s  (ratio ${tCas10 / tCas1}%.1fx)")
+
     // ---- skewed fact-dim join: plain SMJ vs salted vs AQE skew-split ----
     // q87 DIAGNOSES join-key skew; this is the MITIGATION A/B. 90% of the
     // 10x fact rows (~54M) share ONE join key, the dim side is forced

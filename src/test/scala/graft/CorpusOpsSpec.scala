@@ -388,4 +388,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     val (dTok, dTyp, dHap, dPpm) = out("div")
     assert(dTok == 12L && dTyp == 12L && dHap == 12L && dPpm == 1000000L)
   }
+
+  test("q99: sessions partition events and metrics are internally consistent") {
+    val events = Tables.events(spark, dir)
+    val out = queries.EventWindows.sessionMetrics(events).cache()
+    try {
+      assert(out.agg(sum("n_events")).head.getLong(0) == events.count())
+      assert(out.filter(col("duration_s") < 0).count() == 0)
+      // single-event sessions have zero duration
+      assert(out.filter(col("n_events") === 1 && col("duration_s") =!= 0)
+        .count() == 0)
+      // converted sessions hold every purchase event exactly once
+      val purchases = events.filter(col("event_type") === "purchase").count()
+      val conv = queries.EventWindows.sessionMetrics(
+        events.filter(col("event_type") === "purchase"))
+      assert(conv.filter(!col("converted")).count() == 0)
+      assert(conv.agg(sum("n_events")).head.getLong(0) == purchases)
+    } finally { out.unpersist(); () }
+  }
+
+  test("q100: purchases credit the latest preceding non-purchase touch") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, "view",     ts("2024-01-01 10:00:00"), 1L),
+      (2L, "click",    ts("2024-01-01 10:05:00"), 1L),
+      (3L, "purchase", ts("2024-01-01 10:06:40"), 1L),
+      (4L, "purchase", ts("2024-01-01 10:07:00"), 1L),  // still credits click
+      (5L, "purchase", ts("2024-01-01 09:00:00"), 2L))  // no prior touch
+      .toDF("event_id", "event_type", "ts", "user_id")
+    val out = queries.Funnels.lastTouch(events)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(3)), if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .toMap
+    assert(out(3L) == ((Some("click"), 100L)))
+    assert(out(4L) == ((Some("click"), 120L)))   // not the prior purchase
+    assert(out(5L) == ((None, -1L)))             // direct bucket
+    assert(out.size == 3)
+  }
 }

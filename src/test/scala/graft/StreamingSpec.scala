@@ -109,6 +109,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() == 0)
   }
 
+  test("streaming SCD-2 intervals equal batch q93's closed intervals") {
+    val stream = EventStreams.streamingStateIntervals(
+      EventStreams.readEvents(spark, eventsDir))
+    val got = EventStreams.runToMemory(stream.toDF(), "scd_out",
+      OutputMode.Append)
+    val want = graft.queries.Warehouse.q93.run(spark, TestSpark.sf0001)
+      .filter(!col("is_current"))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
   test("streaming HLL sketch twin equals batch q77 exactly (multi-batch)") {
     // two time-split files → two micro-batches: the second batch's days
     // fall inside the first's 7-day windows, so incremental sketch
