@@ -282,15 +282,23 @@ object TextOps {
       .filter(col("df") > maxDf).select(col("shingle"))
     val rare = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     val cnt = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
-    val pairs = rare.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(rare.select(col("doc_id").as("doc_b"),
-        col("shingle").as("shingle_b")),
-        col("shingle") === col("shingle_b") && col("doc_a") =!= col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    // both join sides carry their doc's rare-shingle count so the
+    // size-ratio prune runs INSIDE the pair join (q24's lossless trick,
+    // asymmetric form): n_shared <= n_b always, so a candidate with
+    // n_b·100 < threshold·n_a can never pass the final filter — pruning
+    // it here shrinks the pair-aggregation shuffle, not the answer
+    val rc = rare.join(cnt, "doc_id")
+    val pairs = rc.select(col("doc_id").as("doc_a"), col("shingle"),
+        col("n_a"))
+      .join(rc.select(col("doc_id").as("doc_b"),
+        col("shingle").as("shingle_b"), col("n_a").as("n_b")),
+        col("shingle") === col("shingle_b") && col("doc_a") =!= col("doc_b") &&
+          col("n_b") * 100 >= col("n_a") * thresholdPct &&
+          col("n_a") >= minShingles)
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"))
       .agg(count(lit(1)).as("n_shared"))
-    pairs.join(cnt.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .filter(col("n_a") >= minShingles &&
-        col("n_shared") * 100 >= col("n_a") * thresholdPct)
+    pairs
+      .filter(col("n_shared") * 100 >= col("n_a") * thresholdPct)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_shared"),
         expr("(n_shared * 100) div n_a").as("cont_pct"))
   }
