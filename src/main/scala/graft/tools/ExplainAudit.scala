@@ -164,6 +164,23 @@ object ExplainAudit {
     assert(!q97Plan.contains("CartesianProduct"),
       "q97: containment pair generation lost its shingle equi-key")
     println("===== q97 BROADCAST-ANTI ASSERT OK")
+    // q99: session assignment window AND the session rollup agg both
+    // key on user_id — ONE hash shuffle end to end
+    val q99Plan = graft.SparkEntry.queries("q99_session_metrics")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val q99Ex = q99Plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(q99Ex == 1, s"q99: expected exactly 1 hash shuffle, found $q99Ex")
+    println("===== q99 SINGLE-SHUFFLE ASSERT OK")
+    // q100: attribution is one window over user_id — a single shuffle,
+    // no join
+    val q100Plan = graft.SparkEntry.queries("q100_last_touch")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val q100Ex = q100Plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(q100Ex == 1,
+      s"q100: expected exactly 1 hash shuffle, found $q100Ex")
+    println("===== q100 SINGLE-SHUFFLE ASSERT OK")
     spark.stop()
   }
 }

@@ -362,6 +362,17 @@ object ScaleDryRun {
     val (tCas10, _) = timed(graft.queries.PipelineOps.filterCascade(docs10))
     println(f"[scale-dry-run] q98_cascade_1x         $tCas1%8.2f s")
     println(f"[scale-dry-run] q98_cascade_10x        $tCas10%8.2f s  (ratio ${tCas10 / tCas1}%.1fx)")
+    // q99/q100: the one-user_id-shuffle event-analytics pair (session
+    // rollup, last-touch attribution) — fresh users per copy keep
+    // per-user work flat while volume grows 10x
+    val (tSm1, _) = timed(graft.queries.EventWindows.sessionMetrics(ev0))
+    val (tSm10, _) = timed(graft.queries.EventWindows.sessionMetrics(ev10))
+    println(f"[scale-dry-run] q99_session_met_1x     $tSm1%8.2f s")
+    println(f"[scale-dry-run] q99_session_met_10x    $tSm10%8.2f s  (ratio ${tSm10 / tSm1}%.1fx)")
+    val (tLt1, _) = timed(graft.queries.Funnels.lastTouch(ev0))
+    val (tLt10, _) = timed(graft.queries.Funnels.lastTouch(ev10))
+    println(f"[scale-dry-run] q100_last_touch_1x     $tLt1%8.2f s")
+    println(f"[scale-dry-run] q100_last_touch_10x    $tLt10%8.2f s  (ratio ${tLt10 / tLt1}%.1fx)")
 
     // ---- skewed fact-dim join: plain SMJ vs salted vs AQE skew-split ----
     // q87 DIAGNOSES join-key skew; this is the MITIGATION A/B. 90% of the

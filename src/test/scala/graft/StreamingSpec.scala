@@ -123,6 +123,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() == 0)
   }
 
+  test("streaming SCD-2 twin carries open runs across micro-batches") {
+    // time-split files -> two micro-batches (maxFilesPerTrigger=1): a
+    // run that STARTS in batch A and closes in batch B must emit with
+    // its valid_from carried through state, not batch B's first sight
+    val d = Files.createTempDirectory("events_scd")
+    val tmpA = Files.createTempDirectory("scd_a").toString
+    val tmpB = Files.createTempDirectory("scd_b").toString
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true")
+      val raw = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      val mid = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+      raw.filter(col("ts") <= mid).coalesce(1)
+        .write.mode("overwrite").parquet(tmpA)
+      raw.filter(col("ts") > mid).coalesce(1)
+        .write.mode("overwrite").parquet(tmpB)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    def partOf(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    val fa = d.resolve("a.parquet")
+    val fb = d.resolve("b.parquet")
+    Files.copy(partOf(tmpA), fa)
+    Files.copy(partOf(tmpB), fb)
+    fa.toFile.setLastModified(1000000L)
+    fb.toFile.setLastModified(2000000L)
+    val stream = EventStreams.streamingStateIntervals(
+      EventStreams.readEvents(spark, d.toString))
+    val got = EventStreams.runToMemory(stream.toDF(), "scd_mb_out",
+      OutputMode.Append)
+    val want = graft.queries.Warehouse.q93.run(spark, TestSpark.sf0001)
+      .filter(!col("is_current"))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0,
+      "streamed interval not in batch q93 (state carry broke valid_from)")
+    assert(want.exceptAll(got).count() == 0,
+      "batch interval missing from the two-batch stream")
+  }
+
   test("streaming HLL sketch twin equals batch q77 exactly (multi-batch)") {
     // two time-split files → two micro-batches: the second batch's days
     // fall inside the first's 7-day windows, so incremental sketch
