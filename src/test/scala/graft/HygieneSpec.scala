@@ -76,4 +76,15 @@ class HygieneSpec extends AnyFunSuite {
     assert(badScheme.count() == 0)
     out.unpersist()
   }
+
+  test("q91 scrub is idempotent: a second pass changes nothing") {
+    val once = Hygiene.piiScrub(Hygiene.injectPii(
+      Tables.documents(spark, TestSpark.sf0001)))
+      .select(col("doc_id"), col("redacted").as("text"))
+    val twice = Hygiene.piiScrub(once)
+    assert(twice.filter(col("n_email") > 0 || col("n_phone") > 0 ||
+      col("n_ip") > 0).count() == 0)
+    assert(twice.join(once.withColumnRenamed("text", "orig"), "doc_id")
+      .filter(col("redacted") =!= col("orig")).count() == 0)
+  }
 }

@@ -96,4 +96,36 @@ class WarehouseSpec extends AnyFunSuite {
     assert(badIns.count() == 0)
     out.unpersist(); base.unpersist()
   }
+
+  test("q94 merge with an empty changeset keeps every row untouched") {
+    val base = Tables.customer(spark, TestSpark.sf0001)
+    val empty = Warehouse.syntheticChanges(base).filter(col("op") === "X")
+    val out = Warehouse.mergeUpsert(base, empty).cache()
+    try {
+      assert(out.count() == base.count())
+      assert(out.filter(col("change") =!= "kept").count() == 0)
+      val drift = out.join(
+        base.select(col("c_custkey"), col("c_acctbal").as("b0")), "c_custkey")
+        .filter(col("c_acctbal") =!= col("b0"))
+      assert(drift.count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("q93 compaction is idempotent: intervals re-compact to themselves") {
+    val events = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_type").isNotNull)
+    val once = Warehouse.stateIntervals(events).cache()
+    try {
+      // feed the intervals back as an event stream (valid_from as ts):
+      // consecutive types differ by construction, so nothing collapses
+      val asEvents = once.select(col("user_id"), col("event_type"),
+        col("valid_from").as("ts"),
+        monotonically_increasing_id().as("event_id"))
+      val twice = Warehouse.stateIntervals(asEvents)
+      assert(twice.count() == once.count())
+      assert(twice.select("user_id", "event_type", "valid_from")
+        .exceptAll(once.select("user_id", "event_type", "valid_from"))
+        .count() == 0)
+    } finally { once.unpersist(); () }
+  }
 }
