@@ -310,6 +310,45 @@ object EventStreams {
       }
   }
 
+  final case class TouchState(attrType: Option[String], attrUs: Option[Long])
+  final case class AttributedPurchase(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, attr_type: Option[String], gap_s: Option[Long])
+
+  /** Streaming twin of batch q100 last-touch attribution
+    * (graft.queries.Funnels.lastTouch): per-user state is the most
+    * recent non-purchase touch (type + µs) — O(1) per user — and every
+    * purchase emits immediately with the credit and touch→purchase gap
+    * (append mode; an attribution row is final the moment the purchase
+    * arrives, so there is nothing to retract). Same (ts, event_id)
+    * in-batch ordering and NULL "direct" bucket as batch q100; equality
+    * on ordered arrival is suite-asserted, including across a
+    * two-micro-batch split where the credited touch arrived in an
+    * EARLIER batch than its purchase. */
+  def streamingLastTouch(events: DataFrame): Dataset[AttributedPurchase] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(col("event_type").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttributedPurchase](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow],
+            state: GroupState[TouchState]) =>
+          var s = state.getOption.getOrElse(TouchState(None, None))
+          val out = Seq.newBuilder[AttributedPurchase]
+          rows.toSeq.sortBy(r => (micros(r.ts), r.event_id)).foreach { r =>
+            if (r.event_type == "purchase")
+              out += AttributedPurchase(r.event_id, uid, r.ts, s.attrType,
+                s.attrUs.map(us => (micros(r.ts) - us) / 1000000L))
+            else
+              s = TouchState(Some(r.event_type), Some(micros(r.ts)))
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   final case class DayUser(event_type: String, day: String, user_id: Long)
   final case class SketchWindowRow(event_type: String, day: String,
       users_7d_est: Long, seq: Long)

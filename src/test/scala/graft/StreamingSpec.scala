@@ -169,6 +169,47 @@ class StreamingSpec extends AnyFunSuite {
       "batch interval missing from the two-batch stream")
   }
 
+  test("streaming last-touch twin equals batch q100 across micro-batches") {
+    // same two-file time split as the SCD twin: purchases in batch B
+    // must credit touches whose state was written in batch A
+    val d = Files.createTempDirectory("events_lt")
+    val tmpA = Files.createTempDirectory("lt_a").toString
+    val tmpB = Files.createTempDirectory("lt_b").toString
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true")
+      val raw = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      val mid = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+      raw.filter(col("ts") <= mid).coalesce(1)
+        .write.mode("overwrite").parquet(tmpA)
+      raw.filter(col("ts") > mid).coalesce(1)
+        .write.mode("overwrite").parquet(tmpB)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    def partOf(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    val fa = d.resolve("a.parquet")
+    val fb = d.resolve("b.parquet")
+    Files.copy(partOf(tmpA), fa)
+    Files.copy(partOf(tmpB), fb)
+    fa.toFile.setLastModified(1000000L)
+    fb.toFile.setLastModified(2000000L)
+    val stream = EventStreams.streamingLastTouch(
+      EventStreams.readEvents(spark, d.toString))
+    val got = EventStreams.runToMemory(stream.toDF(), "lt_out",
+      OutputMode.Append)
+    val want = graft.queries.Funnels.q100.run(spark, TestSpark.sf0001)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0,
+      "streamed attribution diverges from batch q100")
+    assert(want.exceptAll(got).count() == 0)
+  }
+
   test("streaming HLL sketch twin equals batch q77 exactly (multi-batch)") {
     // two time-split files → two micro-batches: the second batch's days
     // fall inside the first's 7-day windows, so incremental sketch
