@@ -121,6 +121,35 @@ object ScaleDryRun100 {
     row("pairs_banded_100x", tb100, nb100,
       f"  banded/exact=${tb100 / tex100}%.2fx")
 
+    // ---- late-round-8 text operators at 1x/10x/100x ----
+    // q96 chunk dedup: decorrelated growth keeps duplicate multiplicity
+    // flat, so the chunk_text window's bucket bound is exercised at
+    // 500k docs / ~8M chunks
+    def cdCase(tag: String, docs: DataFrame): Double = {
+      val (t, n) = timed(graft.queries.PipelineOps.chunkDedup(
+        docs.filter(col("text").isNotNull).repartition(cpus.toInt)))
+      row(s"chunk_dedup_$tag", t, n)
+      t
+    }
+    val cd1 = cdCase("1x", docs0)
+    val cd10 = cdCase("10x", decorr(10))
+    val cd100 = cdCase("100x", decorr(100))
+    println(f"[scale-100] RATIO chunk_dedup     10x=${cd10 / cd1}%.1fx 100x=${cd100 / cd1}%.1fx")
+    // q97 containment: mostly-distinct shingles at 100x is the worst
+    // case for the rare universe (grows with the corpus); the df>50 cap
+    // plus the asymmetric size-ratio prune must keep the self-join
+    // bucket-bounded — the 100x/1x ratio IS that claim, measured
+    def contCase(tag: String, docs: DataFrame): Double = {
+      val (t, n) = timed(graft.queries.TextOps.containmentPairs(
+        docs.filter(col("text").isNotNull).repartition(cpus.toInt)))
+      row(s"containment_$tag", t, n)
+      t
+    }
+    val ct1 = contCase("1x", docs0)
+    val ct10 = contCase("10x", decorr(10))
+    val ct100 = contCase("100x", decorr(100))
+    println(f"[scale-100] RATIO containment     10x=${ct10 / ct1}%.1fx 100x=${ct100 / ct1}%.1fx")
+
     // ---- rolling distinct users: exact vs sketch at 1x/10x/100x ----
     val ev0 = graft.Tables.events(spark, dir)
     def growEvents(mult: Int): DataFrame =

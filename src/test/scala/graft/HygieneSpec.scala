@@ -87,4 +87,18 @@ class HygieneSpec extends AnyFunSuite {
     assert(twice.join(once.withColumnRenamed("text", "orig"), "doc_id")
       .filter(col("redacted") =!= col("orig")).count() == 0)
   }
+
+  test("q92 handles organic URLs: query strings, ports, dedup by host") {
+    val docs = Seq(
+      (1L, "read https://docs.example.io/a?q=1&x=2 and " +
+        "https://docs.example.io/b#frag today"),
+      (2L, "local http://localhost:8080/health check"),
+      (3L, "no links here at all")).toDF("doc_id", "text")
+    val out = Hygiene.urlDomains(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("docs.example.io") == ((2L, 1L, 2L)))
+    assert(out("localhost:8080") == ((1L, 1L, 0L)))
+    assert(out.size == 2)
+  }
 }
