@@ -133,7 +133,19 @@ object KaggleSource {
       localMirror: Option[String] = None,
       transport: Option[Transport] = None,
       credentials: Option[Credentials] = None,
-      baseUrl: String = "https://www.kaggle.com/api/v1"): Seq[String] = {
+      baseUrl: String = "https://www.kaggle.com/api/v1",
+      policy: Option[graft.pipeline.TaskPolicy.Policy] = None): Seq[String] = {
+    // the reference runs its download task under scheduler-level
+    // retries/retry_delay/execution_timeout (wine_etl_kaggle.py:22-30);
+    // an explicit policy reproduces that contract around THIS fetch —
+    // the one genuinely flaky (network) stage of the pipeline
+    policy match {
+      case Some(p) =>
+        return graft.pipeline.TaskPolicy.run(p, s"kaggle-fetch:$dataset")(
+          fetch(dataset, stagingDir, localMirror, transport, credentials,
+            baseUrl, None))._1
+      case None => ()
+    }
     val staging = Paths.get(stagingDir)
     Files.createDirectories(staging)
     localMirror match {

@@ -107,6 +107,35 @@ class WinePipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("kaggle fetch under a task policy retries a flaky transport") {
+    val archive = zipOf("f.txt" -> "x")
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky = new sources.KaggleSource.Transport {
+      def get(url: String, headers: Map[String, String]): (Int, Array[Byte]) =
+        if (calls.incrementAndGet() < 3) (503, Array.emptyByteArray)
+        else (200, archive)
+    }
+    val staging = Files.createTempDirectory("kaggle_retry").toString
+    val policy = graft.pipeline.TaskPolicy.Policy(retries = 2,
+      retryDelay = scala.concurrent.duration.Duration("10ms"),
+      timeout = scala.concurrent.duration.Duration("10s"))
+    val got = sources.KaggleSource.fetch("a/b", staging,
+      transport = Some(flaky), credentials = Some(testCreds),
+      policy = Some(policy))
+    assert(calls.get == 3 && got.nonEmpty)
+    // and with the budget exhausted, the last failure propagates
+    val dead = new sources.KaggleSource.Transport {
+      def get(url: String, headers: Map[String, String]): (Int, Array[Byte]) =
+        (503, Array.emptyByteArray)
+    }
+    intercept[Exception] {
+      sources.KaggleSource.fetch("a/b",
+        Files.createTempDirectory("kaggle_dead").toString,
+        transport = Some(dead), credentials = Some(testCreds),
+        policy = Some(policy))
+    }
+  }
+
   test("kaggle transport: basic-auth header carries the kaggle.json cred shape") {
     val archive = zipOf("f.txt" -> "x")
     var captured: String = null
