@@ -16,7 +16,14 @@ import graft.{Q, Tables}
   * web-graph-vocabulary-sized). The regexes are deliberately restricted
   * to the Java∩RE2 common subset (`\b`, `\d`, classes, bounded
   * repetition — no backrefs/lookaround) so Spark (java.util.regex) and
-  * the DuckDB oracle (RE2) match byte-identically.
+  * the DuckDB oracle (RE2) match byte-identically. One residual engine
+  * difference is documented rather than hidden: `\b` is Unicode-aware
+  * in Java but ASCII-only in RE2, so a digit pattern ADJACENT to a
+  * non-ASCII letter (e.g. "café555-0000") can diverge between Spark
+  * and an RE2-based oracle. The fixture corpus is pure ASCII (verified
+  * — zero non-ASCII, zero digit chars), and all injected spans are
+  * space-delimited, so the gate is exact; on a CJK-heavy user corpus
+  * the scrubber itself stays self-consistent (Java semantics).
   *
   * The driver fixture is word-soup with no organic PII/URLs, so both
   * sides inject deterministic spans keyed off `doc_id` (same recipe as
