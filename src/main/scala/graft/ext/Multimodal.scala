@@ -9,14 +9,16 @@ import graft.{Q, Tables}
   * opaque `binary` columns with typed metadata; decode/feature-extract
   * runs batched per partition.
   *
-  * Two containers get REAL decoders — BMP (header parse → pixel stats +
-  * nearest-neighbor luminance thumbnail) and WAV (chunk walk → PCM
-  * sample stats + envelope thumbnail) — because both are dependency-
-  * free: raw little-endian header math, no codec library. Compressed
-  * formats (jpeg/png/mp4/...) still route through the labeled STUB;
-  * this container ships no codecs, and the stub keeps the contract
-  * (bytes in, fixed-width features out) so a real decoder drops in
-  * without touching the plan.
+  * Three containers get REAL decoders — BMP (header parse → pixel stats
+  * + nearest-neighbor luminance thumbnail), WAV (chunk walk → PCM
+  * sample stats + envelope thumbnail), and PNG (chunk walk → zlib
+  * inflate via JDK Inflater → the five standard scanline unfilters →
+  * pixel stats + thumbnail) — all dependency-free: raw header math plus
+  * java.util.zip, no codec library. Entropy-coded formats
+  * (jpeg/gif/mp4/...) still route through the labeled STUB; this
+  * container ships no codecs, and the stub keeps the contract (bytes
+  * in, fixed-width features out) so a real decoder drops in without
+  * touching the plan.
   *
   * The fixtures have no binary table, so document text bytes stand in as
   * the payload (cast string→binary), exactly as an image-bytes column
@@ -268,8 +270,143 @@ object Multimodal {
       if (nSamples == 0) 0.0 else sum.toDouble / nSamples))
   }
 
+  // big-endian reader — PNG is the one big-endian container here
+  private def i32be(p: Array[Byte], off: Int): Int =
+    ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+      ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+
+  /** REAL PNG decode — no codec library: the chunk walk, zlib inflate
+    * (java.util.zip.Inflater, JDK-only), and the five standard scanline
+    * unfilters (None/Sub/Up/Average/Paeth) are all raw byte math.
+    * Supports the 8-bit-depth non-interlaced profiles (gray,
+    * gray+alpha, RGB, RGBA); width/height/channels from IHDR,
+    * `mean_signal`/`histo16` over the UNFILTERED pixel channel bytes
+    * (the decode-dependent numbers a stub cannot fake), `thumb` the 4x4
+    * nearest-neighbor luminance grid (integer Rec.601; PNG pixel order
+    * is RGB, top-down — no BMP-style flip). None on structural
+    * violations — truncated chunk table, inflate error or short stream,
+    * unsupported profile, or an inflation that would exceed the 64 MiB
+    * zip-bomb cap — and the caller falls back to the labeled stub, so a
+    * hostile payload degrades instead of killing the stage. */
+  def decodePng(docId: Long, p: Array[Byte]): Option[MediaFeatures] = {
+    if (p.length < 8 + 25) return None
+    var off = 8L // past the 8-byte signature (already sniffed)
+    var w = 0; var h = 0; var bitDepth = 0; var colorType = -1
+    var interlace = -1; var ihdrOk = false; var ended = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!ended && off + 8 <= p.length) {
+      val o = off.toInt
+      val len = i32be(p, o)
+      if (len < 0) return None
+      // the whole chunk, CRC included, must fit (Long math: a hostile
+      // len near Int.MaxValue must not wrap the cursor)
+      if (off + 8L + len + 4L > p.length) return None
+      new String(p, o + 4, 4, "US-ASCII") match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = i32be(p, o + 8); h = i32be(p, o + 12)
+          bitDepth = p(o + 16) & 0xff; colorType = p(o + 17) & 0xff
+          interlace = p(o + 20) & 0xff
+          ihdrOk = true
+        case "IDAT" => idat.write(p, o + 8, len)
+        case "IEND" => ended = true
+        case _      => ()
+      }
+      off += 8L + len + 4L
+    }
+    if (!ihdrOk || idat.size == 0) return None
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    if (bitDepth != 8 || interlace != 0 || w <= 0 || h <= 0) return None
+    val rowBytesL = w.toLong * channels
+    val expectedL = (rowBytesL + 1L) * h // +1 filter byte per scanline
+    if (expectedL > (1L << 26)) return None // 64 MiB inflation cap
+    val raw = new Array[Byte](expectedL.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n =
+          try inf.inflate(raw, got, raw.length - got)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None // truncated/odd stream: structural corruption
+        got += n
+      }
+      if (got < raw.length) return None
+    } finally inf.end()
+    // reverse the per-row filter, writing unfiltered pixel bytes to px
+    val rowBytes = rowBytesL.toInt
+    val px = new Array[Byte](rowBytes * h)
+    var row = 0
+    while (row < h) {
+      val ft = raw(row * (rowBytes + 1)) & 0xff
+      if (ft > 4) return None
+      val src = row * (rowBytes + 1) + 1
+      val dst = row * rowBytes
+      var i = 0
+      while (i < rowBytes) {
+        val x = raw(src + i) & 0xff
+        val a = if (i >= channels) px(dst + i - channels) & 0xff else 0
+        val b = if (row > 0) px(dst - rowBytes + i) & 0xff else 0
+        val c =
+          if (row > 0 && i >= channels) px(dst - rowBytes + i - channels) & 0xff
+          else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + ((a + b) >> 1)
+          case _ => // Paeth predictor
+            val pp = a + b - c
+            val pa = math.abs(pp - a)
+            val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        px(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      row += 1
+    }
+    val histo = new Array[Long](16)
+    var sum = 0L
+    var i = 0
+    while (i < px.length) {
+      val b = px(i) & 0xff
+      histo(b >> 4) += 1
+      sum += b
+      i += 1
+    }
+    val thumb = new Array[Byte](16)
+    var ty = 0
+    while (ty < 4) {
+      var tx = 0
+      while (tx < 4) {
+        val base = (ty * h / 4) * rowBytes + (tx * w / 4) * channels
+        val lum =
+          if (channels <= 2) px(base) & 0xff // gray / gray+alpha
+          else {
+            val r = px(base) & 0xff
+            val g = px(base + 1) & 0xff
+            val b = px(base + 2) & 0xff
+            (77 * r + 150 * g + 29 * b) >> 8
+          }
+        thumb(ty * 4 + tx) = lum.toByte
+        tx += 1
+      }
+      ty += 1
+    }
+    Some(MediaFeatures(docId, "png", p.length, meanByteOf(p), p.take(4),
+      histo, thumb, 1, w, h, channels, 0,
+      if (px.length == 0) 0.0 else sum.toDouble / px.length))
+  }
+
   /** STUB features for formats whose decode needs an external codec
-    * (jpeg/png/gif/mp4/...): deterministic whole-payload byte stats +
+    * (jpeg/gif/mp4/...): deterministic whole-payload byte stats +
     * 16-bin byte histogram + strided pseudo-thumbnail + chunked
     * pseudo-frame count. The signature — bytes in, fixed-width features
     * out, no per-row session state — is the contract a distributed
@@ -316,6 +453,7 @@ object Multimodal {
     sniffBytes(payloadOrNull) match { // sniff the ORIGINAL: null → "empty"
       case "bmp" => safely(decodeBmp(docId, p), "bmp_corrupt")
       case "wav" => safely(decodeWav(docId, p), "wav_corrupt")
+      case "png" => safely(decodePng(docId, p), "png_corrupt")
       case f     => stubFeatures(docId, p, f)
     }
   }
@@ -383,7 +521,77 @@ object Multimodal {
       -3L -> wav16(16000, 1, Array.tabulate(64)(i => ((i % 16) * 1000 - 8000).toShort)),
       -4L -> wav16(8000, 2, new Array[Short](32)),
       -5L -> bmp24(4, 4, (_, _) => (0, 0, 0)).take(40), // truncated → bmp_corrupt
-      -6L -> wav16(8000, 1, Array[Short](1, 2, 3, 4)).take(48)) // → wav_corrupt
+      -6L -> wav16(8000, 1, Array[Short](1, 2, 3, 4)).take(48), // → wav_corrupt
+      -7L -> pngOf(8, 8, 3, Array.fill(8)(0),
+        (x, y, c) => Array(x * 32, y * 32, (x + y) * 16)(c)),
+      -8L -> pngOf(4, 4, 1, Array(0, 1, 2, 4), (x, y, _) => x * 40 + y * 10),
+      -9L -> pngOf(4, 4, 3, Array.fill(4)(0),
+        (x, y, c) => Array(10, 20, 30)(c)).dropRight(20)) // → png_corrupt
+  }
+
+  /** Deterministic PNG encoder (tests + synthetics): builds real chunks
+    * with CRC32 and a real zlib stream (JDK Deflater), applying the
+    * STANDARD forward filter chosen per row — so decoding exercises the
+    * genuine unfilter paths (Sub/Up/Average/Paeth), not just filter 0.
+    * `pix(x, y, channel)` returns the raw byte value. */
+  private[graft] def pngOf(width: Int, height: Int, channels: Int,
+      rowFilters: Array[Int], pix: (Int, Int, Int) => Int): Array[Byte] = {
+    require(rowFilters.length == height, "one filter type per row")
+    val rowBytes = width * channels
+    // raw (unfiltered) image
+    val img = Array.tabulate(height, rowBytes) { (y, i) =>
+      (pix(i / channels, y, i % channels) & 0xff).toByte
+    }
+    // forward-filter per row
+    val filtered = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until height) {
+      val ft = rowFilters(y)
+      filtered.write(ft)
+      for (i <- 0 until rowBytes) {
+        val x = img(y)(i) & 0xff
+        val a = if (i >= channels) img(y)(i - channels) & 0xff else 0
+        val b = if (y > 0) img(y - 1)(i) & 0xff else 0
+        val c = if (y > 0 && i >= channels) img(y - 1)(i - channels) & 0xff else 0
+        val out = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - ((a + b) >> 1)
+          case 4 =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            x - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        filtered.write(out & 0xff)
+      }
+    }
+    // zlib-compress the filtered scanlines
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered.toByteArray)
+    defl.finish()
+    val zBuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) zBuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(id.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(id.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val colorType = channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zBuf.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
   }
 
   /** q34 — feature extraction through the typed partition-batched path

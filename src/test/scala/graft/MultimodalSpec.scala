@@ -180,12 +180,58 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG decode: exact header fields, pixel mean, histogram, thumbnail") {
+    // pixel (x, y) channel c = (y*2 + x)*30 + (c+1)*10
+    val p = Multimodal.pngOf(2, 2, 3, Array(0, 0),
+      (x, y, c) => (y * 2 + x) * 30 + (c + 1) * 10)
+    val f = Multimodal.decode(42L, p)
+    assert(f.format == "png" && f.width == 2 && f.height == 2 &&
+      f.channels == 3 && f.n_frames == 1)
+    assert(f.mean_signal == 65.0) // 780 / 12 channel bytes
+    assert(f.histo16.toSeq ==
+      Seq(1L, 2L, 1L, 2L, 1L, 2L, 2L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    // 4x4 nearest-neighbor Rec.601 luma over the 2x2 grid (RGB order)
+    assert(f.thumb.toSeq == Seq[Byte](
+      18, 18, 48, 48, 18, 18, 48, 48, 78, 78, 108, 108, 78, 78, 108, 108))
+  }
+
+  test("PNG unfilter: all five filter types reconstruct the same image") {
+    def pix(x: Int, y: Int, c: Int): Int = (x * 37 + y * 91 + c * 13) % 256
+    val plain = Multimodal.decode(1L,
+      Multimodal.pngOf(6, 5, 4, Array.fill(5)(0), pix))
+    val filtered = Multimodal.decode(1L,
+      Multimodal.pngOf(6, 5, 4, Array(0, 1, 2, 3, 4), pix))
+    assert(plain.format == "png" && filtered.format == "png")
+    assert(filtered.mean_signal == plain.mean_signal)
+    assert(filtered.histo16.toSeq == plain.histo16.toSeq)
+    assert(filtered.thumb.toSeq == plain.thumb.toSeq)
+    assert((filtered.width, filtered.height, filtered.channels) == ((6, 5, 4)))
+  }
+
+  test("corrupt or unsupported png falls back to the labeled stub") {
+    val good = Multimodal.pngOf(4, 4, 3, Array.fill(4)(0), (x, y, c) => x + y + c)
+    assert(Multimodal.decode(1L, good).format == "png")
+    // truncated IDAT: inflate runs dry
+    assert(Multimodal.decode(1L, good.dropRight(20)).format == "png_corrupt")
+    // interlaced (Adam7) is out of profile: IHDR interlace byte = offset 28
+    val interlaced = good.clone(); interlaced(28) = 1
+    assert(Multimodal.decode(1L, interlaced).format == "png_corrupt")
+    // 16-bit depth is out of profile: IHDR bit-depth byte = offset 24
+    val deep = good.clone(); deep(24) = 16
+    assert(Multimodal.decode(1L, deep).format == "png_corrupt")
+    // hostile chunk length near Int.MaxValue must not wrap the cursor
+    val hostile = good.clone()
+    hostile(8) = 0x7f.toByte; hostile(9) = 0xff.toByte
+    hostile(10) = 0xff.toByte; hostile(11) = 0xff.toByte
+    assert(Multimodal.decode(1L, hostile).format == "png_corrupt")
+  }
+
   test("q34 registry run exercises real decode, corrupt fallback, and the stub") {
     val formats = Multimodal.q34.run(spark, TestSpark.sf0001)
       .select("format").distinct().collect().map(_.getString(0)).toSet
     // synthetic payloads guarantee the real paths fire in the driver run
-    assert(Set("bmp", "wav", "bmp_corrupt", "wav_corrupt").subsetOf(formats),
-      s"formats seen: $formats")
+    assert(Set("bmp", "wav", "png", "bmp_corrupt", "wav_corrupt",
+      "png_corrupt").subsetOf(formats), s"formats seen: $formats")
     // documents' text bytes still route through the labeled stub
     assert(formats.contains("unknown"))
   }
