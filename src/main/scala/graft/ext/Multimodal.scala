@@ -9,13 +9,14 @@ import graft.{Q, Tables}
   * opaque `binary` columns with typed metadata; decode/feature-extract
   * runs batched per partition.
   *
-  * Three containers get REAL decoders — BMP (header parse → pixel stats
+  * Four containers get REAL decoders — BMP (header parse → pixel stats
   * + nearest-neighbor luminance thumbnail), WAV (chunk walk → PCM
-  * sample stats + envelope thumbnail), and PNG (chunk walk → zlib
-  * inflate via JDK Inflater → the five standard scanline unfilters →
-  * pixel stats + thumbnail) — all dependency-free: raw header math plus
-  * java.util.zip, no codec library. Entropy-coded formats
-  * (jpeg/gif/mp4/...) still route through the labeled STUB; this
+  * sample stats + envelope thumbnail), PNG (chunk walk → zlib inflate
+  * via JDK Inflater → the five standard scanline unfilters → pixel
+  * stats + thumbnail), and GIF (LZW variable-width bit decode of the
+  * first frame + real frame count) — all dependency-free: raw header
+  * math plus java.util.zip, no codec library. Transform-coded formats
+  * (jpeg/mp4/webm/...) still route through the labeled STUB; this
   * container ships no codecs, and the stub keeps the contract (bytes
   * in, fixed-width features out) so a real decoder drops in without
   * touching the plan.
@@ -405,8 +406,206 @@ object Multimodal {
       if (px.length == 0) 0.0 else sum.toDouble / px.length))
   }
 
+  /** REAL GIF decode — the LZW variant GIF uses is ~80 lines of
+    * self-contained bit math, so like PNG this needs no codec library:
+    * header + logical screen descriptor + global color table parse,
+    * then the FIRST image frame's LZW stream is decoded (variable-width
+    * codes LSB-first across data sub-blocks, clear/EOI handling, 12-bit
+    * cap) and mapped through the palette to RGB. Later frames are
+    * COUNTED (descriptor walk) but not decoded — n_frames is real,
+    * pixel stats come from frame 1, the thumbnail convention every
+    * video/animation pipeline uses. Supports the dominant profile:
+    * global color table, non-interlaced; None on interlaced frames,
+    * local color tables, missing GCT, LZW violations, or truncation —
+    * stub fallback, never a task kill. */
+  def decodeGif(docId: Long, p: Array[Byte]): Option[MediaFeatures] = {
+    if (p.length < 13) return None
+    val w = u16(p, 6)
+    val h = u16(p, 8)
+    val flags = p(10) & 0xff
+    if ((flags & 0x80) == 0) return None // no global color table
+    val gctSize = 2 << (flags & 7)
+    var off = 13 + 3 * gctSize
+    if (w <= 0 || h <= 0 || off > p.length) return None
+    val gct = 13
+    // walk blocks; decode the first image, count the rest
+    var nFrames = 0
+    var firstPx: Array[Byte] = null // palette indices of frame 1
+    var fw = 0; var fh = 0
+    while (off < p.length && (p(off) & 0xff) != 0x3b) { // 0x3b = trailer
+      (p(off) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks
+          off += 2
+          while (off < p.length && (p(off) & 0xff) != 0) {
+            off += 1 + (p(off) & 0xff)
+            if (off > p.length) return None
+          }
+          off += 1
+        case 0x2c => // image descriptor
+          if (off + 10 > p.length) return None
+          val iw = u16(p, off + 5)
+          val ih = u16(p, off + 7)
+          val iflags = p(off + 9) & 0xff
+          off += 10
+          if ((iflags & 0x80) != 0) // local color table: out of profile
+            return None
+          if ((iflags & 0x40) != 0) return None // interlaced
+          if (off >= p.length) return None
+          val minCode = p(off) & 0xff
+          off += 1
+          // gather this frame's LZW bytes from the sub-blocks
+          val lzw = new java.io.ByteArrayOutputStream()
+          while (off < p.length && (p(off) & 0xff) != 0) {
+            val n = p(off) & 0xff
+            if (off + 1 + n > p.length) return None
+            lzw.write(p, off + 1, n)
+            off += 1 + n
+          }
+          if (off >= p.length) return None
+          off += 1 // sub-block terminator
+          nFrames += 1
+          if (firstPx == null) {
+            if (iw <= 0 || ih <= 0 ||
+              iw.toLong * ih > (1L << 24)) return None // 16M px cap
+            firstPx = lzwDecode(lzw.toByteArray, minCode, iw * ih, gctSize)
+              .getOrElse(return None)
+            fw = iw; fh = ih
+          }
+        case _ => return None // unknown block type: structural corruption
+      }
+    }
+    if (firstPx == null) return None
+    // palette-map to RGB and run the PNG-style stats
+    val histo = new Array[Long](16)
+    var sum = 0L
+    var i = 0
+    while (i < firstPx.length) {
+      val idx = firstPx(i) & 0xff
+      if (idx >= gctSize) return None
+      var c = 0
+      while (c < 3) {
+        val b = p(gct + 3 * idx + c) & 0xff
+        histo(b >> 4) += 1
+        sum += b
+        c += 1
+      }
+      i += 1
+    }
+    val thumb = new Array[Byte](16)
+    var ty = 0
+    while (ty < 4) {
+      var tx = 0
+      while (tx < 4) {
+        val idx = firstPx((ty * fh / 4) * fw + (tx * fw / 4)) & 0xff
+        val r = p(gct + 3 * idx) & 0xff
+        val g = p(gct + 3 * idx + 1) & 0xff
+        val b = p(gct + 3 * idx + 2) & 0xff
+        thumb(ty * 4 + tx) = ((77 * r + 150 * g + 29 * b) >> 8).toByte
+        tx += 1
+      }
+      ty += 1
+    }
+    val n = firstPx.length.toLong * 3
+    Some(MediaFeatures(docId, "gif", p.length, meanByteOf(p), p.take(4),
+      histo, thumb, nFrames, fw, fh, 3, 0,
+      if (n == 0) 0.0 else sum.toDouble / n))
+  }
+
+  /** GIF-flavor LZW: variable-width codes, LSB-first bit order, clear
+    * resets the table, EOI ends the stream; emits exactly `nPixels`
+    * palette indices or None on any protocol violation. */
+  private[graft] def lzwDecode(data: Array[Byte], minCode: Int, nPixels: Int,
+      nColors: Int): Option[Array[Byte]] = {
+    if (minCode < 2 || minCode > 11) return None
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    // table entries as (prefixCode, finalByte); roots are -1-prefixed
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var tableSize = 0
+    def resetTable(): Unit = {
+      tableSize = eoi + 1
+      var c = 0
+      while (c < clear) { prefix(c) = -1; suffix(c) = c.toByte; c += 1 }
+    }
+    resetTable()
+    val out = new Array[Byte](nPixels)
+    var outN = 0
+    var width = minCode + 1
+    var bitPos = 0
+    def nextCode(): Int = {
+      if (bitPos + width > data.length * 8) return -1
+      var v = 0
+      var k = 0
+      while (k < width) {
+        val bit = bitPos + k
+        if ((data(bit >> 3) & (1 << (bit & 7))) != 0) v |= 1 << k
+        k += 1
+      }
+      bitPos += width
+      v
+    }
+    def emit(code: Int): Boolean = { // expand a code to output, reversed
+      var stack = List.empty[Byte]
+      var c = code
+      var guard = 0
+      while (c != -1 && guard <= 4096) {
+        stack ::= suffix(c)
+        c = prefix(c)
+        guard += 1
+      }
+      if (guard > 4096) return false
+      stack.forall { b =>
+        if (outN < nPixels) { out(outN) = b; outN += 1; true }
+        else false // more pixels than the frame declares: violation
+      }
+    }
+    var prev = -1
+    var done = false
+    while (!done && outN < nPixels) {
+      val code = nextCode()
+      if (code < 0) return None // ran out of bits mid-frame
+      if (code == clear) {
+        resetTable()
+        width = minCode + 1
+        prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        // the first code after a clear must be a root literal
+        if (code >= clear) return None
+        if (!emit(code)) return None
+        prev = code
+      } else if (code < tableSize) {
+        // known code: new entry is (prev, firstByteOf(code)), then emit
+        var first = code
+        while (prefix(first) != -1) first = prefix(first)
+        if (tableSize < 4096) {
+          prefix(tableSize) = prev
+          suffix(tableSize) = suffix(first)
+          tableSize += 1
+        }
+        if (!emit(code)) return None
+        prev = code
+        if (tableSize == (1 << width) && width < 12) width += 1
+      } else if (code == tableSize && tableSize < 4096) {
+        // KwKwK: the not-yet-defined code is (prev, firstByteOf(prev))
+        var first = prev
+        while (prefix(first) != -1) first = prefix(first)
+        prefix(tableSize) = prev
+        suffix(tableSize) = suffix(first)
+        tableSize += 1
+        if (!emit(code)) return None
+        prev = code
+        if (tableSize == (1 << width) && width < 12) width += 1
+      } else return None // code beyond the table: protocol violation
+    }
+    if (outN != nPixels) return None
+    Some(out)
+  }
+
   /** STUB features for formats whose decode needs an external codec
-    * (jpeg/gif/mp4/...): deterministic whole-payload byte stats +
+    * (jpeg/mp4/...): deterministic whole-payload byte stats +
     * 16-bin byte histogram + strided pseudo-thumbnail + chunked
     * pseudo-frame count. The signature — bytes in, fixed-width features
     * out, no per-row session state — is the contract a distributed
@@ -454,6 +653,7 @@ object Multimodal {
       case "bmp" => safely(decodeBmp(docId, p), "bmp_corrupt")
       case "wav" => safely(decodeWav(docId, p), "wav_corrupt")
       case "png" => safely(decodePng(docId, p), "png_corrupt")
+      case "gif" => safely(decodeGif(docId, p), "gif_corrupt")
       case f     => stubFeatures(docId, p, f)
     }
   }
@@ -526,7 +726,76 @@ object Multimodal {
         (x, y, c) => Array(x * 32, y * 32, (x + y) * 16)(c)),
       -8L -> pngOf(4, 4, 1, Array(0, 1, 2, 4), (x, y, _) => x * 40 + y * 10),
       -9L -> pngOf(4, 4, 3, Array.fill(4)(0),
-        (x, y, c) => Array(10, 20, 30)(c)).dropRight(20)) // → png_corrupt
+        (x, y, c) => Array(10, 20, 30)(c)).dropRight(20), // → png_corrupt
+      -10L -> gifOf(6, 4,
+        Array.tabulate(16)(i => (i * 16, 255 - i * 16, i * 8)),
+        Seq((x, y) => (x + y) % 16, (x, y) => (x * y) % 16)),
+      -11L -> gifOf(4, 4, Array.tabulate(16)(i => (i, i, i)),
+        Seq((_, _) => 3)).dropRight(6)) // → gif_corrupt
+  }
+
+  /** Deterministic GIF encoder (tests + synthetics): real GIF89a
+    * header, global color table, and per-frame LZW streams built with
+    * the classic "uncompressed GIF" technique — literal root codes at
+    * fixed width with a clear code re-emitted before the decoder's
+    * table would force a width bump. Decodes with any conformant
+    * reader; frame pixels via `pix(x, y) → palette index`. */
+  private[graft] def gifOf(width: Int, height: Int,
+      palette: Array[(Int, Int, Int)],
+      frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+    require(palette.length == 16, "fixture palette is 16 entries")
+    val minCode = 4 // 2^4 = 16 roots
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(width & 0xff); out.write(width >> 8)
+    out.write(height & 0xff); out.write(height >> 8)
+    out.write(0x80 | 0x03) // GCT present, 2^(3+1) = 16 entries
+    out.write(0); out.write(0)
+    palette.foreach { case (r, g, b) =>
+      out.write(r & 0xff); out.write(g & 0xff); out.write(b & 0xff)
+    }
+    for (pix <- frames) {
+      out.write(0x2c)
+      out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+      out.write(width & 0xff); out.write(width >> 8)
+      out.write(height & 0xff); out.write(height >> 8)
+      out.write(0) // no local table, not interlaced
+      out.write(minCode)
+      // pack codes LSB-first at fixed width minCode+1, clearing early
+      val codeW = minCode + 1
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0L
+      var nBits = 0
+      def put(code: Int): Unit = {
+        acc |= code.toLong << nBits
+        nBits += codeW
+        while (nBits >= 8) {
+          bits.write((acc & 0xff).toInt); acc >>= 8; nBits -= 8
+        }
+      }
+      val clear = 1 << minCode
+      var sinceClear = 0
+      put(clear)
+      for (y <- 0 until height; x <- 0 until width) {
+        // the decoder adds a table entry per literal after the first;
+        // clear before tableSize (18 + adds) could reach 1 << codeW
+        if (sinceClear == 12) { put(clear); sinceClear = 0 }
+        put(pix(x, y) & 15)
+        sinceClear += 1
+      }
+      put(clear + 1) // EOI
+      if (nBits > 0) bits.write((acc & 0xff).toInt)
+      val lzw = bits.toByteArray
+      var i = 0
+      while (i < lzw.length) { // ≤255-byte sub-blocks
+        val n = math.min(255, lzw.length - i)
+        out.write(n); out.write(lzw, i, n)
+        i += n
+      }
+      out.write(0) // sub-block terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
   }
 
   /** Deterministic PNG encoder (tests + synthetics): builds real chunks

@@ -226,12 +226,77 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(1L, hostile).format == "png_corrupt")
   }
 
+  test("GIF decode: palette-mapped pixel stats, frame count, LZW clears") {
+    val palette = Array.tabulate(16)(i => (i * 16, 255 - i * 16, i * 8))
+    def pix(x: Int, y: Int): Int = (x * 3 + y * 5) % 16
+    // 8x5 = 40 pixels: the encoder's clear-every-12 path is exercised
+    val g = ext.Multimodal.gifOf(8, 5, palette, Seq(pix, (_, _) => 0))
+    val f = ext.Multimodal.decode(7L, g)
+    assert(f.format == "gif" && f.width == 8 && f.height == 5 &&
+      f.channels == 3 && f.n_frames == 2)
+    // expected stats computed directly from palette + index function
+    val idx = for (y <- 0 until 5; x <- 0 until 8) yield pix(x, y)
+    val bytes = idx.flatMap { i =>
+      val (r, gg, b) = palette(i); Seq(r, gg, b) }
+    assert(f.mean_signal == bytes.sum.toDouble / bytes.length)
+    val histo = new Array[Long](16)
+    bytes.foreach(b => histo(b >> 4) += 1)
+    assert(f.histo16.toSeq == histo.toSeq)
+    val thumb = for (ty <- 0 until 4; tx <- 0 until 4) yield {
+      val (r, gg, b) = palette(pix(tx * 8 / 4, ty * 5 / 4))
+      ((77 * r + 150 * gg + 29 * b) >> 8).toByte
+    }
+    assert(f.thumb.toSeq == thumb)
+  }
+
+  test("GIF LZW: the KwKwK corner case decodes per spec") {
+    // minCode=2: clear=4, eoi=5, table grows from 6. Stream
+    // [clear, 0, 6] hits code==tableSize immediately: entry 6 must be
+    // (prev=0) + firstByte(prev)=0 -> output [0, 0, 0]
+    def pack(codes: Seq[(Int, Int)]): Array[Byte] = { // (code, width)
+      var acc = 0L; var n = 0
+      val out = scala.collection.mutable.ArrayBuffer[Byte]()
+      codes.foreach { case (c, w) =>
+        acc |= c.toLong << n; n += w
+        while (n >= 8) { out += (acc & 0xff).toByte; acc >>= 8; n -= 8 }
+      }
+      if (n > 0) out += (acc & 0xff).toByte
+      out.toArray
+    }
+    val data = pack(Seq((4, 3), (0, 3), (6, 3), (5, 3)))
+    val got = ext.Multimodal.lzwDecode(data, 2, 3, 4)
+    assert(got.map(_.toSeq) == Some(Seq[Byte](0, 0, 0)))
+    // compound-code chains: [clear,0,1,6,7] -> 0,1,(0,1),(1,0)
+    // width bumps to 4 bits after entry 7 is created (table hits 8)
+    val data2 = pack(Seq((4, 3), (0, 3), (1, 3), (6, 3), (7, 4), (5, 4)))
+    val got2 = ext.Multimodal.lzwDecode(data2, 2, 6, 4)
+    assert(got2.map(_.toSeq) == Some(Seq[Byte](0, 1, 0, 1, 1, 0)))
+    // a code beyond the table is a protocol violation, not a crash
+    val bad = pack(Seq((4, 3), (0, 3), (7, 3), (5, 3)))
+    assert(ext.Multimodal.lzwDecode(bad, 2, 3, 4).isEmpty)
+  }
+
+  test("corrupt or out-of-profile gif falls back to the labeled stub") {
+    val palette = Array.tabulate(16)(i => (i, i, i))
+    val good = ext.Multimodal.gifOf(4, 4, palette, Seq((_, _) => 3))
+    assert(ext.Multimodal.decode(1L, good).format == "gif")
+    assert(ext.Multimodal.decode(1L, good.dropRight(6)).format ==
+      "gif_corrupt")
+    // interlaced frame: image-descriptor flags at header+GCT+desc offset
+    val iflagsOff = 13 + 48 + 9
+    val interlaced = good.clone(); interlaced(iflagsOff) = 0x40.toByte
+    assert(ext.Multimodal.decode(1L, interlaced).format == "gif_corrupt")
+    val localTable = good.clone(); localTable(iflagsOff) = 0x80.toByte
+    assert(ext.Multimodal.decode(1L, localTable).format == "gif_corrupt")
+  }
+
   test("q34 registry run exercises real decode, corrupt fallback, and the stub") {
     val formats = Multimodal.q34.run(spark, TestSpark.sf0001)
       .select("format").distinct().collect().map(_.getString(0)).toSet
     // synthetic payloads guarantee the real paths fire in the driver run
-    assert(Set("bmp", "wav", "png", "bmp_corrupt", "wav_corrupt",
-      "png_corrupt").subsetOf(formats), s"formats seen: $formats")
+    assert(Set("bmp", "wav", "png", "gif", "bmp_corrupt", "wav_corrupt",
+      "png_corrupt", "gif_corrupt").subsetOf(formats),
+      s"formats seen: $formats")
     // documents' text bytes still route through the labeled stub
     assert(formats.contains("unknown"))
   }
