@@ -604,8 +604,52 @@ object Multimodal {
     Some(out)
   }
 
-  /** STUB features for formats whose decode needs an external codec
-    * (jpeg/mp4/...): deterministic whole-payload byte stats +
+  /** REAL baseline-JPEG decode via [[Jpeg]] (pure-Scala marker walk,
+    * canonical Huffman, IDCT, JFIF color convert — profile-bounded to
+    * baseline 8-bit 4:4:4/grayscale; anything fancier returns None and
+    * the router stubs it as `jpeg_corrupt`... i.e. the honest "could
+    * not decode" label, since a progressive JPEG is valid but outside
+    * the codec-free profile). Features mirror the PNG path: stats over
+    * decoded channel bytes, 4x4 Rec.601 luminance thumbnail. */
+  def decodeJpeg(docId: Long, p: Array[Byte]): Option[MediaFeatures] = {
+    Jpeg.decode(p).map { d =>
+      val histo = new Array[Long](16)
+      var sum = 0L
+      var i = 0
+      while (i < d.rgb.length) {
+        val b = d.rgb(i) & 0xff
+        histo(b >> 4) += 1
+        sum += b
+        i += 1
+      }
+      val thumb = new Array[Byte](16)
+      var ty = 0
+      while (ty < 4) {
+        var tx = 0
+        while (tx < 4) {
+          val base = ((ty * d.height / 4) * d.width + (tx * d.width / 4)) *
+            d.channels
+          val lum =
+            if (d.channels == 1) d.rgb(base) & 0xff
+            else {
+              val r = d.rgb(base) & 0xff
+              val g = d.rgb(base + 1) & 0xff
+              val b = d.rgb(base + 2) & 0xff
+              (77 * r + 150 * g + 29 * b) >> 8
+            }
+          thumb(ty * 4 + tx) = lum.toByte
+          tx += 1
+        }
+        ty += 1
+      }
+      MediaFeatures(docId, "jpeg", p.length, meanByteOf(p), p.take(4),
+        histo, thumb, 1, d.width, d.height, d.channels, 0,
+        if (d.rgb.length == 0) 0.0 else sum.toDouble / d.rgb.length)
+    }
+  }
+
+  /** STUB features for the formats that genuinely need an external
+    * codec (mp4/webm/ogg video+audio): deterministic whole-payload byte stats +
     * 16-bin byte histogram + strided pseudo-thumbnail + chunked
     * pseudo-frame count. The signature — bytes in, fixed-width features
     * out, no per-row session state — is the contract a distributed
@@ -652,9 +696,10 @@ object Multimodal {
     sniffBytes(payloadOrNull) match { // sniff the ORIGINAL: null → "empty"
       case "bmp" => safely(decodeBmp(docId, p), "bmp_corrupt")
       case "wav" => safely(decodeWav(docId, p), "wav_corrupt")
-      case "png" => safely(decodePng(docId, p), "png_corrupt")
-      case "gif" => safely(decodeGif(docId, p), "gif_corrupt")
-      case f     => stubFeatures(docId, p, f)
+      case "png"  => safely(decodePng(docId, p), "png_corrupt")
+      case "gif"  => safely(decodeGif(docId, p), "gif_corrupt")
+      case "jpeg" => safely(decodeJpeg(docId, p), "jpeg_corrupt")
+      case f      => stubFeatures(docId, p, f)
     }
   }
 
@@ -731,7 +776,91 @@ object Multimodal {
         Array.tabulate(16)(i => (i * 16, 255 - i * 16, i * 8)),
         Seq((x, y) => (x + y) % 16, (x, y) => (x * y) % 16)),
       -11L -> gifOf(4, 4, Array.tabulate(16)(i => (i, i, i)),
-        Seq((_, _) => 3)).dropRight(6)) // → gif_corrupt
+        Seq((_, _) => 3)).dropRight(6), // → gif_corrupt
+      -12L -> jpegOf(16, 8, (bx, by) => (80 + bx * 40, 128 + by * 20, 100)),
+      -13L -> jpegOf(8, 8, (_, _) => (128, 128, 128)).dropRight(4)) // → jpeg_corrupt
+  }
+
+  /** Deterministic baseline-JPEG encoder (tests + synthetics): real
+    * SOI/DQT/SOF0/DHT/SOS structure with flat-1 quant tables, minimal
+    * canonical Huffman tables, and DC-only 8x8 blocks — each block one
+    * constant (Y, Cb, Cr) from `blockYCbCr(bx, by)`. DC-only with q=1
+    * makes the decode EXACT (IDCT of a lone DC is a flat block), so
+    * tests can assert pixel values with no tolerance. */
+  private[graft] def jpegOf(width: Int, height: Int,
+      blockYCbCr: (Int, Int) => (Int, Int, Int),
+      // one optional AC coefficient (zigzag index 1..63, value ±1) on
+      // the FIRST block's Y channel — drives the decoder's run-length /
+      // ZRL / coefficient paths, not just EOB
+      acSpike: Option[(Int, Int)] = None): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0, "block-aligned fixtures")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int, body: Array[Byte]): Unit = {
+      out.write(0xff); out.write(marker)
+      out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      out.write(body, 0, body.length)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    m(0xdb, Array[Byte](0) ++ Array.fill(64)(1.toByte)) // DQT id 0, all 1s
+    m(0xc0, Array[Byte](8, // SOF0: precision
+      (height >> 8).toByte, (height & 0xff).toByte,
+      (width >> 8).toByte, (width & 0xff).toByte, 3,
+      1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0))
+    // DC table 0: twelve 4-bit codes for categories 0..11
+    m(0xc4, Array[Byte](0x00, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      Array.tabulate(12)(_.toByte))
+    // AC table 0, canonical: EOB='0', (0,1)='10', ZRL='110', (1,1)='1110'
+    m(0xc4, Array[Byte](0x10, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0x00, 0x01, 0xF0.toByte, 0x11))
+    m(0xda, Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)) // SOS
+    // entropy data: MSB-first with FF00 stuffing
+    var acc = 0; var nBits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nBits += 1
+        if (nBits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00)
+          acc = 0; nBits = 0
+        }
+        i -= 1
+      }
+    }
+    val pred = new Array[Int](3)
+    var firstBlock = true
+    for (by <- 0 until height / 8; bx <- 0 until width / 8) {
+      val (yv, cb, cr) = blockYCbCr(bx, by)
+      val dcs = Array(yv, cb, cr)
+      for (c <- 0 until 3) {
+        val dc = 8 * (dcs(c) - 128)
+        val diff = dc - pred(c)
+        pred(c) = dc
+        val t = 32 - Integer.numberOfLeadingZeros(math.abs(diff)) // category
+        putBits(t, 4) // DC category code == its own value (canonical)
+        if (t > 0) putBits(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+        acSpike match {
+          case Some((k, v)) if c == 0 && firstBlock =>
+            var run = k - 1
+            while (run >= 16) { putBits(6, 3); run -= 16 } // ZRL '110'
+            if (run == 0) putBits(2, 2) // (0,1) = '10'
+            else { // (1,1) = '1110'; only run lengths 0/1 mod 16 supported
+              require(run == 1, "fixture spike supports runs 0/1 mod 16")
+              putBits(0xe, 4)
+            }
+            putBits(if (v >= 0) 1 else 0, 1) // size-1 coefficient bits
+            if (k < 63) putBits(0, 1)        // EOB for the rest
+          case _ => putBits(0, 1) // AC: EOB
+        }
+      }
+      firstBlock = false
+    }
+    if (nBits > 0) { // pad with 1s per T.81
+      while (nBits != 0) putBits(1, 1)
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
   }
 
   /** Deterministic GIF encoder (tests + synthetics): real GIF89a

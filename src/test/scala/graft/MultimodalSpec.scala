@@ -290,13 +290,88 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ext.Multimodal.decode(1L, localTable).format == "gif_corrupt")
   }
 
+  test("JPEG decode: DC-exact baseline blocks, JFIF color convert, DC prediction") {
+    def block(bx: Int, by: Int): (Int, Int, Int) =
+      (60 + bx * 50 + by * 10, 100 + bx * 20, 140 + by * 30)
+    val j = ext.Multimodal.jpegOf(16, 16, block)
+    val f = ext.Multimodal.decode(9L, j)
+    assert(f.format == "jpeg" && f.width == 16 && f.height == 16 &&
+      f.channels == 3 && f.n_frames == 1)
+    // expected RGB: the JFIF integer inverse, restated independently
+    def clamp(v: Int) = math.max(0, math.min(255, v))
+    def rgb(y: Int, cb: Int, cr: Int): Seq[Int] = Seq(
+      clamp(y + ((359 * (cr - 128)) >> 8)),
+      clamp(y - ((88 * (cb - 128) + 183 * (cr - 128)) >> 8)),
+      clamp(y + ((454 * (cb - 128)) >> 8)))
+    val bytes = for {
+      py <- 0 until 16; px <- 0 until 16
+      (y, cb, cr) = block(px / 8, py / 8)
+      v <- rgb(y, cb, cr)
+    } yield v
+    assert(f.mean_signal == bytes.sum.toDouble / bytes.length)
+    val histo = new Array[Long](16)
+    bytes.foreach(b => histo(b >> 4) += 1)
+    assert(f.histo16.toSeq == histo.toSeq)
+    val thumb = for (ty <- 0 until 4; tx <- 0 until 4) yield {
+      val (y, cb, cr) = block((tx * 16 / 4) / 8, (ty * 16 / 4) / 8)
+      val Seq(r, g, b) = rgb(y, cb, cr)
+      ((77 * r + 150 * g + 29 * b) >> 8).toByte
+    }
+    assert(f.thumb.toSeq == thumb)
+  }
+
+  test("JPEG AC path: a lone coefficient survives run-length and ZRL") {
+    // spike at zigzag 5 -> natural (u,v) = (1,0): f(x,y) varies in x
+    def expectMean(k: Int): Double = {
+      val zig = Array(0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4,
+        5, 12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+      val u = zig(k) % 8; val v = zig(k) / 8
+      def c(i: Int) = if (i == 0) 1.0 / math.sqrt(2) else 1.0
+      // Y plane: 128 + IDCT of the lone coefficient (value +1, q=1);
+      // Cb=Cr=128 so R=G=B=Y — mean over the 8x8 block, all 3 channels
+      val ys = for (y <- 0 until 8; x <- 0 until 8) yield {
+        val f = 0.25 * c(u) * c(v) *
+          math.cos((2 * x + 1) * u * math.Pi / 16) *
+          math.cos((2 * y + 1) * v * math.Pi / 16)
+        math.max(0, math.min(255, math.round(f).toInt + 128))
+      }
+      ys.sum.toDouble / ys.length
+    }
+    for (k <- Seq(1, 2, 17, 34)) { // runs 0, 1, 16 (ZRL), 33 (2xZRL+1)
+      val f = ext.Multimodal.decode(1L, ext.Multimodal.jpegOf(8, 8,
+        (_, _) => (128, 128, 128), acSpike = Some((k, 1))))
+      assert(f.format == "jpeg", s"k=$k failed to decode")
+      assert(math.abs(f.mean_signal - expectMean(k)) < 1e-9,
+        s"k=$k mean ${f.mean_signal} != ${expectMean(k)}")
+    }
+  }
+
+  test("JPEG grayscale and out-of-profile fallbacks") {
+    val color = ext.Multimodal.jpegOf(8, 8, (_, _) => (200, 128, 128))
+    // Cb=Cr=128 -> R=G=B=Y: a neutral block decodes to gray 200
+    val f = ext.Multimodal.decode(1L, color)
+    assert(f.format == "jpeg" && f.mean_signal == 200.0)
+    // truncated entropy data
+    assert(ext.Multimodal.decode(1L, color.dropRight(4)).format ==
+      "jpeg_corrupt")
+    // progressive (SOF2) is valid JPEG but outside the codec-free
+    // profile: the honest label is the corrupt-stub fallback
+    val prog = color.clone()
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(ext.Multimodal.decode(1L, prog).format == "jpeg_corrupt")
+  }
+
   test("q34 registry run exercises real decode, corrupt fallback, and the stub") {
     val formats = Multimodal.q34.run(spark, TestSpark.sf0001)
       .select("format").distinct().collect().map(_.getString(0)).toSet
     // synthetic payloads guarantee the real paths fire in the driver run
-    assert(Set("bmp", "wav", "png", "gif", "bmp_corrupt", "wav_corrupt",
-      "png_corrupt", "gif_corrupt").subsetOf(formats),
-      s"formats seen: $formats")
+    assert(Set("bmp", "wav", "png", "gif", "jpeg", "bmp_corrupt",
+      "wav_corrupt", "png_corrupt", "gif_corrupt", "jpeg_corrupt")
+      .subsetOf(formats), s"formats seen: $formats")
     // documents' text bytes still route through the labeled stub
     assert(formats.contains("unknown"))
   }
