@@ -373,6 +373,20 @@ object ScaleDryRun {
     val (tLt10, _) = timed(graft.queries.Funnels.lastTouch(ev10))
     println(f"[scale-dry-run] q100_last_touch_1x     $tLt1%8.2f s")
     println(f"[scale-dry-run] q100_last_touch_10x    $tLt10%8.2f s  (ratio ${tLt10 / tLt1}%.1fx)")
+    // tar shard sink: one shard-keyed shuffle + streaming writes — the
+    // ratio shows the writer stays I/O-bound linear, no per-shard buffer
+    def shardCase(docs: DataFrame): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("shards10x").toString
+      val in = docs.filter(col("text").isNotNull).select(col("doc_id"),
+        col("text").cast("binary").as("payload"), col("lang").as("meta"))
+      val t0 = System.nanoTime()
+      graft.sinks.TarShards.writeShards(in, dir, 8).collect(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tSh1 = shardCase(docs0)
+    val tSh10 = shardCase(docs10)
+    println(f"[scale-dry-run] tar_shards_1x          $tSh1%8.2f s")
+    println(f"[scale-dry-run] tar_shards_10x         $tSh10%8.2f s  (ratio ${tSh10 / tSh1}%.1fx)")
 
     // ---- skewed fact-dim join: plain SMJ vs salted vs AQE skew-split ----
     // q87 DIAGNOSES join-key skew; this is the MITIGATION A/B. 90% of the

@@ -85,4 +85,30 @@ class TarShardsSpec extends AnyFunSuite {
     assert(names.nonEmpty && names.forall(n =>
       n.endsWith(".txt") || n.endsWith(".json")))
   }
+
+  test("foreachBatch composes the shard sink with a stream (per-batch dirs)") {
+    import org.apache.spark.sql.DataFrame
+    val src = Files.createTempDirectory("shard_stream_src")
+    Tables.documents(spark, TestSpark.sf0001)
+      .filter(col("text").isNotNull).limit(40)
+      .coalesce(1).write.mode("overwrite").parquet(src.toString)
+    val outRoot = Files.createTempDirectory("shard_stream_out").toString
+    val stream = spark.readStream
+      .schema(Tables.documents(spark, TestSpark.sf0001).schema)
+      .parquet(src.toString)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("{}").as("meta"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        TarShards.writeShards(batch, s"$outRoot/batch-$id", 2)
+          .collect(): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val entries = new java.io.File(outRoot).listFiles().flatMap(d =>
+      d.listFiles().filter(_.getName.endsWith(".tar")))
+      .flatMap(f => TarShards.readTar(f.getPath))
+    assert(entries.count(_._1.endsWith(".txt")) == 40)
+  }
 }
