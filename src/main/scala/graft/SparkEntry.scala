@@ -17,6 +17,7 @@ object SparkEntry {
       qs.Windows2.all ++ qs.PipelineOps.all ++ qs.Funnels.all ++
       qs.CorpusOps.all ++ qs.StatsOps.all ++
       qs.Hygiene.all ++ qs.Warehouse.all ++
+      qs.GraphOps.all ++ qs.Retrieval.all ++ qs.Privacy.all ++
       ext.MinHashDedup.all ++
       ext.SimHashDedup.all ++ ext.Multimodal.all ++ ext.Similarity.all ++
       ext.DedupCluster.all ++ ext.Sampling.all

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import graft.{Q, Tables}
+
+/** Iterative graph analytics over a co-occurrence graph (SURVEY.md §2.8,
+  * round-8 additions): PageRank on the part co-purchase graph — the
+  * "importance over a derived relationship graph" operator a curation
+  * pipeline uses to rank entities (domains by link authority, documents
+  * by citation, parts by basket centrality) before sampling or boosting.
+  *
+  * Everything is INTEGER micro-unit arithmetic (rank scaled ×1e6,
+  * damping 0.85 as `(inc * 85) DIV 100`, contribution as `rank DIV
+  * outdeg`): Spark's `DIV` and DuckDB's `//` agree on non-negative
+  * BIGINTs, so ten iterations of float-free PageRank hash-match the
+  * oracle exactly — the q68/q90 integer-score recipe applied to an
+  * iterative fixpoint.
+  *
+  * Scale shape (100 TB): the edge list is built from a per-order
+  * self-join AFTER a per-order `distinct` — per-order part sets are
+  * small and bounded (order size), so pair generation is
+  * Σ|order|², never |lineitem|². Edges + out-degrees are computed once
+  * (a production pipeline persists them); each iteration is ONE shuffle:
+  * ranks (|parts| rows — the small, fixed-size state) hash-join the
+  * edge list on src, partial-agg on dst map-side, then a left join back
+  * to the node set. Edges can be pre-partitioned by src so iterations
+  * reuse the layout; rank state never exceeds the entity count.
+  */
+object GraphOps {
+
+  private val iters = 10
+
+  /** Core of q101 over any (ok, part) basket frame. */
+  def partPageRank(baskets: DataFrame, topK: Int = 20): DataFrame = {
+    val li = baskets.select(col("ok"), col("part")).distinct()
+    val dst = li.withColumnRenamed("part", "dst")
+    val edges = li.join(dst, Seq("ok"))
+      .filter(col("part") =!= col("dst"))
+      .select(col("part").as("src"), col("dst"))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = edges.join(deg, Seq("src"))
+    val nodes = li.select(col("part")).distinct()
+
+    var ranks = nodes.withColumn("rank", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val inc = ed.join(ranks, col("src") === col("part"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("rank DIV outdeg")).as("inc"))
+      ranks = nodes.join(inc, nodes("part") === inc("dst"), "left")
+        .select(nodes("part"),
+          expr("CAST(150000 + (coalesce(inc, CAST(0 AS BIGINT)) * 85) DIV 100 AS BIGINT)")
+            .as("rank"))
+    }
+    ranks
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rank").desc, col("part").asc)))
+      .filter(col("rnk") <= topK)
+      .select(col("part").as("part_id"), col("rank").as("rank_ppm"),
+        col("rnk"))
+  }
+
+  /** q101 — part-importance PageRank: parts co-purchased inside the same
+    * order form an undirected graph; ten damped integer iterations rank
+    * basket centrality. Top-20, ties broken by part id. */
+  val q101: Q = Q(
+    "q101_part_pagerank",
+    run = { (spark, dir) =>
+      partPageRank(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("part")))
+    },
+    oracle = Some {
+      val iterCtes = (1 to iters).map { i =>
+        s"""r$i AS (SELECT n.part,
+           |        CAST(150000 + (COALESCE(s.inc, 0) * 85) // 100 AS BIGINT) AS rank
+           |      FROM nodes n LEFT JOIN (
+           |        SELECT ed.dst, CAST(SUM(r.rank // ed.outdeg) AS BIGINT) AS inc
+           |        FROM ed JOIN r${i - 1} r ON ed.src = r.part GROUP BY ed.dst) s
+           |      ON n.part = s.dst)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+                  FROM lineitem),
+      e AS (SELECT DISTINCT a.part AS src, b.part AS dst
+            FROM li a JOIN li b USING (ok) WHERE a.part <> b.part),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+              FROM e GROUP BY src),
+      ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+      nodes AS (SELECT DISTINCT part FROM li),
+      r0 AS (SELECT part, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+      $iterCtes,
+      f AS (SELECT part, rank,
+              CAST(row_number() OVER (ORDER BY rank DESC, part ASC)
+                AS INTEGER) AS rnk
+            FROM r$iters)
+      SELECT part AS part_id, rank AS rank_ppm, rnk FROM f WHERE rnk <= 20"""
+    })
+
+  val all: Seq[Q] = Seq(q101)
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import graft.{Q, Tables}
+import graft.functions.VectorFunctions
+
+/** Retrieval-style scoring over the corpus (SURVEY.md §2.8, round-8
+  * additions): BM25 term-relevance ranking and k-NN pseudo-labeling —
+  * the two "select/label data by relevance to something" primitives a
+  * training-data pipeline runs between dedup and sampling.
+  *
+  * Both follow the repo's hash-portability recipes: BM25 uses INTEGER
+  * milli-unit arithmetic throughout (the q68/q90 integer-score recipe —
+  * Spark `DIV` ≡ DuckDB `//` on non-negative BIGINTs), and k-NN uses
+  * the q25 cosine recipe (codegen'd `vec_dot_f`, index-order float→
+  * double accumulation ≡ DuckDB `list_sum(list_transform(...))`) with
+  * an all-integer output row so the vote, not the float, is hashed.
+  */
+object Retrieval {
+
+  /** Core of q102 over any (doc_id, text) frame: integer-proxy BM25.
+    *
+    * Real BM25 is `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with k1=1.2, b=0.75. Every factor here is the same quantity in
+    * fixed-point: `norm_k ≈ 1000·(1−b+b·dl/avgdl)`,
+    * `tfsat_k ≈ 1000·saturation`, `idf_k ≈ 1000·(N−df+½)/(df+½)`
+    * (the rational core of the idf — `ln` is monotone, so dropping it
+    * reorders nothing within a term, and integer math makes the score
+    * hash-identical across engines).
+    *
+    * Query terms are self-selected: the 8 highest-df tokens that still
+    * appear in ≤5% of documents (df·20 ≤ N) — common enough to retrieve,
+    * rare enough that idf is meaningful — making the operator a pure
+    * function of the corpus.
+    *
+    * Scale shape: explode → tf (staged once, feeds df + dl + scores) →
+    * the 8-row query-term table and the 1-row corpus scalars broadcast;
+    * the only corpus-sized shuffles are the tf/dl hash-aggs on doc_id
+    * and the df agg on token (vocabulary-bounded). Scoring is a
+    * broadcast-semijoin of tf against 8 terms — no shuffle. */
+  def bm25(d: DataFrame, nTerms: Int = 8, topK: Int = 3): DataFrame = {
+    val toks = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val tf = graft.operators.Stage.materialize(
+      toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf")),
+      "bm25-tf")
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val scal = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfTab = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val qterms = dfTab.crossJoin(broadcast(scal))
+      .filter(col("df") * 20 <= col("n_docs"))
+      .withColumn("trnk", row_number().over(
+        Window.orderBy(col("df").desc, col("token").asc)))
+      .filter(col("trnk") <= nTerms)
+      .select(col("token"), col("df"))
+    tf.join(broadcast(qterms), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scal))
+      .withColumn("norm_k", expr("250 + (750 * dl * n_docs) DIV sum_dl"))
+      .withColumn("tfsat_k",
+        expr("(tf * 2200 * 1000) DIV (tf * 1000 + (1200 * norm_k) DIV 1000)"))
+      .withColumn("idf_k",
+        expr("((2 * (n_docs - df) + 1) * 1000) DIV (2 * df + 1)"))
+      .withColumn("score", col("idf_k") * col("tfsat_k"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("token"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= topK)
+      .select(col("token"), col("df"), col("doc_id"), col("tf"), col("dl"),
+        col("score"), col("rnk"))
+  }
+
+  /** q102 — BM25 top-3 documents per self-selected query term. */
+  val q102: Q = Q(
+    "q102_bm25",
+    run = { (spark, dir) =>
+      bm25(Tables.documents(spark, dir).filter(col("text").isNotNull))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM d),
+      tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+             FROM toks GROUP BY doc_id, token),
+      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             FROM tf GROUP BY doc_id),
+      scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY token),
+      qt AS (SELECT token, df FROM (
+               SELECT token, df,
+                 row_number() OVER (ORDER BY df DESC, token ASC) AS trnk
+               FROM dft CROSS JOIN scal WHERE df * 20 <= n_docs)
+             WHERE trnk <= 8),
+      s AS (SELECT tf.token, qt.df, tf.doc_id, tf.tf, dl.dl,
+              250 + (750 * dl.dl * scal.n_docs) // scal.sum_dl AS norm_k,
+              scal.n_docs, scal.sum_dl
+            FROM tf JOIN qt USING (token) JOIN dl USING (doc_id)
+            CROSS JOIN scal),
+      s2 AS (SELECT token, df, doc_id, tf, dl,
+               (tf * 2200 * 1000) // (tf * 1000 + (1200 * norm_k) // 1000)
+                 AS tfsat_k,
+               ((2 * (n_docs - df) + 1) * 1000) // (2 * df + 1) AS idf_k
+             FROM s),
+      r AS (SELECT token, df, doc_id, tf, dl,
+              CAST(idf_k * tfsat_k AS BIGINT) AS score,
+              CAST(row_number() OVER (PARTITION BY token
+                ORDER BY idf_k * tfsat_k DESC, doc_id ASC) AS INTEGER) AS rnk
+            FROM s2)
+      SELECT token, df, doc_id, tf, dl, score, rnk FROM r WHERE rnk <= 3"""))
+
+  /** Core of q103 over any (vec_id, label, embedding) frame: k-NN
+    * majority-vote pseudo-labeling. The labeled seed is every tenth
+    * vector (`vec_id % 10 = 0` — a residue split, stable across scale
+    * factors); every other vector gets the majority label of its 5
+    * nearest seed neighbors by cosine, ties broken toward the smaller
+    * label. Output is all-integer (votes, labels), so hash stability
+    * does not rest on float equality — floats only ORDER candidates,
+    * the q25-proven recipe.
+    *
+    * Scale shape: the seed set broadcasts (it is the small labeled
+    * asset; the corpus is the big side), the corpus streams once with
+    * no shuffle, and the vote is a tiny per-vector window over ≤ 5·k
+    * rows. At 100 TB this is a broadcast-scan plus two narrow windows —
+    * the same plan q25/q89 carry. */
+  def knnClassify(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    VectorFunctions.registerVecDot(embeddings.sparkSession)
+    val e = embeddings
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)")))
+    val seed = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("sid"), col("label").as("slabel"),
+        col("embedding").as("semb"), col("nrm").as("snrm"))
+    val test = e.filter(col("vec_id") % 10 =!= 0)
+    val nn = test.crossJoin(broadcast(seed))
+      .select(col("vec_id"), col("label").as("true_label"), col("sid"),
+        col("slabel"),
+        (expr("vec_dot_f(embedding, semb)") / (col("nrm") * col("snrm")))
+          .as("cos_sim"))
+      .withColumn("nrnk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_sim").desc, col("sid").asc)))
+      .filter(col("nrnk") <= k)
+    nn.groupBy(col("vec_id"), col("true_label"), col("slabel"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vrnk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("n_votes").desc, col("slabel").asc)))
+      .filter(col("vrnk") === 1)
+      .select(col("vec_id"), col("true_label"),
+        col("slabel").as("pred_label"), col("n_votes"))
+  }
+
+  /** q103 — k-NN pseudo-labeling from a 10% labeled seed. */
+  val q103: Q = Q(
+    "q103_knn_classify",
+    run = { (spark, dir) => knnClassify(Tables.embeddings(spark, dir)) },
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+                 FROM embeddings
+                 WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      seed AS (SELECT vec_id AS sid, label AS slabel, emb AS semb
+               FROM e WHERE vec_id % 10 = 0),
+      test AS (SELECT vec_id, label AS true_label, emb
+               FROM e WHERE vec_id % 10 <> 0),
+      p AS (SELECT t.vec_id, t.true_label, s.sid, s.slabel,
+              list_sum(list_transform(list_zip(t.emb, s.semb),
+                x -> x[1]*x[2])) /
+              (sqrt(list_sum(list_transform(t.emb, x -> x*x)))
+                * sqrt(list_sum(list_transform(s.semb, x -> x*x))))
+                AS cos_sim
+            FROM test t, seed s),
+      nn AS (SELECT vec_id, true_label, slabel FROM (
+               SELECT vec_id, true_label, slabel,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos_sim DESC, sid ASC) AS nrnk
+               FROM p) WHERE nrnk <= 5),
+      v AS (SELECT vec_id, true_label, slabel,
+              CAST(count(*) AS BIGINT) AS n_votes
+            FROM nn GROUP BY vec_id, true_label, slabel),
+      r AS (SELECT vec_id, true_label, slabel, n_votes,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY n_votes DESC, slabel ASC) AS vrnk FROM v)
+      SELECT vec_id, true_label, slabel AS pred_label, n_votes
+      FROM r WHERE vrnk = 1"""))
+
+  val all: Seq[Q] = Seq(q102, q103)
+}

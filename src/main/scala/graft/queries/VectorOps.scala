@@ -175,5 +175,81 @@ object VectorOps {
             FROM p)
       SELECT qid, nid, neg_label, cos_sim, rnk FROM r WHERE rnk <= 3"""))
 
-  val all: Seq[Q] = Seq(q25, q32, q66, q89)
+  /** Q105 — per-label embedding outliers (mislabel / contamination
+    * detection): squared euclidean distance of each member to its own
+    * label centroid, top-3 farthest per label. The centroid is q66's
+    * exact recipe (decimal element sums — partial-agg-order-free,
+    * divided once per element); the distance is then ONE index-ordered
+    * double fold — `aggregate(zip_with(emb, centroid, (v,m) -> (v−m)²))`
+    * ≡ DuckDB `list_sum(list_transform(list_zip(...)))` — the q25
+    * accumulation recipe, NOT a row-explode SUM whose partial-agg order
+    * would be engine-dependent. A fixed-point `floor` variant was tried
+    * and rejected: a 1-ulp mean difference between the engines' decimal→
+    * double casts flips a floor at 1e-12 resolution, while the double
+    * distance absorbs ulp wobble invisibly below the 6dp hash rounding.
+    *
+    * Scale shape: one explode + hash-agg for centroids (label×dim rows —
+    * tiny), centroids re-assembled into per-label arrays and BROADCAST
+    * back to the un-exploded corpus: the scoring pass streams the
+    * vectors once with no shuffle; only the per-label top-k window
+    * shuffles, on label. */
+  def labelOutliers(embeddings: org.apache.spark.sql.DataFrame,
+      topK: Int = 3): org.apache.spark.sql.DataFrame = {
+    val e = embeddings
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("double").cast("decimal(20,10)"))
+          .cast("double").as("sum_v"))
+      .select(col("label"), col("pos"), (col("sum_v") / col("n")).as("mean_v"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mean_v)))," +
+        " s -> s.mean_v)").as("centroid"))
+    e.join(broadcast(cent), Seq("label"))
+      .withColumn("dist_sq", expr(
+        "aggregate(zip_with(embedding, centroid," +
+          " (v, m) -> (CAST(v AS DOUBLE) - m) * (CAST(v AS DOUBLE) - m))," +
+          " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("dist_sq").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= topK)
+      .select(col("label"), col("vec_id"), col("dist_sq"), col("rnk"))
+  }
+
+  val q105: Q = Q(
+    "q105_label_outliers",
+    run = { (spark, dir) => labelOutliers(Tables.embeddings(spark, dir)) },
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      x AS (SELECT vec_id, label,
+              CAST(pos AS INTEGER) AS pos,
+              CAST(embedding[pos + 1] AS DOUBLE) AS v
+            FROM (SELECT vec_id, label, embedding,
+                    unnest(generate_series(0, len(embedding) - 1)) AS pos
+                  FROM e)),
+      c AS (SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(v AS DECIMAL(20,10))) AS sum_dec
+            FROM x GROUP BY label, pos),
+      m AS (SELECT label, pos,
+              CAST(CAST(sum_dec AS VARCHAR) AS DOUBLE) / n AS mean_v
+            FROM c),
+      cent AS (SELECT label, list(mean_v ORDER BY pos) AS centroid
+               FROM m GROUP BY label),
+      d AS (SELECT e.label, e.vec_id,
+              list_sum(list_transform(
+                list_zip(e.embedding::DOUBLE[], cent.centroid),
+                x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist_sq
+            FROM e JOIN cent ON e.label = cent.label),
+      r AS (SELECT label, vec_id, dist_sq,
+              CAST(row_number() OVER (PARTITION BY label
+                ORDER BY dist_sq DESC, vec_id ASC) AS INTEGER) AS rnk
+            FROM d)
+      SELECT label, vec_id, dist_sq, rnk FROM r WHERE rnk <= 3"""))
+
+  val all: Seq[Q] = Seq(q25, q32, q66, q89, q105)
 }

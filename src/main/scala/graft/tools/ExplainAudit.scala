@@ -181,6 +181,40 @@ object ExplainAudit {
     assert(q100Ex == 1,
       s"q100: expected exactly 1 hash shuffle, found $q100Ex")
     println("===== q100 SINGLE-SHUFFLE ASSERT OK")
+    // q102: scoring joins tf against the 8-row term table and the 1-row
+    // corpus scalars — both must ride broadcasts; only the tf/dl/df
+    // aggs may shuffle
+    val q102Plan = graft.SparkEntry.queries("q102_bm25")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q102Plan.contains("BroadcastHashJoin"),
+      "q102: term-table join is not broadcast")
+    assert(!q102Plan.contains("CartesianProduct"),
+      "q102: scalar attach fell back to CartesianProduct")
+    println("===== q102 BROADCAST-TERMS ASSERT OK")
+    // q103: the labeled seed is the broadcast side; the corpus streams
+    // with no shuffle before the per-vector vote windows
+    val q103Plan = graft.SparkEntry.queries("q103_knn_classify")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q103Plan.contains("BroadcastNestedLoopJoin"),
+      "q103: seed set not broadcast")
+    assert(!q103Plan.contains("CartesianProduct"),
+      "q103: seed scan fell back to CartesianProduct")
+    println("===== q103 SEED-BROADCAST ASSERT OK")
+    // q104/q106: privacy releases are ONE hash-agg on the cell key plus
+    // per-cell scalar expressions — no joins at all
+    for (qn <- Seq("q104_dp_counts", "q106_kanon_release")) {
+      val pl = graft.SparkEntry.queries(qn)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!pl.contains("Join"), s"$qn: unexpected join in a pure agg")
+      println(s"===== $qn NO-JOIN ASSERT OK")
+    }
+    // q105: centroids must come back as a BROADCAST array join — the
+    // scoring pass streams the corpus; only the top-k window shuffles
+    val q105Plan = graft.SparkEntry.queries("q105_label_outliers")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q105Plan.contains("BroadcastHashJoin"),
+      "q105: centroid join is not broadcast")
+    println("===== q105 CENTROID-BROADCAST ASSERT OK")
     spark.stop()
   }
 }

@@ -388,6 +388,51 @@ object ScaleDryRun {
     println(f"[scale-dry-run] tar_shards_1x          $tSh1%8.2f s")
     println(f"[scale-dry-run] tar_shards_10x         $tSh10%8.2f s  (ratio ${tSh10 / tSh1}%.1fx)")
 
+    // q101 PageRank: 10x ORDERS over the fixed part catalog (shifted
+    // l_orderkey — the realistic growth direction: more baskets, same
+    // entities). Edge distinct + degree agg absorb the volume; the ten
+    // iteration joins run over entity-count-sized rank state either way
+    val li0pr = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+    val li10pr = (0 until mult).map { i =>
+      if (i == 0) li0pr
+      else li0pr.select((col("ok") + lit(i * 1000000000L)).as("ok"), col("part"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt)
+    val (tPr1, _) = timed(graft.queries.GraphOps.partPageRank(li0pr))
+    val (tPr10, _) = timed(graft.queries.GraphOps.partPageRank(li10pr))
+    println(f"[scale-dry-run] q101_pagerank_1x       $tPr1%8.2f s")
+    println(f"[scale-dry-run] q101_pagerank_10x      $tPr10%8.2f s  (ratio ${tPr10 / tPr1}%.1fx)")
+
+    // q102 BM25: tf/dl/df aggs carry the volume; term table stays 8 rows
+    val (tBm1, _) = timed(graft.queries.Retrieval.bm25(
+      docs0.filter(col("text").isNotNull)))
+    val (tBm10, _) = timed(graft.queries.Retrieval.bm25(
+      docs10.filter(col("text").isNotNull)))
+    println(f"[scale-dry-run] q102_bm25_1x           $tBm1%8.2f s")
+    println(f"[scale-dry-run] q102_bm25_10x          $tBm10%8.2f s  (ratio ${tBm10 / tBm1}%.1fx)")
+
+    // q103 kNN pseudo-labeling with the seed FIXED (the labeled asset
+    // doesn't grow with the corpus): shifted copies re-id to residue 1
+    // so only emb0's seeds label the 10x corpus — broadcast-scan linear
+    val embKnn10 = (0 until mult).map { i =>
+      if (i == 0) emb0
+      else emb0.select(((col("vec_id") + lit(i * 10000000L)) * 10 + 1).as("vec_id"),
+        expr("transform(embedding, x -> cast(rand() * 2 - 1 as float))")
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt)
+    val (tKnn1, _) = timed(graft.queries.Retrieval.knnClassify(emb0))
+    val (tKnn10, _) = timed(graft.queries.Retrieval.knnClassify(embKnn10))
+    println(f"[scale-dry-run] q103_knn_1x            $tKnn1%8.2f s")
+    println(f"[scale-dry-run] q103_knn_10x           $tKnn10%8.2f s  (ratio ${tKnn10 / tKnn1}%.1fx)")
+
+    // q105 centroid-distance outliers: two corpus streams + a broadcast
+    // centroid join; the per-label top-k window is the only shuffle
+    val (tOut1, _) = timed(graft.queries.VectorOps.labelOutliers(emb0))
+    val (tOut10, _) = timed(graft.queries.VectorOps.labelOutliers(emb10))
+    println(f"[scale-dry-run] q105_outliers_1x       $tOut1%8.2f s")
+    println(f"[scale-dry-run] q105_outliers_10x      $tOut10%8.2f s  (ratio ${tOut10 / tOut1}%.1fx)")
+
     // ---- skewed fact-dim join: plain SMJ vs salted vs AQE skew-split ----
     // q87 DIAGNOSES join-key skew; this is the MITIGATION A/B. 90% of the
     // 10x fact rows (~54M) share ONE join key, the dim side is forced

@@ -1,0 +1,185 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.{GraphOps, Privacy, Retrieval, VectorOps}
+
+/** Behavioral checks for the round-8 graph / retrieval / privacy
+  * operators (q101–q106). Oracle hash parity is the driver's gate;
+  * these assert the invariants a hash can't express: PageRank fixpoint
+  * laws on a hand graph, BM25's term-selection bound, k-NN vote
+  * correctness on separable clusters, the DP noise bound and its
+  * cell-purity, the planted-outlier recovery, and the k-anonymity
+  * floor.
+  */
+class RetrievalGraphPrivacySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val dir = TestSpark.sf0001
+
+  // ---- q101 part_pagerank ----
+
+  test("q101: hand graph — isolated node stays at base, hub outranks leaves") {
+    // baskets: order 1 = {1,2,3} (triangle), order 2 = {1,4} (1 is the
+    // hub), order 3 = {5} (isolated: no co-purchase edges)
+    val baskets = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 4L),
+      (3L, 5L)).toDF("ok", "part")
+    val out = GraphOps.partPageRank(baskets, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 5 has no in-edges: every iteration resets it to the damped base
+    assert(out(5L) == 150000L, s"isolated node rank ${out(5L)}")
+    // the hub (degree 3) outranks the pure leaf 4 (degree 1) and the
+    // triangle members (degree 2 each, but they feed the hub)
+    assert(out(1L) > out(4L) && out(1L) > out(2L), s"hub not top: $out")
+    // symmetric positions tie exactly in integer arithmetic
+    assert(out(2L) == out(3L), "symmetric triangle members must tie")
+    // every rank >= damped base
+    assert(out.values.forall(_ >= 150000L))
+  }
+
+  test("q101: registry run is repartition-invariant and bounded") {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+    val a = GraphOps.partPageRank(li).collect().toSeq
+    val b = GraphOps.partPageRank(li.repartition(7)).collect().toSeq
+    assert(a.toSet == b.toSet, "pagerank depends on partitioning")
+    assert(a.size == 20)
+  }
+
+  // ---- q102 bm25 ----
+
+  test("q102: query terms respect the df cap; scores rank tf sanely") {
+    val out = Retrieval.bm25(
+      Tables.documents(spark, dir).filter(col("text").isNotNull)).cache()
+    try {
+      val nDocs = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull).count()
+      val viol = out.filter(col("df") * 20 > nDocs).count()
+      assert(viol == 0, "query term above the 5% df cap")
+      assert(out.select(col("token")).distinct().count() <= 8)
+      // within a term, rnk order == score order (desc)
+      val bad = out.as[(String, Long, Long, Long, Long, Long, Int)]
+        .collect().groupBy(_._1).values.flatMap { rows =>
+          val sorted = rows.sortBy(_._7)
+          sorted.sliding(2).collect {
+            case Array(hi, lo) if hi._6 < lo._6 => (hi, lo)
+          }
+        }
+      assert(bad.isEmpty, s"rank order violates score order: $bad")
+    } finally { out.unpersist(); () }
+  }
+
+  test("q102: hand corpus — higher tf wins within a term, dl normalizes") {
+    // 10 docs share token 'x' once (df cap 20%>5% would exclude it, so
+    // use 41 docs: 'q' in 2 of 41 => df*20=40 <= 41 passes the cap)
+    val docs = (
+      Seq((1L, "q q q pad pad pad"), (2L, "q pad")) ++
+      (3L to 41L).map(i => (i, s"pad$i"))).toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs).filter(col("token") === "q")
+      .orderBy(col("rnk")).collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("doc_id") == 1L, "tf=3 doc must outrank tf=1")
+  }
+
+  // ---- q103 knn_classify ----
+
+  test("q103: separable clusters are labeled by their seed neighbors") {
+    // two orthogonal clusters in alternating blocks of 10, so the seeds
+    // (vec_id % 10 == 0: ids 0,10,…,70) land 4 in EACH cluster — enough
+    // that a test vector's 4 same-cluster seed neighbors out-vote the
+    // single cross-cluster seed completing its k=5 list
+    val vecs = (0L to 79L).map { i =>
+      val cluster = if (i % 20 < 10) 0 else 1
+      val base = if (cluster == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      // small deterministic jitter in an unused dimension keeps
+      // neighbors distinct without moving anyone across clusters
+      val emb = base.clone(); emb(2 + cluster) = 0.01f * (i % 7)
+      (i, cluster, emb)
+    }.toDF("vec_id", "label", "embedding")
+    val out = Retrieval.knnClassify(vecs).cache()
+    try {
+      assert(out.count() == 72) // 80 minus 8 seeds
+      val wrong = out.filter(col("pred_label") =!= col("true_label")).count()
+      assert(wrong == 0, "separable clusters must classify cleanly")
+      val votes = out.filter(col("n_votes") < 4).count()
+      assert(votes == 0, "4 same-cluster seeds must all vote")
+    } finally { out.unpersist(); () }
+  }
+
+  test("q103: registry run labels every non-seed vector from seed labels") {
+    val emb = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+    val out = Retrieval.knnClassify(emb).cache()
+    try {
+      val nonSeed = emb.filter(col("vec_id") % 10 =!= 0).count()
+      assert(out.count() == nonSeed, "every non-seed vector gets a label")
+      val seedLabels = emb.filter(col("vec_id") % 10 === 0)
+        .select("label").distinct().as[Int].collect().toSet
+      val alien = out.filter(!col("pred_label").isin(seedLabels.toSeq: _*))
+      assert(alien.count() == 0, "predicted label not in the seed set")
+      // votes are a partition of k=5: the winner holds 1..5 of them
+      assert(out.filter(col("n_votes") < 1 || col("n_votes") > 5).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  // ---- q104 dp_counts ----
+
+  test("q104: noise bounded by ±64, deterministic, and cell-pure") {
+    val docs = Tables.documents(spark, dir)
+    val truth = docs
+      .select(coalesce(col("source"), lit("??")).as("source"),
+        coalesce(col("lang"), lit("??")).as("lang"))
+      .groupBy("source", "lang").agg(count(lit(1)).as("n_true"))
+    val out = Privacy.dpCounts(docs)
+    val joined = out.join(truth, Seq("source", "lang")).cache()
+    try {
+      assert(joined.count() == out.count())
+      val outOfBound = joined
+        .filter(abs(col("n_noisy") - col("n_true")) > 64 &&
+          col("n_noisy") =!= 0).count()
+      assert(outOfBound == 0, "binomial noise must lie within ±64")
+      // determinism
+      val again = Privacy.dpCounts(docs).collect().toSet
+      assert(out.collect().toSet == again)
+      // cell purity: dropping OTHER cells' rows leaves this cell's
+      // release unchanged (noise keyed on the cell, not the corpus)
+      val firstCell = out.orderBy("source", "lang").limit(1).collect()(0)
+      val sub = Privacy.dpCounts(
+        docs.filter(coalesce(col("source"), lit("??")) === firstCell.getString(0)))
+        .filter(col("lang") === firstCell.getString(1)).collect()
+      assert(sub.length == 1 && sub(0).getLong(2) == firstCell.getLong(2),
+        "noise must be a pure function of the released cell")
+    } finally { joined.unpersist(); () }
+  }
+
+  // ---- q105 label_outliers ----
+
+  test("q105: a planted far vector is its label's top outlier") {
+    val base = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+    val planted = Seq((9999L, 0, Array.fill(64)(50f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = VectorOps.labelOutliers(base.unionByName(planted))
+      .filter(col("label") === 0 && col("rnk") === 1).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 9999L,
+      s"planted outlier not recovered: ${out.mkString}")
+  }
+
+  // ---- q106 kanon_release ----
+
+  test("q106: no identifiable cell below k; totals conserved") {
+    val docs = Tables.documents(spark, dir)
+    val out = Privacy.kAnonymize(docs).cache()
+    try {
+      val below = out.filter(col("source") =!= "*" && col("n_docs") < 12).count()
+      assert(below == 0, "released identifiable cell below k=12")
+      val total = out.agg(sum(col("n_docs"))).head.getLong(0)
+      assert(total == docs.count(), "suppression must conserve the total")
+      // the residual row, if present, aggregates at least one cell
+      val star = out.filter(col("source") === "*").collect()
+      assert(star.forall(r => r.getAs[Long]("n_cells") >= 1L))
+    } finally { out.unpersist(); () }
+  }
+}
