@@ -21,8 +21,11 @@ import graft.{Q, Tables}
   * Scale shape (100 TB): the edge list is built from a per-order
   * self-join AFTER a per-order `distinct` — per-order part sets are
   * small and bounded (order size), so pair generation is
-  * Σ|order|², never |lineitem|². Edges + out-degrees are computed once
-  * (a production pipeline persists them); each iteration is ONE shuffle:
+  * Σ|order|², never |lineitem|². Edges + out-degrees are STAGED once
+  * (the parquet materialization barrier — the evaluate-once guarantee a
+  * production pipeline gets from persisting them; without it the lazy
+  * plan would re-run the self-join per iteration); each iteration is
+  * ONE shuffle:
   * ranks (|parts| rows — the small, fixed-size state) hash-join the
   * edge list on src, partial-agg on dst map-side, then a left join back
   * to the node set. Edges can be pre-partitioned by src so iterations
@@ -40,19 +43,47 @@ object GraphOps {
       .filter(col("part") =!= col("dst"))
       .select(col("part").as("src"), col("dst"))
       .distinct()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ed = edges.join(deg, Seq("src"))
-    val nodes = li.select(col("part")).distinct()
+    // adjacency in CSR shape — one row per src with its neighbor array
+    // and out-degree — STAGED once (the q49/q68 barrier pattern):
+    // every iteration then scans entity-count rows and regenerates the
+    // edge stream in-flight via explode, instead of re-reading (or
+    // worse, re-computing) the edge-count-sized table ten times.
+    // Neighbor order inside the array is irrelevant: contributions are
+    // summed, an order-free integer monoid.
+    val adj = graft.operators.Stage.materialize(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"),
+        collect_list(col("dst")).as("dsts")),
+      "pagerank-adj")
+    val nodes = graft.operators.Stage.materialize(
+      li.select(col("part")).distinct(), "pagerank-nodes")
+    // a node with NO in-edges sits at the damped base forever; a node
+    // WITH in-edges receives an inc row EVERY iteration (contributions
+    // flow regardless of rank values) — so the rank update needs no
+    // join at all: rewrite inc's rows and union the constant set.
+    // Computed once, outside the loop.
+    val noIn = graft.operators.Stage.materialize(
+      nodes.join(adj.select(explode(col("dsts")).as("part")).distinct(),
+        Seq("part"), "left_anti"),
+      "pagerank-noin")
+    val noInRanks = noIn.withColumn("rank", lit(150000L))
 
+    // rank state is ENTITY-sized (one row per part), so it rides a
+    // broadcast into the adjacency join each iteration — nothing
+    // edge-sized ever shuffles; the per-iteration shuffle is only the
+    // map-side-combined dst agg. (At web scale, where rank state
+    // outgrows a broadcast, the same loop runs with adj and ranks
+    // BUCKETED on the key so iterations reuse the co-partitioned
+    // layout — the CSR staging above is exactly that table.)
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (_ <- 1 to iters) {
-      val inc = ed.join(ranks, col("src") === col("part"))
+      val inc = adj.join(broadcast(ranks), col("src") === col("part"))
+        .select(expr("rank DIV outdeg").as("contrib"),
+          explode(col("dsts")).as("dst"))
         .groupBy(col("dst"))
-        .agg(sum(expr("rank DIV outdeg")).as("inc"))
-      ranks = nodes.join(inc, nodes("part") === inc("dst"), "left")
-        .select(nodes("part"),
-          expr("CAST(150000 + (coalesce(inc, CAST(0 AS BIGINT)) * 85) DIV 100 AS BIGINT)")
-            .as("rank"))
+        .agg(sum(col("contrib")).as("inc"))
+      ranks = inc.select(col("dst").as("part"),
+          expr("CAST(150000 + (inc * 85) DIV 100 AS BIGINT)").as("rank"))
+        .unionByName(noInRanks)
     }
     ranks
       .withColumn("rnk", row_number().over(

@@ -181,6 +181,15 @@ object ExplainAudit {
     assert(q100Ex == 1,
       s"q100: expected exactly 1 hash shuffle, found $q100Ex")
     println("===== q100 SINGLE-SHUFFLE ASSERT OK")
+    // q101: the entity-sized rank state must broadcast into the CSR
+    // adjacency join every iteration — the edge stream never shuffles
+    val q101Plan = graft.SparkEntry.queries("q101_part_pagerank")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q101Plan.contains("BroadcastHashJoin"),
+      "q101: rank state not broadcast into the adjacency join")
+    assert(!q101Plan.contains("CartesianProduct"),
+      "q101: iteration join lost its key")
+    println("===== q101 RANK-BROADCAST ASSERT OK")
     // q102: scoring joins tf against the 8-row term table and the 1-row
     // corpus scalars — both must ride broadcasts; only the tf/dl/df
     // aggs may shuffle

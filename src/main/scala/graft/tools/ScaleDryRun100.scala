@@ -195,6 +195,22 @@ object ScaleDryRun100 {
     row("ivf_query_reused_2", tQ2, nQ2,
       f"  amortized/cold=${tQ2 / tCold}%.2fx")
 
+    // ---- q101 PageRank at 1x/10x/100x ORDERS over the fixed catalog ----
+    // the realistic growth direction (more baskets, same entities): the
+    // per-order self-join and edge distinct absorb the volume; the ten
+    // iteration rounds run over entity-count rank state regardless of
+    // scale, so the ratio isolates the edge-build cost
+    def prCase(mult: Int): Double = {
+      val baskets = growKeyed(
+        li0.select(col("l_orderkey").as("ok"), col("l_partkey").as("part")),
+        mult, Seq("ok"), stride = 1000000000L)
+      val (t, n) = timed(graft.queries.GraphOps.partPageRank(baskets))
+      row(s"q101_pagerank_${mult}x", t, n)
+      t
+    }
+    val pr1 = prCase(1); val pr10 = prCase(10); val pr100 = prCase(100)
+    println(f"[scale-100] RATIO q101_pagerank   10x=${pr10 / pr1}%.1fx 100x=${pr100 / pr1}%.1fx")
+
     // ---- skewed fact-dim join A/B at 100x: plain SMJ vs salted vs AQE ----
     // dim keys UNIQUE (single orders copy): output multiplicity 1 per
     // fact row, so the 100x case measures reducer skew, not a key-

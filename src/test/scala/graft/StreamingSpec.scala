@@ -375,6 +375,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(raw != null) // default nanos behavior (error), not silent longs
   }
 
+  test("q104 DP release composes with streaming: complete mode equals batch") {
+    // dpCounts is an algebraic count agg + a stateless per-cell release
+    // expression, so the SAME code runs under readStream; complete-mode
+    // state converges to the batch release once the stream drains —
+    // split the fixture into two files to force a multi-batch run
+    val src = java.nio.file.Files.createTempDirectory("dp_src")
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    half1.coalesce(1).write.mode("overwrite").parquet(s"$src/a")
+    half2.coalesce(1).write.mode("overwrite").parquet(s"$src/b")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*")
+    val got = EventStreams.runToMemory(
+      graft.queries.Privacy.dpCounts(stream), "dp_out", OutputMode.Complete)
+    val want = graft.queries.Privacy.dpCounts(docs)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0,
+      "streaming DP release diverged from batch")
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     val stream = EventStreams.runningUserTotals(
       EventStreams.readEvents(spark, eventsDir))
