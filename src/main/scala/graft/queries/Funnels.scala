@@ -307,5 +307,95 @@ object Funnels {
         (epoch_us(ts) - attr_us) // 1000000 AS gap_s
       FROM m WHERE event_type = 'purchase'"""))
 
-  val all: Seq[Q] = Seq(q61, q62, q63, q64, q75, q77, q100)
+  /** Core of q107 over any (event_type, ts, value) frame: rolling 7-day
+    * value percentiles from a MERGEABLE fixed-bin histogram — the
+    * percentile twin of q77's HLL rollup, but fully deterministic, so
+    * it hash-matches a DuckDB oracle (where q77 is rows-only).
+    *
+    * Percentiles don't decompose over sliding windows; histograms do.
+    * The corpus-sized pass happens exactly once — each (type, day)
+    * collapses to ≤64 integer bin counts (`bin = clamp(floor(value/8),
+    * 0, 63)` over the declared [0, 512) domain, top bin open) — and the
+    * 7-day window then MERGES daily bins by addition, touching
+    * #types × #days × 64 rows, never the raw events. The estimate is
+    * the upper bound of the first bin whose cumulative count reaches
+    * `ceil(q·n)` (integer threshold arithmetic): a conservative
+    * bin-resolution bound on the true quantile, identical in any
+    * engine. At 100 TB this is the same story as q77: re-scan a week
+    * of raw events per day, or merge seven tiny integer vectors.
+    *
+    * Scale shape: one hash-agg on (type, day, bin) carries the volume;
+    * the grid join is a broadcast range join over calendar-sized rows;
+    * the cumulative window and final agg run on bin-resolution rows. */
+  def rollingValueQuantiles(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = e.filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        least(lit(63L), greatest(lit(0L),
+          floor(col("value") / 8.0))).as("bin"))
+      .groupBy(col("event_type"), col("day"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val grid = daily.select(col("day").as("g")).distinct()
+    val rolled = daily.join(broadcast(grid),
+        col("day") <= col("g") && col("day") >= date_sub(col("g"), 6))
+      .groupBy(col("event_type"), col("g"), col("bin"))
+      .agg(sum(col("c")).as("c"))
+    val w = Window.partitionBy(col("event_type"), col("g"))
+      .orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"), col("g"))
+    rolled
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("event_type"), col("g"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * 2 >= col("n"), (col("bin") + 1) * 8))
+          .as("p50_est"),
+        min(when(col("cum") * 10 >= col("n") * 9, (col("bin") + 1) * 8))
+          .as("p90_est"),
+        min(when(col("cum") * 100 >= col("n") * 99, (col("bin") + 1) * 8))
+          .as("p99_est"))
+      .select(col("event_type"),
+        date_format(col("g"), "yyyy-MM-dd").as("day"), col("n"),
+        col("p50_est"), col("p90_est"), col("p99_est"))
+  }
+
+  /** q107 — rolling 7-day value percentiles via mergeable integer
+    * histogram sketches (hash-checked: the sketch is deterministic). */
+  val q107: Q = Q(
+    "q107_quantile_rollup",
+    run = { (spark, dir) =>
+      rollingValueQuantiles(Tables.events(spark, dir))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   CAST(least(63, greatest(0, floor(value / 8.0))) AS BIGINT)
+                     AS bin
+                 FROM events WHERE value IS NOT NULL),
+      daily AS (SELECT event_type, day, bin, CAST(count(*) AS BIGINT) AS c
+                FROM e GROUP BY 1, 2, 3),
+      grid AS (SELECT DISTINCT day AS g FROM e),
+      rolled AS (SELECT d.event_type, grid.g, d.bin,
+                   CAST(sum(d.c) AS BIGINT) AS c
+                 FROM daily d JOIN grid
+                   ON d.day <= grid.g AND d.day >= grid.g - INTERVAL 6 DAY
+                 GROUP BY 1, 2, 3),
+      cums AS (SELECT event_type, g, bin, c,
+                 CAST(sum(c) OVER (PARTITION BY event_type, g
+                   ORDER BY bin ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS cum,
+                 CAST(sum(c) OVER (PARTITION BY event_type, g)
+                   AS BIGINT) AS n
+               FROM rolled)
+      SELECT event_type, strftime(g, '%Y-%m-%d') AS day,
+        CAST(max(n) AS BIGINT) AS n,
+        CAST(min(CASE WHEN cum * 2 >= n THEN (bin + 1) * 8 END)
+          AS BIGINT) AS p50_est,
+        CAST(min(CASE WHEN cum * 10 >= n * 9 THEN (bin + 1) * 8 END)
+          AS BIGINT) AS p90_est,
+        CAST(min(CASE WHEN cum * 100 >= n * 99 THEN (bin + 1) * 8 END)
+          AS BIGINT) AS p99_est
+      FROM cums GROUP BY event_type, g"""))
+
+  val all: Seq[Q] = Seq(q61, q62, q63, q64, q75, q77, q100, q107)
 }

@@ -434,6 +434,84 @@ object EventStreams {
       }
   }
 
+  final case class DayValue(event_type: String, day: String, value: Double)
+  final case class QuantileWindowRow(event_type: String, day: String,
+      n: Long, p50_est: Long, p90_est: Long, p99_est: Long, seq: Long)
+
+  /** Per-type state for the quantile twin: one 64-long bin vector per
+    * day plus the monotone seq (same keep-last contract as
+    * [[TypeSketchState]]). */
+  final case class TypeHistState(days: Map[String, Array[Long]], seq: Long)
+
+  /** Streaming twin of batch q107's rolling 7-day value percentiles:
+    * the same per-(type, day) 64-bin integer histogram carried as keyed
+    * state — integer bin vectors are a commutative mergeable monoid
+    * (addition), so like the HLL twin the final state is arrival-order-
+    * INDEPENDENT, and UNLIKE the HLL twin the emitted numbers are not
+    * estimates of the batch value but EXACTLY the batch value on any
+    * stream prefix: binning, threshold (`cum·k ≥ n·q` integer
+    * arithmetic), and bin-upper-bound readout are the identical integer
+    * formulas. State per type is #days × 64 longs — calendar-bounded.
+    *
+    * Same GRID CONTRACT as the HLL twin: each type emits the calendar
+    * span [t, t+6] of its touched days (a deterministic superset);
+    * keep-last rows semijoined to the global day grid equal batch q107
+    * exactly. */
+  def streamingQuantileRollup(events: DataFrame): Dataset[QuantileWindowRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("value")).as[DayValue]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[TypeHistState, QuantileWindowRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[DayValue], state: GroupState[TypeHistState]) =>
+          val st = state.getOption.getOrElse(TypeHistState(Map.empty, 0L))
+          val hists = scala.collection.mutable.Map.empty[String, Array[Long]]
+          st.days.foreach { case (d, b) => hists(d) = b.clone() }
+          val touched = scala.collection.mutable.Set.empty[String]
+          rows.foreach { r =>
+            val h = hists.getOrElseUpdate(r.day, new Array[Long](64))
+            val bin = math.min(63L, math.max(0L, math.floor(r.value / 8.0).toLong))
+            h(bin.toInt) += 1
+            touched += r.day
+          }
+          val typeDays = hists.keys.map(java.time.LocalDate.parse).toSeq
+          val seq = st.seq + 1
+          val out = touched.toSeq.map(java.time.LocalDate.parse)
+            .flatMap(t => (0 to 6).map(t.plusDays(_)))
+            .distinct
+            .sortBy(_.toString)
+            .map { g =>
+              val merged = new Array[Long](64)
+              typeDays.filter(d => !d.isAfter(g) && !d.isBefore(g.minusDays(6)))
+                .foreach { d =>
+                  val h = hists(d.toString)
+                  var i = 0; while (i < 64) { merged(i) += h(i); i += 1 }
+                }
+              val n = merged.sum
+              // identical integer threshold readout as the batch side:
+              // first bin whose cumulative count reaches ceil(q·n)
+              def quant(num: Long, den: Long): Long = {
+                var cum = 0L; var i = 0
+                while (i < 64) {
+                  cum += merged(i)
+                  if (cum * den >= n * num) return (i + 1L) * 8L
+                  i += 1
+                }
+                512L
+              }
+              QuantileWindowRow(etype, g.toString, n,
+                quant(1, 2), quant(9, 10), quant(99, 100), seq)
+            }
+          state.update(TypeHistState(
+            hists.map { case (k, v) => k -> v }.toMap, seq))
+          out.iterator
+      }
+  }
+
   /** Stream-stream inner join with event-time bounds: each purchase
     * joined to the same user's errors in the preceding 5 minutes
     * (streaming twin of the batch q36 interval join). Both sides carry

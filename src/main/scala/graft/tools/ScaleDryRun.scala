@@ -388,6 +388,14 @@ object ScaleDryRun {
     println(f"[scale-dry-run] tar_shards_1x          $tSh1%8.2f s")
     println(f"[scale-dry-run] tar_shards_10x         $tSh10%8.2f s  (ratio ${tSh10 / tSh1}%.1fx)")
 
+    // q107 histogram quantile rollup: same shape as q75/q77 — ONE
+    // corpus-sized hash-agg to (type, day, bin), then calendar-bounded
+    // merges of 64-long integer vectors
+    val (tQr1, _) = timed(graft.queries.Funnels.rollingValueQuantiles(ev0))
+    val (tQr10, _) = timed(graft.queries.Funnels.rollingValueQuantiles(ev10))
+    println(f"[scale-dry-run] q107_quantiles_1x      $tQr1%8.2f s")
+    println(f"[scale-dry-run] q107_quantiles_10x     $tQr10%8.2f s  (ratio ${tQr10 / tQr1}%.1fx)")
+
     // q101 PageRank: 10x ORDERS over the fixed part catalog (shifted
     // l_orderkey — the realistic growth direction: more baskets, same
     // entities). Edge distinct + degree agg absorb the volume; the ten

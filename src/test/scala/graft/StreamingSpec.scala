@@ -375,6 +375,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(raw != null) // default nanos behavior (error), not silent longs
   }
 
+  test("streaming histogram quantile twin equals batch q107 exactly") {
+    // same two-file time split as the HLL twin: batch B's days land
+    // inside batch A's 7-day windows, exercising merge + re-emission
+    val d = Files.createTempDirectory("events_hist")
+    val tmpA = Files.createTempDirectory("hist_a").toString
+    val tmpB = Files.createTempDirectory("hist_b").toString
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true")
+      val raw = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      val mid = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+      raw.filter(col("ts") <= mid).coalesce(1)
+        .write.mode("overwrite").parquet(tmpA)
+      raw.filter(col("ts") > mid).coalesce(1)
+        .write.mode("overwrite").parquet(tmpB)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    def partOf(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    val fa = d.resolve("a.parquet")
+    val fb = d.resolve("b.parquet")
+    Files.copy(partOf(tmpA), fa)
+    Files.copy(partOf(tmpB), fb)
+    fa.toFile.setLastModified(1000000L)
+    fb.toFile.setLastModified(2000000L)
+    val stream = EventStreams.streamingQuantileRollup(
+      EventStreams.readEvents(spark, d.toString))
+    val all = EventStreams.runToMemory(stream.toDF(), "hist_twin_out",
+      OutputMode.Update)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("day")).orderBy(col("seq").desc)
+    val gotAll = all.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day"), col("n"),
+        col("p50_est"), col("p90_est"), col("p99_est"))
+    val want = graft.queries.Funnels.q107.run(spark, TestSpark.sf0001)
+    val got = gotAll.join(want.select("day").distinct(), Seq("day"), "left_semi")
+      .select(col("event_type"), col("day"), col("n"),
+        col("p50_est"), col("p90_est"), col("p99_est"))
+    // integer histograms make the twin EXACT, not estimate-close
+    assert(got.count() == want.count(),
+      s"row counts differ: ${got.count()} vs ${want.count()}")
+    assert(got.exceptAll(want).count() == 0,
+      "streaming quantile twin diverged from batch q107")
+  }
+
   test("q104 DP release composes with streaming: complete mode equals batch") {
     // dpCounts is an algebraic count agg + a stateless per-cell release
     // expression, so the SAME code runs under readStream; complete-mode
