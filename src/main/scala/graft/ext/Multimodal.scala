@@ -648,8 +648,98 @@ object Multimodal {
     }
   }
 
+  /** REAL ISO-BMFF (mp4) METADATA decode — container structure only,
+    * no codec: a strict box walk (big-endian 32-bit size + fourcc;
+    * size==1 → 64-bit largesize; size==0 → to end; ALL offset math in
+    * Long — a hostile largesize cannot wrap a bounds check) requiring
+    * `ftyp` first and a `moov` with a valid `mvhd`. Extracted metadata
+    * rides the fixed MediaFeatures shape: n_frames = track count,
+    * width/height = first visual track's tkhd 16.16 dimensions,
+    * sample_rate = mvhd timescale (units/second), mean_signal =
+    * presentation duration in SECONDS (duration/timescale). Byte-level
+    * stats (mean/histogram/thumb) stay the generic whole-payload
+    * features. Frame/sample DECODE still needs a codec — that part
+    * remains the labeled stub boundary (webm/ogg are fully stubbed). */
+  def decodeMp4Meta(docId: Long, p: Array[Byte]): Option[MediaFeatures] = {
+    if (p.length < 16) return None
+    def be32(off: Long): Long =
+      ((p(off.toInt) & 0xffL) << 24) | ((p(off.toInt + 1) & 0xffL) << 16) |
+        ((p(off.toInt + 2) & 0xffL) << 8) | (p(off.toInt + 3) & 0xffL)
+    def be64(off: Long): Long = (be32(off) << 32) | be32(off + 4)
+    def fourcc(off: Long): String = {
+      val c = new Array[Char](4)
+      var i = 0
+      while (i < 4) {
+        val b = p(off.toInt + 4 + i) & 0xff
+        if (b < 0x20 || b > 0x7e) return "????" // non-printable: reject
+        c(i) = b.toChar; i += 1
+      }
+      new String(c)
+    }
+    /** children of [start, end) as (type, payloadStart, payloadEnd) */
+    def walk(start: Long, end: Long): Option[List[(String, Long, Long)]] = {
+      val acc = scala.collection.mutable.ListBuffer.empty[(String, Long, Long)]
+      var off = start
+      while (off < end) {
+        if (off + 8 > end) return None
+        val sz0 = be32(off)
+        val t = fourcc(off)
+        if (t == "????") return None
+        var hdr = 8L
+        val sz: Long =
+          if (sz0 == 1L) {
+            if (off + 16 > end) return None
+            hdr = 16L; be64(off + 8)
+          } else if (sz0 == 0L) end - off
+          else sz0
+        if (sz < hdr || off + sz > end) return None
+        acc += ((t, off + hdr, off + sz))
+        off += sz
+      }
+      Some(acc.toList)
+    }
+    val top = walk(0L, p.length.toLong).getOrElse(return None)
+    if (top.isEmpty || top.head._1 != "ftyp") return None
+    val (_, moovS, moovE) = top.find(_._1 == "moov").getOrElse(return None)
+    val kids = walk(moovS, moovE).getOrElse(return None)
+    val (_, mvS, mvE) = kids.find(_._1 == "mvhd").getOrElse(return None)
+    if (mvS + 4 > mvE) return None
+    val mvVer = p(mvS.toInt) & 0xff
+    val (tsOff, durLen) = if (mvVer == 1) (20L, 8) else (12L, 4)
+    if (mvS + tsOff + 4 + durLen > mvE) return None
+    val timescale = be32(mvS + tsOff)
+    if (timescale <= 0L) return None
+    val duration =
+      if (durLen == 8) be64(mvS + tsOff + 4) else be32(mvS + tsOff + 4)
+    val traks = kids.filter(_._1 == "trak")
+    // first visual track: a tkhd whose 16.16 width is nonzero
+    val dims = traks.iterator.flatMap { case (_, ts, te) =>
+      walk(ts, te).toList.flatten.find(_._1 == "tkhd").flatMap {
+        case (_, hs, he) =>
+          if (hs + 4 > he) None
+          else {
+            val v = p(hs.toInt) & 0xff
+            val wOff = if (v == 1) 88L else 76L
+            if (hs + wOff + 8 > he) None
+            else {
+              val w = (be32(hs + wOff) >> 16).toInt
+              val h = (be32(hs + wOff + 4) >> 16).toInt
+              if (w > 0 && h > 0) Some((w, h)) else None
+            }
+          }
+      }
+    }.buffered.headOption.getOrElse((0, 0))
+    Some(stubFeatures(docId, p, "mp4").copy(
+      n_frames = traks.size,
+      width = dims._1,
+      height = dims._2,
+      sample_rate = timescale.toInt,
+      mean_signal = duration.toDouble / timescale.toDouble))
+  }
+
   /** STUB features for the formats that genuinely need an external
-    * codec (mp4/webm/ogg video+audio): deterministic whole-payload byte stats +
+    * codec (webm/ogg video+audio; mp4 frame DECODE — its container
+    * metadata is real, see [[decodeMp4Meta]]): deterministic whole-payload byte stats +
     * 16-bin byte histogram + strided pseudo-thumbnail + chunked
     * pseudo-frame count. The signature — bytes in, fixed-width features
     * out, no per-row session state — is the contract a distributed
@@ -699,6 +789,7 @@ object Multimodal {
       case "png"  => safely(decodePng(docId, p), "png_corrupt")
       case "gif"  => safely(decodeGif(docId, p), "gif_corrupt")
       case "jpeg" => safely(decodeJpeg(docId, p), "jpeg_corrupt")
+      case "mp4"  => safely(decodeMp4Meta(docId, p), "mp4_corrupt")
       case f      => stubFeatures(docId, p, f)
     }
   }
@@ -778,7 +869,57 @@ object Multimodal {
       -11L -> gifOf(4, 4, Array.tabulate(16)(i => (i, i, i)),
         Seq((_, _) => 3)).dropRight(6), // → gif_corrupt
       -12L -> jpegOf(16, 8, (bx, by) => (80 + bx * 40, 128 + by * 20, 100)),
-      -13L -> jpegOf(8, 8, (_, _) => (128, 128, 128)).dropRight(4)) // → jpeg_corrupt
+      -13L -> jpegOf(8, 8, (_, _) => (128, 128, 128)).dropRight(4), // → jpeg_corrupt
+      -14L -> mp4Of(1000, 5000, Seq((320, 240))),
+      -15L -> mp4Of(600, 1200, Seq((0, 0), (640, 360))), // audio+video traks
+      -16L -> mp4Of(1000, 5000, Seq((320, 240))).dropRight(30)) // → mp4_corrupt
+  }
+
+  /** Deterministic minimal ISO-BMFF builder (tests + synthetics): ftyp,
+    * moov(mvhd v0 + one trak/tkhd v0 per entry — (0,0) dims model an
+    * audio track), mdat. Big-endian box sizes, 16.16 fixed dims. */
+  private[graft] def mp4Of(timescale: Int, durationTs: Int,
+      tracks: Seq[(Int, Int)]): Array[Byte] = {
+    import java.nio.ByteBuffer
+    def box(t: String, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(t.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
+        "isomiso2".getBytes("US-ASCII"))
+    val mvhd = {
+      val b = ByteBuffer.allocate(100)
+      b.putInt(0)                 // version 0 + flags
+      b.putInt(0).putInt(0)       // creation / modification
+      b.putInt(timescale).putInt(durationTs)
+      b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      b.putLong(0L)               // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt)        // identity matrix
+      b.position(b.position() + 24) // pre_defined
+      b.putInt(2)                 // next_track_ID
+      b.array()
+    }
+    val traks = tracks.zipWithIndex.map { case ((w, h), i) =>
+      val b = ByteBuffer.allocate(84)
+      b.putInt(0x00000007)        // v0 + enabled/in-movie/in-preview
+      b.putInt(0).putInt(0)       // creation / modification
+      b.putInt(i + 1).putInt(0)   // track_ID, reserved
+      b.putInt(durationTs)
+      b.putLong(0L)               // reserved
+      b.putShort(0).putShort(0)   // layer, alternate_group
+      b.putShort(if (w == 0) 0x0100.toShort else 0).putShort(0)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt)
+      b.putInt(w << 16).putInt(h << 16)
+      box("trak", box("tkhd", b.array()))
+    }
+    val moov = box("moov",
+      box("mvhd", mvhd) ++ traks.foldLeft(Array.emptyByteArray)(_ ++ _))
+    val mdat = box("mdat", Array.tabulate(32)(i => (i * 7).toByte))
+    ftyp ++ moov ++ mdat
   }
 
   /** Deterministic baseline-JPEG encoder (tests + synthetics): real

@@ -376,6 +376,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(formats.contains("unknown"))
   }
 
+  test("mp4 box walk: mvhd timescale/duration, trak count, tkhd dims") {
+    val p = Multimodal.mp4Of(1000, 5000, Seq((320, 240)))
+    val f = Multimodal.decode(9L, p)
+    assert(f.format == "mp4", f.format)
+    assert(f.sample_rate == 1000 && f.mean_signal == 5.0,
+      s"timescale/duration: ${f.sample_rate}/${f.mean_signal}")
+    assert(f.n_frames == 1 && f.width == 320 && f.height == 240)
+    // audio-first layout: the (0,0) audio trak is skipped, the SECOND
+    // trak's visual dims surface; track count covers both
+    val av = Multimodal.decode(10L,
+      Multimodal.mp4Of(600, 1200, Seq((0, 0), (640, 360))))
+    assert(av.n_frames == 2 && av.width == 640 && av.height == 360)
+    assert(av.sample_rate == 600 && av.mean_signal == 2.0)
+  }
+
+  test("hostile or truncated mp4 falls back to the labeled stub") {
+    val good = Multimodal.mp4Of(1000, 5000, Seq((320, 240)))
+    // truncation mid-moov
+    assert(Multimodal.decode(11L, good.dropRight(30)).format == "mp4_corrupt")
+    // a hostile 32-bit box size that overflows past the payload end
+    val hostile = good.clone()
+    hostile(0) = 0x7f.toByte // ftyp size := ~2.1 GB
+    assert(Multimodal.decode(12L, hostile).format == "mp4_corrupt")
+    // size==0 ("to end of file") on the LAST top-level box is legal:
+    // zero out mdat's size field and the walk must still accept it
+    val toEnd = good.clone()
+    val mdatOff = good.length - 40 // mdat = 8 hdr + 32 body
+    toEnd(mdatOff) = 0; toEnd(mdatOff + 1) = 0
+    toEnd(mdatOff + 2) = 0; toEnd(mdatOff + 3) = 0
+    assert(Multimodal.decode(13L, toEnd).format == "mp4")
+    // missing moov (ftyp + mdat only) is structurally invalid for meta
+    val noMoov = good.take(24) ++ good.takeRight(40)
+    assert(Multimodal.decode(14L, noMoov).format == "mp4_corrupt")
+  }
+
   test("the q34 seam routes real payloads to real decoders end to end") {
     import spark.implicits._
     val rows: Seq[(Long, Array[Byte])] = Seq(
