@@ -737,9 +737,154 @@ object Multimodal {
       mean_signal = duration.toDouble / timescale.toDouble))
   }
 
+  /** REAL Ogg container-metadata decode — the page walk, no codec:
+    * every page starts 'OggS', version 0, with a 27-byte header + a
+    * segment table whose lacing values give the page body length.
+    * Strict: the first page must begin at offset 0 and carry the
+    * beginning-of-stream flag; every subsequent page must start exactly
+    * where the previous ended and sniff 'OggS'; a truncated tail or a
+    * bad capture pattern rejects the payload. Extracted metadata on the
+    * fixed shape: n_frames = page count, channels = number of distinct
+    * logical streams (serial numbers), mean_signal = the maximum
+    * granule position seen (sample/frame clock — codec-units, exposed
+    * raw). Sample DECODE stays stubbed (codec-bound). */
+  def decodeOggMeta(docId: Long, p: Array[Byte]): Option[MediaFeatures] = {
+    if (p.length < 28) return None
+    def le64(off: Long): Long = {
+      var v = 0L; var i = 7
+      while (i >= 0) { v = (v << 8) | (p(off.toInt + i) & 0xffL); i -= 1 }
+      v
+    }
+    def le32(off: Long): Long =
+      (p(off.toInt) & 0xffL) | ((p(off.toInt + 1) & 0xffL) << 8) |
+        ((p(off.toInt + 2) & 0xffL) << 16) | ((p(off.toInt + 3) & 0xffL) << 24)
+    val serials = scala.collection.mutable.Set.empty[Long]
+    var maxGranule = 0L
+    var pages = 0
+    var off = 0L
+    while (off < p.length) {
+      if (off + 27 > p.length) return None
+      if (p(off.toInt) != 'O' || p(off.toInt + 1) != 'g' ||
+        p(off.toInt + 2) != 'g' || p(off.toInt + 3) != 'S') return None
+      if (p(off.toInt + 4) != 0) return None // stream structure version
+      val hdrType = p(off.toInt + 5) & 0xff
+      if (pages == 0 && (hdrType & 0x02) == 0) return None // first page: BOS
+      val granule = le64(off + 6)
+      val serial = le32(off + 14)
+      val nSegs = p(off.toInt + 26) & 0xff
+      if (off + 27 + nSegs > p.length) return None
+      var body = 0L
+      var s = 0
+      while (s < nSegs) { body += (p((off + 27 + s).toInt) & 0xff); s += 1 }
+      if (off + 27 + nSegs + body > p.length) return None
+      serials += serial
+      if (granule > maxGranule) maxGranule = granule // -1 = no packet ends
+      pages += 1
+      off += 27 + nSegs + body
+    }
+    if (pages == 0) return None
+    Some(stubFeatures(docId, p, "ogg").copy(
+      n_frames = pages,
+      channels = serials.size,
+      mean_signal = maxGranule.toDouble))
+  }
+
+  /** REAL WebM/Matroska container-metadata decode — a strict EBML
+    * element walk, no codec: EBML varint IDs (marker bits kept) and
+    * sizes (marker stripped), all offset math in Long. Requires the
+    * EBML header (0x1A45DFA3) first and a Segment (0x18538067);
+    * descends into Info (TimestampScale 0x2AD7B1 — default 1,000,000
+    * ns/tick — and float Duration 0x4489) and Tracks (TrackEntry 0xAE
+    * count; Video 0xE0 → PixelWidth 0xB0 / PixelHeight 0xBA).
+    * Metadata on the fixed shape: n_frames = track count, width/height
+    * = first video track's pixel dims, mean_signal = duration in
+    * SECONDS (duration ticks × scale ÷ 1e9). Unknown-size (all-ones)
+    * elements are accepted only for the top-level Segment (streamed
+    * webm writes them that way); anywhere else they reject. */
+  def decodeWebmMeta(docId: Long, p: Array[Byte]): Option[MediaFeatures] = {
+    if (p.length < 8) return None
+    def ub(off: Long): Int = p(off.toInt) & 0xff
+    /** EBML varint at off: (value, nBytes); id=true keeps marker bits */
+    def varint(off: Long, end: Long, id: Boolean): Option[(Long, Int)] = {
+      if (off >= end) return None
+      val first = ub(off)
+      if (first == 0) return None
+      val n = java.lang.Integer.numberOfLeadingZeros(first) - 23 // 1..8
+      if (n < 1 || n > 8 || off + n > end) return None
+      var v = if (id) first.toLong else (first & (0xff >>> n)).toLong
+      var i = 1
+      while (i < n) { v = (v << 8) | ub(off + i); i += 1 }
+      Some((v, n))
+    }
+    /** children of [start, end): (id, payloadStart, payloadEnd) */
+    def walk(start: Long, end: Long,
+        allowUnknownSize: Boolean): Option[List[(Long, Long, Long)]] = {
+      val acc = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+      var off = start
+      while (off < end) {
+        val (id, idN) = varint(off, end, id = true).getOrElse(return None)
+        val (sz, szN) = varint(off + idN, end, id = false).getOrElse(return None)
+        val ps = off + idN + szN
+        val unknown = sz == (1L << (7 * szN)) - 1 // all value bits set
+        val pe = if (unknown) {
+          if (!allowUnknownSize) return None
+          end // unknown size: runs to the end of the enclosing scope
+        } else ps + sz
+        if (pe < ps || pe > end) return None
+        acc += ((id, ps, pe))
+        off = pe
+      }
+      Some(acc.toList)
+    }
+    def uint(ps: Long, pe: Long): Long = {
+      var v = 0L; var o = ps
+      while (o < pe) { v = (v << 8) | ub(o); o += 1 }
+      v
+    }
+    def float(ps: Long, pe: Long): Option[Double] = (pe - ps) match {
+      case 4 => Some(java.lang.Float.intBitsToFloat(uint(ps, pe).toInt).toDouble)
+      case 8 => Some(java.lang.Double.longBitsToDouble(uint(ps, pe)))
+      case _ => None
+    }
+    val top = walk(0L, p.length.toLong, allowUnknownSize = true)
+      .getOrElse(return None)
+    if (top.isEmpty || top.head._1 != 0x1A45DFA3L) return None
+    val (_, segS, segE) = top.find(_._1 == 0x18538067L).getOrElse(return None)
+    val kids = walk(segS, segE, allowUnknownSize = false).getOrElse(return None)
+    val (_, infS, infE) = kids.find(_._1 == 0x1549A966L).getOrElse(return None)
+    val info = walk(infS, infE, allowUnknownSize = false).getOrElse(return None)
+    val tsScale = info.find(_._1 == 0x2AD7B1L)
+      .map { case (_, s, e) => uint(s, e) }.getOrElse(1000000L)
+    if (tsScale <= 0L) return None
+    val durTicks = info.find(_._1 == 0x4489L)
+      .flatMap { case (_, s, e) => float(s, e) }.getOrElse(0.0)
+    if (durTicks < 0.0 || durTicks.isNaN) return None
+    val entries = kids.find(_._1 == 0x1654AE6BL) match {
+      case None => Nil
+      case Some((_, ts, te)) =>
+        walk(ts, te, allowUnknownSize = false).getOrElse(return None)
+          .filter(_._1 == 0xAEL)
+    }
+    val dims = entries.iterator.flatMap { case (_, es, ee) =>
+      walk(es, ee, allowUnknownSize = false).toList.flatten
+        .find(_._1 == 0xE0L).flatMap { case (_, vs, ve) =>
+          walk(vs, ve, allowUnknownSize = false).map { vkids =>
+            (vkids.find(_._1 == 0xB0L).map(k => uint(k._2, k._3)).getOrElse(0L),
+              vkids.find(_._1 == 0xBAL).map(k => uint(k._2, k._3)).getOrElse(0L))
+          }.filter(d => d._1 > 0 && d._2 > 0)
+        }
+    }.buffered.headOption.getOrElse((0L, 0L))
+    Some(stubFeatures(docId, p, "webm").copy(
+      n_frames = entries.size,
+      width = dims._1.toInt,
+      height = dims._2.toInt,
+      mean_signal = durTicks * tsScale.toDouble / 1e9))
+  }
+
   /** STUB features for the formats that genuinely need an external
-    * codec (webm/ogg video+audio; mp4 frame DECODE — its container
-    * metadata is real, see [[decodeMp4Meta]]): deterministic whole-payload byte stats +
+    * codec: frame/sample DECODE for mp4/webm/ogg — their container
+    * metadata is real, see [[decodeMp4Meta]]/[[decodeWebmMeta]]/
+    * [[decodeOggMeta]]: deterministic whole-payload byte stats +
     * 16-bin byte histogram + strided pseudo-thumbnail + chunked
     * pseudo-frame count. The signature — bytes in, fixed-width features
     * out, no per-row session state — is the contract a distributed
@@ -790,6 +935,8 @@ object Multimodal {
       case "gif"  => safely(decodeGif(docId, p), "gif_corrupt")
       case "jpeg" => safely(decodeJpeg(docId, p), "jpeg_corrupt")
       case "mp4"  => safely(decodeMp4Meta(docId, p), "mp4_corrupt")
+      case "ogg"  => safely(decodeOggMeta(docId, p), "ogg_corrupt")
+      case "webm" => safely(decodeWebmMeta(docId, p), "webm_corrupt")
       case f      => stubFeatures(docId, p, f)
     }
   }
@@ -872,7 +1019,66 @@ object Multimodal {
       -13L -> jpegOf(8, 8, (_, _) => (128, 128, 128)).dropRight(4), // → jpeg_corrupt
       -14L -> mp4Of(1000, 5000, Seq((320, 240))),
       -15L -> mp4Of(600, 1200, Seq((0, 0), (640, 360))), // audio+video traks
-      -16L -> mp4Of(1000, 5000, Seq((320, 240))).dropRight(30)) // → mp4_corrupt
+      -16L -> mp4Of(1000, 5000, Seq((320, 240))).dropRight(30), // → mp4_corrupt
+      -17L -> oggOf(Seq((7L, 0L, 30), (7L, 48000L, 120), (9L, 960L, 60))),
+      -18L -> webmOf(1000000L, 2500.0f, Seq(Some((1280, 720)), None)),
+      -19L -> webmOf(1000000L, 1000.0f, Seq(Some((640, 480)))).dropRight(8))
+      // ^ -19 truncated mid-Tracks → webm_corrupt
+  }
+
+  /** Deterministic Ogg builder (tests + synthetics): one page per
+    * (serial, granule, bodyLen<255) entry; first page carries BOS. */
+  private[graft] def oggOf(pages: Seq[(Long, Long, Int)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    pages.zipWithIndex.foreach { case ((serial, granule, bodyLen), i) =>
+      require(bodyLen < 255, "single-segment fixture pages")
+      out.write("OggS".getBytes("US-ASCII"))
+      out.write(0)                          // version
+      out.write(if (i == 0) 0x02 else 0x00) // BOS on the first page
+      (0 until 8).foreach(b => out.write(((granule >> (8 * b)) & 0xff).toInt))
+      (0 until 4).foreach(b => out.write(((serial >> (8 * b)) & 0xff).toInt))
+      (0 until 4).foreach(b => out.write(((i.toLong >> (8 * b)) & 0xff).toInt))
+      (0 until 4).foreach(_ => out.write(0)) // crc (not checked — no codec)
+      out.write(1)                           // one lacing segment
+      out.write(bodyLen)
+      (0 until bodyLen).foreach(k => out.write((k * 3) & 0xff))
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic minimal WebM/EBML builder (tests + synthetics):
+    * EBML header, Segment(Info(TimestampScale, float Duration),
+    * Tracks(TrackEntry*)); a `Some((w, h))` entry gets a Video element,
+    * `None` models an audio track. */
+  private[graft] def webmOf(tsScale: Long, durTicks: Float,
+      tracks: Seq[Option[(Int, Int)]]): Array[Byte] = {
+    def beBytes(v: Long): Array[Byte] = {
+      // minimal big-endian encoding, at least one byte
+      var n = 8
+      while (n > 1 && (v >>> (8 * (n - 1))) == 0) n -= 1
+      Array.tabulate(n)(i => ((v >>> (8 * (n - 1 - i))) & 0xff).toByte)
+    }
+    def el(idBytes: Array[Byte], body: Array[Byte]): Array[Byte] = {
+      require(body.length < 127, "single-byte sizes in fixtures")
+      idBytes ++ Array((0x80 | body.length).toByte) ++ body
+    }
+    def id(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+    val header = el(id(0x1A, 0x45, 0xDF, 0xA3), id(0x42, 0x86, 0x81, 1))
+    val info = el(id(0x15, 0x49, 0xA9, 0x66),
+      el(id(0x2A, 0xD7, 0xB1), beBytes(tsScale)) ++
+        el(id(0x44, 0x89),
+          beBytes(java.lang.Float.floatToIntBits(durTicks) & 0xffffffffL)
+            .reverse.padTo(4, 0.toByte).reverse))
+    val trackEls = tracks.map {
+      case Some((w, h)) => el(id(0xAE),
+        el(id(0xE0), el(id(0xB0), beBytes(w.toLong)) ++
+          el(id(0xBA), beBytes(h.toLong))))
+      case None => el(id(0xAE), Array[Byte](0xD7.toByte, 0x81.toByte, 2))
+    }
+    val trks = el(id(0x16, 0x54, 0xAE, 0x6B),
+      trackEls.foldLeft(Array.emptyByteArray)(_ ++ _))
+    val segment = el(id(0x18, 0x53, 0x80, 0x67), info ++ trks)
+    header ++ segment
   }
 
   /** Deterministic minimal ISO-BMFF builder (tests + synthetics): ftyp,

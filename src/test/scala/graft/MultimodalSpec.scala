@@ -411,6 +411,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(14L, noMoov).format == "mp4_corrupt")
   }
 
+  test("ogg page walk: page count, logical streams, max granule") {
+    val f = Multimodal.decode(20L, Multimodal.oggOf(
+      Seq((7L, 0L, 30), (7L, 48000L, 120), (9L, 960L, 60))))
+    assert(f.format == "ogg", f.format)
+    assert(f.n_frames == 3, s"pages: ${f.n_frames}")
+    assert(f.channels == 2, s"streams: ${f.channels}") // serials 7 and 9
+    assert(f.mean_signal == 48000.0, s"max granule: ${f.mean_signal}")
+    // corrupt: mid-stream capture-pattern damage, truncated tail, no BOS
+    val good = Multimodal.oggOf(Seq((1L, 0L, 40), (1L, 100L, 40)))
+    val bad = good.clone(); bad(68) = 'X'.toByte // second page's capture
+    assert(Multimodal.decode(27L, bad).format == "ogg_corrupt")
+    assert(Multimodal.decode(21L, good.dropRight(10)).format == "ogg_corrupt")
+    val noBos = good.clone(); noBos(5) = 0
+    assert(Multimodal.decode(22L, noBos).format == "ogg_corrupt")
+  }
+
+  test("webm EBML walk: timestamp scale, duration, tracks, video dims") {
+    val f = Multimodal.decode(23L, Multimodal.webmOf(
+      1000000L, 2500.0f, Seq(Some((1280, 720)), None)))
+    assert(f.format == "webm", f.format)
+    assert(f.n_frames == 2, s"tracks: ${f.n_frames}")
+    assert(f.width == 1280 && f.height == 720)
+    // 2500 ticks x 1e6 ns/tick = 2.5 s
+    assert(math.abs(f.mean_signal - 2.5) < 1e-9, s"duration: ${f.mean_signal}")
+    // audio-only: no dims, one track
+    val a = Multimodal.decode(24L, Multimodal.webmOf(1000000L, 100.0f, Seq(None)))
+    assert(a.format == "webm" && a.n_frames == 1 && a.width == 0)
+    // truncation and a hostile varint size must fall back labeled
+    val good = Multimodal.webmOf(1000000L, 1000.0f, Seq(Some((640, 480))))
+    assert(Multimodal.decode(25L, good.dropRight(8)).format == "webm_corrupt")
+    val hostile = good.clone()
+    hostile(4) = 0xFF.toByte // header size := unknown-size where disallowed
+    assert(Multimodal.decode(26L, hostile).format == "webm_corrupt")
+  }
+
   test("the q34 seam routes real payloads to real decoders end to end") {
     import spark.implicits._
     val rows: Seq[(Long, Array[Byte])] = Seq(
