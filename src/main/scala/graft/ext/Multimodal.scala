@@ -15,11 +15,12 @@ import graft.{Q, Tables}
   * via JDK Inflater → the five standard scanline unfilters → pixel
   * stats + thumbnail), and GIF (LZW variable-width bit decode of the
   * first frame + real frame count) — all dependency-free: raw header
-  * math plus java.util.zip, no codec library. Transform-coded formats
-  * (jpeg/mp4/webm/...) still route through the labeled STUB; this
-  * container ships no codecs, and the stub keeps the contract (bytes
-  * in, fixed-width features out) so a real decoder drops in without
-  * touching the plan.
+  * math plus java.util.zip, no codec library. Baseline JPEG decodes for
+  * real too, and the three video/audio containers (mp4/ogg/webm) get
+  * REAL metadata walks; only codec-bound frame/sample decode routes
+  * through the labeled STUB — this container ships no codecs, and the
+  * stub keeps the contract (bytes in, fixed-width features out) so a
+  * real decoder drops in without touching the plan.
   *
   * The fixtures have no binary table, so document text bytes stand in as
   * the payload (cast string→binary), exactly as an image-bytes column
@@ -659,7 +660,8 @@ object Multimodal {
     * presentation duration in SECONDS (duration/timescale). Byte-level
     * stats (mean/histogram/thumb) stay the generic whole-payload
     * features. Frame/sample DECODE still needs a codec — that part
-    * remains the labeled stub boundary (webm/ogg are fully stubbed). */
+    * remains the labeled stub boundary (see [[decodeOggMeta]] /
+    * [[decodeWebmMeta]] for the other containers' metadata walks). */
   def decodeMp4Meta(docId: Long, p: Array[Byte]): Option[MediaFeatures] = {
     if (p.length < 16) return None
     def be32(off: Long): Long =
@@ -692,7 +694,10 @@ object Multimodal {
             hdr = 16L; be64(off + 8)
           } else if (sz0 == 0L) end - off
           else sz0
-        if (sz < hdr || off + sz > end) return None
+        // `sz > end - off`, NOT `off + sz > end`: a hostile 64-bit
+        // largesize near Long.MaxValue would wrap the addition negative
+        // and slip past the additive form of this check
+        if (sz < hdr || sz > end - off) return None
         acc += ((t, off + hdr, off + sz))
         off += sz
       }
@@ -708,9 +713,14 @@ object Multimodal {
     val (tsOff, durLen) = if (mvVer == 1) (20L, 8) else (12L, 4)
     if (mvS + tsOff + 4 + durLen > mvE) return None
     val timescale = be32(mvS + tsOff)
-    if (timescale <= 0L) return None
-    val duration =
+    if (timescale <= 0L || timescale > Int.MaxValue) return None
+    val durRaw =
       if (durLen == 8) be64(mvS + tsOff + 4) else be32(mvS + tsOff + 4)
+    // the all-ones "duration unknown" sentinel (and a hostile negative
+    // v1 value) reads as 0, not as a nonsense clock
+    val duration =
+      if (durRaw < 0L || (durLen == 4 && durRaw == 0xFFFFFFFFL)) 0L
+      else durRaw
     val traks = kids.filter(_._1 == "trak")
     // first visual track: a tkhd whose 16.16 width is nonzero
     val dims = traks.iterator.flatMap { case (_, ts, te) =>
@@ -837,6 +847,7 @@ object Multimodal {
       Some(acc.toList)
     }
     def uint(ps: Long, pe: Long): Long = {
+      if (pe - ps > 8) return -1L // hostile over-wide integer: reject via <=0 gates
       var v = 0L; var o = ps
       while (o < pe) { v = (v << 8) | ub(o); o += 1 }
       v

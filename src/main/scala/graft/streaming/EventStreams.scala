@@ -506,8 +506,7 @@ object EventStreams {
               QuantileWindowRow(etype, g.toString, n,
                 quant(1, 2), quant(9, 10), quant(99, 100), seq)
             }
-          state.update(TypeHistState(
-            hists.map { case (k, v) => k -> v }.toMap, seq))
+          state.update(TypeHistState(hists.toMap, seq))
           out.iterator
       }
   }

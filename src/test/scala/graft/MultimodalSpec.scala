@@ -399,6 +399,17 @@ class MultimodalSpec extends AnyFunSuite {
     val hostile = good.clone()
     hostile(0) = 0x7f.toByte // ftyp size := ~2.1 GB
     assert(Multimodal.decode(12L, hostile).format == "mp4_corrupt")
+    // a hostile 64-bit largesize near Long.MaxValue: `off + sz` would
+    // wrap negative and slip past an additive bounds check — the walk
+    // must compare subtractively and reject, not alias into the array
+    val large = good.clone()
+    large(0) = 0; large(1) = 0; large(2) = 0; large(3) = 1 // size == 1
+    // ftyp's first 8 payload bytes become the largesize field; the walk
+    // reads them from offset 8 — forge 0x7FFFFFFFFFFFFFF0 there
+    large(8) = 0x7f.toByte
+    (9 to 14).foreach(i => large(i) = 0xff.toByte)
+    large(15) = 0xf0.toByte
+    assert(Multimodal.decode(15L, large).format == "mp4_corrupt")
     // size==0 ("to end of file") on the LAST top-level box is legal:
     // zero out mdat's size field and the walk must still accept it
     val toEnd = good.clone()

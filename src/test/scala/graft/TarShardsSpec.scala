@@ -105,7 +105,7 @@ class TarShardsSpec extends AnyFunSuite {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(120000), "stream did not drain in time")
     val entries = new java.io.File(outRoot).listFiles().flatMap(d =>
       d.listFiles().filter(_.getName.endsWith(".tar")))
       .flatMap(f => TarShards.readTar(f.getPath))
