@@ -188,5 +188,81 @@ object Retrieval {
       SELECT vec_id, true_label, slabel AS pred_label, n_votes
       FROM r WHERE vrnk = 1"""))
 
-  val all: Seq[Q] = Seq(q102, q103)
+  /** Core of q108: margin-based bitext mining (the parallel-corpus
+    * pair-mining recipe: a nearest-neighbor hit only counts when it
+    * BEATS the runner-up by a margin — absolute cosine is miscalibrated
+    * across language subspaces, the gap is not). For every non-hub
+    * vector, the top-2 hub-language (en) neighbors by cosine; the
+    * emitted candidate carries `cos_sim`, `margin = cos1 − cos2`
+    * (0 when the hub has a single vector), and the threshold decision
+    * stays downstream — the operator mines the scored candidate table.
+    *
+    * Lang rides in from the documents table (vec_id = doc_id in the
+    * fixtures) via one equi-join. The hub index is the broadcast side —
+    * the q25/q89/q103 exact-scan baseline; at corpus scale the hub side
+    * swaps to the q48 IVF index, same downstream contract. */
+  def bitextMine(embeddings: DataFrame, docs: DataFrame,
+      hub: String = "en"): DataFrame = {
+    VectorFunctions.registerVecDot(embeddings.sparkSession)
+    val e = embeddings
+      .filter(col("embedding").isNotNull)
+      .join(docs.select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+      .filter(col("lang").isNotNull)
+      .select(col("vec_id"), col("lang"), col("embedding"))
+      .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)")))
+    val tgt = e.filter(col("lang") === hub)
+      .select(col("vec_id").as("tid"), col("embedding").as("temb"),
+        col("nrm").as("tnrm"))
+    val src = e.filter(col("lang") =!= hub)
+    val ranked = src.crossJoin(broadcast(tgt))
+      .select(col("vec_id").as("src_id"), col("lang").as("src_lang"),
+        col("tid"),
+        (expr("vec_dot_f(embedding, temb)") / (col("nrm") * col("tnrm")))
+          .as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("src_id"))
+          .orderBy(col("cos_sim").desc, col("tid").asc)))
+      .filter(col("rnk") <= 2)
+    ranked
+      .withColumn("cos2", lead(col("cos_sim"), 1).over(
+        Window.partitionBy(col("src_id"))
+          .orderBy(col("rnk").asc)))
+      .filter(col("rnk") === 1)
+      .select(col("src_id"), col("src_lang"), col("tid").as("tgt_id"),
+        col("cos_sim"),
+        (col("cos_sim") - coalesce(col("cos2"), lit(0.0))).as("margin"))
+  }
+
+  /** q108 — margin-based bitext candidate mining against the en hub. */
+  val q108: Q = Q(
+    "q108_bitext_mining",
+    run = { (spark, dir) =>
+      bitextMine(Tables.embeddings(spark, dir), Tables.documents(spark, dir))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT em.vec_id, d.lang, em.embedding::DOUBLE[] AS emb
+                 FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id
+                 WHERE em.embedding IS NOT NULL AND d.lang IS NOT NULL),
+      tgt AS (SELECT vec_id AS tid, emb AS temb FROM e WHERE lang = 'en'),
+      src AS (SELECT vec_id, lang, emb FROM e WHERE lang <> 'en'),
+      p AS (SELECT s.vec_id AS src_id, s.lang AS src_lang, t.tid,
+              list_sum(list_transform(list_zip(s.emb, t.temb),
+                x -> x[1]*x[2])) /
+              (sqrt(list_sum(list_transform(s.emb, x -> x*x)))
+                * sqrt(list_sum(list_transform(t.temb, x -> x*x))))
+                AS cos_sim
+            FROM src s, tgt t),
+      r AS (SELECT src_id, src_lang, tid, cos_sim,
+              row_number() OVER (PARTITION BY src_id
+                ORDER BY cos_sim DESC, tid ASC) AS rnk
+            FROM p),
+      m AS (SELECT src_id, src_lang, tid, cos_sim, rnk,
+              lead(cos_sim, 1) OVER (PARTITION BY src_id ORDER BY rnk ASC)
+                AS cos2
+            FROM r WHERE rnk <= 2)
+      SELECT src_id, src_lang, tid AS tgt_id, cos_sim,
+        cos_sim - COALESCE(cos2, 0.0) AS margin
+      FROM m WHERE rnk = 1"""))
+
+  val all: Seq[Q] = Seq(q102, q103, q108)
 }

@@ -209,6 +209,15 @@ object ExplainAudit {
     assert(!q103Plan.contains("CartesianProduct"),
       "q103: seed scan fell back to CartesianProduct")
     println("===== q103 SEED-BROADCAST ASSERT OK")
+    // q108: the hub-language index is the broadcast side — the non-hub
+    // corpus streams once, like q25/q89/q103
+    val q108Plan = graft.SparkEntry.queries("q108_bitext_mining")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q108Plan.contains("BroadcastNestedLoopJoin"),
+      "q108: hub index not broadcast")
+    assert(!q108Plan.contains("CartesianProduct"),
+      "q108: hub scan fell back to CartesianProduct")
+    println("===== q108 HUB-BROADCAST ASSERT OK")
     // q104/q106: privacy releases are ONE hash-agg on the cell key plus
     // per-cell scalar expressions — no joins at all
     for (qn <- Seq("q104_dp_counts", "q106_kanon_release")) {

@@ -124,6 +124,48 @@ class RetrievalGraphPrivacySpec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  // ---- q108 bitext_mining ----
+
+  test("q108: identical cross-lang vector is mined with a dominant margin") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val emb = Seq(
+      (100L, Array(1f, 0f, 0f)),   // en hub: axis x
+      (101L, Array(0f, 1f, 0f)),   // en hub: axis y
+      (200L, Array(1f, 0f, 0f)),   // de: exactly the x hub vector
+      (201L, Array(0.6f, 0.6f, 0f))) // fr: equidistant from both hubs
+      .toDF("vec_id", "embedding")
+    val docs = Seq((100L, "en"), (101L, "en"), (200L, "de"), (201L, "fr"))
+      .toDF("doc_id", "lang")
+    val out = Retrieval.bitextMine(emb, docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the exact copy pairs with its twin at cos 1 and a real margin
+    val de = out(200L)
+    assert(de.getLong(2) == 100L && math.abs(de.getDouble(3) - 1.0) < 1e-9)
+    assert(de.getDouble(4) > 0.9, s"margin ${de.getDouble(4)}")
+    // the equidistant vector still emits rank-1 (tid tie-break) but with
+    // ~zero margin — the downstream threshold's reject case
+    val fr = out(201L)
+    assert(fr.getLong(2) == 100L, "tie must break toward the smaller tid")
+    assert(math.abs(fr.getDouble(4)) < 1e-9, s"margin ${fr.getDouble(4)}")
+  }
+
+  test("q108: every non-hub vector emits exactly one candidate; margin >= 0") {
+    val out = Retrieval.bitextMine(
+      Tables.embeddings(spark, dir), Tables.documents(spark, dir)).cache()
+    try {
+      val e = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+        .join(Tables.documents(spark, dir)
+          .select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+        .filter(col("lang").isNotNull)
+      val nonHub = e.filter(col("lang") =!= "en").count()
+      assert(out.count() == nonHub)
+      assert(out.select("src_id").distinct().count() == nonHub)
+      assert(out.filter(col("margin") < 0).count() == 0,
+        "rank-1 cosine must dominate rank-2")
+    } finally { out.unpersist(); () }
+  }
+
   // ---- q104 dp_counts ----
 
   test("q104: noise bounded by ±64, deterministic, and cell-pure") {
