@@ -108,11 +108,17 @@ private[ext] object Jpeg {
     else if (v < (1 << (t - 1))) v - (1 << t) + 1
     else v
 
+  // DCT-III constants, hoisted: rebuilt per block they'd cost ~64
+  // math.cos calls x every 8x8 block x component in the q34 hot path
+  private val idctC =
+    Array.tabulate(8)(k => if (k == 0) 1.0 / math.sqrt(2) else 1.0)
+  private val idctCos = Array.tabulate(8, 8)((x, u) =>
+    math.cos((2 * x + 1) * u * math.Pi / 16))
+
   private def idct8x8(coef: Array[Double]): Array[Double] = {
     // separable 2x 1-D DCT-III with the T.81 A.3.3 normalization
-    val c = Array.tabulate(8)(k => if (k == 0) 1.0 / math.sqrt(2) else 1.0)
-    val cosT = Array.tabulate(8, 8)((x, u) =>
-      math.cos((2 * x + 1) * u * math.Pi / 16))
+    val c = idctC
+    val cosT = idctCos
     val tmp = new Array[Double](64)
     var y = 0
     while (y < 8) { // rows
@@ -184,10 +190,14 @@ private[ext] object Jpeg {
             o += 65
           }
         case 0xc0 => // SOF0 baseline
+          // every read below stays inside the DECLARED segment — a
+          // truncated header must return None, not AIOOBE past pos+len
+          if (pos + len - seg < 6) return None
           if ((p(seg) & 0xff) != 8) return None
           h = u16(seg + 1); w = u16(seg + 3)
           nComp = p(seg + 5) & 0xff
           if (w <= 0 || h <= 0 || !(nComp == 1 || nComp == 3)) return None
+          if (pos + len - seg < 6 + 3 * nComp) return None
           if (w.toLong * h > (1L << 24)) return None // 16M px cap
           var ci = 0
           while (ci < nComp) {
@@ -203,6 +213,7 @@ private[ext] object Jpeg {
             val tc = (p(o) & 0xff) >> 4
             val th = p(o) & 0x0f
             if (tc > 1 || th > 3) return None
+            if (o + 17 > pos + len) return None // bits counts inside the segment
             val bits = Array.tabulate(16)(i => p(o + 1 + i) & 0xff)
             val total = bits.sum
             if (total > 256 || o + 17 + total > pos + len) return None
@@ -214,8 +225,9 @@ private[ext] object Jpeg {
           }
         case 0xda => // SOS: single interleaved scan
           if (!sofSeen) return None
+          if (pos + len - seg < 1) return None
           val ns = p(seg) & 0xff
-          if (ns != nComp) return None
+          if (ns != nComp || pos + len - seg < 1 + 2 * ns) return None
           var ci = 0
           while (ci < ns) {
             val o = seg + 1 + 2 * ci

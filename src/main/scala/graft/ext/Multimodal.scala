@@ -137,8 +137,12 @@ object Multimodal {
     if (compression != 0 || width <= 0 || height == 0 ||
       !(bpp == 8 || bpp == 24 || bpp == 32)) return None
     val bytesPerPx = bpp / 8
-    // all size math in Long: a hostile width (~9e7 at 24bpp) wraps Int
+    // all size math in Long: a hostile width (~9e7 at 24bpp) wraps Int.
+    // Bound each factor by the payload FIRST — rowSizeL * height of two
+    // unbounded 2^31-scale values can wrap even a Long product past the
+    // check below
     val rowSizeL = ((bpp.toLong * width + 31) / 32) * 4 // rows pad to 4 bytes
+    if (rowSizeL > p.length || height.toLong > p.length) return None
     if (dataOffset < 54 ||
       dataOffset.toLong + rowSizeL * height > p.length) return None
     val rowSize = rowSizeL.toInt // safe: bounded by p.length above
@@ -290,6 +294,42 @@ object Multimodal {
     * unsupported profile, or an inflation that would exceed the 64 MiB
     * zip-bomb cap — and the caller falls back to the labeled stub, so a
     * hostile payload degrades instead of killing the stage. */
+  /** Rec.601 integer luminance — the one formula all three image
+    * decoders share for their 4x4 thumbnails. */
+  @inline private def luma601(r: Int, g: Int, b: Int): Int =
+    (77 * r + 150 * g + 29 * b) >> 8
+
+  /** 16-bin histogram + byte sum over a decoded pixel buffer (PNG and
+    * JPEG; GIF's palette-indexed loop has its own validity check). */
+  private def byteHisto(data: Array[Byte]): (Array[Long], Long) = {
+    val histo = new Array[Long](16)
+    var sum = 0L
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      histo(b >> 4) += 1
+      sum += b
+      i += 1
+    }
+    (histo, sum)
+  }
+
+  /** 4x4 luminance thumbnail by stride sampling: pixel (tx·w/4, ty·h/4)
+    * per cell, luminance supplied by the format's accessor. */
+  private def lumaThumb(w: Int, h: Int, lumAt: (Int, Int) => Int): Array[Byte] = {
+    val thumb = new Array[Byte](16)
+    var ty = 0
+    while (ty < 4) {
+      var tx = 0
+      while (tx < 4) {
+        thumb(ty * 4 + tx) = lumAt(tx * w / 4, ty * h / 4).toByte
+        tx += 1
+      }
+      ty += 1
+    }
+    thumb
+  }
+
   def decodePng(docId: Long, p: Array[Byte]): Option[MediaFeatures] = {
     if (p.length < 8 + 25) return None
     var off = 8L // past the 8-byte signature (already sniffed)
@@ -374,34 +414,12 @@ object Multimodal {
       }
       row += 1
     }
-    val histo = new Array[Long](16)
-    var sum = 0L
-    var i = 0
-    while (i < px.length) {
-      val b = px(i) & 0xff
-      histo(b >> 4) += 1
-      sum += b
-      i += 1
-    }
-    val thumb = new Array[Byte](16)
-    var ty = 0
-    while (ty < 4) {
-      var tx = 0
-      while (tx < 4) {
-        val base = (ty * h / 4) * rowBytes + (tx * w / 4) * channels
-        val lum =
-          if (channels <= 2) px(base) & 0xff // gray / gray+alpha
-          else {
-            val r = px(base) & 0xff
-            val g = px(base + 1) & 0xff
-            val b = px(base + 2) & 0xff
-            (77 * r + 150 * g + 29 * b) >> 8
-          }
-        thumb(ty * 4 + tx) = lum.toByte
-        tx += 1
-      }
-      ty += 1
-    }
+    val (histo, sum) = byteHisto(px)
+    val thumb = lumaThumb(w, h, (sx, sy) => {
+      val base = sy * rowBytes + sx * channels
+      if (channels <= 2) px(base) & 0xff // gray / gray+alpha
+      else luma601(px(base) & 0xff, px(base + 1) & 0xff, px(base + 2) & 0xff)
+    })
     Some(MediaFeatures(docId, "png", p.length, meanByteOf(p), p.take(4),
       histo, thumb, 1, w, h, channels, 0,
       if (px.length == 0) 0.0 else sum.toDouble / px.length))
@@ -492,20 +510,11 @@ object Multimodal {
       }
       i += 1
     }
-    val thumb = new Array[Byte](16)
-    var ty = 0
-    while (ty < 4) {
-      var tx = 0
-      while (tx < 4) {
-        val idx = firstPx((ty * fh / 4) * fw + (tx * fw / 4)) & 0xff
-        val r = p(gct + 3 * idx) & 0xff
-        val g = p(gct + 3 * idx + 1) & 0xff
-        val b = p(gct + 3 * idx + 2) & 0xff
-        thumb(ty * 4 + tx) = ((77 * r + 150 * g + 29 * b) >> 8).toByte
-        tx += 1
-      }
-      ty += 1
-    }
+    val thumb = lumaThumb(fw, fh, (sx, sy) => {
+      val idx = firstPx(sy * fw + sx) & 0xff
+      luma601(p(gct + 3 * idx) & 0xff, p(gct + 3 * idx + 1) & 0xff,
+        p(gct + 3 * idx + 2) & 0xff)
+    })
     val n = firstPx.length.toLong * 3
     Some(MediaFeatures(docId, "gif", p.length, meanByteOf(p), p.take(4),
       histo, thumb, nFrames, fw, fh, 3, 0,
@@ -614,35 +623,13 @@ object Multimodal {
     * decoded channel bytes, 4x4 Rec.601 luminance thumbnail. */
   def decodeJpeg(docId: Long, p: Array[Byte]): Option[MediaFeatures] = {
     Jpeg.decode(p).map { d =>
-      val histo = new Array[Long](16)
-      var sum = 0L
-      var i = 0
-      while (i < d.rgb.length) {
-        val b = d.rgb(i) & 0xff
-        histo(b >> 4) += 1
-        sum += b
-        i += 1
-      }
-      val thumb = new Array[Byte](16)
-      var ty = 0
-      while (ty < 4) {
-        var tx = 0
-        while (tx < 4) {
-          val base = ((ty * d.height / 4) * d.width + (tx * d.width / 4)) *
-            d.channels
-          val lum =
-            if (d.channels == 1) d.rgb(base) & 0xff
-            else {
-              val r = d.rgb(base) & 0xff
-              val g = d.rgb(base + 1) & 0xff
-              val b = d.rgb(base + 2) & 0xff
-              (77 * r + 150 * g + 29 * b) >> 8
-            }
-          thumb(ty * 4 + tx) = lum.toByte
-          tx += 1
-        }
-        ty += 1
-      }
+      val (histo, sum) = byteHisto(d.rgb)
+      val thumb = lumaThumb(d.width, d.height, (sx, sy) => {
+        val base = (sy * d.width + sx) * d.channels
+        if (d.channels == 1) d.rgb(base) & 0xff
+        else luma601(d.rgb(base) & 0xff, d.rgb(base + 1) & 0xff,
+          d.rgb(base + 2) & 0xff)
+      })
       MediaFeatures(docId, "jpeg", p.length, meanByteOf(p), p.take(4),
         histo, thumb, 1, d.width, d.height, d.channels, 0,
         if (d.rgb.length == 0) 0.0 else sum.toDouble / d.rgb.length)

@@ -21,12 +21,22 @@ import scala.util.control.NonFatal
   *  - the LAST failure propagates; earlier ones are recorded in
   *    [[Attempt]]s for the caller's log sink.
   *
-  * Spark note: the wrapped thunk runs on a separate thread; Spark jobs
-  * are safe to launch from it (SparkSession is thread-safe), and an
-  * interrupt cancels the in-flight job group the same way a driver-side
-  * cancellation would. Nothing here touches executors — the policy is
-  * pure driver-side control flow, exactly like the scheduler it
-  * replaces.
+  * Abandonment is BEST-EFFORT, exactly like the reference scheduler's
+  * `execution_timeout`: the interrupt stops interruption-aware work,
+  * but a thunk blocked in a non-interruptible call (a socket read, a
+  * Spark action awaiting executors) may keep running as a zombie past
+  * the timeout. Consequences the caller must own:
+  *  - a retry can overlap the zombie, so attempts must write to
+  *    attempt-private scratch (or idempotent destinations), never
+  *    append-shared state — KaggleSource's download path extracts
+  *    into an attempt-private directory and promotes files with
+  *    atomic moves for exactly this reason;
+  *  - interrupting a thread blocked in a Spark action does NOT cancel
+  *    the job on the executors; a caller that needs hard Spark
+  *    cancellation should run the thunk under `setJobGroup` and
+  *    `cancelJobGroup` on timeout.
+  * Nothing here touches executors — the policy is pure driver-side
+  * control flow, exactly like the scheduler it replaces.
   */
 object TaskPolicy {
 

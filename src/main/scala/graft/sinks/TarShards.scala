@@ -29,6 +29,11 @@ object TarShards {
 
   private def headerBlock(name: String, size: Long): Array[Byte] = {
     require(name.length <= 100, s"tar entry name too long: $name")
+    // the classic ustar size field is 11 octal digits + NUL: 8 GiB or
+    // more would render 12+ digits and silently clobber mtime — fail
+    // loudly like the name check (payloads that large belong in chunks)
+    require(size >= 0 && size < (1L << 33),
+      s"tar entry too large for a ustar size field: $size bytes")
     val b = new Array[Byte](512)
     def put(off: Int, s: String): Unit = {
       val bytes = s.getBytes(US_ASCII)

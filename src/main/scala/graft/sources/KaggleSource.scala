@@ -84,8 +84,16 @@ object KaggleSource {
     }
   }
 
+  /** Per-entry inflation cap: a small archive must not be allowed to
+    * expand without bound (zip bomb) — same posture as the PNG
+    * decoder's inflate cap. Generous for real datasets, fatal for
+    * bombs; raise via the companion if a legitimate dataset needs it. */
+  private[graft] val maxEntryBytes: Long = 4L * 1024 * 1024 * 1024
+
   /** Unzip an archive's regular files into `staging`, rejecting entries
-    * that escape it (zip-slip), and return the extracted paths. */
+    * that escape it (zip-slip) or inflate past [[maxEntryBytes]], and
+    * return the extracted paths. Entries stream to disk in 64 KiB
+    * chunks — the inflated bytes are never buffered whole in memory. */
   private[graft] def unzipInto(zipBytes: Array[Byte],
       staging: Path): Seq[String] = {
     val zin = new java.util.zip.ZipInputStream(
@@ -102,7 +110,21 @@ object KaggleSource {
             throw new java.io.IOException(
               s"zip entry '${entry.getName}' escapes the staging directory")
           Files.createDirectories(dst.getParent)
-          Files.write(dst, zin.readAllBytes())
+          val os = Files.newOutputStream(dst)
+          try {
+            val buf = new Array[Byte](64 * 1024)
+            var written = 0L
+            var n = zin.read(buf)
+            while (n >= 0) {
+              written += n
+              if (written > maxEntryBytes)
+                throw new java.io.IOException(
+                  s"zip entry '${entry.getName}' inflates past " +
+                    s"$maxEntryBytes bytes — refusing (zip bomb?)")
+              os.write(buf, 0, n)
+              n = zin.read(buf)
+            }
+          } finally os.close()
           out ::= dst.toString
         }
         zin.closeEntry()
@@ -180,7 +202,28 @@ object KaggleSource {
           if (status != 200)
             throw new java.io.IOException(
               s"kaggle download of '$dataset' failed: HTTP $status")
-          unzipInto(body, staging)
+          // extract into an ATTEMPT-PRIVATE dir, then promote with
+          // atomic per-file moves: a timed-out zombie attempt (see
+          // TaskPolicy — abandonment is best-effort) can never
+          // interleave partial writes with a retry's files
+          Files.createDirectories(staging)
+          val attemptDir = Files.createTempDirectory(staging, ".attempt-")
+          try {
+            unzipInto(body, attemptDir).map { s =>
+              val src = Paths.get(s)
+              val dst = staging.resolve(attemptDir.relativize(src))
+              Files.createDirectories(dst.getParent)
+              Files.move(src, dst,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              dst.toString
+            }
+          } finally {
+            // drop the (now file-less) attempt skeleton
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(attemptDir).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => Files.deleteIfExists(p))
+          }
         case None =>
           throw new java.io.IOException(
             s"Cannot download kaggle dataset '$dataset': no network egress in " +

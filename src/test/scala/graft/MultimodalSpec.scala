@@ -422,6 +422,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(14L, noMoov).format == "mp4_corrupt")
   }
 
+  test("truncated JPEG segments return None from Jpeg.decode, never throw") {
+    // SOF0 with len=2: the segment is empty, so reading precision/h/w
+    // would index past the declared segment (and the array)
+    val sof = Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x02, 0x08, 0x00)
+      .map(_.toByte)
+    assert(Multimodal.decodeJpeg(90L, sof).isEmpty)
+    // DHT with len=2: bits counts live outside the declared segment
+    val dht = Array(0xff, 0xd8, 0xff, 0xc4, 0x00, 0x02, 0x00, 0x01)
+      .map(_.toByte)
+    assert(Multimodal.decodeJpeg(91L, dht).isEmpty)
+    // SOS with len=2 right after a valid prefix: ns read would be past
+    val sos = Multimodal.jpegOf(8, 8, (_, _) => (1, 2, 3))
+      .takeWhile(_ => true) // copy
+    assert(Multimodal.decodeJpeg(92L,
+      Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02).map(_.toByte)).isEmpty)
+    assert(Multimodal.decodeJpeg(93L, sos).isDefined) // sanity: valid stays valid
+  }
+
+  test("BMP with maximal width x height cannot wrap the Long size guard") {
+    // width=0x7FFFFFFF, height=-0x7FFFFFFF (bottom-up), 32bpp: the
+    // rowSize x height product wraps a Long if unbounded factors are
+    // multiplied before per-factor payload bounds
+    val b = java.nio.ByteBuffer.allocate(60)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(60).putInt(0).putInt(54)
+    b.putInt(40).putInt(0x7FFFFFFF).putInt(-0x7FFFFFFF)
+    b.putShort(1).putShort(32)
+    b.putInt(0).putInt(0)
+    b.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val out = Multimodal.decode(30L, b.array())
+    assert(out.format == "bmp_corrupt", out.format)
+  }
+
   test("ogg page walk: page count, logical streams, max granule") {
     val f = Multimodal.decode(20L, Multimodal.oggOf(
       Seq((7L, 0L, 30), (7L, 48000L, 120), (9L, 960L, 60))))
