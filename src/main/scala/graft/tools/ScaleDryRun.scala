@@ -441,6 +441,21 @@ object ScaleDryRun {
     println(f"[scale-dry-run] q105_outliers_1x       $tOut1%8.2f s")
     println(f"[scale-dry-run] q105_outliers_10x      $tOut10%8.2f s  (ratio ${tOut10 / tOut1}%.1fx)")
 
+    // q109 DSIR weighting: one corpus-sized tf shuffle; the ratio table
+    // is vocabulary-bounded (the 10x self-union re-uses the same token
+    // universe, exactly how a bigger real corpus behaves), scalars 1-row
+    val (tDsir1, _) = timed(graft.queries.DataMix.dsirWeights(docs0))
+    val (tDsir10, _) = timed(graft.queries.DataMix.dsirWeights(docs10))
+    println(f"[scale-dry-run] q109_dsir_1x           $tDsir1%8.2f s")
+    println(f"[scale-dry-run] q109_dsir_10x          $tDsir10%8.2f s  (ratio ${tDsir10 / tDsir1}%.1fx)")
+
+    // q110 temperature mix: one hash-agg for budgets + one per-source
+    // ranked window (source count stays config-sized as the corpus grows)
+    val (tSmx1, _) = timed(graft.queries.DataMix.sourceMix(docs0))
+    val (tSmx10, _) = timed(graft.queries.DataMix.sourceMix(docs10))
+    println(f"[scale-dry-run] q110_mix_1x            $tSmx1%8.2f s")
+    println(f"[scale-dry-run] q110_mix_10x           $tSmx10%8.2f s  (ratio ${tSmx10 / tSmx1}%.1fx)")
+
     // ---- skewed fact-dim join: plain SMJ vs salted vs AQE skew-split ----
     // q87 DIAGNOSES join-key skew; this is the MITIGATION A/B. 90% of the
     // 10x fact rows (~54M) share ONE join key, the dim side is forced
