@@ -18,7 +18,7 @@ object SparkEntry {
       qs.CorpusOps.all ++ qs.StatsOps.all ++
       qs.Hygiene.all ++ qs.Warehouse.all ++
       qs.GraphOps.all ++ qs.Retrieval.all ++ qs.Privacy.all ++
-      qs.DataMix.all ++
+      qs.DataMix.all ++ qs.Lexical.all ++
       ext.MinHashDedup.all ++
       ext.SimHashDedup.all ++ ext.Multimodal.all ++ ext.Similarity.all ++
       ext.DedupCluster.all ++ ext.Sampling.all

@@ -227,5 +227,88 @@ object DataMix {
       FROM ranked r JOIN budgets b USING (source)
       WHERE r.cum_tok <= b.budget"""))
 
-  val all: Seq[Q] = Seq(q109, q110)
+  /** Core of q114 over any (doc_id, source, n_chars, text) frame:
+    * deterministic curriculum export order — clean data first,
+    * round-robin across sources inside each stage. */
+  def curriculumOrder(d: DataFrame): DataFrame = {
+    val scored = d.filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+      .withColumn("n_stop",
+        expr("size(filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of'" +
+          " OR t = 'and' OR t = 'to'))"))
+      .withColumn("quality",
+        (col("n_stop").cast("double") / col("n_toks")) * 0.5 +
+          (col("n_distinct").cast("double") / col("n_toks")) * 0.3 +
+          least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.2)
+      .select(col("doc_id"), col("source"), col("quality"))
+    // value-semantics deciles via the q76 recipe: one percentile agg,
+    // broadcast back, per-row fold — never a global ntile sort
+    val cuts = scored.agg(percentile(col("quality"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
+    val staged = scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("source"), col("quality"),
+        (lit(9) - expr("size(filter(cuts, c -> c < quality))")).as("stage"))
+    val bySrc = Window.partitionBy(col("stage"), col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val inStage = Window.partitionBy(col("stage"))
+      .orderBy(col("src_seq").asc, col("source").asc, col("doc_id").asc)
+    staged
+      .withColumn("src_seq", row_number().over(bySrc))
+      .withColumn("stage_order", row_number().over(inStage))
+  }
+
+  /** q114 — curriculum construction (data ordering for training):
+    * stage 0 holds the cleanest decile of the corpus and stages climb
+    * toward the noisiest (the curriculum-learning export order —
+    * clean-to-noisy is the standard warm-up schedule), and inside each
+    * stage the sources are interleaved round-robin (src_seq-major
+    * order) so no contiguous run of one source biases a training
+    * window. Quality is q27's stopword/distinct/length score; stages
+    * are value-semantics deciles per the q76 recipe (percentile
+    * cutpoints broadcast back, ties land together — hash-checkable
+    * where ntile's arbitrary tie split is not).
+    *
+    * Scale shape: the score is a per-row projection; the cutpoint agg
+    * is one partial-agg tree to a 9-element row. The in-stage
+    * round-robin window partitions by (stage, source) then stage —
+    * the testbed materializes stage_order for the oracle; production
+    * keeps (stage, src_seq, source, doc_id) as the SORT KEY of a
+    * range-partitioned write (the order matters, not the dense
+    * number), so no 10-reducer window survives at 100 TB. */
+  val q114: Q = Q(
+    "q114_curriculum",
+    run = { (spark, dir) =>
+      curriculumOrder(Tables.documentsParallel(spark, dir))
+    },
+    oracle = Some("""
+      WITH scored AS (
+        SELECT doc_id, source,
+          (CAST(len(list_filter(string_split(text, ' '),
+             t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and' OR t = 'to'))
+             AS DOUBLE) / len(string_split(text, ' '))) * 0.5 +
+          (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' '))) * 0.3 +
+          least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.2 AS quality
+        FROM documents WHERE text IS NOT NULL),
+      cuts AS (SELECT quantile_cont(quality,
+                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+               FROM scored),
+      staged AS (
+        SELECT doc_id, source, quality,
+          9 - len(list_filter(cuts.cuts, c -> c < quality)) AS stage
+        FROM scored, cuts),
+      seq AS (
+        SELECT doc_id, source, quality, CAST(stage AS INTEGER) AS stage,
+          CAST(row_number() OVER (PARTITION BY stage, source
+            ORDER BY quality DESC, doc_id ASC) AS INTEGER) AS src_seq
+        FROM staged)
+      SELECT doc_id, source, quality, stage, src_seq,
+        CAST(row_number() OVER (PARTITION BY stage
+          ORDER BY src_seq ASC, source ASC, doc_id ASC) AS INTEGER)
+          AS stage_order
+      FROM seq"""))
+
+  val all: Seq[Q] = Seq(q109, q110, q114)
 }

@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Lexical-fingerprint and vocabulary-statistics operators over the
+  * `documents` corpus (SURVEY.md §2.8): winnowing document
+  * fingerprints (the MOSS plagiarism-detection recipe) and per-source
+  * Zipf rank-frequency slope fitting.
+  *
+  * Both are exact, hash-oracle-checked: winnowing orders k-gram hashes
+  * as md5 HEX STRINGS (lexicographic — engine-portable, never hex→int
+  * casts), and the Zipf regression sums its per-term products as exact
+  * decimals (the q66 recipe) so partial-aggregation order can't drift
+  * the fit.
+  */
+object Lexical {
+
+  /** Q112 — winnowing fingerprints + overlap pairs (Schleimer,
+    * Wilkerson & Aiken 2003, "Winnowing: Local Algorithms for Document
+    * Fingerprinting" — the MOSS recipe): hash every word 3-gram, slide
+    * a window of w=4 consecutive gram hashes and keep each window's
+    * minimum as a fingerprint (guarantee: any match of ≥ w+k−1 tokens
+    * shares a fingerprint); a short document (fewer than w grams)
+    * contributes its global minimum. Fingerprints shared by too many
+    * documents are boilerplate and dropped (the paper's over-common
+    * filter, same principle as q71); surviving fingerprints with
+    * document frequency in [2, 10] drive a bucket-bounded pair join.
+    * Output: document pairs sharing ≥ 2 fingerprints, with the shared
+    * count and a containment-style score shared/min(|fps_a|,|fps_b|).
+    *
+    * Parity recipe: the "hash" is the md5 hex string itself — both
+    * engines compare the same 32-char strings lexicographically, so
+    * window minima and every downstream join are bit-deterministic.
+    *
+    * Scale shape: gram construction and the two window passes are
+    * per-document local (one shuffle on doc_id); the fingerprint
+    * distinct and df count are hash-aggs; the pair join is bounded by
+    * the df cap (≤ C(10,2) pairs per fingerprint) exactly like an LSH
+    * band bucket — never all-pairs.
+    */
+  /** Winnowing core over any (doc_id, text) frame — see [[q112]]. */
+  /** Winnowing fingerprint selection over any (doc_id, text) frame:
+    * one row per distinct (doc_id, fp) with the number of windows that
+    * selected it. Word-3-gram hashes, window size `w`. */
+  def winnowingFingerprints(docs: org.apache.spark.sql.DataFrame,
+      w: Int = 4): org.apache.spark.sql.DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(byDoc))
+      .withColumn("t2", lead(col("tok"), 2).over(byDoc))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("h"))
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp", min(col("h")).over(frame))
+      .withColumn("wlen", count(lit(1)).over(frame))
+      .filter(col("wlen") === w || col("pos") === 0)
+      .groupBy(col("doc_id"), col("fp"))
+      .agg(count(lit(1)).as("n_windows"))
+  }
+
+  /** Winnowing core over any (doc_id, text) frame — see [[q112]]. */
+  def winnowingPairs(docs: org.apache.spark.sql.DataFrame,
+      w: Int = 4, dfCap: Int = 10): org.apache.spark.sql.DataFrame = {
+      val fps = winnowingFingerprints(docs, w)
+      val perDoc = fps.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fps"))
+      val df = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= dfCap)
+      val pairs = fps.join(df, "fp")
+        .select(col("fp"), col("doc_id"))
+        .alias("a")
+        .join(fps.join(df, "fp").select(col("fp").as("fp_b"), col("doc_id").as("doc_b")),
+          col("fp") === col("fp_b") && col("doc_id") < col("doc_b"))
+        .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+      pairs
+        .join(perDoc.select(col("doc_id").as("doc_a"), col("n_fps").as("fps_a")), "doc_a")
+        .join(perDoc.select(col("doc_id").as("doc_b"), col("n_fps").as("fps_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          col("fps_a"), col("fps_b"),
+          (col("shared").cast("double") / least(col("fps_a"), col("fps_b")))
+            .as("containment"))
+  }
+
+  val q112: Q = Q(
+    "q112_winnowing",
+    run = { (spark, dir) =>
+      winnowingPairs(Tables.documentsParallel(spark, dir))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, CAST(pos AS INTEGER) AS pos, toks[pos + 1] AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos
+              FROM documents)),
+      grams AS (
+        SELECT doc_id, pos,
+          md5(tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w) AS h,
+          lead(tok, 2) OVER w AS t2
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      g AS (SELECT doc_id, pos, h FROM grams WHERE t2 IS NOT NULL),
+      sel AS (
+        SELECT doc_id, pos,
+          min(h) OVER fw AS fp,
+          count(*) OVER fw AS wlen
+        FROM g
+        WINDOW fw AS (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+      fps AS (
+        SELECT doc_id, fp, CAST(count(*) AS BIGINT) AS n_windows
+        FROM sel WHERE wlen = 4 OR pos = 0
+        GROUP BY doc_id, fp),
+      perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps
+                 FROM fps GROUP BY doc_id),
+      df AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp
+             HAVING count(*) >= 2 AND count(*) <= 10),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(count(*) AS BIGINT) AS shared
+        FROM fps a JOIN df USING (fp)
+        JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 2)
+      SELECT p.doc_a, p.doc_b, p.shared,
+        pa.n_fps AS fps_a, pb.n_fps AS fps_b,
+        CAST(p.shared AS DOUBLE) / least(pa.n_fps, pb.n_fps) AS containment
+      FROM pairs p
+      JOIN perdoc pa ON pa.doc_id = p.doc_a
+      JOIN perdoc pb ON pb.doc_id = p.doc_b"""))
+
+  /** Q113 — per-source Zipf slope (rank-frequency power-law fit): token
+    * frequencies ranked per source, OLS fit of ln(freq) on ln(rank)
+    * over the top 100 ranks. The slope is the standard corpus-health
+    * diagnostic — natural text sits near −1; a flat slope flags
+    * templated/boilerplate sources, a cliff flags tiny-vocabulary spam.
+    *
+    * Parity recipe: every per-term product (x·y, x, y, x²) is cast to
+    * DECIMAL(28,12) BEFORE summing (the q66 exact-sum recipe), so the
+    * four Σ's are partial-agg-order-free; the slope/intercept division
+    * happens once in double, and per-term ulp wobble between the two
+    * engines' ln() sits ~6 orders below the checker's 6dp rounding.
+    *
+    * Scale shape: one corpus-sized (source, token) hash-agg with
+    * map-side combine, a per-source top-100 window (source count is
+    * config-sized), then a 4-accumulator agg over ≤100 rows per source.
+    */
+  /** Zipf-fit core over any (source, text) frame — see [[q113]]. */
+  def zipfSlopes(docs: org.apache.spark.sql.DataFrame,
+      topN: Int = 100): org.apache.spark.sql.DataFrame = {
+      val bySrc = Window.partitionBy("source")
+        .orderBy(col("freq").desc, col("token").asc)
+      val ranked = docs
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .withColumn("rnk", row_number().over(bySrc))
+        .filter(col("rnk") <= topN)
+        .select(col("source"),
+          log(col("rnk").cast("double")).as("x"),
+          log(col("freq").cast("double")).as("y"))
+      // a degenerate source (under 3 ranked terms) has no spread to fit —
+      // excluded on both sides rather than emitting a 0/0 NaN
+      ranked
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(28,12)")).cast("double").as("sy"),
+          sum((col("x") * col("y")).cast("decimal(28,12)")).cast("double").as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(28,12)")).cast("double").as("sxx"))
+        .filter(col("n_terms") >= 3)
+        .select(col("source"), col("n_terms"),
+          ((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_terms") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+          ((col("sy") - ((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_terms") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+            col("n_terms")).as("intercept"))
+  }
+
+  val q113: Q = Q(
+    "q113_zipf_slope",
+    run = { (spark, dir) => zipfSlopes(Tables.documentsParallel(spark, dir)) },
+    oracle = Some("""
+      WITH f AS (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token <> ''
+        GROUP BY source, token),
+      r AS (
+        SELECT source,
+          ln(CAST(row_number() OVER (PARTITION BY source
+               ORDER BY freq DESC, token ASC) AS DOUBLE)) AS x,
+          ln(CAST(freq AS DOUBLE)) AS y,
+          row_number() OVER (PARTITION BY source
+            ORDER BY freq DESC, token ASC) AS rnk
+        FROM f),
+      t AS (SELECT source, x, y FROM r WHERE rnk <= 100),
+      s AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+          CAST(CAST(sum(CAST(x AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sx,
+          CAST(CAST(sum(CAST(y AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sy,
+          CAST(CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sxy,
+          CAST(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sxx
+        FROM t GROUP BY source
+        HAVING count(*) >= 3)
+      SELECT source, n_terms,
+        (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) AS slope,
+        (sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx)
+          / n_terms AS intercept
+      FROM s"""))
+
+  val all: Seq[Q] = Seq(q112, q113)
+}

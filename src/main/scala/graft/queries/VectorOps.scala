@@ -251,5 +251,134 @@ object VectorOps {
             FROM d)
       SELECT label, vec_id, dist_sq, rnk FROM r WHERE rnk <= 3"""))
 
-  val all: Seq[Q] = Seq(q25, q32, q66, q89, q105)
+  /** Q111 — SemDeDup-style semantic deduplication (cluster-then-dedup;
+    * published recipe: Abbas et al. 2023, "SemDeDup", arXiv:2303.09540):
+    * assign every vector to its nearest cluster center, then inside each
+    * cluster mark a vector `removed` when its cosine similarity to some
+    * HIGHER-PRIORITY member reaches the threshold. Priority follows the
+    * paper: keep the members FARTHEST from the centroid first (low
+    * centroid-similarity survivors preserve diversity), ties on vec_id.
+    *
+    * The registry entry feeds the q66 label centroids as the k centers so
+    * the whole operator — assignment argmin included — is deterministic
+    * and DuckDB-oracle-able end-to-end; production swaps in the q48 IVF
+    * KMeans centroids through this same (vectors, centers) seam, where
+    * k ≈ √n keeps the within-cluster pair join bounded. Every distance /
+    * similarity is the pinned index-ordered double fold (q25/q105
+    * recipe), so both engines compare bit-identical doubles at the τ and
+    * argmin knife edges.
+    *
+    * Scale shape: centers are broadcast (k·dim doubles); assignment
+    * streams the corpus once against the broadcast (k candidate rows per
+    * vector, argmin window keyed on vec_id — one corpus-sized shuffle);
+    * the suppression join shuffles once on cluster id and is quadratic
+    * only within a cluster.
+    */
+  def semDedup(vectors: org.apache.spark.sql.DataFrame,
+      centers: org.apache.spark.sql.DataFrame,
+      tau: Double = 0.35): org.apache.spark.sql.DataFrame = {
+    VectorFunctions.registerVecDot(vectors.sparkSession)
+    val e = vectors.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)")))
+    val assigned = e.crossJoin(broadcast(centers))
+      .withColumn("dist_sq", expr(
+        "aggregate(zip_with(embedding, centroid," +
+          " (v, m) -> (CAST(v AS DOUBLE) - m) * (CAST(v AS DOUBLE) - m))," +
+          " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("arnk", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("dist_sq").asc, col("center_id").asc)))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("center_id").as("cluster"), col("dist_sq"),
+        col("embedding"), col("nrm"))
+      .withColumn("rep_rank", row_number().over(
+        Window.partitionBy("cluster")
+          .orderBy(col("dist_sq").desc, col("vec_id").asc)))
+    val sup = assigned.select(col("cluster").as("s_cluster"),
+      col("rep_rank").as("s_rank"), col("embedding").as("s_emb"),
+      col("nrm").as("s_nrm"))
+    val removed = assigned.join(sup,
+        col("cluster") === col("s_cluster") &&
+          col("s_rank") < col("rep_rank") &&
+          (expr("vec_dot_f(embedding, s_emb)") / (col("nrm") * col("s_nrm")))
+            >= tau,
+        "left_semi")
+      .select(col("vec_id").as("r_id"))
+    assigned.join(removed, col("vec_id") === col("r_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dist_sq"), col("rep_rank"),
+        col("r_id").isNotNull.as("removed"))
+  }
+
+  /** The q66 per-label centroids reshaped to (center_id, centroid)
+    * arrays — the deterministic cluster centers q111's testbed feeds
+    * [[semDedup]]. */
+  def labelCenters(embeddings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    embeddings
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("double").cast("decimal(20,10)"))
+          .cast("double").as("sum_v"))
+      .select(col("label"), col("pos"), (col("sum_v") / col("n")).as("mean_v"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mean_v)))," +
+        " s -> s.mean_v)").as("centroid"))
+      .select(col("label").as("center_id"), col("centroid"))
+
+  val q111: Q = Q(
+    "q111_semdedup",
+    run = { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      semDedup(emb, labelCenters(emb))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL),
+      el AS (SELECT vec_id, label, embedding FROM embeddings
+             WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      x AS (SELECT label, CAST(pos AS INTEGER) AS pos,
+              CAST(embedding[pos + 1] AS DOUBLE) AS v
+            FROM (SELECT label, embedding,
+                    unnest(generate_series(0, len(embedding) - 1)) AS pos
+                  FROM el)),
+      c AS (SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(v AS DECIMAL(20,10))) AS sum_dec
+            FROM x GROUP BY label, pos),
+      m AS (SELECT label, pos,
+              CAST(CAST(sum_dec AS VARCHAR) AS DOUBLE) / n AS mean_v
+            FROM c),
+      cent AS (SELECT label AS center_id, list(mean_v ORDER BY pos) AS centroid
+               FROM m GROUP BY label),
+      d AS (SELECT e.vec_id, cent.center_id,
+              list_sum(list_transform(
+                list_zip(e.embedding::DOUBLE[], cent.centroid),
+                x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist_sq
+            FROM e, cent),
+      a0 AS (SELECT vec_id, center_id, dist_sq,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dist_sq ASC, center_id ASC) AS arnk
+             FROM d),
+      asg AS (SELECT vec_id, center_id AS cluster, dist_sq,
+                CAST(row_number() OVER (PARTITION BY center_id
+                  ORDER BY dist_sq DESC, vec_id ASC) AS INTEGER) AS rep_rank
+              FROM a0 WHERE arnk = 1),
+      rem AS (SELECT a.vec_id
+              FROM asg a
+              JOIN e ea ON a.vec_id = ea.vec_id
+              JOIN asg b ON a.cluster = b.cluster AND b.rep_rank < a.rep_rank
+              JOIN e eb ON b.vec_id = eb.vec_id
+              WHERE list_sum(list_transform(
+                  list_zip(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]),
+                  x -> x[1] * x[2])) /
+                (sqrt(list_sum(list_transform(ea.embedding::DOUBLE[], x -> x*x)))
+                  * sqrt(list_sum(list_transform(eb.embedding::DOUBLE[], x -> x*x))))
+                >= 0.35
+              GROUP BY a.vec_id)
+      SELECT a.vec_id, a.cluster, a.dist_sq, a.rep_rank,
+        (rem.vec_id IS NOT NULL) AS removed
+      FROM asg a LEFT JOIN rem ON a.vec_id = rem.vec_id"""))
+
+  val all: Seq[Q] = Seq(q25, q32, q66, q89, q105, q111)
 }

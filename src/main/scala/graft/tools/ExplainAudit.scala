@@ -233,6 +233,30 @@ object ExplainAudit {
     assert(q105Plan.contains("BroadcastHashJoin"),
       "q105: centroid join is not broadcast")
     println("===== q105 CENTROID-BROADCAST ASSERT OK")
+    // q111: the k cluster centers ride a broadcast into the assignment
+    // cross join (k rows per vector, never a shuffled product); the
+    // suppression join keeps its cluster equi-key
+    val q111Plan = graft.SparkEntry.queries("q111_semdedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q111Plan.contains("BroadcastNestedLoopJoin"),
+      "q111: cluster centers not broadcast into assignment")
+    assert(!q111Plan.contains("CartesianProduct"),
+      "q111: suppression join lost its cluster key")
+    println("===== q111 CENTER-BROADCAST ASSERT OK")
+    // q112: fingerprint selection is per-doc window work; the pair
+    // generation must stay an equi-join on fp (df-cap-bounded buckets)
+    val q112Plan = graft.SparkEntry.queries("q112_winnowing")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!q112Plan.contains("CartesianProduct") &&
+      !q112Plan.contains("BroadcastNestedLoopJoin"),
+      "q112: pair generation must be an equi-join on fingerprint")
+    println("===== q112 EQUI-PAIR ASSERT OK")
+    // q113: one corpus-sized (source, token) agg; the fit itself is a
+    // per-source agg over <=100 rows — no joins anywhere
+    val q113Plan = graft.SparkEntry.queries("q113_zipf_slope")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!q113Plan.contains("Join"), "q113: unexpected join in a pure agg")
+    println("===== q113 NO-JOIN ASSERT OK")
     spark.stop()
   }
 }

@@ -456,6 +456,30 @@ object ScaleDryRun {
     println(f"[scale-dry-run] q110_mix_1x            $tSmx1%8.2f s")
     println(f"[scale-dry-run] q110_mix_10x           $tSmx10%8.2f s  (ratio ${tSmx10 / tSmx1}%.1fx)")
 
+    // q111 SemDeDup: broadcast center assignment + cluster-bounded
+    // suppression join; clusters grow 10x but the join stays equi-keyed
+    val (tSem1, _) = timed(graft.queries.VectorOps.semDedup(
+      emb0, graft.queries.VectorOps.labelCenters(emb0)))
+    val (tSem10, _) = timed(graft.queries.VectorOps.semDedup(
+      emb10, graft.queries.VectorOps.labelCenters(emb10)))
+    println(f"[scale-dry-run] q111_semdedup_1x       $tSem1%8.2f s")
+    println(f"[scale-dry-run] q111_semdedup_10x      $tSem10%8.2f s  (ratio ${tSem10 / tSem1}%.1fx)")
+
+    // q112 winnowing: per-doc window passes + df-capped pair buckets —
+    // the shuffled 10x copies decorrelate 3-grams, so this measures
+    // plan scaling, not a semantic pair blow-up
+    val (tWin1, _) = timed(graft.queries.Lexical.winnowingPairs(docs0))
+    val (tWin10, _) = timed(graft.queries.Lexical.winnowingPairs(docs10))
+    println(f"[scale-dry-run] q112_winnowing_1x      $tWin1%8.2f s")
+    println(f"[scale-dry-run] q112_winnowing_10x     $tWin10%8.2f s  (ratio ${tWin10 / tWin1}%.1fx)")
+
+    // q113 zipf fit: one (source, token) hash-agg; the fit is <=100
+    // rows per source regardless of corpus size
+    val (tZpf1, _) = timed(graft.queries.Lexical.zipfSlopes(docs0))
+    val (tZpf10, _) = timed(graft.queries.Lexical.zipfSlopes(docs10))
+    println(f"[scale-dry-run] q113_zipf_1x           $tZpf1%8.2f s")
+    println(f"[scale-dry-run] q113_zipf_10x          $tZpf10%8.2f s  (ratio ${tZpf10 / tZpf1}%.1fx)")
+
     // ---- skewed fact-dim join: plain SMJ vs salted vs AQE skew-split ----
     // q87 DIAGNOSES join-key skew; this is the MITIGATION A/B. 90% of the
     // 10x fact rows (~54M) share ONE join key, the dim side is forced

@@ -195,6 +195,30 @@ object ScaleDryRun100 {
     row("ivf_query_reused_2", tQ2, nQ2,
       f"  amortized/cold=${tQ2 / tCold}%.2fx")
 
+    // ---- q111 SemDeDup at 1x/10x/100x with k ~ sqrt(n) IVF centers ----
+    // fixed-k cluster-then-dedup is quadratic inside a cluster; the
+    // production contract (q111 scaladoc) scales the center count with
+    // the corpus so per-cluster population stays bounded — this measures
+    // that contract with the real IVF coarse quantizer as the center set
+    def semCase(mult: Int, cells: Int): Double = {
+      val e = if (mult == 1) emb0
+      else (0 until mult).map { i =>
+        if (i == 0) emb0
+        else emb0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          expr("transform(embedding, x -> cast(rand() * 2 - 1 as float))")
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _).repartition(cpus.toInt)
+      val centers = graft.ext.Similarity.ivfBuild(e, nCells = cells).get
+        .centroids.select(col("pcell").as("center_id"), col("centroid"))
+      val (t, n) = timed(graft.queries.VectorOps.semDedup(e, centers))
+      row(s"q111_semdedup_${mult}x", t, n, s"  (k=$cells)")
+      t
+    }
+    val sd1 = semCase(1, 16); val sd10 = semCase(10, 50)
+    val sd100 = semCase(100, 160)
+    println(f"[scale-100] RATIO q111_semdedup   10x=${sd10 / sd1}%.1fx 100x=${sd100 / sd1}%.1fx")
+
     // ---- q101 PageRank at 1x/10x/100x ORDERS over the fixed catalog ----
     // the realistic growth direction (more baskets, same entities): the
     // per-order self-join and edge distinct absorb the volume; the ten

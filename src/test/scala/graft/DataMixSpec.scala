@@ -130,6 +130,51 @@ class DataMixSpec extends AnyFunSuite {
       s"small-source fraction $keptSmall <= big-source fraction $keptBig")
   }
 
+  // ---- q114 curriculum ----
+
+  private def currFixture = {
+    // 4 sources x 25 docs with a quality spread: doc i of source s has
+    // i 'the' stopwords against a fixed filler, so quality rises with i
+    (0 until 4).flatMap { s =>
+      (0 until 25).map { i =>
+        val text = (Seq.fill(i)("the") ++ (0 until 25 - i).map(j => s"w${s}_${i}_$j"))
+          .mkString(" ")
+        (s * 100L + i, s"src$s", text.length.toLong, text)
+      }
+    }.toDF("doc_id", "source", "n_chars", "text")
+  }
+
+  test("q114: stages are quality-monotone (clean-to-noisy) and cover every doc") {
+    val out = DataMix.curriculumOrder(currFixture)
+      .select("doc_id", "quality", "stage").as[(Long, Double, Int)].collect()
+    assert(out.length == 100 && out.map(_._1).distinct.length == 100)
+    val byStage = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    val stages = byStage.keys.toSeq.sorted
+    for (Seq(a, b) <- stages.sliding(2).toSeq if byStage.contains(b))
+      assert(byStage(a).min >= byStage(b).max,
+        s"stage $a (cleaner) must not rank below stage $b")
+  }
+
+  test("q114: the head of every stage round-robins across its sources") {
+    val rows = DataMix.curriculumOrder(currFixture)
+      .select("stage", "stage_order", "source", "src_seq")
+      .as[(Int, Int, String, Int)].collect()
+    rows.groupBy(_._1).foreach { case (_, inStage) =>
+      val nSrc = inStage.map(_._3).distinct.length
+      val head = inStage.sortBy(_._2).take(nSrc)
+      assert(head.map(_._3).distinct.length == nSrc,
+        s"first $nSrc slots must visit $nSrc distinct sources, got ${head.map(_._3).toSeq}")
+      assert(head.forall(_._4 == 1), "head slots must be each source's first pick")
+    }
+  }
+
+  test("q114: deterministic under repartitioning") {
+    val a = DataMix.curriculumOrder(currFixture).collect().map(_.toString).sorted
+    val b = DataMix.curriculumOrder(currFixture.repartition(7))
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("q110: partitioning-invariant and deterministic") {
     val d = Tables.documents(spark, dir)
     val a = DataMix.sourceMix(d).collect().toSet

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{Lexical, VectorOps}
+
+/** Behavioral laws of the round-8 lexical/semantic additions that the
+  * DuckDB oracle can't express: the winnowing match guarantee, the
+  * SemDeDup suppression contract, and the Zipf fit on a constructed
+  * exact power law. */
+class LexicalSemDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- winnowing ---
+
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens shares a fingerprint") {
+    // w=4, k=3 word-grams: any common substring of >= 6 tokens must
+    // surface at least one common fingerprint (Schleimer et al. Thm)
+    val run = "one two three four five six" // 6 shared tokens
+    val docs = Seq(
+      (1L, s"aa bb cc $run dd ee"),
+      (2L, s"xx yy $run zz ww qq")).toDF("doc_id", "text")
+    val fps = Lexical.winnowingFingerprints(docs)
+      .select("doc_id", "fp").as[(Long, String)].collect()
+    val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    assert((f1 & f2).nonEmpty, "guaranteed shared fingerprint missing")
+  }
+
+  test("winnowing: disjoint-vocabulary docs share nothing; short doc still fingerprints") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "uno dos tres cuatro cinco seis"),
+      (3L, "tiny little doc")). // exactly one 3-gram, fewer than w windows
+      toDF("doc_id", "text")
+    val fps = Lexical.winnowingFingerprints(docs)
+      .select("doc_id", "fp").as[(Long, String)].collect()
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).isEmpty)
+    assert(byDoc(3L).size == 1, "short doc must contribute its global minimum")
+  }
+
+  test("winnowing pairs are deterministic under repartitioning and doc order") {
+    // five docs per group share a group phrase (df=5, inside the cap)
+    val base = (0L until 40L).map { i =>
+      val shared = s"p${i / 5} q${i / 5} r${i / 5} s${i / 5} t${i / 5} u${i / 5} v${i / 5} w${i / 5}"
+      val noise = (0 to 6).map(j => s"n${i}_$j").mkString(" ")
+      (i, if (i % 4 == 0) s"$noise $shared" else s"$shared $noise ex$i")
+    }
+    val d1 = base.toDF("doc_id", "text")
+    val d2 = base.reverse.toDF("doc_id", "text").repartition(7)
+    val a = Lexical.winnowingPairs(d1).collect().map(_.toString).sorted
+    val b = Lexical.winnowingPairs(d2).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    assert(a.nonEmpty, "fixture should produce overlap pairs")
+  }
+
+  test("winnowing df cap drops boilerplate fingerprints from pair generation") {
+    // one 6-token boilerplate phrase present in ALL 30 docs -> its
+    // fingerprints exceed dfCap and generate no pairs; distinctive
+    // phrases pair up only their two carriers
+    val boiler = "all rights reserved contact us today"
+    val docs = (0L until 30L).map { i =>
+      val distinct = if (i < 2) "rare shared phrase here twice over" else s"u$i v$i w$i x$i y$i z$i"
+      (i, s"$boiler $distinct")
+    }.toDF("doc_id", "text")
+    val pairs = Lexical.winnowingPairs(docs, dfCap = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)), s"expected only the rare pair, got $pairs")
+  }
+
+  // --- SemDeDup ---
+
+  private def centersOf(vecs: Seq[(Int, Int, Array[Float])]) = {
+    val emb = vecs.toDF("vec_id", "label", "embedding")
+    emb.filter(col("embedding").isNotNull && col("label").isNotNull)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v").cast("double").cast("decimal(20,10)")).cast("double").as("sum_v"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), (col("sum_v") / col("n")).as("mean_v"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mean_v)))," +
+        " s -> s.mean_v)").as("centroid"))
+      .select(col("label").as("center_id"), col("centroid"))
+  }
+
+  test("semDedup: a removed vector always has a kept higher-priority near-duplicate") {
+    val vecs = Seq(
+      // cluster around (1,0,0): three near-identical + one member far
+      // from the centroid in a third dimension (low cosine to the trio,
+      // still nearest to this cluster's center)
+      (0, 0, Array(1f, 0f, 0f)), (1, 0, Array(0.999f, 0.01f, 0f)),
+      (2, 0, Array(0.998f, 0.02f, 0f)), (3, 0, Array(0.7f, 0f, 0.7f)),
+      // cluster around (0,1,0): two members under the cosine threshold
+      (10, 1, Array(0f, 1f, 0f)), (11, 1, Array(0.45f, 0.65f, 0f)))
+    val emb = vecs.toDF("vec_id", "label", "embedding")
+    val out = VectorOps.semDedup(emb, centersOf(vecs), tau = 0.95)
+      .select("vec_id", "cluster", "rep_rank", "removed")
+      .as[(Int, Int, Int, Boolean)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // the three near-identical vectors: exactly the highest-priority one
+    // survives; both lower-priority copies are suppressed
+    val trio = Seq(0, 1, 2).map(byId)
+    assert(trio.count(!_._4) == 1, s"expected 1 survivor in the trio, got $trio")
+    val survivorRank = trio.filter(!_._4).head._3
+    assert(trio.filter(_._4).forall(_._3 > survivorRank))
+    // vectors with no near-duplicate are never removed
+    assert(!byId(3)._4 && !byId(10)._4 && !byId(11)._4)
+  }
+
+  test("semDedup assigns to the nearest center and is repartition-invariant") {
+    val vecs = (0 until 60).map { i =>
+      val lbl = i % 3
+      val base = lbl match {
+        case 0 => Array(1f, 0f, 0f)
+        case 1 => Array(0f, 1f, 0f)
+        case _ => Array(0f, 0f, 1f)
+      }
+      (i, lbl, base.map(v => v + (i % 7) * 0.01f))
+    }
+    val emb = vecs.toDF("vec_id", "label", "embedding")
+    val centers = centersOf(vecs)
+    val out = VectorOps.semDedup(emb, centers)
+      .select("vec_id", "cluster").as[(Int, Int)].collect().toMap
+    // axis-aligned fixture: every vector stays with its own label's center
+    assert(vecs.forall { case (id, lbl, _) => out(id) == lbl })
+    val out2 = VectorOps.semDedup(emb.repartition(5), centers)
+      .collect().map(_.toString).sorted
+    val out1 = VectorOps.semDedup(emb, centers)
+      .collect().map(_.toString).sorted
+    assert(out1.sameElements(out2))
+  }
+
+  // --- Zipf slope ---
+
+  test("zipf slope recovers -1 on an exact power-law corpus") {
+    // token t_r appears floor(1000/r) times, ranks 1..50 -> slope ~ -1
+    val toks = (1 to 50).flatMap(r => Seq.fill(1000 / r)(s"t$r"))
+    val docs = toks.grouped(97).zipWithIndex
+      .map { case (g, i) => (i.toLong, "zipf", g.mkString(" ")) }
+      .toSeq.toDF("doc_id", "source", "text")
+    val row = Lexical.zipfSlopes(docs, topN = 50)
+      .select("source", "n_terms", "slope").as[(String, Long, Double)]
+      .collect().head
+    assert(row._2 == 50)
+    assert(math.abs(row._3 - (-1.0)) < 0.05, s"slope was ${row._3}")
+  }
+
+  test("zipf slope excludes degenerate sources instead of emitting NaN") {
+    val docs = Seq(
+      (1L, "flat", "a a a a a b b b c"),
+      (2L, "mono", "x x x x")).toDF("doc_id", "source", "text")
+    val rows = Lexical.zipfSlopes(docs)
+      .select("source", "slope").as[(String, Double)].collect().toMap
+    assert(!rows.contains("mono"), "single-token source must be excluded")
+    assert(rows.contains("flat") && !rows("flat").isNaN)
+  }
+}

@@ -26,6 +26,6 @@ class PlanHygieneSpec extends AnyFunSuite {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracle keys without queries: $dangling")
     // the declared §2.8 inventory size — update together with SURVEY.md
-    assert(names.size == 110, s"registry has ${names.size} queries")
+    assert(names.size == 114, s"registry has ${names.size} queries")
   }
 }
