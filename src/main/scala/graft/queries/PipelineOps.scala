@@ -460,5 +460,144 @@ object PipelineOps {
       UNION ALL SELECT 3, 'repetition', n2, n3 FROM a
       UNION ALL SELECT 4, 'boilerplate', n3, n4 FROM a"""))
 
-  val all: Seq[Q] = Seq(q55, q56, q57, q58, q59, q65, q88, q96, q98)
+  /** Core of q115 — dedup an INCOMING batch against an EXISTING corpus
+    * (the daily-ingest shape: the corpus is the lake, the batch is
+    * today's crawl). Verdict per incoming doc, precedence exact > near:
+    *   - `exact` — its md5 content hash equals some corpus doc's
+    *     (match_id = the smallest such corpus doc_id, jaccard null);
+    *   - `near`  — word-3-gram Jaccard >= `threshold` against a corpus
+    *     doc in the same `source` block (match_id = the best match:
+    *     highest Jaccard, ties to the smallest corpus doc_id);
+    *   - `new`   — neither (match_id and jaccard null).
+    *
+    * Scale posture: the exact arm is one equi-join on the content hash
+    * (both sides bucketable by hash). The near arm is the q24 recipe made
+    * ASYMMETRIC — incoming shingles join corpus shingles on
+    * (source, shingle) with the lossless size-ratio prune
+    * (max(n_a,n_b)·t <= min(n_a,n_b)), so the candidate space is
+    * |batch|·|block| not |corpus|², and the daily batch is the small
+    * side throughout: at 100 TB corpus / GB-scale daily batch every
+    * per-incoming-doc aggregate is batch-sized, and AQE broadcasts the
+    * batch-side counts. Unlike the symmetric self-join there is no
+    * doc_a < doc_b guard — the sides are disjoint by construction. */
+  def dedupAgainst(incoming: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    val exact = incoming
+      .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("h"))
+      .filter(col("h").isNotNull)
+      .join(corpus.select(col("doc_id").as("c_id"),
+          md5(col("text").cast(BinaryType)).as("h"))
+        .filter(col("h").isNotNull), "h")
+      .groupBy(col("doc_id")).agg(min(col("c_id")).as("exact_id"))
+
+    def shingled(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val d = df.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+      val sh = d.select(col("doc_id"), col("source"),
+        explode(graft.functions.TextFunctions.shinglesExpr("toks", 3))
+          .as("shingle"))
+      sh.join(sh.groupBy("doc_id").agg(count(lit(1)).as("n")), "doc_id")
+    }
+    val a = shingled(incoming)
+    val b = shingled(corpus).select(col("doc_id").as("near_id"),
+      col("source").as("source_b"), col("shingle").as("shingle_b"),
+      col("n").as("n_b"))
+    val best = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("near_id").asc)
+    val near = a.join(b,
+        col("source") === col("source_b") &&
+          col("shingle") === col("shingle_b") &&
+          greatest(col("n"), col("n_b")) * threshold <=
+            least(col("n"), col("n_b")))
+      .groupBy(col("doc_id"), col("near_id"), col("n"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (col("n") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("near_id"), col("jaccard"))
+
+    incoming.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, lit("exact"))
+          .when(col("near_id").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"),
+        when(col("exact_id").isNull, col("jaccard")).as("jaccard"))
+  }
+
+  /** q115 — incremental dedup of an incoming batch (the deterministic
+    * doc_id % 10 == 7 slice) against the rest of the corpus. The
+    * streaming twin runs the identical [[dedupAgainst]] per micro-batch
+    * (graft.streaming.DocStreams.incrementalDedupSink) — suite-asserted
+    * equal across any batch split. */
+  val q115: Q = Q(
+    "q115_incremental_dedup",
+    run = { (spark, dir) =>
+      val docs = Tables.documentsParallel(spark, dir)
+      dedupAgainst(docs.filter(col("doc_id") % 10 === 7),
+        docs.filter(col("doc_id") % 10 =!= 7), 0.5)
+    },
+    oracle = Some("""
+      WITH inc AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
+      corp AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+      ex AS (SELECT i.doc_id, min(c.doc_id) AS exact_id
+             FROM inc i JOIN corp c ON md5(i.text) = md5(c.text)
+             WHERE i.text IS NOT NULL AND c.text IS NOT NULL
+             GROUP BY 1),
+      dI AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+             FROM inc WHERE text IS NOT NULL),
+      gI AS (SELECT doc_id, source, toks,
+               unnest(generate_series(1, len(toks) - 2)) AS i
+             FROM dI WHERE len(toks) >= 3),
+      shI AS (SELECT DISTINCT doc_id, source,
+                toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM gI),
+      cntI AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+               FROM shI GROUP BY 1),
+      dC AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+             FROM corp WHERE text IS NOT NULL),
+      gC AS (SELECT doc_id, source, toks,
+               unnest(generate_series(1, len(toks) - 2)) AS i
+             FROM dC WHERE len(toks) >= 3),
+      shC AS (SELECT DISTINCT doc_id, source,
+                toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM gC),
+      cntC AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+               FROM shC GROUP BY 1),
+      pairs AS (SELECT a.doc_id, b.doc_id AS near_id,
+                  CAST(count(*) AS BIGINT) AS inter
+                FROM shI a JOIN shC b
+                  ON a.source = b.source AND a.shingle = b.shingle
+                GROUP BY 1, 2),
+      scored AS (SELECT p.doc_id, p.near_id,
+                   CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter)
+                     AS jaccard
+                 FROM pairs p
+                 JOIN cntI ca ON ca.doc_id = p.doc_id
+                 JOIN cntC cb ON cb.doc_id = p.near_id),
+      near AS (SELECT doc_id, near_id, jaccard FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY jaccard DESC, near_id ASC) AS rn
+                 FROM scored WHERE jaccard >= 0.5)
+               WHERE rn = 1)
+      SELECT i.doc_id,
+        CASE WHEN ex.exact_id IS NOT NULL THEN 'exact'
+             WHEN near.near_id IS NOT NULL THEN 'near'
+             ELSE 'new' END AS verdict,
+        COALESCE(ex.exact_id, near.near_id) AS match_id,
+        CASE WHEN ex.exact_id IS NULL THEN near.jaccard END AS jaccard
+      FROM inc i
+      LEFT JOIN ex ON ex.doc_id = i.doc_id
+      LEFT JOIN near ON near.doc_id = i.doc_id"""))
+
+  val all: Seq[Q] = Seq(q55, q56, q57, q58, q59, q65, q88, q96, q98, q115)
 }
