@@ -94,15 +94,15 @@ object Bench {
     val total =
       if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     val passes = passTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
-    // full diagnostic line first (per-query times, spread, noise) —
-    // the driver keeps only the tail of the output, so this LONG line
-    // may arrive truncated at the front and fail to parse
-    println(s"""{"metric":"total","spread":$spread,"queries":$qs,"noisy":$noisy,"failed":$failed,"pass_totals":$passes,"unit":"sec","sf":"$sfDir","value":$total}""")
-    // then the headline as its own SHORT final line: complete driver
-    // contract fields, bounded size (~200 chars), so tail truncation can
-    // never produce "parsed": null — a tail-parser taking the LAST line
-    // matching {"metric"... always gets valid JSON
+    // short headline first (complete driver-contract fields, bounded
+    // size — a parser taking the FIRST {"metric" match gets valid JSON
+    // even if later output were clipped) …
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","pass_totals":$passes,"n_queries":${results.size},"failed":$failed,"queries":{}}""")
+    // … then the FULL line last: with run/outputStrategy := StdoutOutput
+    // (build.sbt) the child's stdout passes through unprefixed, and the
+    // driver parses the LAST line — which should carry the per-query
+    // times, spread and noise diagnostics, not an empty map
+    println(s"""{"metric":"total","spread":$spread,"noisy":$noisy,"failed":$failed,"pass_totals":$passes,"unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}""")
     spark.stop()
   }
 }

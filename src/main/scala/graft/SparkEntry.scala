@@ -9,6 +9,13 @@ import graft.{queries => qs}
   */
 object SparkEntry {
 
+  /** Declared §2.8 inventory size — THE single source of truth for "how
+    * many queries does this engine ship". Update together with SURVEY.md
+    * §2.8 when a query lands; PlanHygieneSpec asserts the registry
+    * matches, so a landed-but-undeclared (or declared-but-unregistered)
+    * query fails the suite instead of silently drifting from the docs. */
+  val declaredCount = 118
+
   /** Every implemented query, in registry order. */
   def registry: Seq[Q] =
     qs.WineParity.all ++ qs.Relational.all ++ qs.Analytic.all ++
@@ -18,7 +25,7 @@ object SparkEntry {
       qs.CorpusOps.all ++ qs.StatsOps.all ++
       qs.Hygiene.all ++ qs.Warehouse.all ++
       qs.GraphOps.all ++ qs.Retrieval.all ++ qs.Privacy.all ++
-      qs.DataMix.all ++ qs.Lexical.all ++
+      qs.DataMix.all ++ qs.Lexical.all ++ qs.Tokenize.all ++
       ext.MinHashDedup.all ++
       ext.SimHashDedup.all ++ ext.Multimodal.all ++ ext.Similarity.all ++
       ext.DedupCluster.all ++ ext.Sampling.all

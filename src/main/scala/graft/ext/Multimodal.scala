@@ -1367,7 +1367,93 @@ object Multimodal {
           col("n_frames"), col("width"), col("height"), col("channels"),
           col("sample_rate"), col("mean_signal"))
     },
-    oracle = None)
+    // Full hash oracle, two independent halves:
+    //  - document rows: every text sniffs "unknown" (no magic prefixes in
+    //    the corpus, byte lengths > 0 — verified), so DuckDB RECOMPUTES
+    //    the stub features from hex(blob): byte values via the
+    //    q104-style per-hex-char strpos lookup, histo16 = counts of the
+    //    HIGH nibble (= odd hex positions), strided thumb via (k·n)//16
+    //    byte indices, mean = integer sum / n (one IEEE division — bit-
+    //    identical in both engines).
+    //  - synthetic rows (negative ids): FROZEN literals generated once by
+    //    tools/SynthMediaSql from the real decoders — a decoder
+    //    regression now fails this hash gate instead of only the suite.
+    oracle = Some("""
+      WITH docs AS (SELECT doc_id, CAST(text AS BLOB) AS p FROM documents),
+      hx AS (SELECT doc_id, p IS NULL AS p_null, hex(p) AS h,
+               COALESCE(octet_length(p), 0) AS n
+             FROM docs),
+      b AS (SELECT doc_id, n, h, unnest(generate_series(0, n - 1)) AS i
+            FROM hx),
+      bv AS (SELECT doc_id, n, i,
+               (strpos('0123456789ABCDEF',
+                  substr(h, CAST(2*i+1 AS INTEGER), 1)) - 1) AS hi,
+               (strpos('0123456789ABCDEF',
+                  substr(h, CAST(2*i+2 AS INTEGER), 1)) - 1) AS lo
+             FROM b),
+      agg AS (SELECT doc_id, CAST(sum(hi*16 + lo) AS BIGINT) AS s
+              FROM bv GROUP BY doc_id),
+      hist AS (SELECT doc_id, hi AS bin, count(*) AS c FROM bv GROUP BY 1, 2),
+      histcsv AS (
+        SELECT d.doc_id,
+          string_agg(CAST(COALESCE(hist.c, 0) AS VARCHAR), ','
+                     ORDER BY bins.bin) AS histo16_csv
+        FROM (SELECT doc_id FROM docs) d
+        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) bins
+        LEFT JOIN hist ON hist.doc_id = d.doc_id AND hist.bin = bins.bin
+        GROUP BY d.doc_id),
+      thumb AS (
+        SELECT hx.doc_id,
+          string_agg(substr(hx.h, CAST(2*((k.k*hx.n)//16)+1 AS INTEGER), 2),
+                     '' ORDER BY k.k) AS thumb_hex
+        FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) k
+        GROUP BY hx.doc_id),
+      synth(doc_id, format, n_bytes, mean_byte, head_hex, histo16_csv,
+            thumb_hex, n_frames, width, height, channels, sample_rate,
+            mean_signal) AS (
+      VALUES
+        (-1, 'bmp', 822, 112.62043795620438, '424D3603', '35,39,43,47,51,55,59,63,61,57,53,49,45,41,37,33', '00162D442940566D526980967B92A9C0', 1, 16, 16, 3, 0, 120.0),
+        (-2, 'bmp', 150, 78.53333333333333, '424D9600', '0,0,0,32,0,0,32,0,0,0,0,0,32,0,0,0', '7C7C7C7C7C7C7C7C7C7C7C7C7C7C7C7C', 1, 8, 4, 3, 0, 116.66666666666667),
+        (-3, 'wav', 172, 104.56976744186046, '52494646', '0,0,0,0,0,0,16,16,20,12,0,0,0,0,0,0', '32130B2A32130B2A32130B2A32130B2A', 64, 0, 0, 1, 16000, -500.0),
+        (-4, 'wav', 108, 16.61111111111111, '52494646', '0,0,0,0,0,0,0,0,32,0,0,0,0,0,0,0', '00000000000000000000000000000000', 16, 0, 0, 2, 8000, 0.0),
+        (-5, 'bmp_corrupt', 40, 11.25, '424D6600', '32,2,1,2,2,0,1,0,0,0,0,0,0,0,0,0', '42660000360000000004000000000000', 1, 0, 0, 0, 0, 11.25),
+        (-6, 'wav_corrupt', 48, 36.395833333333336, '52494646', '25,3,2,1,6,3,5,2,1,0,0,0,0,0,0,0', '52460041662000004000000064610000', 1, 0, 0, 0, 0, 36.395833333333336),
+        (-7, 'png', 189, 104.62962962962963, '89504E47', '17,2,19,4,21,6,23,8,23,6,21,4,19,2,17,0', '00162D442940566D526980967B92A9C0', 1, 8, 8, 3, 0, 112.0),
+        (-8, 'png', 81, 66.98765432098766, '89504E47', '2,2,1,2,1,2,2,1,2,1,0,0,0,0,0,0', '002850780A325A82143C648C1E466E96', 1, 4, 4, 1, 0, 75.0),
+        (-9, 'png_corrupt', 53, 47.320754716981135, '89504E47', '26,3,3,1,8,3,1,1,2,3,0,0,0,0,2,0', '89471A00480004040026001041639106', 1, 0, 0, 0, 0, 47.320754716981135),
+        (-10, 'gif', 122, 65.73770491803279, '47494638', '4,9,11,9,5,4,3,3,3,3,4,4,4,3,2,1', '95918A86918E86838E8A837F8A867F7B', 2, 6, 4, 3, 0, 95.66666666666667),
+        (-11, 'gif_corrupt', 81, 22.246913580246915, '47494638', '65,1,1,4,3,0,2,1,3,0,0,0,1,0,0,0', '4761830002040507090A0C0E0F000031', 1, 0, 0, 0, 0, 22.246913580246915),
+        (-12, 'jpeg', 171, 26.900584795321638, 'FFD8FFDB', '0,0,64,0,0,128,64,64,64,0,0,0,0,0,0,0', '50507878505078785050787850507878', 1, 16, 8, 3, 0, 93.66666666666667),
+        (-13, 'jpeg_corrupt', 162, 21.561728395061728, 'FFD8FFDB', '139,8,0,1,1,0,0,0,0,0,0,0,3,3,0,7', 'FF0101010101010101C400000A01000C', 1, 0, 0, 0, 0, 21.561728395061728),
+        (-14, 'mp4', 280, 31.867857142857144, '00000018', '200,5,3,4,5,3,27,15,4,2,3,2,2,3,1,1', '00736C00000000000000000000006462', 1, 320, 240, 0, 1000, 5.0),
+        (-15, 'mp4', 380, 26.08421052631579, '00000018', '290,3,3,5,5,5,34,18,3,2,3,5,2,2,0,0', '00320000000000000001000000000238', 2, 640, 360, 0, 600, 2.0),
+        (-16, 'mp4_corrupt', 250, 21.832, '00000018', '199,3,1,1,3,1,25,12,2,0,0,0,0,1,1,1', '00007600000001000000000100000000', 1, 0, 0, 0, 0, 21.832),
+        (-17, 'ogg', 294, 72.06122448979592, '4F676753', '89,21,21,24,23,22,20,11,11,12,10,7,7,5,5,6', '4F001851000F487EB7ED235C090C457B', 3, 0, 0, 2, 0, 48000.0),
+        (-18, 'webm', 55, 106.49090909090908, '1A45DFA3', '7,5,1,0,8,2,3,0,14,1,6,3,0,4,1,0', '1AA38653A966D742891C549188050283', 2, 1280, 720, 0, 0, 2.5),
+        (-19, 'webm_corrupt', 42, 104.47619047619048, '1A45DFA3', '4,4,1,0,7,2,3,1,11,0,5,1,0,2,1,0', '1ADF428153A4498EB10F448400546B8A', 1, 0, 0, 0, 0, 104.47619047619048))
+      SELECT hx.doc_id,
+        CASE WHEN hx.p_null THEN 'empty' ELSE 'unknown' END AS format,
+        CAST(hx.n AS INTEGER) AS n_bytes,
+        CASE WHEN hx.n = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(agg.s AS DOUBLE) / hx.n END AS mean_byte,
+        COALESCE(substr(hx.h, 1, 8), '') AS head_hex,
+        histcsv.histo16_csv,
+        CASE WHEN hx.n = 0 THEN repeat('00', 16)
+             ELSE thumb.thumb_hex END AS thumb_hex,
+        CAST(((hx.n + 63) // 64 + 3) // 4 AS INTEGER) AS n_frames,
+        0 AS width, 0 AS height, 0 AS channels, 0 AS sample_rate,
+        CASE WHEN hx.n = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(agg.s AS DOUBLE) / hx.n END AS mean_signal
+      FROM hx LEFT JOIN agg USING (doc_id)
+      LEFT JOIN histcsv USING (doc_id)
+      LEFT JOIN thumb USING (doc_id)
+      UNION ALL
+      SELECT CAST(doc_id AS BIGINT), format, CAST(n_bytes AS INTEGER),
+        CAST(mean_byte AS DOUBLE), head_hex, histo16_csv, thumb_hex,
+        CAST(n_frames AS INTEGER), CAST(width AS INTEGER),
+        CAST(height AS INTEGER), CAST(channels AS INTEGER),
+        CAST(sample_rate AS INTEGER), CAST(mean_signal AS DOUBLE)
+      FROM synth"""))
 
   val all: Seq[Q] = Seq(q33, q34)
 }

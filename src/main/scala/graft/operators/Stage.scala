@@ -50,7 +50,14 @@ object Stage {
       // staged dirs would silently accumulate on shared storage
       org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
         new Runnable {
-          override def run(): Unit =
+          override def run(): Unit = {
+            bucketedTables.synchronized(bucketedTables.toSeq).foreach {
+              case (spark, name) =>
+                // best-effort: on a shared metastore the entry must go;
+                // locally the in-memory catalog dies with the JVM anyway
+                try spark.sql(s"DROP TABLE IF EXISTS $name"): Unit
+                catch { case _: Throwable => () }
+            }
             staged.synchronized(staged.toSeq).foreach { p =>
               try {
                 val path = new Path(p)
@@ -63,6 +70,7 @@ object Stage {
                   s"[graft.Stage] failed to delete staged dir $p: $e")
               }
             }
+          }
         }, 50)
     }
   }
@@ -87,6 +95,38 @@ object Stage {
     df.write.mode("overwrite").parquet(path)
     (df.sparkSession.read.parquet(path), path)
   }
+
+  /** Like [[materialize]], but stages through a BUCKETED table
+    * (`bucketBy(buckets, key)` + `sortBy(key)`, external data under the
+    * staging root): every subsequent equi-join or aggregation on `key`
+    * reads the staged side with NO Exchange (and, sorted, no Sort under
+    * SortMergeJoin) — the layout an iterative operator reuses across
+    * rounds when its big side must not reshuffle per iteration. This is
+    * the plain-parquet [[materialize]]'s cluster-scale sibling: parquet
+    * staging loses the partitioning on read; a bucketed table keeps it.
+    *
+    * Catalog hygiene: the table name is JVM-unique; the shutdown hook
+    * both drops the catalog entry (best-effort — the session may already
+    * be stopped) and deletes the staged bytes (the existing path hook).
+    */
+  def materializeBucketed(df: DataFrame, hint: String, key: String,
+      buckets: Int): DataFrame = {
+    val name =
+      s"graft_${hint.replace('-', '_')}_${jvmId}_${counter.incrementAndGet()}"
+    val path = s"${stagingRoot(df)}/$name"
+    installHook(df)
+    staged.synchronized(staged += path): Unit
+    val spark = df.sparkSession
+    bucketedTables.synchronized(bucketedTables += ((spark, name))): Unit
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(name)
+    spark.table(name)
+  }
+
+  private val bucketedTables =
+    mutable.Set.empty[(org.apache.spark.sql.SparkSession, String)]
 
   /** Eagerly delete a staged directory returned by
     * [[materializeWithPath]]. The caller asserts no live DataFrame still

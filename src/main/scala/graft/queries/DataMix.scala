@@ -238,10 +238,17 @@ object DataMix {
       .withColumn("n_stop",
         expr("size(filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of'" +
           " OR t = 'and' OR t = 'to'))"))
-      .withColumn("quality",
-        (col("n_stop").cast("double") / col("n_toks")) * 0.5 +
-          (col("n_distinct").cast("double") / col("n_toks")) * 0.3 +
-          least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.2)
+      // quality in INTEGER micro-units (the q68/q101 fixed-point recipe):
+      // 0.5·stop_ratio + 0.3·distinct_ratio + 0.2·min(n_chars/500, 1),
+      // scaled ×1e6 and floored per term. A double-valued quality chain
+      // would hand the percentile agg engine-wobbly inputs — the decile
+      // cutpoint then sits a knife-edge `c < quality` comparison away
+      // from a cross-engine hash flip; integer inputs make the sorted
+      // percentile array bit-identical in both engines (the q76 shape).
+      .withColumn("quality", expr(
+        "(CAST(n_stop AS BIGINT) * 500000) DIV n_toks + " +
+          "(CAST(n_distinct AS BIGINT) * 300000) DIV n_toks + " +
+          "least(CAST(n_chars AS BIGINT) * 400, 200000)"))
       .select(col("doc_id"), col("source"), col("quality"))
     // value-semantics deciles via the q76 recipe: one percentile agg,
     // broadcast back, per-row fold — never a global ntile sort
@@ -287,10 +294,10 @@ object DataMix {
         SELECT doc_id, source,
           (CAST(len(list_filter(string_split(text, ' '),
              t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and' OR t = 'to'))
-             AS DOUBLE) / len(string_split(text, ' '))) * 0.5 +
-          (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             / len(string_split(text, ' '))) * 0.3 +
-          least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.2 AS quality
+             AS BIGINT) * 500000) // len(string_split(text, ' ')) +
+          (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             * 300000) // len(string_split(text, ' ')) +
+          least(CAST(n_chars AS BIGINT) * 400, 200000) AS quality
         FROM documents WHERE text IS NOT NULL),
       cuts AS (SELECT quantile_cont(quality,
                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts

@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 import graft.{Q, Tables}
@@ -35,8 +34,28 @@ object GraphOps {
 
   private val iters = 10
 
-  /** Core of q101 over any (ok, part) basket frame. */
-  def partPageRank(baskets: DataFrame, topK: Int = 20): DataFrame = {
+  /** Core of q101 over any (ok, part) basket frame.
+    *
+    * `rankState` picks the per-iteration join strategy for the
+    * entity-sized rank table:
+    *  - `"broadcast"` — rank state rides a broadcast into the CSR
+    *    adjacency join; the edge stream never shuffles AND never sorts.
+    *    The fast plan while the rank table fits the driver/executors
+    *    (≲ tens of millions of nodes).
+    *  - `"copartition"` — the CSR adjacency is staged as a BUCKETED
+    *    table on `src` ([[graft.operators.Stage.materializeBucketed]]);
+    *    each iteration sort-merge-joins the freshly-computed rank state
+    *    (one entity-sized exchange) against the bucketed scan (NO
+    *    exchange, no sort). The web-scale plan: nothing edge-sized ever
+    *    moves, and rank state never has to fit in one JVM.
+    *  - `"auto"` (default) — broadcast while the node count is at most
+    *    `graft.pagerank.broadcastMaxNodes` (session conf, default 10M ≈
+    *    a few hundred MB of broadcast), else copartition. The node
+    *    count is read off the staged node table — a parquet-metadata
+    *    count, not a scan.
+    */
+  def partPageRank(baskets: DataFrame, topK: Int = 20,
+      rankState: String = "auto"): DataFrame = {
     val li = baskets.select(col("ok"), col("part")).distinct()
     val dst = li.withColumnRenamed("part", "dst")
     val edges = li.join(dst, Seq("ok"))
@@ -50,12 +69,25 @@ object GraphOps {
     // worse, re-computing) the edge-count-sized table ten times.
     // Neighbor order inside the array is irrelevant: contributions are
     // summed, an order-free integer monoid.
-    val adj = graft.operators.Stage.materialize(
-      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"),
-        collect_list(col("dst")).as("dsts")),
-      "pagerank-adj")
+    val adjDf = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"),
+      collect_list(col("dst")).as("dsts"))
     val nodes = graft.operators.Stage.materialize(
       li.select(col("part")).distinct(), "pagerank-nodes")
+    val spark = baskets.sparkSession
+    val useBroadcast = rankState match {
+      case "broadcast"   => true
+      case "copartition" => false
+      case _ =>
+        val maxNodes = spark.conf
+          .getOption("graft.pagerank.broadcastMaxNodes")
+          .map(_.toLong).getOrElse(10000000L)
+        nodes.count() <= maxNodes
+    }
+    val adj =
+      if (useBroadcast)
+        graft.operators.Stage.materialize(adjDf, "pagerank-adj")
+      else graft.operators.Stage.materializeBucketed(adjDf, "pagerank-adj",
+        "src", spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     // a node with NO in-edges sits at the damped base forever; a node
     // WITH in-edges receives an inc row EVERY iteration (contributions
     // flow regardless of rank values) — so the rank update needs no
@@ -76,7 +108,15 @@ object GraphOps {
     // layout — the CSR staging above is exactly that table.)
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (_ <- 1 to iters) {
-      val inc = adj.join(broadcast(ranks), col("src") === col("part"))
+      // broadcast mode: ranks broadcast, adjacency streams in place.
+      // copartition mode: the merge hint forces SMJ — the bucketed,
+      // sorted adjacency scan needs no exchange and no sort, so the
+      // only per-iteration data movement is the entity-sized rank
+      // exchange (never the edge bytes).
+      val joined =
+        if (useBroadcast) adj.join(broadcast(ranks), col("src") === col("part"))
+        else adj.join(ranks.hint("merge"), col("src") === col("part"))
+      val inc = joined
         .select(expr("rank DIV outdeg").as("contrib"),
           explode(col("dsts")).as("dst"))
         .groupBy(col("dst"))
@@ -85,12 +125,22 @@ object GraphOps {
           expr("CAST(150000 + (inc * 85) DIV 100 AS BIGINT)").as("rank"))
         .unionByName(noInRanks)
     }
-    ranks
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("rank").desc, col("part").asc)))
-      .filter(col("rnk") <= topK)
-      .select(col("part").as("part_id"), col("rank").as("rank_ppm"),
-        col("rnk"))
+    // final top-k: orderBy+limit plans TakeOrderedAndProject (each
+    // partition keeps k rows, driver merges k·p) — never the
+    // single-partition WindowExec a partition-less row_number forces
+    // (nor its "No Partition Defined for Window" warning; a constant
+    // partition key doesn't help — Catalyst folds it away). Positions
+    // 1..topK are then derived from the ≤ topK surviving rows by a
+    // global collect_list + sort_array + posexplode — a plain two-stage
+    // aggregate over a driver-bounded frame. The sort key (rank, part)
+    // is a total order (one row per part), so both the limit and the
+    // array order are deterministic.
+    ranks.orderBy(col("rank").desc, col("part").asc).limit(topK)
+      .agg(sort_array(collect_list(
+        struct((-col("rank")).as("nr"), col("part").as("part")))).as("s"))
+      .select(posexplode(col("s")).as(Seq("pos", "r")))
+      .select(col("r.part").as("part_id"), (-col("r.nr")).as("rank_ppm"),
+        (col("pos") + 1).cast("int").as("rnk"))
   }
 
   /** q101 — part-importance PageRank: parts co-purchased inside the same

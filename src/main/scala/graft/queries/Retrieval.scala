@@ -50,11 +50,15 @@ object Retrieval {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val scal = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val dfTab = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // term selection: orderBy+limit plans TakeOrderedAndProject over the
+    // vocabulary-sized df table — a partition-less row_number here would
+    // move the WHOLE vocabulary to one partition to pick 8 rows. The
+    // sort key (df, token) is a total order (token is unique), so the
+    // limit picks exactly the oracle's trnk <= nTerms set.
     val qterms = dfTab.crossJoin(broadcast(scal))
       .filter(col("df") * 20 <= col("n_docs"))
-      .withColumn("trnk", row_number().over(
-        Window.orderBy(col("df").desc, col("token").asc)))
-      .filter(col("trnk") <= nTerms)
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(nTerms)
       .select(col("token"), col("df"))
     tf.join(broadcast(qterms), "token")
       .join(dl, "doc_id")

@@ -263,9 +263,11 @@ object TextOps {
     * honest fraction of comparable sets. No source blocking on purpose:
     * cross-source quoting is the signal (q59's overlap matrix shape,
     * but at pair granularity). */
-  def containmentPairs(docs: org.apache.spark.sql.DataFrame,
-      minShingles: Int = 5, maxDf: Int = 50,
-      thresholdPct: Int = 80): org.apache.spark.sql.DataFrame = {
+  /** The shared first stage of [[containmentPairs]] and
+    * [[winnowedContainment]]: each doc's DISTINCT 3-gram shingles with
+    * the df-capped boilerplate set removed. */
+  private def rareShingles(docs: org.apache.spark.sql.DataFrame,
+      maxDf: Int): org.apache.spark.sql.DataFrame = {
     val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -280,7 +282,13 @@ object TextOps {
     // sf0.1 had parquet staging 17% SLOWER (2.49 s vs 2.13 s min-of-3)
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("shingle"))
-    val rare = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
+  def containmentPairs(docs: org.apache.spark.sql.DataFrame,
+      minShingles: Int = 5, maxDf: Int = 50,
+      thresholdPct: Int = 80): org.apache.spark.sql.DataFrame = {
+    val rare = rareShingles(docs, maxDf)
     val cnt = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     // both join sides carry their doc's rare-shingle count so the
     // size-ratio prune runs INSIDE the pair join (q24's lossless trick,
@@ -299,6 +307,53 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared"))
     pairs
       .filter(col("n_shared") * 100 >= col("n_a") * thresholdPct)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_shared"),
+        expr("(n_shared * 100) div n_a").as("cont_pct"))
+  }
+
+  /** The declared SCALE PATH for [[containmentPairs]] on an UNBLOCKED
+    * corpus (BASELINE.md's q97 100× caveat): q112's winnowing
+    * fingerprints propose candidate pairs sub-quadratically (bucket-
+    * bounded by the fingerprint df cap), and q97's exact containment
+    * arithmetic verifies ONLY those candidates — the rare-shingle
+    * self-join never runs corpus×corpus.
+    *
+    * Winnowing's match guarantee (any shared run of ≥ w+k−1 tokens
+    * shares a fingerprint) makes the blocker high-recall for
+    * quotation-shaped overlap — a doc that is 80% contained in another
+    * shares long token runs with it — but scattered single-shingle
+    * overlap can pass q97 while never sharing a fingerprint window, so
+    * recall < 1 is possible by construction; the suite measures it on
+    * the fixture corpus instead of assuming it. Output schema and
+    * thresholds are exactly [[containmentPairs]]'s, so the two
+    * modalities are drop-in interchangeable.
+    */
+  def winnowedContainment(docs: org.apache.spark.sql.DataFrame,
+      minShingles: Int = 5, maxDf: Int = 50, thresholdPct: Int = 80,
+      w: Int = 4, dfCap: Int = 10): org.apache.spark.sql.DataFrame = {
+    // undirected winnowing candidates, expanded to both directions (the
+    // containment check is asymmetric: a-in-b and b-in-a both need a row)
+    val cand = graft.queries.Lexical.winnowingPairs(docs, w, dfCap)
+      .select(col("doc_a"), col("doc_b"))
+    val dirCand = cand.unionByName(
+      cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val rare = rareShingles(docs, maxDf)
+    val cnt = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    // per-candidate exact verification: stream a's rare shingles into
+    // the candidate set, count how many b also carries. Both joins are
+    // equi-keyed; the exploded frame is |candidates| × shingles-per-doc
+    // — candidate-bounded, never corpus².
+    val shared = dirCand
+      .join(rare.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(rare.select(col("doc_id").as("b_id"),
+        col("shingle").as("shingle_b")),
+        col("doc_b") === col("b_id") && col("shingle") === col("shingle_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n_a")), "doc_a")
+      .filter(col("n_a") >= minShingles &&
+        col("n_shared") * 100 >= col("n_a") * thresholdPct)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_shared"),
         expr("(n_shared * 100) div n_a").as("cont_pct"))
   }
@@ -334,5 +389,70 @@ object TextOps {
       FROM pairs JOIN cnt ON cnt.doc_id = doc_a
       WHERE n_a >= 5 AND n_shared * 100 >= n_a * 80"""))
 
-  val all: Seq[Q] = Seq(q23, q24, q26, q27, q28, q29, q53, q97)
+  /** q116 — winnowing-blocked containment: the composed scale modality
+    * (q112 proposes, q97 verifies), registered and oracle-checked in its
+    * own right so the sub-quadratic path is held to the same hash gate
+    * as the exact one. */
+  val q116: Q = Q(
+    "q116_winnowed_containment",
+    run = { (spark, dir) =>
+      winnowedContainment(Tables.documentsParallel(spark, dir)
+        .filter(col("text").isNotNull))
+    },
+    oracle = Some("""
+      WITH dnn AS (SELECT doc_id, text FROM documents
+                   WHERE text IS NOT NULL),
+      toks AS (
+        SELECT doc_id, CAST(pos AS INTEGER) AS pos, toks[pos + 1] AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos
+              FROM dnn)),
+      grams AS (
+        SELECT doc_id, pos,
+          md5(tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w) AS h,
+          lead(tok, 2) OVER w AS t2
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      g AS (SELECT doc_id, pos, h FROM grams WHERE t2 IS NOT NULL),
+      sel AS (
+        SELECT doc_id, pos, min(h) OVER fw AS fp, count(*) OVER fw AS wlen
+        FROM g
+        WINDOW fw AS (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+      fps AS (SELECT doc_id, fp FROM sel WHERE wlen = 4 OR pos = 0
+              GROUP BY doc_id, fp),
+      fdf AS (SELECT fp FROM fps GROUP BY fp
+              HAVING count(*) >= 2 AND count(*) <= 10),
+      wpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM fps a JOIN fdf USING (fp)
+        JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      cand AS (SELECT doc_a, doc_b FROM wpairs
+               UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM wpairs),
+      d97 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dnn),
+      g97 AS (SELECT doc_id, toks,
+                unnest(generate_series(1, len(toks) - 2)) AS i
+              FROM d97 WHERE len(toks) >= 3),
+      sh AS (SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+             FROM g97),
+      rare AS (SELECT doc_id, shingle FROM sh
+               WHERE shingle NOT IN (
+                 SELECT shingle FROM sh GROUP BY shingle
+                 HAVING count(*) > 50)),
+      cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_a
+              FROM rare GROUP BY doc_id),
+      ver AS (
+        SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        FROM cand c
+        JOIN rare ra ON ra.doc_id = c.doc_a
+        JOIN rare rb ON rb.doc_id = c.doc_b AND rb.shingle = ra.shingle
+        GROUP BY 1, 2)
+      SELECT v.doc_a, v.doc_b, cnt.n_a, v.n_shared,
+        (v.n_shared * 100) // cnt.n_a AS cont_pct
+      FROM ver v JOIN cnt ON cnt.doc_id = v.doc_a
+      WHERE cnt.n_a >= 5 AND v.n_shared * 100 >= cnt.n_a * 80"""))
+
+  val all: Seq[Q] = Seq(q23, q24, q26, q27, q28, q29, q53, q97, q116)
 }

@@ -327,6 +327,16 @@ object VectorOps {
         " s -> s.mean_v)").as("centroid"))
       .select(col("label").as("center_id"), col("centroid"))
 
+  /** The q48 IVF KMeans centroids adapted to [[semDedup]]'s
+    * (center_id, centroid) seam — the PRODUCTION center source (k ≈ √n
+    * data-driven cells), where the q66 label centroids are the
+    * deterministic oracle-able testbed. Same downstream contract:
+    * [[semDedup]] output schema and invariants are identical whichever
+    * center table is fed (suite-asserted in LexicalSemDedupSpec). */
+  def ivfCenters(index: graft.ext.Similarity.IvfIndex): org.apache.spark.sql.DataFrame =
+    index.centroids
+      .select(col("pcell").cast("int").as("center_id"), col("centroid"))
+
   val q111: Q = Q(
     "q111_semdedup",
     run = { (spark, dir) =>

@@ -181,25 +181,68 @@ object ExplainAudit {
     assert(q100Ex == 1,
       s"q100: expected exactly 1 hash shuffle, found $q100Ex")
     println("===== q100 SINGLE-SHUFFLE ASSERT OK")
+    // a WindowExec with an empty partitionSpec requires AllTuples — the
+    // single-partition shape that moves the whole frame to one task (and
+    // logs "No Partition Defined for Window operation"). No audited
+    // query may plan one.
+    // NOTE: AdaptiveSparkPlanExec reports NO children (its inner plan is
+    // a field, not a child), so a naive plan.collect is vacuously empty
+    // under AQE — unwrap it explicitly or the assert asserts nothing.
+    def partitionlessWindows(
+        plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+      def walk(p: SparkPlan): Seq[String] = {
+        val here = p match {
+          case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.nodeName)
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+            Seq(w.nodeName)
+          case _ => Nil
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case o => o.children
+        }
+        here ++ kids.flatMap(walk)
+      }
+      walk(plan)
+    }
     // q101: the entity-sized rank state must broadcast into the CSR
     // adjacency join every iteration — the edge stream never shuffles
-    val q101Plan = graft.SparkEntry.queries("q101_part_pagerank")(spark, dir)
-      .queryExecution.executedPlan.toString
+    val q101Exec = graft.SparkEntry.queries("q101_part_pagerank")(spark, dir)
+      .queryExecution.executedPlan
+    val q101Plan = q101Exec.toString
     assert(q101Plan.contains("BroadcastHashJoin"),
       "q101: rank state not broadcast into the adjacency join")
     assert(!q101Plan.contains("CartesianProduct"),
       "q101: iteration join lost its key")
-    println("===== q101 RANK-BROADCAST ASSERT OK")
+    // final top-k must be the distributed partial top-k; the only Window
+    // left is the post-limit rnk over ≤ 20 rows, keyed on a constant —
+    // never the AllTuples single-partition shape
+    assert(q101Plan.contains("TakeOrderedAndProject"),
+      "q101: final top-k is not TakeOrderedAndProject")
+    assert(partitionlessWindows(q101Exec).isEmpty,
+      s"q101: partition-less Window in plan: ${partitionlessWindows(q101Exec)}")
+    println("===== q101 RANK-BROADCAST + TOPK ASSERT OK")
     // q102: scoring joins tf against the 8-row term table and the 1-row
     // corpus scalars — both must ride broadcasts; only the tf/dl/df
     // aggs may shuffle
-    val q102Plan = graft.SparkEntry.queries("q102_bm25")(spark, dir)
-      .queryExecution.executedPlan.toString
+    val q102Exec = graft.SparkEntry.queries("q102_bm25")(spark, dir)
+      .queryExecution.executedPlan
+    val q102Plan = q102Exec.toString
     assert(q102Plan.contains("BroadcastHashJoin"),
       "q102: term-table join is not broadcast")
     assert(!q102Plan.contains("CartesianProduct"),
       "q102: scalar attach fell back to CartesianProduct")
-    println("===== q102 BROADCAST-TERMS ASSERT OK")
+    // term selection over the vocabulary-sized df table must be the
+    // distributed partial top-k, not a single-partition global window;
+    // the only Window left is the per-token scoring rnk (partitioned)
+    assert(q102Plan.contains("TakeOrderedAndProject"),
+      "q102: term selection is not TakeOrderedAndProject")
+    assert(partitionlessWindows(q102Exec).isEmpty,
+      s"q102: partition-less Window in plan: ${partitionlessWindows(q102Exec)}")
+    println("===== q102 BROADCAST-TERMS + TOPK ASSERT OK")
     // q103: the labeled seed is the broadcast side; the corpus streams
     // with no shuffle before the per-vector vote windows
     val q103Plan = graft.SparkEntry.queries("q103_knn_classify")(spark, dir)

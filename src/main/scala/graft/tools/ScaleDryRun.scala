@@ -518,6 +518,58 @@ object ScaleDryRun {
     println(f"[scale-dry-run] skew_join_aqe_split    $tAqe%8.2f s  ($nAqe rows, speedup ${tPlain / tAqe}%.1fx)")
     require(nPlain == nSalt && nPlain == nAqe,
       s"skew mitigation changed row multiplicity: $nPlain / $nSalt / $nAqe")
+
+    // ---- round-9: q111 SemDeDup through the PRODUCTION center seam ----
+    // Same operator, q48 IVF KMeans centroids instead of the
+    // label-centroid testbed: the one-time ivfBuild fit is measured
+    // separately from the semDedup pass it feeds (an index is built
+    // once and reused across curation runs — q48's amortization story).
+    {
+      import graft.ext.Similarity
+      import graft.queries.VectorOps
+      def semIvfCase(emb: DataFrame): (Double, Double, Long, Long) = {
+        val t0 = System.nanoTime()
+        val idx = Similarity.ivfBuild(emb, nCells = 16).get
+        idx.centroids.queryExecution.toRdd.count(): Unit
+        val tFit = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val out = VectorOps.semDedup(emb, VectorOps.ivfCenters(idx))
+        val n = out.queryExecution.toRdd.count()
+        val nSup = out.filter(col("removed")).count()
+        (tFit, (System.nanoTime() - t1) / 1e9, n, nSup)
+      }
+      val (tFit1, tSem1i, n1, sup1) = semIvfCase(emb0)
+      val (tFit10, tSem10i, n10, sup10) = semIvfCase(emb10)
+      println(f"[scale-dry-run] q111_ivf_fit_1x        $tFit1%8.2f s")
+      println(f"[scale-dry-run] q111_ivf_fit_10x       $tFit10%8.2f s  (ratio ${tFit10 / tFit1}%.1fx)")
+      println(f"[scale-dry-run] q111_ivf_sem_1x        $tSem1i%8.2f s  (${sup1}/${n1} suppressed)")
+      println(f"[scale-dry-run] q111_ivf_sem_10x       $tSem10i%8.2f s  (ratio ${tSem10i / tSem1i}%.1fx, ${sup10}/${n10} suppressed)")
+    }
+
+    // ---- round-9: q101 rank-state join crossover (broadcast vs ----
+    // ---- co-partitioned bucketed CSR) at 10x / 100x PART counts ----
+    // Disjoint shifted subgraphs — the growth direction that scales the
+    // RANK STATE itself (more entities), which is what decides the
+    // per-iteration join strategy. The broadcast path re-ships the
+    // whole rank table every iteration; the copartition path exchanges
+    // it once per iteration but never moves the bucketed adjacency.
+    {
+      def liParts(m: Int): DataFrame =
+        (0 until m).map { i =>
+          if (i == 0) li0pr
+          else li0pr.select((col("ok") + lit(i * 1000000000L)).as("ok"),
+            (col("part") + lit(i * 10000000L)).as("part"))
+        }.reduce(_ unionByName _).repartition(cpus.toInt)
+      for (m <- Seq(10, 100)) {
+        val base = liParts(m)
+        val (tB, _) = timed(
+          graft.queries.GraphOps.partPageRank(base, rankState = "broadcast"))
+        val (tC, _) = timed(
+          graft.queries.GraphOps.partPageRank(base, rankState = "copartition"))
+        println(f"[scale-dry-run] q101_rs_${m}%dx_broadcast ${tB}%8.2f s")
+        println(f"[scale-dry-run] q101_rs_${m}%dx_copart    ${tC}%8.2f s  (bcast/copart ${tB / tC}%.2fx)")
+      }
+    }
     spark.stop()
   }
 }

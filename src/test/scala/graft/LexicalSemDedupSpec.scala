@@ -133,6 +133,41 @@ class LexicalSemDedupSpec extends AnyFunSuite {
     assert(out1.sameElements(out2))
   }
 
+  test("semDedup through the q48 IVF-center seam: same schema, same contract") {
+    val vecs = (0 until 80).map { i =>
+      val lbl = i % 4
+      val base = lbl match {
+        case 0 => Array(1f, 0f, 0f)
+        case 1 => Array(0f, 1f, 0f)
+        case 2 => Array(0f, 0f, 1f)
+        case _ => Array(0.7f, 0.7f, 0f)
+      }
+      (i, lbl, base.map(v => v + (i % 5) * 0.004f))
+    }
+    val emb = vecs.toDF("vec_id", "label", "embedding")
+    val idx = graft.ext.Similarity.ivfBuild(emb, nCells = 4).get
+    val viaIvf = VectorOps.semDedup(emb, VectorOps.ivfCenters(idx))
+    val viaLabels = VectorOps.semDedup(emb, centersOf(vecs))
+    // the production seam returns the exact same schema as the testbed
+    assert(viaIvf.schema.map(f => (f.name, f.dataType)) ==
+      viaLabels.schema.map(f => (f.name, f.dataType)))
+    val rows = viaIvf.select("vec_id", "cluster", "rep_rank", "removed")
+      .as[(Int, Int, Int, Boolean)].collect()
+    assert(rows.length == vecs.length, "one verdict row per input vector")
+    // contract: per cluster, rep_rank is a 1..n permutation and the
+    // top-priority member (rep_rank 1) is never suppressed
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      val ranks = members.map(_._3).sorted
+      assert(ranks.sameElements(1 to members.length),
+        s"cluster $c rep_rank not a permutation: ${ranks.toSeq}")
+      assert(!members.find(_._3 == 1).get._4,
+        s"cluster $c suppressed its own representative")
+    }
+    // tight near-duplicate packs around each axis mean SOME suppression
+    // must fire through the IVF centers too
+    assert(rows.exists(_._4), "IVF-center path suppressed nothing")
+  }
+
   // --- Zipf slope ---
 
   test("zipf slope recovers -1 on an exact power-law corpus") {

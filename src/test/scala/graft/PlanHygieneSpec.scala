@@ -25,7 +25,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     // silently drop its correctness check at the driver)
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracle keys without queries: $dangling")
-    // the declared §2.8 inventory size — update together with SURVEY.md
-    assert(names.size == 114, s"registry has ${names.size} queries")
+    // the declared §2.8 inventory size lives in ONE place
+    // (SparkEntry.declaredCount, kept in sync with SURVEY.md §2.8) so a
+    // new query updates docs+spec together or fails here
+    assert(names.size == SparkEntry.declaredCount,
+      s"registry has ${names.size} queries, declaredCount says " +
+        s"${SparkEntry.declaredCount} — update SparkEntry.declaredCount " +
+        "and SURVEY.md §2.8 together")
   }
 }

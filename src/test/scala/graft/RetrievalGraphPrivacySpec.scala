@@ -48,6 +48,20 @@ class RetrievalGraphPrivacySpec extends AnyFunSuite {
     assert(a.size == 20)
   }
 
+  test("q101: co-partitioned rank-state strategy returns exactly the broadcast answer") {
+    // integer arithmetic + identical semantics: the large-graph join
+    // strategy (bucketed CSR, SMJ per iteration) must be bit-equal to
+    // the broadcast plan, not merely close
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+    val bcast = GraphOps.partPageRank(li, rankState = "broadcast")
+      .collect().map(_.toString).sorted
+    val copart = GraphOps.partPageRank(li, rankState = "copartition")
+      .collect().map(_.toString).sorted
+    assert(bcast.sameElements(copart),
+      "copartition strategy diverged from broadcast")
+  }
+
   // ---- q102 bm25 ----
 
   test("q102: query terms respect the df cap; scores rank tf sanely") {
