@@ -108,6 +108,39 @@ object Tokenize {
     table.orderBy(col("rank").asc).select(col("pair"), col("merged"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
+  /** The q117 learning rounds as generated MATERIALIZED CTEs (the q101
+    * iterative-oracle recipe, with the hints so DuckDB evaluates each
+    * round once instead of inlining the chain exponentially). Shared by
+    * q117 (emits the merge table) and q119 (applies it to documents). */
+  private def learnCtes: String = {
+    val rounds = (1 to nMerges).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT a[i] || ' ' || a[i+1] AS pair,
+         |         CAST(sum(freq) AS BIGINT) AS f
+         |       FROM (SELECT string_split(trim(syms), ' ') AS a, freq,
+         |               unnest(generate_series(1,
+         |                 len(string_split(trim(syms), ' ')) - 1)) AS i
+         |             FROM w${i - 1})
+         |       GROUP BY 1),
+         |      m$i AS MATERIALIZED (SELECT $i AS rank, pair,
+         |               replace(pair, ' ', '') AS merged, f
+         |             FROM p$i ORDER BY f DESC, pair ASC LIMIT 1),
+         |      w$i AS MATERIALIZED (SELECT replace(syms,
+         |               ' ' || (SELECT pair FROM m$i) || ' ',
+         |               ' ' || (SELECT merged FROM m$i) || ' ') AS syms,
+         |               freq
+         |             FROM w${i - 1})""".stripMargin
+    }.mkString(",\n      ")
+    s"""WITH words AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE text IS NOT NULL)
+        WHERE len(word) > 0 GROUP BY word),
+      w0 AS MATERIALIZED (SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g'))
+               || ' ' AS syms, freq
+             FROM words),
+      $rounds"""
+  }
+
   /** q117 — BPE merge learning on `documents`: the top-12 merge rules
     * with their weighted frequencies. DuckDB replays the identical
     * rounds as generated chained CTEs (the q101 iterative-oracle
@@ -116,36 +149,11 @@ object Tokenize {
     "q117_bpe_merges",
     run = { (spark, dir) => bpeLearn(Tables.documentsParallel(spark, dir)) },
     oracle = Some {
-      val rounds = (1 to nMerges).map { i =>
-        s"""p$i AS MATERIALIZED (SELECT a[i] || ' ' || a[i+1] AS pair,
-           |         CAST(sum(freq) AS BIGINT) AS f
-           |       FROM (SELECT string_split(trim(syms), ' ') AS a, freq,
-           |               unnest(generate_series(1,
-           |                 len(string_split(trim(syms), ' ')) - 1)) AS i
-           |             FROM w${i - 1})
-           |       GROUP BY 1),
-           |      m$i AS MATERIALIZED (SELECT $i AS rank, pair,
-           |               replace(pair, ' ', '') AS merged, f
-           |             FROM p$i ORDER BY f DESC, pair ASC LIMIT 1),
-           |      w$i AS MATERIALIZED (SELECT replace(syms,
-           |               ' ' || (SELECT pair FROM m$i) || ' ',
-           |               ' ' || (SELECT merged FROM m$i) || ' ') AS syms,
-           |               freq
-           |             FROM w${i - 1})""".stripMargin
-      }.mkString(",\n      ")
       val union = (1 to nMerges)
         .map(i => s"SELECT rank, pair, merged, f FROM m$i")
         .mkString("\n      UNION ALL ")
       s"""
-      WITH words AS MATERIALIZED (
-        SELECT word, CAST(count(*) AS BIGINT) AS freq
-        FROM (SELECT unnest(string_split(text, ' ')) AS word
-              FROM documents WHERE text IS NOT NULL)
-        WHERE len(word) > 0 GROUP BY word),
-      w0 AS MATERIALIZED (SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g'))
-               || ' ' AS syms, freq
-             FROM words),
-      $rounds
+      $learnCtes
       $union"""
     })
 
@@ -227,5 +235,81 @@ object Tokenize {
         CAST(-sum(nl) AS DOUBLE) / count(*) AS avg_nll
       FROM terms GROUP BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q117, q118)
+  /** Whole-text BPE encoding: every char spaced (word gaps become
+    * 3-space runs no single-space merge pattern can cross, so words
+    * encode independently — the [[bpeApply]] boundary guarantee without
+    * exploding words), then the merge replaces in rank order. Subword
+    * count = whitespace-run-separated segments of the result. */
+  private def subwordCount(text: Column,
+      merges: Seq[(String, String)]): Column = {
+    val spaced = concat(lit(" "), regexp_replace(text, "(.)", "$1 "))
+    val encoded = merges.foldLeft(spaced) {
+      case (c, (pair, merged)) => replace(c, lit(s" $pair "), lit(s" $merged "))
+    }
+    coalesce(
+      when(length(trim(encoded)) === 0, lit(0L))
+        .otherwise(size(split(trim(encoded), " +")).cast("long")),
+      lit(0L))
+  }
+
+  /** Core of q119: q58's streaming-concat packing with SUBWORD-true
+    * token counts — the learned q117 merge table is applied to every
+    * document (pure expression chain), and the per-source cum-sum
+    * assigns 2048-SUBWORD packs. The end-to-end "tokenizer-aware
+    * packing" a pretraining loader needs: pack boundaries follow what
+    * the tokenizer will actually emit, not whitespace counts.
+    *
+    * Scale shape: learning is vocabulary-bounded (q117); application
+    * adds zero shuffles (expression-only column); packing is q58's one
+    * shuffle on source. */
+  def subwordPack(docs: DataFrame, nM: Int = nMerges): DataFrame = {
+    val merges = mergesOf(bpeLearn(docs, nM))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        subwordCount(col("text"), merges).as("n_subtoks"))
+      .withColumn("cum", sum(col("n_subtoks")).over(w))
+      .select(col("doc_id"), col("source"), col("n_subtoks"),
+        (col("cum") - col("n_subtoks")).as("start_off"),
+        expr("(cum - n_subtoks) div 2048").as("pack_id"))
+  }
+
+  /** q119 — subword-true sequence packing (q117 ∘ q58). The oracle
+    * re-learns the merge table (the q117 CTE chain) and re-applies it
+    * to every document with chained scalar-subquery replaces. */
+  val q119: Q = Q(
+    "q119_subword_pack",
+    run = { (spark, dir) => subwordPack(Tables.documentsParallel(spark, dir)) },
+    oracle = Some {
+      val applies = (1 to nMerges).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT doc_id, source, replace(enc,
+           |        ' ' || (SELECT pair FROM m$i) || ' ',
+           |        ' ' || (SELECT merged FROM m$i) || ' ') AS enc
+           |      FROM d${i - 1})""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      $learnCtes,
+      d0 AS (SELECT doc_id, source,
+               ' ' || regexp_replace(text, '(.)', '\\1 ', 'g') AS enc
+             FROM documents),
+      $applies,
+      n AS (SELECT doc_id, source,
+              CASE WHEN enc IS NULL OR len(trim(enc)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(enc), ' +'))
+              END AS n_subtoks
+            FROM d$nMerges),
+      w AS (SELECT doc_id, source, CAST(n_subtoks AS BIGINT) AS n_subtoks,
+              sum(n_subtoks) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM n)
+      SELECT doc_id, source, n_subtoks,
+        CAST(cum - n_subtoks AS BIGINT) AS start_off,
+        CAST((cum - n_subtoks) // 2048 AS BIGINT) AS pack_id
+      FROM w"""
+    })
+
+  val all: Seq[Q] = Seq(q117, q118, q119)
 }

@@ -73,7 +73,16 @@ object TarShards {
     * and sorted (shard, doc_id) WITHIN partitions, so each task streams
     * its rows straight to tar files, switching files when the shard id
     * changes — no shard is ever held in executor memory, which is the
-    * property that lets one shard be arbitrarily large. */
+    * property that lets one shard be arbitrarily large.
+    *
+    * Retry/speculation safety: each task writes
+    * `.shard-NNNNN.tar.attempt-<taskAttemptId>` and atomically renames
+    * to the final name only at successful close, so a zombie attempt
+    * racing a retry can never interleave bytes into a published shard —
+    * last completed rename wins with identical bytes (the writer is
+    * deterministic). ATOMIC_MOVE is demanded, not hoped for: staging
+    * and final file share a directory, so a non-atomic fallback would
+    * be a filesystem bug and should fail loudly. */
   def writeShards(df: DataFrame, dir: String,
       nShards: Int): Dataset[ShardManifest] = {
     require(nShards > 0, "nShards must be positive")
@@ -88,15 +97,21 @@ object TarShards {
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .as[(Long, Long, Array[Byte], String)]
       .mapPartitions { rows =>
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         val manifests = Seq.newBuilder[ShardManifest]
         var cur = -1L
         var out: java.io.OutputStream = null
+        var tmp: java.nio.file.Path = null
         var n = 0L
         var bytes = 0L
         def close(): Unit = if (out != null) {
           out.write(new Array[Byte](1024)) // two zero blocks: EOF
           bytes += 1024
           out.close()
+          Files.move(tmp, Paths.get(dir, f"shard-$cur%05d.tar"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           manifests += ShardManifest(cur, n, bytes)
           out = null
         }
@@ -105,8 +120,8 @@ object TarShards {
             close()
             cur = shard
             n = 0L; bytes = 0L
-            out = new java.io.BufferedOutputStream(Files.newOutputStream(
-              Paths.get(dir, f"shard-$shard%05d.tar")))
+            tmp = Paths.get(dir, f".shard-$shard%05d.tar.attempt-$attempt")
+            out = new java.io.BufferedOutputStream(Files.newOutputStream(tmp))
           }
           val p = if (payload == null) Array.emptyByteArray else payload
           val m = if (meta == null) "{}" else meta

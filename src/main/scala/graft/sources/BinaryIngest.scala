@@ -15,27 +15,34 @@ import org.apache.spark.sql.functions._
   * reads in parallel across executors with no driver-side listing
   * bottleneck beyond the initial file index, and `pathGlobFilter`
   * prunes at the listing (files never opened). The doc id is the first
-  * 8 bytes of md5(relative path) — stable across re-ingestion, cluster
-  * layout, and listing order, never an ingestion-order rowid (which
-  * would reshuffle on every re-run).
+  * 15 hex chars (60 bits, so it always fits a signed BIGINT) of
+  * md5(path relative to the ingest root) — stable across re-ingestion,
+  * cluster layout, listing order, AND corpus relocation (moving the
+  * root directory leaves every id unchanged), never an ingestion-order
+  * rowid (which would reshuffle on every re-run).
   */
 object BinaryIngest {
 
   /** Read `dir` (non-recursive unless glob says otherwise) into
     * (doc_id, path, n_bytes, mtime, payload). */
   def readDir(spark: SparkSession, dir: String,
-      glob: String = "*"): DataFrame =
+      glob: String = "*"): DataFrame = {
+    // canonical root, driver-side: ids hash the path AFTER this prefix
+    val root = new java.io.File(dir).getAbsolutePath
+      .stripSuffix("/") + "/"
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
       .select(
-        // sign-cleared so ids are non-negative and engine-portable
-        expr("cast(conv(substring(md5(path), 1, 15), 16, 10) as bigint)")
+        // 60 bits keeps ids non-negative and engine-portable
+        conv(substring(md5(substring_index(col("path"), root, -1)),
+            1, 15), 16, 10).cast("long")
           .as("doc_id"),
         col("path"),
         col("length").as("n_bytes"),
         col("modificationTime").as("mtime"),
         col("content").as("payload"))
+  }
 
   /** Ingest + decode in one pass: the q34 feature router over a raw
     * file directory. */

@@ -213,7 +213,12 @@ object KaggleSource {
               val src = Paths.get(s)
               val dst = staging.resolve(attemptDir.relativize(src))
               Files.createDirectories(dst.getParent)
+              // ATOMIC_MOVE is load-bearing: the attempt dir lives
+              // inside staging (same filesystem, rename guaranteed), so
+              // a copy+delete fallback — which would reintroduce the
+              // partial-write window — fails loudly instead of engaging
               Files.move(src, dst,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
                 java.nio.file.StandardCopyOption.REPLACE_EXISTING)
               dst.toString
             }

@@ -300,6 +300,41 @@ object ExplainAudit {
       .queryExecution.executedPlan.toString
     assert(!q113Plan.contains("Join"), "q113: unexpected join in a pure agg")
     println("===== q113 NO-JOIN ASSERT OK")
+    // q116: candidate proposal and verification are all equi-joins
+    // (fingerprint buckets, then (doc, shingle) keys) — a cartesian or
+    // non-equi fallback means the blocker stopped blocking
+    val q116Exec = graft.SparkEntry
+      .queries("q116_winnowed_containment")(spark, dir)
+      .queryExecution.executedPlan
+    assert(!q116Exec.toString.contains("CartesianProduct") &&
+      !q116Exec.toString.contains("BroadcastNestedLoopJoin"),
+      "q116: verification must stay equi-keyed")
+    println("===== q116 EQUI-VERIFY ASSERT OK")
+    // q117: every learning round is a TakeOrderedAndProject over the
+    // vocabulary agg — never a global sort or partition-less window
+    val q117Exec = graft.SparkEntry.queries("q117_bpe_merges")(spark, dir)
+    assert(partitionlessWindows(
+      q117Exec.queryExecution.executedPlan).isEmpty,
+      "q117: partition-less window in merge output")
+    println("===== q117 NO-GLOBAL-WINDOW ASSERT OK")
+    // q118: model joins are equi-keyed; only the 1-row V scalar may ride
+    // a broadcast nested loop; scoring must not cartesian
+    val q118Plan = graft.SparkEntry.queries("q118_lm_score")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!q118Plan.contains("CartesianProduct"),
+      "q118: scalar attach fell back to CartesianProduct")
+    assert(q118Plan.contains("BroadcastNestedLoopJoin"),
+      "q118: V scalar should be a broadcast attach")
+    println("===== q118 MODEL-JOIN ASSERT OK")
+    // q119: application is expression-only — the packing window (keyed
+    // on source) must be the ONLY window, and no partition-less one
+    val q119Exec = graft.SparkEntry.queries("q119_subword_pack")(spark, dir)
+      .queryExecution.executedPlan
+    assert(partitionlessWindows(q119Exec).isEmpty,
+      "q119: packing window lost its source key")
+    assert(!q119Exec.toString.contains("CartesianProduct"),
+      "q119: unexpected cartesian in expression-only application")
+    println("===== q119 EXPR-APPLY ASSERT OK")
     spark.stop()
   }
 }

@@ -50,6 +50,15 @@ class BinaryIngestSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.values.toSet.size == a.size, "id collision within the directory")
     assert(a.values.forall(_ >= 0L), "ids must be non-negative")
+    // relocation stability: the same files under a DIFFERENT root get
+    // the same ids — ids hash the root-relative path, not the full one
+    val moved = writeFixtures()
+    val c = BinaryIngest.readDir(spark, moved).select("path", "doc_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def byName(m: Map[String, Long]) =
+      m.map { case (p, id) => p.substring(p.lastIndexOf('/') + 1) -> id }
+    assert(byName(a) == byName(c),
+      "ids changed when the corpus directory was relocated")
   }
 
   test("pathGlobFilter prunes at the listing: non-matching files are never read") {

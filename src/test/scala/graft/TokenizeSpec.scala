@@ -83,6 +83,46 @@ class TokenizeSpec extends AnyFunSuite {
     assert(avgInd < math.log(8.0), s"seen bigrams scored as unseen: $avgInd")
   }
 
+  test("subwordPack: counts match per-word bpeApply, packs are contiguous per source") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(120)
+    val out = Tokenize.subwordPack(docs).cache()
+    try {
+      // n_subtoks agrees with summing bpeApply over exploded words —
+      // the whole-text 3-space-boundary encoding must equal per-word
+      // encoding, doc by doc
+      val merges = Tokenize.mergesOf(Tokenize.bpeLearn(docs))
+      val perWord = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"),
+          size(Tokenize.bpeApply(col("w"), merges)).cast("long").as("n"))
+        .groupBy("doc_id").agg(sum(col("n")).as("n_subtoks"))
+        .as[(Long, Long)].collect().toMap
+      val got = out.select("doc_id", "n_subtoks").as[(Long, Long)]
+        .collect().toMap
+      perWord.foreach { case (id, n) =>
+        assert(got(id) == n, s"doc $id whole-text $n vs per-word ${got(id)}")
+      }
+      // subwords never exceed whitespace tokens × word length; at least
+      // some compression must have happened on a natural corpus
+      val ws = docs.filter(col("text").isNotNull)
+        .select(sum(size(split(col("text"), " ")).cast("long")))
+        .head.getLong(0)
+      val sub = out.agg(sum(col("n_subtoks"))).head.getLong(0)
+      assert(sub > ws, "subword count should exceed word count pre-merge-saturation")
+      // start offsets are a per-source exact prefix sum
+      val rows = out.select("source", "doc_id", "n_subtoks", "start_off")
+        .as[(String, Long, Long, Long)].collect()
+        .groupBy(_._1)
+      rows.foreach { case (_, ds) =>
+        val sorted = ds.sortBy(_._2)
+        sorted.foldLeft(0L) { case (acc, (_, _, n, off)) =>
+          assert(off == acc, s"offset gap: $off vs $acc"); acc + n
+        }
+      }
+    } finally { out.unpersist(); () }
+  }
+
   test("lmScore is repartition-invariant and covers every non-null doc with >= 2 tokens") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val a = Tokenize.lmScore(docs).collect().map(_.toString).sorted
