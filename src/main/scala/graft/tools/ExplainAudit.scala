@@ -335,6 +335,27 @@ object ExplainAudit {
     assert(!q119Exec.toString.contains("CartesianProduct"),
       "q119: unexpected cartesian in expression-only application")
     println("===== q119 EXPR-APPLY ASSERT OK")
+    // q120: encoding rides a 1-row broadcast stat attach — the corpus
+    // side must never shuffle-join (no SMJ/shuffled-hash), and the
+    // attach is the scalar BroadcastNestedLoopJoin pattern (q118)
+    val q120Plan = graft.SparkEntry.queries("q120_embed_quantize")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q120Plan.contains("BroadcastNestedLoopJoin"),
+      "q120: stat attach should be a 1-row broadcast")
+    assert(!q120Plan.contains("SortMergeJoin") &&
+      !q120Plan.contains("ShuffledHashJoin"),
+      "q120: corpus side must not shuffle-join")
+    println("===== q120 BROADCAST-STATS ASSERT OK")
+    // q121: candidate generation is a distributed partial top-k
+    // (TakeOrderedAndProject), never a global sort or partition-less
+    // window — the greedy consumes only the bounded candidate table
+    val q121Cands = graft.queries.Quantize.mmrCandidateQuery(spark, dir)
+      .queryExecution.executedPlan
+    assert(q121Cands.toString.contains("TakeOrderedAndProject"),
+      "q121: candidate top-k must be TakeOrderedAndProject")
+    assert(partitionlessWindows(q121Cands).isEmpty,
+      "q121: partition-less window in candidate generation")
+    println("===== q121 CANDIDATE-TOPK ASSERT OK")
     spark.stop()
   }
 }
