@@ -224,5 +224,72 @@ object Quantize {
       SELECT rank, vec_id, rel, score FROM s$kSel"""
     })
 
-  val all: Seq[Q] = Seq(q120, q121)
+  private val jlK = 16    // projected dimensionality
+  private val jlDims = 64 // fixture embedding width (see TESTDATA.md)
+
+  /** The Rademacher (±1) sign matrix for q123, derived from md5 parity
+    * so BOTH engines can reconstruct it bit-for-bit: sign(j,i) = +1
+    * iff the first hex char of md5("j_i") has an even nibble. Computed
+    * once driver-side here; the oracle recomputes it in SQL from the
+    * same md5 — no shipped state, no engine-specific RNG. */
+  private[graft] def jlSigns: IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until jlK).map { j =>
+      (0 until jlDims).map { i =>
+        val hex = md.digest(s"${j}_$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if ("02468ace".indexOf(hex.charAt(0)) >= 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Core of q123 over any (vec_id, embedding) frame. */
+  def jlProject(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val signLit = array(jlSigns.map(r => array(r.map(lit): _*)): _*)
+    val scale = math.sqrt(jlK.toDouble)
+    e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(jlK - 1))).as("j"), col("embedding"))
+      .select(col("vec_id"), col("j"),
+        (aggregate(
+          zip_with(col("embedding"), element_at(signLit, col("j") + 1),
+            (x, s) => x.cast("double") * s),
+          lit(0.0), (acc, t) => acc + t) / lit(scale)).as("y"))
+  }
+
+  /** q123 — Johnson-Lindenstrauss random projection (Achlioptas 2003's
+    * database-friendly ±1 variant): 64-dim embeddings down to 16 dims
+    * via a deterministic Rademacher matrix, y_j = (Σ_i s_ji·x_i)/√k.
+    * The dim-reduction pass a 100 TB pipeline runs BEFORE ANN indexing
+    * (4× fewer bytes per vector, distances preserved within the JL
+    * bound — suite-asserted on pair distances). Pure expression chain:
+    * the sign matrix is a literal, the fold is index-ordered (parity
+    * recipe), zero shuffles beyond the source scan. */
+  val q123: Q = Q(
+    "q123_jl_project",
+    run = { (spark, dir) =>
+      jlProject(Tables.embeddings(spark, dir)
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding")))
+    },
+    oracle = Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+                 WHERE embedding IS NOT NULL),
+      d AS (SELECT vec_id, unnest(emb) AS v,
+              unnest(generate_series(0, len(emb) - 1)) AS i FROM e),
+      js AS (SELECT unnest(generate_series(0, ${jlK - 1})) AS j),
+      s AS (SELECT js.j, di.i,
+              CASE WHEN instr('02468ace',
+                     substr(md5(js.j || '_' || di.i), 1, 1)) > 0
+                   THEN 1.0 ELSE -1.0 END AS sgn
+            FROM js, (SELECT DISTINCT i FROM d) di),
+      t AS (SELECT d.vec_id, s.j, d.i, d.v * s.sgn AS term
+            FROM d JOIN s ON s.i = d.i),
+      g AS (SELECT vec_id, j, list(term ORDER BY i) AS tl
+            FROM t GROUP BY vec_id, j)
+      SELECT vec_id, CAST(j AS INTEGER) AS j,
+        CAST(list_sum(tl) / sqrt(${jlK}.0) AS DOUBLE) AS y
+      FROM g"""))
+
+  val all: Seq[Q] = Seq(q120, q121, q123)
 }

@@ -268,5 +268,58 @@ object Retrieval {
         cos_sim - COALESCE(cos2, 0.0) AS margin
       FROM m WHERE rnk = 1"""))
 
-  val all: Seq[Q] = Seq(q102, q103, q108)
+  /** Core of q122 over any (doc_id, text) frame: segment-chunked
+    * delta-encoded posting lists. `segSize` bounds EVERY per-group
+    * state: even a stopword that appears in all N docs yields
+    * ceil(N/segSize) bounded lists, never one N-sized array — the
+    * skew bound that makes an inverted index buildable at 100 TB
+    * (real engines shard postings exactly this way). */
+  def invertedPostings(docs: DataFrame, segSize: Int = 100): DataFrame = {
+    val tf = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("segment", expr(s"doc_id div $segSize"))
+    // the window and the final agg share (token, segment) keys, so the
+    // sorted exchange is planned once — one token-keyed shuffle total
+    // beyond the tf agg
+    val w = Window.partitionBy(col("token"), col("segment"))
+      .orderBy(col("doc_id"))
+    tf.withColumn("delta", col("doc_id") - lag(col("doc_id"), 1, 0L).over(w))
+      .groupBy(col("token"), col("segment"))
+      .agg(count(lit(1)).as("seg_df"), sum(col("tf")).as("seg_tf"),
+        concat_ws(",",
+          transform(array_sort(collect_list(struct(col("doc_id"),
+            col("delta")))), s => s.getField("delta").cast("string")))
+          .as("deltas"))
+  }
+
+  /** q122 — segment-chunked inverted postings index on `documents`:
+    * per (token, 100-doc segment) the doc frequency, term frequency
+    * sum, and the delta-encoded (gap-compressed) sorted doc-id list —
+    * the on-disk artifact a BM25/boolean retrieval tier serves from.
+    * First id in each segment is absolute (lag default 0), later ids
+    * are gaps — the standard postings compression layout. */
+  val q122: Q = Q(
+    "q122_inverted_postings",
+    run = { (spark, dir) =>
+      invertedPostings(Tables.documentsParallel(spark, dir))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents WHERE text IS NOT NULL),
+      tf AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+             FROM t WHERE len(token) > 0 GROUP BY 1, 2),
+      d AS (SELECT token, doc_id, tf, doc_id // 100 AS segment,
+              doc_id - lag(doc_id, 1, 0) OVER (
+                PARTITION BY token, doc_id // 100 ORDER BY doc_id) AS delta
+            FROM tf)
+      SELECT token, CAST(segment AS BIGINT) AS segment,
+        CAST(count(*) AS BIGINT) AS seg_df,
+        CAST(sum(tf) AS BIGINT) AS seg_tf,
+        array_to_string(list(CAST(delta AS VARCHAR) ORDER BY doc_id), ',')
+          AS deltas
+      FROM d GROUP BY token, segment"""))
+
+  val all: Seq[Q] = Seq(q102, q103, q108, q122)
 }

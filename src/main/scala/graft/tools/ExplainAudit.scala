@@ -356,6 +356,25 @@ object ExplainAudit {
     assert(partitionlessWindows(q121Cands).isEmpty,
       "q121: partition-less window in candidate generation")
     println("===== q121 CANDIDATE-TOPK ASSERT OK")
+    // q122: the tf agg is one shuffle, then the (token, segment) window
+    // and final agg SHARE keys so their sorted exchange plans once —
+    // two hash exchanges total, keyed windows only
+    val q122Exec = graft.SparkEntry.queries("q122_inverted_postings")(
+      spark, dir).queryExecution.executedPlan
+    val q122Ex = q122Exec.toString.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(q122Ex <= 2,
+      s"q122: expected <=2 hash shuffles (tf agg + shared window/agg key), found $q122Ex")
+    assert(partitionlessWindows(q122Exec).isEmpty,
+      "q122: postings window lost its (token, segment) key")
+    println("===== q122 TWO-SHUFFLE ASSERT OK")
+    // q123: projection is a pure expression chain — no shuffle, no join
+    val q123Plan = graft.SparkEntry.queries("q123_jl_project")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!q123Plan.contains("Exchange hashpartitioning") &&
+      !q123Plan.contains("Join"),
+      "q123: projection must stay shuffle- and join-free")
+    println("===== q123 EXPR-ONLY ASSERT OK")
     spark.stop()
   }
 }

@@ -570,6 +570,35 @@ object ScaleDryRun {
         println(f"[scale-dry-run] q101_rs_${m}%dx_copart    ${tC}%8.2f s  (bcast/copart ${tB / tC}%.2fx)")
       }
     }
+    // ---- round-9: q120 quantization, q122 postings, q123 JL ----
+    // q120: two corpus scans (64-key stats agg + expression-only
+    // encode against the 1-row broadcast) — should scale linearly
+    val (tQz1, _) = timed(graft.queries.Quantize.quantize(
+      emb0.filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))))
+    val (tQz10, _) = timed(graft.queries.Quantize.quantize(
+      emb10.filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))))
+    println(f"[scale-dry-run] q120_quantize_1x       $tQz1%8.2f s")
+    println(f"[scale-dry-run] q120_quantize_10x      $tQz10%8.2f s  (ratio ${tQz10 / tQz1}%.1fx)")
+    // q122: the postings build — tf agg + one (token, segment) sorted
+    // exchange; segment chunking bounds every per-group list at
+    // segSize even for stopwords present in all docs, so the 10x
+    // corpus grows the number of lists, never their size
+    val (tIp1, _) = timed(graft.queries.Retrieval.invertedPostings(docs0))
+    val (tIp10, _) = timed(graft.queries.Retrieval.invertedPostings(docs10))
+    println(f"[scale-dry-run] q122_postings_1x       $tIp1%8.2f s")
+    println(f"[scale-dry-run] q122_postings_10x      $tIp10%8.2f s  (ratio ${tIp10 / tIp1}%.1fx)")
+    // q123: pure expression chain — the shuffle-free upper bound for
+    // per-row vector work
+    val (tJl1, _) = timed(graft.queries.Quantize.jlProject(
+      emb0.filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))))
+    val (tJl10, _) = timed(graft.queries.Quantize.jlProject(
+      emb10.filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))))
+    println(f"[scale-dry-run] q123_jl_1x             $tJl1%8.2f s")
+    println(f"[scale-dry-run] q123_jl_10x            $tJl10%8.2f s  (ratio ${tJl10 / tJl1}%.1fx)")
     spark.stop()
   }
 }

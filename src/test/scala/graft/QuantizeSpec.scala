@@ -74,4 +74,66 @@ class QuantizeSpec extends AnyFunSuite {
     assert(got.head._2 == cands.head._1)
     assert(got.head._4 == 7 * got.head._3)
   }
+
+  test("q123: matches a plain-Scala replay exactly and preserves pair distances") {
+    val out = queries.Quantize.q123.run(spark, TestSpark.sf0001)
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3)
+      }
+    val vecs = Tables.embeddings(spark, TestSpark.sf0001)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val signs = queries.Quantize.jlSigns
+    // exact replay: same left-to-right fold, same scale
+    vecs.take(10).foreach { case (id, v) =>
+      val expect = signs.map { row =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * row(i); i += 1 }
+        s / math.sqrt(16.0)
+      }
+      assert(out(id).toSeq == expect,
+        s"vec $id projection diverges from replay")
+    }
+    // JL bound, averaged: squared pair distances preserved within 30%
+    val ids = vecs.keys.toSeq.sorted.take(40)
+    val ratios = for {
+      a <- ids; b <- ids if a < b
+    } yield {
+      val (va, vb) = (vecs(a), vecs(b))
+      val orig = va.indices.map(i =>
+        math.pow(va(i).toDouble - vb(i).toDouble, 2)).sum
+      val proj = out(a).indices.map(j =>
+        math.pow(out(a)(j) - out(b)(j), 2)).sum
+      proj / orig
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3,
+      s"JL mean distance ratio $mean outside [0.7, 1.3]")
+  }
+
+  test("q122: deltas reconstruct the exact per-segment doc sets, lists bounded") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val out = queries.Retrieval.invertedPostings(docs, segSize = 100)
+      .select(col("token"), col("segment"), col("seg_df"), col("deltas"))
+      .as[(String, Long, Long, String)].collect()
+    // independent truth: token -> docs containing it
+    val truth = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0).distinct()
+      .as[(Long, String)].collect()
+      .groupBy(_._2).map { case (t, rows) => t -> rows.map(_._1).toSet }
+    out.groupBy(_._1).foreach { case (token, segs) =>
+      val rebuilt = segs.flatMap { case (_, _, df, deltas) =>
+        val gaps = deltas.split(",").map(_.toLong)
+        assert(gaps.length == df, s"$token: seg_df != list length")
+        assert(gaps.length <= 100, s"$token: segment list exceeds segSize")
+        gaps.scanLeft(0L)(_ + _).drop(1) // cumulative: absolute doc ids
+      }.toSet
+      assert(rebuilt == truth(token),
+        s"$token: postings reconstruct ${rebuilt.size} docs, truth ${truth(token).size}")
+    }
+    assert(out.map(_._1).toSet == truth.keySet, "vocabulary mismatch")
+  }
 }
