@@ -274,12 +274,14 @@ object Retrieval {
     * ceil(N/segSize) bounded lists, never one N-sized array — the
     * skew bound that makes an inverted index buildable at 100 TB
     * (real engines shard postings exactly this way). */
-  def invertedPostings(docs: DataFrame, segSize: Int = 100): DataFrame = {
-    val tf = docs.filter(col("text").isNotNull)
+  private def postingsTf(docs: DataFrame, segSize: Int): DataFrame =
+    docs.filter(col("text").isNotNull)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .withColumn("segment", expr(s"doc_id div $segSize"))
+
+  private def postingsFinish(tf: DataFrame): DataFrame = {
     // the window and the final agg share (token, segment) keys, so the
     // sorted exchange is planned once — one token-keyed shuffle total
     // beyond the tf agg
@@ -293,6 +295,63 @@ object Retrieval {
             col("delta")))), s => s.getField("delta").cast("string")))
           .as("deltas"))
   }
+
+  def invertedPostings(docs: DataFrame, segSize: Int = 100): DataFrame =
+    postingsFinish(postingsTf(docs, segSize))
+
+  /** Core of q124: recompute ONLY the (token, segment) postings rows an
+    * incoming batch touches. The touched-key set (every token of every
+    * batch doc, in that doc's segment) is batch-bounded and broadcast
+    * into a semi-join that restricts the corpus tf stream BEFORE the
+    * sort/agg — shuffled bytes are proportional to the touched set,
+    * never the corpus. With the tf table bucketed on (token, segment)
+    * (`Stage.materializeBucketed`, the q101 CSR posture) the semi-join
+    * additionally prunes the scan to touched buckets; either way the
+    * index maintenance cost follows the batch, which is what makes a
+    * 100 TB index updatable daily without a rebuild. Untouched rows are
+    * untouched by construction — the suite asserts
+    * (old index minus touched keys) ∪ this == full rebuild. */
+  def postingsUpdate(corpus: DataFrame, batch: DataFrame,
+      segSize: Int = 100): DataFrame = {
+    val allTf = postingsTf(corpus.unionByName(batch), segSize)
+    val touched = postingsTf(batch, segSize)
+      .select(col("token"), col("segment")).distinct()
+    postingsFinish(allTf.join(broadcast(touched),
+      Seq("token", "segment"), "left_semi"))
+  }
+
+  /** q124 — incremental postings maintenance: the q115 batch split
+    * (doc_id % 10 == 7 is the incoming batch) applied to the q122
+    * index — emits the recomputed rows for exactly the touched
+    * (token, segment) keys. */
+  val q124: Q = Q(
+    "q124_incremental_postings",
+    run = { (spark, dir) =>
+      val docs = Tables.documentsParallel(spark, dir)
+      postingsUpdate(docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents WHERE text IS NOT NULL),
+      tf AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+             FROM t WHERE len(token) > 0 GROUP BY 1, 2),
+      touched AS (SELECT DISTINCT token, doc_id // 100 AS segment
+                  FROM tf WHERE doc_id % 10 = 7),
+      d AS (SELECT tf.token, tf.doc_id, tf.tf,
+              tf.doc_id // 100 AS segment,
+              tf.doc_id - lag(tf.doc_id, 1, 0) OVER (
+                PARTITION BY tf.token, tf.doc_id // 100
+                ORDER BY tf.doc_id) AS delta
+            FROM tf JOIN touched
+              ON tf.token = touched.token
+             AND tf.doc_id // 100 = touched.segment)
+      SELECT token, CAST(segment AS BIGINT) AS segment,
+        CAST(count(*) AS BIGINT) AS seg_df,
+        CAST(sum(tf) AS BIGINT) AS seg_tf,
+        array_to_string(list(CAST(delta AS VARCHAR) ORDER BY doc_id), ',')
+          AS deltas
+      FROM d GROUP BY token, segment"""))
 
   /** q122 — segment-chunked inverted postings index on `documents`:
     * per (token, 100-doc segment) the doc frequency, term frequency
@@ -321,5 +380,5 @@ object Retrieval {
           AS deltas
       FROM d GROUP BY token, segment"""))
 
-  val all: Seq[Q] = Seq(q102, q103, q108, q122)
+  val all: Seq[Q] = Seq(q102, q103, q108, q122, q124)
 }

@@ -375,6 +375,17 @@ object ExplainAudit {
       !q123Plan.contains("Join"),
       "q123: projection must stay shuffle- and join-free")
     println("===== q123 EXPR-ONLY ASSERT OK")
+    // q124: the touched-key restriction must be a BROADCAST semi-join
+    // applied to the tf stream — a shuffled semi-join would move the
+    // corpus to restrict it, defeating the incremental claim
+    val q124Plan = graft.SparkEntry.queries("q124_incremental_postings")(
+      spark, dir).queryExecution.executedPlan.toString
+    assert(q124Plan.contains("BroadcastHashJoin") &&
+      q124Plan.contains("LeftSemi"),
+      "q124: touched-key restriction is not a broadcast semi-join")
+    assert(!q124Plan.contains("SortMergeJoin"),
+      "q124: corpus-side shuffle join defeats incremental maintenance")
+    println("===== q124 BROADCAST-SEMI ASSERT OK")
     spark.stop()
   }
 }

@@ -136,4 +136,27 @@ class QuantizeSpec extends AnyFunSuite {
     }
     assert(out.map(_._1).toSet == truth.keySet, "vocabulary mismatch")
   }
+
+  test("q124: (old index - touched keys) union update == full rebuild") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("token"), col("segment"), col("seg_df"),
+          col("seg_tf"), col("deltas"))
+        .as[(String, Long, Long, Long, String)].collect().toSet
+    val old = rows(queries.Retrieval.invertedPostings(corpus))
+    val update = rows(queries.Retrieval.postingsUpdate(corpus, batch))
+    val full = rows(queries.Retrieval.invertedPostings(
+      corpus.unionByName(batch)))
+    val touchedKeys = update.map(r => (r._1, r._2))
+    val patched = old.filterNot(r => touchedKeys((r._1, r._2))) ++ update
+    assert(patched == full,
+      s"patch law broken: ${(patched diff full).size} extra, " +
+        s"${(full diff patched).size} missing")
+    // the update only contains keys the batch actually touches
+    val batchKeys = rows(queries.Retrieval.invertedPostings(batch))
+      .map(r => (r._1, r._2))
+    assert(touchedKeys == batchKeys, "touched set != batch key set")
+  }
 }
