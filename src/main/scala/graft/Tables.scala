@@ -20,24 +20,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy conf) and
-    * truncate to a microsecond TimestampType — the same ns→µs truncation
-    * DuckDB applies on `CAST(ts AS TIMESTAMP)`, so oracle comparisons agree.
-    * Integer `div` (not `/`) — ns since epoch ≈ 1.7e18 exceeds double
-    * precision (2^53).
+  /** Normalizes `events.ts` to a microsecond instant (TimestampType)
+    * whatever the fixture's physical parquet shape is — driver
+    * regenerations have shipped it three ways:
+    *  - TIMESTAMP(NANOS), which Spark's reader rejects
+    *    ([PARQUET_TYPE_ILLEGAL]) unless the nanosAsLong legacy conf
+    *    surfaces it as LongType: truncate ns→µs — the same truncation
+    *    DuckDB applies on `CAST(ts AS TIMESTAMP)`. Integer `div` (not
+    *    `/`) — ns since epoch ≈ 1.7e18 exceeds double precision (2^53).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), inferred as
+    *    TIMESTAMP_NTZ: cast to TimestampType. All entry points pin
+    *    `spark.sql.session.timeZone=UTC`, so the cast is
+    *    micros-preserving and agrees with DuckDB's naive-timestamp read.
+    *  - ordinary UTC-adjusted µs/ms timestamp: pass through.
     */
   def events(s: SparkSession, d: String): DataFrame =
     withNanosAsLong(s) {
-      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       val t = table(s, d, "events")
-      // the driver fixture is TIMESTAMP(NANOS) parquet, which the nanos
-      // scope surfaces as LongType; a user's ordinary µs/ms parquet
-      // arrives already typed — pass it through instead of failing the
-      // `ts div 1000` analysis on a timestamp column
       t.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
+        case LongType =>
           t.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          t.withColumn("ts", col("ts").cast(TimestampType))
         case _ => t
       }
     }

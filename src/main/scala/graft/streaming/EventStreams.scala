@@ -77,6 +77,30 @@ object EventStreams {
     * skipped rather than yanking the flag out from under the new
     * stream's first micro-batch. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // Sniff the fixture's physical ts shape from a batch footer read
+    // (scoped nanos conf — a no-op for non-nanos files) and normalize to
+    // a µs instant, mirroring graft.Tables.events. Only the
+    // TIMESTAMP(NANOS) shape needs the stream-lifetime legacy flag; the
+    // µs-NTZ and µs-instant shapes read with an ordinary typed schema.
+    val tsType = graft.Tables.withNanosAsLong(spark)(
+      spark.read.parquet(dir)).schema("ts").dataType
+    def stream(t: DataType) =
+      spark.readStream
+        .schema(StructType(rawSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = t) else f)))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+    tsType match {
+      case TimestampNTZType =>
+        // session tz is pinned UTC at every entry point, so the cast is
+        // micros-preserving (same instants as the batch loader)
+        return stream(TimestampNTZType)
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType =>
+        return stream(TimestampType)
+      case _ => () // LongType: TIMESTAMP(NANOS) — fall through to the
+                   // stream-lifetime legacy-flag path below
+    }
     // same lock as Tables.withNanosAsLong: without it, a concurrent
     // batch loader's save/restore scope could snapshot the flag as
     // unset and then clear it underneath this query's micro-batches

@@ -123,37 +123,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() == 0)
   }
 
-  test("streaming SCD-2 twin carries open runs across micro-batches") {
-    // time-split files -> two micro-batches (maxFilesPerTrigger=1): a
-    // run that STARTS in batch A and closes in batch B must emit with
-    // its valid_from carried through state, not batch B's first sight
-    val d = Files.createTempDirectory("events_scd")
-    val tmpA = Files.createTempDirectory("scd_a").toString
-    val tmpB = Files.createTempDirectory("scd_b").toString
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = spark.conf.getOption(key)
-    try {
-      spark.conf.set(key, "true")
-      val raw = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
-      val mid = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
-      raw.filter(col("ts") <= mid).coalesce(1)
-        .write.mode("overwrite").parquet(tmpA)
-      raw.filter(col("ts") > mid).coalesce(1)
-        .write.mode("overwrite").parquet(tmpB)
-    } finally {
-      prior match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    }
+  /** Splits the sf0.001 events fixture at its median timestamp into two
+    * single-file micro-batches (file a triggers before b). Reads through
+    * `Tables.events`, so the split is agnostic to the fixture's physical
+    * encoding (ns-long, µs-NTZ, µs-instant — driver regenerations have
+    * shipped all three); the written halves are ordinary µs instants,
+    * which `readEvents` sniffs and passes through typed. */
+  private def timeSplitEventsDir(tag: String): java.nio.file.Path = {
+    val d = Files.createTempDirectory(s"events_$tag")
+    val tmpA = Files.createTempDirectory(s"${tag}_a").toString
+    val tmpB = Files.createTempDirectory(s"${tag}_b").toString
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .withColumn("us", unix_micros(col("ts")))
+    val mid = ev.stat.approxQuantile("us", Array(0.5), 0.0)(0).toLong
+    ev.filter(col("us") <= mid).drop("us").coalesce(1)
+      .write.mode("overwrite").parquet(tmpA)
+    ev.filter(col("us") > mid).drop("us").coalesce(1)
+      .write.mode("overwrite").parquet(tmpB)
     def partOf(dir: String) = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).head.toPath
     val fa = d.resolve("a.parquet")
     val fb = d.resolve("b.parquet")
     Files.copy(partOf(tmpA), fa)
     Files.copy(partOf(tmpB), fb)
-    fa.toFile.setLastModified(1000000L)
+    fa.toFile.setLastModified(1000000L) // file source processes a before b
     fb.toFile.setLastModified(2000000L)
+    d
+  }
+
+  test("streaming SCD-2 twin carries open runs across micro-batches") {
+    // time-split files -> two micro-batches (maxFilesPerTrigger=1): a
+    // run that STARTS in batch A and closes in batch B must emit with
+    // its valid_from carried through state, not batch B's first sight
+    val d = timeSplitEventsDir("scd")
     val stream = EventStreams.streamingStateIntervals(
       EventStreams.readEvents(spark, d.toString))
     val got = EventStreams.runToMemory(stream.toDF(), "scd_mb_out",
@@ -172,33 +174,7 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming last-touch twin equals batch q100 across micro-batches") {
     // same two-file time split as the SCD twin: purchases in batch B
     // must credit touches whose state was written in batch A
-    val d = Files.createTempDirectory("events_lt")
-    val tmpA = Files.createTempDirectory("lt_a").toString
-    val tmpB = Files.createTempDirectory("lt_b").toString
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = spark.conf.getOption(key)
-    try {
-      spark.conf.set(key, "true")
-      val raw = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
-      val mid = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
-      raw.filter(col("ts") <= mid).coalesce(1)
-        .write.mode("overwrite").parquet(tmpA)
-      raw.filter(col("ts") > mid).coalesce(1)
-        .write.mode("overwrite").parquet(tmpB)
-    } finally {
-      prior match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    }
-    def partOf(dir: String) = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head.toPath
-    val fa = d.resolve("a.parquet")
-    val fb = d.resolve("b.parquet")
-    Files.copy(partOf(tmpA), fa)
-    Files.copy(partOf(tmpB), fb)
-    fa.toFile.setLastModified(1000000L)
-    fb.toFile.setLastModified(2000000L)
+    val d = timeSplitEventsDir("lt")
     val stream = EventStreams.streamingLastTouch(
       EventStreams.readEvents(spark, d.toString))
     val got = EventStreams.runToMemory(stream.toDF(), "lt_out",
@@ -215,34 +191,7 @@ class StreamingSpec extends AnyFunSuite {
     // fall inside the first's 7-day windows, so incremental sketch
     // merges AND window re-emission are both exercised, not just a
     // single-batch replay of the batch plan
-    val d = Files.createTempDirectory("events_hll")
-    val tmpA = Files.createTempDirectory("hll_a").toString
-    val tmpB = Files.createTempDirectory("hll_b").toString
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = spark.conf.getOption(key)
-    try {
-      // raw ns-longs preserved so readEvents' LongType schema holds
-      spark.conf.set(key, "true")
-      val raw = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
-      val mid = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
-      raw.filter(col("ts") <= mid).coalesce(1)
-        .write.mode("overwrite").parquet(tmpA)
-      raw.filter(col("ts") > mid).coalesce(1)
-        .write.mode("overwrite").parquet(tmpB)
-    } finally {
-      prior match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    }
-    def partOf(dir: String) = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head.toPath
-    val fa = d.resolve("a.parquet")
-    val fb = d.resolve("b.parquet")
-    Files.copy(partOf(tmpA), fa)
-    Files.copy(partOf(tmpB), fb)
-    fa.toFile.setLastModified(1000000L) // file-source processes a before b
-    fb.toFile.setLastModified(2000000L)
+    val d = timeSplitEventsDir("hll")
     val stream = EventStreams.streamingRollingUsersSketch(
       EventStreams.readEvents(spark, d.toString))
     val all = EventStreams.runToMemory(stream.toDF(), "hll_twin_out",
@@ -365,46 +314,21 @@ class StreamingSpec extends AnyFunSuite {
     // with the flag restored, a batch events read through the scoped
     // loader still yields TYPED timestamps (the scope sets and restores
     // around analysis), and the session default is back: a raw read of
-    // the TIMESTAMP(NANOS) file no longer silently produces longs
+    // the fixture must not silently produce longs. Only the
+    // TIMESTAMP(NANOS) fixture shape has an error symptom (Spark's
+    // default rejects nanos); a µs fixture legitimately reads typed.
     val ts = Tables.events(spark, TestSpark.sf0001).schema("ts").dataType
     assert(ts == org.apache.spark.sql.types.TimestampType)
-    val raw = intercept[Throwable] {
-      spark.read.parquet(s"$eventsDir/events.parquet")
-        .select("ts").collect()
-    }
-    assert(raw != null) // default nanos behavior (error), not silent longs
+    val rawTs = scala.util.Try(
+      spark.read.parquet(s"$eventsDir/events.parquet").schema("ts").dataType)
+    assert(rawTs.toOption.forall(_ != org.apache.spark.sql.types.LongType),
+      "raw read produced longs: nanosAsLong leaked past stream termination")
   }
 
   test("streaming histogram quantile twin equals batch q107 exactly") {
     // same two-file time split as the HLL twin: batch B's days land
     // inside batch A's 7-day windows, exercising merge + re-emission
-    val d = Files.createTempDirectory("events_hist")
-    val tmpA = Files.createTempDirectory("hist_a").toString
-    val tmpB = Files.createTempDirectory("hist_b").toString
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = spark.conf.getOption(key)
-    try {
-      spark.conf.set(key, "true")
-      val raw = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
-      val mid = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
-      raw.filter(col("ts") <= mid).coalesce(1)
-        .write.mode("overwrite").parquet(tmpA)
-      raw.filter(col("ts") > mid).coalesce(1)
-        .write.mode("overwrite").parquet(tmpB)
-    } finally {
-      prior match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    }
-    def partOf(dir: String) = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head.toPath
-    val fa = d.resolve("a.parquet")
-    val fb = d.resolve("b.parquet")
-    Files.copy(partOf(tmpA), fa)
-    Files.copy(partOf(tmpB), fb)
-    fa.toFile.setLastModified(1000000L)
-    fb.toFile.setLastModified(2000000L)
+    val d = timeSplitEventsDir("hist")
     val stream = EventStreams.streamingQuantileRollup(
       EventStreams.readEvents(spark, d.toString))
     val all = EventStreams.runToMemory(stream.toDF(), "hist_twin_out",
