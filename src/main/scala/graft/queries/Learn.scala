@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Learned-model corpus operators (SURVEY.md §2.8, round-9): the two
+  * classic trained-from-the-corpus primitives a curation pipeline runs
+  * once the counting/scoring ops exist — a multinomial Naive Bayes text
+  * classifier (McCallum & Nigam 1998, "A Comparison of Event Models for
+  * Naive Bayes Text Classification"; the langid.py-style language
+  * identifier and the shape of every fastText-ish quality filter) and
+  * full-corpus Lloyd k-means over the embedding store (Lloyd 1982) —
+  * the partition-everything counterpart to q48's sample-fit IVF
+  * centroids, feeding cluster-balanced sampling and q111's SemDeDup
+  * seam.
+  *
+  * Parity recipes (inherited, all hash-proven):
+  *  - per-term ln is computed in double and cast DECIMAL(28,12) BEFORE
+  *    the per-doc/class sum (q113/q118): the decimal sum is
+  *    order-free, and the quantization sits 6 orders below the
+  *    checker's rounding, absorbing cross-libm ulp wobble;
+  *  - distances are the pinned index-ordered double fold of
+  *    q25/q105/q111 — pure IEEE +,-,× on bit-identical inputs, so both
+  *    engines compare bit-identical doubles at the argmin;
+  *  - centroid means use q66's exact-decimal recipe: float→double
+  *    widening (exact), DECIMAL(20,10) cast, order-free decimal sum,
+  *    ONE double division.
+  */
+object Learn {
+
+  // ---------------------------------------------------------------- q125
+
+  private val trainMod = 5 // doc_id % 5 != 0 trains, == 0 is scored
+
+  /** Core of q125: train a Laplace-smoothed multinomial NB on the
+    * `doc_id % trainMod != 0` slice (classes = `lang`), score every
+    * held-out doc against every class, emit the argmax prediction.
+    *
+    * P(c|d) ∝ ln(nd_c/nd) + Σ_tok ln((c(c,w)+1)/(tot_c+V)); V =
+    * distinct train word types. Unseen words get the 1/(tot_c+V)
+    * floor — the standard smoothing, identical on both engines.
+    *
+    * Scale shape (100 TB): the model is vocabulary×k bounded — two
+    * hash-aggs with map-side combine build it, and it joins back to
+    * the token stream on (word, class) (AQE broadcasts it while it
+    * fits; no hint — a web-scale vocabulary can outgrow a broadcast
+    * and then a shuffle join on `word` is the right plan). Scoring is
+    * ONE pass over held-out tokens × k classes (k is small and
+    * bounded), one (doc, class) hash-agg, and a k-row argmin window
+    * per doc. Nothing is ever corpus × corpus, and nothing global
+    * sorts.
+    */
+  def nbLangId(docs: DataFrame): DataFrame = {
+    val base = docs.filter(col("text").isNotNull && col("lang").isNotNull)
+    val toks = base
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val train = toks.filter(col("doc_id") % trainMod =!= 0)
+    // vocabulary×k model: per-(class, word) counts + per-class totals
+    val cc = train.groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("lang").as("m_lang"), col("word"), col("c"))
+    val tots = cc.groupBy(col("m_lang")).agg(sum(col("c")).as("tot"))
+    val vsz = train.select(col("word")).distinct()
+      .agg(count(lit(1)).as("vsz"))
+    // document priors from the train slice
+    val trainDocs = base.filter(col("doc_id") % trainMod =!= 0)
+    val nAll = trainDocs.agg(count(lit(1)).as("nall"))
+    val classes = trainDocs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+      .select(col("lang").as("m_lang"), col("nd"))
+      .join(tots, Seq("m_lang"))
+      .crossJoin(broadcast(vsz)).crossJoin(broadcast(nAll))
+      .select(col("m_lang"), col("nd"), col("tot"), col("vsz"), col("nall"))
+    // score: held-out tokens × k classes, left join the count model
+    val test = toks.filter(col("doc_id") % trainMod === 0)
+    val terms = test.crossJoin(broadcast(classes))
+      .join(cc, Seq("m_lang", "word"), "left")
+      .select(col("doc_id"), col("lang"), col("m_lang"),
+        col("nd"), col("nall"),
+        expr("CAST(ln((COALESCE(c, CAST(0 AS BIGINT)) + CAST(1.0 AS DOUBLE))" +
+          " / (tot + vsz)) AS DECIMAL(28,12))").as("nl"))
+    val scored = terms
+      .groupBy(col("doc_id"), col("lang"), col("m_lang"),
+        col("nd"), col("nall"))
+      .agg(sum(col("nl")).as("sum_nl"))
+      .select(col("doc_id"), col("lang"), col("m_lang"),
+        (col("sum_nl") +
+          expr("CAST(ln(CAST(nd AS DOUBLE) / nall) AS DECIMAL(28,12))"))
+          .as("loglik"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("loglik").desc, col("m_lang").asc)))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        col("m_lang").as("pred_lang"),
+        col("loglik").cast("double").as("loglik"),
+        (col("m_lang") === col("lang")).as("correct"))
+  }
+
+  /** q125 — multinomial Naive Bayes language ID, trained on the 4/5
+    * deterministic doc slice and scored on the held-out 1/5. */
+  val q125: Q = Q(
+    "q125_nb_langid",
+    run = { (spark, dir) => nbLangId(Tables.documentsParallel(spark, dir)) },
+    oracle = Some(s"""
+      WITH base AS (SELECT doc_id, lang, text FROM documents
+                    WHERE text IS NOT NULL AND lang IS NOT NULL),
+      toks AS (SELECT doc_id, lang, word
+               FROM (SELECT doc_id, lang,
+                       unnest(string_split(text, ' ')) AS word
+                     FROM base)
+               WHERE len(word) > 0),
+      train AS (SELECT * FROM toks WHERE doc_id % $trainMod != 0),
+      cc AS (SELECT lang AS m_lang, word, CAST(count(*) AS BIGINT) AS c
+             FROM train GROUP BY 1, 2),
+      tots AS (SELECT m_lang, CAST(sum(c) AS BIGINT) AS tot
+               FROM cc GROUP BY 1),
+      v AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS vsz FROM train),
+      td AS (SELECT lang, doc_id FROM base WHERE doc_id % $trainMod != 0),
+      nall AS (SELECT CAST(count(*) AS BIGINT) AS nall FROM td),
+      cls AS (SELECT t.m_lang, p.nd, t.tot, v.vsz, nall.nall
+              FROM tots t
+              JOIN (SELECT lang AS m_lang, CAST(count(*) AS BIGINT) AS nd
+                    FROM td GROUP BY 1) p ON p.m_lang = t.m_lang
+              CROSS JOIN v CROSS JOIN nall),
+      test AS (SELECT * FROM toks WHERE doc_id % $trainMod = 0),
+      terms AS (
+        SELECT t.doc_id, t.lang, k.m_lang, k.nd, k.nall,
+          CAST(ln((COALESCE(c.c, 0) + CAST(1.0 AS DOUBLE)) /
+            (k.tot + k.vsz)) AS DECIMAL(28,12)) AS nl
+        FROM test t
+        CROSS JOIN cls k
+        LEFT JOIN cc c ON c.m_lang = k.m_lang AND c.word = t.word),
+      scored AS (
+        SELECT doc_id, lang, m_lang,
+          sum(nl) + CAST(ln(CAST(any_value(nd) AS DOUBLE) /
+            any_value(nall)) AS DECIMAL(28,12)) AS loglik
+        FROM terms GROUP BY doc_id, lang, m_lang),
+      r AS (SELECT doc_id, lang, m_lang, loglik,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY loglik DESC, m_lang ASC) AS rnk
+            FROM scored)
+      SELECT doc_id, lang AS true_lang, m_lang AS pred_lang,
+        CAST(loglik AS DOUBLE) AS loglik, (m_lang = lang) AS correct
+      FROM r WHERE rnk = 1"""))
+
+  // ---------------------------------------------------------------- q126
+
+  private val kClusters = 8
+  private val nIters = 4
+
+  /** One assignment pass: every vector to its nearest center by squared
+    * L2 (index-ordered fold), ties by center_id. `centers` is a
+    * (center_id, centroid: array<double>) frame small enough to
+    * broadcast — k·dim doubles. */
+  private def assign(e: DataFrame, centers: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centers))
+      .withColumn("dist_sq", expr(
+        "aggregate(zip_with(embedding, centroid," +
+          " (v, m) -> (CAST(v AS DOUBLE) - m) * (CAST(v AS DOUBLE) - m))," +
+          " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("arnk", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("dist_sq").asc, col("center_id").asc)))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("center_id").as("cluster"),
+        col("dist_sq"), col("embedding"))
+
+  /** Core of q126: Lloyd k-means over the full embedding store —
+    * deterministic init (the k lowest vec_ids), `iters` rounds of
+    * assign + exact-decimal centroid update, final assignment out.
+    *
+    * Scale shape (100 TB): each round is ONE corpus scan against a
+    * broadcast of k·dim doubles (assignment is embarrassingly parallel;
+    * the only shuffle is the (cluster, pos) centroid agg — k·dim keys,
+    * map-side combined), and the driver collects exactly k·dim mean
+    * rows per round (the bpeLearn/q121 bounded-collect contract; k and
+    * dim are operator constants, never data-sized). Contrast q48's
+    * ivfBuild, which FITS on a sample — this is the partition-
+    * everything path for when assignment quality must come from every
+    * row. An empty cluster drops out of the next round on both engines
+    * (standard Lloyd; k shrinks deterministically).
+    */
+  def kmeans(embeddings: DataFrame, k: Int = kClusters,
+      iters: Int = nIters): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    // deterministic seeds: the k lowest vec_ids, center_id by that order
+    val seeds = e.orderBy(col("vec_id").asc).limit(k)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+    var centers = seeds.toSeq.toDF("center_id", "centroid")
+    for (_ <- 1 to iters) {
+      // exact-decimal per-(cluster, pos) means (q66), k·dim rows
+      val means = assign(e, centers)
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("double").cast("decimal(20,10)"))
+            .cast("double").as("sum_v"))
+        .select(col("cluster"), col("pos"), (col("sum_v") / col("n")).as("m"))
+        .collect()
+      centers = means
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }
+        .toSeq.sortBy(_._1)
+        .toDF("center_id", "centroid")
+    }
+    assign(e, centers).select(col("vec_id"), col("cluster"), col("dist_sq"))
+  }
+
+  /** The q126 iteration rounds as generated MATERIALIZED CTEs (the
+    * q101/q117 iterative-oracle recipe): cent0 = seeds, then per round
+    * aN (assignment) → cN (exact-decimal means) → centN (re-formed
+    * arrays). */
+  private def kmeansCtes: String = {
+    val rounds = (1 to nIters).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |        SELECT vec_id, cluster, dist_sq, embedding FROM (
+         |          SELECT e.vec_id, c.center_id AS cluster, e.embedding,
+         |            list_sum(list_transform(
+         |              list_zip(e.embedding::DOUBLE[], c.centroid),
+         |              x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist_sq,
+         |            row_number() OVER (PARTITION BY e.vec_id
+         |              ORDER BY list_sum(list_transform(
+         |                list_zip(e.embedding::DOUBLE[], c.centroid),
+         |                x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+         |                c.center_id ASC) AS arnk
+         |          FROM e CROSS JOIN cent${i - 1} c)
+         |        WHERE arnk = 1),
+         |      c$i AS MATERIALIZED (
+         |        SELECT cluster, CAST(pos AS INTEGER) AS pos,
+         |          CAST(count(*) AS BIGINT) AS n,
+         |          sum(CAST(CAST(embedding[pos + 1] AS DOUBLE)
+         |            AS DECIMAL(20,10))) AS sum_dec
+         |        FROM (SELECT cluster, embedding,
+         |                unnest(generate_series(0, len(embedding) - 1)) AS pos
+         |              FROM a$i)
+         |        GROUP BY cluster, pos),
+         |      cent$i AS MATERIALIZED (
+         |        SELECT cluster AS center_id,
+         |          list(CAST(CAST(sum_dec AS VARCHAR) AS DOUBLE) / n
+         |            ORDER BY pos) AS centroid
+         |        FROM c$i GROUP BY cluster)""".stripMargin
+    }.mkString(",\n      ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL),
+      cent0 AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER)
+            AS center_id,
+          embedding::DOUBLE[] AS centroid
+        FROM (SELECT vec_id, embedding FROM e
+              ORDER BY vec_id ASC LIMIT $kClusters)),
+      $rounds"""
+  }
+
+  /** q126 — full-corpus Lloyd k-means (k=8, 4 rounds): final cluster
+    * assignment of every vector. */
+  val q126: Q = Q(
+    "q126_kmeans",
+    run = { (spark, dir) => kmeans(Tables.embeddings(spark, dir)) },
+    oracle = Some(s"""
+      $kmeansCtes,
+      fin AS (
+        SELECT vec_id, cluster, dist_sq FROM (
+          SELECT e.vec_id, c.center_id AS cluster,
+            list_sum(list_transform(
+              list_zip(e.embedding::DOUBLE[], c.centroid),
+              x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist_sq,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_sum(list_transform(
+                list_zip(e.embedding::DOUBLE[], c.centroid),
+                x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+                c.center_id ASC) AS arnk
+          FROM e CROSS JOIN cent$nIters c)
+        WHERE arnk = 1)
+      SELECT vec_id, cluster, dist_sq FROM fin"""))
+
+  val all: Seq[Q] = Seq(q125, q126)
+}

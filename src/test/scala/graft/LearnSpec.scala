@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Learn
+
+/** Behavioral tests for the learned-model operators (q125 NB
+  * classifier, q126 Lloyd k-means). Oracle parity is covered by the
+  * driver gate; these pin the LEARNING behavior on separable synthetic
+  * fixtures (the registry fixture's lang labels are uncorrelated with
+  * its shared-vocabulary text, so fixture accuracy only reflects the
+  * class prior — by design not asserted here).
+  */
+class LearnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsOf(rows: Seq[(Long, String, String)]) =
+    rows.map { case (id, lang, text) => (id, text, lang, "srcX", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("q125 NB learns a separable vocabulary: held-out accuracy 1.0") {
+    // three classes with disjoint vocabularies; doc_id % 5 == 0 held out
+    val words = Map("aa" -> "alpha beta gamma", "bb" -> "delta eps zeta",
+      "cc" -> "eta theta iota")
+    val rows = (0L until 60L).map { i =>
+      val lang = Seq("aa", "bb", "cc")((i % 3).toInt)
+      (i, lang, s"${words(lang)} ${words(lang)}")
+    }
+    val out = Learn.nbLangId(docsOf(rows)).cache()
+    assert(out.count() == 12) // 60/5 held out
+    assert(out.filter(!col("correct")).count() == 0,
+      "disjoint vocabularies must classify perfectly")
+    assert(out.filter(col("pred_lang") === col("true_lang")).count() == 12)
+  }
+
+  test("q125 scores exactly the held-out docs that have tokens") {
+    val rows = Seq(
+      (0L, "aa", "alpha beta"), (1L, "aa", "alpha alpha"),
+      (2L, "bb", "delta eps"), (3L, "bb", "delta"),
+      (4L, "bb", "eps eps"), (5L, "aa", "beta"),
+      (10L, "aa", ""))  // held out but token-free: not scored
+    val out = Learn.nbLangId(docsOf(rows))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(0L, 5L))
+    val preds = out.select("pred_lang").distinct().as[String].collect().toSet
+    assert(preds.subsetOf(Set("aa", "bb")), "prediction outside train classes")
+  }
+
+  test("q126 k-means recovers well-separated blobs with full purity") {
+    // 3 blobs far apart in 4-d; k=3, deterministic seeds land one per
+    // blob is NOT guaranteed, but Lloyd converges to the blobs in 4
+    // rounds from any seed split because inter-blob distance >> intra
+    val blobs = Seq(
+      (0, Seq(0.0, 0.0, 0.0, 0.0)), (1, Seq(100.0, 0.0, 0.0, 0.0)),
+      (2, Seq(0.0, 100.0, 0.0, 0.0)))
+    val rows = (0L until 90L).map { i =>
+      val b = (i % 3).toInt
+      val base = blobs(b)._2
+      // deterministic jitter well inside the blob radius
+      val jit = base.zipWithIndex.map { case (v, d) =>
+        (v + ((i * 7 + d * 3) % 5).toDouble * 0.1).toFloat }
+      (i, jit, b)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "blob")
+    val out = Learn.kmeans(emb, k = 3, iters = 4)
+      .join(emb.select(col("vec_id"), col("blob")), "vec_id")
+    // purity: every cluster maps to exactly one blob and vice versa
+    val m = out.groupBy("cluster", "blob").count()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(m.size == 3, s"expected a 1:1 cluster-blob map, got $m")
+    assert(m.map(_._1).distinct.size == 3 && m.map(_._2).distinct.size == 3)
+  }
+
+  test("q126 assignment is invariant under input repartitioning") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val a = Learn.kmeans(emb, k = 4, iters = 2)
+    val b = Learn.kmeans(emb.repartition(13), k = 4, iters = 2)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "k-means must be deterministic: exact-decimal means + ordered folds")
+  }
+}
