@@ -219,5 +219,104 @@ object Lexical {
           / n_terms AS intercept
       FROM s"""))
 
-  val all: Seq[Q] = Seq(q112, q113)
+  /** Q127 — sparse all-pairs cosine similarity over TF-IDF vectors
+    * (Bayardo, Ma & Srikant 2007, "Scaling Up All Pairs Similarity
+    * Search" — the inverted-index self-join with a document-frequency
+    * prune): document pairs whose boilerplate-pruned TF-IDF cosine
+    * reaches τ. The sparse counterpart to the dense q25/q32 family —
+    * what near-dup detection runs when there ARE no embeddings.
+    *
+    * Semantics (pinned): vectors are built over tokens with df ≤ dfCap
+    * (high-df tokens are boilerplate — the paper's prune, q71's
+    * principle — and df-1 tokens can't contribute to any pair, but DO
+    * count toward norms); pairs join only on df ∈ [2, dfCap], so the
+    * candidate set is Σ df² over kept tokens — bucket-bounded exactly
+    * like q30's LSH bands, never all-pairs.
+    *
+    * Parity recipe: idf = ln(N/df) quantized DECIMAL(18,9) ONCE per
+    * token (cross-libm ulp sits 7 orders below the quantum); every
+    * weight/product after that is IEEE double arithmetic on
+    * bit-identical inputs, and the two reductions (norm², pair dot)
+    * cast each term to DECIMAL(28,12) before the order-free sum; sqrt
+    * is correctly-rounded IEEE. Both engines therefore compare
+    * bit-identical cosines at the τ knife edge.
+    *
+    * Scale shape (100 TB): tf/df/norms are corpus-sized hash-aggs with
+    * map-side combine; the pair join is the df-capped inverted-index
+    * self-join (per-token buckets ≤ dfCap rows — the skew bound); the
+    * τ filter prunes before the final projection. No global sort, no
+    * broadcast of anything data-sized. */
+  def sparseAllPairs(docs: org.apache.spark.sql.DataFrame,
+      dfCap: Int = 50, tau: Double = 0.30): org.apache.spark.sql.DataFrame = {
+    val tf = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = tf.agg(countDistinct(col("doc_id")).as("n"))
+    val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val w = tf.join(dfTab, "tok").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"), col("df"),
+        (col("tf") *
+          expr("CAST(CAST(ln(CAST(n AS DOUBLE) / df) AS DECIMAL(18,9)) AS DOUBLE)"))
+          .as("w"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum((col("w") * col("w")).cast("decimal(28,12)"))
+        .cast("double")).as("nrm"))
+    val joinable = w.filter(col("df") >= 2)
+      .select(col("tok"), col("doc_id"), col("w"))
+    val dots = joinable.alias("a")
+      .join(joinable.select(col("tok").as("tok_b"), col("doc_id").as("doc_b"),
+          col("w").as("w_b")),
+        col("tok") === col("tok_b") && col("doc_id") < col("doc_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(sum((col("w") * col("w_b")).cast("decimal(28,12)"))
+        .cast("double").as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("nrm_a")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nrm_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("dot") / (col("nrm_a") * col("nrm_b"))).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+  }
+
+  val q127: Q = Q(
+    "q127_allpairs_sparse",
+    run = { (spark, dir) =>
+      sparseAllPairs(Tables.documentsParallel(spark, dir))
+    },
+    oracle = Some("""
+      WITH tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE text IS NOT NULL)
+        WHERE len(tok) > 0
+        GROUP BY doc_id, tok),
+      n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+      dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf
+              GROUP BY tok HAVING count(*) <= 50),
+      w AS (SELECT t.doc_id, t.tok, d.df,
+              t.tf * CAST(CAST(ln(CAST(n.n AS DOUBLE) / d.df)
+                AS DECIMAL(18,9)) AS DOUBLE) AS w
+            FROM tf t JOIN dft d ON d.tok = t.tok CROSS JOIN n),
+      norms AS (
+        SELECT doc_id,
+          sqrt(CAST(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS VARCHAR)
+            AS DOUBLE)) AS nrm
+        FROM w GROUP BY doc_id),
+      dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(CAST(sum(CAST(a.w * b.w AS DECIMAL(28,12))) AS VARCHAR)
+            AS DOUBLE) AS dot
+        FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        WHERE a.df >= 2
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT d.doc_a, d.doc_b, d.dot / (na.nrm * nb.nrm) AS cos_sim
+      FROM dots d
+      JOIN norms na ON na.doc_id = d.doc_a
+      JOIN norms nb ON nb.doc_id = d.doc_b
+      WHERE d.dot / (na.nrm * nb.nrm) >= 0.30"""))
+
+  val all: Seq[Q] = Seq(q112, q113, q127)
 }

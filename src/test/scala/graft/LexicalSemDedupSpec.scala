@@ -192,4 +192,45 @@ class LexicalSemDedupSpec extends AnyFunSuite {
     assert(!rows.contains("mono"), "single-token source must be excluded")
     assert(rows.contains("flat") && !rows("flat").isNaN)
   }
+
+  // --- q127 sparse all-pairs cosine ---
+
+  private def apDocs(rows: Seq[(Long, String)]) =
+    rows.map { case (id, t) => (id, t, "en", "srcX", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("allpairs: near-identical docs score high, disjoint docs are absent") {
+    val docs = apDocs(Seq(
+      (1L, "alpha beta gamma delta eps"),
+      (2L, "alpha beta gamma delta zeta"),   // 4/5 token overlap with 1
+      (3L, "omega psi chi phi upsilon")))    // disjoint vocabulary
+    val out = Lexical.sparseAllPairs(docs, dfCap = 50, tau = 0.30)
+      .select("doc_a", "doc_b", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"expected only the overlapping pair, got ${out.toSeq}")
+    // in a 3-doc corpus the df-1 unique tokens carry ln(3) idf vs the
+    // shared tokens' ln(3/2), so a 4/5 token overlap lands near 0.35 —
+    // correct TF-IDF down-weighting of shared-but-common terms
+    assert(out.head._3 > 0.30 && out.head._3 <= 1.0 + 1e-9)
+  }
+
+  test("allpairs: df cap drops boilerplate tokens from pair generation") {
+    // 'common' appears in every doc; with dfCap below the corpus size it
+    // is pruned, so docs sharing ONLY it produce no pair
+    val docs = apDocs(Seq(
+      (1L, "common alpha beta"), (2L, "common gamma delta"),
+      (3L, "common eps zeta"), (4L, "common eta theta")))
+    val out = Lexical.sparseAllPairs(docs, dfCap = 3, tau = 0.0)
+    assert(out.count() == 0,
+      "pairs sharing only a df-capped token must not be generated")
+  }
+
+  test("allpairs is deterministic under repartitioning") {
+    val docs = Tables.documentsParallel(spark, TestSpark.sf0001)
+    val a = Lexical.sparseAllPairs(docs)
+    val b = Lexical.sparseAllPairs(docs.repartition(7))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "decimal-quantized idf + order-free sums must make pairs exact")
+  }
 }
