@@ -613,6 +613,50 @@ object ScaleDryRun {
       docs10.filter(col("doc_id") % 10 =!= 7), batchFixed))
     println(f"[scale-dry-run] q124_update_1x         $tPu1%8.2f s  ($nPu1 rows)")
     println(f"[scale-dry-run] q124_update_10x        $tPu10%8.2f s  ($nPu10 rows, ratio ${tPu10 / tPu1}%.1fx — fixed batch, 10x corpus)")
+
+    // ---- q116 winnowed containment: the composed scale modality vs ----
+    // ---- exact q97 on the SAME shuffled-copy corpus ----
+    // The shuffled copies decorrelate shingles, so the exact modality's
+    // rare-shingle universe grows with the corpus (its 100x worst case,
+    // measured 19.1x); the winnowing blocker proposes candidates from
+    // df-capped fingerprint buckets instead, and the exact arithmetic
+    // verifies only those — growth should track the candidate set.
+    val (tWc1, nWc1) = timed(graft.queries.TextOps.winnowedContainment(
+      docs0.filter(col("text").isNotNull)))
+    val (tWc10, nWc10) = timed(graft.queries.TextOps.winnowedContainment(
+      docs10.filter(col("text").isNotNull)))
+    println(f"[scale-dry-run] q116_winnowed_1x       $tWc1%8.2f s  ($nWc1 pairs; exact q97 took $tCont1%.2f s)")
+    println(f"[scale-dry-run] q116_winnowed_10x      $tWc10%8.2f s  ($nWc10 pairs, ratio ${tWc10 / tWc1}%.1fx; exact q97 took $tCont10%.2f s)")
+
+    // ---- q117-q119 tokenizer family ----
+    // q117: ONE corpus-sized wordFreqs scan feeds a vocabulary-bounded
+    // staged table; the 12 merge rounds then cost the same at any
+    // corpus size — the ratio isolates the scan.
+    val (tBpe1, _) = timed(graft.queries.Tokenize.bpeLearn(
+      docs0.filter(col("text").isNotNull)))
+    val (tBpe10, _) = timed(graft.queries.Tokenize.bpeLearn(
+      docs10.filter(col("text").isNotNull)))
+    println(f"[scale-dry-run] q117_bpe_learn_1x      $tBpe1%8.2f s")
+    println(f"[scale-dry-run] q117_bpe_learn_10x     $tBpe10%8.2f s  (ratio ${tBpe10 / tBpe1}%.1fx — rounds are vocab-bounded)")
+    // q118: model tables are slice-bounded (train slice = 1/|sources|
+    // of the corpus), scoring is one broadcast-join expression pass
+    val (tLm1, _) = timed(graft.queries.Tokenize.lmScore(
+      docs0.filter(col("text").isNotNull)))
+    val (tLm10, _) = timed(graft.queries.Tokenize.lmScore(
+      docs10.filter(col("text").isNotNull)))
+    println(f"[scale-dry-run] q118_lm_score_1x       $tLm1%8.2f s")
+    println(f"[scale-dry-run] q118_lm_score_10x      $tLm10%8.2f s  (ratio ${tLm10 / tLm1}%.1fx)")
+    // q119: learn (vocab-bounded rounds) + whole-corpus expression
+    // apply + the per-source packing window
+    val (tSp1, _) = timed(graft.queries.Tokenize.subwordPack(
+      docs0.filter(col("text").isNotNull)))
+    val (tSp10, _) = timed(graft.queries.Tokenize.subwordPack(
+      docs10.filter(col("text").isNotNull)))
+    println(f"[scale-dry-run] q119_subword_pack_1x   $tSp1%8.2f s")
+    println(f"[scale-dry-run] q119_subword_pack_10x  $tSp10%8.2f s  (ratio ${tSp10 / tSp1}%.1fx)")
+    // q121 MMR is not separately measured: its distributed half is the
+    // q25-shaped top-nCand relevance scan (measured above); the greedy
+    // consumes a CONSTANT 32^2 integer matrix regardless of corpus size.
     spark.stop()
   }
 }
