@@ -122,5 +122,100 @@ object SubstrDedup {
       GROUP BY doc_a, doc_b, diag, island
       HAVING count(*) + ${kGram - 1} >= $minLenT"""))
 
-  val all: Seq[Q] = Seq(q128)
+  /** Core of q129: cut every duplicated span from its LATER copy (the
+    * doc with the higher id keeps the hole; the first occurrence
+    * survives — Lee et al.'s keep-one policy), re-emitting each
+    * affected document's text with the covered tokens removed. Docs
+    * with no spans pass through untouched, so the output is a full
+    * corpus rewrite.
+    *
+    * Scale shape: the span table is the q128 output (candidate-bounded);
+    * covered positions explode one row per CUT TOKEN (bounded by total
+    * span length, not corpus size); the rewrite is a per-doc anti-join
+    * + one ordered re-aggregation — one shuffle on doc_id. The
+    * re-aggregation is collect_list over a doc's tokens: per-doc state,
+    * the same bound as the text column itself. */
+  def cutSpans(docs: DataFrame, k: Int = kGram, minLen: Int = minLenT,
+      dfCap: Int = dfCapG): DataFrame = {
+    val spans = duplicateSpans(docs, k, minLen, dfCap)
+    // covered (doc, pos): the span's tokens in the HIGHER-id doc
+    // (doc_b > doc_a always holds in q128's output)
+    val covered = spans
+      .select(col("doc_b").as("doc_id"), col("start_b"), col("span_len"))
+      .select(col("doc_id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("span_len") - 1)).as("pos"))
+      .distinct()
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    kept
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"))
+          .as("clean_text"))
+  }
+
+  val q129: Q = Q(
+    "q129_span_cut",
+    run = { (spark, dir) =>
+      cutSpans(Tables.documentsParallel(spark, dir))
+    },
+    oracle = Some(s"""
+      WITH toks AS (
+        SELECT doc_id, CAST(pos AS INTEGER) AS pos, a[pos + 1] AS tok, a
+        FROM (SELECT doc_id, string_split(text, ' ') AS a,
+                unnest(generate_series(0, len(string_split(text, ' ')) - 1))
+                  AS pos
+              FROM documents
+              WHERE text IS NOT NULL
+                AND len(string_split(text, ' ')) >= $kGram)),
+      grams AS (
+        SELECT doc_id, pos,
+          md5(array_to_string(a[pos + 1 : pos + $kGram], ' ')) AS h
+        FROM toks
+        WHERE pos + $kGram <= len(a)),
+      hot AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS gdf
+                             FROM grams GROUP BY h)
+              WHERE gdf > $dfCapG),
+      g AS (SELECT * FROM grams WHERE h NOT IN (SELECT h FROM hot)),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+          b.doc_id AS doc_b, b.pos AS pos_b,
+          a.pos - b.pos AS diag
+        FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id),
+      isl AS (
+        SELECT doc_a, doc_b, diag, pos_a, pos_b,
+          pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+            ORDER BY pos_a) AS island
+        FROM pairs),
+      spans AS (
+        SELECT doc_b, CAST(min(pos_b) AS BIGINT) AS start_b,
+          CAST(count(*) + ${kGram - 1} AS BIGINT) AS span_len
+        FROM isl
+        GROUP BY doc_a, doc_b, diag, island
+        HAVING count(*) + ${kGram - 1} >= $minLenT),
+      covered AS (
+        SELECT DISTINCT doc_b AS doc_id,
+          unnest(generate_series(start_b, start_b + span_len - 1)) AS pos
+        FROM spans),
+      allt AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, a[pos + 1] AS tok
+        FROM (SELECT doc_id,
+                unnest(generate_series(0, len(string_split(text, ' ')) - 1))
+                  AS pos,
+                string_split(text, ' ') AS a
+              FROM documents WHERE text IS NOT NULL)),
+      kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM allt t
+        LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+        WHERE c.doc_id IS NULL)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q128, q129)
 }

@@ -657,6 +657,38 @@ object ScaleDryRun {
     // q121 MMR is not separately measured: its distributed half is the
     // q25-shaped top-nCand relevance scan (measured above); the greedy
     // consumes a CONSTANT 32^2 integer matrix regardless of corpus size.
+
+    // ---- q125-q128 learned-model + substring family ----
+    // q125 NB: model is vocabulary×k bounded (two hash-aggs), scoring
+    // one token-stream pass × k classes — should track the scan
+    val (tNb1, _) = timed(graft.queries.Learn.nbLangId(docs0))
+    val (tNb10, _) = timed(graft.queries.Learn.nbLangId(docs10))
+    println(f"[scale-dry-run] q125_nb_langid_1x      $tNb1%8.2f s")
+    println(f"[scale-dry-run] q125_nb_langid_10x     $tNb10%8.2f s  (ratio ${tNb10 / tNb1}%.1fx)")
+    // q126 k-means: per round one scan vs a k·dim broadcast + a k·dim-
+    // key agg; 4 rounds — the ratio is the scan growth ×(rounds+1)
+    val (tKm1, _) = timed(graft.queries.Learn.kmeans(
+      emb0.filter(col("embedding").isNotNull)))
+    val (tKm10, _) = timed(graft.queries.Learn.kmeans(
+      emb10.filter(col("embedding").isNotNull)))
+    println(f"[scale-dry-run] q126_kmeans_1x         $tKm1%8.2f s")
+    println(f"[scale-dry-run] q126_kmeans_10x        $tKm10%8.2f s  (ratio ${tKm10 / tKm1}%.1fx)")
+    // q127 sparse all-pairs: candidates are Σ df² over df∈[2,50]
+    // tokens; the shuffled copies multiply every token's df by ~10, so
+    // the df window itself is what bounds the blow-up (tokens drifting
+    // past the cap leave the join) — the same boilerplate dynamic as
+    // the q116 note in BASELINE.md
+    val (tAp1, nAp1) = timed(graft.queries.Lexical.sparseAllPairs(docs0))
+    val (tAp10, nAp10) = timed(graft.queries.Lexical.sparseAllPairs(docs10))
+    println(f"[scale-dry-run] q127_allpairs_1x       $tAp1%8.2f s  ($nAp1 pairs)")
+    println(f"[scale-dry-run] q127_allpairs_10x      $tAp10%8.2f s  ($nAp10 pairs, ratio ${tAp10 / tAp1}%.1fx)")
+    // q128 exact substrings: gram buckets are df-capped (≤ df² position
+    // pairs per gram); the shuffled copies decorrelate 8-grams, so
+    // this measures plan scaling, not duplicate-group blow-up
+    val (tEs1, nEs1) = timed(graft.queries.SubstrDedup.duplicateSpans(docs0))
+    val (tEs10, nEs10) = timed(graft.queries.SubstrDedup.duplicateSpans(docs10))
+    println(f"[scale-dry-run] q128_substr_1x         $tEs1%8.2f s  ($nEs1 spans)")
+    println(f"[scale-dry-run] q128_substr_10x        $tEs10%8.2f s  ($nEs10 spans, ratio ${tEs10 / tEs1}%.1fx)")
     spark.stop()
   }
 }

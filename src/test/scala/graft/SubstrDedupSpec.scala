@@ -53,4 +53,19 @@ class SubstrDedupSpec extends AnyFunSuite {
     val b = SubstrDedup.duplicateSpans(docs.repartition(7))
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
+
+  test("q129 cuts the span from the LATER doc only; others pass through") {
+    val docs = docsOf(Seq(
+      (1L, s"alpha beta $run20 gamma delta"),
+      (2L, s"x1 x2 x3 x4 x5 $run20 y1 y2"),
+      (3L, "unrelated words only here nothing shared at all in this one")))
+    val out = SubstrDedup.cutSpans(docs, k = 8, minLen = 12)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // doc 1 (first occurrence) keeps everything
+    assert(out(1L) == (24L, s"alpha beta $run20 gamma delta"))
+    // doc 2 loses exactly the 20 shared tokens
+    assert(out(2L) == (7L, "x1 x2 x3 x4 x5 y1 y2"))
+    // doc 3 untouched
+    assert(out(3L)._2.startsWith("unrelated words"))
+  }
 }
