@@ -179,5 +179,86 @@ object GraphOps {
       SELECT part AS part_id, rank AS rank_ppm, rnk FROM f WHERE rnk <= 20"""
     })
 
-  val all: Seq[Q] = Seq(q101)
+  /** Core of q130: per-node triangle counts on the undirected
+    * co-purchase graph — the clustering-coefficient numerator, the
+    * standard "how clique-ish is this entity's neighborhood" signal
+    * (community detection, spam/botnet structure, basket analysis).
+    *
+    * Recipe: degree ordering (Schank & Wagner 2005; the MapReduce form
+    * is Suri & Vassilvitskii 2011's MR-NodeIterator++) — orient every
+    * edge from its lower (degree, id) endpoint to the higher, build
+    * wedges by joining oriented edges head-to-tail, close each wedge
+    * with a semi-join back to the oriented edge set. Each triangle is
+    * found exactly once (its rank-lowest corner is the apex).
+    *
+    * Scale shape (100 TB): pair generation is per-order bounded
+    * (Σ|order|², the q101 bound); degree orientation caps wedge
+    * fan-out at O(√m) per node — the reason this recipe scales where
+    * naive neighborhood intersection doesn't; both joins are
+    * equi-keyed hash joins; everything is integer equality — no float
+    * knife edges anywhere. */
+  def triangleCounts(baskets: DataFrame): DataFrame = {
+    val li = baskets.distinct()
+    val edges = li.select(col("ok"), col("part").as("pa"))
+      .join(li.select(col("ok").as("ok2"), col("part").as("pb")),
+        col("ok") === col("ok2") && col("pa") < col("pb"))
+      .select(col("pa"), col("pb")).distinct()
+    val deg = edges.select(col("pa").as("node"))
+      .unionByName(edges.select(col("pb").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val wd = edges
+      .join(deg.select(col("node").as("pa"), col("deg").as("da")), "pa")
+      .join(deg.select(col("node").as("pb"), col("deg").as("db")), "pb")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("pa") < col("pb"))
+    val oriented = wd.select(
+      when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
+      when(aFirst, col("pb")).otherwise(col("pa")).as("dst"))
+    val wedges = oriented
+      .join(oriented.select(col("src").as("mid"), col("dst").as("w")),
+        col("dst") === col("mid"))
+      .select(col("src").as("u"), col("dst").as("v"), col("w"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("u"), col("dst").as("w")),
+      Seq("u", "w"), "left_semi")
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("part_id"))
+      .groupBy(col("part_id")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** q130 — per-part triangle counts on the co-purchase graph. */
+  val q130: Q = Q(
+    "q130_triangle_count",
+    run = { (spark, dir) =>
+      triangleCounts(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("part")))
+    },
+    oracle = Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+                  FROM lineitem),
+      e AS (SELECT DISTINCT a.part AS pa, b.part AS pb
+            FROM li a JOIN li b USING (ok) WHERE a.part < b.part),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+              FROM (SELECT pa AS node FROM e
+                    UNION ALL SELECT pb AS node FROM e)
+              GROUP BY node),
+      o AS (SELECT
+              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.pa < e.pb)
+                   THEN e.pa ELSE e.pb END AS src,
+              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.pa < e.pb)
+                   THEN e.pb ELSE e.pa END AS dst
+            FROM e
+            JOIN deg da ON da.node = e.pa
+            JOIN deg db ON db.node = e.pb),
+      wg AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+             FROM o e1 JOIN o e2 ON e1.dst = e2.src),
+      t AS (SELECT u, v, w FROM wg
+            WHERE EXISTS (SELECT 1 FROM o
+                          WHERE o.src = wg.u AND o.dst = wg.w))
+      SELECT part_id, CAST(count(*) AS BIGINT) AS n_tri
+      FROM (SELECT u AS part_id FROM t
+            UNION ALL SELECT v AS part_id FROM t
+            UNION ALL SELECT w AS part_id FROM t)
+      GROUP BY part_id"""))
+
+  val all: Seq[Q] = Seq(q101, q130)
 }

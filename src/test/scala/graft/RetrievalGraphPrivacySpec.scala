@@ -225,6 +225,37 @@ class RetrievalGraphPrivacySpec extends AnyFunSuite {
 
   // ---- q106 kanon_release ----
 
+  // ---- q130 triangle_count ----
+
+  test("q130: K4 yields 3 triangles per node; a 4-cycle yields none") {
+    // basket encoding: one order per edge puts exactly that pair in
+    // co-purchase — the graph IS the edge list
+    def basketsOf(edges: Seq[(Long, Long)]) =
+      edges.zipWithIndex.flatMap { case ((a, b), i) =>
+        Seq((i.toLong, a), (i.toLong, b))
+      }.toDF("ok", "part")
+    val k4 = basketsOf(Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L)))
+    val got = GraphOps.triangleCounts(k4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 has C(3,2)=3 triangles per node; got $got")
+    val square = basketsOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(GraphOps.triangleCounts(square).count() == 0,
+      "a 4-cycle has no triangles")
+  }
+
+  test("q130: counts are repartition-invariant and each triangle counted once") {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+    val a = GraphOps.triangleCounts(li)
+    val b = GraphOps.triangleCounts(li.repartition(11))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // global invariant: sum of per-node counts = 3 × total triangles
+    val s = a.agg(sum(col("n_tri"))).collect()(0).getLong(0)
+    assert(s % 3 == 0, s"per-node counts must sum to a multiple of 3, got $s")
+  }
+
   test("q106: no identifiable cell below k; totals conserved") {
     val docs = Tables.documents(spark, dir)
     val out = Privacy.kAnonymize(docs).cache()
