@@ -52,30 +52,39 @@ object Learn {
     * per doc. Nothing is ever corpus × corpus, and nothing global
     * sorts.
     */
-  def nbLangId(docs: DataFrame): DataFrame = {
-    val base = docs.filter(col("text").isNotNull && col("lang").isNotNull)
-    val toks = base
-      .select(col("doc_id"), col("lang"),
+  private def tokensOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
-    val train = toks.filter(col("doc_id") % trainMod =!= 0)
-    // vocabulary×k model: per-(class, word) counts + per-class totals
+
+  /** Train the NB model on `trainDocs` (a documents-shaped frame):
+    * returns (per-(class, word) counts, per-class stats) — the
+    * vocabulary×k + k-row pair the scorer joins against. Exposed as a
+    * seam so a stream can score against a once-staged static model
+    * ([[graft.streaming.DocStreams.nbScoreSink]]). */
+  def nbModel(trainDocs: DataFrame): (DataFrame, DataFrame) = {
+    val train = tokensOf(trainDocs)
     val cc = train.groupBy(col("lang"), col("word"))
       .agg(count(lit(1)).as("c"))
       .select(col("lang").as("m_lang"), col("word"), col("c"))
     val tots = cc.groupBy(col("m_lang")).agg(sum(col("c")).as("tot"))
     val vsz = train.select(col("word")).distinct()
       .agg(count(lit(1)).as("vsz"))
-    // document priors from the train slice
-    val trainDocs = base.filter(col("doc_id") % trainMod =!= 0)
     val nAll = trainDocs.agg(count(lit(1)).as("nall"))
     val classes = trainDocs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
       .select(col("lang").as("m_lang"), col("nd"))
       .join(tots, Seq("m_lang"))
       .crossJoin(broadcast(vsz)).crossJoin(broadcast(nAll))
       .select(col("m_lang"), col("nd"), col("tot"), col("vsz"), col("nall"))
-    // score: held-out tokens × k classes, left join the count model
-    val test = toks.filter(col("doc_id") % trainMod === 0)
+    (cc, classes)
+  }
+
+  /** Score `docs` against a trained model — one argmax row per doc
+    * with ≥ 1 token. Per-doc independent (no cross-doc state), so
+    * scoring a corpus in micro-batches concatenates to exactly the
+    * whole-corpus answer. */
+  def nbScore(docs: DataFrame, cc: DataFrame, classes: DataFrame): DataFrame = {
+    val test = tokensOf(docs)
     val terms = test.crossJoin(broadcast(classes))
       .join(cc, Seq("m_lang", "word"), "left")
       .select(col("doc_id"), col("lang"), col("m_lang"),
@@ -99,6 +108,12 @@ object Learn {
         col("m_lang").as("pred_lang"),
         col("loglik").cast("double").as("loglik"),
         (col("m_lang") === col("lang")).as("correct"))
+  }
+
+  def nbLangId(docs: DataFrame): DataFrame = {
+    val base = docs.filter(col("text").isNotNull && col("lang").isNotNull)
+    val (cc, classes) = nbModel(base.filter(col("doc_id") % trainMod =!= 0))
+    nbScore(base.filter(col("doc_id") % trainMod === 0), cc, classes)
   }
 
   /** q125 — multinomial Naive Bayes language ID, trained on the 4/5

@@ -57,6 +57,35 @@ object DocStreams {
       }
       .start()
 
+  /** q125's streaming twin: score each arriving micro-batch of docs
+    * against a STATIC Naive Bayes model (trained once from
+    * `trainDocs`, staged so no micro-batch retrains it), appending
+    * predictions to batchId-addressed parquet. Per-doc scoring is
+    * state-free — `Learn.nbScore` is per-doc independent — so the
+    * per-batch outputs concatenate to exactly the batch answer for any
+    * arrival split (suite-asserted). The production shape for "classify
+    * the crawl as it lands": the model is vocabulary×k bounded and
+    * reused across triggers; each trigger costs one token-stream pass
+    * over the batch. */
+  def nbScoreSink(incoming: DataFrame, trainDocs: DataFrame,
+      outDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val (cc0, classes0) = graft.queries.Learn.nbModel(
+      trainDocs.filter(col("text").isNotNull && col("lang").isNotNull))
+    // stage the model once: without the barrier the lazy plan would
+    // re-run both training aggs inside every micro-batch
+    val cc = graft.operators.Stage.materialize(cc0, "nb-model-counts")
+    val classes = graft.operators.Stage.materialize(classes0, "nb-model-classes")
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.queries.Learn.nbScore(
+            batch.filter(col("text").isNotNull && col("lang").isNotNull),
+            cc, classes)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+      }
+      .start()
+  }
+
   /** Exact-hash hits as a stream-static LEFT equi-join in append mode:
     * every incoming doc emits (doc_id, match_id nullable) rows — one per
     * matching corpus doc, or a single null-match row when the doc is not

@@ -71,6 +71,43 @@ class LearnSpec extends AnyFunSuite {
     assert(m.map(_._1).distinct.size == 3 && m.map(_._2).distinct.size == 3)
   }
 
+  test("q125 streaming twin: micro-batch scoring equals the batch answer") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .filter(col("text").isNotNull && col("lang").isNotNull)
+    val trainDocs = docs.filter(col("doc_id") % 5 =!= 0)
+    val heldOut = docs.filter(col("doc_id") % 5 === 0)
+    // split the held-out docs across two files → two micro-batches
+    val inDir = Files.createTempDirectory("nb_in").toString
+    heldOut.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/f0")
+    heldOut.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/f1")
+    val streamDir = Files.createTempDirectory("nb_stream").toString
+    var i = 0
+    Seq("f0", "f1").foreach { f =>
+      Files.list(java.nio.file.Paths.get(s"$inDir/$f")).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          Files.copy(p, java.nio.file.Paths.get(s"$streamDir/part_$i.parquet"))
+          i += 1
+        }
+      }
+    }
+    val outDir = Files.createTempDirectory("nb_out").toString
+    val ckpt = Files.createTempDirectory("nb_ckpt").toString
+    val q = graft.streaming.DocStreams.nbScoreSink(
+      graft.streaming.DocStreams.readDocs(spark, streamDir),
+      trainDocs, outDir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$outDir/batch_*")
+    val want = Learn.nbLangId(docs)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0,
+      "per-batch NB scoring must concatenate to the batch answer")
+  }
+
   test("q126 assignment is invariant under input repartitioning") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val a = Learn.kmeans(emb, k = 4, iters = 2)
