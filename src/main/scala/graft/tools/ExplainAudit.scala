@@ -386,6 +386,49 @@ object ExplainAudit {
     assert(!q124Plan.contains("SortMergeJoin"),
       "q124: corpus-side shuffle join defeats incremental maintenance")
     println("===== q124 BROADCAST-SEMI ASSERT OK")
+    // q125: the k-row class table rides a broadcast into the token
+    // stream; nothing data-sized is broadcast-hinted (the cc model join
+    // is left to AQE — a web-scale vocabulary must be free to shuffle)
+    val q125Plan = graft.SparkEntry.queries("q125_nb_langid")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q125Plan.contains("BroadcastNestedLoopJoin") ||
+      q125Plan.contains("BroadcastHashJoin"),
+      "q125: class stats must ride a broadcast")
+    assert(!q125Plan.contains("CartesianProduct"),
+      "q125: the k-class expansion must never plan a cartesian")
+    println("===== q125 BROADCAST-CLASSES ASSERT OK")
+    // q126: every assignment pass is a broadcast of the k-dim centers —
+    // a shuffled assignment would move the corpus once per round
+    val q126Plan = graft.SparkEntry.queries("q126_kmeans")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q126Plan.contains("BroadcastNestedLoopJoin"),
+      "q126: center assignment is not a broadcast join")
+    assert(!q126Plan.contains("CartesianProduct"),
+      "q126: assignment must never plan a cartesian")
+    println("===== q126 BROADCAST-CENTERS ASSERT OK")
+    // q128: the boilerplate gram drop must be a broadcast anti-join
+    // (the hot set is df-capped, i.e. vocabulary-bounded); the islands
+    // window must be partitioned (diagonal keys), never global
+    val q128Plan = graft.SparkEntry.queries("q128_exact_substr")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q128Plan.contains("BroadcastHashJoin") &&
+      q128Plan.contains("LeftAnti"),
+      "q128: hot-gram drop is not a broadcast anti-join")
+    assert(!q128Plan.contains("Window [") ||
+      q128Plan.linesIterator.filter(_.contains("Window "))
+        .forall(_.contains("windowspecdefinition")),
+      "q128: unexpected window shape")
+    println("===== q128 BROADCAST-ANTI ASSERT OK")
+    // q130: both graph joins (wedge build, closing semi) are equi-keyed
+    // hash joins — degree ordering exists precisely so no step needs a
+    // cartesian or a global sort
+    val q130Plan = graft.SparkEntry.queries("q130_triangle_count")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!q130Plan.contains("CartesianProduct"),
+      "q130: triangle counting must stay equi-join only")
+    assert(q130Plan.contains("LeftSemi"),
+      "q130: wedge closing must be a semi-join")
+    println("===== q130 EQUI-JOIN ASSERT OK")
     spark.stop()
   }
 }
