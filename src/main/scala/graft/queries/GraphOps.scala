@@ -197,15 +197,25 @@ object GraphOps {
     * naive neighborhood intersection doesn't; both joins are
     * equi-keyed hash joins; everything is integer equality — no float
     * knife edges anywhere. */
-  def triangleCounts(baskets: DataFrame): DataFrame = {
+  /** Distinct undirected co-purchase edges (pa < pb) from a basket
+    * frame — shared by q130/q131. Per-order bounded: Σ|order|². */
+  private def coEdges(baskets: DataFrame): DataFrame = {
     val li = baskets.distinct()
-    val edges = li.select(col("ok"), col("part").as("pa"))
+    li.select(col("ok"), col("part").as("pa"))
       .join(li.select(col("ok").as("ok2"), col("part").as("pb")),
         col("ok") === col("ok2") && col("pa") < col("pb"))
       .select(col("pa"), col("pb")).distinct()
-    val deg = edges.select(col("pa").as("node"))
+  }
+
+  /** Undirected degree per node of an (pa, pb) edge set. */
+  private def degreesOf(edges: DataFrame): DataFrame =
+    edges.select(col("pa").as("node"))
       .unionByName(edges.select(col("pb").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  def triangleCounts(baskets: DataFrame): DataFrame = {
+    val edges = coEdges(baskets)
+    val deg = degreesOf(edges)
     val wd = edges
       .join(deg.select(col("node").as("pa"), col("deg").as("da")), "pa")
       .join(deg.select(col("node").as("pb"), col("deg").as("db")), "pb")
@@ -260,5 +270,70 @@ object GraphOps {
             UNION ALL SELECT w AS part_id FROM t)
       GROUP BY part_id"""))
 
-  val all: Seq[Q] = Seq(q101, q130)
+  /** Core of q131: local clustering coefficient per node —
+    * 2·triangles / (deg·(deg−1)), the Watts & Strogatz 1998 "how close
+    * is this node's neighborhood to a clique" measure; 0 for nodes
+    * below degree 2. Every node of the graph is emitted (a node in no
+    * triangle gets 0), so the output doubles as the degree table.
+    *
+    * Scale shape: q130's bounded triangle pass + one left join of the
+    * (node-sized) degree table against the (smaller) triangle table;
+    * the single division is one double op on exact BIGINTs —
+    * deterministic on both engines. */
+  def clusteringCoeff(baskets: DataFrame): DataFrame = {
+    val edges = coEdges(baskets)
+    val deg = degreesOf(edges)
+    val tri = triangleCounts(baskets)
+      .select(col("part_id").as("node"), col("n_tri"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node").as("part_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff",
+        when(col("deg") < 2, lit(0.0))
+          .otherwise((col("n_tri") * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double")))
+  }
+
+  /** q131 — local clustering coefficient on the co-purchase graph. */
+  val q131: Q = Q(
+    "q131_clustering_coeff",
+    run = { (spark, dir) =>
+      clusteringCoeff(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("part")))
+    },
+    oracle = Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+                  FROM lineitem),
+      e AS (SELECT DISTINCT a.part AS pa, b.part AS pb
+            FROM li a JOIN li b USING (ok) WHERE a.part < b.part),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+              FROM (SELECT pa AS node FROM e
+                    UNION ALL SELECT pb AS node FROM e)
+              GROUP BY node),
+      o AS (SELECT
+              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.pa < e.pb)
+                   THEN e.pa ELSE e.pb END AS src,
+              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.pa < e.pb)
+                   THEN e.pb ELSE e.pa END AS dst
+            FROM e
+            JOIN deg da ON da.node = e.pa
+            JOIN deg db ON db.node = e.pb),
+      wg AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+             FROM o e1 JOIN o e2 ON e1.dst = e2.src),
+      t AS (SELECT u, v, w FROM wg
+            WHERE EXISTS (SELECT 1 FROM o
+                          WHERE o.src = wg.u AND o.dst = wg.w)),
+      tri AS (SELECT part_id, CAST(count(*) AS BIGINT) AS n_tri
+              FROM (SELECT u AS part_id FROM t
+                    UNION ALL SELECT v AS part_id FROM t
+                    UNION ALL SELECT w AS part_id FROM t)
+              GROUP BY part_id)
+      SELECT d.node AS part_id, d.deg,
+        COALESCE(tri.n_tri, 0) AS n_tri,
+        CASE WHEN d.deg < 2 THEN 0.0
+             ELSE CAST(COALESCE(tri.n_tri, 0) * 2 AS DOUBLE) /
+               CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS coeff
+      FROM deg d LEFT JOIN tri ON tri.part_id = d.node"""))
+
+  val all: Seq[Q] = Seq(q101, q130, q131)
 }

@@ -245,6 +245,24 @@ class RetrievalGraphPrivacySpec extends AnyFunSuite {
       "a 4-cycle has no triangles")
   }
 
+  test("q131: K4 coefficients are 1.0; a star's center is 0.0") {
+    def basketsOf(edges: Seq[(Long, Long)]) =
+      edges.zipWithIndex.flatMap { case ((a, b), i) =>
+        Seq((i.toLong, a), (i.toLong, b))
+      }.toDF("ok", "part")
+    val k4 = basketsOf(Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L)))
+    val cc = GraphOps.clusteringCoeff(k4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(cc.values.forall(_ == 1.0), s"K4 neighborhoods are cliques: $cc")
+    // star: center 1 connects 2,3,4 — no leaf pair is connected
+    val star = basketsOf(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    val sc = GraphOps.clusteringCoeff(star)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(sc(1L) == (3L, 0.0), "star center: degree 3, coefficient 0")
+    assert(sc(2L) == (1L, 0.0), "leaves: degree 1, coefficient defined 0")
+  }
+
   test("q130: counts are repartition-invariant and each triangle counted once") {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
