@@ -544,6 +544,115 @@ object CorpusOps {
         (a.n_hapax * 1000000) // a.n_types AS hapax_ppm
       FROM a JOIN nd ON nd.source = a.source"""))
 
+  /** Core of q132: per-source distinctive terms by log-likelihood-ratio
+    * keyness (Dunning 1993, "Accurate Methods for the Statistics of
+    * Surprise and Coincidence" — the G² statistic corpus linguistics
+    * standardized on): for each (source, token), the 2×2 table of
+    * (in-source vs rest) × (this token vs others), G² = 2·Σ O·ln(O/E).
+    * Only POSITIVE keyness ranks (token over-represented in the
+    * source: a·n > y_w·n_s — an exact integer comparison), top
+    * `topN` per source by G².
+    *
+    * Parity: the four O·ln(O/E) terms are computed in double and added
+    * in FIXED textual order (explicit association, not an agg), then
+    * the sum is quantized DECIMAL(18,6) BEFORE ranking, so the
+    * per-source order never rests on a cross-libm ulp; ties break by
+    * token. Empty cells contribute 0 (the standard convention).
+    *
+    * Scale shape: one (source, token) hash-agg, one token-marginal agg
+    * joined back on token (AQE broadcasts while the vocabulary fits),
+    * per-source windows (source count is config-sized) — never global.
+    */
+  def distinctiveTerms(docs: DataFrame, topN: Int = 10): DataFrame = {
+    val tok = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val sw = tok.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("a"))
+    val srcTot = sw.groupBy(col("source")).agg(sum(col("a")).as("ns"))
+    val tokTot = sw.groupBy(col("token")).agg(sum(col("a")).as("yw"))
+    val nAll = srcTot.agg(sum(col("ns")).as("n"))
+    // O·ln(O/E) with E = row·col/n; a zero cell contributes 0
+    def term(o: org.apache.spark.sql.Column, row: org.apache.spark.sql.Column,
+        colm: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(o > 0,
+        o.cast("double") * log(o.cast("double") * n.cast("double") /
+          (row.cast("double") * colm.cast("double"))))
+        .otherwise(lit(0.0))
+    val g2 = sw
+      .join(srcTot, "source").join(tokTot, "token")
+      .crossJoin(broadcast(nAll))
+      .filter(col("a") * col("n") > col("yw") * col("ns")) // positive keyness
+      .select(col("source"), col("token"), col("a"), col("ns"),
+        col("yw"), col("n"),
+        ((term(col("a"), col("ns"), col("yw"), col("n")) +
+          term(col("ns") - col("a"), col("ns"), col("n") - col("yw"), col("n"))) +
+          (term(col("yw") - col("a"), col("n") - col("ns"), col("yw"), col("n")) +
+            term(col("n") - col("ns") - (col("yw") - col("a")),
+              col("n") - col("ns"), col("n") - col("yw"), col("n"))))
+          .as("g2raw"))
+      .select(col("source"), col("token"), col("a").as("c_in"),
+        col("yw").as("c_corpus"),
+        expr("CAST(2 * g2raw AS DECIMAL(18,6))").as("g2"))
+    g2.withColumn("rnk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("g2").desc, col("token").asc)))
+      .filter(col("rnk") <= topN)
+      // rank on the quantized decimal (the knife-edge guard), emit a
+      // plain double — the checker-portable output type
+      .select(col("source"), col("token"), col("c_in"), col("c_corpus"),
+        col("g2").cast("double").as("g2"), col("rnk"))
+  }
+
+  /** q132 — per-source distinctive terms (Dunning G² keyness). */
+  val q132: Q = Q(
+    "q132_distinctive_terms",
+    run = { (spark, dir) => distinctiveTerms(nonNullDocs(spark, dir)) },
+    oracle = Some("""
+      WITH tok AS (SELECT source, word AS token
+                   FROM (SELECT source,
+                           unnest(string_split(text, ' ')) AS word
+                         FROM documents WHERE text IS NOT NULL)
+                   WHERE len(word) > 0),
+      sw AS (SELECT source, token, CAST(count(*) AS BIGINT) AS a
+             FROM tok GROUP BY 1, 2),
+      st AS (SELECT source, CAST(sum(a) AS BIGINT) AS ns FROM sw GROUP BY 1),
+      tt AS (SELECT token, CAST(sum(a) AS BIGINT) AS yw FROM sw GROUP BY 1),
+      nn AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM st),
+      g AS (SELECT sw.source, sw.token, sw.a, st.ns, tt.yw, nn.n,
+              (CASE WHEN sw.a > 0 THEN CAST(sw.a AS DOUBLE) *
+                 ln(CAST(sw.a AS DOUBLE) * n / (CAST(ns AS DOUBLE) * yw))
+               ELSE 0.0 END +
+               CASE WHEN ns - sw.a > 0 THEN CAST(ns - sw.a AS DOUBLE) *
+                 ln(CAST(ns - sw.a AS DOUBLE) * n /
+                    (CAST(ns AS DOUBLE) * (n - yw)))
+               ELSE 0.0 END) +
+              (CASE WHEN yw - sw.a > 0 THEN CAST(yw - sw.a AS DOUBLE) *
+                 ln(CAST(yw - sw.a AS DOUBLE) * n /
+                    (CAST(n - ns AS DOUBLE) * yw))
+               ELSE 0.0 END +
+               CASE WHEN n - ns - (yw - sw.a) > 0
+                 THEN CAST(n - ns - (yw - sw.a) AS DOUBLE) *
+                   ln(CAST(n - ns - (yw - sw.a) AS DOUBLE) * n /
+                      (CAST(n - ns AS DOUBLE) * (n - yw)))
+               ELSE 0.0 END) AS g2raw
+            FROM sw
+            JOIN st ON st.source = sw.source
+            JOIN tt ON tt.token = sw.token
+            CROSS JOIN nn
+            WHERE sw.a * nn.n > tt.yw * st.ns),
+      q AS (SELECT source, token, a AS c_in, yw AS c_corpus,
+              CAST(2 * g2raw AS DECIMAL(18,6)) AS g2
+            FROM g),
+      r AS (SELECT source, token, c_in, c_corpus, g2,
+              CAST(row_number() OVER (PARTITION BY source
+                ORDER BY g2 DESC, token ASC) AS INTEGER) AS rnk
+            FROM q)
+      SELECT source, token, c_in, c_corpus,
+        CAST(g2 AS DOUBLE) AS g2, rnk
+      FROM r WHERE rnk <= 10"""))
+
   val all: Seq[Q] =
-    Seq(q67, q68, q69, q70, q71, q72, q76, q78, q80, q90, q95)
+    Seq(q67, q68, q69, q70, q71, q72, q76, q78, q80, q90, q95, q132)
 }

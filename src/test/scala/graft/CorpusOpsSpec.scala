@@ -426,4 +426,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(5L) == ((None, -1L)))             // direct bucket
     assert(out.size == 3)
   }
+
+  test("q132: a source-exclusive token tops its source's keyness list") {
+    val docs = (
+      (1L to 10L).map(i => (i, "alpha beta gamma shared words here", "en", "srcA", 0L)) ++
+      (11L to 20L).map(i => (i, "delta eps zeta shared words here", "en", "srcB", 0L))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = queries.CorpusOps.distinctiveTerms(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(5)))
+    val topA = out.filter(p => p._1 == "srcA" && p._3 <= 3).map(_._2).toSet
+    val topB = out.filter(p => p._1 == "srcB" && p._3 <= 3).map(_._2).toSet
+    assert(topA == Set("alpha", "beta", "gamma"),
+      s"srcA's exclusive tokens must lead its list, got $topA")
+    assert(topB == Set("delta", "eps", "zeta"))
+    // tokens with identical distribution in both sources never rank
+    assert(!out.exists(p => Set("shared", "words", "here")(p._2)),
+      "uniformly-distributed tokens have no positive keyness")
+  }
 }
