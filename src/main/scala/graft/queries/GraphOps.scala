@@ -335,5 +335,81 @@ object GraphOps {
                CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS coeff
       FROM deg d LEFT JOIN tri ON tri.part_id = d.node"""))
 
-  val all: Seq[Q] = Seq(q101, q130, q131)
+  /** Core of q133: k-core peeling (Seidman 1983 "Network structure and
+    * minimum degree"; the distributed peel is Montresor et al. 2013) —
+    * `rounds` synchronous rounds of "drop every node whose CURRENT
+    * degree is below k", the iterative filter that isolates the
+    * densely-connected backbone of the co-purchase graph (graph
+    * curation's counterpart to the df caps on text). The fixpoint is
+    * typically reached in a handful of rounds; the suite asserts the
+    * fixture converges within the default budget (one extra round
+    * changes nothing), so the bounded loop IS the k-core there, while
+    * staying a fixed, oracle-replayable plan at any scale.
+    *
+    * Output: surviving nodes with their residual in-core degree.
+    *
+    * Scale shape: each round is one degree agg over the surviving edge
+    * set + one semi-join to filter edges — both equi-keyed, both
+    * map-side combined; the edge set only SHRINKS round over round.
+    * All integers — no float knife edges. */
+  def kCore(baskets: DataFrame, k: Int = 3, rounds: Int = 6): DataFrame = {
+    // each round references the surviving edge set THREE times (degree
+    // agg + two semi-joins), so the edges MUST be staged per round —
+    // an unmaterialized lineage re-derives the base 3^rounds times
+    // (the q101/q49 staging barrier; DuckDB's MATERIALIZED CTEs are
+    // the oracle-side mirror). Superseded rounds drop eagerly.
+    var edges = graft.operators.Stage.materializeWithPath(
+      coEdges(baskets), "kcore-e0")
+    for (r <- 1 to rounds) {
+      val keep = degreesOf(edges._1).filter(col("deg") >= k)
+        .select(col("node"))
+      val next = graft.operators.Stage.materializeWithPath(
+        edges._1
+          .join(keep.select(col("node").as("pa")), Seq("pa"), "left_semi")
+          .join(keep.select(col("node").as("pb")), Seq("pb"), "left_semi")
+          .select(col("pa"), col("pb")),
+        s"kcore-e$r")
+      graft.operators.Stage.drop(edges._1, edges._2)
+      edges = next
+    }
+    val out = degreesOf(edges._1).filter(col("deg") >= k)
+      .select(col("node").as("part_id"), col("deg").as("core_deg"))
+    // the final agg reads the staged parquet lazily; hand the caller a
+    // plan over the LAST stage only (dropped at JVM exit like q49's)
+    out
+  }
+
+  /** q133 — 3-core of the co-purchase graph after 6 peeling rounds. */
+  val q133: Q = Q(
+    "q133_kcore",
+    run = { (spark, dir) =>
+      kCore(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("part")))
+    },
+    oracle = Some {
+      val rounds = (1 to 6).map { i =>
+        s"""k$i AS MATERIALIZED (SELECT node FROM (
+           |        SELECT node, count(*) AS deg FROM (
+           |          SELECT pa AS node FROM e${i - 1}
+           |          UNION ALL SELECT pb AS node FROM e${i - 1})
+           |        GROUP BY node) WHERE deg >= 3),
+           |      e$i AS MATERIALIZED (
+           |        SELECT pa, pb FROM e${i - 1}
+           |        WHERE pa IN (SELECT node FROM k$i)
+           |          AND pb IN (SELECT node FROM k$i))""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+                  FROM lineitem),
+      e0 AS MATERIALIZED (SELECT DISTINCT a.part AS pa, b.part AS pb
+            FROM li a JOIN li b USING (ok) WHERE a.part < b.part),
+      $rounds
+      SELECT node AS part_id, CAST(deg AS BIGINT) AS core_deg FROM (
+        SELECT node, count(*) AS deg FROM (
+          SELECT pa AS node FROM e6 UNION ALL SELECT pb AS node FROM e6)
+        GROUP BY node)
+      WHERE deg >= 3"""
+    })
+
+  val all: Seq[Q] = Seq(q101, q130, q131, q133)
 }

@@ -689,6 +689,27 @@ object ScaleDryRun {
     val (tEs10, nEs10) = timed(graft.queries.SubstrDedup.duplicateSpans(docs10))
     println(f"[scale-dry-run] q128_substr_1x         $tEs1%8.2f s  ($nEs1 spans)")
     println(f"[scale-dry-run] q128_substr_10x        $tEs10%8.2f s  ($nEs10 spans, ratio ${tEs10 / tEs1}%.1fx)")
+
+    // ---- q130/q131 graph + q132 keyness ----
+    // 10x ORDERS over the fixed part catalog densifies the co-purchase
+    // graph (more edges per node) — the hostile direction for triangle
+    // counting, since wedge fan-out grows with degree; the degree
+    // orientation is what keeps it O(sqrt m) per node.
+    val (tTr1, _) = timed(graft.queries.GraphOps.triangleCounts(li0pr))
+    val (tTr10, _) = timed(graft.queries.GraphOps.triangleCounts(li10pr))
+    println(f"[scale-dry-run] q130_triangles_1x      $tTr1%8.2f s")
+    println(f"[scale-dry-run] q130_triangles_10x     $tTr10%8.2f s  (ratio ${tTr10 / tTr1}%.1fx — 10x orders densify the fixed catalog)")
+    val (tCc1, _) = timed(graft.queries.GraphOps.clusteringCoeff(li0pr))
+    val (tCc10, _) = timed(graft.queries.GraphOps.clusteringCoeff(li10pr))
+    println(f"[scale-dry-run] q131_coeff_1x          $tCc1%8.2f s")
+    println(f"[scale-dry-run] q131_coeff_10x         $tCc10%8.2f s  (ratio ${tCc10 / tCc1}%.1fx)")
+    // q132: two vocabulary-bounded hash-aggs + per-source windows
+    val (tDt1, _) = timed(graft.queries.CorpusOps.distinctiveTerms(
+      docs0.filter(col("text").isNotNull)))
+    val (tDt10, _) = timed(graft.queries.CorpusOps.distinctiveTerms(
+      docs10.filter(col("text").isNotNull)))
+    println(f"[scale-dry-run] q132_keyness_1x        $tDt1%8.2f s")
+    println(f"[scale-dry-run] q132_keyness_10x       $tDt10%8.2f s  (ratio ${tDt10 / tDt1}%.1fx)")
     spark.stop()
   }
 }

@@ -263,6 +263,29 @@ class RetrievalGraphPrivacySpec extends AnyFunSuite {
     assert(sc(2L) == (1L, 0.0), "leaves: degree 1, coefficient defined 0")
   }
 
+  test("q133: K4-plus-pendant peels to K4; fixture converges in budget") {
+    def basketsOf(edges: Seq[(Long, Long)]) =
+      edges.zipWithIndex.flatMap { case ((a, b), i) =>
+        Seq((i.toLong, a), (i.toLong, b))
+      }.toDF("ok", "part")
+    // K4 on {1,2,3,4} plus a pendant chain 4-5-6: nodes 5,6 peel away
+    // (5 drops only after 6 does — needs the iteration, not one pass)
+    val g = basketsOf(Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (5L, 6L)))
+    val got = GraphOps.kCore(g, k = 3, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core of K4+pendant is K4 with degree 3, got $got")
+    // fixture convergence: one extra round changes nothing — the
+    // bounded loop has reached the true k-core
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+    val a = GraphOps.kCore(li, k = 3, rounds = 6)
+    val b = GraphOps.kCore(li, k = 3, rounds = 7)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "round budget not yet a fixpoint on the fixture")
+  }
+
   test("q130: counts are repartition-invariant and each triangle counted once") {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
