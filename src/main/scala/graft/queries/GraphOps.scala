@@ -213,17 +213,27 @@ object GraphOps {
       .unionByName(edges.select(col("pb").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
 
-  def triangleCounts(baskets: DataFrame): DataFrame = {
-    val edges = coEdges(baskets)
+  def triangleCounts(baskets: DataFrame): DataFrame =
+    triangleCountsFrom(coEdges(baskets))
+
+  /** Triangle pass over a prebuilt (pa, pb) edge set — shared with
+    * q131 so the edge derivation isn't done twice. The ORIENTED edge
+    * set is staged: the wedge build references it twice and the
+    * closing semi-join a third time, and an unmaterialized lineage
+    * re-derives the basket self-join for each (the q133 lesson — the
+    * plan, not the data, is the blow-up). */
+  private def triangleCountsFrom(edges: DataFrame): DataFrame = {
     val deg = degreesOf(edges)
     val wd = edges
       .join(deg.select(col("node").as("pa"), col("deg").as("da")), "pa")
       .join(deg.select(col("node").as("pb"), col("deg").as("db")), "pb")
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("pa") < col("pb"))
-    val oriented = wd.select(
-      when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
-      when(aFirst, col("pb")).otherwise(col("pa")).as("dst"))
+    val oriented = graft.operators.Stage.materialize(
+      wd.select(
+        when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
+        when(aFirst, col("pb")).otherwise(col("pa")).as("dst")),
+      "tri-oriented")
     val wedges = oriented
       .join(oriented.select(col("src").as("mid"), col("dst").as("w")),
         col("dst") === col("mid"))
@@ -281,9 +291,12 @@ object GraphOps {
     * the single division is one double op on exact BIGINTs —
     * deterministic on both engines. */
   def clusteringCoeff(baskets: DataFrame): DataFrame = {
-    val edges = coEdges(baskets)
+    // one staged edge set feeds the degree table AND the triangle pass
+    // — without the barrier the basket self-join would run for each
+    val edges = graft.operators.Stage.materialize(
+      coEdges(baskets), "coeff-edges")
     val deg = degreesOf(edges)
-    val tri = triangleCounts(baskets)
+    val tri = triangleCountsFrom(edges)
       .select(col("part_id").as("node"), col("n_tri"))
     deg.join(tri, Seq("node"), "left")
       .select(col("node").as("part_id"), col("deg"),
