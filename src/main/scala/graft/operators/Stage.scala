@@ -142,4 +142,36 @@ object Stage {
       System.err.println(s"[graft.Stage] failed to delete staged dir $path: $e")
     }
   }
+
+  /** Eagerly drop a bucketed table staged by [[materializeBucketed]]
+    * (catalog entry + bytes + the retained (session, name) tuple) —
+    * the [[drop]] counterpart for long-lived sessions that stage
+    * bucketed adjacencies repeatedly (e.g. the PageRank copartition
+    * crossover loop); without it every call accumulates an edge-sized
+    * directory until the JVM shutdown hook. The caller asserts no
+    * live plan still scans the table. The table's NAME is returned by
+    * `materializeBucketed` via `spark.table(name)`'s logical plan, or
+    * simply remembered by the caller. */
+  def dropBucketed(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    bucketedTables.synchronized(
+      bucketedTables -= ((spark, name))): Unit
+    val path = try {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+      Some(spark.sessionState.catalog.getTableMetadata(ident)
+        .location.toString)
+    } catch { case _: Throwable => None }
+    try spark.sql(s"DROP TABLE IF EXISTS $name"): Unit
+    catch { case _: Throwable => () }
+    path.foreach { loc =>
+      staged.synchronized(staged -= loc): Unit
+      try {
+        val p = new Path(loc)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true): Unit
+      } catch { case e: Throwable =>
+        System.err.println(s"[graft.Stage] failed to delete bucketed $loc: $e")
+      }
+    }
+  }
 }

@@ -583,7 +583,12 @@ object CorpusOps {
     val g2 = sw
       .join(srcTot, "source").join(tokTot, "token")
       .crossJoin(broadcast(nAll))
-      .filter(col("a") * col("n") > col("yw") * col("ns")) // positive keyness
+      // positive keyness; DECIMAL(38,0) cross-multiplication — BIGINT
+      // products overflow at the operator's design scale (n ~ 2e13
+      // tokens, yw·ns ~ 1e24 >> 2^63), and non-ANSI Spark would WRAP
+      // silently where DuckDB errors
+      .filter(col("a").cast("decimal(38,0)") * col("n") >
+        col("yw").cast("decimal(38,0)") * col("ns"))
       .select(col("source"), col("token"), col("a"), col("ns"),
         col("yw"), col("n"),
         ((term(col("a"), col("ns"), col("yw"), col("n")) +
@@ -641,7 +646,8 @@ object CorpusOps {
             JOIN st ON st.source = sw.source
             JOIN tt ON tt.token = sw.token
             CROSS JOIN nn
-            WHERE sw.a * nn.n > tt.yw * st.ns),
+            WHERE CAST(sw.a AS HUGEINT) * nn.n
+                  > CAST(tt.yw AS HUGEINT) * st.ns),
       q AS (SELECT source, token, a AS c_in, yw AS c_corpus,
               CAST(2 * g2raw AS DECIMAL(18,6)) AS g2
             FROM g),

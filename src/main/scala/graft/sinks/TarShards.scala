@@ -112,6 +112,18 @@ object TarShards {
           Files.move(tmp, Paths.get(dir, f"shard-$cur%05d.tar"),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // best-effort sweep of STALE attempt files for this shard: a
+          // killed/zombie attempt leaves its dot-prefixed temp behind
+          // forever otherwise (naive directory listers would ingest a
+          // truncated tar). The winning attempt just renamed its own
+          // temp away, so anything still matching is a loser's.
+          val shardPrefix = f".shard-$cur%05d.tar.attempt-"
+          val stale = new java.io.File(dir).listFiles()
+          if (stale != null) stale.iterator
+            .filter(_.getName.startsWith(shardPrefix))
+            .foreach(f => try Files.deleteIfExists(f.toPath) catch {
+              case _: java.io.IOException => () // a live racer owns it
+            })
           manifests += ShardManifest(cur, n, bytes)
           out = null
         }

@@ -27,16 +27,28 @@ object BinaryIngest {
     * (doc_id, path, n_bytes, mtime, payload). */
   def readDir(spark: SparkSession, dir: String,
       glob: String = "*"): DataFrame = {
-    // canonical root, driver-side: ids hash the path AFTER this prefix
-    val root = new java.io.File(dir).getAbsolutePath
+    // Canonical root, resolved through the HADOOP filesystem (not
+    // java.io.File, which mangles s3a://… URIs into <cwd>/s3a:/…):
+    // ids hash the path AFTER this prefix. The strip is anchored at
+    // the FIRST occurrence — a last-occurrence split would collide
+    // /data/x/data/y with /data/y when the root string reoccurs
+    // deeper in the tree. A path that somehow doesn't contain the
+    // root falls back to hashing the full path (still deterministic,
+    // just not relocation-stable) rather than mis-stripping.
+    val hRoot = new org.apache.hadoop.fs.Path(dir)
+    val fs = hRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val rootPath = fs.makeQualified(hRoot).toUri.getPath
       .stripSuffix("/") + "/"
+    val loc = locate(rootPath, col("path"))
+    val rel = when(loc > 0,
+        col("path").substr(loc + lit(rootPath.length), lit(Int.MaxValue)))
+      .otherwise(col("path"))
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
       .select(
         // 60 bits keeps ids non-negative and engine-portable
-        conv(substring(md5(substring_index(col("path"), root, -1)),
-            1, 15), 16, 10).cast("long")
+        conv(substring(md5(rel), 1, 15), 16, 10).cast("long")
           .as("doc_id"),
         col("path"),
         col("length").as("n_bytes"),

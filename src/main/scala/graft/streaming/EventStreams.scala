@@ -82,8 +82,22 @@ object EventStreams {
     // a µs instant, mirroring graft.Tables.events. Only the
     // TIMESTAMP(NANOS) shape needs the stream-lifetime legacy flag; the
     // µs-NTZ and µs-instant shapes read with an ordinary typed schema.
-    val tsType = graft.Tables.withNanosAsLong(spark)(
-      spark.read.parquet(dir)).schema("ts").dataType
+    // An EMPTY landing directory (the normal file-source pattern:
+    // subscribe first, files arrive later) has no footer to sniff —
+    // fall back to the current driver fixture shape (µs-NTZ) rather
+    // than failing stream construction; files of that shape then read
+    // normally, and a later nanos-shaped file would surface a loud
+    // schema-conversion error, never silent wrong timestamps.
+    val tsType =
+      try graft.Tables.withNanosAsLong(spark)(
+        spark.read.parquet(dir)).schema("ts").dataType
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("infer schema") ||
+              e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          TimestampNTZType
+      }
     def stream(t: DataType) =
       spark.readStream
         .schema(StructType(rawSchema.map(f =>
