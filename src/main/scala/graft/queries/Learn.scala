@@ -302,5 +302,81 @@ object Learn {
         WHERE arnk = 1)
       SELECT vec_id, cluster, dist_sq FROM fin"""))
 
-  val all: Seq[Q] = Seq(q125, q126)
+  // ---------------------------------------------------------------- q134
+
+  /** Core of q134: the d×d sample covariance of the embedding store —
+    * the distributed linear-algebra primitive PCA / ZCA-whitening /
+    * Mahalanobis outlier scoring all start from (the driver-side
+    * eigensolve over a 64×64 matrix is trivial; producing the matrix
+    * from 10⁹ vectors is the distributed part). Upper triangle only
+    * (i ≤ j — the matrix is symmetric).
+    *
+    * Two-pass exact recipe: per-dim means via q66's decimal sums; the
+    * means ride ONE broadcast row back into a second scan where every
+    * (i ≤ j) centered product (x_i−μ_i)(x_j−μ_j) — pure IEEE doubles
+    * on bit-identical inputs — is cast DECIMAL(30,12) and summed
+    * order-free; one double division by (n−1) at the end.
+    *
+    * Scale shape (100 TB): two corpus scans; the product agg has
+    * exactly d·(d+1)/2 keys (2080 for d=64), map-side combined — each
+    * partition contributes one partial sum per key, which IS the
+    * per-partition Gram accumulation, done by codegen instead of a
+    * hand-rolled mapPartitions. Nothing driver-side is data-sized. */
+  def embedCovariance(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val means = e
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("double").cast("decimal(20,10)"))
+          .cast("double").as("sum_v"))
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(pos," +
+        " CAST(sum_v / n AS DOUBLE) AS m))), s -> s.m)").as("mu"),
+        max(col("n")).as("n"))
+    e.crossJoin(broadcast(means))
+      .select(col("n"), posexplode(expr(
+        // centered upper-triangle products; Spark array subscripts
+        // are 0-based (unlike DuckDB's 1-based bracket)
+        "flatten(transform(sequence(0, size(embedding) - 1), i ->" +
+          " transform(sequence(i, size(embedding) - 1), j ->" +
+          " struct(i AS i, j AS j," +
+          " (CAST(embedding[i] AS DOUBLE) - mu[i]) *" +
+          " (CAST(embedding[j] AS DOUBLE) - mu[j]) AS p))))"))
+        .as(Seq("k", "t")))
+      .select(col("n"), col("t.i").as("i"), col("t.j").as("j"),
+        col("t.p").cast("decimal(30,12)").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg((sum(col("p")).cast("double") / (max(col("n")) - 1)).as("cov"))
+  }
+
+  /** q134 — embedding covariance matrix (upper triangle). */
+  val q134: Q = Q(
+    "q134_embed_covariance",
+    run = { (spark, dir) => embedCovariance(Tables.embeddings(spark, dir)) },
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL),
+      x AS (SELECT vec_id, CAST(pos AS INTEGER) AS pos,
+              CAST(embedding[pos + 1] AS DOUBLE) AS v
+            FROM (SELECT vec_id, embedding,
+                    unnest(generate_series(0, len(embedding) - 1)) AS pos
+                  FROM e)),
+      m AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+              CAST(CAST(sum(CAST(v AS DECIMAL(20,10))) AS VARCHAR) AS DOUBLE)
+                / count(*) AS mu
+            FROM x GROUP BY pos),
+      c AS (SELECT a.vec_id, a.pos AS i, b.pos AS j,
+              CAST((a.v - ma.mu) * (b.v - mb.mu) AS DECIMAL(30,12)) AS p,
+              ma.n
+            FROM x a
+            JOIN x b ON b.vec_id = a.vec_id AND b.pos >= a.pos
+            JOIN m ma ON ma.pos = a.pos
+            JOIN m mb ON mb.pos = b.pos)
+      SELECT i, j,
+        CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE) / (max(n) - 1) AS cov
+      FROM c GROUP BY i, j"""))
+
+  val all: Seq[Q] = Seq(q125, q126, q134)
 }

@@ -108,6 +108,26 @@ class LearnSpec extends AnyFunSuite {
       "per-batch NB scoring must concatenate to the batch answer")
   }
 
+  test("q134 covariance recovers a hand-computed matrix exactly") {
+    // dim0 = [1,2,3,4], dim1 = 2*dim0 (perfect correlation),
+    // dim2 = const (zero variance, zero covariance with everything)
+    val emb = Seq(
+      (0L, Seq(1.0f, 2.0f, 5.0f), 0),
+      (1L, Seq(2.0f, 4.0f, 5.0f), 0),
+      (2L, Seq(3.0f, 6.0f, 5.0f), 0),
+      (3L, Seq(4.0f, 8.0f, 5.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Learn.embedCovariance(emb)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // sample variance of [1,2,3,4] = 5/3
+    val v = 5.0 / 3.0
+    assert(math.abs(got((0, 0)) - v) < 1e-12)
+    assert(math.abs(got((0, 1)) - 2 * v) < 1e-12) // cov(x, 2x) = 2 var
+    assert(math.abs(got((1, 1)) - 4 * v) < 1e-12)
+    assert(got((2, 2)) == 0.0 && got((0, 2)) == 0.0 && got((1, 2)) == 0.0)
+    assert(got.size == 6, "upper triangle of a 3x3 has 6 entries")
+  }
+
   test("q126 assignment is invariant under input repartitioning") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val a = Learn.kmeans(emb, k = 4, iters = 2)
