@@ -378,5 +378,97 @@ object Learn {
         CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE) / (max(n) - 1) AS cov
       FROM c GROUP BY i, j"""))
 
+  // ------------------------------------------------- whitening seam
+
+  /** Symmetric Jacobi eigensolver over a small dense matrix (the
+    * classical cyclic sweep; Golub & Van Loan §8.5). Driver-side by
+    * design: the input is q134's d×d covariance — 64×64 here — and an
+    * eigensolve of a config-sized matrix does not belong on the
+    * cluster. Deterministic: fixed sweep order, fixed iteration count,
+    * pure double arithmetic. Returns (eigenvalues, eigenvectors as
+    * rows). */
+  private[queries] def jacobiEigen(m: Array[Array[Double]],
+      sweeps: Int = 30): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to sweeps; p <- 0 until d - 1; q <- p + 1 until d) {
+      if (math.abs(a(p)(q)) > 1e-15) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (k <- 0 until d) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+        }
+        for (k <- 0 until d) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+        }
+        for (k <- 0 until d) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq
+          v(k)(q) = s * vkp + c * vkq
+        }
+      }
+    }
+    (Array.tabulate(d)(i => a(i)(i)), Array.tabulate(d, d)((i, j) => v(j)(i)))
+  }
+
+  /** ZCA-whiten the embedding store: W = E·diag(1/√(λ+ε))·Eᵀ from
+    * q134's covariance (driver-side Jacobi over the d×d matrix — the
+    * bpeLearn bounded-collect contract; d is an operator constant),
+    * then one broadcast-apply expression pass re-centers and rotates
+    * every vector. The standard preprocessing before cosine-based
+    * dedup/ANN when dimensions are correlated (whitened covariance =
+    * I). Not oracle-expressible (the eigensolve is not SQL) — the
+    * suite closes the loop instead: covariance(whiten(X)) ≈ I. */
+  def zcaWhiten(embeddings: DataFrame, eps: Double = 1e-5): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cov = embedCovariance(embeddings)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    if (cov.isEmpty) {
+      return embeddings.filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("whitened"))
+    }
+    val d = cov.keys.map(_._2).max + 1
+    val c = Array.tabulate(d, d)((i, j) =>
+      cov.getOrElse((math.min(i, j), math.max(i, j)), 0.0))
+    val (lam, vecs) = jacobiEigen(c) // vecs(k) = k-th eigenvector
+    // W_ij = Σ_k vecs(k)(i) · vecs(k)(j) / sqrt(λ_k + eps)
+    val w = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(k =>
+        vecs(k)(i) * vecs(k)(j) / math.sqrt(math.max(lam(k), 0.0) + eps)).sum)
+    val mu = {
+      val e = embeddings.filter(col("embedding").isNotNull)
+      e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(sum(col("x").cast("double").cast("decimal(20,10)"))
+          .cast("double").as("s"), count(lit(1)).as("n"))
+        .collect().sortBy(_.getInt(0)).map(r => r.getDouble(1) / r.getLong(2))
+    }
+    import spark.implicits._
+    val wdf = w.zipWithIndex
+      .map { case (row, i) => (i, row.toSeq) }.toSeq.toDF("wi", "wrow")
+      .groupBy().agg(expr(
+        "transform(array_sort(collect_list(struct(wi, wrow))), s -> s.wrow)")
+        .as("wmat"))
+      .withColumn("mu", lit(mu).cast("array<double>"))
+    embeddings.filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(wdf))
+      .select(col("vec_id"), expr(
+        // y_i = Σ_j W_ij (x_j − μ_j), index-ordered fold per output dim
+        "transform(sequence(0, size(embedding) - 1), i ->" +
+          " aggregate(sequence(0, size(embedding) - 1)," +
+          " CAST(0 AS DOUBLE), (acc, j) -> acc +" +
+          " wmat[i][j] * (CAST(embedding[j] AS DOUBLE) - mu[j])))")
+        .as("whitened"))
+  }
+
   val all: Seq[Q] = Seq(q125, q126, q134)
 }
