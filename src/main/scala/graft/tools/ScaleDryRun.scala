@@ -710,6 +710,14 @@ object ScaleDryRun {
       docs10.filter(col("text").isNotNull)))
     println(f"[scale-dry-run] q132_keyness_1x        $tDt1%8.2f s")
     println(f"[scale-dry-run] q132_keyness_10x       $tDt10%8.2f s  (ratio ${tDt10 / tDt1}%.1fx)")
+    // q134: two corpus scans; the Gram expansion is d(d+1)/2 products
+    // per vector, map-side combined to 2080 keys — should be linear
+    val (tCv1, _) = timed(graft.queries.Learn.embedCovariance(
+      emb0.filter(col("embedding").isNotNull)))
+    val (tCv10, _) = timed(graft.queries.Learn.embedCovariance(
+      emb10.filter(col("embedding").isNotNull)))
+    println(f"[scale-dry-run] q134_covariance_1x     $tCv1%8.2f s")
+    println(f"[scale-dry-run] q134_covariance_10x    $tCv10%8.2f s  (ratio ${tCv10 / tCv1}%.1fx)")
     spark.stop()
   }
 }
