@@ -86,6 +86,15 @@ object Tables {
   def documentsParallel(s: SparkSession, d: String): DataFrame =
     documents(s, d).repartition(s.sparkContext.defaultParallelism)
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Embeddings spread across the session's cores — the
+    * [[documentsParallel]] rationale applied to the vector store: the
+    * zero-exchange assignment fold (CenterAssign) runs CPU-heavy k·dim
+    * work per row in the SCAN's partitioning, and the one-file fixture
+    * would serialize it; production's pre-split corpus parallelizes for
+    * free. */
+  def embeddingsParallel(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
 }
 
 /** One registry entry: a named query (the driver contract's

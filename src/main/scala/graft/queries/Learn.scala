@@ -171,28 +171,22 @@ object Learn {
   /** One assignment pass: every vector to its nearest center by squared
     * L2 (index-ordered fold), ties by center_id. `centers` is a
     * (center_id, centroid: array<double>) frame small enough to
-    * broadcast — k·dim doubles. */
+    * broadcast — k·dim doubles. Zero-exchange projection argmin
+    * ([[CenterAssign]]) — the round-9 window-argmin shuffled the
+    * corpus on vec_id once per pass. */
   private def assign(e: DataFrame, centers: DataFrame): DataFrame =
-    e.crossJoin(broadcast(centers))
-      .withColumn("dist_sq", expr(
-        "aggregate(zip_with(embedding, centroid," +
-          " (v, m) -> (CAST(v AS DOUBLE) - m) * (CAST(v AS DOUBLE) - m))," +
-          " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
-      .withColumn("arnk", row_number().over(
-        Window.partitionBy("vec_id")
-          .orderBy(col("dist_sq").asc, col("center_id").asc)))
-      .filter(col("arnk") === 1)
-      .select(col("vec_id"), col("center_id").as("cluster"),
-        col("dist_sq"), col("embedding"))
+    CenterAssign.withNearest(e, centers)
+      .select(col("vec_id"), col("cluster"), col("dist_sq"), col("embedding"))
 
   /** Core of q126: Lloyd k-means over the full embedding store —
     * deterministic init (the k lowest vec_ids), `iters` rounds of
     * assign + exact-decimal centroid update, final assignment out.
     *
     * Scale shape (100 TB): each round is ONE corpus scan against a
-    * broadcast of k·dim doubles (assignment is embarrassingly parallel;
-    * the only shuffle is the (cluster, pos) centroid agg — k·dim keys,
-    * map-side combined), and the driver collects exactly k·dim mean
+    * broadcast of k·dim doubles (assignment is a zero-exchange
+    * projection fold — [[CenterAssign]]; the ONLY shuffle in a round
+    * is the (cluster, pos) centroid agg — k·dim keys, map-side
+    * combined), and the driver collects exactly k·dim mean
     * rows per round (the bpeLearn/q121 bounded-collect contract; k and
     * dim are operator constants, never data-sized). Contrast q48's
     * ivfBuild, which FITS on a sample — this is the partition-
@@ -284,7 +278,7 @@ object Learn {
     * assignment of every vector. */
   val q126: Q = Q(
     "q126_kmeans",
-    run = { (spark, dir) => kmeans(Tables.embeddings(spark, dir)) },
+    run = { (spark, dir) => kmeans(Tables.embeddingsParallel(spark, dir)) },
     oracle = Some(s"""
       $kmeansCtes,
       fin AS (

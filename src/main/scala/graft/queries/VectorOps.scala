@@ -269,10 +269,11 @@ object VectorOps {
     * argmin knife edges.
     *
     * Scale shape: centers are broadcast (k·dim doubles); assignment
-    * streams the corpus once against the broadcast (k candidate rows per
-    * vector, argmin window keyed on vec_id — one corpus-sized shuffle);
-    * the suppression join shuffles once on cluster id and is quadratic
-    * only within a cluster.
+    * streams the corpus once against the broadcast as a zero-exchange
+    * projection argmin ([[CenterAssign]] — the round-9 vec_id argmin
+    * window shuffled the corpus just to pick the min of k co-located
+    * rows); the suppression join shuffles once on cluster id and is
+    * quadratic only within a cluster.
     */
   def semDedup(vectors: org.apache.spark.sql.DataFrame,
       centers: org.apache.spark.sql.DataFrame,
@@ -281,16 +282,8 @@ object VectorOps {
     val e = vectors.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)")))
-    val assigned = e.crossJoin(broadcast(centers))
-      .withColumn("dist_sq", expr(
-        "aggregate(zip_with(embedding, centroid," +
-          " (v, m) -> (CAST(v AS DOUBLE) - m) * (CAST(v AS DOUBLE) - m))," +
-          " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
-      .withColumn("arnk", row_number().over(
-        Window.partitionBy("vec_id")
-          .orderBy(col("dist_sq").asc, col("center_id").asc)))
-      .filter(col("arnk") === 1)
-      .select(col("vec_id"), col("center_id").as("cluster"), col("dist_sq"),
+    val assigned = CenterAssign.withNearest(e, centers)
+      .select(col("vec_id"), col("cluster"), col("dist_sq"),
         col("embedding"), col("nrm"))
       .withColumn("rep_rank", row_number().over(
         Window.partitionBy("cluster")
@@ -341,7 +334,7 @@ object VectorOps {
     "q111_semdedup",
     run = { (spark, dir) =>
       val emb = Tables.embeddings(spark, dir)
-      semDedup(emb, labelCenters(emb))
+      semDedup(Tables.embeddingsParallel(spark, dir), labelCenters(emb))
     },
     oracle = Some("""
       WITH e AS (SELECT vec_id, embedding FROM embeddings

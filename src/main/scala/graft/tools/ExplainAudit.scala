@@ -285,6 +285,11 @@ object ExplainAudit {
       "q111: cluster centers not broadcast into assignment")
     assert(!q111Plan.contains("CartesianProduct"),
       "q111: suppression join lost its cluster key")
+    // round-10: assignment is a projection fold (CenterAssign) — the
+    // only corpus exchanges left key on cluster (rep_rank window +
+    // suppression join), NEVER on vec_id
+    assert(!q111Plan.contains("hashpartitioning(vec_id"),
+      "q111: assignment regressed to a vec_id argmin shuffle")
     println("===== q111 CENTER-BROADCAST ASSERT OK")
     // q112: fingerprint selection is per-doc window work; the pair
     // generation must stay an equi-join on fp (df-cap-bounded buckets)
@@ -398,13 +403,19 @@ object ExplainAudit {
       "q125: the k-class expansion must never plan a cartesian")
     println("===== q125 BROADCAST-CLASSES ASSERT OK")
     // q126: every assignment pass is a broadcast of the k-dim centers —
-    // a shuffled assignment would move the corpus once per round
+    // a shuffled assignment would move the corpus once per round.
+    // Round-10: the final assignment (what the registry plan shows) is a
+    // zero-exchange projection fold (CenterAssign) — the packed-centers
+    // side may exchange its k rows to a single partition, but the corpus
+    // side must plan NO hash exchange at all
     val q126Plan = graft.SparkEntry.queries("q126_kmeans")(spark, dir)
       .queryExecution.executedPlan.toString
     assert(q126Plan.contains("BroadcastNestedLoopJoin"),
       "q126: center assignment is not a broadcast join")
     assert(!q126Plan.contains("CartesianProduct"),
       "q126: assignment must never plan a cartesian")
+    assert(!q126Plan.contains("Exchange hashpartitioning"),
+      "q126: assignment must be exchange-free (the window-argmin shuffle is back)")
     println("===== q126 BROADCAST-CENTERS ASSERT OK")
     // q128: the boilerplate gram drop must be a broadcast anti-join
     // (the hot set is df-capped, i.e. vocabulary-bounded); the islands
