@@ -34,6 +34,14 @@ object GraphOps {
 
   private val iters = 10
 
+  /** Max neighbors per CSR adjacency row (q101): chunking key is
+    * `dst div adjSegSize` — the q122 value-based segment recipe — so a
+    * row holds at most 64k ids (~512 KB) no matter the node's degree.
+    * A power-law hub with 10⁸ neighbors becomes ~1.5k bounded rows
+    * instead of one multi-GB row that neither broadcast nor
+    * copartition mode could hold in memory. */
+  private val adjSegSize = 65536
+
   /** Core of q101 over any (ok, part) basket frame.
     *
     * `rankState` picks the per-iteration join strategy for the
@@ -62,15 +70,26 @@ object GraphOps {
       .filter(col("part") =!= col("dst"))
       .select(col("part").as("src"), col("dst"))
       .distinct()
-    // adjacency in CSR shape — one row per src with its neighbor array
-    // and out-degree — STAGED once (the q49/q68 barrier pattern):
-    // every iteration then scans entity-count rows and regenerates the
-    // edge stream in-flight via explode, instead of re-reading (or
-    // worse, re-computing) the edge-count-sized table ten times.
-    // Neighbor order inside the array is irrelevant: contributions are
-    // summed, an order-free integer monoid.
-    val adjDf = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"),
-      collect_list(col("dst")).as("dsts"))
+    // adjacency in chunked-CSR shape — one row per (src, dst-id-block)
+    // with that block's neighbor array, the FULL out-degree carried per
+    // chunk — STAGED once (the q49/q68 barrier pattern): every
+    // iteration then scans chunk rows and regenerates the edge stream
+    // in-flight via explode, instead of re-reading (or worse,
+    // re-computing) the edge-count-sized table ten times. The value-
+    // based chunk key (`dst div adjSegSize`, the q122 segment recipe)
+    // bounds every row at adjSegSize ids regardless of degree — the
+    // round-9 one-row-per-src build put a hub's ENTIRE neighbor list
+    // in one unbounded (and unspillable) row. Neighbor order across
+    // and inside chunks is irrelevant: contributions are summed, an
+    // order-free integer monoid, and the rank join matches every chunk
+    // of a src to the same rank row.
+    val chunks = edges
+      .groupBy(col("src"), expr(s"dst div $adjSegSize").as("seg"))
+      .agg(count(lit(1)).as("seg_deg"), collect_list(col("dst")).as("dsts"))
+    val adjDf = chunks
+      .withColumn("outdeg", sum(col("seg_deg")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .select(col("src"), col("outdeg"), col("dsts"))
     val nodes = graft.operators.Stage.materialize(
       li.select(col("part")).distinct(), "pagerank-nodes")
     val spark = baskets.sparkSession
