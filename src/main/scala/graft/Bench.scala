@@ -94,7 +94,6 @@ object Bench {
     val total =
       if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     val passes = passTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
-    // short headline first (complete driver-contract fields, bounded
     // The FULL per-query line prints FIRST, the SHORT headline LAST.
     // Evidence for this order: BENCH_r08.json's `tail` field shows the
     // driver captures a BOUNDED TAIL of stdout, front-truncated
@@ -104,7 +103,20 @@ object Bench {
     // the tail window intact; with run/outputStrategy := StdoutOutput
     // (build.sbt) it also arrives unprefixed. Consumers that want the
     // per-query map read the first {"metric" line of the full output.
-    println(s"""{"metric":"total","spread":$spread,"noisy":$noisy,"failed":$failed,"pass_totals":$passes,"unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}""")
+    val fullLine =
+      s"""{"metric":"total","spread":$spread,"noisy":$noisy,"failed":$failed,"pass_totals":$passes,"unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}"""
+    println(fullLine)
+    // the driver's stdout tail is front-truncating, so per-query history
+    // survived only in BASELINE.md prose through round 9 — persist the
+    // full line to a file too, so cross-round per-query regressions are
+    // machine-diffable (bench/last_run.json, plus a timestamped copy)
+    try {
+      val dir = java.nio.file.Paths.get("bench")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("last_run.json"), fullLine + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist bench/last_run.json: ${e.getMessage}")
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","pass_totals":$passes,"n_queries":${results.size},"failed":$failed,"queries":{}}""")
     spark.stop()
   }

@@ -376,7 +376,11 @@ object GraphOps {
     * typically reached in a handful of rounds; the suite asserts the
     * fixture converges within the default budget (one extra round
     * changes nothing), so the bounded loop IS the k-core there, while
-    * staying a fixed, oracle-replayable plan at any scale.
+    * staying a fixed, oracle-replayable plan at any scale. A run that
+    * is STILL shrinking in its final round warns on stderr (round-10
+    * convergence detector — metadata-cheap per-round edge counts), so
+    * a non-converged superset result is never silent; `rounds` is the
+    * knob to raise when it fires.
     *
     * Output: surviving nodes with their residual in-core degree.
     *
@@ -392,6 +396,14 @@ object GraphOps {
     // the oracle-side mirror). Superseded rounds drop eagerly.
     var edges = graft.operators.Stage.materializeWithPath(
       coEdges(baskets), "kcore-e0")
+    // convergence detector (round-10): the bounded loop peels `rounds`
+    // times; if the edge set was still shrinking in the LAST round, the
+    // fixpoint was not reached and the result is a superset of the true
+    // k-core (the final deg>=k filter does not re-peel). Per-round edge
+    // counts are parquet-metadata reads off the staged tables — cheap —
+    // and a non-converged run is loudly detectable instead of silent.
+    var prevCount = edges._1.count()
+    var lastShrank = false
     for (r <- 1 to rounds) {
       val keep = degreesOf(edges._1).filter(col("deg") >= k)
         .select(col("node"))
@@ -403,7 +415,14 @@ object GraphOps {
         s"kcore-e$r")
       graft.operators.Stage.drop(edges._1, edges._2)
       edges = next
+      val c = edges._1.count()
+      lastShrank = c != prevCount
+      prevCount = c
     }
+    if (lastShrank)
+      System.err.println(s"[kcore] WARNING: edge set still shrinking after " +
+        s"$rounds rounds (fixpoint NOT reached) — the output is a superset " +
+        s"of the true $k-core; raise `rounds`")
     val out = degreesOf(edges._1).filter(col("deg") >= k)
       .select(col("node").as("part_id"), col("deg").as("core_deg"))
     // the final agg reads the staged parquet lazily; hand the caller a

@@ -54,11 +54,17 @@ object SubstrDedup {
       .filter(col("tail").isNotNull)
       .select(col("doc_id"), col("pos"), md5(col("gram")).as("h"))
     // df cap on DISTINCT docs per gram (a run repeated inside one doc
-    // stays joinable; cross-doc fan-out is what the cap bounds)
+    // stays joinable; cross-doc fan-out is what the cap bounds).
+    // No broadcast hint on the hot set: unlike a vocabulary-bounded
+    // stopword table, the set of grams with df > dfCap GROWS with the
+    // corpus (boilerplate is corpus-proportional), so a forced
+    // broadcast could outgrow the driver at 100 TB — AQE broadcasts it
+    // while it fits and shuffles the anti-join when it doesn't (the
+    // q125 cc-model-join posture).
     val hot = grams.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") > dfCap).select(col("h"))
-    val g = grams.join(broadcast(hot), Seq("h"), "left_anti")
+    val g = grams.join(hot, Seq("h"), "left_anti")
     // position pairs on the same gram, doc_a < doc_b, keyed by diagonal
     val pairs = g.alias("a")
       .join(g.select(col("h").as("h_b"), col("doc_id").as("doc_b"),

@@ -21,10 +21,17 @@ object Q116Cap {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+    // replicas permute tokens by a SEEDED hash of (replica, doc, pos,
+    // token) — the round-9 unseeded shuffle() made the recorded pair
+    // counts wobble 0-50 across runs; this permutation regenerates the
+    // BASELINE.md numbers exactly
     val docs10 = (0 until 10).map { i =>
       if (i == 0) docs0
       else docs0.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-        concat_ws(" ", shuffle(split(col("text"), " "))).as("text"),
+        expr(s"concat_ws(' ', transform(array_sort(transform(" +
+          s"split(text, ' '), (t, p) -> struct(" +
+          s"xxhash64($i, doc_id, p, t) AS k, t AS t))), s -> s.t))")
+          .as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _).repartition(cpus.toInt)
     def timed(df: => DataFrame): (Double, Long) = {
