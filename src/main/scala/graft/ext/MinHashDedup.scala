@@ -163,29 +163,109 @@ object MinHashDedup {
     })
   }
 
-  /** q30 — near-dup candidate pairs with MinHash-estimated Jaccard
-    * distance <= 0.5 (i.e. similarity >= 0.5). Deterministic given the
-    * fixed seed. */
+  /** Spark ML MinHashLSH variant of the q30 pipeline (HashingTF binary
+    * vectors → `approxSimilarityJoin`): near-dup candidate pairs with
+    * ML-estimated Jaccard distance <= `threshold`. Deterministic given
+    * the fixed seed, but NOT oracle-expressible (the ML hash family is
+    * engine-internal), so it lives as a suite-tested alternative while
+    * the registry q30 ships the md5 slot family below. */
+  def mlApproxPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // Shingle (3-gram) sets, not raw token sets: the fixture vocabulary
+    // is tiny, so token-set Jaccard is high for nearly every pair;
+    // shingles recover the same near-dup semantics as the exact q24.
+    // 6 hash tables: p(candidate | J=0.5) = 1-(1-0.5)^6 ≈ 98% — the
+    // recall/cost knee; the fixtures' planted near-dups (J≈0.97) are
+    // recalled with probability ~1.
+    val (model, hashed, _) = sketch(
+      shingled(docs).drop("source"), numTables = 6, "minhash")
+    model.approxSimilarityJoin(hashed, hashed, threshold, "jaccard_dist")
+      .select(
+        col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"),
+        col("jaccard_dist"))
+      .filter(col("doc_a") < col("doc_b"))
+  }
+
+  /** Slots of the md5 minhash family: slot i of a doc = min over its
+    * shingles of md5(i || '|' || shingle). md5 hex compares
+    * lexicographically identically in Spark and DuckDB, so signatures —
+    * and everything derived from them — are cross-engine checkable. */
+  private val kSlots = 12
+
+  /** q30 — near-dup candidate pairs with minhash-estimated Jaccard
+    * distance <= 0.5 (i.e. estimated similarity >= 0.5): r=1 banding
+    * over [[kSlots]] md5-family minhash slots (candidate = agree on ANY
+    * slot — the same OR-amplification as `approxSimilarityJoin`),
+    * estimated distance = 1 − (#agreeing slots)/k.
+    *
+    * Unlike the ML variant ([[mlApproxPairs]]) this hash family is
+    * md5-based, so the ENTIRE pipeline — signatures, banding, candidate
+    * set, estimated distance — recomputes exactly in DuckDB: a true
+    * hash-gate oracle at every scale factor (and under fixture
+    * fuzzing), not a frozen fixture pin. P(candidate | J) = 1−(1−J)^k:
+    * ≈ 2% at J=0; the fixtures' planted near-dups (J≈0.97) are recalled
+    * with probability ~1, and the estimate at J=0.97 concentrates far
+    * below the 0.5 distance cut.
+    *
+    * Scale shape (100 TB): one shingle scan → k md5 mins per doc
+    * (map-side combined hash-agg in the oracle; a pure projection fold
+    * here), a slot-bucket self-join bounded by bucket occupancy (never
+    * N²), and a k-element zip per surviving candidate pair. */
   val q30: Q = Q(
     "q30_dedup_minhash_lsh",
     run = { (spark, dir) =>
-      // Shingle (3-gram) sets, not raw token sets: the fixture vocabulary
-      // is tiny, so token-set Jaccard is high for nearly every pair;
-      // shingles recover the same near-dup semantics as the exact q24.
-      // 6 hash tables: p(candidate | J=0.5) = 1-(1-0.5)^6 ≈ 98% — the
-      // recall/cost knee; the fixtures' planted near-dups (J≈0.97) are
-      // recalled with probability ~1.
-      val (model, hashed, _) = sketch(
-        shingled(Tables.documentsParallel(spark, dir)).drop("source"),
-        numTables = 6, "minhash")
-      model.approxSimilarityJoin(hashed, hashed, 0.5, "jaccard_dist")
-        .select(
-          col("datasetA.doc_id").as("doc_a"),
-          col("datasetB.doc_id").as("doc_b"),
-          col("jaccard_dist"))
-        .filter(col("doc_a") < col("doc_b"))
+      // staged: the signature table feeds the bucket self-join (both
+      // sides) + two joins back for the slot-agreement estimate
+      val sig = graft.operators.Stage.materialize(
+        shingled(Tables.documentsParallel(spark, dir)).drop("source")
+          .select(col("doc_id"), expr(
+            s"transform(sequence(0, ${kSlots - 1}), i -> " +
+              "array_min(transform(shingles, s -> " +
+              "md5(concat(CAST(i AS STRING), '|', s)))))").as("sig")),
+        "mh30-sig")
+      val banded = sig.select(col("doc_id"),
+        posexplode(col("sig")).as(Seq("slot", "h")))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.slot") === col("y.slot") && col("x.h") === col("y.h") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard_dist", lit(1.0) -
+          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0))," +
+            " 0, (a, v) -> a + v)").cast("double") / kSlots)
+        .filter(col("jaccard_dist") <= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard_dist"))
     },
-    oracle = None)
+    oracle = Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      d3 AS (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 2)) AS i
+             FROM d WHERE len(toks) >= 3),
+      sh AS (SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+             FROM d3),
+      slots AS (SELECT doc_id, s.i,
+                  min(md5(CAST(s.i AS VARCHAR) || '|' || shingle)) AS h
+                FROM sh
+                CROSS JOIN (SELECT unnest(generate_series(0, ${kSlots - 1}))
+                            AS i) s
+                GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM slots x JOIN slots y
+                 ON x.i = y.i AND x.h = y.h AND x.doc_id < y.doc_id),
+      est AS (SELECT c.doc_a, c.doc_b,
+                1.0 - CAST(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END)
+                  AS DOUBLE) / $kSlots AS jaccard_dist
+              FROM cand c
+              JOIN slots sa ON sa.doc_id = c.doc_a
+              JOIN slots sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+              GROUP BY 1, 2)
+      SELECT doc_a, doc_b, jaccard_dist FROM est
+      WHERE jaccard_dist <= 0.5"""))
 
   val all: Seq[Q] = Seq(q30)
 }

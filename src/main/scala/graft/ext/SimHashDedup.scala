@@ -2,42 +2,77 @@ package graft.ext
 
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.functions.TextFunctions
 
 /** SimHash near-duplicate detection (SURVEY.md §2.D): 64-bit signature
-  * per document computed in ONE projection (higher-order folds, no
-  * explode/shuffle — see TextFunctions.simhash64), then banded into
-  * 4×16-bit keys; docs sharing a band are Hamming-distance candidates.
-  * Not oracle-checked (depends on xxhash64, which DuckDB lacks);
-  * signature properties are unit-tested instead.
+  * per document computed in ONE projection (no explode/shuffle), then
+  * banded into 4×16-bit keys; docs sharing a band are Hamming-distance
+  * candidates.
+  *
+  * Two hash families, same banding semantics:
+  *  - `simhash64` (xxhash64-based codegen Catalyst expression,
+  *    [[graft.functions.SimHash64]]) — the throughput path; its codegen
+  *    ≡ interpreted-HOF equality and near-dup properties are
+  *    suite-tested (TextVectorSpec).
+  *  - the md5 family below — per-token md5, one ±1 vote per hex-nibble
+  *    bit, signature emitted as a 16-hex-char STRING. md5 hex is
+  *    bit-identical in Spark and DuckDB, so the REGISTRY query is fully
+  *    oracle-expressible at every scale factor (and under fixture
+  *    fuzzing) — a true hash gate over the whole signature + banding +
+  *    candidate pipeline, where the xxhash64 family was stuck at
+  *    rows-only (DuckDB lacks xxhash64, and a frozen-literal oracle
+  *    would pin one fixture instead of checking the computation).
+  *
+  * Cost note (100 TB): the md5 family pays one md5 per distinct token
+  * plus 64 nibble-fold ops — a constant factor over xxhash64, still an
+  * embarrassingly parallel pure projection with the band self-join as
+  * the only shuffle. Production callers chasing throughput use
+  * `simhash64`; the two families are interchangeable (any good 64-bit
+  * hash basis yields the same near-dup semantics).
   */
 object SimHashDedup {
 
-  /** q31 — per-doc simhash + band keys + number of same-band candidate
-    * docs (0 when no near-dup shares a band). Output is per-document so
-    * the result is always non-empty. */
+  /** md5-family 64-bit SimHash as a 16-hex-char string, over the `hs`
+    * column (array of per-token md5 hex strings). Bit (p,k) of the
+    * signature = sign of Σ_tokens (2·bit_k(nibble_p(md5)) − 1); each
+    * output hex char packs its 4 bit votes back into a nibble. Ties
+    * (vote sum 0) resolve to bit 0 — `> 0` strictly — in both engines. */
+  private val simhashMd5Expr =
+    "CASE WHEN hs IS NULL THEN NULL ELSE concat_ws(''," +
+      " transform(nibs, vals ->" +
+      " substr('0123456789abcdef', 1 +" +
+      " aggregate(sequence(0, 3), 0, (nib, k) ->" +
+      " nib + IF(aggregate(vals, 0, (acc, v) ->" +
+      " acc + IF((v >> k) & 1 = 1, 1, -1)) > 0," +
+      " CAST(shiftleft(1, k) AS INT), 0)), 1))) END"
+
+  /** q31 — per-doc md5-family simhash + 4×4-hex-char band keys + number
+    * of same-band candidate docs (0 when no near-dup shares a band).
+    * Output is per-document so the result is always non-empty; null-text
+    * docs carry NULL signature/bands and 0 candidates. */
   val q31: Q = Q(
     "q31_dedup_simhash",
     run = { (spark, dir) =>
-      TextFunctions.registerSimHash(spark)
       // staged once to temp parquet: the signature table feeds the band
       // self-join (both sides) plus the final join. A persist() here
       // would leak cached blocks to non-Bench callers; staging gives the
       // same evaluate-once guarantee with no session cache state.
       val sigs = graft.operators.Stage.materialize(
         Tables.documentsParallel(spark, dir)
-        .withColumn("toks", expr("array_distinct(split(text, ' '))"))
-        .select(col("doc_id"), expr("simhash64(toks)").as("simhash"),
-          TextFunctions.rollingFingerprint("toks").as("rolling_fp"))
-        .select(Seq(col("doc_id"), col("simhash"), col("rolling_fp")) ++
-          (0 until 4).map(i =>
-            shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
-              .as(s"band$i")): _*),
+          .withColumn("hs",
+            expr("transform(array_distinct(split(text, ' ')), t -> md5(t))"))
+          .withColumn("nibs", expr(
+            "transform(sequence(0, 15), p -> transform(hs, h ->" +
+              " CAST(conv(substr(h, p + 1, 1), 16, 10) AS INT)))"))
+          .withColumn("simhash", expr(simhashMd5Expr))
+          .select(Seq(col("doc_id"), col("simhash")) ++
+            (0 until 4).map(i =>
+              substring(col("simhash"), 1 + 4 * i, 4).as(s"band$i")): _*),
         "simhash")
       // same-band candidates: ONE posexplode pass (not a 4-way union that
       // would re-evaluate the signature subplan per branch); the self-join
       // shuffles the identical subplan twice → Spark reuses the exchange.
       val bands = sigs
+        .filter(col("simhash").isNotNull)
         .select(col("doc_id"),
           posexplode(array((0 until 4).map(i => col(s"band$i")): _*)))
         .withColumnRenamed("pos", "band_idx")
@@ -53,7 +88,45 @@ object SimHashDedup {
       sigs.join(cand, Seq("doc_id"), "left")
         .na.fill(0L, Seq("n_band_candidates"))
     },
-    oracle = None)
+    oracle = Some("""
+      WITH docs AS (SELECT doc_id, text FROM documents),
+      tk AS (SELECT DISTINCT doc_id, t FROM
+               (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM docs WHERE text IS NOT NULL)),
+      hx AS (SELECT doc_id, md5(t) AS h FROM tk),
+      votes AS (SELECT doc_id, p.p, k.k,
+                  sum(CASE WHEN ((strpos('0123456789abcdef',
+                        substr(h, p.p + 1, 1)) - 1) >> k.k) & 1 = 1
+                      THEN 1 ELSE -1 END) AS vote_sum
+                FROM hx
+                CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) p
+                CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+                GROUP BY 1, 2, 3),
+      nibs AS (SELECT doc_id, p,
+                 sum(CASE WHEN vote_sum > 0 THEN (1 << k) ELSE 0 END) AS nib
+               FROM votes GROUP BY 1, 2),
+      sig AS (SELECT doc_id,
+                string_agg(substr('0123456789abcdef',
+                  CAST(nib + 1 AS INTEGER), 1), '' ORDER BY p) AS simhash
+              FROM nibs GROUP BY doc_id),
+      allsig AS (SELECT d.doc_id, s.simhash
+                 FROM docs d LEFT JOIN sig s ON s.doc_id = d.doc_id),
+      bands AS (SELECT doc_id, b.b AS band_idx,
+                  substr(simhash, 1 + 4 * b.b, 4) AS band_key
+                FROM allsig
+                CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+                WHERE simhash IS NOT NULL),
+      cand AS (SELECT x.doc_id,
+                 CAST(count(DISTINCT y.doc_id) AS BIGINT) AS n_band_candidates
+               FROM bands x JOIN bands y
+                 ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+                    AND x.doc_id <> y.doc_id
+               GROUP BY 1)
+      SELECT a.doc_id, a.simhash,
+        substr(a.simhash, 1, 4) AS band0, substr(a.simhash, 5, 4) AS band1,
+        substr(a.simhash, 9, 4) AS band2, substr(a.simhash, 13, 4) AS band3,
+        COALESCE(c.n_band_candidates, 0) AS n_band_candidates
+      FROM allsig a LEFT JOIN cand c ON c.doc_id = a.doc_id"""))
 
   val all: Seq[Q] = Seq(q31)
 }

@@ -114,6 +114,21 @@ class TextVectorSpec extends AnyFunSuite {
     // every exact near-dup pair (J >= 0.5, same-source blocking) must be
     // recalled by LSH (which searches across sources, so approx ⊇ exact)
     assert(exact.subsetOf(approx), s"missed: ${exact -- approx}")
+    // estimated distances live in [0, 0.5] by the q30 filter, in 1/12 steps
+    val dists = graft.ext.MinHashDedup.q30.run(spark, TestSpark.sf0001)
+      .select("jaccard_dist").collect().map(_.getDouble(0))
+    assert(dists.forall(d => d >= 0.0 && d <= 0.5))
+  }
+
+  test("ML MinHashLSH variant recalls the exact high-Jaccard pairs too") {
+    val exact = graft.queries.TextOps.q24.run(spark, TestSpark.sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ml = graft.ext.MinHashDedup
+      .mlApproxPairs(Tables.documents(spark, TestSpark.sf0001))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(ml), s"missed: ${exact -- ml}")
   }
 
   test("lshTopK derives dim from the data: non-64-d vectors work correctly") {
