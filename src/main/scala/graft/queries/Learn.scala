@@ -196,6 +196,20 @@ object Learn {
     */
   def kmeans(embeddings: DataFrame, k: Int = kClusters,
       iters: Int = nIters): DataFrame = {
+    val e = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    assign(e, kmeansCenters(embeddings, k, iters))
+      .select(col("vec_id"), col("cluster"), col("dist_sq"))
+  }
+
+  /** Train-only seam: the final centers after `iters` Lloyd rounds, as a
+    * (center_id, centroid: array<double>) frame. The loop collects each
+    * round's k·dim means, so the RETURNED frame is a driver-local
+    * relation of at most k rows — reusable across streaming micro-batches
+    * with zero retrain risk ([[graft.streaming.DocStreams.kmeansAssignSink]])
+    * and save/load-trivial. */
+  def kmeansCenters(embeddings: DataFrame, k: Int = kClusters,
+      iters: Int = nIters): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val e = embeddings.filter(col("embedding").isNotNull)
@@ -226,7 +240,7 @@ object Learn {
         .toSeq.sortBy(_._1)
         .toDF("center_id", "centroid")
     }
-    assign(e, centers).select(col("vec_id"), col("cluster"), col("dist_sq"))
+    centers
   }
 
   /** The q126 iteration rounds as generated MATERIALIZED CTEs (the
@@ -313,12 +327,20 @@ object Learn {
     *
     * Scale shape (100 TB): two corpus scans; the product agg has
     * exactly d·(d+1)/2 keys (2080 for d=64), map-side combined — each
-    * partition contributes one partial sum per key, which IS the
-    * per-partition Gram accumulation, done by codegen instead of a
-    * hand-rolled mapPartitions. Nothing driver-side is data-sized. */
+    * partition contributes one partial sum per key. Nothing driver-side
+    * is data-sized. This explode formulation is the ORACLE-STRUCTURAL
+    * twin (it mirrors the DuckDB SQL shape cell for cell); the registry
+    * q134 ships [[embedCovarianceAcc]], which accumulates the same
+    * cells in a fixed buffer per partition — bit-identical
+    * (suite-asserted) and measured 2.3-2.6× faster (the 2,080 generated
+    * rows per vector were pure CPU overhead — tools/Q134GramAB). */
   def embedCovariance(embeddings: DataFrame): DataFrame = {
     val e = embeddings.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
+    // per-pos means AND per-pos counts ride the one broadcast row: cell
+    // (i, j) divides by pos-i's own count (the oracle's ma.n), so a
+    // ragged or null-holed embedding store diverges nowhere — the
+    // previous global max(n) divisor silently assumed uniform dims.
     val means = e
       .select(posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("pos"))
@@ -326,29 +348,62 @@ object Learn {
         sum(col("v").cast("double").cast("decimal(20,10)"))
           .cast("double").as("sum_v"))
       .groupBy()
-      .agg(expr("transform(array_sort(collect_list(struct(pos," +
-        " CAST(sum_v / n AS DOUBLE) AS m))), s -> s.m)").as("mu"),
-        max(col("n")).as("n"))
+      .agg(expr("array_sort(collect_list(struct(pos," +
+        " CAST(sum_v / n AS DOUBLE) AS m, n)))").as("st"))
+      .select(expr("transform(st, s -> s.m)").as("mu"),
+        expr("transform(st, s -> s.n)").as("nv"))
     e.crossJoin(broadcast(means))
-      .select(col("n"), posexplode(expr(
+      .select(posexplode(expr(
         // centered upper-triangle products; Spark array subscripts
         // are 0-based (unlike DuckDB's 1-based bracket)
         "flatten(transform(sequence(0, size(embedding) - 1), i ->" +
           " transform(sequence(i, size(embedding) - 1), j ->" +
-          " struct(i AS i, j AS j," +
+          " struct(i AS i, j AS j, nv[i] AS n," +
           " (CAST(embedding[i] AS DOUBLE) - mu[i]) *" +
           " (CAST(embedding[j] AS DOUBLE) - mu[j]) AS p))))"))
         .as(Seq("k", "t")))
-      .select(col("n"), col("t.i").as("i"), col("t.j").as("j"),
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.n").as("n"),
         col("t.p").cast("decimal(30,12)").as("p"))
       .groupBy(col("i"), col("j"))
       .agg((sum(col("p")).cast("double") / (max(col("n")) - 1)).as("cov"))
   }
 
-  /** q134 — embedding covariance matrix (upper triangle). */
+  /** Typed-Aggregator twin of [[embedCovariance]]
+    * ([[graft.functions.GramAggregator]]): same means pass (collected —
+    * d rows, bounded), then ONE accumulate pass with a d(d+1)/2 exact-
+    * decimal buffer per partition instead of 2,080 generated rows per
+    * vector. Output is bit-identical to the explode plan (equality
+    * suite-asserted; quantization and divisor contracts in the
+    * aggregator's scaladoc). Measured A/B vs the explode plan:
+    * tools/Q134GramAB, recorded in BASELINE.md round-10. */
+  def embedCovarianceAcc(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.filter(col("embedding").isNotNull)
+      .select(col("embedding").cast("array<double>").as("value"))
+    val mu = e
+      .select(posexplode(col("value")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(20,10)")).cast("double").as("sum_v"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => r.getDouble(2) / r.getLong(1))
+    if (mu.isEmpty)
+      return Seq.empty[(Int, Int, Double)].toDF("i", "j", "cov")
+    e.as[Seq[Double]]
+      .select(new graft.functions.GramAggregator(mu).toColumn)
+      .flatMap(identity)
+      .toDF("i", "j", "cov")
+  }
+
+  /** q134 — embedding covariance matrix (upper triangle). Ships the
+    * accumulator plan: measured 2.3× over the explode plan at sf0.1 and
+    * 2.6× at 10× (tools/Q134GramAB, BASELINE.md round-10), bit-identical
+    * output (suite-asserted), so the hash gate also proves the explode
+    * twin's oracle still describes this plan's semantics exactly. */
   val q134: Q = Q(
     "q134_embed_covariance",
-    run = { (spark, dir) => embedCovariance(Tables.embeddings(spark, dir)) },
+    run = { (spark, dir) => embedCovarianceAcc(Tables.embeddings(spark, dir)) },
     oracle = Some("""
       WITH e AS (SELECT vec_id, embedding FROM embeddings
                  WHERE embedding IS NOT NULL),
@@ -423,7 +478,7 @@ object Learn {
     * suite closes the loop instead: covariance(whiten(X)) ≈ I. */
   def zcaWhiten(embeddings: DataFrame, eps: Double = 1e-5): DataFrame = {
     val spark = embeddings.sparkSession
-    val cov = embedCovariance(embeddings)
+    val cov = embedCovarianceAcc(embeddings)
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
     if (cov.isEmpty) {
       return embeddings.filter(col("embedding").isNotNull)

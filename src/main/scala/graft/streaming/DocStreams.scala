@@ -86,6 +86,34 @@ object DocStreams {
       .start()
   }
 
+  /** q126's streaming twin: assign each arriving micro-batch of
+    * embeddings (an `embeddings`-shaped parquet stream — [[readDocs]]
+    * reads any parquet dir, it just sniffs the schema) to its nearest
+    * center of a STATIC k-means model fitted once from
+    * `trainEmbeddings`. `Learn.kmeansCenters` collects every round, so
+    * the model handed to the trigger loop is a driver-local k-row
+    * relation — no micro-batch can retrain or even rescan the training
+    * corpus. Assignment is the same zero-exchange projection fold as
+    * batch q126 ([[graft.queries.CenterAssign]]) and per-vector
+    * independent, so per-batch outputs concatenate to exactly the batch
+    * assignment for any arrival split (suite-asserted). The production
+    * shape for "bucket the crawl's embeddings as they land" — routing
+    * new vectors into SemDeDup cells or IVF probe lists. */
+  def kmeansAssignSink(incoming: DataFrame, trainEmbeddings: DataFrame,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val centers = graft.queries.Learn.kmeansCenters(trainEmbeddings)
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.queries.CenterAssign.withNearest(
+            batch.filter(col("embedding").isNotNull), centers)
+          .select(col("vec_id"), col("cluster"), col("dist_sq"))
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+      }
+      .start()
+  }
+
   /** Exact-hash hits as a stream-static LEFT equi-join in append mode:
     * every incoming doc emits (doc_id, match_id nullable) rows — one per
     * matching corpus doc, or a single null-match row when the doc is not

@@ -108,6 +108,39 @@ class LearnSpec extends AnyFunSuite {
       "per-batch NB scoring must concatenate to the batch answer")
   }
 
+  test("q126 streaming twin: micro-batch assignment equals the batch answer") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    // split arrivals across two files → two micro-batches
+    val inDir = Files.createTempDirectory("km_in").toString
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/f0")
+    emb.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/f1")
+    val streamDir = Files.createTempDirectory("km_stream").toString
+    var i = 0
+    Seq("f0", "f1").foreach { f =>
+      Files.list(java.nio.file.Paths.get(s"$inDir/$f")).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          Files.copy(p, java.nio.file.Paths.get(s"$streamDir/part_$i.parquet"))
+          i += 1
+        }
+      }
+    }
+    val outDir = Files.createTempDirectory("km_out").toString
+    val ckpt = Files.createTempDirectory("km_ckpt").toString
+    val q = graft.streaming.DocStreams.kmeansAssignSink(
+      graft.streaming.DocStreams.readDocs(spark, streamDir), emb, outDir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$outDir/batch_*")
+    val want = Learn.kmeans(emb)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0,
+      "per-batch k-means assignment must concatenate to the batch answer")
+  }
+
   test("q134 covariance recovers a hand-computed matrix exactly") {
     // dim0 = [1,2,3,4], dim1 = 2*dim0 (perfect correlation),
     // dim2 = const (zero variance, zero covariance with everything)
@@ -126,6 +159,41 @@ class LearnSpec extends AnyFunSuite {
     assert(math.abs(got((1, 1)) - 4 * v) < 1e-12)
     assert(got((2, 2)) == 0.0 && got((0, 2)) == 0.0 && got((1, 2)) == 0.0)
     assert(got.size == 6, "upper triangle of a 3x3 has 6 entries")
+  }
+
+  test("q134 ragged arrays divide each cell by pos-i's own count") {
+    // pos0 has 3 observations (n=3, mu=2); pos1 only 2 (n=2, mu=15).
+    // Cell (i,j) must divide by nv[i] — the oracle's ma.n — not a
+    // global max(n): (0,0)=2/(3-1)=1, (0,1)=5/(3-1)=2.5, (1,1)=50/(2-1)=50.
+    val emb = Seq(
+      (0L, Seq(1.0f, 10.0f)),
+      (1L, Seq(2.0f, 20.0f)),
+      (2L, Seq(3.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Learn.embedCovariance(emb)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(got((0, 0)) - 1.0) < 1e-12)
+    assert(math.abs(got((0, 1)) - 2.5) < 1e-12)
+    assert(math.abs(got((1, 1)) - 50.0) < 1e-12)
+    assert(got.size == 3)
+  }
+
+  test("q134 accumulator twin is bit-identical to the explode plan") {
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val a = key(Learn.embedCovariance(emb))
+    val b = key(Learn.embedCovarianceAcc(emb))
+    assert(a.keySet == b.keySet)
+    assert(a.keys.forall(k => a(k) == b(k)),
+      "accumulator drifted from the explode plan at full double precision")
+    // ragged arrays: the per-position divisor contract must match too
+    val ragged = Seq(
+      (0L, Seq(1.0f, 10.0f)), (1L, Seq(2.0f, 20.0f)), (2L, Seq(3.0f))
+    ).toDF("vec_id", "embedding")
+    val ra = key(Learn.embedCovariance(ragged))
+    val rb = key(Learn.embedCovarianceAcc(ragged))
+    assert(ra == rb)
   }
 
   test("ZCA whitening: covariance of the whitened store is the identity") {
