@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Product quantization ANN (SURVEY.md §2.8, round-10): Jégou, Douze &
+  * Schmid 2011, "Product Quantization for Nearest Neighbor Search" —
+  * the standard memory-bounded retrieval tier between q120's int8
+  * scalar codes and q48's IVF. A d-dim vector is split into `mSub`
+  * subvectors; each subspace gets its own tiny k-means codebook
+  * (trained jointly — ONE corpus scan per Lloyd round covers all
+  * subspaces); a vector is stored as `mSub` small codes (4 bytes here
+  * vs 256 for the raw floats). A query never touches raw vectors:
+  * per-subspace distances to every codeword form a k·mSub lookup
+  * table, and the asymmetric distance (ADC) of any candidate is the
+  * index-ordered sum of `mSub` table entries keyed by its codes.
+  *
+  * Scale shape (100 TB): training collects k·d doubles per round (the
+  * q126 bounded-collect contract — k, mSub, d are operator constants);
+  * encoding is a ZERO-exchange projection fold against one broadcast
+  * codebook row (the CenterAssign recipe, subspace-aware —
+  * ExplainAudit-asserted); ADC scoring is another zero-exchange scan
+  * whose per-row work is mSub array lookups, with the per-query top-k
+  * as the only rank window. The codes table is 64× smaller than the
+  * raw store — the artifact that actually fits executor memory when
+  * the raw 100 TB cannot.
+  *
+  * Parity recipes (all inherited, hash-proven): squared-L2 is the
+  * pinned index-ordered double fold (q25/q126); centroid means use
+  * q66's exact-decimal sums; argmin ties resolve to the lowest
+  * center_id (strict-min fold ≡ the oracle's `dist ASC, center_id ASC`
+  * row_number); the ADC sum is an index-ordered fold over subspaces on
+  * both engines (q120's list_sum shape).
+  */
+object PQuant {
+
+  private[graft] val mSub = 4     // subspaces
+  private[graft] val subDim = 16  // dims per subspace (64 / mSub)
+  private[graft] val kCodes = 8   // codewords per subspace
+  private[graft] val pqIters = 2  // Lloyd rounds per codebook
+  private val nQ = 3                // ADC query vectors: vec_id < nQ
+  private val topN = 10             // neighbors returned per query
+
+  private def src(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddingsParallel(spark, dir)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+
+  /** Pack a (s, center_id, centroid) codebook table into ONE broadcast
+    * row: the (s, center_id)-sorted `cents` array — mSub·k·subDim
+    * doubles, always broadcastable (all three are operator constants). */
+  private def packCodebooks(centers: DataFrame): DataFrame =
+    centers.groupBy()
+      .agg(expr("array_sort(collect_list(" +
+        "named_struct('s', s, 'center_id', center_id, 'centroid', centroid)))")
+        .as("cents"))
+
+  // per (vec_id, s) nearest-codeword assignment for the TRAINING loop:
+  // score every codeword of this row's subspace (index-ordered squared-L2
+  // fold), keep the first strict minimum — ties to the lowest center_id.
+  private val subScoredExpr =
+    "transform(filter(cents, c -> c.s = s), c -> named_struct(" +
+      "'cluster', c.center_id," +
+      "'dist_sq', aggregate(zip_with(subvec, c.centroid," +
+      " (v, m) -> (v - m) * (v - m))," +
+      " CAST(0 AS DOUBLE), (acc, x) -> acc + x)))"
+  private val bestExpr =
+    "aggregate(dscored, dscored[0]," +
+      " (best, t) -> IF(t.dist_sq < best.dist_sq, t, best))"
+
+  /** One (vec_id, s, subvec: array<double>) row per subspace — a narrow
+    * explode (no shuffle); the training loop's working frame. */
+  private def subFrame(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        explode(expr(
+          s"transform(sequence(0, ${mSub - 1}), s -> named_struct(" +
+            s"'s', s, 'subvec', transform(slice(embedding, s * $subDim + 1," +
+            s" $subDim), x -> CAST(x AS DOUBLE))))")).as("sc"))
+      .select(col("vec_id"), col("sc.s").as("s"), col("sc.subvec").as("subvec"))
+
+  /** Train the mSub codebooks jointly: deterministic seeds (the k lowest
+    * vec_ids, sliced per subspace), then `pqIters` Lloyd rounds where
+    * ONE corpus scan assigns every (vec_id, s) cell (zero-exchange
+    * projection fold) and the (s, cluster, pos) exact-decimal mean agg —
+    * mSub·k·subDim keys, map-side combined — is the round's only
+    * shuffle. The driver collects ≤ mSub·k·subDim mean rows per round
+    * (512 here — the bounded-collect contract). An empty (s, cluster)
+    * drops out of the next round on both engines (standard Lloyd).
+    * Returns the driver-local (s, center_id, centroid) codebook frame —
+    * save/load-trivial and reusable across streaming micro-batches. */
+  def pqCodebooks(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val sub = subFrame(e)
+    val seeds = e.orderBy(col("vec_id").asc).limit(kCodes)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .zipWithIndex
+    var centers = seeds.toSeq.flatMap { case (r, i) =>
+      val emb = r.getSeq[Double](1)
+      (0 until mSub).map(s => (s, i, emb.slice(s * subDim, (s + 1) * subDim)))
+    }.toDF("s", "center_id", "centroid")
+    for (_ <- 1 to pqIters) {
+      val means = sub.crossJoin(broadcast(packCodebooks(centers)))
+        .withColumn("dscored", expr(subScoredExpr))
+        .withColumn("best", expr(bestExpr))
+        .select(col("s"), col("best.cluster").as("cluster"),
+          posexplode(col("subvec")).as(Seq("pos", "v")))
+        .groupBy(col("s"), col("cluster"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(20,10)")).cast("double").as("sum_v"))
+        .select(col("s"), col("cluster"), col("pos"),
+          (col("sum_v") / col("n")).as("m"))
+        .collect()
+      centers = means
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case ((s, cid), rows) =>
+          (s, cid, rows.sortBy(_.getInt(2)).map(_.getDouble(3)))
+        }
+        .toSeq.sortBy(t => (t._1, t._2))
+        .toDF("s", "center_id", "centroid")
+    }
+    centers
+  }
+
+  /** Append a `codes` array<int> column (one code per subspace, in
+    * subspace order) to `e` — ZERO exchanges: one broadcast codebook
+    * row, argmin as a pure projection fold per subspace. */
+  def withCodes(e: DataFrame, codebooks: DataFrame): DataFrame =
+    e.crossJoin(broadcast(packCodebooks(codebooks)))
+      .withColumn("scored", expr(
+        s"transform(sequence(0, ${mSub - 1}), s ->" +
+          " transform(filter(cents, c -> c.s = s), c -> named_struct(" +
+          "'cluster', c.center_id," +
+          s"'dist_sq', aggregate(zip_with(transform(slice(embedding," +
+          s" s * $subDim + 1, $subDim), x -> CAST(x AS DOUBLE)), c.centroid," +
+          " (v, m) -> (v - m) * (v - m))," +
+          " CAST(0 AS DOUBLE), (acc, x) -> acc + x))))"))
+      .withColumn("codes", expr(
+        "transform(transform(scored, sc -> aggregate(sc, sc[0]," +
+          " (best, t) -> IF(t.dist_sq < best.dist_sq, t, best)))," +
+          " b -> b.cluster)"))
+      .drop("cents", "scored")
+
+  /** q135 — PQ encode: train the codebooks, emit every vector's code
+    * word (comma-joined, q120's hashable shape). The hash gate on this
+    * output transitively pins the whole training loop — seeds, both
+    * Lloyd rounds, the exact-decimal means — on both engines. */
+  val q135: Q = Q(
+    "q135_pq_codes",
+    run = { (spark, dir) =>
+      val e = src(spark, dir)
+      withCodes(e, pqCodebooks(e)).select(col("vec_id"),
+        concat_ws(",", expr("transform(codes, c -> CAST(c AS STRING))"))
+          .as("codes"))
+    },
+    oracle = Some(s"""
+      $pqCtes
+      SELECT vec_id,
+        array_to_string(list(CAST(code AS VARCHAR) ORDER BY s), ',') AS codes
+      FROM codes GROUP BY vec_id"""))
+
+  /** q136 — PQ asymmetric-distance top-k: for each query vector
+    * (vec_id < $nQ), build the per-subspace lookup table of squared-L2
+    * distances to every codeword (one tiny broadcast row per query),
+    * then score every candidate by summing its mSub table entries in
+    * subspace order and keep the top-$topN (ties to the lowest
+    * neighbor id). The raw embedding column never appears on the
+    * candidate side — the memory story that lets the index scan run
+    * where the raw store cannot. */
+  val q136: Q = Q(
+    "q136_pq_ann",
+    run = { (spark, dir) =>
+      val e = src(spark, dir)
+      val books = pqCodebooks(e)
+      val lut = e.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        .crossJoin(broadcast(packCodebooks(books)))
+        .select(col("qid"), expr(
+          s"transform(cents, c -> named_struct('s', c.s, 'cid', c.center_id," +
+            s"'d', aggregate(zip_with(transform(slice(qemb," +
+            s" c.s * $subDim + 1, $subDim), x -> CAST(x AS DOUBLE))," +
+            " c.centroid, (v, m) -> (v - m) * (v - m))," +
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x)))").as("luts"))
+      withCodes(e, books).select(col("vec_id"), col("codes"))
+        .crossJoin(broadcast(lut))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"), expr(
+          // the 1-element filter sum extracts this subspace's table
+          // entry; the outer fold sums the mSub entries in index order
+          "aggregate(transform(codes, (code, s) ->" +
+            " aggregate(filter(luts, l -> l.s = s AND l.cid = code)," +
+            " CAST(0 AS DOUBLE), (acc, l) -> acc + l.d))," +
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("adc"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adc").asc, col("nid").asc)))
+        .filter(col("rnk") <= topN)
+    },
+    oracle = Some(s"""
+      $pqCtes,
+      q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < $nQ),
+      qsub AS (SELECT qid, s,
+                 list_slice(qemb, s * $subDim + 1, s * $subDim + $subDim)
+                   AS qsubvec
+               FROM q, ss),
+      lut AS MATERIALIZED (
+        SELECT qs.qid, c.s, c.center_id,
+          list_sum(list_transform(list_zip(qs.qsubvec, c.centroid),
+            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+        FROM qsub qs JOIN cent$pqIters c ON c.s = qs.s),
+      g AS (SELECT l.qid, cd.vec_id, list(l.d ORDER BY l.s) AS dl
+            FROM codes cd
+            JOIN lut l ON l.s = cd.s AND l.center_id = cd.code
+            WHERE cd.vec_id <> l.qid
+            GROUP BY l.qid, cd.vec_id),
+      r AS (SELECT qid, vec_id AS nid, CAST(list_sum(dl) AS DOUBLE) AS adc,
+              CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY list_sum(dl) ASC, vec_id ASC) AS INTEGER) AS rnk
+            FROM g)
+      SELECT qid, nid, adc, rnk FROM r WHERE rnk <= $topN"""))
+
+  /** The shared oracle prelude: subspace slicing, deterministic seeds,
+    * `pqIters` generated Lloyd rounds (the q126 iterative-CTE recipe
+    * with a subspace key threaded through every stage), and the final
+    * per-(vec_id, s) code assignment. */
+  private def pqCtes: String = {
+    val rounds = (1 to pqIters).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |        SELECT vec_id, s, cluster, subvec FROM (
+         |          SELECT b.vec_id, b.s, c.center_id AS cluster, b.subvec,
+         |            row_number() OVER (PARTITION BY b.vec_id, b.s
+         |              ORDER BY list_sum(list_transform(
+         |                list_zip(b.subvec, c.centroid),
+         |                x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+         |                c.center_id ASC) AS arnk
+         |          FROM sub b JOIN cent${i - 1} c ON c.s = b.s)
+         |        WHERE arnk = 1),
+         |      c$i AS MATERIALIZED (
+         |        SELECT s, cluster, CAST(pos AS INTEGER) AS pos,
+         |          CAST(count(*) AS BIGINT) AS n,
+         |          sum(CAST(subvec[pos + 1] AS DECIMAL(20,10))) AS sum_dec
+         |        FROM (SELECT s, cluster, subvec,
+         |                unnest(generate_series(0, len(subvec) - 1)) AS pos
+         |              FROM a$i)
+         |        GROUP BY s, cluster, pos),
+         |      cent$i AS MATERIALIZED (
+         |        SELECT s, cluster AS center_id,
+         |          list(CAST(CAST(sum_dec AS VARCHAR) AS DOUBLE) / n
+         |            ORDER BY pos) AS centroid
+         |        FROM c$i GROUP BY s, cluster)""".stripMargin
+    }.mkString(",\n      ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+                 WHERE embedding IS NOT NULL),
+      ss AS (SELECT unnest(generate_series(0, ${mSub - 1})) AS s),
+      sub AS (SELECT vec_id, s,
+                list_slice(emb, s * $subDim + 1, s * $subDim + $subDim)
+                  AS subvec
+              FROM e, ss),
+      cent0 AS MATERIALIZED (
+        SELECT s,
+          CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id ASC) - 1
+            AS INTEGER) AS center_id,
+          subvec AS centroid
+        FROM sub WHERE vec_id IN
+          (SELECT vec_id FROM e ORDER BY vec_id ASC LIMIT $kCodes)),
+      $rounds,
+      codes AS MATERIALIZED (
+        SELECT vec_id, s, cluster AS code FROM (
+          SELECT b.vec_id, b.s, c.center_id AS cluster,
+            row_number() OVER (PARTITION BY b.vec_id, b.s
+              ORDER BY list_sum(list_transform(
+                list_zip(b.subvec, c.centroid),
+                x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+                c.center_id ASC) AS arnk
+          FROM sub b JOIN cent$pqIters c ON c.s = b.s)
+        WHERE arnk = 1)"""
+  }
+
+  val all: Seq[Q] = Seq(q135, q136)
+}

@@ -446,6 +446,27 @@ object ExplainAudit {
     assert(q130Plan.contains("LeftSemi"),
       "q130: wedge closing must be a semi-join")
     println("===== q130 EQUI-JOIN ASSERT OK")
+    // q135: PQ encoding is a pure projection against ONE broadcast
+    // codebook row — zero hash exchanges (the only exchange in the plan
+    // is the fixture-parallelism round-robin shim); q136 adds exactly
+    // one: the per-query top-k rank window on qid
+    val q135Plan = graft.SparkEntry.queries("q135_pq_codes")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q135Plan.contains("BroadcastNestedLoopJoin"),
+      "q135: codebook attach is not a broadcast join")
+    assert(!q135Plan.contains("CartesianProduct"),
+      "q135: encode must never plan a cartesian")
+    assert(!q135Plan.contains("Exchange hashpartitioning"),
+      "q135: encode must be exchange-free")
+    val q136Plan = graft.SparkEntry.queries("q136_pq_ann")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val q136Ex = q136Plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(q136Ex == 1,
+      s"q136: expected exactly the qid rank-window exchange, found $q136Ex")
+    assert(!q136Plan.contains("CartesianProduct"),
+      "q136: ADC scoring must never plan a cartesian")
+    println("===== q135/q136 PQ ZERO-EXCHANGE ASSERT OK")
     spark.stop()
   }
 }
