@@ -17,8 +17,10 @@ import graft.functions.VectorFunctions
   * that keeps top-k tractable at 100 TB, at bounded recall cost
   * (recall vs the exact q25 is asserted in tests).
   *
-  * Hyperplanes are seeded deterministically (fixed RNG seed), so results
-  * are reproducible run to run.
+  * Hyperplanes are deterministic md5-parity Rademacher (±1) signs (the
+  * q123/q30 recipe), so results are reproducible run to run AND
+  * recomputable bit-for-bit in DuckDB SQL — q38/q47 are true hash
+  * gates, not rows-only checks.
   */
 object Similarity {
   /** 16 buckets + Hamming-1 multiprobe → each query scans ~5/16 of the
@@ -28,15 +30,35 @@ object Similarity {
     * fraction at the same recall. */
   val Bits = 4
 
-  /** Deterministic pseudo-random hyperplanes, dim x bits, as float
-    * literal columns compatible with vec_dot_f. `seed` varies per hash
-    * table so tables are independent. */
-  private def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Seq[Column] = {
-    val rng = new scala.util.Random(seed)
-    (0 until bits).map { _ =>
-      typedlit((0 until dim).map(_ => (rng.nextGaussian()).toFloat).toArray)
-    }
+  /** ±1 sign for hyperplane coordinate (salt, j, i): +1 iff the first
+    * hex char of md5("lsh<salt>|<j>|<i>") has an even nibble — the q123
+    * jlSigns family, salted per hash table. Sign-LSH (Charikar 2002)
+    * needs any fixed sign pattern, not gaussian coordinates (Achlioptas
+    * 2003's database-friendly ±1 argument), and md5 hex is bit-identical
+    * in Spark and DuckDB, so the WHOLE bucketing pipeline replays in the
+    * oracle — which is what upgraded q38/q47 from rows-only to hash
+    * gates (round-10; the round-9 RNG-gaussian planes were
+    * engine-private). */
+  private[graft] def mdSign(salt: Int, j: Int, i: Int): Float = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"lsh$salt|$j|$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if ("02468ace".indexOf(hex.charAt(0)) >= 0) 1.0f else -1.0f
   }
+
+  /** Deterministic ±1 hyperplanes, dim x bits, as float literal columns
+    * compatible with vec_dot_f. `salt` varies per hash table so tables
+    * are independent. */
+  private def hyperplanes(dim: Int, bits: Int, salt: Int = 0): Seq[Column] =
+    (0 until bits).map { j =>
+      typedlit((0 until dim).map(i => mdSign(salt, j, i)).toArray)
+    }
+
+  /** The oracle-side twin of [[mdSign]], as a SQL scalar on (salt
+    * expression, j, i). */
+  private def sgnSql(saltExpr: String): String =
+    s"CASE WHEN instr('02468ace', substr(md5('lsh' || $saltExpr || '|' ||" +
+      " js.j || '|' || di.i), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END"
 
   /** Bucket id: B sign bits packed into an int. */
   private def bucketOf(emb: Column, planes: Seq[Column]): Column =
@@ -126,8 +148,8 @@ object Similarity {
     * recall. The fixture vectors are near-random (the LSH-adversarial
     * case), so the defaults trade candidate volume for recall.
     */
-  def neardupLsh(embeddings: DataFrame, threshold: Double = 0.35,
-      bits: Int = 4, tables: Int = 16): DataFrame = {
+  def neardupLsh(embeddings: DataFrame, threshold: Double = ndThreshold,
+      bits: Int = ndBits, tables: Int = ndTables): DataFrame = {
     val spark = embeddings.sparkSession
     VectorFunctions.registerVecDot(spark)
     val dOpt = dimOf(embeddings, "embedding")
@@ -144,7 +166,7 @@ object Similarity {
         .select(col("vec_id"), col("label"), col("embedding"))
         .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)")))
         .withColumn("buckets", array((0 until tables).map { t =>
-          bucketOf(col("embedding"), hyperplanes(d, bits, seed = 1000L + t))
+          bucketOf(col("embedding"), hyperplanes(d, bits, salt = 1000 + t))
         }: _*)),
       "neardup-lsh")
     val bands = e.select(col("vec_id"), col("label"),
@@ -173,21 +195,28 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN top-k: the coarse-quantizer scale path that
-    * complements sign-LSH (q38). KMeans learns `nCells` centroids; every
-    * vector is assigned to its nearest centroid cell, queries probe their
-    * `nProbe` nearest cells, and exact cosine ranks only vectors in
-    * probed cells — expected scan fraction nProbe/nCells per query. The
-    * assignment table is the staged "index": in production it is written
-    * once and reused across query batches, exactly as staged here.
+    * complements sign-LSH (q38). A deterministic Lloyd fit (q126's
+    * `Learn.kmeansCenters`: seeds = the k lowest vec_ids, exact-decimal
+    * means, `IvfIters` bounded rounds — round-10, replacing the round-9
+    * engine-private ML KMeans so the whole build replays in the DuckDB
+    * oracle) places `nCells` centroids; every vector is assigned to its
+    * nearest cell, queries probe their `nProbe` nearest cells, and exact
+    * cosine ranks only vectors in probed cells — expected scan fraction
+    * nProbe/nCells per query. The assignment table is the staged
+    * "index": in production it is written once and reused across query
+    * batches, exactly as staged here.
     *
-    * The fit input is BOUNDED: KMeans iterates maxIter times over its
-    * input, and 10 full passes over 100 TB of embeddings to place a
+    * The fit input is BOUNDED: Lloyd iterates IvfIters times over its
+    * input, and full passes over 100 TB of embeddings to place a
     * handful of centroids is a cluster bill nobody should pay — a
     * uniform sample capped at `maxFitRows` estimates the same centroids
     * (centroid error shrinks as 1/√sample, and the coarse quantizer only
     * needs cells roughly balanced). Assignment still runs on every
     * vector, one pass. The corpus count used to size the sample fraction
-    * is one cheap aggregate job.
+    * is one cheap aggregate job. (The q48 hash gate holds whenever the
+    * corpus fits under `maxFitRows` — true at every driver SF; past the
+    * cap the Bernoulli sample is engine-private and the oracle would
+    * stop matching, by design.)
     */
   /** A built IVF index: the staged per-vector cell assignment (the
     * "inverted file") plus the tiny centroid table. Building is the
@@ -201,20 +230,22 @@ object Similarity {
   /** Fit the coarse quantizer and stage the assignment — the build half
     * of [[ivfTopK]]. None on an empty/all-null corpus (no index to
     * build; callers short-circuit to their schema-correct empty). */
+  /** Bounded Lloyd rounds for the coarse-quantizer fit (the q126
+    * iteration budget; enough for a rough cell balance, which is all a
+    * coarse quantizer needs). */
+  val IvfIters = 4
+
   def ivfBuild(embeddings: DataFrame, nCells: Int = 16,
       maxFitRows: Long = 100000L): Option[IvfIndex] = {
     val spark = embeddings.sparkSession
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     VectorFunctions.registerVecDot(spark)
     require(maxFitRows >= nCells,
       s"ivf: maxFitRows ($maxFitRows) must cover nCells ($nCells)")
-    // array_to_vector NPEs on null input — undecodable rows are skipped
+    // undecodable (null) rows are skipped, never bucketed
     val base = embeddings.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
-      .withColumn("fvec", array_to_vector(col("embedding")))
     val nBase = base.count()
-    // empty corpus: nothing to index — KMeans cannot fit on zero rows
+    // empty corpus: nothing to index — Lloyd cannot seed on zero rows
     if (nBase == 0) return None
     val fitInput =
       if (nBase <= maxFitRows) base
@@ -228,18 +259,18 @@ object Similarity {
           s"ivf: fit sample of $m rows outside (0, ${2 * maxFitRows}]")
         sampled
       }
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("fvec").setPredictionCol("cell")
-      .fit(fitInput)
+    // deterministic Lloyd (q126's exact-decimal recipe) — the returned
+    // frame is driver-local, nCells·dim doubles (bounded-collect)
+    val centroids = graft.queries.Learn
+      .kmeansCenters(fitInput, k = nCells, iters = IvfIters)
+      .select(col("center_id").as("pcell"), col("centroid"))
+    // assignment: the zero-exchange CenterAssign fold over every vector
     val assigned = graft.operators.Stage.materialize(
-      model.transform(base).drop("fvec")
+      graft.queries.CenterAssign.withNearest(base,
+          centroids.select(col("pcell").as("center_id"), col("centroid")))
+        .select(col("vec_id"), col("embedding"), col("cluster").as("cell"))
         .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)"))),
       "ivf-index")
-    // centroid table is tiny (nCells rows) — broadcast everywhere
-    val centroids = spark.createDataFrame(
-      model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray.map(_.toFloat))
-      }).toDF("pcell", "centroid")
     Some(IvfIndex(assigned, centroids))
   }
 
@@ -269,11 +300,16 @@ object Similarity {
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("nrm").as("qnrm"))
-    // nProbe nearest cells per query by euclidean distance to centroid
-    // (|q|² is constant per query — rank by |c|² − 2·q·c)
+    // nProbe nearest cells per query by squared L2 to the centroid —
+    // the same index-ordered fold CenterAssign pins, so the oracle's
+    // list_sum replays the ranking bit-for-bit (round-10: was the
+    // |c|²−2·q·c float shortcut, equivalent ranking but a different
+    // rounding path than the SQL replay)
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("pdist",
-        expr("vec_dot_f(centroid, centroid) - 2 * vec_dot_f(qemb, centroid)"))
+      .withColumn("pdist", expr(
+        "aggregate(zip_with(qemb, centroid, (v, m) ->" +
+          " (CAST(v AS DOUBLE) - m) * (CAST(v AS DOUBLE) - m))," +
+          " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
       .withColumn("prnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("pdist"), col("pcell"))))
       .filter(col("prnk") <= nProbe)
@@ -298,27 +334,140 @@ object Similarity {
       case None => emptyTopK(embeddings)
     }
 
-  /** q38 — the ANN variant of q25 (rows-only: bucketing is engine-
-    * specific; recall vs exact brute force is the tested contract). */
+  /** q38 — the ANN variant of q25: a TRUE hash gate since round-10 (the
+    * md5-parity planes replay in SQL — buckets, multiprobe XOR, and
+    * candidate cosines all recompute in the oracle); recall vs exact
+    * brute force stays the suite-tested quality contract. */
   val q38: Q = Q(
     "q38_similarity_lsh_topk",
     run = { (spark, dir) => lshTopK(Tables.embeddings(spark, dir)) },
-    oracle = None)
+    oracle = Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+                 WHERE embedding IS NOT NULL),
+      x AS (SELECT vec_id, unnest(emb) AS v,
+              unnest(generate_series(0, len(emb) - 1)) AS i FROM e),
+      js AS (SELECT unnest(generate_series(0, ${Bits - 1})) AS j),
+      s AS (SELECT js.j, di.i, ${sgnSql("0")} AS sgn
+            FROM js, (SELECT DISTINCT i FROM x) di),
+      t AS (SELECT x.vec_id, s.j, x.i, x.v * s.sgn AS term
+            FROM x JOIN s ON s.i = x.i),
+      g AS (SELECT vec_id, j, list(term ORDER BY i) AS tl
+            FROM t GROUP BY vec_id, j),
+      b AS (SELECT vec_id,
+              CAST(sum(CASE WHEN list_sum(tl) > 0 THEN (1 << j) ELSE 0 END)
+                AS INTEGER) AS bucket
+            FROM g GROUP BY vec_id),
+      n AS (SELECT e.vec_id, e.emb,
+              sqrt(list_sum(list_transform(e.emb, x -> x*x))) AS nrm,
+              b.bucket
+            FROM e JOIN b USING (vec_id)),
+      q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm,
+              bucket AS qbucket
+            FROM n WHERE vec_id < 10),
+      probes AS (SELECT qid, qemb, qnrm, xor(qbucket, pp.p) AS probe_bucket
+                 FROM q, (SELECT unnest([${(0 +: (0 until Bits)
+                   .map(1 << _)).mkString(", ")}]) AS p) pp),
+      cand AS (SELECT p.qid, v.vec_id AS nid,
+                 list_sum(list_transform(list_zip(v.emb, p.qemb),
+                   x -> x[1]*x[2])) / (v.nrm * p.qnrm) AS cos_sim
+               FROM n v JOIN probes p
+                 ON v.bucket = p.probe_bucket AND v.vec_id <> p.qid),
+      r AS (SELECT qid, nid, cos_sim,
+              CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY cos_sim DESC, nid) AS INTEGER) AS rnk
+            FROM cand)
+      SELECT qid, nid, cos_sim, rnk FROM r WHERE rnk <= 5"""))
 
-  /** q47 — the sub-quadratic variant of q32 (rows-only: candidate set is
-    * engine-specific; precision is 1 by construction — exact cosine on
-    * survivors — and recall vs q32 is the tested contract). */
+  private val ndTables = 16
+  private val ndBits = 4
+  private val ndThreshold = 0.35
+
+  /** q47 — the sub-quadratic variant of q32: a TRUE hash gate since
+    * round-10 (all 16 md5-sign tables, banding, and the exact cosine
+    * verify replay in SQL); precision is 1 by construction and recall
+    * vs q32 stays the suite-tested quality contract. */
   val q47: Q = Q(
     "q47_embedding_neardup_lsh",
     run = { (spark, dir) => neardupLsh(Tables.embeddings(spark, dir)) },
-    oracle = None)
+    oracle = Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+                 FROM embeddings WHERE embedding IS NOT NULL),
+      x AS (SELECT vec_id, unnest(emb) AS v,
+              unnest(generate_series(0, len(emb) - 1)) AS i FROM e),
+      ts AS (SELECT unnest(generate_series(0, ${ndTables - 1})) AS tbl),
+      js AS (SELECT unnest(generate_series(0, ${ndBits - 1})) AS j),
+      s AS (SELECT ts.tbl, js.j, di.i, ${sgnSql("(1000 + ts.tbl)")} AS sgn
+            FROM ts, js, (SELECT DISTINCT i FROM x) di),
+      t AS (SELECT x.vec_id, s.tbl, s.j, x.i, x.v * s.sgn AS term
+            FROM x JOIN s ON s.i = x.i),
+      g AS (SELECT vec_id, tbl, j, list(term ORDER BY i) AS tl
+            FROM t GROUP BY vec_id, tbl, j),
+      b AS (SELECT vec_id, tbl,
+              CAST(sum(CASE WHEN list_sum(tl) > 0 THEN (1 << j) ELSE 0 END)
+                AS INTEGER) AS bucket
+            FROM g GROUP BY vec_id, tbl),
+      bands AS (SELECT b.vec_id, e.label, b.tbl, b.bucket
+                FROM b JOIN e USING (vec_id)),
+      cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b, x.label
+               FROM bands x JOIN bands y
+                 ON x.label = y.label AND x.tbl = y.tbl
+                AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      n AS (SELECT vec_id, emb,
+              sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM e)
+      SELECT c.id_a, c.id_b, c.label,
+        list_sum(list_transform(list_zip(a.emb, bb.emb), x -> x[1]*x[2])) /
+          (a.nrm * bb.nrm) AS cos_sim
+      FROM cand c
+      JOIN n a ON a.vec_id = c.id_a
+      JOIN n bb ON bb.vec_id = c.id_b
+      WHERE list_sum(list_transform(list_zip(a.emb, bb.emb),
+          x -> x[1]*x[2])) / (a.nrm * bb.nrm) >= $ndThreshold"""))
 
-  /** q48 — IVF coarse-quantizer ANN (rows-only: cell assignment is
-    * engine-specific; recall vs exact q25 is the tested contract). */
+  /** q48 — IVF coarse-quantizer ANN: a TRUE hash gate since round-10
+    * (the deterministic Lloyd fit + assignment + probe ranking + cosine
+    * top-k all replay in SQL via the q126 generated-CTE recipe); recall
+    * vs exact q25 stays the suite-tested quality contract. Valid while
+    * the corpus fits under maxFitRows (true at every driver SF) — past
+    * the cap the fit sample is engine-private by design. */
   val q48: Q = Q(
     "q48_similarity_ivf_topk",
     run = { (spark, dir) => ivfTopK(Tables.embeddings(spark, dir)) },
-    oracle = None)
+    oracle = Some(s"""
+      ${graft.queries.Learn.kmeansCtesFor(16, IvfIters)},
+      fin AS MATERIALIZED (
+        SELECT vec_id, cluster AS cell FROM (
+          SELECT e.vec_id, c.center_id AS cluster,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_sum(list_transform(
+                list_zip(e.embedding::DOUBLE[], c.centroid),
+                x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+                c.center_id ASC) AS arnk
+          FROM e CROSS JOIN cent$IvfIters c)
+        WHERE arnk = 1),
+      n AS (SELECT e.vec_id, f.cell, e.embedding::DOUBLE[] AS emb,
+              sqrt(list_sum(list_transform(e.embedding::DOUBLE[],
+                x -> x*x))) AS nrm
+            FROM e JOIN fin f USING (vec_id)),
+      q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm
+            FROM n WHERE vec_id < 10),
+      probes AS (
+        SELECT qid, qemb, qnrm, pcell FROM (
+          SELECT q.qid, q.qemb, q.qnrm, c.center_id AS pcell,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY list_sum(list_transform(list_zip(q.qemb, c.centroid),
+                x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+                c.center_id ASC) AS prnk
+          FROM q CROSS JOIN cent$IvfIters c)
+        WHERE prnk <= 4),
+      cand AS (SELECT p.qid, v.vec_id AS nid,
+          list_sum(list_transform(list_zip(v.emb, p.qemb), x -> x[1]*x[2]))
+            / (v.nrm * p.qnrm) AS cos_sim
+        FROM n v JOIN probes p ON v.cell = p.pcell AND v.vec_id <> p.qid),
+      r AS (SELECT qid, nid, cos_sim,
+              CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY cos_sim DESC, nid) AS INTEGER) AS rnk
+            FROM cand)
+      SELECT qid, nid, cos_sim, rnk FROM r WHERE rnk <= 5"""))
 
   val all: Seq[Q] = Seq(q38, q47, q48)
 }

@@ -212,8 +212,10 @@ object Learn {
       iters: Int = nIters): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // vec_id normalized to long — callers feed int ids too (q48's IVF
+    // seam tests); ordering is unchanged for the bigint fixture column
     val e = embeddings.filter(col("embedding").isNotNull)
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
     // deterministic seeds: the k lowest vec_ids, center_id by that order
     val seeds = e.orderBy(col("vec_id").asc).limit(k)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -246,8 +248,9 @@ object Learn {
   /** The q126 iteration rounds as generated MATERIALIZED CTEs (the
     * q101/q117 iterative-oracle recipe): cent0 = seeds, then per round
     * aN (assignment) → cN (exact-decimal means) → centN (re-formed
-    * arrays). */
-  private def kmeansCtes: String = {
+    * arrays). Parameterized so other Lloyd consumers (q48's IVF coarse
+    * quantizer) can replay their own (k, iters) in their oracles. */
+  private[graft] def kmeansCtesFor(kClusters: Int, nIters: Int): String = {
     val rounds = (1 to nIters).map { i =>
       s"""a$i AS MATERIALIZED (
          |        SELECT vec_id, cluster, dist_sq, embedding FROM (
@@ -294,7 +297,7 @@ object Learn {
     "q126_kmeans",
     run = { (spark, dir) => kmeans(Tables.embeddingsParallel(spark, dir)) },
     oracle = Some(s"""
-      $kmeansCtes,
+      ${kmeansCtesFor(kClusters, nIters)},
       fin AS (
         SELECT vec_id, cluster, dist_sq FROM (
           SELECT e.vec_id, c.center_id AS cluster,

@@ -147,6 +147,14 @@ object PQuant {
           " b -> b.cluster)"))
       .drop("cents", "scored")
 
+  /** The q135 output shape over any (vec_id, embedding) frame and a
+    * trained codebook: one comma-joined code word per vector (q120's
+    * hashable shape). Zero-exchange scan. */
+  def encode(e: DataFrame, codebooks: DataFrame): DataFrame =
+    withCodes(e, codebooks).select(col("vec_id"),
+      concat_ws(",", expr("transform(codes, c -> CAST(c AS STRING))"))
+        .as("codes"))
+
   /** q135 — PQ encode: train the codebooks, emit every vector's code
     * word (comma-joined, q120's hashable shape). The hash gate on this
     * output transitively pins the whole training loop — seeds, both
@@ -155,9 +163,7 @@ object PQuant {
     "q135_pq_codes",
     run = { (spark, dir) =>
       val e = src(spark, dir)
-      withCodes(e, pqCodebooks(e)).select(col("vec_id"),
-        concat_ws(",", expr("transform(codes, c -> CAST(c AS STRING))"))
-          .as("codes"))
+      encode(e, pqCodebooks(e))
     },
     oracle = Some(s"""
       $pqCtes
@@ -173,33 +179,39 @@ object PQuant {
     * neighbor id). The raw embedding column never appears on the
     * candidate side — the memory story that lets the index scan run
     * where the raw store cannot. */
+  /** The q136 scoring half over any (vec_id, embedding) frame and a
+    * trained codebook: per-query codeword lookup tables, ADC scores
+    * over the codes-only candidate side, per-query top-`topN`. */
+  def adcTopK(e: DataFrame, books: DataFrame): DataFrame = {
+    val lut = e.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      .crossJoin(broadcast(packCodebooks(books)))
+      .select(col("qid"), expr(
+        s"transform(cents, c -> named_struct('s', c.s, 'cid', c.center_id," +
+          s"'d', aggregate(zip_with(transform(slice(qemb," +
+          s" c.s * $subDim + 1, $subDim), x -> CAST(x AS DOUBLE))," +
+          " c.centroid, (v, m) -> (v - m) * (v - m))," +
+          " CAST(0 AS DOUBLE), (acc, x) -> acc + x)))").as("luts"))
+    withCodes(e, books).select(col("vec_id"), col("codes"))
+      .crossJoin(broadcast(lut))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), expr(
+        // the 1-element filter sum extracts this subspace's table
+        // entry; the outer fold sums the mSub entries in index order
+        "aggregate(transform(codes, (code, s) ->" +
+          " aggregate(filter(luts, l -> l.s = s AND l.cid = code)," +
+          " CAST(0 AS DOUBLE), (acc, l) -> acc + l.d))," +
+          " CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("adc"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").asc, col("nid").asc)))
+      .filter(col("rnk") <= topN)
+  }
+
   val q136: Q = Q(
     "q136_pq_ann",
     run = { (spark, dir) =>
       val e = src(spark, dir)
-      val books = pqCodebooks(e)
-      val lut = e.filter(col("vec_id") < nQ)
-        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-        .crossJoin(broadcast(packCodebooks(books)))
-        .select(col("qid"), expr(
-          s"transform(cents, c -> named_struct('s', c.s, 'cid', c.center_id," +
-            s"'d', aggregate(zip_with(transform(slice(qemb," +
-            s" c.s * $subDim + 1, $subDim), x -> CAST(x AS DOUBLE))," +
-            " c.centroid, (v, m) -> (v - m) * (v - m))," +
-            " CAST(0 AS DOUBLE), (acc, x) -> acc + x)))").as("luts"))
-      withCodes(e, books).select(col("vec_id"), col("codes"))
-        .crossJoin(broadcast(lut))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"), expr(
-          // the 1-element filter sum extracts this subspace's table
-          // entry; the outer fold sums the mSub entries in index order
-          "aggregate(transform(codes, (code, s) ->" +
-            " aggregate(filter(luts, l -> l.s = s AND l.cid = code)," +
-            " CAST(0 AS DOUBLE), (acc, l) -> acc + l.d))," +
-            " CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("adc"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("qid").orderBy(col("adc").asc, col("nid").asc)))
-        .filter(col("rnk") <= topN)
+      adcTopK(e, pqCodebooks(e))
     },
     oracle = Some(s"""
       $pqCtes,

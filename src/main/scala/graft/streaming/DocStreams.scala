@@ -114,6 +114,30 @@ object DocStreams {
       .start()
   }
 
+  /** q135's streaming twin: PQ-encode arriving embedding micro-batches
+    * against codebooks trained ONCE on the static corpus (the
+    * [[kmeansAssignSink]] recipe applied to product quantization — the
+    * daily-crawl shape where new vectors are coded into the existing
+    * index without retraining). Per-vector codes depend only on the
+    * broadcast codebooks, so per-batch outputs concatenate to exactly
+    * the whole-corpus q135 answer across any arrival split
+    * (suite-asserted in PQuantSpec). */
+  def pqEncodeSink(incoming: DataFrame, trainEmbeddings: DataFrame,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val books = graft.queries.PQuant.pqCodebooks(trainEmbeddings)
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.queries.PQuant.withCodes(
+            batch.filter(col("embedding").isNotNull), books)
+          .select(col("vec_id"), concat_ws(",",
+            expr("transform(codes, c -> CAST(c AS STRING))")).as("codes"))
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+      }
+      .start()
+  }
+
   /** Exact-hash hits as a stream-static LEFT equi-join in append mode:
     * every incoming doc emits (doc_id, match_id nullable) rows — one per
     * matching corpus doc, or a single null-match row when the doc is not

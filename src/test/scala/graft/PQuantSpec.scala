@@ -102,6 +102,39 @@ class PQuantSpec extends AnyFunSuite {
     }
   }
 
+  test("q135 streaming twin: micro-batch PQ encode equals the batch answer") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    // split arrivals across two files → two micro-batches
+    val inDir = Files.createTempDirectory("pq_in").toString
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/f0")
+    emb.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/f1")
+    val streamDir = Files.createTempDirectory("pq_stream").toString
+    var i = 0
+    Seq("f0", "f1").foreach { f =>
+      Files.list(java.nio.file.Paths.get(s"$inDir/$f")).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          Files.copy(p, java.nio.file.Paths.get(s"$streamDir/part_$i.parquet"))
+          i += 1
+        }
+      }
+    }
+    val outDir = Files.createTempDirectory("pq_out").toString
+    val ckpt = Files.createTempDirectory("pq_ckpt").toString
+    val q = graft.streaming.DocStreams.pqEncodeSink(
+      graft.streaming.DocStreams.readDocs(spark, streamDir), emb, outDir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$outDir/batch_*")
+    val want = PQuant.q135.run(spark, TestSpark.sf0001)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0,
+      "per-batch PQ codes must concatenate to the batch answer")
+  }
+
   test("q136: recall floors vs the exact squared-L2 top-10 hold") {
     def exactTop(qid: Long, n: Int): Set[Long] = {
       val q = vecs(qid)
