@@ -236,13 +236,17 @@ object PQuant {
             FROM g)
       SELECT qid, nid, adc, rnk FROM r WHERE rnk <= $topN"""))
 
-  /** The shared oracle prelude: subspace slicing, deterministic seeds,
-    * `pqIters` generated Lloyd rounds (the q126 iterative-CTE recipe
-    * with a subspace key threaded through every stage), and the final
-    * per-(vec_id, s) code assignment. */
-  private def pqCtes: String = {
+  /** The PQ oracle chain as a WITH-less CTE list over any relation
+    * `src` exposing (vec_id, emb DOUBLE[]), every name prefixed `p` so
+    * two chains (or a chain after the q48/q126 Lloyd CTEs) compose in
+    * one query — q137's IVF-PQ oracle runs this over the residual
+    * relation with prefix "r". Contents: subspace slicing,
+    * deterministic seeds, `pqIters` generated Lloyd rounds (the q126
+    * iterative-CTE recipe with a subspace key threaded through every
+    * stage), and the final per-(vec_id, s) code assignment. */
+  private[queries] def pqCteChain(src: String, p: String): String = {
     val rounds = (1 to pqIters).map { i =>
-      s"""a$i AS MATERIALIZED (
+      s"""${p}a$i AS MATERIALIZED (
          |        SELECT vec_id, s, cluster, subvec FROM (
          |          SELECT b.vec_id, b.s, c.center_id AS cluster, b.subvec,
          |            row_number() OVER (PARTITION BY b.vec_id, b.s
@@ -250,38 +254,36 @@ object PQuant {
          |                list_zip(b.subvec, c.centroid),
          |                x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
          |                c.center_id ASC) AS arnk
-         |          FROM sub b JOIN cent${i - 1} c ON c.s = b.s)
+         |          FROM ${p}sub b JOIN ${p}cent${i - 1} c ON c.s = b.s)
          |        WHERE arnk = 1),
-         |      c$i AS MATERIALIZED (
+         |      ${p}c$i AS MATERIALIZED (
          |        SELECT s, cluster, CAST(pos AS INTEGER) AS pos,
          |          CAST(count(*) AS BIGINT) AS n,
          |          sum(CAST(subvec[pos + 1] AS DECIMAL(20,10))) AS sum_dec
          |        FROM (SELECT s, cluster, subvec,
          |                unnest(generate_series(0, len(subvec) - 1)) AS pos
-         |              FROM a$i)
+         |              FROM ${p}a$i)
          |        GROUP BY s, cluster, pos),
-         |      cent$i AS MATERIALIZED (
+         |      ${p}cent$i AS MATERIALIZED (
          |        SELECT s, cluster AS center_id,
          |          list(CAST(CAST(sum_dec AS VARCHAR) AS DOUBLE) / n
          |            ORDER BY pos) AS centroid
-         |        FROM c$i GROUP BY s, cluster)""".stripMargin
+         |        FROM ${p}c$i GROUP BY s, cluster)""".stripMargin
     }.mkString(",\n      ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-                 WHERE embedding IS NOT NULL),
-      ss AS (SELECT unnest(generate_series(0, ${mSub - 1})) AS s),
-      sub AS (SELECT vec_id, s,
+    s"""${p}ss AS (SELECT unnest(generate_series(0, ${mSub - 1})) AS s),
+      ${p}sub AS (SELECT vec_id, s,
                 list_slice(emb, s * $subDim + 1, s * $subDim + $subDim)
                   AS subvec
-              FROM e, ss),
-      cent0 AS MATERIALIZED (
+              FROM $src, ${p}ss),
+      ${p}cent0 AS MATERIALIZED (
         SELECT s,
           CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id ASC) - 1
             AS INTEGER) AS center_id,
           subvec AS centroid
-        FROM sub WHERE vec_id IN
-          (SELECT vec_id FROM e ORDER BY vec_id ASC LIMIT $kCodes)),
+        FROM ${p}sub WHERE vec_id IN
+          (SELECT vec_id FROM $src ORDER BY vec_id ASC LIMIT $kCodes)),
       $rounds,
-      codes AS MATERIALIZED (
+      ${p}codes AS MATERIALIZED (
         SELECT vec_id, s, cluster AS code FROM (
           SELECT b.vec_id, b.s, c.center_id AS cluster,
             row_number() OVER (PARTITION BY b.vec_id, b.s
@@ -289,9 +291,146 @@ object PQuant {
                 list_zip(b.subvec, c.centroid),
                 x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
                 c.center_id ASC) AS arnk
-          FROM sub b JOIN cent$pqIters c ON c.s = b.s)
+          FROM ${p}sub b JOIN ${p}cent$pqIters c ON c.s = b.s)
         WHERE arnk = 1)"""
   }
 
-  val all: Seq[Q] = Seq(q135, q136)
+  /** The q135/q136 oracle prelude: the chain over the raw embedding
+    * store, unprefixed. */
+  private def pqCtes: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+                 WHERE embedding IS NOT NULL),
+      ${pqCteChain("e", "")}"""
+
+  // ---------------------------------------------------------------- q137
+
+  private[graft] val ivfCells = 16 // coarse-quantizer cells (q48's shape)
+  private[graft] val ivfIters = 4  // coarse Lloyd rounds
+  private[graft] val nProbe = 4    // probed cells per query
+
+  /** q137 — IVF-PQ ANN (Jégou, Douze & Schmid 2011 §IV — the composed
+    * index production vector search actually ships, e.g. FAISS
+    * `IVFx,PQy`): a coarse quantizer (q48's deterministic Lloyd cells)
+    * routes every vector to a cell, and PQ codes the RESIDUAL
+    * (vector − cell centroid) — residuals are smaller and more
+    * isotropic than raw vectors, so the same 4-byte budget quantizes
+    * them with far less error. A query probes its `nProbe` nearest
+    * cells; within each probed cell the ADC tables are built from the
+    * QUERY RESIDUAL against that cell's centroid, and candidates are
+    * ranked by the same mSub-entry lookup sum as q136 — reading only
+    * (cell, codes), never the raw store.
+    *
+    * Scale shape: coarse train + PQ train are both bounded-collect
+    * Lloyd loops (one corpus scan per round each); encode is one
+    * zero-exchange scan producing the 5-byte-per-vector index; query
+    * scans only probed cells (expected nProbe/nCells of the codes
+    * table — itself 64× smaller than the raw store). Everything
+    * deterministic, so the ENTIRE build/probe/rank replays in the
+    * DuckDB oracle: the q48 Lloyd CTEs, a residual CTE, the PQ chain
+    * over residuals ([[pqCteChain]] prefix "r"), and the per-probe
+    * lookup join — one generated query, a true hash gate. */
+  val q137: Q = Q(
+    "q137_ivfpq_ann",
+    run = { (spark, dir) =>
+      val e = src(spark, dir)
+      val coarse = Learn.kmeansCenters(e, k = ivfCells, iters = ivfIters)
+      val asg = CenterAssign.withNearest(e, coarse)
+        .select(col("vec_id"), col("embedding"), col("cluster").as("cell"))
+      val resid = asg.join(broadcast(coarse
+          .select(col("center_id").as("cell"), col("centroid"))), Seq("cell"))
+        .select(col("vec_id"), col("cell"), expr(
+          "zip_with(embedding, centroid, (v, m) -> CAST(v AS DOUBLE) - m)")
+          .as("embedding"))
+      val books = pqCodebooks(resid.select(col("vec_id"), col("embedding")))
+      val codes = withCodes(resid, books)
+        .select(col("vec_id"), col("cell"), col("codes"))
+      val q = e.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val probes = q.crossJoin(broadcast(coarse
+          .select(col("center_id").as("pcell"), col("centroid").as("ccent"))))
+        .withColumn("pdist", expr(
+          "aggregate(zip_with(qemb, ccent, (v, m) ->" +
+            " (CAST(v AS DOUBLE) - m) * (CAST(v AS DOUBLE) - m))," +
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+        .withColumn("prnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("pdist").asc, col("pcell").asc)))
+        .filter(col("prnk") <= nProbe)
+        .select(col("qid"), col("qemb"), col("pcell"), col("ccent"))
+      // per-(query, probed cell) lookup tables over the QUERY RESIDUAL
+      val lut = probes.crossJoin(broadcast(packCodebooks(books)))
+        .select(col("qid"), col("pcell"), expr(
+          s"transform(cents, c -> named_struct('s', c.s, 'cid', c.center_id," +
+            s"'d', aggregate(zip_with(slice(zip_with(qemb, ccent," +
+            " (v, m) -> CAST(v AS DOUBLE) - m)," +
+            s" c.s * $subDim + 1, $subDim), c.centroid," +
+            " (v, m) -> (v - m) * (v - m))," +
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x)))").as("luts"))
+      codes.crossJoin(broadcast(lut))
+        .filter(col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"), expr(
+          "aggregate(transform(codes, (code, s) ->" +
+            " aggregate(filter(luts, l -> l.s = s AND l.cid = code)," +
+            " CAST(0 AS DOUBLE), (acc, l) -> acc + l.d))," +
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("adc"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adc").asc, col("nid").asc)))
+        .filter(col("rnk") <= topN)
+    },
+    oracle = Some(s"""
+      ${Learn.kmeansCtesFor(ivfCells, ivfIters)},
+      fin AS MATERIALIZED (
+        SELECT vec_id, cluster AS cell FROM (
+          SELECT e.vec_id, c.center_id AS cluster,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_sum(list_transform(
+                list_zip(e.embedding::DOUBLE[], c.centroid),
+                x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+                c.center_id ASC) AS arnk
+          FROM e CROSS JOIN cent$ivfIters c)
+        WHERE arnk = 1),
+      resid AS MATERIALIZED (
+        SELECT e.vec_id, f.cell,
+          list_transform(list_zip(e.embedding::DOUBLE[], c.centroid),
+            x -> x[1] - x[2]) AS emb
+        FROM e
+        JOIN fin f USING (vec_id)
+        JOIN cent$ivfIters c ON c.center_id = f.cell),
+      ${pqCteChain("resid", "r")},
+      q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qemb FROM e
+            WHERE vec_id < $nQ),
+      probes AS (
+        SELECT qid, qemb, pcell, ccent FROM (
+          SELECT q.qid, q.qemb, c.center_id AS pcell, c.centroid AS ccent,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY list_sum(list_transform(list_zip(q.qemb, c.centroid),
+                x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+                c.center_id ASC) AS prnk
+          FROM q CROSS JOIN cent$ivfIters c)
+        WHERE prnk <= $nProbe),
+      qr AS (SELECT qid, pcell,
+               list_transform(list_zip(qemb, ccent), x -> x[1] - x[2]) AS qres
+             FROM probes),
+      qsub AS (SELECT qid, pcell, s,
+                 list_slice(qres, s * $subDim + 1, s * $subDim + $subDim)
+                   AS qsubvec
+               FROM qr, rss),
+      lut AS MATERIALIZED (
+        SELECT qs.qid, qs.pcell, c.s, c.center_id,
+          list_sum(list_transform(list_zip(qs.qsubvec, c.centroid),
+            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+        FROM qsub qs JOIN rcent$pqIters c ON c.s = qs.s),
+      g AS (SELECT l.qid, cd.vec_id, list(l.d ORDER BY l.s) AS dl
+            FROM rcodes cd
+            JOIN resid rs ON rs.vec_id = cd.vec_id
+            JOIN lut l ON l.s = cd.s AND l.center_id = cd.code
+                      AND l.pcell = rs.cell
+            WHERE cd.vec_id <> l.qid
+            GROUP BY l.qid, cd.vec_id),
+      r2 AS (SELECT qid, vec_id AS nid, CAST(list_sum(dl) AS DOUBLE) AS adc,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY list_sum(dl) ASC, vec_id ASC) AS INTEGER) AS rnk
+             FROM g)
+      SELECT qid, nid, adc, rnk FROM r2 WHERE rnk <= $topN"""))
+
+  val all: Seq[Q] = Seq(q135, q136, q137)
 }

@@ -467,6 +467,18 @@ object ExplainAudit {
     assert(!q136Plan.contains("CartesianProduct"),
       "q136: ADC scoring must never plan a cartesian")
     println("===== q135/q136 PQ ZERO-EXCHANGE ASSERT OK")
+    // q137: IVF-PQ adds exactly ONE more rank window than q136 (probe
+    // selection on qid + final top-k on qid); the candidate side stays
+    // codes-only broadcast scans — no corpus-keyed exchange anywhere
+    val q137Plan = graft.SparkEntry.queries("q137_ivfpq_ann")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val q137Ex = q137Plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(q137Ex == 2,
+      s"q137: expected the probe + top-k qid windows only, found $q137Ex")
+    assert(!q137Plan.contains("CartesianProduct"),
+      "q137: IVF-PQ must never plan a cartesian")
+    println("===== q137 IVFPQ TWO-WINDOW ASSERT OK")
     spark.stop()
   }
 }

@@ -135,6 +135,49 @@ class PQuantSpec extends AnyFunSuite {
       "per-batch PQ codes must concatenate to the batch answer")
   }
 
+  test("q137: candidates come only from probed cells; residual recall beats plain PQ") {
+    def sqL2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.queries.Learn
+      .kmeansCenters(e, k = PQuant.ivfCells, iters = PQuant.ivfIters)
+      .as[(Int, Array[Double])].collect().sortBy(_._1)
+    def nearestCells(v: Array[Double], n: Int): Seq[Int] =
+      cents.map { case (cid, c) => (cid, sqL2(v, c)) }
+        .sortBy { case (cid, d) => (d, cid) }.take(n).map(_._1).toSeq
+    val dbl = vecs.view.mapValues(_.map(_.toDouble)).toMap
+    val out = PQuant.q137.run(spark, TestSpark.sf0001)
+      .select("qid", "nid", "adc", "rnk")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.length == 30)
+    out.foreach { case (qid, nid, adc, _) =>
+      assert(adc >= 0.0)
+      // the candidate's own cell must be among the query's probes —
+      // IVF-PQ never scans an unprobed cell
+      val probed = nearestCells(dbl(qid), PQuant.nProbe).toSet
+      assert(probed.contains(nearestCells(dbl(nid), 1).head),
+        s"candidate $nid for query $qid sits in an unprobed cell")
+    }
+    // recall vs exact full-scan top-10: the residual quantization should
+    // beat plain PQ (q136) on the same fixture despite scanning only
+    // nProbe/nCells of it (measured 0.60 vs 0.20 — BASELINE.md round-10)
+    def exactTop(qid: Long): Set[Long] =
+      dbl.iterator.filter(_._1 != qid)
+        .map { case (id, v) => (id, sqL2(dbl(qid), v)) }
+        .toSeq.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val byQ = out.groupBy(_._1)
+    val rec = Seq(0L, 1L, 2L).map { q =>
+      (exactTop(q) & byQ(q).map(_._2).toSet).size / 10.0
+    }
+    info(f"IVF-PQ recall@10 ${rec.sum / 3}%.2f per-query $rec")
+    assert(rec.sum / 3 >= 0.2, s"mean IVF-PQ recall ${rec.sum / 3} below floor")
+  }
+
   test("q136: recall floors vs the exact squared-L2 top-10 hold") {
     def exactTop(qid: Long, n: Int): Set[Long] = {
       val q = vecs(qid)
