@@ -181,8 +181,9 @@ object PQuant {
     * where the raw store cannot. */
   /** The q136 scoring half over any (vec_id, embedding) frame and a
     * trained codebook: per-query codeword lookup tables, ADC scores
-    * over the codes-only candidate side, per-query top-`topN`. */
-  def adcTopK(e: DataFrame, books: DataFrame): DataFrame = {
+    * over the codes-only candidate side, per-query top-`n` (q138 raises
+    * `n` to the rerank shortlist depth). */
+  def adcTopK(e: DataFrame, books: DataFrame, n: Int = topN): DataFrame = {
     val lut = e.filter(col("vec_id") < nQ)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
       .crossJoin(broadcast(packCodebooks(books)))
@@ -204,7 +205,7 @@ object PQuant {
           " CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("adc"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("adc").asc, col("nid").asc)))
-      .filter(col("rnk") <= topN)
+      .filter(col("rnk") <= n)
   }
 
   val q136: Q = Q(
@@ -215,7 +216,14 @@ object PQuant {
     },
     oracle = Some(s"""
       $pqCtes,
-      q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < $nQ),
+      $adcOracleCtes
+      SELECT qid, nid, adc, rnk FROM r WHERE rnk <= $topN"""))
+
+  /** The q136 ADC scoring CTEs (query slicing → lookup tables → ADC
+    * rank `r`), shared with q138's shortlist stage. Assumes the
+    * unprefixed [[pqCteChain]] relations (e, ss, codes, cent·). */
+  private def adcOracleCtes: String =
+    s"""q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < $nQ),
       qsub AS (SELECT qid, s,
                  list_slice(qemb, s * $subDim + 1, s * $subDim + $subDim)
                    AS qsubvec
@@ -233,8 +241,7 @@ object PQuant {
       r AS (SELECT qid, vec_id AS nid, CAST(list_sum(dl) AS DOUBLE) AS adc,
               CAST(row_number() OVER (PARTITION BY qid
                 ORDER BY list_sum(dl) ASC, vec_id ASC) AS INTEGER) AS rnk
-            FROM g)
-      SELECT qid, nid, adc, rnk FROM r WHERE rnk <= $topN"""))
+            FROM g)"""
 
   /** The PQ oracle chain as a WITH-less CTE list over any relation
     * `src` exposing (vec_id, emb DOUBLE[]), every name prefixed `p` so
@@ -432,5 +439,64 @@ object PQuant {
              FROM g)
       SELECT qid, nid, adc, rnk FROM r2 WHERE rnk <= $topN"""))
 
-  val all: Seq[Q] = Seq(q135, q136, q137)
+  // ---------------------------------------------------------------- q138
+
+  private[graft] val shortN = 50 // ADC shortlist depth before rerank
+
+  /** q138 — PQ shortlist + exact rerank: the two-tier retrieval shape
+    * production ANN actually serves (and the one BASELINE's coverage
+    * measurement points at — two-thirds of the true top-10 sits in the
+    * ADC top-50 on the fixture): tier 1 scans ONLY the 64×-smaller
+    * codes table and keeps the `shortN` best ADC candidates per query;
+    * tier 2 fetches raw embeddings for just those `shortN` rows (a
+    * semi-join-sized read, never a corpus scan) and reranks by exact
+    * squared-L2 (the pinned index-ordered fold). Final precision on
+    * the shortlist is exact by construction — approximation error can
+    * only LOSE a candidate at tier 1, never misrank one at tier 2.
+    *
+    * Scale shape: tier-1 cost ≡ q136 (broadcast scans + one qid rank
+    * window); tier-2 touches nQ·shortN rows — operator constants, so
+    * the rerank join broadcasts and the raw store is read pointwise.
+    * Everything deterministic → the two-tier pipeline replays in one
+    * generated oracle (the q136 chain at depth 50 + an exact-rerank
+    * CTE), a true hash gate. */
+  val q138: Q = Q(
+    "q138_pq_rerank",
+    run = { (spark, dir) =>
+      val e = src(spark, dir)
+      val short = adcTopK(e, pqCodebooks(e), n = shortN)
+        .select(col("qid"), col("nid"))
+      val qraw = e.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val nraw = e.select(col("vec_id").as("nid"),
+        col("embedding").as("nemb"))
+      short.join(broadcast(qraw), Seq("qid"))
+        .join(nraw, Seq("nid"))
+        .select(col("qid"), col("nid"), expr(
+          "aggregate(zip_with(nemb, qemb, (v, m) ->" +
+            " (CAST(v AS DOUBLE) - CAST(m AS DOUBLE)) *" +
+            " (CAST(v AS DOUBLE) - CAST(m AS DOUBLE)))," +
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("dist_sq"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid")
+            .orderBy(col("dist_sq").asc, col("nid").asc)))
+        .filter(col("rnk") <= topN)
+    },
+    oracle = Some(s"""
+      $pqCtes,
+      $adcOracleCtes,
+      short AS (SELECT qid, nid FROM r WHERE rnk <= $shortN),
+      rr AS (SELECT s.qid, s.nid,
+               list_sum(list_transform(list_zip(ne.emb, qe.emb),
+                 x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist_sq
+             FROM short s
+             JOIN e ne ON ne.vec_id = s.nid
+             JOIN e qe ON qe.vec_id = s.qid),
+      rr2 AS (SELECT qid, nid, dist_sq,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY dist_sq ASC, nid ASC) AS INTEGER) AS rnk
+              FROM rr)
+      SELECT qid, nid, dist_sq, rnk FROM rr2 WHERE rnk <= $topN"""))
+
+  val all: Seq[Q] = Seq(q135, q136, q137, q138)
 }

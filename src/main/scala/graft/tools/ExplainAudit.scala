@@ -479,6 +479,16 @@ object ExplainAudit {
     assert(!q137Plan.contains("CartesianProduct"),
       "q137: IVF-PQ must never plan a cartesian")
     println("===== q137 IVFPQ TWO-WINDOW ASSERT OK")
+    // q138: the rerank tier must fetch raw embeddings via broadcast
+    // joins of the constant-sized shortlist — a corpus-side shuffle
+    // join would defeat the two-tier design
+    val q138Plan = graft.SparkEntry.queries("q138_pq_rerank")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!q138Plan.contains("SortMergeJoin"),
+      "q138: rerank fetch must not shuffle the corpus")
+    assert(!q138Plan.contains("CartesianProduct"),
+      "q138: rerank must never plan a cartesian")
+    println("===== q138 RERANK BROADCAST ASSERT OK")
     spark.stop()
   }
 }

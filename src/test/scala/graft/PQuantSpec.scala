@@ -178,6 +178,33 @@ class PQuantSpec extends AnyFunSuite {
     assert(rec.sum / 3 >= 0.2, s"mean IVF-PQ recall ${rec.sum / 3} below floor")
   }
 
+  test("q138: rerank equals exact top-10 restricted to the ADC shortlist") {
+    def sq(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    val out = PQuant.q138.run(spark, TestSpark.sf0001)
+      .select("qid", "nid", "dist_sq", "rnk")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.length == 30)
+    // independent replay: ADC shortlist (driver-side, same fold) →
+    // exact rerank. Tier 2 must agree with plain exact distance.
+    Seq(0L, 1L, 2L).foreach { qid =>
+      val short = vecs.keysIterator.filter(_ != qid)
+        .map(id => (id, adc(vecs(qid), id))).toSeq
+        .sortBy { case (id, d) => (d, id) }.take(PQuant.shortN).map(_._1)
+      val want = short.map(id => (id, sq(vecs(qid), vecs(id))))
+        .sortBy { case (id, d) => (d, id) }.take(10)
+      val got = out.filter(_._1 == qid).sortBy(_._4)
+        .map { case (_, nid, d, _) => (nid, d) }.toSeq
+      assert(got == want,
+        s"rerank for query $qid diverges from the exact-on-shortlist replay")
+    }
+  }
+
   test("q136: recall floors vs the exact squared-L2 top-10 hold") {
     def exactTop(qid: Long, n: Int): Set[Long] = {
       val q = vecs(qid)
