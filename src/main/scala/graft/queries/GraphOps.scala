@@ -462,5 +462,185 @@ object GraphOps {
       WHERE deg >= 3"""
     })
 
-  val all: Seq[Q] = Seq(q101, q130, q131, q133)
+  /** Undirected edge stream of the co-purchase graph — both directions
+    * of every [[coEdges]] pair, STAGED once (the q101/q133 barrier):
+    * the iterative ops below reference the edge set every round, and an
+    * unmaterialized lineage would re-run the basket self-join per
+    * round. Returns (frame, stagePath). */
+  private def undirectedEdges(baskets: DataFrame): (DataFrame, String) = {
+    val e = coEdges(baskets)
+    graft.operators.Stage.materializeWithPath(
+      e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(e.select(col("pb").as("src"), col("pa").as("dst"))),
+      "ugraph-edges")
+  }
+
+  /** Core of q140: synchronous frontier BFS (unweighted single-source
+    * shortest hops — Lin & Dyer 2010 ch.5's parallel BFS shape) from
+    * the graph's minimum node id, `rounds` expansions. Output: every
+    * node reached within `rounds` hops with its hop distance (the seed
+    * at hop 0). The curation use: blast-radius / relatedness tiers
+    * around a seed entity (a flagged domain, a seed document) over the
+    * co-occurrence graph.
+    *
+    * Scale shape: per round ONE equi-join of the frontier (node-sized,
+    * only the NEW nodes) against the staged edge set + a hash distinct
+    * + an anti-join against the visited set — all equi-keyed, nothing
+    * edge-sized ever re-derived (frontier and visited are staged per
+    * round; superseded stages drop eagerly — the q133 lesson). The
+    * frontier can only shrink once the component is exhausted; a run
+    * whose LAST round still found new nodes warns on stderr (the q133
+    * convergence detector), so a truncated traversal is never silent. */
+  def bfsHops(baskets: DataFrame, rounds: Int = 4): DataFrame = {
+    val (edges, edgesPath) = undirectedEdges(baskets)
+    val spark = baskets.sparkSession
+    import spark.implicits._
+    // seed = min node id — one 1-row driver collect (bounded-collect
+    // contract), mirrored by the oracle's min() CTE.
+    val seedRow = edges.agg(min(col("src"))).collect()(0)
+    if (seedRow.isNullAt(0)) { // empty graph → empty traversal
+      graft.operators.Stage.drop(edges, edgesPath)
+      return Seq.empty[(Long, Long)].toDF("part_id", "hop")
+    }
+    val seed = seedRow.getLong(0)
+    var visited = graft.operators.Stage.materializeWithPath(
+      Seq((seed, 0)).toDF("node", "hop"), "bfs-v0")
+    var frontier = visited._1.select(col("node"))
+    var lastGrew = false
+    for (i <- 1 to rounds) {
+      val next = graft.operators.Stage.materializeWithPath(
+        edges.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited._1, Seq("node"), "left_anti"),
+        s"bfs-f$i")
+      val nv = graft.operators.Stage.materializeWithPath(
+        visited._1.unionAll(next._1.withColumn("hop", lit(i))),
+        s"bfs-v$i")
+      graft.operators.Stage.drop(visited._1, visited._2)
+      visited = nv
+      frontier = next._1.select(col("node"))
+      lastGrew = next._1.limit(1).count() > 0
+    }
+    if (lastGrew)
+      System.err.println(s"[bfs] WARNING: frontier still non-empty after " +
+        s"$rounds rounds — nodes beyond $rounds hops are NOT in the output; " +
+        "raise `rounds` to traverse further")
+    graft.operators.Stage.drop(edges, edgesPath)
+    visited._1.select(col("node").as("part_id"),
+      col("hop").cast("long").as("hop"))
+  }
+
+  /** q140 — BFS hop tiers from the minimum part id over the co-purchase
+    * graph, 4 rounds. */
+  val q140: Q = Q(
+    "q140_bfs_hops",
+    run = { (spark, dir) =>
+      bfsHops(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("part")))
+    },
+    oracle = Some {
+      val rounds = (1 to 4).map { i =>
+        s"""f$i AS MATERIALIZED (
+           |        SELECT DISTINCT e.dst AS node FROM f${i - 1} f
+           |        JOIN ue e ON e.src = f.node
+           |        WHERE e.dst NOT IN (SELECT node FROM v${i - 1})),
+           |      v$i AS MATERIALIZED (
+           |        SELECT node, hop FROM v${i - 1}
+           |        UNION ALL SELECT node, $i AS hop FROM f$i)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+                  FROM lineitem),
+      e AS MATERIALIZED (SELECT DISTINCT a.part AS pa, b.part AS pb
+            FROM li a JOIN li b USING (ok) WHERE a.part < b.part),
+      ue AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e
+            UNION ALL SELECT pb AS src, pa AS dst FROM e),
+      v0 AS MATERIALIZED (SELECT min(pa) AS node, 0 AS hop FROM e),
+      f0 AS (SELECT node FROM v0),
+      $rounds
+      SELECT node AS part_id, CAST(hop AS BIGINT) AS hop FROM v4"""
+    })
+
+  /** Core of q141: synchronous label propagation community detection
+    * (Raghavan, Albert & Kumara 2007, "Near linear time algorithm to
+    * detect community structures") — every node starts labeled with its
+    * own id; each round every node adopts the most frequent label among
+    * its neighbors, ties to the SMALLEST label (the determinism knob the
+    * paper leaves open — random tie-break would be irreproducible), for
+    * a fixed `rounds` synchronous rounds. The curation use: cheap
+    * community/topic grouping over a co-occurrence graph (domains,
+    * products, documents) without the k-choice k-means needs.
+    *
+    * Scale shape: per round ONE edge-stream join carrying labels to
+    * neighbors (labels are node-sized state, exactly the q101 rank-state
+    * shape), a map-side-combined (node, label) count, then a per-node
+    * argmax as `max(struct(cnt, -label))` — a second node-keyed hash agg,
+    * NO sort and NO window. Labels staged per round (the q133 barrier);
+    * fixed round count keeps the plan oracle-replayable (synchronous LPA
+    * may oscillate between two labelings — a bounded, deterministic loop
+    * is the reproducible variant of the paper's "until convergence"). */
+  /** One synchronous LPA round: carry labels over the edge stream,
+    * count votes per (node, label), argmax with min-label tie-break as
+    * `max(struct(cnt, −label))` — a hash agg, deliberately NOT a rank
+    * window (no sort in the iteration hot loop; ExplainAudit asserts
+    * this shape directly since the registry entry only exposes the
+    * final staged scan). */
+  private[graft] def lpaRound(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+      .groupBy(col("dst").as("node"), col("label")).count()
+      .groupBy(col("node"))
+      .agg(max(struct(col("count").as("cnt"),
+        (-col("label")).as("nl"))).as("best"))
+      .select(col("node"), (-col("best.nl")).as("label"))
+
+  def labelProp(baskets: DataFrame, rounds: Int = 4): DataFrame = {
+    val (edges, edgesPath) = undirectedEdges(baskets)
+    var labels = graft.operators.Stage.materializeWithPath(
+      edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label")),
+      "lpa-l0")
+    for (i <- 1 to rounds) {
+      val nl = graft.operators.Stage.materializeWithPath(
+        lpaRound(edges, labels._1), s"lpa-l$i")
+      graft.operators.Stage.drop(labels._1, labels._2)
+      labels = nl
+    }
+    graft.operators.Stage.drop(edges, edgesPath)
+    labels._1.select(col("node").as("part_id"), col("label").as("community"))
+  }
+
+  /** q141 — 4-round label-propagation communities on the co-purchase
+    * graph. */
+  val q141: Q = Q(
+    "q141_label_prop",
+    run = { (spark, dir) =>
+      labelProp(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("part")))
+    },
+    oracle = Some {
+      val rounds = (1 to 4).map { i =>
+        s"""c$i AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+           |        FROM ue e JOIN l${i - 1} l ON l.node = e.src
+           |        GROUP BY e.dst, l.label),
+           |      l$i AS MATERIALIZED (
+           |        SELECT node, label FROM (
+           |          SELECT node, label, row_number() OVER (
+           |            PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+           |          FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+                  FROM lineitem),
+      e AS MATERIALIZED (SELECT DISTINCT a.part AS pa, b.part AS pb
+            FROM li a JOIN li b USING (ok) WHERE a.part < b.part),
+      ue AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e
+            UNION ALL SELECT pb AS src, pa AS dst FROM e),
+      l0 AS MATERIALIZED (
+        SELECT node, node AS label FROM (SELECT DISTINCT src AS node FROM ue)),
+      $rounds
+      SELECT node AS part_id, label AS community FROM l4"""
+    })
+
+  val all: Seq[Q] = Seq(q101, q130, q131, q133, q140, q141)
 }

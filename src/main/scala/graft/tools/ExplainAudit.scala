@@ -489,6 +489,41 @@ object ExplainAudit {
     assert(!q138Plan.contains("CartesianProduct"),
       "q138: rerank must never plan a cartesian")
     println("===== q138 RERANK BROADCAST ASSERT OK")
+    // q139: the skyline must stay the banded prefix-scan — an equi
+    // (d1,d2) verdict hash-join plus a band-PARTITIONED window; the
+    // naive O(n²) shape would surface as a nested-loop/cartesian, and
+    // a partition-less window would mean the global-sort sweep crept in
+    val q139Exec = graft.SparkEntry.queries("q139_skyline")(spark, dir)
+      .queryExecution.executedPlan
+    val q139Plan = q139Exec.toString
+    assert(!q139Plan.contains("CartesianProduct") &&
+      !q139Plan.contains("BroadcastNestedLoopJoin"),
+      "q139: skyline fell back to the O(n²) dominance join")
+    assert(partitionlessWindows(q139Exec).isEmpty,
+      "q139: global-sort sweep crept in (partition-less window)")
+    println("===== q139 SKYLINE BANDED-SCAN ASSERT OK")
+    // q141: the per-round label argmax must be a hash agg, never a
+    // rank window (no sort in the iteration hot loop). The registry
+    // entry only exposes the final staged scan, so audit the ROUND
+    // plan directly on an in-memory graph.
+    val lpaEdges = spark.range(1, 8).selectExpr("id AS src", "id+1 AS dst")
+    val lpaLabels = spark.range(1, 9).selectExpr("id AS node", "id AS label")
+    val q141Plan = graft.queries.GraphOps.lpaRound(lpaEdges, lpaLabels)
+      .queryExecution.executedPlan.toString
+    assert(!q141Plan.contains("Window"),
+      "q141: per-node argmax planned a window instead of max(struct)")
+    // (SMJ vs BHJ is a size call — either is fine; the shuffle is the
+    // node-sized label state, never the edge stream)
+    assert(!q141Plan.contains("CartesianProduct"),
+      "q141: round label-carry join must stay equi-keyed")
+    println("===== q141 LPA ROUND HASH-ARGMAX ASSERT OK")
+    // q142: rule scoring joins stay equi-keyed; N rides a broadcast
+    // 1-row cross join (the only nested-loop allowed)
+    val q142Plan = graft.SparkEntry.queries("q142_assoc_rules")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!q142Plan.contains("CartesianProduct"),
+      "q142: association rules must never plan a cartesian")
+    println("===== q142 ASSOC EQUI-JOIN ASSERT OK")
     spark.stop()
   }
 }

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.{GraphOps, Mining}
+
+/** Round-10 mining + graph-traversal operators: q139 skyline, q140 BFS
+  * hops, q141 label propagation, q142 association rules. The DuckDB
+  * hash gates pin fixture results; these tests pin the SEMANTICS on
+  * adversarial hand-built inputs (domination edge cases, true-iteration
+  * graphs, hand-computed confidences) where the fixture might not
+  * exercise them.
+  */
+class MiningSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- q139 skyline ----
+
+  test("skyline equals the brute-force dominance check on the fixture") {
+    val pts = Tables.part(spark, TestSpark.sf0001)
+      .select(col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast("long").as("p_size"))
+    val got = Mining.skyline(pts, "p_retailprice", "p_size")
+      .select("p_partkey").as[Long].collect().toSet
+    val all = pts.select("p_partkey", "p_retailprice", "p_size")
+      .as[(Long, Double, Long)].collect()
+    val want = all.filter { case (_, p, s) =>
+      !all.exists { case (_, p2, s2) =>
+        p2 <= p && s2 <= s && (p2 < p || s2 < s) }
+    }.map(_._1).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("skyline keeps coincident points together and spans bands") {
+    // two identical points (neither dominates the other), a dominated
+    // point, and frontier points far enough apart to land in different
+    // price bands — the cross-band carry must kill (10.0, 9) via the
+    // band-0 minimum, and same-d1 domination must kill (1.0, 6)
+    val pts = Seq(
+      (1L, 1.0, 5L), (2L, 1.0, 5L),  // coincident frontier pair
+      (3L, 1.0, 6L),                 // dominated at the same price
+      (4L, 10.0, 9L),                // dominated across bands by (1.0,5)
+      (5L, 10.0, 3L), (6L, 100.0, 1L) // frontier: cheaper in d2 as d1 grows
+    ).toDF("id", "cost", "size")
+    val got = Mining.skyline(pts, "cost", "size")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 5L, 6L))
+  }
+
+  // ---- q140 BFS hops ----
+
+  test("bfsHops walks a chain exactly and stops at the round budget") {
+    // chain 1-2-3-4-5-6-7 via two-item baskets; seed = min node = 1
+    val baskets = (1L to 6L).map(i => (i, i)) ++ (1L to 6L).map(i => (i, i + 1))
+    val got = GraphOps.bfsHops(baskets.toDF("ok", "part"))
+      .as[(Long, Long)].collect().toMap
+    // 4 rounds: nodes 1..5 at hops 0..4; 6 and 7 beyond the budget
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("bfsHops assigns the SHORTEST hop when paths diverge") {
+    // triangle 1-2-3 plus chain 3-4: node 3 reachable in 1 hop via the
+    // direct edge even though the 2-hop path through 2 also exists
+    val baskets = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 3L), (11L, 4L))
+    val got = GraphOps.bfsHops(baskets.toDF("ok", "part"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  // ---- q141 label propagation ----
+
+  test("labelProp resolves disjoint cliques to their min labels") {
+    // two disjoint K4s as one basket each — true iteration is needed:
+    // round 1 sends node 1's label AWAY from 1 (its neighbors vote 1,
+    // but node 1 itself sees {2,3,4} and adopts 2); round 2 heals it
+    val baskets = Seq(1L, 2L, 3L, 4L).map((100L, _)) ++
+      Seq(5L, 6L, 7L, 8L).map((200L, _))
+    val got = GraphOps.labelProp(baskets.toDF("ok", "part"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L))
+  }
+
+  test("labelProp separates two cliques joined by a single bridge") {
+    // K4 {1,2,3,4} and K4 {5,6,7,8} bridged by 4-5: the bridge is one
+    // vote against three intra-clique votes, so communities hold
+    val baskets = Seq(1L, 2L, 3L, 4L).map((100L, _)) ++
+      Seq(5L, 6L, 7L, 8L).map((200L, _)) ++ Seq((300L, 4L), (300L, 5L))
+    val got = GraphOps.labelProp(baskets.toDF("ok", "part"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.filter(_._1 <= 4L).values.toSet == Set(1L))
+    assert(got.filter(_._1 >= 5L).values.toSet == Set(5L))
+  }
+
+  // ---- q142 association rules ----
+
+  test("assocRules computes hand-checked support, confidence and lift") {
+    // baskets: {1,2} ×3, {1,3} ×1, {2,3} ×1 → N=5
+    val baskets = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L),
+      (4L, 1L), (4L, 3L), (5L, 2L), (5L, 3L))
+    val got = Mining.assocRules(baskets.toDF("ok", "part"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // supp(1)=4, supp(2)=4, supp(3)=2, supp(1,2)=3
+    // 1→2: conf 3/4, lift 3·5/(4·4)
+    assert(got((1L, 2L)) == ((3L, 0.75, 15.0 / 16.0)))
+    assert(got((2L, 1L)) == ((3L, 0.75, 15.0 / 16.0)))
+    // pairs with support 1 are below the floor
+    assert(!got.contains((1L, 3L)) && !got.contains((3L, 2L)))
+  }
+
+  test("assocRules confidence floor prunes weak antecedents") {
+    // {9,10} ×2 but 9 appears in 20 baskets → conf(9→10)=0.1 stays
+    // (floor is inclusive), while a 1/20 rule would be cut; verify an
+    // antecedent-side asymmetry: conf(10→9)=1.0
+    val baskets = (1L to 20L).map(ok => (ok, 9L)) ++
+      Seq((1L, 10L), (2L, 10L))
+    val got = Mining.assocRules(baskets.toDF("ok", "part"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(got((9L, 10L)) == 0.1)
+    assert(got((10L, 9L)) == 1.0)
+  }
+}
