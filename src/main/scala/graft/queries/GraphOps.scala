@@ -642,5 +642,106 @@ object GraphOps {
       SELECT node AS part_id, label AS community FROM l4"""
     })
 
-  val all: Seq[Q] = Seq(q101, q130, q131, q133, q140, q141)
+  /** Core of q143: bounded Bellman-Ford single-source shortest paths
+    * (min-plus relaxation rounds — the distributed SSSP shape of
+    * Lin & Dyer 2010 ch.5, weights added to q140's unweighted BFS)
+    * over RARITY-weighted co-purchase edges: w(a,b) = 10⁶ DIV
+    * co-count, so hops through frequently-co-bought pairs are cheap
+    * and a path's cost reads as accumulated rarity — the relatedness
+    * metric a recommender prefers over raw hop count. All integer
+    * micro-units (Spark `DIV` ≡ DuckDB `//` on non-negative BIGINTs —
+    * the q101 recipe), so 4 relaxation rounds hash-match exactly.
+    *
+    * Scale shape: the distance table is node-sized state (the q101
+    * rank-state shape); each round is ONE equi-join of it against the
+    * staged weighted edge stream + a map-side-combined min agg —
+    * nothing edge-sized ever re-derived, state staged per round with
+    * eager drops. After r rounds every ≤r-edge shortest path is final
+    * (Bellman-Ford's invariant), so the bounded loop returns exact
+    * distances for the r-hop neighborhood — same contract as q140's
+    * hop budget, same stderr warning when the last round still
+    * improved something. */
+  def weightedPaths(baskets: DataFrame, rounds: Int = 4): DataFrame = {
+    val li = baskets.distinct()
+    val wpairs = li.select(col("ok"), col("part").as("pa"))
+      .join(li.select(col("ok").as("ok2"), col("part").as("pb")),
+        col("ok") === col("ok2") && col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cnt"))
+      .select(col("pa"), col("pb"),
+        expr("CAST(1000000 AS BIGINT) DIV cnt").as("w"))
+    val (edges, edgesPath) = graft.operators.Stage.materializeWithPath(
+      wpairs.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+        .unionAll(wpairs.select(col("pb").as("src"), col("pa").as("dst"),
+          col("w"))),
+      "sssp-edges")
+    val spark = baskets.sparkSession
+    import spark.implicits._
+    val seedRow = edges.agg(min(col("src"))).collect()(0)
+    if (seedRow.isNullAt(0)) {
+      graft.operators.Stage.drop(edges, edgesPath)
+      return Seq.empty[(Long, Long)].toDF("part_id", "dist")
+    }
+    var dist = graft.operators.Stage.materializeWithPath(
+      Seq((seedRow.getLong(0), 0L)).toDF("node", "dist"), "sssp-d0")
+    var lastImproved = false
+    for (i <- 1 to rounds) {
+      val nd = graft.operators.Stage.materializeWithPath(
+        dist._1
+          .unionAll(edges
+            .join(dist._1.withColumnRenamed("node", "src"), Seq("src"))
+            .select(col("dst").as("node"), (col("dist") + col("w")).as("dist")))
+          .groupBy(col("node")).agg(min(col("dist")).as("dist")),
+        s"sssp-d$i")
+      if (i == rounds)
+        // exact-change detector: metadata-cheap counts first, then an
+        // anti-join only on the final round (a changed distance with an
+        // unchanged node count must not hide)
+        lastImproved = nd._1.join(dist._1, Seq("node", "dist"), "left_anti")
+          .limit(1).count() > 0
+      graft.operators.Stage.drop(dist._1, dist._2)
+      dist = nd
+    }
+    if (lastImproved)
+      System.err.println(s"[sssp] WARNING: distances still improving after " +
+        s"$rounds rounds — paths longer than $rounds edges are NOT final; " +
+        "raise `rounds`")
+    graft.operators.Stage.drop(edges, edgesPath)
+    dist._1.select(col("node").as("part_id"), col("dist"))
+  }
+
+  /** q143 — rarity-weighted shortest distances from the minimum part id,
+    * 4 Bellman-Ford rounds. */
+  val q143: Q = Q(
+    "q143_weighted_paths",
+    run = { (spark, dir) =>
+      weightedPaths(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("part")))
+    },
+    oracle = Some {
+      val rounds = (1 to 4).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |        SELECT node, min(dist) AS dist FROM (
+           |          SELECT node, dist FROM d${i - 1}
+           |          UNION ALL
+           |          SELECT e.dst AS node, d.dist + e.w AS dist
+           |          FROM d${i - 1} d JOIN ue e ON e.src = d.node)
+           |        GROUP BY node)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+                  FROM lineitem),
+      wp AS MATERIALIZED (
+        SELECT a.part AS pa, b.part AS pb,
+          CAST(1000000 AS BIGINT) // count(*) AS w
+        FROM li a JOIN li b ON a.ok = b.ok AND a.part < b.part
+        GROUP BY a.part, b.part),
+      ue AS MATERIALIZED (SELECT pa AS src, pb AS dst, w FROM wp
+            UNION ALL SELECT pb AS src, pa AS dst, w FROM wp),
+      d0 AS MATERIALIZED (
+        SELECT min(pa) AS node, CAST(0 AS BIGINT) AS dist FROM wp),
+      $rounds
+      SELECT node AS part_id, dist FROM d4"""
+    })
+
+  val all: Seq[Q] = Seq(q101, q130, q131, q133, q140, q141, q143)
 }

@@ -181,5 +181,75 @@ object Mining {
       CROSS JOIN n
       WHERE CAST(p.support AS DOUBLE) / CAST(ia.supp_one AS DOUBLE) >= 0.1"""))
 
-  val all: Seq[Q] = Seq(q139, q142)
+  /** Neighborhood size for q144's per-item recommendation list. */
+  private val cfTopK = 5
+
+  /** Core of q144: item-item collaborative filtering (Sarwar et al.
+    * 2001, "Item-based collaborative filtering recommendation
+    * algorithms") on the binary basket-membership matrix: cosine
+    * similarity sim(a,b) = co(a,b) / √(supp(a)·supp(b)) for pairs
+    * co-occurring in ≥ minSupport baskets, then the top-k neighbors
+    * per item — the precomputed item-neighborhood table a recommender
+    * serves from (and a curation pipeline's "related items" signal).
+    *
+    * Determinism: co/supp are exact BIGINTs; the one √ and ÷ are IEEE
+    * ops on identical inputs (√ is correctly-rounded per IEEE-754, so
+    * both engines produce the same double bit-for-bit); rank ties
+    * break on the neighbor id. Scale shape: pair generation per-basket
+    * bounded (Σ|basket|²), supports map-side combined, the top-k is a
+    * per-item rank window (partitioned, never global). */
+  def itemCf(baskets: DataFrame): DataFrame = {
+    val li = baskets.distinct()
+    val itemSupp = li.groupBy(col("part")).agg(count(lit(1)).as("supp_one"))
+    val co = li.select(col("ok"), col("part").as("pa"))
+      .join(li.select(col("ok").as("ok2"), col("part").as("pb")),
+        col("ok") === col("ok2") && col("pa") =!= col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minSupport)
+    val scored = co
+      .join(itemSupp.select(col("part").as("pa"), col("supp_one").as("supp_a")),
+        Seq("pa"))
+      .join(itemSupp.select(col("part").as("pb"), col("supp_one").as("supp_b")),
+        Seq("pb"))
+      .withColumn("sim", col("co").cast("double") /
+        sqrt(col("supp_a").cast("double") * col("supp_b").cast("double")))
+    val byItem = Window.partitionBy(col("pa"))
+      .orderBy(col("sim").desc, col("pb").asc)
+    scored.withColumn("rank", row_number().over(byItem))
+      .filter(col("rank") <= cfTopK)
+      .select(col("pa").as("item"), col("pb").as("neighbor"),
+        col("co"), col("sim"), col("rank"))
+  }
+
+  /** q144 — top-5 cosine item neighborhoods over order baskets. */
+  val q144: Q = Q(
+    "q144_item_cf",
+    run = { (spark, dir) =>
+      itemCf(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("part")))
+    },
+    oracle = Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+                  FROM lineitem),
+      item AS (SELECT part, count(*) AS supp_one FROM li GROUP BY part),
+      co AS (
+        SELECT a.part AS pa, b.part AS pb, count(*) AS co
+        FROM li a JOIN li b ON a.ok = b.ok AND a.part <> b.part
+        GROUP BY a.part, b.part
+        HAVING count(*) >= 2),
+      scored AS (
+        SELECT co.pa, co.pb, co.co,
+          CAST(co.co AS DOUBLE) /
+            sqrt(CAST(ia.supp_one AS DOUBLE) * CAST(ib.supp_one AS DOUBLE))
+            AS sim
+        FROM co
+        JOIN item ia ON ia.part = co.pa
+        JOIN item ib ON ib.part = co.pb)
+      SELECT pa AS item, pb AS neighbor, co, sim, CAST(rank AS INTEGER) AS rank
+      FROM (SELECT pa, pb, co, sim, row_number() OVER (
+              PARTITION BY pa ORDER BY sim DESC, pb ASC) AS rank
+            FROM scored)
+      WHERE rank <= 5"""))
+
+  val all: Seq[Q] = Seq(q139, q142, q144)
 }

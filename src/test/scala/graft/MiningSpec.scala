@@ -94,6 +94,49 @@ class MiningSpec extends AnyFunSuite {
     assert(got.filter(_._1 >= 5L).values.toSet == Set(5L))
   }
 
+  // ---- q143 weighted shortest paths ----
+
+  test("weightedPaths relaxes through a cheaper multi-hop route") {
+    // edges by co-count: 1-2 ×5 (w=200000), 2-3 ×5 (w=200000),
+    // 1-3 ×1 (w=1000000): the 2-hop route 1→2→3 (400000) must beat
+    // the direct edge — pure BFS would stop at hop 1
+    val baskets =
+      (1L to 5L).flatMap(ok => Seq((ok, 1L), (ok, 2L))) ++
+        (6L to 10L).flatMap(ok => Seq((ok, 2L), (ok, 3L))) ++
+        Seq((11L, 1L), (11L, 3L))
+    val got = GraphOps.weightedPaths(baskets.toDF("ok", "part"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 200000L, 3L -> 400000L))
+  }
+
+  test("weightedPaths stops at the round budget on a chain") {
+    // chain 1-2-3-4-5-6, each edge co-count 1 (w=1000000); 4 rounds
+    // reach node 5 at 4000000 and leave node 6 out
+    val baskets = (1L to 5L).map(i => (i, i)) ++ (1L to 5L).map(i => (i, i + 1))
+    val got = GraphOps.weightedPaths(baskets.toDF("ok", "part"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1000000L, 3L -> 2000000L,
+      4L -> 3000000L, 5L -> 4000000L))
+  }
+
+  // ---- q144 item-item CF ----
+
+  test("itemCf computes hand-checked cosine neighborhoods with ranks") {
+    // supp(1)=4, supp(2)=4, supp(3)=4; co(1,2)=3, co(1,3)=2, co(2,3)=2
+    val baskets = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L), (3L, 3L),
+      (4L, 1L), (4L, 3L), (5L, 2L), (5L, 3L), (6L, 3L))
+    val got = Mining.itemCf(baskets.toDF("ok", "part"))
+      .as[(Long, Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((1L, 2L)) == ((3L, 3.0 / 4.0, 1)))        // 3/sqrt(16)
+    assert(got((1L, 3L)) == ((2L, 2.0 / 4.0, 2)))
+    assert(got((2L, 1L))._3 == 1 && got((2L, 3L))._3 == 2)
+    assert(got((3L, 1L))._2 == 0.5 && got((3L, 2L))._2 == 0.5)
+    // tie at sim 0.5 → neighbor id breaks it
+    assert(got((3L, 1L))._3 == 1 && got((3L, 2L))._3 == 2)
+  }
+
   // ---- q142 association rules ----
 
   test("assocRules computes hand-checked support, confidence and lift") {
