@@ -5,14 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 import graft.{Q, Tables}
 
-/** Multi-criteria and pattern-mining operators (SURVEY.md §2.8,
-  * round-10 additions): the 2-D skyline (Pareto front) and basket
-  * association rules — the "which entities are not dominated on any
-  * tradeoff" and "which items predict which" primitives a curation
-  * pipeline uses for frontier selection (cost vs quality, length vs
-  * score) and co-occurrence boosting.
+/** Multi-criteria, pattern-mining and record-linkage operators
+  * (SURVEY.md §2.8, round-10 additions): the 2-D skyline (Pareto
+  * front), basket association rules, item-item collaborative
+  * filtering, and end-to-end entity resolution — frontier selection,
+  * co-occurrence boosting, neighborhood serving and
+  * link-cluster-survive record merging for a curation pipeline.
   *
-  * Both are exact and hash-oracle-checked. The skyline deliberately
+  * All exact and hash-oracle-checked. The skyline deliberately
   * avoids BOTH the O(n²) NOT-EXISTS self-join (the naive oracle shape)
   * and a global-sort sweep: it is a banded distributed prefix-scan —
   * per-price minima, an in-band exclusive running minimum (a window
@@ -251,5 +251,112 @@ object Mining {
             FROM scored)
       WHERE rank <= 5"""))
 
-  val all: Seq[Q] = Seq(q139, q142, q144)
+  /** Core of q145: end-to-end entity resolution (Fellegi & Sunter
+    * 1969's link-then-cluster frame, composed from the library's own
+    * seams the way q116 composes q112∘q97): q80's stacked-block fuzzy
+    * matcher generates candidate links (tighter maxDist — resolution
+    * wants high precision), connected components merge transitive
+    * matches (a~b, b~c ⇒ one entity even when a~c misses the edit
+    * bound), and survivorship picks the LONGEST record per entity
+    * (n_chars desc, min doc_id ties — the classic most-complete-record
+    * rule). Output: one row per entity — id (min member), member
+    * count, representative doc.
+    *
+    * The CC loop is plain synchronous min-label propagation over the
+    * staged symmetric link set — one node-sized equi-join + left join
+    * per round, staged with eager drops, run to CONVERGENCE (an exact
+    * per-round changed-set anti-join, bounded by maxRounds) so the
+    * labels equal the oracle's recursive-CTE transitive closure; a
+    * budget exhaustion warns on stderr (never silent). Fuzzy-link
+    * components are shallow (block-bounded stars and short chains), so
+    * rounds ≈ component diameter stays single-digit — the q49
+    * pointer-doubling machinery would be overkill here.
+    *
+    * Scale shape: candidate links are block-bounded (q80), the loop
+    * state is node-sized, survivorship is one partitioned rank window
+    * over the label table. Nothing corpus² anywhere. */
+  def entityResolve(docs: DataFrame, maxDist: Int = 8,
+      maxRounds: Int = 12): DataFrame = {
+    val links = CorpusOps.fuzzyMatch(docs, maxDist)
+      .select(col("doc_a").as("ea"), col("doc_b").as("eb"))
+    val (edges, edgesPath) = graft.operators.Stage.materializeWithPath(
+      links.unionAll(links.select(col("eb").as("ea"), col("ea").as("eb"))),
+      "er-edges")
+    // round-0 labels are a pruned projection — no lineage to barrier
+    var labels = docs.select(col("doc_id"), col("doc_id").as("ent"))
+    var labelsPath = ""
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val nbrMin = edges.join(labels, col("ea") === col("doc_id"))
+        .groupBy(col("eb")).agg(min(col("ent")).as("nbr_min"))
+      val next = graft.operators.Stage.materializeWithPath(
+        labels.join(nbrMin, col("doc_id") === col("eb"), "left")
+          .select(col("doc_id"),
+            least(col("ent"), coalesce(col("nbr_min"), col("ent")))
+              .as("ent")),
+        s"er-l$round")
+      converged = next._1.join(labels, Seq("doc_id", "ent"), "left_anti")
+        .limit(1).count() == 0
+      if (labelsPath.nonEmpty)
+        graft.operators.Stage.drop(labels, labelsPath)
+      labels = next._1
+      labelsPath = next._2
+    }
+    if (!converged)
+      System.err.println(s"[entity-resolve] WARNING: labels still moving " +
+        s"after $maxRounds rounds — components wider than the budget are " +
+        "split; raise `maxRounds`")
+    graft.operators.Stage.drop(edges, edgesPath)
+    val sized = labels.groupBy(col("ent")).agg(count(lit(1)).as("n_docs"))
+    val byCompleteness = Window.partitionBy(col("ent"))
+      .orderBy(col("n_chars").desc_nulls_last, col("doc_id").asc)
+    val rep = labels
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("rn", row_number().over(byCompleteness))
+      .filter(col("rn") === 1)
+      .select(col("ent"), col("doc_id").as("rep_doc_id"))
+    sized.join(rep, Seq("ent"))
+      .select(col("ent").as("entity_id"), col("n_docs"), col("rep_doc_id"))
+  }
+
+  /** q145 — entity resolution over the document corpus: q80 fuzzy
+    * links at maxDist 8 → connected components → longest-record
+    * survivorship. */
+  val q145: Q = Q(
+    "q145_entity_resolve",
+    run = { (spark, dir) =>
+      entityResolve(Tables.documentsParallel(spark, dir)
+        .filter(col("text").isNotNull))
+    },
+    oracle = Some("""
+      WITH RECURSIVE
+      p AS (SELECT doc_id, source, n_chars, substr(text, 1, 32) AS pre
+            FROM documents WHERE text IS NOT NULL),
+      k AS (SELECT doc_id, source, pre, 'p|' || substr(pre, 1, 4) AS blk FROM p
+            UNION ALL
+            SELECT doc_id, source, pre, 's|' || right(pre, 4) AS blk FROM p),
+      cand AS (SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb,
+                 a.pre AS pre_a, b.pre AS pre_b
+               FROM k a JOIN k b
+                 ON a.source = b.source AND a.blk = b.blk
+                   AND a.doc_id < b.doc_id),
+      fp AS (SELECT ea, eb FROM cand WHERE levenshtein(pre_a, pre_b) <= 8),
+      edges AS (SELECT ea, eb FROM fp UNION SELECT eb AS ea, ea AS eb FROM fp),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM p
+        UNION
+        SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+      lab AS (SELECT src AS doc_id, min(dst) AS ent FROM reach GROUP BY src),
+      sized AS (SELECT ent, count(*) AS n_docs FROM lab GROUP BY ent),
+      rep AS (SELECT ent, doc_id AS rep_doc_id FROM (
+                SELECT l.ent, l.doc_id, row_number() OVER (
+                  PARTITION BY l.ent
+                  ORDER BY p.n_chars DESC NULLS LAST, l.doc_id ASC) AS rn
+                FROM lab l JOIN p ON p.doc_id = l.doc_id) WHERE rn = 1)
+      SELECT s.ent AS entity_id, s.n_docs, r.rep_doc_id
+      FROM sized s JOIN rep r ON r.ent = s.ent"""))
+
+  val all: Seq[Q] = Seq(q139, q142, q144, q145)
 }

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.queries.{GraphOps, Mining}
 
 /** Round-10 mining + graph-traversal operators: q139 skyline, q140 BFS
-  * hops, q141 label propagation, q142 association rules. The DuckDB
+  * hops, q141 label propagation, q142 association rules, q143
+  * Bellman-Ford SSSP, q144 item-item CF, q145 entity resolution. The DuckDB
   * hash gates pin fixture results; these tests pin the SEMANTICS on
   * adversarial hand-built inputs (domination edge cases, true-iteration
   * graphs, hand-computed confidences) where the fixture might not
@@ -135,6 +136,41 @@ class MiningSpec extends AnyFunSuite {
     assert(got((3L, 1L))._2 == 0.5 && got((3L, 2L))._2 == 0.5)
     // tie at sim 0.5 → neighbor id breaks it
     assert(got((3L, 1L))._3 == 1 && got((3L, 2L))._3 == 2)
+  }
+
+  // ---- q145 entity resolution ----
+
+  test("entityResolve merges transitive links and keeps the longest record") {
+    // a~b (dist 2) and b~c (dist 2, edits at DISJOINT positions) so
+    // a~c sits at dist 4 — with maxDist 3 only transitivity unifies
+    // the three; d is a singleton. All share the 'alph' prefix block.
+    // Representative = longest text (c), ties impossible.
+    val base = "alpha beta gamma delta epsilon zz"
+    val docs = Seq(
+      (1L, "s1", base, base.length.toLong),
+      (2L, "s1", base.replace("beta", "byxa"), base.length.toLong),
+      (3L, "s1", base.replace("beta", "byxa")
+        .replace("gamma", "gayya") + " tail tail",
+        (base.length + 10).toLong),
+      (4L, "s1", "omega psi chi phi upsilon tau xyz", 33L)
+    ).toDF("doc_id", "source", "text", "n_chars")
+    val got = Mining.entityResolve(docs, maxDist = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((3L, 3L)))   // entity 1: {1,2,3}, rep = 3 (longest)
+    assert(got(4L) == ((1L, 4L)))   // singleton keeps itself
+  }
+
+  test("entityResolve leaves far records apart at the distance bound") {
+    val docs = Seq(
+      (1L, "s1", "abcdefgh same same same same zz11", 33L),
+      (2L, "s1", "abcdefgh wildly different body zz11", 35L))
+      .toDF("doc_id", "source", "text", "n_chars")
+    // same block keys, but edit distance > 8 → two entities
+    val got = Mining.entityResolve(docs)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(1L, 2L))
   }
 
   // ---- q142 association rules ----

@@ -9,12 +9,40 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanHygieneSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  /** Queries whose partition-less window is bounded by construction
+    * (runs AFTER a limit/TakeOrderedAndProject over an
+    * operator-constant row count) — the only acceptable reason for
+    * the single-partition window shape. */
+  private val boundedGlobalWindowOk = Set("q87_skew_report") // 10-row top-k
+
   test("no registry query plans a CartesianProduct; all queries plan") {
-    val offenders = SparkEntry.registry.flatMap { q =>
-      val plan = q.run(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
-      if (plan.contains("CartesianProduct")) Some(q.name) else None
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // AQE-aware walk: AdaptiveSparkPlanExec hides its inner plan from
+    // TreeNode children, so a naive collect is vacuously empty
+    def partitionless(p: SparkPlan): Boolean = {
+      val here = p match {
+        case w: WindowExec => w.partitionSpec.isEmpty
+        case w: WindowGroupLimitExec => w.partitionSpec.isEmpty
+        case _ => false
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case o => o.children
+      }
+      here || kids.exists(partitionless)
     }
-    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val exec = q.run(spark, TestSpark.sf0001).queryExecution.executedPlan
+      val cartesian = exec.toString.contains("CartesianProduct")
+      val badWindow =
+        !boundedGlobalWindowOk.contains(q.name) && partitionless(exec)
+      if (cartesian) Some(q.name -> "CartesianProduct")
+      else if (badWindow) Some(q.name -> "partition-less window")
+      else None
+    }
+    assert(offenders.isEmpty, s"plan hygiene offenders: $offenders")
   }
 
   test("registry contract: unique names, oracle keys resolve, count") {
