@@ -358,5 +358,60 @@ object Mining {
       SELECT s.ent AS entity_id, s.n_docs, r.rep_doc_id
       FROM sized s JOIN rep r ON r.ent = s.ent"""))
 
-  val all: Seq[Q] = Seq(q139, q142, q144, q145)
+  /** Minimum users for a q146 sequential pattern (absolute, scale-
+    * calibrated by the caller at real volume — the q142 contract). */
+  private val seqMinUsers = 5L
+
+  /** Core of q146: sequential pattern mining at the 2-sequence tier
+    * (the "a is FOLLOWED BY b" directional rules of Agrawal & Srikant
+    * 1995's AprioriAll, restricted to first occurrences): for every
+    * ordered event-type pair, the number of users whose first `a`
+    * strictly precedes their first `b`, with the share of all users.
+    * Directionality is the point — n(view→click) vs n(click→view) is
+    * the behavioral arrow q142's unordered co-occurrence cannot see.
+    *
+    * First-occurrence semantics make the operator deterministic and
+    * bounded: one (user, type) min-ts agg (map-side combined), then a
+    * per-user self-join whose fan-out is |event-type vocabulary|² per
+    * user — vocabulary-bounded, never |events|². Equal first
+    * timestamps count in NEITHER direction (strict <, tie-safe on µs
+    * instants both engines compare identically). */
+  def seqPatterns(events: DataFrame): DataFrame = {
+    val firstSeen = events
+      .groupBy(col("user_id"), col("event_type")).agg(min(col("ts")).as("t0"))
+    val total = events.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_total"))
+    firstSeen.select(col("user_id"), col("event_type").as("e_from"),
+        col("t0").as("ta"))
+      .join(firstSeen.select(col("user_id").as("u2"),
+          col("event_type").as("e_to"), col("t0").as("tb")),
+        col("user_id") === col("u2") && col("ta") < col("tb"))
+      .groupBy(col("e_from"), col("e_to")).agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= seqMinUsers)
+      .crossJoin(broadcast(total))
+      .select(col("e_from"), col("e_to"), col("n_users"),
+        (col("n_users").cast("double") / col("n_total").cast("double"))
+          .as("share"))
+  }
+
+  /** q146 — first-occurrence followed-by patterns over the event
+    * stream (≥ 5 users). */
+  val q146: Q = Q(
+    "q146_seq_patterns",
+    run = { (spark, dir) => seqPatterns(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events),
+      f AS (SELECT user_id, event_type, min(ts) AS t0 FROM e GROUP BY 1, 2),
+      t AS (SELECT count(DISTINCT user_id) AS n_total FROM e),
+      p AS (SELECT a.event_type AS e_from, b.event_type AS e_to,
+              count(*) AS n_users
+            FROM f a JOIN f b ON a.user_id = b.user_id AND a.t0 < b.t0
+            GROUP BY 1, 2
+            HAVING count(*) >= 5)
+      SELECT e_from, e_to, n_users,
+        CAST(n_users AS DOUBLE) / n_total AS share
+      FROM p CROSS JOIN t"""))
+
+  val all: Seq[Q] = Seq(q139, q142, q144, q145, q146)
 }

@@ -173,6 +173,26 @@ class MiningSpec extends AnyFunSuite {
     assert(got.keySet == Set(1L, 2L))
   }
 
+  // ---- q146 sequential patterns ----
+
+  test("seqPatterns counts first-occurrence order and drops ties") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // 21 users: first 'view' then 'click' (later repeat views must not
+    // flip direction); user 999 has view/click at the SAME instant →
+    // neither direction; 'buy' appears for only 3 users (below floor)
+    val rows =
+      (1L to 21L).flatMap(u => Seq(
+        (u, "view", ts(1)), (u, "click", ts(2)), (u, "view", ts(3)))) ++
+        Seq((999L, "view", ts(5)), (999L, "click", ts(5))) ++
+        (1L to 3L).map(u => (u, "buy", ts(4)))
+    val got = Mining.seqPatterns(rows.toDF("user_id", "event_type", "ts"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // 22 distinct users total; view→click for the 21 (user 999 tied out)
+    assert(got == Map(("view", "click") -> ((21L, 21.0 / 22.0))))
+  }
+
   // ---- q142 association rules ----
 
   test("assocRules computes hand-checked support, confidence and lift") {
