@@ -413,5 +413,65 @@ object Mining {
         CAST(n_users AS DOUBLE) / n_total AS share
       FROM p CROSS JOIN t"""))
 
-  val all: Seq[Q] = Seq(q139, q142, q144, q145, q146)
+  /** Core of q147: Z-order (Morton) layout zone maps (Morton 1966; the
+    * multi-dimensional clustering behind Delta/Iceberg Z-ORDER BY) —
+    * the LAYOUT operator of the 100 TB story: interleaving the bits of
+    * two scan dimensions gives one sort key whose contiguous ranges
+    * are small rectangles in BOTH dimensions, so per-file min/max zone
+    * maps prune two-dimensional predicates from a single physical
+    * order. Buckets each dimension to 8 bits, interleaves to a 16-bit
+    * Morton code as a pure integer expression (bit i of x at position
+    * 2i, of y at 2i+1 — Σ ((v DIV 2ⁱ) % 2)·4ⁱ, identical arithmetic
+    * both engines), groups by the top-8-bit zone and emits each zone's
+    * row count and min/max per dimension. The output IS the proof:
+    * both spreads are ≤ 15 in every zone (high nibbles fixed), exactly
+    * the bound a reader needs to skip files on either predicate — the
+    * suite asserts it, and a one-dimensional sort provably cannot
+    * bound the second dimension this way.
+    *
+    * Scale shape: one scan + a ≤256-key map-side-combined agg; in
+    * production the Morton key is what you `repartitionByRange` /
+    * write-sort on, and this query is the audit that the layout holds. */
+  def zorderZones(orders: DataFrame): DataFrame = {
+    // all-integer bit interleave: DIV/% on non-negative BIGINTs parse
+    // and evaluate identically in Spark SQL and DuckDB (// there)
+    val zExpr = (0 until 8).map { i =>
+      val p2 = 1L << i
+      val p4 = 1L << (2 * i)
+      s"(x DIV $p2 % 2) * $p4 + (y DIV $p2 % 2) * ${2 * p4}"
+    }.mkString(" + ")
+    orders
+      .select(pmod(col("o_custkey"), lit(256L)).cast("long").as("x"),
+        pmod(datediff(to_date(col("o_orderdate")),
+          to_date(lit("1992-01-01"))).cast("long"), lit(256L)).as("y"))
+      .withColumn("z", expr(zExpr))
+      .groupBy(expr("z DIV 256").as("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+  }
+
+  /** q147 — Morton zone maps over orders on (custkey, order day). */
+  val q147: Q = Q(
+    "q147_zorder_zones",
+    run = { (spark, dir) => zorderZones(Tables.orders(spark, dir)) },
+    oracle = Some {
+      val terms = (0 until 8).map { i =>
+        val p2 = 1L << i
+        val p4 = 1L << (2 * i)
+        s"(x // $p2 % 2) * $p4 + (y // $p2 % 2) * ${2 * p4}"
+      }.mkString(" + ")
+      s"""
+      WITH b AS (SELECT o_custkey % 256 AS x,
+                   datediff('day', DATE '1992-01-01',
+                     CAST(o_orderdate AS DATE)) % 256 AS y
+                 FROM orders),
+      m AS (SELECT x, y, $terms AS z FROM b)
+      SELECT z // 256 AS zone, count(*) AS n_rows,
+        min(x) AS min_x, max(x) AS max_x,
+        min(y) AS min_y, max(y) AS max_y
+      FROM m GROUP BY z // 256"""
+    })
+
+  val all: Seq[Q] = Seq(q139, q142, q144, q145, q146, q147)
 }

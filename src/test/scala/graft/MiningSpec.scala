@@ -193,6 +193,35 @@ class MiningSpec extends AnyFunSuite {
     assert(got == Map(("view", "click") -> ((21L, 21.0 / 22.0))))
   }
 
+  // ---- q147 Z-order zone maps ----
+
+  test("zorderZones interleaves bits and bounds both spreads per zone") {
+    import java.sql.Timestamp
+    // hand-check the Morton code path via zone membership: x=3 (0b11),
+    // y=5 (0b101) → z = 1+2·1 + 4·1+8·0 + 16·0+32·1 = 39 → zone 0;
+    // x=255, y=255 → z = 65535 → zone 255
+    val rows = Seq(
+      (3L, Timestamp.valueOf("1992-01-06 00:00:00")),    // x=3,  y=5
+      (255L, Timestamp.valueOf("1992-09-12 00:00:00")))  // x=255, y=255
+    val got = Mining.zorderZones(
+      rows.toDF("o_custkey", "o_orderdate"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 1L, 3L, 3L, 5L, 5L)))
+    assert(got(255L) == ((255L, 1L, 255L, 255L, 255L, 255L)))
+    // the data-skipping property on the real fixture: every zone's
+    // spread is <= 15 in BOTH dimensions (high nibbles fixed) — the
+    // bound a min/max zone map needs to prune 2-D predicates; a 1-D
+    // sort cannot bound the second dimension like this
+    val zones = Mining.zorderZones(Tables.orders(spark, TestSpark.sf0001))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(zones.nonEmpty)
+    zones.foreach { case (zone, _, minX, maxX, minY, maxY) =>
+      assert(maxX - minX <= 15 && maxY - minY <= 15,
+        s"zone $zone spread exceeds the nibble bound")
+    }
+  }
+
   // ---- q142 association rules ----
 
   test("assocRules computes hand-checked support, confidence and lift") {
