@@ -66,15 +66,37 @@ object Mining {
       .rowsBetween(Window.unboundedPreceding, -1)
     val swept = perD1.withColumn("runm", min(col("m2")).over(inBand))
     // carry from strictly lower bands: ≤B rows → driver prefix-min →
-    // broadcast back (the bounded-collect contract; B is a constant)
+    // broadcast back (the bounded-collect contract; B is a constant).
+    // d2 is read GENERICALLY: every ordered atomic type's external value
+    // (Long, Double, BigDecimal, String, Date, ...) is Comparable, and a
+    // single column holds one runtime class — so the driver prefix-min
+    // orders by compareTo and the carry frame is rebuilt with d2's OWN
+    // DataType, keeping the least()/< comparisons below in Spark's type
+    // domain (a long-only getLong here was a latent ClassCastException
+    // for any non-long d2 caller — round-10 ADVICE).
+    val d2Type = perD1.schema("m2").dataType
+    require(d2Type.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+      d2Type == org.apache.spark.sql.types.StringType ||
+      d2Type == org.apache.spark.sql.types.DateType ||
+      d2Type == org.apache.spark.sql.types.TimestampType,
+      s"skyline: d2 ($d2) must be an ordered atomic type, got $d2Type")
     val bandMin = perD1.groupBy(col("band")).agg(min(col("m2")).as("bm"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    val cmpOrd: Ordering[Any] = Ordering.fromLessThan((a, b) =>
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
     val spark = pts.sparkSession
-    import spark.implicits._
-    val carry = (0 until skyBands).map { b =>
-      val prev = (0 until b).flatMap(bandMin.get)
-      (b, if (prev.isEmpty) None else Some(prev.min))
-    }.toDF("band", "carry")
+    val carrySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("carry", d2Type,
+        nullable = true)))
+    val carryRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList((0 until skyBands).map { b =>
+        val prev = (0 until b).flatMap(bandMin.get)
+        org.apache.spark.sql.Row(b,
+          if (prev.isEmpty) null else prev.min(cmpOrd))
+      }: _*)
+    val carry = spark.createDataFrame(carryRows, carrySchema)
     // Spark's least() skips nulls (null only when BOTH are), so the
     // carry-from-lower-bands and the in-band exclusive min merge in one
     val verdict = swept.join(broadcast(carry), Seq("band"))
@@ -264,10 +286,11 @@ object Mining {
     *
     * The CC loop is plain synchronous min-label propagation over the
     * staged symmetric link set — one node-sized equi-join + left join
-    * per round, staged with eager drops, run to CONVERGENCE (an exact
-    * per-round changed-set anti-join, bounded by maxRounds) so the
-    * labels equal the oracle's recursive-CTE transitive closure; a
-    * budget exhaustion warns on stderr (never silent). Fuzzy-link
+    * per round, staged with eager drops, run to CONVERGENCE (the
+    * changed-count rides the stage write via observe() — one action
+    * per round, bounded by maxRounds) so the labels equal the oracle's
+    * recursive-CTE transitive closure; budget exhaustion FAILS (a
+    * split-entity answer is never served). Fuzzy-link
     * components are shallow (block-bounded stars and short chains), so
     * rounds ≈ component diameter stays single-digit — the q49
     * pointer-doubling machinery would be overkill here.
@@ -291,23 +314,36 @@ object Mining {
       round += 1
       val nbrMin = edges.join(labels, col("ea") === col("doc_id"))
         .groupBy(col("eb")).agg(min(col("ent")).as("nbr_min"))
+      // convergence metric rides the stage WRITE via observe() (the
+      // q49/DedupCluster recipe): one Spark action per round, where the
+      // round-10 shape paid a second full pass (an anti-join count over
+      // the just-staged labels) purely to test for motion
+      val obs = org.apache.spark.sql.Observation(s"er-round-$round")
       val next = graft.operators.Stage.materializeWithPath(
         labels.join(nbrMin, col("doc_id") === col("eb"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("ent").as("prev_ent"),
             least(col("ent"), coalesce(col("nbr_min"), col("ent")))
-              .as("ent")),
+              .as("ent"))
+          .observe(obs, coalesce(sum(when(
+            col("ent") =!= col("prev_ent"), 1L).otherwise(0L)), lit(0L))
+            .as("changed"))
+          .select(col("doc_id"), col("ent")),
         s"er-l$round")
-      converged = next._1.join(labels, Seq("doc_id", "ent"), "left_anti")
-        .limit(1).count() == 0
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       if (labelsPath.nonEmpty)
         graft.operators.Stage.drop(labels, labelsPath)
       labels = next._1
       labelsPath = next._2
     }
-    if (!converged)
-      System.err.println(s"[entity-resolve] WARNING: labels still moving " +
-        s"after $maxRounds rounds — components wider than the budget are " +
-        "split; raise `maxRounds`")
+    // never serve split entities silently: a component still moving at
+    // maxRounds must fail loudly (round-10 ADVICE — warn-only meant a
+    // scale run could return labels diverging from transitive closure).
+    // Fuzzy-link components are block-bounded stars/short chains, so
+    // hitting this requires diameter > maxRounds — not a dedup graph.
+    require(converged,
+      s"[entity-resolve] labels still moving after $maxRounds rounds — " +
+        "components wider than the budget would be served SPLIT; raise " +
+        "`maxRounds`")
     graft.operators.Stage.drop(edges, edgesPath)
     val sized = labels.groupBy(col("ent")).agg(count(lit(1)).as("n_docs"))
     val byCompleteness = Window.partitionBy(col("ent"))
