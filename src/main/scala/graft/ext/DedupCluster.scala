@@ -260,17 +260,12 @@ object DedupCluster {
         col("n_members"), col("quality").as("canon_quality"))
   }
 
-  /** q60 — one canonical doc per duplicate cluster (the dedup
-    * RESOLUTION step: cluster → best member → clean corpus). Oracle =
-    * the recursive-CTE components + the q27 quality expression + the
-    * same NULLS LAST window. */
-  val q60: Q = Q(
-    "q60_canonical_docs",
-    run = { (spark, dir) =>
-      canonicalDocs(Tables.documentsParallel(spark, dir),
-        exactNearPairs = oracleExactMode)
-    },
-    oracle = Some("""
+  /** The q60 oracle's full CTE chain (recursive-CTE components → q27
+    * quality → NULLS LAST canonical window, ending at `r`) — factored
+    * out so the q148 composed-pipeline oracle replays the IDENTICAL
+    * dedup stage by construction instead of a hand-copied fork that
+    * could drift. */
+  private[graft] val canonicalCtes: String = """
       WITH RECURSIVE
       hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       hpairs AS (SELECT a.doc_id AS ea, b.doc_id AS eb FROM hx a JOIN hx b
@@ -309,7 +304,19 @@ object DedupCluster {
               row_number() OVER (PARTITION BY cc.cluster_id
                 ORDER BY qf.quality DESC NULLS LAST, cc.doc_id) AS rn,
               count(*) OVER (PARTITION BY cc.cluster_id) AS n_members
-            FROM cc LEFT JOIN qf ON qf.doc_id = cc.doc_id)
+            FROM cc LEFT JOIN qf ON qf.doc_id = cc.doc_id)"""
+
+  /** q60 — one canonical doc per duplicate cluster (the dedup
+    * RESOLUTION step: cluster → best member → clean corpus). Oracle =
+    * the recursive-CTE components + the q27 quality expression + the
+    * same NULLS LAST window. */
+  val q60: Q = Q(
+    "q60_canonical_docs",
+    run = { (spark, dir) =>
+      canonicalDocs(Tables.documentsParallel(spark, dir),
+        exactNearPairs = oracleExactMode)
+    },
+    oracle = Some(canonicalCtes + """
       SELECT cluster_id, doc_id AS canon_doc_id,
         CAST(n_members AS BIGINT) AS n_members, quality AS canon_quality
       FROM r WHERE rn = 1"""))
