@@ -470,12 +470,10 @@ object Mining {
     * write-sort on, and this query is the audit that the layout holds. */
   def zorderZones(orders: DataFrame): DataFrame = {
     // all-integer bit interleave: DIV/% on non-negative BIGINTs parse
-    // and evaluate identically in Spark SQL and DuckDB (// there)
-    val zExpr = (0 until 8).map { i =>
-      val p2 = 1L << i
-      val p4 = 1L << (2 * i)
-      s"(x DIV $p2 % 2) * $p4 + (y DIV $p2 % 2) * ${2 * p4}"
-    }.mkString(" + ")
+    // and evaluate identically in Spark SQL and DuckDB (// there);
+    // shared with the WRITER (sinks.ZOrderLayout) since round-11, so
+    // the landed layout and this audit can never disagree on the key
+    val zExpr = graft.sinks.ZOrderLayout.mortonTerms("x", "y")
     orders
       .select(pmod(col("o_custkey"), lit(256L)).cast("long").as("x"),
         pmod(datediff(to_date(col("o_orderdate")),

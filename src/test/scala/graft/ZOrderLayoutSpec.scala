@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sinks.ZOrderLayout
+
+/** The Morton WRITER's file-skipping claim, measured: a z-ordered
+  * layout bounds BOTH dimensions per file, so a zone-map reader prunes
+  * under predicates on either; a 1-D sort layout prunes only its own
+  * column and must read every file for the other. */
+class ZOrderLayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"zorder-$tag").toString
+
+  test("zone-map pruning: z-layout reads strictly fewer files than 1-D on the off-sort dim, and still prunes its own") {
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_custkey").as("ck"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+          .as("day"))
+    val nFiles = 16
+    val (zDir, xDir) = (tmp("z"), tmp("x"))
+    ZOrderLayout.writeZOrdered(orders, "ck", "day", zDir, nFiles)
+    ZOrderLayout.writeSorted1D(orders, "ck", "day", xDir, nFiles)
+    val cols = Seq("zx", "zy")
+    val zMap = ZOrderLayout.fileZoneMap(spark, zDir, cols).cache()
+    val xMap = ZOrderLayout.fileZoneMap(spark, xDir, cols).cache()
+    try {
+      val (zTotal, xTotal) = (zMap.count(), xMap.count())
+      assert(zTotal == nFiles && xTotal == nFiles)
+      // probe the dimension the 1-D layout does NOT sort on: the
+      // z-layout's ~square tiles bound zy per file; the 1-D layout's
+      // files each span (nearly) the full zy range
+      val yBox = Seq(("zy", 0L, 31L))
+      val (zy, xy) = (ZOrderLayout.overlappingFiles(zMap, yBox),
+        ZOrderLayout.overlappingFiles(xMap, yBox))
+      assert(zy < xy, s"z-layout read $zy files, 1-D read $xy — no win")
+      assert(xy == xTotal, "1-D layout unexpectedly bounded the off-sort dim")
+      // probe the 1-D layout's OWN dim: z still prunes (reads a subset),
+      // the price being a coarser bound than a dedicated 1-D sort
+      val xBox = Seq(("zx", 0L, 31L))
+      val zx = ZOrderLayout.overlappingFiles(zMap, xBox)
+      assert(zx < zTotal)
+      // the 2-D box: z-layout never reads more than the 1-D layout
+      val box = Seq(("zx", 0L, 31L), ("zy", 0L, 31L))
+      assert(ZOrderLayout.overlappingFiles(zMap, box) <=
+        ZOrderLayout.overlappingFiles(xMap, box))
+    } finally { zMap.unpersist(); xMap.unpersist(): Unit }
+  }
+
+  test("written z-layout round-trips the data and agrees with q147's key") {
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_custkey").as("ck"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+          .as("day"))
+    val dir = tmp("rt")
+    ZOrderLayout.writeZOrdered(orders, "ck", "day", dir, 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == orders.count())
+    // the landed z equals a fresh interleave of the landed buckets
+    // (writer and audit share mortonTerms by construction)
+    val zExpr = expr(ZOrderLayout.mortonTerms("zx", "zy"))
+    assert(back.filter(col("z") =!= zExpr).count() == 0)
+    // and every file's z-range tiles [0, 65536) without overlap
+    val fr = back.groupBy(input_file_name()).agg(
+      min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .orderBy(col("lo")).collect()
+    fr.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) <= b.getLong(1))
+      case _ => ()
+    }
+  }
+}
