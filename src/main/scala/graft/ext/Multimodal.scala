@@ -69,6 +69,9 @@ object Multimodal {
       // RIFF....WAVE — chunk id at offset 0, format tag at offset 8
       .when(h.startsWith("52494646") &&
         substring(h, 17, 8) === lit("57415645"), "wav")
+      // RIFF....AVI␣ — same container family as WAV, different form tag
+      .when(h.startsWith("52494646") &&
+        substring(h, 17, 8) === lit("41564920"), "avi")
       .when(h.startsWith("1A45DFA3"), "webm")
       .when(h.startsWith("4F676753"), "ogg")
       // MP4-family: "ftyp" brand at byte offset 4
@@ -91,6 +94,8 @@ object Multimodal {
     else if (at(0, 0x25, 0x50, 0x44, 0x46)) "pdf"
     else if (at(0, 0x52, 0x49, 0x46, 0x46) &&
       at(8, 0x57, 0x41, 0x56, 0x45)) "wav"
+    else if (at(0, 0x52, 0x49, 0x46, 0x46) &&
+      at(8, 0x41, 0x56, 0x49, 0x20)) "avi"
     else if (at(0, 0x1A, 0x45, 0xDF, 0xA3)) "webm"
     else if (at(0, 0x4F, 0x67, 0x67, 0x53)) "ogg"
     else if (at(4, 0x66, 0x74, 0x79, 0x70)) "mp4"
@@ -274,6 +279,134 @@ object Multimodal {
     Some(MediaFeatures(docId, "wav", p.length, meanByteOf(p), p.take(4),
       histo, thumb, nSamples / channels, 0, 0, channels, sampleRate,
       if (nSamples == 0) 0.0 else sum.toDouble / nSamples))
+  }
+
+  /** REAL AVI decode for UNCOMPRESSED video (round-10 verdict item 7 —
+    * raising the codec-bound floor where JDK-only allows): the RIFF
+    * chunk walk the WAV decoder already does, extended with LIST
+    * recursion (hdrl→avih, strl→strh/strf, movi→'##db' frames), plus
+    * the BMP decoder's bottom-up padded-row pixel math applied per
+    * frame when the video stream is BI_RGB 24-bpp DIB.
+    *
+    * Two tiers, both REAL:
+    *  - raw-DIB streams (biCompression=0, 24 bpp): full pixel decode —
+    *    n_frames = '##db' chunk count, channels=3, mean_signal / histo16
+    *    over every frame's pixel bytes (row padding excluded), thumb =
+    *    the first frame's 4x4 luminance grid, sample_rate = fps from
+    *    avih's dwMicroSecPerFrame;
+    *  - codec-compressed streams: container METADATA (the mp4-meta
+    *    tier) — dims/frame count/fps from the headers, channels=0
+    *    marking "no pixel stats", byte-level stats from the stub.
+    * None on structural violations (bad RIFF/LIST framing, overrunning
+    * chunk sizes) — the caller falls back to the '_corrupt' stub. */
+  def decodeAvi(docId: Long, p: Array[Byte]): Option[MediaFeatures] = {
+    if (p.length < 12) return None
+    def four(off: Long): String =
+      if (off + 4 > p.length) "" else new String(p, off.toInt, 4, "US-ASCII")
+    if (four(0) != "RIFF" || four(8) != "AVI ") return None
+    /** children of [start, end): (fourcc, listType-or-"", payStart, payEnd).
+      * Long offsets — a corrupt size near Int.MaxValue must not wrap. */
+    def walk(start: Long, end: Long): Option[List[(String, String, Long, Long)]] = {
+      val acc = scala.collection.mutable.ListBuffer.empty[(String, String, Long, Long)]
+      var off = start
+      while (off + 8 <= end) {
+        val id = four(off)
+        val sz = i32(p, off.toInt + 4).toLong
+        if (sz < 0 || sz > end - off - 8) return None
+        if (id == "LIST") {
+          if (sz < 4) return None
+          acc += ((id, four(off + 8), off + 12, off + 8 + sz))
+        } else acc += ((id, "", off + 8, off + 8 + sz))
+        off += 8L + sz + (sz & 1L) // word-aligned like every RIFF chunk
+      }
+      Some(acc.toList)
+    }
+    val top = walk(12L, p.length.toLong).getOrElse(return None)
+    val hdrl = top.find(t => t._1 == "LIST" && t._2 == "hdrl")
+      .getOrElse(return None)
+    val hk = walk(hdrl._3, hdrl._4).getOrElse(return None)
+    val avih = hk.find(_._1 == "avih").getOrElse(return None)
+    if (avih._4 - avih._3 < 40) return None
+    val usPerFrame = i32(p, avih._3.toInt)
+    val fps = if (usPerFrame > 0) 1000000 / usPerFrame else 0
+    val hdrW = i32(p, avih._3.toInt + 32)
+    val hdrH = i32(p, avih._3.toInt + 36)
+    // first video stream's format block
+    val vidsStrf = hk.iterator
+      .filter(t => t._1 == "LIST" && t._2 == "strl")
+      .flatMap { case (_, _, s, e) => walk(s, e).toList }
+      .collectFirst {
+        case kids if kids.exists(k => k._1 == "strh" && four(k._3) == "vids") =>
+          kids.find(_._1 == "strf")
+      }.flatten
+    val (bihOk, w, h, bpp, compression) = vidsStrf match {
+      case Some((_, _, s, e)) if e - s >= 20 =>
+        (true, i32(p, s.toInt + 4), i32(p, s.toInt + 8),
+          u16(p, s.toInt + 14), i32(p, s.toInt + 16))
+      case _ => (false, 0, 0, 0, -1)
+    }
+    val width = if (bihOk && w > 0) w else math.max(hdrW, 0)
+    val height = if (bihOk) math.abs(h) else math.max(hdrH, 0)
+    val movi = top.find(t => t._1 == "LIST" && t._2 == "movi")
+    val frames = movi.toList.flatMap { case (_, _, s, e) =>
+      walk(s, e).getOrElse(return None)
+        .filter(c => c._1.endsWith("db"))
+    }
+    val decodable = bihOk && compression == 0 && bpp == 24 &&
+      width > 0 && height > 0 && frames.nonEmpty && {
+        val rowSize = ((24L * width + 31) / 32) * 4
+        frames.forall { case (_, _, s, e) => e - s >= rowSize * height }
+      }
+    if (!decodable) {
+      // container metadata is still REAL — the mp4-meta tier
+      return Some(stubFeatures(docId, p, "avi").copy(
+        n_frames = math.max(frames.size, i32(p, avih._3.toInt + 16)),
+        width = width, height = height, channels = 0,
+        sample_rate = fps,
+        mean_signal =
+          if (fps > 0) frames.size.toDouble / fps
+          else 0.0))
+    }
+    val rowSize = (((24L * width + 31) / 32) * 4).toInt
+    val histo = new Array[Long](16)
+    var sum = 0L
+    var n = 0L
+    frames.foreach { case (_, _, s, _) =>
+      var row = 0
+      while (row < height) {
+        val base = s.toInt + row * rowSize
+        var x = 0
+        while (x < width * 3) {
+          val b = p(base + x) & 0xff
+          histo(b >> 4) += 1
+          sum += b
+          n += 1
+          x += 1
+        }
+        row += 1
+      }
+    }
+    // thumb: first frame's 4x4 luminance; DIB rows store bottom-up
+    val f0 = frames.head._3.toInt
+    val thumb = new Array[Byte](16)
+    var ty = 0
+    while (ty < 4) {
+      var tx = 0
+      while (tx < 4) {
+        val iy = ty * height / 4
+        val ix = tx * width / 4
+        val px = f0 + (height - 1 - iy) * rowSize + ix * 3
+        val b = p(px) & 0xff
+        val g = p(px + 1) & 0xff
+        val r = p(px + 2) & 0xff
+        thumb(ty * 4 + tx) = ((29 * b + 150 * g + 77 * r) >> 8).toByte
+        tx += 1
+      }
+      ty += 1
+    }
+    Some(MediaFeatures(docId, "avi", p.length, meanByteOf(p), p.take(4),
+      histo, thumb, frames.size, width, height, 3, fps,
+      if (n == 0) 0.0 else sum.toDouble / n))
   }
 
   // big-endian reader — PNG is the one big-endian container here
@@ -929,6 +1062,7 @@ object Multimodal {
     sniffBytes(payloadOrNull) match { // sniff the ORIGINAL: null → "empty"
       case "bmp" => safely(decodeBmp(docId, p), "bmp_corrupt")
       case "wav" => safely(decodeWav(docId, p), "wav_corrupt")
+      case "avi" => safely(decodeAvi(docId, p), "avi_corrupt")
       case "png"  => safely(decodePng(docId, p), "png_corrupt")
       case "gif"  => safely(decodeGif(docId, p), "gif_corrupt")
       case "jpeg" => safely(decodeJpeg(docId, p), "jpeg_corrupt")
@@ -1020,8 +1154,79 @@ object Multimodal {
       -16L -> mp4Of(1000, 5000, Seq((320, 240))).dropRight(30), // → mp4_corrupt
       -17L -> oggOf(Seq((7L, 0L, 30), (7L, 48000L, 120), (9L, 960L, 60))),
       -18L -> webmOf(1000000L, 2500.0f, Seq(Some((1280, 720)), None)),
-      -19L -> webmOf(1000000L, 1000.0f, Seq(Some((640, 480)))).dropRight(8))
+      -19L -> webmOf(1000000L, 1000.0f, Seq(Some((640, 480)))).dropRight(8),
       // ^ -19 truncated mid-Tracks → webm_corrupt
+      -20L -> aviOf(8, 4, 40000, Seq(
+        (x, y) => (x * 30, y * 60, 128),
+        (x, y) => (255 - x * 30, 40, y * 50))), // raw-DIB → full pixel decode
+      -21L -> aviOf(16, 8, 33333, Seq((_, _) => (0, 0, 0)),
+        compression = 1), // codec-compressed → metadata tier
+      -22L -> aviOf(8, 4, 40000, Seq((_, _) => (10, 20, 30)))
+        .dropRight(10)) // truncated mid-frame → avi_corrupt
+  }
+
+  /** Deterministic minimal AVI builder (tests + synthetics): RIFF/AVI
+    * with hdrl(avih + strl(strh 'vids' + strf BITMAPINFOHEADER 24-bpp))
+    * and movi('00db' raw bottom-up BGR DIB frames). `compression` != 0
+    * models a codec-bound stream (metadata decodes, pixels don't). */
+  private[graft] def aviOf(width: Int, height: Int, usPerFrame: Int,
+      frames: Seq[(Int, Int) => (Int, Int, Int)],
+      compression: Int = 0): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val rowSize = ((24 * width + 31) / 32) * 4
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      buf.array()
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(12 + body.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("LIST".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put(typ.getBytes("US-ASCII")).put(body)
+      buf.array()
+    }
+    val avih = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+        .putInt(frames.size).putInt(0).putInt(1).putInt(0)
+        .putInt(width).putInt(height)
+      b.array() // trailing reserved dwords stay zero
+    }
+    val strh = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+      b.array()
+    }
+    val strf = {
+      val b = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(width).putInt(height)
+        .putShort(1).putShort(24)
+        .putInt(compression).putInt(rowSize * height)
+      b.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    def frameBytes(pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val b = ByteBuffer.allocate(rowSize * height)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      for (row <- 0 until height; y = height - 1 - row) { // bottom-up
+        for (x <- 0 until width) {
+          val (r, g, bl) = pix(x, y)
+          b.put(bl.toByte).put(g.toByte).put(r.toByte)
+        }
+        for (_ <- 0 until rowSize - width * 3) b.put(0.toByte)
+      }
+      b.array()
+    }
+    val movi = list("movi", frames.map(f => chunk("00db", frameBytes(f)))
+      .foldLeft(Array.emptyByteArray)(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val riff = ByteBuffer.allocate(8 + body.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    riff.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    riff.array()
   }
 
   /** Deterministic Ogg builder (tests + synthetics): one page per
@@ -1430,7 +1635,10 @@ object Multimodal {
         (-16, 'mp4_corrupt', 250, 21.832, '00000018', '199,3,1,1,3,1,25,12,2,0,0,0,0,1,1,1', '00007600000001000000000100000000', 1, 0, 0, 0, 0, 21.832),
         (-17, 'ogg', 294, 72.06122448979592, '4F676753', '89,21,21,24,23,22,20,11,11,12,10,7,7,5,5,6', '4F001851000F487EB7ED235C090C457B', 3, 0, 0, 2, 0, 48000.0),
         (-18, 'webm', 55, 106.49090909090908, '1A45DFA3', '7,5,1,0,8,2,3,0,14,1,6,3,0,4,1,0', '1AA38653A966D742891C549188050283', 2, 1280, 720, 0, 0, 2.5),
-        (-19, 'webm_corrupt', 42, 104.47619047619048, '1A45DFA3', '4,4,1,0,7,2,3,1,11,0,5,1,0,2,1,0', '1ADF428153A4498EB10F448400546B8A', 1, 0, 0, 0, 0, 104.47619047619048))
+        (-19, 'webm_corrupt', 42, 104.47619047619048, '1A45DFA3', '4,4,1,0,7,2,3,1,11,0,5,1,0,2,1,0', '1ADF428153A4498EB10F448400546B8A', 1, 0, 0, 0, 0, 104.47619047619048),
+        (-20, 'avi', 432, 59.405092592592595, '52494646', '20,4,36,20,4,4,12,12,36,12,4,12,4,4,4,4', '0E203244314355675466788A778A9CAE', 2, 8, 4, 3, 25, 98.0),
+        (-21, 'avi', 616, 10.337662337662337, '52494646', '545,3,4,5,14,8,17,15,4,0,0,0,1,0,0,0', '52000020008000000000000000000000', 1, 16, 8, 0, 30, 0.03333333333333333),
+        (-22, 'avi_corrupt', 318, 25.08805031446541, '52494646', '191,59,4,4,16,8,19,15,0,1,0,0,1,0,0,0', '52000000006C0000000000001E0A141E', 2, 0, 0, 0, 0, 25.08805031446541))
       SELECT hx.doc_id,
         CASE WHEN hx.p_null THEN 'empty' ELSE 'unknown' END AS format,
         CAST(hx.n AS INTEGER) AS n_bytes,

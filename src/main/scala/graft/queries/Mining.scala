@@ -47,7 +47,8 @@ object Mining {
     * from lower bands, and a final equi-join of the source against the
     * per-d1 verdict table. No self-join, no global sort; the only
     * corpus-sized shuffles are the d1 agg and the verdict join. */
-  def skyline(pts: DataFrame, d1: String, d2: String): DataFrame = {
+  def skyline(pts: DataFrame, d1: String, d2: String,
+      bands: Int = skyBands): DataFrame = {
     val src = pts.withColumn("d1", col(d1)).withColumn("d2", col(d2))
     val stats = src.agg(min(col("d1")).cast("double"),
       max(col("d1")).cast("double")).collect()(0)
@@ -55,8 +56,8 @@ object Mining {
     val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
     val span = if (hi > lo) hi - lo else 1.0
     def banded(df: DataFrame): DataFrame = df.withColumn("band",
-      least(lit(skyBands - 1),
-        floor((col("d1").cast("double") - lit(lo)) / lit(span) * lit(skyBands)))
+      least(lit(bands - 1),
+        floor((col("d1").cast("double") - lit(lo)) / lit(span) * lit(bands)))
         .cast("int"))
     // per-d1 minima — the only corpus-sized agg
     val perD1 = banded(src.groupBy(col("d1")).agg(min(col("d2")).as("m2")))
@@ -91,7 +92,7 @@ object Mining {
       org.apache.spark.sql.types.StructField("carry", d2Type,
         nullable = true)))
     val carryRows: java.util.List[org.apache.spark.sql.Row] =
-      java.util.Arrays.asList((0 until skyBands).map { b =>
+      java.util.Arrays.asList((0 until bands).map { b =>
         val prev = (0 until b).flatMap(bandMin.get)
         org.apache.spark.sql.Row(b,
           if (prev.isEmpty) null else prev.min(cmpOrd))

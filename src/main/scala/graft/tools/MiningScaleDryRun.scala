@@ -52,6 +52,67 @@ object MiningScaleDryRun {
         graft.queries.Mining.itemCf(df).count()
       }
     }
+
+    // ---- q139 skyline band-width study (round-10 verdict item 4):
+    // B trades driver carry state (B rows collected) against in-band
+    // sort width (~distinct-d1/B rows per window partition). Parts are
+    // replicated with per-replica price offsets so distinct d1 (the
+    // window's sort input) really grows ×R. ----
+    val part0 = graft.Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        col("p_retailprice").cast("double").as("p_retailprice"),
+        col("p_size").cast("long").as("p_size"))
+    def parts(m: Int) =
+      (0 until m).map { k =>
+        if (k == 0) part0
+        else part0.select((col("p_partkey") + lit(k * 10000000L)).as("p_partkey"),
+          (col("p_retailprice") + lit(k * 0.003)).as("p_retailprice"),
+          col("p_size"))
+      }.reduce(_ unionByName _).repartition(32)
+    for (m <- Seq(1, 10); b <- Seq(8, 64, 512)) {
+      time(s"skyline B=$b ${m}x") {
+        graft.queries.Mining.skyline(parts(m), "p_retailprice", "p_size",
+          bands = b).count()
+      }
+    }
+
+    // ---- q145 entity resolution under a DUPLICATE-DENSE corpus: every
+    // doc gets depth−1 near-copies sharing its 32-char prefix, so the
+    // fuzzy blocks grow ×depth and in-block candidate pairs ×depth² —
+    // the block-bound stress (components become depth-sized cliques;
+    // CC still converges in O(1) rounds). ----
+    val docs0 = graft.Tables.documentsParallel(spark, dir)
+      .filter(col("text").isNotNull)
+    def denseDocs(depth: Int) =
+      (0 until depth).map { k =>
+        if (k == 0) docs0
+        else docs0.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          concat(col("text"), lit(s" salt$k")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _).repartition(32)
+    time("entityResolve 1x") {
+      graft.queries.Mining.entityResolve(docs0).count()
+    }
+    time("entityResolve dup-dense 5x") {
+      graft.queries.Mining.entityResolve(denseDocs(5)).count()
+    }
+
+    // ---- q146 sequential patterns at 10× users (type vocabulary
+    // constant — the declared |vocab|²-per-user fan-out bound). ----
+    val ev0 = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def evBig(m: Int) =
+      (0 until m).map { k =>
+        if (k == 0) ev0
+        else ev0.withColumn("user_id",
+          col("user_id") + lit(k * 1000000000L))
+      }.reduce(_ unionByName _).repartition(32)
+    time("seqPatterns 1x") {
+      graft.queries.Mining.seqPatterns(evBig(1)).count()
+    }
+    time("seqPatterns 10x") {
+      graft.queries.Mining.seqPatterns(evBig(10)).count()
+    }
     spark.stop()
   }
 }

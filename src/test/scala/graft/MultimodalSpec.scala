@@ -160,11 +160,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(2L, whole.take(48)).format == "wav_corrupt")
   }
 
+  test("AVI raw-DIB decode: exact frame count, dims, fps, pixel mean, flipped thumb") {
+    // two 4x4 frames; frame pixels chosen so the per-channel sums are
+    // hand-computable: frame 0 all (10, 20, 30), frame 1 all (50, 60, 70)
+    val payload = Multimodal.aviOf(4, 4, 40000, Seq(
+      (_, _) => (10, 20, 30), (_, _) => (50, 60, 70)))
+    val f = Multimodal.decode(30L, payload)
+    assert(f.format == "avi")
+    assert(f.n_frames == 2 && f.width == 4 && f.height == 4)
+    assert(f.channels == 3 && f.sample_rate == 25) // 1e6 / 40000
+    // mean over ALL frame pixel bytes: frame 0 mean 20, frame 1 mean 60
+    assert(f.mean_signal == 40.0)
+    // thumb = FIRST frame's luma, uniform (29*30 + 150*20 + 77*10) >> 8
+    val lum = ((29 * 30 + 150 * 20 + 77 * 10) >> 8).toByte
+    assert(f.thumb.toSeq == Seq.fill(16)(lum))
+  }
+
+  test("AVI bottom-up frames flip like BMP: top image row lands in thumb row 0") {
+    val payload = Multimodal.aviOf(8, 8, 40000, Seq(
+      (_, y) => if (y == 0) (255, 255, 255) else (0, 0, 0)))
+    val t = Multimodal.decode(31L, payload).thumb.map(_ & 0xff)
+    assert(t.slice(0, 4).forall(_ == 255) && t.slice(4, 16).forall(_ == 0))
+  }
+
+  test("AVI codec-compressed stream decodes container metadata, not pixels") {
+    val payload = Multimodal.aviOf(320, 240, 33333,
+      Seq((_, _) => (0, 0, 0)), compression = 1)
+    val f = Multimodal.decode(32L, payload)
+    assert(f.format == "avi")
+    assert(f.width == 320 && f.height == 240 && f.sample_rate == 30)
+    assert(f.channels == 0) // the no-pixel-stats marker
+    assert(f.n_frames == 1)
+  }
+
+  test("truncated or hostile AVI falls back to the labeled stub") {
+    val whole = Multimodal.aviOf(4, 4, 40000, Seq((_, _) => (1, 2, 3)))
+    assert(Multimodal.decode(33L, whole.dropRight(5)).format == "avi_corrupt")
+    // hostile chunk size: clobber the movi LIST size with 0x7fffffff
+    val evil = whole.clone()
+    val moviAt = whole.indices.find(i => i + 12 <= whole.length &&
+      new String(whole, i, 4, "US-ASCII") == "LIST" &&
+      new String(whole, i + 8, 4, "US-ASCII") == "movi").get
+    evil(moviAt + 4) = 0xff.toByte; evil(moviAt + 5) = 0xff.toByte
+    evil(moviAt + 6) = 0xff.toByte; evil(moviAt + 7) = 0x7f.toByte
+    assert(Multimodal.decode(34L, evil).format == "avi_corrupt")
+  }
+
   test("JVM sniffer agrees with the SQL sniffer on every fixture payload") {
     import spark.implicits._
     val payloads: Seq[(Long, Array[Byte])] = Seq(
       1L -> bmp24(2, 2, (_, _) => (1, 2, 3)),
       2L -> wav16(8000, 1, Array[Short](0)),
+      8L -> Multimodal.aviOf(2, 2, 40000, Seq((_, _) => (0, 0, 0))),
       3L -> Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A),
       4L -> Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte),
       5L -> "not media at all".getBytes("US-ASCII"),
