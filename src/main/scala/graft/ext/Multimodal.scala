@@ -859,12 +859,132 @@ object Multimodal {
           }
       }
     }.buffered.headOption.getOrElse((0, 0))
-    Some(stubFeatures(docId, p, "mp4").copy(
+    // PCM-in-mp4 sample decode (round-11, the second item-7 floor-raise
+    // next to AVI): if some trak's stbl carries an UNCOMPRESSED audio
+    // sample description ('sowt' 16-bit LE / 'twos' 16-bit BE / 'raw '
+    // 8-bit unsigned) with a SINGLE-chunk sample layout (stco count 1 —
+    // the profile bound, like baseline-JPEG), the raw samples in mdat
+    // decode with the WAV math: n_frames = per-channel frames,
+    // channels/sample_rate from the sound description, mean_signal =
+    // DC mean, histo16 = amplitude histogram, thumb = 16-segment
+    // mean-|amplitude| envelope. Codec audio ('mp4a' etc.) falls
+    // through to the metadata tier unchanged.
+    def be16(off: Long): Int =
+      ((p(off.toInt) & 0xff) << 8) | (p(off.toInt + 1) & 0xff)
+    def findBox(kids: List[(String, Long, Long)], t: String) =
+      kids.find(_._1 == t)
+    val pcm = traks.iterator.flatMap { case (_, ts, te) =>
+      (for {
+        mdia <- walk(ts, te).toList.flatten.find(_._1 == "mdia")
+        minf <- walk(mdia._2, mdia._3).getOrElse(Nil).find(_._1 == "minf")
+        stbl <- walk(minf._2, minf._3).getOrElse(Nil).find(_._1 == "stbl")
+        kids = walk(stbl._2, stbl._3).getOrElse(Nil)
+        stsd <- findBox(kids, "stsd")
+        stsz <- findBox(kids, "stsz")
+        stco <- findBox(kids, "stco")
+        out <- decodeMp4Pcm(p, stsd, stsz, stco, be16)
+      } yield out).iterator
+    }.buffered.headOption
+    val base = stubFeatures(docId, p, "mp4").copy(
       n_frames = traks.size,
       width = dims._1,
       height = dims._2,
       sample_rate = timescale.toInt,
-      mean_signal = duration.toDouble / timescale.toDouble))
+      mean_signal = duration.toDouble / timescale.toDouble)
+    Some(pcm match {
+      case Some((channels, rate, frames, mean, histo, thumb)) =>
+        base.copy(n_frames = frames, channels = channels,
+          sample_rate = rate, mean_signal = mean,
+          histo16 = histo, thumb = thumb)
+      case None => base
+    })
+  }
+
+  /** The PCM tier of [[decodeMp4Meta]]: parse the first stsd entry as
+    * an uncompressed sound description and run WAV-style sample math
+    * over the single stco chunk. Returns (channels, rate, frames,
+    * meanSignal, histo16, envelopeThumb); None when the entry is not
+    * supported PCM or the layout is out of profile. `stsd`/`stsz`/
+    * `stco` are (fourcc, payloadStart, payloadEnd) triples. */
+  private def decodeMp4Pcm(p: Array[Byte],
+      stsd: (String, Long, Long), stsz: (String, Long, Long),
+      stco: (String, Long, Long), be16: Long => Int)
+      : Option[(Int, Int, Int, Double, Array[Long], Array[Byte])] = {
+    def be32(off: Long): Long =
+      ((p(off.toInt) & 0xffL) << 24) | ((p(off.toInt + 1) & 0xffL) << 16) |
+        ((p(off.toInt + 2) & 0xffL) << 8) | (p(off.toInt + 3) & 0xffL)
+    val (_, sdS, sdE) = stsd
+    if (sdE - sdS < 8 + 36) return None
+    if (be32(sdS + 4) < 1) return None // entry_count
+    val e = sdS + 8 // first sample entry
+    val fmt = new String(p, e.toInt + 4, 4, "US-ASCII")
+    val bits = fmt match {
+      case "sowt" | "twos" => 16
+      case "raw " => 8
+      case _ => return None // codec audio: metadata tier handles it
+    }
+    // v0 sound description: channels/sampleSize/compression/rate
+    val channels = be16(e + 24)
+    val declaredBits = be16(e + 26)
+    val compression = be16(e + 28)
+    val rate = (be32(e + 32) >> 16).toInt // 16.16 fixed
+    if (channels <= 0 || channels > 8 || rate <= 0 ||
+      compression != 0 || declaredBits != bits) return None
+    // stsz: uniform size, or per-sample table summed
+    val (_, szS, szE) = stsz
+    if (szE - szS < 12) return None
+    val uniform = be32(szS + 4)
+    val nSamplesDeclared = be32(szS + 8)
+    if (nSamplesDeclared <= 0 || nSamplesDeclared > Int.MaxValue) return None
+    val totalBytes: Long =
+      if (uniform > 0) uniform * nSamplesDeclared
+      else {
+        if (szE - szS < 12L + 4L * nSamplesDeclared) return None
+        var acc = 0L
+        var i = 0L
+        while (i < nSamplesDeclared) { acc += be32(szS + 12 + 4 * i); i += 1 }
+        acc
+      }
+    // single-chunk profile: all samples contiguous at one file offset
+    val (_, coS, coE) = stco
+    if (coE - coS < 12 || be32(coS + 4) != 1L) return None
+    val chunkOff = be32(coS + 8)
+    val bytesPerSample = bits / 8
+    if (totalBytes <= 0 || totalBytes % bytesPerSample != 0 ||
+      chunkOff < 0 || chunkOff + totalBytes > p.length) return None
+    val nSamples = (totalBytes / bytesPerSample).toInt
+    val base = chunkOff.toInt
+    def sample(j: Int): Int = fmt match {
+      case "sowt" => (p(base + 2 * j + 1) << 8) | (p(base + 2 * j) & 0xff)
+      case "twos" => (p(base + 2 * j) << 8) | (p(base + 2 * j + 1) & 0xff)
+      case _ => (p(base + j) & 0xff) - 128 // raw 8-bit is unsigned
+    }
+    val histo = new Array[Long](16)
+    var sum = 0L
+    var j = 0
+    while (j < nSamples) {
+      val v = sample(j)
+      sum += v
+      val u = if (bits == 8) (v + 128) << 8 else v + 32768
+      histo(u >> 12) += 1
+      j += 1
+    }
+    val thumb = new Array[Byte](16)
+    var t = 0
+    while (t < 16) {
+      val s0 = (t.toLong * nSamples / 16).toInt
+      val s1 = ((t + 1).toLong * nSamples / 16).toInt
+      var acc = 0L
+      var k = s0
+      while (k < s1) { acc += math.abs(sample(k)); k += 1 }
+      val m = if (s1 > s0) acc / (s1 - s0) else 0L
+      thumb(t) =
+        (if (bits == 8) math.min(255L, m << 1)
+         else math.min(255L, m >> 7)).toByte
+      t += 1
+    }
+    Some((channels, rate, nSamples / channels,
+      if (nSamples == 0) 0.0 else sum.toDouble / nSamples, histo, thumb))
   }
 
   /** REAL Ogg container-metadata decode — the page walk, no codec:
@@ -1162,7 +1282,13 @@ object Multimodal {
       -21L -> aviOf(16, 8, 33333, Seq((_, _) => (0, 0, 0)),
         compression = 1), // codec-compressed → metadata tier
       -22L -> aviOf(8, 4, 40000, Seq((_, _) => (10, 20, 30)))
-        .dropRight(10)) // truncated mid-frame → avi_corrupt
+        .dropRight(10), // truncated mid-frame → avi_corrupt
+      -23L -> mp4PcmOf("sowt", 16000, 1,
+        Array.tabulate(64)(i => ((i % 16) * 1000 - 8000).toShort)),
+      -24L -> mp4PcmOf("twos", 8000, 2,
+        Array.tabulate(32)(i => (i * 500 - 4000).toShort)),
+      -25L -> mp4PcmOf("raw ", 8000, 1,
+        Array.tabulate(16)(i => (i * 2048 - 16384).toShort)))
   }
 
   /** Deterministic minimal AVI builder (tests + synthetics): RIFF/AVI
@@ -1329,6 +1455,62 @@ object Multimodal {
       box("mvhd", mvhd) ++ traks.foldLeft(Array.emptyByteArray)(_ ++ _))
     val mdat = box("mdat", Array.tabulate(32)(i => (i * 7).toByte))
     ftyp ++ moov ++ mdat
+  }
+
+  /** Deterministic PCM-in-mp4 builder (tests + synthetics): ftyp, mdat
+    * holding the raw samples (placed SECOND so the stco offset is a
+    * simple constant), then moov(mvhd, trak(tkhd audio,
+    * mdia(minf(stbl(stsd sound-description + stsz uniform + stco
+    * single-chunk))))). `fmt` ∈ sowt/twos/raw␣. */
+  private[graft] def mp4PcmOf(fmt: String, rate: Int, channels: Int,
+      samples16: Array[Short]): Array[Byte] = {
+    import java.nio.ByteBuffer
+    def box(t: String, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(t.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    val bits = if (fmt == "raw ") 8 else 16
+    val sampleBytes: Array[Byte] = fmt match {
+      case "sowt" => samples16.flatMap(s =>
+        Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+      case "twos" => samples16.flatMap(s =>
+        Array(((s >> 8) & 0xff).toByte, (s & 0xff).toByte))
+      case _ => samples16.map(s => ((s >> 8) + 128).toByte) // 8-bit unsigned
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
+        "isomiso2".getBytes("US-ASCII"))
+    val mdat = box("mdat", sampleBytes)
+    val dataOff = ftyp.length + 8 // samples start right after mdat header
+    val mvhd = {
+      val b = ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0)
+      b.putInt(rate).putInt(samples16.length / channels)
+      b.array()
+    }
+    val tkhd = ByteBuffer.allocate(84).putInt(0x00000007).array()
+    val stsdEntry = {
+      val b = ByteBuffer.allocate(36)
+      b.putInt(36).put(fmt.getBytes("US-ASCII"))
+      b.position(16)                // 6 reserved + 2 data_ref_idx
+      b.putShort(0).putShort(0).putInt(0) // version/revision/vendor
+      b.putShort(channels.toShort).putShort(bits.toShort)
+      b.putShort(0).putShort(0)     // compression, packet size
+      b.putInt(rate << 16)          // 16.16 sample rate
+      b.array()
+    }
+    val stsd = ByteBuffer.allocate(8).putInt(0).putInt(1).array() ++ stsdEntry
+    val stsz = ByteBuffer.allocate(12).putInt(0)
+      .putInt(bits / 8).putInt(samples16.length).array()
+    val stco = ByteBuffer.allocate(12).putInt(0).putInt(1)
+      .putInt(dataOff).array()
+    val stbl = box("stbl",
+      box("stsd", stsd) ++ box("stsz", stsz) ++ box("stco", stco))
+    val trak = box("trak", box("tkhd", tkhd) ++
+      box("mdia", box("minf", stbl)))
+    val moov = box("moov", box("mvhd", mvhd) ++ trak)
+    ftyp ++ mdat ++ moov
   }
 
   /** Deterministic baseline-JPEG encoder (tests + synthetics): real
@@ -1638,7 +1820,10 @@ object Multimodal {
         (-19, 'webm_corrupt', 42, 104.47619047619048, '1A45DFA3', '4,4,1,0,7,2,3,1,11,0,5,1,0,2,1,0', '1ADF428153A4498EB10F448400546B8A', 1, 0, 0, 0, 0, 104.47619047619048),
         (-20, 'avi', 432, 59.405092592592595, '52494646', '20,4,36,20,4,4,12,12,36,12,4,12,4,4,4,4', '0E203244314355675466788A778A9CAE', 2, 8, 4, 3, 25, 98.0),
         (-21, 'avi', 616, 10.337662337662337, '52494646', '545,3,4,5,14,8,17,15,4,0,0,0,1,0,0,0', '52000020008000000000000000000000', 1, 16, 8, 0, 30, 0.03333333333333333),
-        (-22, 'avi_corrupt', 318, 25.08805031446541, '52494646', '191,59,4,4,16,8,19,15,0,1,0,0,1,0,0,0', '52000000006C0000000000001E0A141E', 2, 0, 0, 0, 0, 25.08805031446541))
+        (-22, 'avi_corrupt', 318, 25.08805031446541, '52494646', '191,59,4,4,16,8,19,15,0,1,0,0,1,0,0,0', '52000000006C0000000000001E0A141E', 2, 0, 0, 0, 0, 25.08805031446541),
+        (-23, 'mp4', 492, 50.02439024390244, '00000018', '0,0,0,0,0,0,16,16,20,12,0,0,0,0,0,0', '32130B2A32130B2A32130B2A32130B2A', 64, 0, 0, 1, 16000, -500.0),
+        (-24, 'mp4', 428, 33.481308411214954, '00000018', '0,0,0,0,0,0,0,8,9,8,7,0,0,0,0,0', '1D150D05010911192129303840485057', 16, 0, 0, 2, 8000, 3750.0),
+        (-25, 'mp4', 380, 26.626315789473683, '00000018', '0,0,0,0,2,2,2,2,2,2,2,2,0,0,0,0', '80706050403020100010203040506070', 16, 0, 0, 1, 8000, -4.0))
       SELECT hx.doc_id,
         CASE WHEN hx.p_null THEN 'empty' ELSE 'unknown' END AS format,
         CAST(hx.n AS INTEGER) AS n_bytes,

@@ -252,4 +252,40 @@ class MiningSpec extends AnyFunSuite {
     assert(got((9L, 10L)) == 0.1)
     assert(got((10L, 9L)) == 1.0)
   }
+
+  test("entityResolve issues ONE Spark action per CC round (convergence rides the stage write)") {
+    // fixture engineered for exactly 2 rounds: one linked pair (round 1
+    // moves one label, round 2 observes zero motion) + fillers whose
+    // blocking keys can never collide (single-char-alphabet texts)
+    val docs = (Seq(
+      (1L, "src", "duplicate pair text sample A", 28L),
+      (2L, "src", "duplicate pair text sample B", 28L)) ++
+      (3 to 12).map(i =>
+        (i.toLong, "src", ("" + ('a' + i).toChar) * 20, 20L)))
+      .toDF("doc_id", "source", "text", "n_chars")
+    // drain stragglers from earlier tests before counting
+    Thread.sleep(500)
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { seen.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      Mining.entityResolve(docs, maxDist = 8)
+      // expected actions: the edges stage write + one OBSERVED stage
+      // write per round (2 rounds) = 3; the round-10 shape paid an
+      // extra anti-join count per round (would be 5 here)
+      val deadline = System.currentTimeMillis + 10000
+      while (System.currentTimeMillis < deadline && seen.get < 3)
+        Thread.sleep(50)
+      Thread.sleep(400) // catch any events BEYOND the expected three
+      assert(seen.get == 3,
+        s"expected edges-write + 2 round-writes = 3 actions, saw ${seen.get}")
+    } finally spark.listenerManager.unregister(ql)
+  }
 }

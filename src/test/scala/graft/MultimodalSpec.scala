@@ -206,6 +206,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(34L, evil).format == "avi_corrupt")
   }
 
+  test("PCM-in-mp4: sowt samples decode with the WAV math (cross-decoder parity)") {
+    // the SAME ramp as the WAV fixture, through the mp4 container —
+    // every sample-domain field must agree with the WAV decode
+    val ramp = Array.tabulate(64)(i => ((i % 16) * 1000 - 8000).toShort)
+    val viaMp4 = Multimodal.decode(40L, Multimodal.mp4PcmOf("sowt", 16000, 1, ramp))
+    val viaWav = Multimodal.decode(41L, (() => {
+      val b = java.nio.ByteBuffer.allocate(44 + 128)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 128)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      b.putShort(1).putShort(1).putInt(16000).putInt(32000)
+      b.putShort(2).putShort(16)
+      b.put("data".getBytes("US-ASCII")).putInt(128)
+      ramp.foreach(b.putShort)
+      b.array()
+    })())
+    assert(viaMp4.format == "mp4" && viaWav.format == "wav")
+    assert(viaMp4.n_frames == viaWav.n_frames)
+    assert(viaMp4.channels == viaWav.channels)
+    assert(viaMp4.sample_rate == viaWav.sample_rate)
+    assert(viaMp4.mean_signal == viaWav.mean_signal)
+    assert(viaMp4.histo16.toSeq == viaWav.histo16.toSeq)
+    assert(viaMp4.thumb.toSeq == viaWav.thumb.toSeq)
+  }
+
+  test("PCM-in-mp4: big-endian twos and 8-bit raw decode; codec audio stays metadata") {
+    val twos = Multimodal.decode(42L,
+      Multimodal.mp4PcmOf("twos", 8000, 2, Array[Short](1000, -1000, 2000, -2000)))
+    assert(twos.channels == 2 && twos.sample_rate == 8000 && twos.n_frames == 2)
+    assert(twos.mean_signal == 0.0)
+    val raw = Multimodal.decode(43L,
+      Multimodal.mp4PcmOf("raw ", 8000, 1, Array[Short](0, 8192, 16384, -8192)))
+    // 8-bit quantized: (s >> 8) values 0, 32, 64, -32 -> mean 16
+    assert(raw.channels == 1 && raw.mean_signal == 16.0)
+    // a non-PCM format fourcc falls through to the metadata tier
+    val payload = Multimodal.mp4PcmOf("sowt", 8000, 1, Array[Short](1, 2))
+    val idx = payload.indices.find(i => i + 4 <= payload.length &&
+      new String(payload, i, 4, "US-ASCII") == "sowt").get
+    System.arraycopy("mp4a".getBytes("US-ASCII"), 0, payload, idx, 4)
+    val meta = Multimodal.decode(44L, payload)
+    assert(meta.format == "mp4" && meta.channels == 0)
+    assert(meta.sample_rate == 8000) // mvhd timescale, the metadata tier
+  }
+
+  test("hostile PCM tables (stco overrun, stsz overflow) degrade to metadata, never throw") {
+    val good = Multimodal.mp4PcmOf("sowt", 8000, 1, Array[Short](1, 2, 3, 4))
+    // point the single chunk past the payload end
+    val coIdx = good.indices.find(i => i + 4 <= good.length &&
+      new String(good, i, 4, "US-ASCII") == "stco").get
+    val evil = good.clone()
+    evil(coIdx + 12) = 0x7f.toByte // chunk offset high byte -> way out
+    val f = Multimodal.decode(45L, evil)
+    assert(f.format == "mp4" && f.channels == 0) // metadata tier, alive
+  }
+
   test("JVM sniffer agrees with the SQL sniffer on every fixture payload") {
     import spark.implicits._
     val payloads: Seq[(Long, Array[Byte])] = Seq(
