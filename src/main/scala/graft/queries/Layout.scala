@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** q149 — the Z-order WRITER path under the driver's hash gate
+  * (SURVEY §2.8 round-11, closing the verdict's "layout story is
+  * audit-only" the rest of the way): orders are LANDED through
+  * `sinks.ZOrderLayout.writeZOrdered` (range-partition + write-sort on
+  * the Morton key, 64 files), and the query reads the LANDED layout
+  * back under a 2-D box predicate on the bucketed dims. The oracle
+  * computes the same rows directly from the raw table (bucketing,
+  * bit-interleave via the shared integer terms, box filter) — so a
+  * hash-green q149 certifies the writer loses/duplicates nothing and
+  * the landed Morton key equals a fresh interleave, while the spec +
+  * ZOrderAB carry the file-skipping measurements. The layout is
+  * written once per (session, corpus path) via SessionCache — the
+  * production shape (Z-ORDER is a write-once layout choice, scans are
+  * the steady state), and the scan's PushedFilters on zx/zy are the
+  * row-group pruning a reader actually gets from the landed order. */
+object Layout {
+
+  private def ordersProjected(spark: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Tables.orders(spark, dir).select(col("o_orderkey"),
+      col("o_custkey").as("ck"),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+        .as("day"))
+
+  /** Land the z-ordered layout once per (session, corpus path); the
+    * directory lives under the JVM temp root (testdata-scale bytes —
+    * production writes to its table location). */
+  private def zLayoutFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.operators.SessionCache.memo(spark, s"zorder-orders|$dir") {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-zorder-q149").toString
+      graft.sinks.ZOrderLayout.writeZOrdered(
+        ordersProjected(spark, dir), "ck", "day", out, nFiles = 64)
+      out
+    }
+
+  val q149: Q = Q(
+    "q149_zorder_scan",
+    run = { (spark, dir) =>
+      spark.read.parquet(zLayoutFor(spark, dir))
+        .filter(col("zx") <= 31 && col("zy") <= 31)
+        .select(col("o_orderkey"), col("zx"), col("zy"), col("z"))
+    },
+    oracle = Some {
+      // the SAME shared interleave terms as writer and q147 audit;
+      // Spark's integer DIV spells // in DuckDB (the q147 recipe)
+      val terms = graft.sinks.ZOrderLayout.mortonTerms("zx", "zy")
+        .replace(" DIV ", " // ")
+      s"""
+      WITH b AS (SELECT o_orderkey,
+                   o_custkey % 256 AS zx,
+                   datediff('day', DATE '1992-01-01',
+                     CAST(o_orderdate AS DATE)) % 256 AS zy
+                 FROM orders)
+      SELECT o_orderkey, zx, zy, $terms AS z
+      FROM b WHERE zx <= 31 AND zy <= 31"""
+    })
+
+  val all: Seq[Q] = Seq(q149)
+}

@@ -71,4 +71,13 @@ class ZOrderLayoutSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("q149 pushes the 2-D box predicate into the landed parquet scan") {
+    val df = queries.Layout.q149.run(spark, TestSpark.sf0001)
+    df.queryExecution.toRdd.count(): Unit
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThanOrEqual(zx,31)") &&
+      plan.contains("LessThanOrEqual(zy,31)"),
+      s"box predicate not pushed to the scan:\n${plan.take(2000)}")
+  }
 }
