@@ -155,11 +155,19 @@ object Sampling {
     * re-running. */
   def leakageSafeSplit(docs: DataFrame, trainTo: String = "cccc",
       valTo: String = "e666",
-      exactNearPairs: Boolean = false): DataFrame = {
-    val clusters = DedupCluster.clusters(docs, exactNearPairs = exactNearPairs)
+      exactNearPairs: Boolean = false): DataFrame =
+    leakageSafeSplitFrom(
+      DedupCluster.clusters(docs, exactNearPairs = exactNearPairs),
+      docs, trainTo, valTo)
+
+  /** Resolution against ALREADY-COMPUTED cluster labels — the
+    * [[DedupCluster.canonicalFromLabels]] reuse seam applied to the
+    * split (registry q52 rides the session-shared label table). */
+  def leakageSafeSplitFrom(cl: DataFrame, docs: DataFrame,
+      trainTo: String = "cccc", valTo: String = "e666"): DataFrame = {
     val canonical = docs.select(col("doc_id").as("cluster_id"),
       col("text").as("canon_text"))
-    clusters.join(canonical, "cluster_id")
+    cl.join(canonical, "cluster_id")
       .select(col("doc_id"), col("cluster_id"),
         splitOf(col("cluster_id"), col("canon_text"), trainTo, valTo)
           .as("split"))
@@ -245,8 +253,9 @@ object Sampling {
       // exact pairs under the oracle gate (see DedupCluster.oracleExactMode):
       // the recursive-CTE oracle is exact, so the engine side must be too
       // when the comparison decides correctness
-      leakageSafeSplit(Tables.documentsParallel(spark, dir),
-        exactNearPairs = DedupCluster.oracleExactMode)
+      leakageSafeSplitFrom(
+        DedupCluster.clustersFor(spark, dir, DedupCluster.oracleExactMode),
+        Tables.documentsParallel(spark, dir))
     },
     oracle = Some("""
       WITH RECURSIVE

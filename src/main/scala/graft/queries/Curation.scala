@@ -51,12 +51,19 @@ object Curation {
     * text) frame. Returns the packed-sequence table (doc_id, source,
     * n_toks, start_off, pack_id) of the curated subset. */
   def curationPipeline(docs: DataFrame,
-      exactNearPairs: Boolean = false): DataFrame = {
+      exactNearPairs: Boolean = false,
+      labels: Option[DataFrame] = None): DataFrame = {
     val Stage = graft.operators.Stage
-    // 1) dedup: cluster → canonical winner; survivors staged
-    val canon = graft.ext.DedupCluster
-      .canonicalDocs(docs, exactNearPairs = exactNearPairs)
-      .select(col("canon_doc_id").as("doc_id"))
+    // 1) dedup: cluster → canonical winner; survivors staged. Callers
+    // holding an already-landed label table (the registry rides the
+    // session-shared one) pass it via `labels` — the
+    // canonicalFromLabels seam, so the pipeline never re-clusters a
+    // corpus some earlier consumer already clustered.
+    val canon = (labels match {
+      case Some(cl) => graft.ext.DedupCluster.canonicalFromLabels(cl, docs)
+      case None => graft.ext.DedupCluster
+        .canonicalDocs(docs, exactNearPairs = exactNearPairs)
+    }).select(col("canon_doc_id").as("doc_id"))
     val d1 = Stage.materialize(
       docs.join(canon, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("source"), col("lang"),
@@ -101,7 +108,8 @@ object Curation {
     "q148_curation_pipeline",
     run = { (spark, dir) =>
       curationPipeline(Tables.documentsParallel(spark, dir),
-        exactNearPairs = graft.ext.DedupCluster.oracleExactMode)
+        labels = Some(graft.ext.DedupCluster.clustersFor(spark, dir,
+          graft.ext.DedupCluster.oracleExactMode)))
     },
     oracle = Some(graft.ext.DedupCluster.canonicalCtes + """,
       canon AS (SELECT doc_id FROM r WHERE rn = 1),

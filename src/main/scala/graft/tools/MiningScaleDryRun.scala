@@ -97,6 +97,18 @@ object MiningScaleDryRun {
       graft.queries.Mining.entityResolve(denseDocs(5)).count()
     }
 
+    // ---- q148 composed pipeline under near-dup inflation: input ×5
+    // (each doc + 4 salted near-copies, J ≈ 0.93 — the crawl-dup
+    // shape), dedup collapses the copies, downstream stages see ~1×.
+    // The measure is the seam claim: pipeline cost ≈ dedup cost at the
+    // inflated size + unchanged downstream, never ×5 everywhere. ----
+    time("curationPipeline 1x") {
+      graft.queries.Curation.curationPipeline(docs0).count()
+    }
+    time("curationPipeline near-dup 5x") {
+      graft.queries.Curation.curationPipeline(denseDocs(5)).count()
+    }
+
     // ---- q146 sequential patterns at 10× users (type vocabulary
     // constant — the declared |vocab|²-per-user fan-out bound). ----
     val ev0 = graft.Tables.events(spark, dir)
