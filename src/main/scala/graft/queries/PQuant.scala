@@ -43,6 +43,51 @@ object PQuant {
   private val nQ = 3                // ADC query vectors: vec_id < nQ
   private val topN = 10             // neighbors returned per query
 
+  /** Session-memoized trained codebooks per corpus path — the q48
+    * build/probe seam applied to the PQ family: pqCodebooks trains
+    * EAGERLY (bounded Lloyd, driver collects) and returns a
+    * driver-local relation, so memoizing the returned frame amortizes
+    * the whole training across q135/q136/q138 and repeat invocations. */
+  private def booksFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.operators.SessionCache.memo(spark, s"pq-books|$dir") {
+      pqCodebooks(src(spark, dir))
+    }
+
+  /** Session-memoized STAGED codes table (vec_id, codes) — the one-pass
+    * corpus encode lands once; the ADC candidate side then scans the
+    * 64×-smaller codes parquet instead of re-running the argmin
+    * projection over raw floats per invocation. */
+  private def codesFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.operators.SessionCache.memo(spark, s"pq-codes|$dir") {
+      graft.operators.Stage.materialize(
+        withCodes(src(spark, dir), booksFor(spark, dir))
+          .select(col("vec_id"), col("codes")), "pq-codes")
+    }
+
+  /** Session-memoized IVF-PQ index: coarse centers (driver-local),
+    * residual codebooks (driver-local), and the STAGED
+    * (vec_id, cell, codes) table — q137's build half; its run probes. */
+  private def ivfPqIndexFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) =
+    graft.operators.SessionCache.memo(spark, s"ivfpq-index|$dir") {
+      val e = src(spark, dir)
+      val coarse = Learn.kmeansCenters(e, k = ivfCells, iters = ivfIters)
+      val asg = CenterAssign.withNearest(e, coarse)
+        .select(col("vec_id"), col("embedding"), col("cluster").as("cell"))
+      val resid = asg.join(broadcast(coarse
+          .select(col("center_id").as("cell"), col("centroid"))), Seq("cell"))
+        .select(col("vec_id"), col("cell"), expr(
+          "zip_with(embedding, centroid, (v, m) -> CAST(v AS DOUBLE) - m)")
+          .as("embedding"))
+      val books = pqCodebooks(resid.select(col("vec_id"), col("embedding")))
+      val codes = graft.operators.Stage.materialize(
+        withCodes(resid, books)
+          .select(col("vec_id"), col("cell"), col("codes")), "ivfpq-codes")
+      (coarse, books, codes)
+    }
+
   private def src(spark: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.embeddingsParallel(spark, dir)
       .filter(col("embedding").isNotNull)
@@ -162,8 +207,9 @@ object PQuant {
   val q135: Q = Q(
     "q135_pq_codes",
     run = { (spark, dir) =>
-      val e = src(spark, dir)
-      encode(e, pqCodebooks(e))
+      codesFor(spark, dir).select(col("vec_id"),
+        concat_ws(",", expr("transform(codes, c -> CAST(c AS STRING))"))
+          .as("codes"))
     },
     oracle = Some(s"""
       $pqCtes
@@ -183,7 +229,15 @@ object PQuant {
     * trained codebook: per-query codeword lookup tables, ADC scores
     * over the codes-only candidate side, per-query top-`n` (q138 raises
     * `n` to the rerank shortlist depth). */
-  def adcTopK(e: DataFrame, books: DataFrame, n: Int = topN): DataFrame = {
+  def adcTopK(e: DataFrame, books: DataFrame, n: Int = topN): DataFrame =
+    adcTopKFromCodes(e, books,
+      withCodes(e, books).select(col("vec_id"), col("codes")), n)
+
+  /** The q136 scoring half over an already-encoded candidate side
+    * (vec_id, codes) — what the registry runs against the session-
+    * staged codes table. */
+  def adcTopKFromCodes(e: DataFrame, books: DataFrame, codes: DataFrame,
+      n: Int = topN): DataFrame = {
     val lut = e.filter(col("vec_id") < nQ)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
       .crossJoin(broadcast(packCodebooks(books)))
@@ -193,7 +247,7 @@ object PQuant {
           s" c.s * $subDim + 1, $subDim), x -> CAST(x AS DOUBLE))," +
           " c.centroid, (v, m) -> (v - m) * (v - m))," +
           " CAST(0 AS DOUBLE), (acc, x) -> acc + x)))").as("luts"))
-    withCodes(e, books).select(col("vec_id"), col("codes"))
+    codes.select(col("vec_id"), col("codes"))
       .crossJoin(broadcast(lut))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"), expr(
@@ -211,8 +265,8 @@ object PQuant {
   val q136: Q = Q(
     "q136_pq_ann",
     run = { (spark, dir) =>
-      val e = src(spark, dir)
-      adcTopK(e, pqCodebooks(e))
+      adcTopKFromCodes(src(spark, dir), booksFor(spark, dir),
+        codesFor(spark, dir))
     },
     oracle = Some(s"""
       $pqCtes,
@@ -340,17 +394,7 @@ object PQuant {
     "q137_ivfpq_ann",
     run = { (spark, dir) =>
       val e = src(spark, dir)
-      val coarse = Learn.kmeansCenters(e, k = ivfCells, iters = ivfIters)
-      val asg = CenterAssign.withNearest(e, coarse)
-        .select(col("vec_id"), col("embedding"), col("cluster").as("cell"))
-      val resid = asg.join(broadcast(coarse
-          .select(col("center_id").as("cell"), col("centroid"))), Seq("cell"))
-        .select(col("vec_id"), col("cell"), expr(
-          "zip_with(embedding, centroid, (v, m) -> CAST(v AS DOUBLE) - m)")
-          .as("embedding"))
-      val books = pqCodebooks(resid.select(col("vec_id"), col("embedding")))
-      val codes = withCodes(resid, books)
-        .select(col("vec_id"), col("cell"), col("codes"))
+      val (coarse, books, codes) = ivfPqIndexFor(spark, dir)
       val q = e.filter(col("vec_id") < nQ)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
       val probes = q.crossJoin(broadcast(coarse
@@ -464,7 +508,8 @@ object PQuant {
     "q138_pq_rerank",
     run = { (spark, dir) =>
       val e = src(spark, dir)
-      val short = adcTopK(e, pqCodebooks(e), n = shortN)
+      val short = adcTopKFromCodes(e, booksFor(spark, dir),
+        codesFor(spark, dir), n = shortN)
         .select(col("qid"), col("nid"))
       val qraw = e.filter(col("vec_id") < nQ)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
