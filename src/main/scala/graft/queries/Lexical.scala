@@ -66,8 +66,25 @@ object Lexical {
 
   /** Winnowing core over any (doc_id, text) frame — see [[q112]]. */
   def winnowingPairs(docs: org.apache.spark.sql.DataFrame,
-      w: Int = 4, dfCap: Int = 10): org.apache.spark.sql.DataFrame = {
-      val fps = winnowingFingerprints(docs, w)
+      w: Int = 4, dfCap: Int = 10): org.apache.spark.sql.DataFrame =
+    winnowingPairsFrom(winnowingFingerprints(docs, w), dfCap)
+
+  /** Session-memoized STAGED winnowing fingerprint table per corpus
+    * path — q112 and q116's blocker both consume it (null-text docs
+    * contribute no fingerprints, so the unfiltered corpus works for
+    * both callers). */
+  private[queries] def fingerprintsFor(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      w: Int = 4): org.apache.spark.sql.DataFrame =
+    graft.operators.SessionCache.memo(spark, s"winnow-fps|$dir|$w") {
+      graft.operators.Stage.materialize(
+        winnowingFingerprints(graft.Tables.documentsParallel(spark, dir), w),
+        "winnow-fps")
+    }
+
+  /** The pairing half over an already-computed fingerprint table. */
+  def winnowingPairsFrom(fps: org.apache.spark.sql.DataFrame,
+      dfCap: Int = 10): org.apache.spark.sql.DataFrame = {
       val perDoc = fps.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_fps"))
       val df = fps.groupBy(col("fp"))
@@ -93,7 +110,7 @@ object Lexical {
   val q112: Q = Q(
     "q112_winnowing",
     run = { (spark, dir) =>
-      winnowingPairs(Tables.documentsParallel(spark, dir))
+      winnowingPairsFrom(fingerprintsFor(spark, dir))
     },
     oracle = Some("""
       WITH toks AS (

