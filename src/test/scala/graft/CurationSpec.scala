@@ -87,4 +87,14 @@ class CurationSpec extends AnyFunSuite {
       assert(bad.count() == 0)
     } finally out.unpersist(): Unit
   }
+
+  test("labels-shared path (the registry seam) equals the self-clustering path") {
+    val viaLabels = queries.Curation.curationPipeline(docs,
+      labels = Some(ext.DedupCluster.clusters(docs, exactNearPairs = true)))
+      .collect().toSet
+    val selfCluster = queries.Curation
+      .curationPipeline(docs, exactNearPairs = true).collect().toSet
+    assert(viaLabels == selfCluster)
+    assert(viaLabels.nonEmpty)
+  }
 }
