@@ -34,10 +34,20 @@ object Layout {
       dir: String): String =
     graft.operators.SessionCache.memo(spark, s"zorder-orders|$dir") {
       val out = java.nio.file.Files
-        .createTempDirectory("graft-zorder-q149").toString
+        .createTempDirectory("graft-zorder-q149")
+      // testdata-scale bytes, but leave nothing behind: recursive
+      // delete at JVM exit (the Stage-staging hygiene, applied to the
+      // one artifact written outside the staging root)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(out).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+        } catch { case _: Throwable => () }))
       graft.sinks.ZOrderLayout.writeZOrdered(
-        ordersProjected(spark, dir), "ck", "day", out, nFiles = 64)
-      out
+        ordersProjected(spark, dir), "ck", "day", out.toString, nFiles = 64)
+      out.toString
     }
 
   val q149: Q = Q(
