@@ -28,4 +28,29 @@ class SessionCacheSpec extends AnyFunSuite {
     val z = operators.SessionCache.memo(spark, "spec-art|/d1|k=8")(3)
     assert(x == 1 && y == 2 && z == 3)
   }
+
+  test("registry memos keyed by path: two corpora in one session stay independent") {
+    import org.apache.spark.sql.functions._
+    // a doctored copy of sf0.001 with half the lineitem rows: every
+    // ...For(spark, dir) artifact must come from ITS corpus, not the
+    // first one the session happened to build
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_alt").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"${TestSpark.sf0001}/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir2/$t.parquet")
+    }
+    spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .filter(col("l_orderkey") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dir2/lineitem.parquet")
+    Tables.events(spark, TestSpark.sf0001)
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val q130 = SparkEntry.queries("q130_triangle_count")
+    val full = q130(spark, TestSpark.sf0001)
+      .agg(sum(col("n_tri"))).collect()(0).getLong(0)
+    val half = q130(spark, dir2)
+      .agg(sum(col("n_tri"))).collect()(0).getLong(0)
+    assert(full != half, "halved corpus produced the full corpus's triangles - memo under-keyed")
+    assert(half > 0)
+  }
 }
