@@ -330,5 +330,66 @@ object Tokenize {
       FROM w"""
     })
 
-  val all: Seq[Q] = Seq(q117, q118, q119)
+  /** Core of q150: per-language tokenizer FERTILITY — subwords emitted
+    * per whitespace token under the learned q117 merge table. The
+    * standard multilingual-tokenizer equity metric (a language with
+    * fertility 2× another pays 2× the context window for the same
+    * content — the number that drives vocab-allocation decisions).
+    * Integer micro-units ((Σsub · 1e6) DIV Σws — Spark DIV ≡ DuckDB //)
+    * keep the ratio hash-portable; sums are exact BIGINTs under any
+    * partial-agg order.
+    *
+    * Scale shape: merge application is a pure expression chain (zero
+    * shuffles), the rollup one map-side-combined hash agg to a
+    * lang-count-sized result. */
+  def tokenizerFertility(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.filter(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("lang"),
+        subwordCount(col("text"), merges).as("n_sub"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sub")).as("n_subtoks"),
+        sum(col("n_ws")).as("n_wstoks"))
+      .withColumn("fertility_x1e6",
+        expr("(n_subtoks * 1000000) DIV n_wstoks"))
+
+  /** q150 — per-language tokenizer fertility under the session-shared
+    * q117 merge table. */
+  val q150: Q = Q(
+    "q150_tokenizer_fertility",
+    run = { (spark, dir) =>
+      tokenizerFertility(Tables.documentsParallel(spark, dir),
+        mergesOf(mergeTableFor(spark, dir)))
+    },
+    oracle = Some {
+      val applies = (1 to nMerges).map { i =>
+        s"""f$i AS MATERIALIZED (SELECT lang, n_ws, replace(enc,
+           |        ' ' || (SELECT pair FROM m$i) || ' ',
+           |        ' ' || (SELECT merged FROM m$i) || ' ') AS enc
+           |      FROM f${i - 1})""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      $learnCtes,
+      f0 AS (SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+               ' ' || regexp_replace(text, '(.)', '\\1 ', 'g') AS enc
+             FROM documents
+             WHERE text IS NOT NULL AND lang IS NOT NULL),
+      $applies,
+      fn AS (SELECT lang, n_ws,
+               CASE WHEN enc IS NULL OR len(trim(enc)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(enc), ' +'))
+               END AS n_sub
+             FROM f$nMerges)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_sub) AS BIGINT) AS n_subtoks,
+        CAST(sum(n_ws) AS BIGINT) AS n_wstoks,
+        (CAST(sum(n_sub) AS BIGINT) * 1000000)
+          // CAST(sum(n_ws) AS BIGINT) AS fertility_x1e6
+      FROM fn GROUP BY lang"""
+    })
+
+  val all: Seq[Q] = Seq(q117, q118, q119, q150)
 }

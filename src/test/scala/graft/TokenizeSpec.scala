@@ -132,4 +132,23 @@ class TokenizeSpec extends AnyFunSuite {
       size(split(col("text"), " ")) >= 2).count()
     assert(a.length == expected)
   }
+
+  test("q150 fertility: zero merges means chars-per-word; merges only reduce it") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", "ab cd", "s0"), (2L, "en", "abc de", "s0"),
+      (3L, "fr", "abcdef", "s0"))
+      .toDF("doc_id", "lang", "text", "source")
+    // no merges: every char is one subword -> fertility = Σchars/Σwords
+    val base = queries.Tokenize.tokenizerFertility(docs, Seq.empty)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // en: chars 4+5=9 over words 2+2=4 -> 2.25e6; fr: 6/1 -> 6e6
+    assert(base("en") == ((2L, 9L, 4L, 2250000L)))
+    assert(base("fr") == ((1L, 6L, 1L, 6000000L)))
+    // learned merges can only fuse symbols: fertility never increases
+    val merges = queries.Tokenize.mergesOf(queries.Tokenize.bpeLearn(docs, 4))
+    val merged = queries.Tokenize.tokenizerFertility(docs, merges)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(merged("en") <= 2250000L && merged("fr") <= 6000000L)
+  }
 }
