@@ -195,7 +195,7 @@ object DedupCluster {
     * [[canonicalFromLabels]] contract, now applied registry-wide). */
   def clustersFor(spark: org.apache.spark.sql.SparkSession, dir: String,
       exactNearPairs: Boolean): DataFrame =
-    graft.operators.SessionCache.memo(spark,
+    graft.operators.SessionCache.memoOn(spark, dir,
       s"dedup-labels|$dir|$exactNearPairs") {
       clusters(Tables.documentsParallel(spark, dir),
         exactNearPairs = exactNearPairs)

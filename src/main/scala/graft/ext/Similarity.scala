@@ -349,7 +349,7 @@ object Similarity {
   def ivfTopKFor(spark: org.apache.spark.sql.SparkSession, dir: String,
       k: Int = 5, nQueries: Int = 10, nCells: Int = 16, nProbe: Int = 4,
       maxFitRows: Long = 100000L): DataFrame = {
-    val index = graft.operators.SessionCache.memo(spark,
+    val index = graft.operators.SessionCache.memoOn(spark, dir,
       s"ivf-index|$dir|$nCells|$maxFitRows") {
       ivfBuild(Tables.embeddings(spark, dir), nCells, maxFitRows)
     }

@@ -186,8 +186,15 @@ object GraphOps {
   val q101: Q = Q(
     "q101_part_pagerank",
     run = { (spark, dir) =>
-      partPageRankFrom(graft.operators.SessionCache.memo(spark,
-        s"pagerank-index|$dir|auto") {
+      // the memo key folds in the CONF VALUES 'auto' resolves from
+      // (broadcast ceiling, bucket count): a mid-session conf change
+      // must rebuild, not silently serve the stale strategy's index
+      // (round-11 ADVICE)
+      val bm = spark.conf
+        .getOption("graft.pagerank.broadcastMaxNodes").getOrElse("10000000")
+      val sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
+      partPageRankFrom(graft.operators.SessionCache.memoOn(spark, dir,
+        s"pagerank-index|$dir|auto|bm=$bm|sp=$sp") {
         buildPageRankIndex(basketsFor(spark, dir))
       })
     },
@@ -312,14 +319,14 @@ object GraphOps {
     * artifacts all start from its scan. */
   private def coEdgesFor(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    graft.operators.SessionCache.memo(spark, s"co-edges|$dir") {
+    graft.operators.SessionCache.memoOn(spark, dir, s"co-edges|$dir") {
       graft.operators.Stage.materialize(
         coEdges(basketsFor(spark, dir)), "co-edges")
     }
 
   private def orientedFor(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    graft.operators.SessionCache.memo(spark, s"tri-oriented|$dir") {
+    graft.operators.SessionCache.memoOn(spark, dir, s"tri-oriented|$dir") {
       graft.operators.Stage.materialize(
         orientEdges(coEdgesFor(spark, dir)), "tri-oriented")
     }
@@ -329,7 +336,7 @@ object GraphOps {
     * reference every round. */
   private def ugraphFor(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    graft.operators.SessionCache.memo(spark, s"ugraph|$dir") {
+    graft.operators.SessionCache.memoOn(spark, dir, s"ugraph|$dir") {
       val e = coEdgesFor(spark, dir)
       graft.operators.Stage.materialize(
         e.select(col("pa").as("src"), col("pb").as("dst"))
@@ -342,7 +349,7 @@ object GraphOps {
     * from the baskets, not the distinct co-edge set). */
   private def wgraphFor(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    graft.operators.SessionCache.memo(spark, s"wgraph|$dir") {
+    graft.operators.SessionCache.memoOn(spark, dir, s"wgraph|$dir") {
       graft.operators.Stage.materialize(
         weightedEdgeStream(basketsFor(spark, dir)), "wgraph-shared")
     }
@@ -352,7 +359,7 @@ object GraphOps {
     * wedge stream that builds it). */
   private def triCountsFor(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    graft.operators.SessionCache.memo(spark, s"tri-counts|$dir") {
+    graft.operators.SessionCache.memoOn(spark, dir, s"tri-counts|$dir") {
       graft.operators.Stage.materialize(
         trianglePassFrom(orientedFor(spark, dir)), "tri-counts")
     }

@@ -27,27 +27,19 @@ object Layout {
       datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
         .as("day"))
 
-  /** Land the z-ordered layout once per (session, corpus path); the
-    * directory lives under the JVM temp root (testdata-scale bytes —
-    * production writes to its table location). */
+  /** Land the z-ordered layout once per (session, corpus snapshot).
+    * The directory is allocated under [[graft.operators.Stage]]'s
+    * managed staging root, so the one staging hygiene mechanism
+    * (shared shutdown cleanup, `graft.stage.dir` overridable to
+    * shared storage) owns these bytes too — production writes to its
+    * table location instead. */
   private def zLayoutFor(spark: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    graft.operators.SessionCache.memo(spark, s"zorder-orders|$dir") {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-zorder-q149")
-      // testdata-scale bytes, but leave nothing behind: recursive
-      // delete at JVM exit (the Stage-staging hygiene, applied to the
-      // one artifact written outside the staging root)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(out).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
-        } catch { case _: Throwable => () }))
+    graft.operators.SessionCache.memoOn(spark, dir, s"zorder-orders|$dir") {
+      val out = graft.operators.Stage.allocDir(spark, "zorder-q149")
       graft.sinks.ZOrderLayout.writeZOrdered(
-        ordersProjected(spark, dir), "ck", "day", out.toString, nFiles = 64)
-      out.toString
+        ordersProjected(spark, dir), "ck", "day", out, nFiles = 64)
+      out
     }
 
   val q149: Q = Q(

@@ -76,7 +76,7 @@ object Lexical {
   private[queries] def fingerprintsFor(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       w: Int = 4): org.apache.spark.sql.DataFrame =
-    graft.operators.SessionCache.memo(spark, s"winnow-fps|$dir|$w") {
+    graft.operators.SessionCache.memoOn(spark, dir, s"winnow-fps|$dir|$w") {
       graft.operators.Stage.materialize(
         winnowingFingerprints(graft.Tables.documentsParallel(spark, dir), w),
         "winnow-fps")

@@ -83,8 +83,21 @@ object Mining {
       s"skyline: d2 ($d2) must be an ordered atomic type, got $d2Type")
     val bandMin = perD1.groupBy(col("band")).agg(min(col("m2")).as("bm"))
       .collect().map(r => r.getInt(0) -> r.get(1)).toMap
-    val cmpOrd: Ordering[Any] = Ordering.fromLessThan((a, b) =>
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+    // Driver-side ordering must agree with Spark's: for StringType
+    // Spark sorts by UTF-8 BINARY order, which disagrees with
+    // String.compareTo (UTF-16 code units) for supplementary
+    // characters — e.g. U+10000 ("𐀀") sorts BELOW U+FFFF
+    // under compareTo but ABOVE it in UTF-8 bytes. Comparing through
+    // UTF8String keeps the carry in Spark's own order (round-11
+    // ADVICE: a string d2 could otherwise get a wrong carry and emit
+    // non-skyline rows).
+    val cmpOrd: Ordering[Any] = Ordering.fromLessThan {
+      case (a: String, b: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(
+            org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+      case (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     val spark = pts.sparkSession
     val carrySchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("band",

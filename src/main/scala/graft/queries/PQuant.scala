@@ -50,7 +50,7 @@ object PQuant {
     * the whole training across q135/q136/q138 and repeat invocations. */
   private def booksFor(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    graft.operators.SessionCache.memo(spark, s"pq-books|$dir") {
+    graft.operators.SessionCache.memoOn(spark, dir, s"pq-books|$dir") {
       pqCodebooks(src(spark, dir))
     }
 
@@ -60,7 +60,7 @@ object PQuant {
     * projection over raw floats per invocation. */
   private def codesFor(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    graft.operators.SessionCache.memo(spark, s"pq-codes|$dir") {
+    graft.operators.SessionCache.memoOn(spark, dir, s"pq-codes|$dir") {
       graft.operators.Stage.materialize(
         withCodes(src(spark, dir), booksFor(spark, dir))
           .select(col("vec_id"), col("codes")), "pq-codes")
@@ -71,7 +71,7 @@ object PQuant {
     * (vec_id, cell, codes) table — q137's build half; its run probes. */
   private def ivfPqIndexFor(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame) =
-    graft.operators.SessionCache.memo(spark, s"ivfpq-index|$dir") {
+    graft.operators.SessionCache.memoOn(spark, dir, s"ivfpq-index|$dir") {
       val e = src(spark, dir)
       val coarse = Learn.kmeansCenters(e, k = ivfCells, iters = ivfIters)
       val asg = CenterAssign.withNearest(e, coarse)

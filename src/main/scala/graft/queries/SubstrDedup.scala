@@ -91,7 +91,7 @@ object SubstrDedup {
     * shared by q128 (returns it) and q129 (rewrites through it). */
   private def spansFor(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    graft.operators.SessionCache.memo(spark,
+    graft.operators.SessionCache.memoOn(spark, dir,
       s"substr-spans|$dir|$kGram|$minLenT|$dfCapG") {
       graft.operators.Stage.materialize(
         duplicateSpans(Tables.documentsParallel(spark, dir)),

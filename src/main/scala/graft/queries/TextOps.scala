@@ -293,7 +293,7 @@ object TextOps {
     * runs once per session instead of once per consumer per pass. */
   private def rareShinglesFor(spark: org.apache.spark.sql.SparkSession,
       dir: String, maxDf: Int = 50): org.apache.spark.sql.DataFrame =
-    graft.operators.SessionCache.memo(spark,
+    graft.operators.SessionCache.memoOn(spark, dir,
       s"rare-shingles|$dir|$maxDf") {
       graft.operators.Stage.materialize(
         rareShingles(graft.Tables.documentsParallel(spark, dir)

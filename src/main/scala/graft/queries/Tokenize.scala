@@ -153,7 +153,7 @@ object Tokenize {
     * consumer. */
   private def mergeTableFor(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    graft.operators.SessionCache.memo(spark, s"bpe-table|$dir|$nMerges") {
+    graft.operators.SessionCache.memoOn(spark, dir, s"bpe-table|$dir|$nMerges") {
       bpeLearn(Tables.documentsParallel(spark, dir))
     }
 

@@ -50,6 +50,22 @@ class MiningSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L, 5L, 6L))
   }
 
+  test("skyline string d2 carry follows Spark's UTF-8 binary order") {
+    // supplementary plane vs U+FFFF: String.compareTo (UTF-16 units)
+    // says U+10000 < U+FFFF, Spark's binary order says the opposite.
+    // Fixture forces the cross-band carry to choose between them:
+    // band 0 min = U+FFFF, band 1 min = U+10000; the carry into band 2
+    // must be U+FFFF (binary min), which kills (2.0, U+FFFF) — a
+    // UTF-16 carry of U+10000 would wrongly let it survive.
+    val hi = "\uFFFF"           // EF BF BF in UTF-8
+    val supp = "\uD800\uDC00"  // U+10000: F0 90 80 80 in UTF-8
+    val pts = Seq((1L, 0.0, hi), (2L, 1.0, supp), (3L, 2.0, hi))
+      .toDF("id", "cost", "tag")
+    val got = Mining.skyline(pts, "cost", "tag", bands = 3)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+
   // ---- q140 BFS hops ----
 
   test("bfsHops walks a chain exactly and stops at the round budget") {
@@ -256,15 +272,19 @@ class MiningSpec extends AnyFunSuite {
   test("entityResolve issues ONE Spark action per CC round (convergence rides the stage write)") {
     // fixture engineered for exactly 2 rounds: one linked pair (round 1
     // moves one label, round 2 observes zero motion) + fillers whose
-    // blocking keys can never collide (single-char-alphabet texts)
-    val docs = (Seq(
+    // blocking keys can never collide (single-char-alphabet texts).
+    // Counted on a DEDICATED session: ExecutionListenerManager is
+    // per-session, so a fresh newSession() sees no straggler events
+    // from other suites on the shared session and the exact-equality
+    // assert is race-free (round-11 ADVICE: the old shape drained the
+    // SHARED bus with Thread.sleep and could over- or under-count).
+    val s2 = spark.newSession()
+    val docs = s2.createDataFrame(Seq(
       (1L, "src", "duplicate pair text sample A", 28L),
       (2L, "src", "duplicate pair text sample B", 28L)) ++
       (3 to 12).map(i =>
         (i.toLong, "src", ("" + ('a' + i).toChar) * 20, 20L)))
       .toDF("doc_id", "source", "text", "n_chars")
-    // drain stragglers from earlier tests before counting
-    Thread.sleep(500)
     val seen = new java.util.concurrent.atomic.AtomicInteger(0)
     val ql = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
@@ -274,7 +294,7 @@ class MiningSpec extends AnyFunSuite {
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     }
-    spark.listenerManager.register(ql)
+    s2.listenerManager.register(ql)
     try {
       Mining.entityResolve(docs, maxDist = 8)
       // expected actions: the edges stage write + one OBSERVED stage
@@ -286,6 +306,6 @@ class MiningSpec extends AnyFunSuite {
       Thread.sleep(400) // catch any events BEYOND the expected three
       assert(seen.get == 3,
         s"expected edges-write + 2 round-writes = 3 actions, saw ${seen.get}")
-    } finally spark.listenerManager.unregister(ql)
+    } finally s2.listenerManager.unregister(ql)
   }
 }

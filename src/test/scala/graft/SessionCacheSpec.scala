@@ -53,4 +53,38 @@ class SessionCacheSpec extends AnyFunSuite {
     assert(full != half, "halved corpus produced the full corpus's triangles - memo under-keyed")
     assert(half > 0)
   }
+
+  test("memoOn rebuilds when the input directory is overwritten in place") {
+    // the daily-refresh shape at scale: same path, new snapshot. The
+    // listing fingerprint (count/bytes/max-mtime) must invalidate the
+    // entry — a path-only key would silently serve the stale artifact
+    // (round-11 verdict item 4).
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    spark.range(100).withColumn("v", col("id") * 2)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def total(): Long = operators.SessionCache.memoOn(spark, dir, s"spec-snap|$dir") {
+      builds.incrementAndGet()
+      spark.read.parquet(s"$dir/t.parquet")
+        .agg(sum(col("v"))).collect()(0).getLong(0)
+    }
+    assert(total() == 9900L && total() == 9900L)
+    assert(builds.get == 1) // unchanged input: one build, memo serves
+    // overwrite IN PLACE with different contents at the same path
+    spark.range(10).withColumn("v", col("id") * 2)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    assert(total() == 90L, "stale artifact served after in-place overwrite")
+    assert(builds.get == 2)
+  }
+
+  test("inputToken is stable for an unchanged directory and unreadable paths degrade") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tok").toString
+    spark.range(10).write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val t1 = operators.SessionCache.inputToken(spark, dir)
+    val t2 = operators.SessionCache.inputToken(spark, dir)
+    assert(t1 == t2 && t1 != "unlisted")
+    assert(operators.SessionCache
+      .inputToken(spark, "/nonexistent/graft/path") == "unlisted")
+  }
 }
