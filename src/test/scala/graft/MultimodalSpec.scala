@@ -206,6 +206,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(34L, evil).format == "avi_corrupt")
   }
 
+  test("AVI MJPEG decode: per-frame JPEG pixels, fps, first-frame thumb") {
+    // DC-only baseline JPEGs with Cb=Cr=128 decode to flat gray at the
+    // Y level, so the cross-frame mean is hand-computable: frame 0 all
+    // 128, frame 1 all 200 → mean 164
+    val payload = Multimodal.aviMjpegOf(8, 8, 40000, Seq(
+      Multimodal.jpegOf(8, 8, (_, _) => (128, 128, 128)),
+      Multimodal.jpegOf(8, 8, (_, _) => (200, 128, 128))))
+    val f = Multimodal.decode(35L, payload)
+    assert(f.format == "avi")
+    assert(f.n_frames == 2 && f.width == 8 && f.height == 8)
+    assert(f.channels == 3 && f.sample_rate == 25)
+    assert(f.mean_signal == 164.0)
+    // thumb = FIRST frame's luma: uniform 128
+    assert(f.thumb.toSeq == Seq.fill(16)(128.toByte))
+  }
+
+  test("AVI MJPEG stats equal the standalone JPEG decoder's (cross-decoder parity)") {
+    val j = Multimodal.jpegOf(16, 8, (bx, by) => (80 + bx * 40, 128 + by * 20, 100))
+    val viaAvi = Multimodal.decode(36L, Multimodal.aviMjpegOf(16, 8, 40000, Seq(j)))
+    val direct = Multimodal.decodeJpeg(36L, j).get
+    assert(viaAvi.histo16.toSeq == direct.histo16.toSeq)
+    assert(viaAvi.mean_signal == direct.mean_signal)
+    assert(viaAvi.thumb.toSeq == direct.thumb.toSeq)
+    assert(viaAvi.width == direct.width && viaAvi.height == direct.height)
+  }
+
+  test("AVI MJPEG with an out-of-profile frame degrades to container metadata") {
+    // sound RIFF framing, one good + one truncated JPEG frame: the
+    // stream drops to the metadata tier (channels=0 marks no pixel
+    // stats), never to avi_corrupt — the container itself is valid
+    val payload = Multimodal.aviMjpegOf(8, 8, 33333, Seq(
+      Multimodal.jpegOf(8, 8, (_, _) => (128, 128, 128)),
+      Multimodal.jpegOf(8, 8, (_, _) => (90, 128, 128)).dropRight(4)))
+    val f = Multimodal.decode(37L, payload)
+    assert(f.format == "avi")
+    assert(f.channels == 0 && f.n_frames == 2)
+    assert(f.width == 8 && f.height == 8 && f.sample_rate == 30)
+  }
+
   test("PCM-in-mp4: sowt samples decode with the WAV math (cross-decoder parity)") {
     // the SAME ramp as the WAV fixture, through the mp4 container —
     // every sample-domain field must agree with the WAV decode
