@@ -191,20 +191,26 @@ object CorpusOps {
     * distinct shingles that are boilerplate. The hot set is
     * vocabulary-bounded — never corpus-bounded — so it broadcasts at any
     * corpus size (the same dictionary-bounding argument as q59). */
-  def boilerplateScore(docs: DataFrame, minDocs: Long = 5L): DataFrame = {
-    // the distinct (doc, shingle) projection feeds THREE consumers (hot
-    // set, per-doc denominators, boilerplate counts) — staged once so the
-    // explode+distinct runs once, not per consumer
-    val sh = graft.operators.Stage.materialize(
-      docs
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"),
-          explode(TextFunctions.shinglesExpr("toks", 3)).as("s"))
-        .distinct(),
-      "boiler-sh")
-    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("nd"))
+  /** Distinct per-document 3-gram shingles of a (doc_id, text) frame —
+    * the shared projection under the boilerplate family. */
+  private def distinctShingles3(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(TextFunctions.shinglesExpr("toks", 3)).as("s"))
+      .distinct()
+
+  /** The hot (boilerplate) shingle set of a corpus: distinct 3-grams
+    * appearing in ≥ minDocs documents. Vocabulary-bounded output —
+    * broadcastable at any corpus size; q151 computes it over the LAKE
+    * and scores each incoming batch against it. */
+  def hotShinglesOf(docs: DataFrame, minDocs: Long = 5L): DataFrame =
+    distinctShingles3(docs).groupBy(col("s"))
+      .agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select(col("s"))
+
+  private def boilerScoreFrom(sh: DataFrame, hot: DataFrame): DataFrame = {
     val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val boiler = sh.join(broadcast(hot), "s")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
@@ -215,6 +221,27 @@ object CorpusOps {
           .as("boiler_ratio"))
       .withColumn("keep", col("boiler_ratio") <= 0.5)
   }
+
+  def boilerplateScore(docs: DataFrame, minDocs: Long = 5L): DataFrame = {
+    // the distinct (doc, shingle) projection feeds THREE consumers (hot
+    // set, per-doc denominators, boilerplate counts) — staged once so the
+    // explode+distinct runs once, not per consumer
+    val sh = graft.operators.Stage.materialize(
+      distinctShingles3(docs), "boiler-sh")
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("s"))
+    boilerScoreFrom(sh, hot)
+  }
+
+  /** Score `docs` against an EXTERNALLY-derived hot set (q151: the
+    * lake's boilerplate statistic applied to an incoming batch — the
+    * batch must not be able to vote its own chrome "not boilerplate").
+    * Shingles staged once for the two consumers. */
+  def boilerplateScoreAgainst(docs: DataFrame, hot: DataFrame): DataFrame =
+    boilerScoreFrom(
+      graft.operators.Stage.materialize(distinctShingles3(docs),
+        "boiler-sh-batch"),
+      hot)
 
   /** q71 — boilerplate n-gram filter (CCNet-style chrome removal). */
   val q71: Q = Q(

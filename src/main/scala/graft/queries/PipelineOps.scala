@@ -482,7 +482,8 @@ object PipelineOps {
     * doc_a < doc_b guard — the sides are disjoint by construction. */
   def dedupAgainst(incoming: org.apache.spark.sql.DataFrame,
       corpus: org.apache.spark.sql.DataFrame,
-      threshold: Double): org.apache.spark.sql.DataFrame = {
+      threshold: Double,
+      restrictCorpus: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.BinaryType
     val exact = incoming
       .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("h"))
@@ -504,7 +505,23 @@ object PipelineOps {
       sh.join(sh.groupBy("doc_id").agg(count(lit(1)).as("n")), "doc_id")
     }
     val a = shingled(incoming)
-    val b = shingled(corpus).select(col("doc_id").as("near_id"),
+    // `restrictCorpus` (the q124 touched-key recipe, used by q151):
+    // semi-join the corpus shingle stream by the BATCH-BOUNDED touched
+    // (source, shingle) set, broadcast — semantically a no-op (the
+    // inner join below restricts to the same keys) but it cuts the
+    // corpus-side bytes entering the pair aggregation to the touched
+    // keys BEFORE any shuffle, the shape that keeps daily maintenance
+    // batch-proportional at 100 TB. Shingle counts `n` are attached in
+    // shingled() BEFORE the restriction, so Jaccard denominators stay
+    // full-document.
+    val bAll = shingled(corpus)
+    val bRestricted =
+      if (restrictCorpus)
+        bAll.join(
+          broadcast(a.select(col("source"), col("shingle")).distinct()),
+          Seq("source", "shingle"), "left_semi")
+      else bAll
+    val b = bRestricted.select(col("doc_id").as("near_id"),
       col("source").as("source_b"), col("shingle").as("shingle_b"),
       col("n").as("n_b"))
     val best = Window.partitionBy(col("doc_id"))

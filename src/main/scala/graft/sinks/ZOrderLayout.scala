@@ -51,20 +51,31 @@ object ZOrderLayout {
     * range-partition on the Morton key, sort within each partition, so
     * every file holds one contiguous z range — a ~square tile in
     * (zx, zy) space whose footer min/max bound BOTH dimensions. */
+  /** `blockSize` overrides parquet.block.size — the ROW-GROUP size.
+    * Production leaves the default (~128 MB); the row-group skipping
+    * audits shrink it so test-scale files carry many row groups. */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
-      outDir: String, nFiles: Int, bits: Int = 8): Unit =
-    withMorton(df, xCol, yCol, bits)
+      outDir: String, nFiles: Int, bits: Int = 8,
+      blockSize: Option[Long] = None): Unit = {
+    val w = withMorton(df, xCol, yCol, bits)
       .repartitionByRange(nFiles, col("z"))
       .sortWithinPartitions(col("z"))
-      .write.mode("overwrite").parquet(outDir)
+      .write.mode("overwrite")
+    blockSize.fold(w)(b => w.option("parquet.block.size", b.toString))
+      .parquet(outDir)
+  }
 
   /** The 1-D baseline: same bucketed dims, laid out by `zx` alone. */
   def writeSorted1D(df: DataFrame, xCol: String, yCol: String,
-      outDir: String, nFiles: Int, bits: Int = 8): Unit =
-    withMorton(df, xCol, yCol, bits)
+      outDir: String, nFiles: Int, bits: Int = 8,
+      blockSize: Option[Long] = None): Unit = {
+    val w = withMorton(df, xCol, yCol, bits)
       .repartitionByRange(nFiles, col("zx"))
       .sortWithinPartitions(col("zx"))
-      .write.mode("overwrite").parquet(outDir)
+      .write.mode("overwrite")
+    blockSize.fold(w)(b => w.option("parquet.block.size", b.toString))
+      .parquet(outDir)
+  }
 
   /** Per-FILE min/max stats for `cols` over a written layout — the
     * zone map a file-skipping reader consults, derived in ONE scan via
@@ -86,4 +97,48 @@ object ZOrderLayout {
     box.foldLeft(zoneMap) { case (zm, (c, lo, hi)) =>
       zm.filter(!(col(s"max_$c") < lo || col(s"min_$c") > hi))
     }.count()
+
+  /** Per-ROW-GROUP [min,max] stats for integer `cols` over a written
+    * layout, read straight from the parquet footers (parquet-mr,
+    * driver-side, bounded by file count × row groups per file). At
+    * 100 TB with ~1 GB files the ROW GROUP — not the file — is the
+    * skipping unit that matters: Spark's vectorized reader prunes row
+    * groups against exactly these statistics, so this is the zone map
+    * the landed order actually buys a reader (round-11 verdict item
+    * 7 — the intra-file half of the file-level A/B). */
+  def rowGroupZoneMap(spark: SparkSession, dir: String,
+      cols: Seq[String]): Seq[Map[String, (Long, Long)]] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).toSeq
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+      .flatMap { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(f.getPath, conf))
+        try {
+          reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+            cols.map { c =>
+              val chunk = block.getColumns.asScala
+                .find(_.getPath.toDotString == c)
+                .getOrElse(sys.error(s"no column chunk for $c"))
+              val st = chunk.getStatistics
+              c -> (st.genericGetMin.asInstanceOf[Number].longValue(),
+                st.genericGetMax.asInstanceOf[Number].longValue())
+            }.toMap
+          }
+        } finally reader.close()
+      }
+  }
+
+  /** How many row groups survive a conjunctive box predicate under the
+    * footer zone map — [[overlappingFiles]]'s intra-file sibling. */
+  def overlappingRowGroups(rgMap: Seq[Map[String, (Long, Long)]],
+      box: Seq[(String, Long, Long)]): Int =
+    rgMap.count(rg => box.forall { case (c, lo, hi) =>
+      val (mn, mx) = rg(c)
+      !(mx < lo || mn > hi)
+    })
 }

@@ -57,6 +57,39 @@ object DocStreams {
       }
       .start()
 
+  /** q151's streaming twin: run the FULL incremental curation pipeline
+    * per arriving micro-batch — dedup vs the static lake, quality
+    * cascade with the LAKE-derived boilerplate hot set, benchmark
+    * decontamination, pack APPEND. Offsets continue from the lake's
+    * per-source totals PLUS the packs this sink already landed, read
+    * back from its own batchId-addressed output (only ids < batchId
+    * contribute — a replay of batch N therefore regenerates the SAME
+    * offsets, keeping the sink idempotent under the foreachBatch replay
+    * contract). Arrival order IS append order: the one-shot batch
+    * pipeline equals this twin exactly when micro-batches arrive in
+    * doc_id order (the suite's 3-way ordered split) — the production
+    * daily cadence, where yesterday's packs never reorder around
+    * today's. */
+  def incrementalCurationSink(incoming: DataFrame, corpus: DataFrame,
+      benchDocs: DataFrame, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior = (0L until batchId)
+          .map(i => new org.apache.hadoop.fs.Path(s"$outDir/batch_$i"))
+          .filter(fs.exists).map(_.toString)
+        val priorPacks =
+          if (prior.nonEmpty) Some(spark.read.parquet(prior: _*)) else None
+        graft.queries.Curation
+          .incrementalCuration(batch, corpus, benchDocs, priorPacks)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+      }
+      .start()
+
   /** q125's streaming twin: score each arriving micro-batch of docs
     * against a STATIC Naive Bayes model (trained once from
     * `trainDocs`, staged so no micro-batch retrains it), appending

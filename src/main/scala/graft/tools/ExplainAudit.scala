@@ -154,14 +154,23 @@ object ExplainAudit {
       "q96: a global sort appeared — window lost its hash partitioning")
     println("===== q96 NO-GLOBAL-SORT ASSERT OK")
     // q97: the hot-shingle exclusion must ride a BROADCAST anti-join
-    // (the hot set is vocabulary-bounded); the pair generation itself
-    // stays an equi-join on the shingle
+    // (the hot set is vocabulary-bounded). Since round 11 the
+    // rare-shingle table is session-STAGED (rareShinglesFor), so the
+    // registry q97 plan reads the staged artifact and the anti-join
+    // lives in the BUILD — audit the unstaged build seam
+    // (containmentPairs), then hold the registry plan to the
+    // cartesian-free contract
+    val q97Build = graft.queries.TextOps.containmentPairs(
+      graft.Tables.documentsParallel(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("text").isNotNull))
+      .queryExecution.executedPlan.toString
+    assert(q97Build.contains("BroadcastHashJoin") &&
+      q97Build.contains("LeftAnti"),
+      "q97: hot-shingle exclusion is not a broadcast anti-join")
     val q97Plan = graft.SparkEntry.queries("q97_shingle_containment")(
       spark, dir).queryExecution.executedPlan.toString
-    assert(q97Plan.contains("BroadcastHashJoin") &&
-      q97Plan.contains("LeftAnti"),
-      "q97: hot-shingle exclusion is not a broadcast anti-join")
-    assert(!q97Plan.contains("CartesianProduct"),
+    assert(!q97Plan.contains("CartesianProduct") &&
+      !q97Build.contains("CartesianProduct"),
       "q97: containment pair generation lost its shingle equi-key")
     println("===== q97 BROADCAST-ANTI ASSERT OK")
     // q99: session assignment window AND the session rollup agg both
@@ -391,6 +400,20 @@ object ExplainAudit {
     assert(!q124Plan.contains("SortMergeJoin"),
       "q124: corpus-side shuffle join defeats incremental maintenance")
     println("===== q124 BROADCAST-SEMI ASSERT OK")
+    // q151: the incremental-curation dedup arm must restrict the
+    // CORPUS shingle stream by the broadcast batch-bounded touched
+    // (source, shingle) set (the q124 recipe at pipeline scale) —
+    // audited on the dedup stage in isolation, where the LeftSemi is
+    // unambiguous
+    val docsAll = graft.Tables.documentsParallel(spark, dir)
+    val q151Dedup = graft.queries.PipelineOps.dedupAgainst(
+      docsAll.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 7),
+      docsAll.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 7),
+      0.5, restrictCorpus = true).queryExecution.executedPlan.toString
+    assert(q151Dedup.contains("BroadcastHashJoin") &&
+      q151Dedup.contains("LeftSemi"),
+      "q151: corpus-side touched-key restriction is not a broadcast semi-join")
+    println("===== q151 BROADCAST-SEMI ASSERT OK")
     // q125: the k-row class table rides a broadcast into the token
     // stream; nothing data-sized is broadcast-hinted (the cc model join
     // is left to AQE — a web-scale vocabulary must be free to shuffle)
@@ -424,13 +447,22 @@ object ExplainAudit {
     // at fixture scale AQE still picks broadcast, which the first
     // assert documents); the islands window must be partitioned
     // (diagonal keys), never global
+    // (round 11 session-staged the span table, so the anti-join lives
+    // in the BUILD — audit duplicateSpans directly, hold the registry
+    // plan to the cartesian-free contract)
+    val q128Build = graft.queries.SubstrDedup.duplicateSpans(
+      graft.Tables.documentsParallel(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(q128Build.contains("LeftAnti"),
+      "q128: hot-gram drop lost its anti-join")
+    assert(!q128Build.contains("CartesianProduct") &&
+      !q128Build.contains("BroadcastNestedLoopJoin"),
+      "q128: hot-gram drop must stay equi-keyed")
     val q128Plan = graft.SparkEntry.queries("q128_exact_substr")(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(q128Plan.contains("LeftAnti"),
-      "q128: hot-gram drop lost its anti-join")
     assert(!q128Plan.contains("CartesianProduct") &&
       !q128Plan.contains("BroadcastNestedLoopJoin"),
-      "q128: hot-gram drop must stay equi-keyed")
+      "q128: registry plan must stay equi-keyed")
     assert(!q128Plan.contains("Window [") ||
       q128Plan.linesIterator.filter(_.contains("Window "))
         .forall(_.contains("windowspecdefinition")),
@@ -438,26 +470,44 @@ object ExplainAudit {
     println("===== q128 BROADCAST-ANTI ASSERT OK")
     // q130: both graph joins (wedge build, closing semi) are equi-keyed
     // hash joins — degree ordering exists precisely so no step needs a
-    // cartesian or a global sort
-    val q130Plan = graft.SparkEntry.queries("q130_triangle_count")(spark, dir)
+    // cartesian or a global sort. Round 11 session-staged the counts
+    // (the registry q130 is a scan of the landed artifact), so audit
+    // the BUILD via the unstaged public seam
+    val q130Build = graft.queries.GraphOps.triangleCounts(
+      graft.Tables.lineitem(spark, dir)
+        .select(org.apache.spark.sql.functions.col("l_orderkey").as("ok"),
+          org.apache.spark.sql.functions.col("l_partkey").as("part")))
       .queryExecution.executedPlan.toString
-    assert(!q130Plan.contains("CartesianProduct"),
+    assert(!q130Build.contains("CartesianProduct"),
       "q130: triangle counting must stay equi-join only")
-    assert(q130Plan.contains("LeftSemi"),
+    assert(q130Build.contains("LeftSemi"),
       "q130: wedge closing must be a semi-join")
     println("===== q130 EQUI-JOIN ASSERT OK")
     // q135: PQ encoding is a pure projection against ONE broadcast
     // codebook row — zero hash exchanges (the only exchange in the plan
     // is the fixture-parallelism round-robin shim); q136 adds exactly
     // one: the per-query top-k rank window on qid
+    // (round 11 session-staged the code table — the registry q135 is a
+    // scan of the landed artifact; audit the ENCODE build seam
+    // directly, and hold the registry plan to scan-shaped)
+    val embSrc = graft.Tables.embeddingsParallel(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val q135Build = graft.queries.PQuant.encode(embSrc,
+      graft.queries.PQuant.pqCodebooks(embSrc))
+      .queryExecution.executedPlan.toString
+    assert(q135Build.contains("BroadcastNestedLoopJoin"),
+      "q135: codebook attach is not a broadcast join")
+    assert(!q135Build.contains("CartesianProduct"),
+      "q135: encode must never plan a cartesian")
+    assert(!q135Build.contains("Exchange hashpartitioning"),
+      "q135: encode must be exchange-free")
     val q135Plan = graft.SparkEntry.queries("q135_pq_codes")(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(q135Plan.contains("BroadcastNestedLoopJoin"),
-      "q135: codebook attach is not a broadcast join")
-    assert(!q135Plan.contains("CartesianProduct"),
-      "q135: encode must never plan a cartesian")
-    assert(!q135Plan.contains("Exchange hashpartitioning"),
-      "q135: encode must be exchange-free")
+    assert(!q135Plan.contains("Exchange hashpartitioning") &&
+      !q135Plan.contains("CartesianProduct"),
+      "q135: staged-code scan must stay exchange-free")
     val q136Plan = graft.SparkEntry.queries("q136_pq_ann")(spark, dir)
       .queryExecution.executedPlan.toString
     val q136Ex = q136Plan.linesIterator

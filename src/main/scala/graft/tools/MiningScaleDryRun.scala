@@ -109,6 +109,51 @@ object MiningScaleDryRun {
       graft.queries.Curation.curationPipeline(denseDocs(5)).count()
     }
 
+    // ---- q148 ROW-scale leg (round-11 verdict item 6): ×10 docs at a
+    // FIXED dup rate — disjoint id-shifted replicas with a per-replica
+    // salt token, so the corpus grows ×10 while the within-replica
+    // duplicate structure (the fixture's own dup rate) is preserved.
+    // Per-stage timings name which stage dominates growth: dedup label
+    // building is block-bounded pair generation (grows with rows ×
+    // per-block density), the boilerplate join is vocabulary-bounded
+    // on its reduce side but scans ×10 shingles. ----
+    def rowDocs(m: Int) =
+      (0 until m).map { k =>
+        if (k == 0) docs0
+        else docs0.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          concat(col("text"), lit(s" rep$k")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _).repartition(32)
+    for ((name, m) <- Seq("1x" -> 1, "10x" -> 10)) {
+      val df = rowDocs(m)
+      time(s"q148 stage dedup-labels $name") {
+        graft.ext.DedupCluster.clusters(df).count()
+      }
+      time(s"q148 stage cascade-boiler $name") {
+        graft.queries.CorpusOps.boilerplateScore(df).count()
+      }
+      time(s"q148 full pipeline $name") {
+        graft.queries.Curation.curationPipeline(df).count()
+      }
+    }
+
+    // ---- q151 incremental curation: FIXED daily batch against a ×10
+    // lake — the claim under test is that daily maintenance cost
+    // follows the BATCH (the corpus side is touched-key semi-joined
+    // and scanned once for its hot-set statistic), so the ratio should
+    // track the corpus SCAN growth, never ×10 work per batch doc. The
+    // replica id shift is ≡ 0 mod 10, so the %10 batch/corpus split
+    // survives replication. ----
+    val batch151 = docs0.filter(col("doc_id") % 10 === 7)
+    val bench151 = docs0.filter(col("doc_id") % 97 === 0)
+    for ((name, m) <- Seq("1x" -> 1, "10x" -> 10)) {
+      val corp = rowDocs(m).filter(col("doc_id") % 10 =!= 7)
+      time(s"q151 incremental fixed-batch corpus-$name") {
+        graft.queries.Curation
+          .incrementalCuration(batch151, corp, bench151).count()
+      }
+    }
+
     // ---- q146 sequential patterns at 10× users (type vocabulary
     // constant — the declared |vocab|²-per-user fan-out bound). ----
     val ev0 = graft.Tables.events(spark, dir)

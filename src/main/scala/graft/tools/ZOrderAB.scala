@@ -42,6 +42,23 @@ object ZOrderAB {
       val x = ZOrderLayout.overlappingFiles(xMap, box)
       println(s"$label: z-layout opens $z/$nFiles, 1-D opens $x/$nFiles")
     }
+    // ROW-GROUP granularity (round-11 verdict item 7): at 100 TB with
+    // ~1 GB files the row group is the skipping unit — land 8-file
+    // layouts with 256 KB row groups so each file carries many, then
+    // count row groups a footer-stats reader prunes per probe
+    val zrDir = java.nio.file.Files.createTempDirectory("zab-zrg").toString
+    val xrDir = java.nio.file.Files.createTempDirectory("zab-xrg").toString
+    val rgBlock = Some(256L * 1024)
+    ZOrderLayout.writeZOrdered(orders, "ck", "day", zrDir, 8, blockSize = rgBlock)
+    ZOrderLayout.writeSorted1D(orders, "ck", "day", xrDir, 8, blockSize = rgBlock)
+    val zRg = ZOrderLayout.rowGroupZoneMap(spark, zrDir, cols)
+    val xRg = ZOrderLayout.rowGroupZoneMap(spark, xrDir, cols)
+    println(s"row groups per layout: z=${zRg.size} x=${xRg.size}")
+    probes.foreach { case (label, box) =>
+      val z = ZOrderLayout.overlappingRowGroups(zRg, box)
+      val x = ZOrderLayout.overlappingRowGroups(xRg, box)
+      println(s"row-groups $label: z-layout reads $z/${zRg.size}, 1-D reads $x/${xRg.size}")
+    }
     // real filtered scans (row-group stats do the skipping): min-of-3
     def scan(d: String, pred: String): Double = {
       val ts = (1 to 3).map { _ =>

