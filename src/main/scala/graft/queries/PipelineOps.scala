@@ -493,35 +493,49 @@ object PipelineOps {
         .filter(col("h").isNotNull), "h")
       .groupBy(col("doc_id")).agg(min(col("c_id")).as("exact_id"))
 
-    def shingled(df: org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame = {
-      val d = df.filter(col("text").isNotNull)
+    def shingledRaw(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      df.filter(col("text").isNotNull)
         .select(col("doc_id"), col("source"),
           split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
-      val sh = d.select(col("doc_id"), col("source"),
-        explode(graft.functions.TextFunctions.shinglesExpr("toks", 3))
-          .as("shingle"))
+        .select(col("doc_id"), col("source"),
+          explode(graft.functions.TextFunctions.shinglesExpr("toks", 3))
+            .as("shingle"))
+    def withCounts(sh: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
       sh.join(sh.groupBy("doc_id").agg(count(lit(1)).as("n")), "doc_id")
-    }
-    val a = shingled(incoming)
+    val a = withCounts(shingledRaw(incoming))
     // `restrictCorpus` (the q124 touched-key recipe, used by q151):
-    // semi-join the corpus shingle stream by the BATCH-BOUNDED touched
-    // (source, shingle) set, broadcast — semantically a no-op (the
-    // inner join below restricts to the same keys) but it cuts the
-    // corpus-side bytes entering the pair aggregation to the touched
-    // keys BEFORE any shuffle, the shape that keeps daily maintenance
-    // batch-proportional at 100 TB. Shingle counts `n` are attached in
-    // shingled() BEFORE the restriction, so Jaccard denominators stay
-    // full-document.
-    val bAll = shingled(corpus)
-    val bRestricted =
-      if (restrictCorpus)
-        bAll.join(
-          broadcast(a.select(col("source"), col("shingle")).distinct()),
-          Seq("source", "shingle"), "left_semi")
-      else bAll
-    val b = bRestricted.select(col("doc_id").as("near_id"),
+    // every corpus-side SHUFFLE must be bounded by the batch's touch
+    // set, never the corpus. Two-step restriction: (1) broadcast the
+    // batch-bounded touched (source, shingle) keys into a semi-join on
+    // the corpus shingle stream — scan-side, pre-shuffle; (2) the docs
+    // that survive (the touched docs) are re-expanded to their FULL
+    // shingle sets so the per-doc count agg — the one corpus-sized
+    // shuffle in the unrestricted recipe — aggregates only touched
+    // docs' shingles (Jaccard denominators stay full-document by
+    // construction). Net: two corpus SCANS (columnar, cheap), zero
+    // corpus-sized shuffles; semantically a no-op vs the unrestricted
+    // path because the pair join below restricts to the same keys.
+    // The touched-doc semi-join's strategy is left to AQE: touched
+    // docs are batch×block-density bounded, but a df-uncapped hot
+    // shingle could inflate them past broadcast size — forcing a
+    // broadcast there would be a driver-OOM risk at 100 TB.
+    val b0 =
+      if (restrictCorpus) {
+        val cRaw = shingledRaw(corpus)
+        val touchedKeys =
+          broadcast(a.select(col("source"), col("shingle")).distinct())
+        val touchedDocs = cRaw
+          .join(touchedKeys, Seq("source", "shingle"), "left_semi")
+          .select(col("doc_id")).distinct()
+        val cTouched =
+          cRaw.join(touchedDocs, Seq("doc_id"), "left_semi")
+        withCounts(cTouched)
+          .join(touchedKeys, Seq("source", "shingle"), "left_semi")
+      } else withCounts(shingledRaw(corpus))
+    val b = b0.select(col("doc_id").as("near_id"),
       col("source").as("source_b"), col("shingle").as("shingle_b"),
       col("n").as("n_b"))
     val best = Window.partitionBy(col("doc_id"))
