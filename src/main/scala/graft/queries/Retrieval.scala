@@ -380,5 +380,173 @@ object Retrieval {
           AS deltas
       FROM d GROUP BY token, segment"""))
 
-  val all: Seq[Q] = Seq(q102, q103, q108, q122, q124)
+  /** Core of q152: hybrid lexical+vector retrieval fused with
+    * reciprocal-rank fusion (RRF, Cormack/Clarke/Buettcher 2009 — the
+    * standard "BM25 arm + embedding arm" production retrieval shape).
+    * Query docs are the ones with BOTH text and an embedding; each arm
+    * ranks candidates independently and the fused score is
+    * `Σ 1e6 DIV (60 + rank)` over the arms a candidate appears in —
+    * rank fusion deliberately ignores the incomparable raw scores
+    * (integer BM25 proxy vs cosine), which is exactly why RRF is the
+    * robust default. All fused arithmetic is integer, so the hash gate
+    * rests on ranks (q25-proven for the float arm), never on floats.
+    *
+    * Scale shape: the corpus-sized work is the same tf/dl/df hash-aggs
+    * q102 carries (tf staged once, feeds all three) plus q25's
+    * broadcast-scan vector pass; query-term scoring is a broadcast
+    * semi-restriction of tf to the queries' RARE terms (df·20 ≤ N — a
+    * hot token would drag in the whole corpus per query, the rarity
+    * rule is the complexity bound), and the (qid, doc) candidate agg is
+    * bounded by the rare-term postings. Fusion joins two query-bounded
+    * top-k tables — driver-free, broadcast-sized. At 100 TB both arms
+    * swap their scan for the landed indexes (q122 postings, q48/q137
+    * IVF[-PQ]) with the fusion contract unchanged. */
+  def hybridRetrieve(docs: DataFrame, embeddings: DataFrame,
+      nQueries: Int = 8, armK: Int = 20, topK: Int = 10): DataFrame = {
+    VectorFunctions.registerVecDot(docs.sparkSession)
+    val d = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val e = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)")))
+    // query set: docs with both modalities, id < nQueries
+    val qids = d.filter(col("doc_id") < nQueries)
+      .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("qid"))
+
+    // ---- lexical arm (q102's integer BM25 proxy, query terms = the
+    // query docs' rare tokens) ----
+    val toks = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val tf = graft.operators.Stage.materialize(
+      toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf")),
+      "hybrid-tf")
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val scal = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfTab = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val qterms = tf.join(broadcast(qids), tf("doc_id") === qids("qid"))
+      .select(col("qid"), col("token")).distinct()
+      .join(dfTab, Seq("token"))
+      .crossJoin(broadcast(scal))
+      .filter(col("df") * 20 <= col("n_docs"))
+      .select(col("qid"), col("token"), col("df"))
+    val lex = tf.join(broadcast(qterms), Seq("token"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(scal))
+      .withColumn("norm_k", expr("250 + (750 * dl * n_docs) DIV sum_dl"))
+      .withColumn("tfsat_k",
+        expr("(tf * 2200 * 1000) DIV (tf * 1000 + (1200 * norm_k) DIV 1000)"))
+      .withColumn("idf_k",
+        expr("((2 * (n_docs - df) + 1) * 1000) DIV (2 * df + 1)"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("idf_k") * col("tfsat_k")).as("lex_score"))
+      .withColumn("lex_rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("lex_score").desc, col("doc_id").asc)))
+      .filter(col("lex_rnk") <= armK)
+      .select(col("qid"), col("doc_id"), col("lex_rnk"))
+
+    // ---- vector arm (q25's broadcast-scan cosine) ----
+    val vq = e.join(broadcast(qids), e("vec_id") === qids("qid"))
+      .select(col("qid"), col("embedding").as("qemb"), col("nrm").as("qnrm"))
+    val vec = e.crossJoin(broadcast(vq))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        (expr("vec_dot_f(embedding, qemb)") / (col("nrm") * col("qnrm")))
+          .as("cos_sim"))
+      .withColumn("vec_rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos_sim").desc, col("doc_id").asc)))
+      .filter(col("vec_rnk") <= armK)
+      .select(col("qid"), col("doc_id"), col("vec_rnk"))
+
+    // ---- reciprocal-rank fusion ----
+    lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr("1000000 DIV (60 + lex_rnk)"), lit(0L))
+          + coalesce(expr("1000000 DIV (60 + vec_rnk)"), lit(0L)))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("doc_id"), col("lex_rnk"), col("vec_rnk"),
+        col("rrf"), col("rnk"))
+  }
+
+  /** q152 — hybrid retrieval: integer-BM25 lexical arm + cosine vector
+    * arm, reciprocal-rank-fused top-10 per query doc. */
+  val q152: Q = Q(
+    "q152_hybrid_retrieval",
+    run = { (spark, dir) =>
+      hybridRetrieve(Tables.documents(spark, dir),
+        Tables.embeddings(spark, dir))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+            WHERE embedding IS NOT NULL),
+      q AS (SELECT d.doc_id AS qid FROM d JOIN e ON e.vec_id = d.doc_id
+            WHERE d.doc_id < 8),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM d),
+      tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+             FROM toks GROUP BY doc_id, token),
+      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             FROM tf GROUP BY doc_id),
+      scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY token),
+      qterm AS (SELECT DISTINCT q.qid, tf.token, dft.df
+                FROM tf JOIN q ON tf.doc_id = q.qid
+                JOIN dft ON dft.token = tf.token
+                CROSS JOIN scal
+                WHERE dft.df * 20 <= scal.n_docs),
+      lp AS (SELECT qterm.qid, tf.doc_id,
+               ((2 * (scal.n_docs - qterm.df) + 1) * 1000)
+                 // (2 * qterm.df + 1) AS idf_k,
+               (tf.tf * 2200 * 1000) // (tf.tf * 1000
+                 + (1200 * (250 + (750 * dl.dl * scal.n_docs)
+                     // scal.sum_dl)) // 1000) AS tfsat_k
+             FROM tf JOIN qterm ON tf.token = qterm.token
+             JOIN dl ON dl.doc_id = tf.doc_id
+             CROSS JOIN scal
+             WHERE tf.doc_id <> qterm.qid),
+      lex AS (SELECT qid, doc_id,
+                CAST(sum(idf_k * tfsat_k) AS BIGINT) AS lex_score
+              FROM lp GROUP BY qid, doc_id),
+      lr0 AS (SELECT qid, doc_id,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY lex_score DESC, doc_id ASC) AS INTEGER) AS lex_rnk
+              FROM lex),
+      lr AS (SELECT * FROM lr0 WHERE lex_rnk <= 20),
+      vq AS (SELECT q.qid, e.emb AS qemb FROM q JOIN e ON e.vec_id = q.qid),
+      vp AS (SELECT vq.qid, e.vec_id AS doc_id,
+               list_sum(list_transform(list_zip(e.emb, vq.qemb),
+                 x -> x[1]*x[2])) /
+               (sqrt(list_sum(list_transform(e.emb, x -> x*x)))
+                 * sqrt(list_sum(list_transform(vq.qemb, x -> x*x))))
+                 AS cos_sim
+             FROM e, vq WHERE e.vec_id <> vq.qid),
+      vr0 AS (SELECT qid, doc_id,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY cos_sim DESC, doc_id ASC) AS INTEGER) AS vec_rnk
+              FROM vp),
+      vr AS (SELECT * FROM vr0 WHERE vec_rnk <= 20),
+      f AS (SELECT COALESCE(l.qid, v.qid) AS qid,
+              COALESCE(l.doc_id, v.doc_id) AS doc_id,
+              l.lex_rnk, v.vec_rnk,
+              COALESCE(1000000 // (60 + l.lex_rnk), 0)
+                + COALESCE(1000000 // (60 + v.vec_rnk), 0) AS rrf
+            FROM lr l FULL JOIN vr v
+              ON l.qid = v.qid AND l.doc_id = v.doc_id),
+      r AS (SELECT qid, doc_id, lex_rnk, vec_rnk, CAST(rrf AS BIGINT) AS rrf,
+              CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rnk
+            FROM f)
+      SELECT qid, doc_id, lex_rnk, vec_rnk, rrf, rnk FROM r
+      WHERE rnk <= 10"""))
+
+  val all: Seq[Q] = Seq(q102, q103, q108, q122, q124, q152)
 }

@@ -310,4 +310,50 @@ class RetrievalGraphPrivacySpec extends AnyFunSuite {
       assert(star.forall(r => r.getAs[Long]("n_cells") >= 1L))
     } finally { out.unpersist(); () }
   }
+
+  // ---- q152 hybrid_retrieval ----
+
+  test("q152: hand corpus — both-arms doc outranks either arm's solo #1") {
+    import spark.implicits._
+    // 60 docs so a df=3 token passes the df*20 <= n_docs rarity rule.
+    // doc 0 = the query; doc 1 = lexical-only hit (tf=2 of the rare
+    // token, orthogonal embedding); doc 2 = vector-only hit (near-
+    // identical embedding, disjoint text); doc 3 = in BOTH arms
+    // (tf=1 rare token + close-but-second embedding).
+    val docs = (Seq(
+      (0L, "raretok q0pad"), (1L, "raretok raretok"),
+      (2L, "v2pad v2pad2"), (3L, "raretok x3pad")) ++
+      (4L to 59L).map(i => (i, s"f$i f${i}b"))).toDF("doc_id", "text")
+    val embs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(100f, 1f)), (3L, Array(9f, 1f))).toDF("vec_id", "embedding")
+    val out = Retrieval.hybridRetrieve(docs, embs,
+      nQueries = 1, armK = 2, topK = 3).collect()
+      .map(r => r.getLong(1) -> r.getInt(5)).toMap
+    // doc 3: lex rank 2 + vec rank 2 → rrf 2·(1e6 DIV 62) = 32256,
+    // beating both solo rank-1 arms (1e6 DIV 61 = 16393 each);
+    // doc 1 vs doc 2 tie on rrf, broken by doc_id asc
+    assert(out == Map(3L -> 1, 1L -> 2, 2L -> 3),
+      s"fusion order wrong: $out")
+  }
+
+  test("q152: registry run — full per-qid top-k, ranks contiguous, rrf self-consistent") {
+    val rows = Retrieval.q152.run(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 8, s"expected 8 query docs, got ${byQ.keySet}")
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(5)).sorted.toSeq == (1 to 10),
+        s"qid $qid ranks not contiguous 1..10")
+    }
+    // rrf recomputes exactly from the emitted arm ranks (missing arm = 0)
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(2)) 0L else 1000000L / (60 + r.getInt(2))
+      val vec = if (r.isNullAt(3)) 0L else 1000000L / (60 + r.getInt(3))
+      assert(r.getLong(4) == lex + vec, s"rrf mismatch on $r")
+    }
+    // at least one fused row rode a single arm somewhere (full-outer
+    // fusion is load-bearing, not a plain inner join)
+    assert(rows.exists(r => r.isNullAt(2) || r.isNullAt(3)),
+      "no single-arm survivors — inner-join fusion would have passed too")
+  }
 }
