@@ -14,7 +14,7 @@ object SparkEntry {
     * §2.8 when a query lands; PlanHygieneSpec asserts the registry
     * matches, so a landed-but-undeclared (or declared-but-unregistered)
     * query fails the suite instead of silently drifting from the docs. */
-  val declaredCount = 152
+  val declaredCount = 154
 
   /** Every implemented query, in registry order. */
   def registry: Seq[Q] =
@@ -27,7 +27,7 @@ object SparkEntry {
       qs.GraphOps.all ++ qs.Retrieval.all ++ qs.Privacy.all ++
       qs.DataMix.all ++ qs.Lexical.all ++ qs.Tokenize.all ++
       qs.Quantize.all ++ qs.PQuant.all ++ qs.Learn.all ++ qs.SubstrDedup.all ++
-      qs.Mining.all ++ qs.Curation.all ++ qs.Layout.all ++
+      qs.Mining.all ++ qs.Curation.all ++ qs.Layout.all ++ qs.Export.all ++
       ext.MinHashDedup.all ++
       ext.SimHashDedup.all ++ ext.Multimodal.all ++ ext.Similarity.all ++
       ext.DedupCluster.all ++ ext.Sampling.all

@@ -64,5 +64,62 @@ object Layout {
       FROM b WHERE zx <= 31 AND zy <= 31"""
     })
 
-  val all: Seq[Q] = Seq(q149)
+  /** Land orders date-sorted (the natural lake order — o_orderkey
+    * scattered within every row group) with a parquet BLOOM FILTER on
+    * o_orderkey, once per (session, corpus snapshot). */
+  private[graft] def bloomLayoutFor(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.operators.SessionCache.memoOn(spark, dir, s"bloom-orders|$dir") {
+      val out = graft.operators.Stage.allocDir(spark, "bloom-q154")
+      val n = Tables.orders(spark, dir).count()
+      graft.sinks.BloomLayout.writeBloomIndexed(
+        ordersProjected(spark, dir).withColumn("day", col("day").cast("long")),
+        sortCol = "day", bloomCol = "o_orderkey", outDir = out,
+        nFiles = 16, expectedNdv = math.max(1024L, n))
+      out
+    }
+
+  /** The deterministic 8-key probe set: the order keys with the
+    * smallest md5 draws — exactly 8 at any SF, a pure function of key
+    * identity (replayed verbatim by the oracle), and a bounded collect
+    * (8 rows) on the Spark side. */
+  private def probeKeys(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Long] =
+    Tables.orders(spark, dir).select(col("o_orderkey"))
+      .withColumn("d",
+        md5(concat(lit("probe|"), col("o_orderkey").cast("string"))))
+      .orderBy(col("d"), col("o_orderkey")).limit(8)
+      .collect().toSeq.map(_.getLong(0))
+
+  /** q154 — point lookups by a high-cardinality key over the LANDED
+    * bloom-filter layout (the access path min/max stats can't serve on
+    * a date-sorted table: every row group straddles the probed key, so
+    * stats-only skipping opens all of them — BloomLayoutSpec and
+    * BloomAB measure the row groups the landed blooms actually skip).
+    * The 8-key IN list stays under Spark's parquet
+    * `pushdown.inFilterThreshold` (10), so the scan pushes per-key
+    * equality predicates and parquet-mr's row-group filter consults
+    * the landed blooms in the REAL plan, not just the audit. Oracle
+    * replays the probe-set selection and the lookups on the raw table
+    * — hash-green certifies the landed layout serves point probes
+    * exactly. */
+  val q154: Q = Q(
+    "q154_bloom_probe",
+    run = { (spark, dir) =>
+      val keys = probeKeys(spark, dir)
+      spark.read.parquet(bloomLayoutFor(spark, dir))
+        .filter(col("o_orderkey").isin(keys: _*))
+        .select(col("o_orderkey"), col("ck"), col("day"))
+    },
+    oracle = Some("""
+      WITH p AS (SELECT o_orderkey FROM (
+          SELECT o_orderkey,
+            md5('probe|' || CAST(o_orderkey AS VARCHAR)) AS d
+          FROM orders ORDER BY d, o_orderkey LIMIT 8))
+      SELECT o_orderkey, o_custkey AS ck,
+        CAST(datediff('day', DATE '1992-01-01',
+          CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+      FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM p)"""))
+
+  val all: Seq[Q] = Seq(q149, q154)
 }

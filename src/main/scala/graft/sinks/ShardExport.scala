@@ -1,0 +1,95 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic training-shard EXPORT — the last mile of the curation
+  * story (reference scope: the training-data serving shape downstream
+  * of `dags/wine_etl_kaggle.py:167-202`'s sink stage, re-expressed for
+  * an LLM-corpus pipeline): a reproducible global shuffle of the
+  * corpus into `nShards` shards, landed as one parquet directory per
+  * shard with rows in a deterministic pseudo-random order, plus a
+  * per-shard MANIFEST (counts, token/char sums, an order-insensitive
+  * content checksum, min/max shuffle key) that certifies the landed
+  * bytes without re-reading the source.
+  *
+  * Why md5 draws and not `repartition(n).orderBy(rand)`: every
+  * assignment and every within-shard position is a PURE FUNCTION of
+  * row identity — re-running the export on the same snapshot lands
+  * byte-identical shards on any cluster size (no partition-count or
+  * task-scheduling dependence), an interrupted export is resumable
+  * per-shard, and the DuckDB oracle can replay the exact assignment
+  * (`CORRECTNESS` hash gate on the manifest). This is the q50/q83
+  * md5-draw recipe applied to layout.
+  *
+  * Scale shape: ONE shuffle (hash-repartition on the shard id) + a
+  * write-sort on (shard, draw); the manifest is one map-side-combined
+  * hash agg over the landed scan with a pure per-row checksum
+  * expression — no window, no driver loop. At 100 TB you raise
+  * `nShards` to the loader's world size × k and set
+  * `maxRecordsPerFile` so each shard streams in bounded files; the
+  * draw keys make any contiguous file range a uniform random sample
+  * of the corpus, so partial epochs are unbiased by construction. */
+object ShardExport {
+
+  /** The shuffle key: md5 over a salted row key — uniform in [0,16^32),
+    * reproducible in both engines (hex strings compare identically). */
+  def drawOf(key: Column): Column =
+    md5(concat(lit("shard|"), key.cast("string")))
+
+  /** Shard id in [0, nShards): the draw's first 4 hex digits mod
+    * nShards (65536 cells — uniform for any nShards ≤ ~6k; registry
+    * uses 16). DuckDB replays it via the strpos hex-digit recipe
+    * ([[shardSqlExpr]]). */
+  def shardOf(draw: Column, nShards: Int): Column =
+    (conv(substring(draw, 1, 4), 16, 10).cast("long") % nShards)
+      .cast("int")
+
+  /** The DuckDB spelling of [[shardOf]] over a draw expression `d`:
+    * Σ digit·16^(4-p) over the first 4 hex digits, mod nShards. */
+  def shardSqlExpr(d: String, nShards: Int): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 4),
+        p -> (strpos('0123456789abcdef', substr($d, CAST(p AS INTEGER), 1)) - 1)
+             * (CAST(1 AS BIGINT) << CAST(4 * (4 - p) AS INTEGER))))
+        % $nShards AS INTEGER)"""
+
+  /** Order-insensitive per-row content checksum: the first 8 hex
+    * digits of md5("key|text") as a BIGINT (< 2^32 — a shard-level SUM
+    * of these stays well inside BIGINT for any real shard size).
+    * Identical spelling available to DuckDB via [[checksumSqlExpr]]. */
+  def checksumOf(key: Column, text: Column): Column =
+    conv(substring(
+      md5(concat(key.cast("string"), lit("|"), coalesce(text, lit("")))),
+      1, 8), 16, 10).cast("long")
+
+  /** The DuckDB spelling of [[checksumOf]] over key/text expressions. */
+  def checksumSqlExpr(key: String, text: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 8),
+        p -> CAST(strpos('0123456789abcdef',
+               substr(md5(CAST($key AS VARCHAR) || '|' || COALESCE($text, '')),
+                 CAST(p AS INTEGER), 1)) - 1 AS BIGINT)
+             * (CAST(1 AS BIGINT) << CAST(4 * (8 - p) AS INTEGER))))
+        AS BIGINT)"""
+
+  /** Land `df` as `nShards` shard directories under `outDir`
+    * (`shard=<k>/part-*.parquet`), each file internally ordered by the
+    * draw key. One shuffle; the write-sort makes every file a sorted
+    * run so a loader streaming a shard sees the deterministic order
+    * without its own sort. `maxRecordsPerFile` bounds file size at
+    * scale (0 = Spark default). */
+  def writeShards(df: DataFrame, keyCol: String, outDir: String,
+      nShards: Int, maxRecordsPerFile: Long = 0L): Unit = {
+    val keyed = df
+      .withColumn("draw", drawOf(col(keyCol)))
+      .withColumn("shard", shardOf(col("draw"), nShards))
+    val w = keyed
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("draw"))
+      .write.mode("overwrite")
+    (if (maxRecordsPerFile > 0L)
+       w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+     else w)
+      .partitionBy("shard")
+      .parquet(outDir)
+  }
+}
