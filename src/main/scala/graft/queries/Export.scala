@@ -50,19 +50,16 @@ object Export {
   val q153: Q = Q(
     "q153_shard_export",
     run = { (spark, dir) =>
-      spark.read.parquet(shardLayoutFor(spark, dir))
-        .groupBy(col("shard").cast("int").as("shard"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("text").isNull, lit(0))
-            .otherwise(size(split(col("text"), " ")))).as("n_toks"),
-          sum(col("n_chars")).as("sum_chars"),
-          sum(ShardExport.checksumOf(col("doc_id"), col("text")))
-            .as("checksum"),
-          min(col("draw")).as("min_key"),
-          max(col("draw")).as("max_key"))
+      ShardExport.manifest(
+        spark.read.parquet(shardLayoutFor(spark, dir)))
     },
-    oracle = Some(s"""
+    oracle = Some(manifestOracleSql))
+
+  /** The full-corpus manifest recompute both q153 and q155 are gated
+    * on: q153 lands everything in one export; q155 reaches the SAME
+    * manifest via stored-manifest + batch-delta merge — one oracle,
+    * two landing mechanisms. */
+  private def manifestOracleSql: String = s"""
       WITH d AS (SELECT doc_id, n_chars, text,
                    md5('shard|' || CAST(doc_id AS VARCHAR)) AS draw
                  FROM documents),
@@ -77,7 +74,67 @@ object Export {
         CAST(sum(${ShardExport.checksumSqlExpr("doc_id", "text")})
           AS BIGINT) AS checksum,
         min(draw) AS min_key, max(draw) AS max_key
-      FROM s GROUP BY shard"""))
+      FROM s GROUP BY shard"""
 
-  val all: Seq[Q] = Seq(q153)
+  private def docCols(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"), col("source"), col("lang"),
+      col("n_chars"), col("text"))
+
+  /** The q151 daily-ingest split: lake = doc_id % 10 <> 7, batch =
+    * the rest — landed and manifested once per (session, snapshot). */
+  private[graft] def lakeLayoutFor(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.operators.SessionCache.memoOn(spark, dir,
+      s"shard-export-lake|$dir|$nShards") {
+      val out = graft.operators.Stage.allocDir(spark, "shards-q155-lake")
+      ShardExport.writeShards(
+        docCols(Tables.documents(spark, dir))
+          .filter(col("doc_id") % 10 =!= 7),
+        "doc_id", out, nShards)
+      out
+    }
+
+  /** The lake's STORED manifest (a 16-row staged table — what a
+    * production export keeps next to the shards), built once per
+    * (session, snapshot) from the landed lake layout. */
+  private[graft] def lakeManifestFor(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.SessionCache.memoOn(spark, dir,
+      s"shard-manifest-lake|$dir|$nShards") {
+      graft.operators.Stage.materialize(
+        ShardExport.manifest(spark.read.parquet(lakeLayoutFor(spark, dir))),
+        "shard-manifest-q155")
+    }
+
+  /** q155 — incremental shard-export maintenance (the daily-ingest
+    * arm of q153, the q124/q151 recipe applied to the serving layout):
+    * the new batch (doc_id % 10 == 7) is assigned shards by the SAME
+    * pure md5 function, its 16-row manifest DELTA is aggregated from
+    * the batch alone, and the updated manifest is
+    * `mergeManifests(stored, delta)` — counts/sums add, ranges
+    * least/greatest, the checksum is a SUM so it commutes with any
+    * arrival order. NO lake rescan anywhere in the plan: the lake
+    * contributes its stored 16-row manifest (ExportSpec asserts the
+    * executed plan's scans touch only the batch rows and the staged
+    * manifest — shuffles ∝ batch, the shape that survives a 100 TB
+    * lake with a 10 GB daily batch). The oracle recomputes the full-
+    * corpus manifest from scratch — hash-green certifies the
+    * incremental algebra is EXACT, not approximately maintained.
+    * [[graft.sinks.ShardExport.appendShards]] is the physical twin
+    * (new sorted-run files inside the existing shard dirs, lake files
+    * never rewritten); ExportSpec asserts landed-recompute ≡ merge. */
+  val q155: Q = Q(
+    "q155_shard_append",
+    run = { (spark, dir) =>
+      val delta = ShardExport.manifest(
+        ShardExport.withShardKey(
+          docCols(Tables.documents(spark, dir))
+            .filter(col("doc_id") % 10 === 7),
+          "doc_id", nShards))
+      ShardExport.mergeManifests(lakeManifestFor(spark, dir), delta)
+    },
+    oracle = Some(manifestOracleSql))
+
+  val all: Seq[Q] = Seq(q153, q155)
 }

@@ -71,6 +71,14 @@ object ShardExport {
              * (CAST(1 AS BIGINT) << CAST(4 * (8 - p) AS INTEGER))))
         AS BIGINT)"""
 
+  /** `df` plus its shuffle key (`draw`) and shard assignment
+    * (`shard`) — the shared front half of write, append, and delta
+    * manifesting. */
+  def withShardKey(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    val keyed = df.withColumn("draw", drawOf(col(keyCol)))
+    keyed.withColumn("shard", shardOf(col("draw"), nShards))
+  }
+
   /** Land `df` as `nShards` shard directories under `outDir`
     * (`shard=<k>/part-*.parquet`), each file internally ordered by the
     * draw key. One shuffle; the write-sort makes every file a sorted
@@ -78,18 +86,69 @@ object ShardExport {
     * without its own sort. `maxRecordsPerFile` bounds file size at
     * scale (0 = Spark default). */
   def writeShards(df: DataFrame, keyCol: String, outDir: String,
-      nShards: Int, maxRecordsPerFile: Long = 0L): Unit = {
-    val keyed = df
-      .withColumn("draw", drawOf(col(keyCol)))
-      .withColumn("shard", shardOf(col("draw"), nShards))
-    val w = keyed
+      nShards: Int, maxRecordsPerFile: Long = 0L,
+      mode: String = "overwrite"): Unit = {
+    val w = withShardKey(df, keyCol, nShards)
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("draw"))
-      .write.mode("overwrite")
+      .write.mode(mode)
     (if (maxRecordsPerFile > 0L)
        w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
      else w)
       .partitionBy("shard")
       .parquet(outDir)
+  }
+
+  /** APPEND a new batch into an existing shard layout: same pure-
+    * function assignment, new files dropped into the existing
+    * `shard=<k>/` directories (each new file again a sorted run —
+    * per-shard data stays a small set of sorted runs a loader merges
+    * or streams). Daily-ingest maintenance writes ∝ the batch; the
+    * lake's landed files are never rewritten. */
+  def appendShards(batch: DataFrame, keyCol: String, outDir: String,
+      nShards: Int, maxRecordsPerFile: Long = 0L): Unit =
+    writeShards(batch, keyCol, outDir, nShards, maxRecordsPerFile,
+      mode = "append")
+
+  /** The per-shard MANIFEST of a (landed or virtual) sharded frame
+    * carrying `shard`, `draw`, `keyCol`, `textCol`, and `n_chars`:
+    * doc/token/char counts, the order-insensitive content checksum,
+    * and the draw range. Every field is a decomposable aggregate
+    * (sum/count/min/max) — the property [[mergeManifests]] exploits
+    * for exact incremental maintenance. */
+  def manifest(sharded: DataFrame, keyCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    sharded.groupBy(col("shard").cast("int").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col(textCol).isNull, lit(0))
+          .otherwise(size(split(col(textCol), " ")))).as("n_toks"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(checksumOf(col(keyCol), col(textCol))).as("checksum"),
+        min(col("draw")).as("min_key"),
+        max(col("draw")).as("max_key"))
+
+  /** Exact incremental manifest maintenance: the updated manifest of
+    * (lake ∪ batch) from the lake's STORED manifest plus the batch's
+    * delta — no lake rescan, shuffles ∝ the batch, a 16-row
+    * full-outer merge. Sound because every manifest field is
+    * decomposable: counts/sums add, ranges combine by least/greatest;
+    * the md5-prefix checksum is a SUM, so it commutes with any
+    * arrival order or batch split. */
+  def mergeManifests(prior: DataFrame, delta: DataFrame): DataFrame = {
+    val p = prior.columns.filter(_ != "shard")
+      .foldLeft(prior)((d, c) => d.withColumnRenamed(c, s"p_$c"))
+    val d = delta.columns.filter(_ != "shard")
+      .foldLeft(delta)((df, c) => df.withColumnRenamed(c, s"d_$c"))
+    def add(c: String) =
+      (coalesce(col(s"p_$c"), lit(0L)) + coalesce(col(s"d_$c"), lit(0L)))
+        .as(c)
+    p.join(d, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        add("n_docs"), add("n_toks"), add("sum_chars"), add("checksum"),
+        // Spark's least/greatest skip nulls, so a shard present on
+        // only one side keeps that side's range
+        least(col("p_min_key"), col("d_min_key")).as("min_key"),
+        greatest(col("p_max_key"), col("d_max_key")).as("max_key"))
   }
 }

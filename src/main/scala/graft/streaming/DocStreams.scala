@@ -188,4 +188,42 @@ object DocStreams {
       .join(corpHash, Seq("h"), "left")
       .select(col("doc_id"), col("match_id"))
   }
+
+  /** q155's streaming twin: maintain the shard-export MANIFEST as doc
+    * batches land. Each trigger aggregates the batch's 16-row manifest
+    * delta (shuffles ∝ the batch) and merges it into the latest landed
+    * manifest via [[graft.sinks.ShardExport.mergeManifests]], writing
+    * `manifest_<batchId>` (overwrite — replay after a crash re-reads
+    * `manifest_<batchId-1>` and overwrites, so the sink is idempotent,
+    * the q151 batchId-addressing contract). Because every manifest
+    * field is a commutative aggregate (sums, least/greatest), the
+    * final manifest is EXACTLY the one-shot batch answer for ANY
+    * arrival split — not just id-ordered ones (ExportSpec asserts
+    * equality on a deliberately interleaved doc_id%3 split, a stronger
+    * claim than the order-dependent q151 twin can make). `prior` is
+    * the lake's stored manifest (staged once — no trigger rescans the
+    * lake). */
+  def shardManifestSink(incoming: DataFrame, prior: DataFrame,
+      nShards: Int, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val prior0 = graft.operators.Stage.materialize(
+      prior, "stream-shard-manifest-prior")
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val priorManifest = ((batchId - 1) to 0L by -1).iterator
+          .map(i => new org.apache.hadoop.fs.Path(s"$outDir/manifest_$i"))
+          .find(fs.exists)
+          .map(p => spark.read.parquet(p.toString))
+          .getOrElse(prior0)
+        val delta = graft.sinks.ShardExport.manifest(
+          graft.sinks.ShardExport.withShardKey(batch, "doc_id", nShards))
+        graft.sinks.ShardExport.mergeManifests(priorManifest, delta)
+          .write.mode("overwrite").parquet(s"$outDir/manifest_$batchId")
+      }
+      .start()
+  }
 }

@@ -87,4 +87,115 @@ class ExportSpec extends AnyFunSuite {
     assert((clean - victim.getInt(1)).forall { case (s, c) =>
       tampered(s) == c })
   }
+
+  // ---- q155 incremental shard append ----
+
+  private def manifestMap(df: org.apache.spark.sql.DataFrame)
+      : Map[Int, Seq[Any]] =
+    df.collect().map(r => r.getAs[Int]("shard") ->
+      Seq(r.getAs[Long]("n_docs"), r.getAs[Long]("n_toks"),
+        r.getAs[Long]("sum_chars"), r.getAs[Long]("checksum"),
+        r.getAs[String]("min_key"), r.getAs[String]("max_key"))).toMap
+
+  test("q155: physical append + landed recompute equals the algebraic manifest merge") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val lake = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    val dir = tmp("inc")
+    ShardExport.writeShards(lake, "doc_id", dir, nShards = 16)
+    // pin the pre-append manifest DRIVER-SIDE: a .cache() here would
+    // poison the post-append recompute (the cache manager matches
+    // same-path scans, serving the stale pre-append listing)
+    val priorDf = ShardExport.manifest(spark.read.parquet(dir))
+    val priorRows = priorDf.collect().toSeq
+    val prior = spark.createDataFrame(
+      spark.sparkContext.parallelize(priorRows, 1), priorDf.schema)
+    ShardExport.appendShards(batch, "doc_id", dir, nShards = 16)
+    val landed = ShardExport.manifest(spark.read.parquet(dir))
+    val merged = ShardExport.mergeManifests(prior,
+      ShardExport.manifest(
+        ShardExport.withShardKey(batch, "doc_id", 16)))
+    assert(manifestMap(landed) == manifestMap(merged))
+    // appended files are themselves sorted runs
+    landedFiles(dir).foreach { f =>
+      val draws = spark.read.parquet(f.getAbsolutePath)
+        .select("draw").collect().map(_.getString(0)).toSeq
+      assert(draws == draws.sorted, s"file ${f.getName} not sorted")
+    }
+    // nothing lost across the append
+    assert(spark.read.parquet(dir).count() == docs.count())
+  }
+
+  test("q155 registry run: equals q153's full manifest; plan never rescans the lake layout") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val full = queries.Export.q153.run(spark, TestSpark.sf0001)
+    val inc = queries.Export.q155.run(spark, TestSpark.sf0001)
+    assert(manifestMap(full) == manifestMap(inc))
+    // the incremental plan's scans: the batch rows (documents with the
+    // % 10 == 7 filter) and the staged 16-row manifest — NEVER the
+    // landed lake shard layout (at 100 TB that's the whole lake)
+    val probe = queries.Export.q155.run(spark, TestSpark.sf0001)
+    probe.queryExecution.toRdd.count(): Unit
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case o => o.children
+      }
+      (p match {
+        case f: FileSourceScanExec => Seq(f)
+        case _ => Nil
+      }) ++ kids.flatMap(scans)
+    }
+    val roots = scans(probe.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths).map(_.toString)
+    assert(roots.nonEmpty)
+    assert(!roots.exists(_.contains("shards-q155-lake")),
+      s"incremental manifest plan rescans the lake layout: $roots")
+  }
+
+  test("q155 streaming twin equals the one-shot merge on an INTERLEAVED 3-way split") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val incoming = docs.filter(col("doc_id") % 10 === 7)
+    val lake = docs.filter(col("doc_id") % 10 =!= 7)
+    // manifest maintenance is commutative (sums + least/greatest), so
+    // the twin must match for ANY split — use a deliberately
+    // interleaved one (doc_id % 3), not the id-ordered terciles the
+    // order-dependent twins need
+    val streamDir = Files.createTempDirectory("shard_stream").toString
+    (0 until 3).foreach { i =>
+      val part = Files.createTempDirectory(s"shard_p$i").toString
+      incoming.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val src = Files.list(java.nio.file.Paths.get(part)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$streamDir/part_$i.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      ()
+    }
+    val lakeDir = tmp("twin-lake")
+    ShardExport.writeShards(lake, "doc_id", lakeDir, nShards = 16)
+    val prior = ShardExport.manifest(spark.read.parquet(lakeDir))
+    val outDir = Files.createTempDirectory("shard_out").toString
+    val ckpt = Files.createTempDirectory("shard_ckpt").toString
+    val q = streaming.DocStreams.shardManifestSink(
+      streaming.DocStreams.readDocs(spark, streamDir), prior, 16,
+      outDir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val finalManifest = spark.read.parquet(s"$outDir/manifest_2")
+    val oneShot = ShardExport.mergeManifests(prior,
+      ShardExport.manifest(
+        ShardExport.withShardKey(incoming, "doc_id", 16)))
+    assert(manifestMap(finalManifest) == manifestMap(oneShot))
+  }
 }

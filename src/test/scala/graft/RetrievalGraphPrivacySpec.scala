@@ -356,4 +356,44 @@ class RetrievalGraphPrivacySpec extends AnyFunSuite {
     assert(rows.exists(r => r.isNullAt(2) || r.isNullAt(3)),
       "no single-arm survivors — inner-join fusion would have passed too")
   }
+
+  // ---- q156 prf_expand ----
+
+  test("q156: expansion rescues a doc sharing NO original query term") {
+    import spark.implicits._
+    // N=60 docs, rarity rule df*20 <= 60 → df <= 3. alpha (df=3) is a
+    // query term; its feedback docs 1-3 promote beta+gamma; doc 4 has
+    // beta but NO alpha — classic PRF rescue, entering on expansion
+    // score alone.
+    val docs = (Seq(
+      (1L, "alpha gamma pad1"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta x3"), (4L, "beta pad4 pad4b")) ++
+      (5L to 60L).map(i => (i, s"f$i f${i}b"))).toDF("doc_id", "text")
+    val tf = docs.select($"doc_id",
+        explode(split($"text", " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val out = Retrieval.prfExpand(tf).collect()
+    val alpha = out.filter(_.getString(0) == "alpha")
+      .map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    // docs 1-3 carry alpha (base > 0); doc 4 enters on expansion only
+    assert(alpha.contains(4L), s"PRF did not rescue doc 4: $alpha")
+    val (base4, exp4, tot4, _) = alpha(4L)
+    assert(base4 == 0L && exp4 > 0L && tot4 == exp4)
+    Seq(1L, 2L, 3L).foreach { d =>
+      assert(alpha(d)._1 > 0L, s"doc $d lost its base score") }
+    // doc 2 holds alpha + both expansion terms — it must outrank all
+    assert(alpha(2L)._4 == 1, s"doc 2 not top for alpha: $alpha")
+  }
+
+  test("q156 registry run: ranks contiguous per qterm, totals self-consistent") {
+    val rows = Retrieval.q156.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) + r.getLong(3), s"total wrong: $r") }
+    rows.groupBy(_.getString(0)).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getInt(5)).sorted.toSeq
+      assert(ranks == (1 to ranks.length), s"qterm $q ranks not contiguous")
+    }
+  }
 }
