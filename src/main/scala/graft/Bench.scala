@@ -118,10 +118,17 @@ object Bench {
       val txt = java.nio.file.Files
         .readString(java.nio.file.Paths.get("bench/baseline_queries.json"))
       // ratios are only meaningful at the baseline's own scale factor —
-      // a cross-SF comparison would flag every cheap-probe query
-      val baseSf = """"sf"\s*:\s*([0-9.]+)""".r
+      // a cross-SF comparison would flag every cheap-probe query. The
+      // recorded sf may be a bare number ("0.1") or a full sfDir path
+      // ("/root/testdata/sf0.1") — compare by the sfN.N path segment.
+      // (Round-12 fix: the original bare-number regex never matched the
+      // committed path form, silently emptying every gate_ratio map.)
+      val baseSf = """"sf"\s*:\s*"?([^",}\s]+)"?""".r
         .findFirstMatchIn(txt).map(_.group(1))
-      if (baseSf.exists(s => sfDir.contains(s"sf$s")))
+      def sfTag(p: String): String =
+        p.split('/').filter(_.nonEmpty).lastOption.getOrElse(p)
+      if (baseSf.exists(s =>
+          sfTag(sfDir) == sfTag(s) || sfTag(sfDir) == s"sf$s"))
         """"(q[0-9][^"]*)"\s*:\s*([0-9.eE+-]+)""".r
           .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
           .toMap

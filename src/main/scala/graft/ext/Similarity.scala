@@ -359,6 +359,98 @@ object Similarity {
     }
   }
 
+  /** Incrementally extend a built IVF index with a new vector batch:
+    * assign batch vectors to the EXISTING (frozen) centroids — the
+    * q124/q151/q155 daily-maintenance recipe applied to the vector
+    * index. Centroids refit on a slower cadence (weekly, on the lake);
+    * the daily append is ONE zero-exchange CenterAssign pass over the
+    * batch (broadcast k×dim centroid table, no shuffle, no corpus
+    * touch), staged batch-sized. Probing the appended index
+    * ([[ivfQuery]]) is identical code — the index is just rows. */
+  def ivfAppend(index: IvfIndex, batch: DataFrame): IvfIndex = {
+    VectorFunctions.registerVecDot(batch.sparkSession)
+    val add = graft.operators.Stage.materialize(
+      graft.queries.CenterAssign.withNearest(
+          batch.filter(col("embedding").isNotNull)
+            .select(col("vec_id"), col("embedding")),
+          index.centroids.select(col("pcell").as("center_id"),
+            col("centroid")))
+        .select(col("vec_id"), col("embedding"), col("cluster").as("cell"))
+        .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)"))),
+      "ivf-append")
+    IvfIndex(index.assigned.unionByName(add), index.centroids)
+  }
+
+  /** The q157 registry seam: lake index (vec_id % 10 <> 7) built once
+    * per (session, snapshot), batch (% 10 == 7) appended once via
+    * [[ivfAppend]], then probed. */
+  def ivfAppendedTopKFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 5, nQueries: Int = 10, nCells: Int = 16,
+      nProbe: Int = 4, maxFitRows: Long = 100000L): DataFrame = {
+    val index = graft.operators.SessionCache.memoOn(spark, dir,
+      s"ivf-appended|$dir|$nCells|$maxFitRows") {
+      val emb = Tables.embeddings(spark, dir)
+      ivfBuild(emb.filter(col("vec_id") % 10 =!= 7), nCells, maxFitRows)
+        .map(ix => ivfAppend(ix, emb.filter(col("vec_id") % 10 === 7)))
+    }
+    index match {
+      case Some(idx) => ivfQuery(idx, k, nQueries, nProbe)
+      case None => emptyTopK(Tables.embeddings(spark, dir))
+    }
+  }
+
+  /** q157 — incremental IVF maintenance under the full hash gate: the
+    * coarse quantizer is fit on the LAKE only, the daily batch joins
+    * by frozen-centroid assignment, and the probe answers come from
+    * the appended index. The oracle replays lake-only Lloyd + full-
+    * corpus assignment + the probe in SQL — hash-green certifies the
+    * append path returns exactly what a fresh full-corpus assignment
+    * under the same centroids would (index maintenance loses nothing).
+    * Completes the incremental-maintenance family: postings (q124),
+    * curation (q151), shards (q155), vector index (q157). */
+  val q157: Q = Q(
+    "q157_ivf_append",
+    run = { (spark, dir) => ivfAppendedTopKFor(spark, dir) },
+    oracle = Some(s"""
+      ${graft.queries.Learn.kmeansCtesFor(16, IvfIters,
+        " AND vec_id % 10 <> 7")},
+      efull AS (SELECT vec_id, embedding FROM embeddings
+                WHERE embedding IS NOT NULL),
+      fin AS MATERIALIZED (
+        SELECT vec_id, cluster AS cell FROM (
+          SELECT e2.vec_id, c.center_id AS cluster,
+            row_number() OVER (PARTITION BY e2.vec_id
+              ORDER BY list_sum(list_transform(
+                list_zip(e2.embedding::DOUBLE[], c.centroid),
+                x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+                c.center_id ASC) AS arnk
+          FROM efull e2 CROSS JOIN cent$IvfIters c)
+        WHERE arnk = 1),
+      n AS (SELECT e2.vec_id, f.cell, e2.embedding::DOUBLE[] AS emb,
+              sqrt(list_sum(list_transform(e2.embedding::DOUBLE[],
+                x -> x*x))) AS nrm
+            FROM efull e2 JOIN fin f USING (vec_id)),
+      q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm
+            FROM n WHERE vec_id < 10),
+      probes AS (
+        SELECT qid, qemb, qnrm, pcell FROM (
+          SELECT q.qid, q.qemb, q.qnrm, c.center_id AS pcell,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY list_sum(list_transform(list_zip(q.qemb, c.centroid),
+                x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+                c.center_id ASC) AS prnk
+          FROM q CROSS JOIN cent$IvfIters c)
+        WHERE prnk <= 4),
+      cand AS (SELECT p.qid, v.vec_id AS nid,
+          list_sum(list_transform(list_zip(v.emb, p.qemb), x -> x[1]*x[2]))
+            / (v.nrm * p.qnrm) AS cos_sim
+        FROM n v JOIN probes p ON v.cell = p.pcell AND v.vec_id <> p.qid),
+      r AS (SELECT qid, nid, cos_sim,
+              CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY cos_sim DESC, nid) AS INTEGER) AS rnk
+            FROM cand)
+      SELECT qid, nid, cos_sim, rnk FROM r WHERE rnk <= 5"""))
+
   /** q38 — the ANN variant of q25: a TRUE hash gate since round-10 (the
     * md5-parity planes replay in SQL — buckets, multiprobe XOR, and
     * candidate cosines all recompute in the oracle); recall vs exact
@@ -494,5 +586,5 @@ object Similarity {
             FROM cand)
       SELECT qid, nid, cos_sim, rnk FROM r WHERE rnk <= 5"""))
 
-  val all: Seq[Q] = Seq(q38, q47, q48)
+  val all: Seq[Q] = Seq(q38, q47, q48, q157)
 }

@@ -250,7 +250,11 @@ object Learn {
     * aN (assignment) → cN (exact-decimal means) → centN (re-formed
     * arrays). Parameterized so other Lloyd consumers (q48's IVF coarse
     * quantizer) can replay their own (k, iters) in their oracles. */
-  private[graft] def kmeansCtesFor(kClusters: Int, nIters: Int): String = {
+  /** `fitWhere` restricts the FIT corpus (an extra `AND ...` clause on
+    * `e`) — q157 fits its coarse quantizer on the lake subset only
+    * while assigning the full corpus. */
+  private[graft] def kmeansCtesFor(kClusters: Int, nIters: Int,
+      fitWhere: String = ""): String = {
     val rounds = (1 to nIters).map { i =>
       s"""a$i AS MATERIALIZED (
          |        SELECT vec_id, cluster, dist_sq, embedding FROM (
@@ -281,7 +285,7 @@ object Learn {
          |        FROM c$i GROUP BY cluster)""".stripMargin
     }.mkString(",\n      ")
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
-                 WHERE embedding IS NOT NULL),
+                 WHERE embedding IS NOT NULL$fitWhere),
       cent0 AS MATERIALIZED (
         SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER)
             AS center_id,

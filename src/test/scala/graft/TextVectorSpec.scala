@@ -261,6 +261,41 @@ class TextVectorSpec extends AnyFunSuite {
       cold.filter { case (q, _, r) => q < 5 && r <= 3 })
   }
 
+  test("q157: ivfAppend equals a frozen-centroid full assignment, and probes match") {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .filter(col("embedding").isNotNull)
+    val lake = emb.filter(col("vec_id") % 10 =!= 7)
+    val batch = emb.filter(col("vec_id") % 10 === 7)
+    assert(batch.count() > 0, "fixture has no batch vectors")
+    val ix = Similarity.ivfBuild(lake).get
+    val appended = Similarity.ivfAppend(ix, batch)
+    // the appended inverted file covers every vector exactly once and
+    // equals assigning the FULL corpus to the same frozen centroids
+    val cold = graft.queries.CenterAssign.withNearest(
+        emb.select(col("vec_id"), col("embedding")),
+        ix.centroids.select(col("pcell").as("center_id"), col("centroid")))
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val inc = appended.assigned.select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(inc.length == cold.size, "appended index row count drifted")
+    assert(inc.toMap == cold, "appended assignment != frozen-centroid full")
+    // probe parity: querying the appended index equals querying an
+    // index whose inverted file was the full frozen-centroid assignment
+    def keyOf2(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fullAssigned = graft.queries.CenterAssign.withNearest(
+        emb.select(col("vec_id"), col("embedding")),
+        ix.centroids.select(col("pcell").as("center_id"), col("centroid")))
+      .select(col("vec_id"), col("embedding"), col("cluster").as("cell"))
+      .withColumn("nrm", sqrt(expr("vec_dot_f(embedding, embedding)")))
+    val fullIx = Similarity.IvfIndex(fullAssigned, ix.centroids)
+    assert(keyOf2(Similarity.ivfQuery(appended)) ==
+      keyOf2(Similarity.ivfQuery(fullIx)))
+  }
+
   test("sketch queries leave no cached blocks behind (q30/q31)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
