@@ -55,16 +55,19 @@ object Export {
     },
     oracle = Some(manifestOracleSql))
 
-  /** The full-corpus manifest recompute both q153 and q155 are gated
-    * on: q153 lands everything in one export; q155 reaches the SAME
-    * manifest via stored-manifest + batch-delta merge — one oracle,
-    * two landing mechanisms. */
-  private def manifestOracleSql: String = s"""
+  /** The full-corpus manifest recompute q153, q155, and q158 are
+    * gated on (at their own shard counts): q153 lands everything in
+    * one export, q155 reaches the SAME manifest via stored-manifest +
+    * batch-delta merge, q158 via the no-shuffle 2× split — one oracle
+    * shape, three landing mechanisms. */
+  private def manifestOracleSql: String = manifestOracleSqlFor(nShards)
+
+  private def manifestOracleSqlFor(n: Int): String = s"""
       WITH d AS (SELECT doc_id, n_chars, text,
                    md5('shard|' || CAST(doc_id AS VARCHAR)) AS draw
                  FROM documents),
       s AS (SELECT doc_id, n_chars, text, draw,
-              ${ShardExport.shardSqlExpr("draw", nShards)} AS shard
+              ${ShardExport.shardSqlExpr("draw", n)} AS shard
             FROM d)
       SELECT shard,
         CAST(count(*) AS BIGINT) AS n_docs,
@@ -136,5 +139,36 @@ object Export {
     },
     oracle = Some(manifestOracleSql))
 
-  val all: Seq[Q] = Seq(q153, q155)
+  /** The 2×-split child layout (16 → 32 shards), landed once per
+    * (session, snapshot) from the q153 parent layout. */
+  private[graft] def splitLayoutFor(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.operators.SessionCache.memoOn(spark, dir,
+      s"shard-split|$dir|$nShards") {
+      val out = graft.operators.Stage.allocDir(spark, "shards-q158")
+      graft.sinks.ShardExport.splitShards(spark,
+        shardLayoutFor(spark, dir), out, nShards)
+      out
+    }
+
+  /** q158 — NO-SHUFFLE shard split (16 → 32): because the shard id is
+    * the draw's first 4 hex digits mod N and mod classes NEST, every
+    * doc of parent shard r lands in r or r+16 — the split re-keys each
+    * landed file LOCALLY and fans it into the child dirs with no
+    * Exchange in the plan (suite-asserted; at 100 TB: reshard a
+    * serving layout touching every byte once, moving nothing between
+    * executors). Gated on the 32-shard manifest of the SPLIT layout
+    * against the raw-table recompute; ExportSpec additionally asserts
+    * the pair-sum law (child manifests r and r+16 sum to the parent's
+    * row r field-for-field) — the property that lets a consumer verify
+    * a split from manifests alone, without reading a row. */
+  val q158: Q = Q(
+    "q158_shard_split",
+    run = { (spark, dir) =>
+      ShardExport.manifest(
+        spark.read.parquet(splitLayoutFor(spark, dir)))
+    },
+    oracle = Some(manifestOracleSqlFor(2 * nShards)))
+
+  val all: Seq[Q] = Seq(q153, q155, q158)
 }

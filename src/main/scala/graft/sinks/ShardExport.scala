@@ -151,4 +151,26 @@ object ShardExport {
         least(col("p_min_key"), col("d_min_key")).as("min_key"),
         greatest(col("p_max_key"), col("d_max_key")).as("max_key"))
   }
+
+  /** SPLIT a landed layout from `nShardsOld` to `factor ×` as many
+    * shards with NO global shuffle: the assignment is the draw's first
+    * 4 hex digits mod nShards, and mod classes NEST — v mod 32
+    * determines v mod 16, so every doc of old shard r lands in exactly
+    * r or r + nShardsOld·i. The split is therefore per-input-file
+    * LOCAL: each task re-keys its own rows and the partitioned write
+    * fans them into the child dirs — no Exchange in the plan
+    * (suite-asserted), each output file still a sorted run (filtering
+    * a sorted run preserves order). At 100 TB this is resharding a
+    * serving layout without a cluster-wide shuffle: touch every byte
+    * once, move nothing between executors. Child manifests PAIR-SUM to
+    * the parent's (suite-asserted) — consumers can verify a split from
+    * manifests alone. */
+  def splitShards(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String, nShardsOld: Int,
+      factor: Int = 2): Unit =
+    spark.read.parquet(inDir)
+      .withColumn("shard", shardOf(col("draw"), nShardsOld * factor))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(outDir)
 }

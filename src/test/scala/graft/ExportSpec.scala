@@ -157,6 +157,42 @@ class ExportSpec extends AnyFunSuite {
       s"incremental manifest plan rescans the lake layout: $roots")
   }
 
+  test("q158: split children pair-sum to the parent manifest; split plan has no Exchange; runs stay sorted") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val (parentDir, childDir) = (tmp("split-p"), tmp("split-c"))
+    ShardExport.writeShards(docs, "doc_id", parentDir, nShards = 16)
+    // the split's read-and-rekey frame plans WITHOUT any Exchange —
+    // the per-file locality claim, checked on the same frame shape
+    // splitShards writes
+    val rekeyed = spark.read.parquet(parentDir)
+      .withColumn("shard", ShardExport.shardOf(col("draw"), 32))
+    assert(!rekeyed.queryExecution.executedPlan.toString.contains("Exchange"),
+      "shard split plans a shuffle — the locality claim is broken")
+    ShardExport.splitShards(spark, parentDir, childDir, nShardsOld = 16)
+    val parent = manifestMap(
+      ShardExport.manifest(spark.read.parquet(parentDir)))
+    val child = manifestMap(
+      ShardExport.manifest(spark.read.parquet(childDir)))
+    assert(child.size == 32 && parent.size == 16)
+    // pair-sum law: child r + child r+16 == parent r, field by field
+    (0 until 16).foreach { r =>
+      val (a, b, p) = (child(r), child(r + 16), parent(r))
+      (0 to 3).foreach { i =>
+        assert(a(i).asInstanceOf[Long] + b(i).asInstanceOf[Long] ==
+          p(i).asInstanceOf[Long], s"shard $r field $i breaks pair-sum") }
+      assert(Seq(a(4), b(4)).map(_.asInstanceOf[String]).min == p(4))
+      assert(Seq(a(5), b(5)).map(_.asInstanceOf[String]).max == p(5))
+    }
+    // child files are still sorted runs (filtering preserves order)
+    landedFiles(childDir).foreach { f =>
+      val draws = spark.read.parquet(f.getAbsolutePath)
+        .select("draw").collect().map(_.getString(0)).toSeq
+      assert(draws == draws.sorted, s"split file ${f.getName} not sorted")
+    }
+  }
+
   test("q155 streaming twin equals the one-shot merge on an INTERLEAVED 3-way split") {
     import java.nio.file.Files
     val docs = Tables.documents(spark, TestSpark.sf0001)
