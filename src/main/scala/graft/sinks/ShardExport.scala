@@ -85,10 +85,28 @@ object ShardExport {
     * run so a loader streaming a shard sees the deterministic order
     * without its own sort. `maxRecordsPerFile` bounds file size at
     * scale (0 = Spark default). */
+  /** EMPTY-input guard shared by every landing path: a dynamic-
+    * partition write of zero rows emits no files at all (an unreadable
+    * schema-less directory), so an empty overwrite lands one plain
+    * schema-bearing empty parquet file (shard stays as a data column —
+    * readers and manifests see the schema, aggregate to zero rows) and
+    * an empty append is a no-op (a root-level file would break
+    * partition discovery on the existing layout). Returns true when
+    * the empty case was handled. */
+  private def landedEmpty(keyed: DataFrame, outDir: String,
+      mode: String): Boolean = {
+    if (!keyed.isEmpty) return false
+    if (mode != "append")
+      keyed.coalesce(1).write.mode(mode).parquet(outDir)
+    true
+  }
+
   def writeShards(df: DataFrame, keyCol: String, outDir: String,
       nShards: Int, maxRecordsPerFile: Long = 0L,
       mode: String = "overwrite"): Unit = {
-    val w = withShardKey(df, keyCol, nShards)
+    val keyed = withShardKey(df, keyCol, nShards)
+    if (landedEmpty(keyed, outDir, mode)) return
+    val w = keyed
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("draw"))
       .write.mode(mode)
@@ -167,10 +185,15 @@ object ShardExport {
     * manifests alone. */
   def splitShards(spark: org.apache.spark.sql.SparkSession,
       inDir: String, outDir: String, nShardsOld: Int,
-      factor: Int = 2): Unit =
-    spark.read.parquet(inDir)
+      factor: Int = 2): Unit = {
+    val rekeyed = spark.read.parquet(inDir)
       .withColumn("shard", shardOf(col("draw"), nShardsOld * factor))
-      .write.mode("overwrite")
+    if (landedEmpty(rekeyed, outDir, "overwrite")) return
+    // deliberately NO repartition: the re-key is per-file local
+    // (mod-nesting) and the partitioned write fans each task's rows
+    // into its child dirs without an Exchange
+    rekeyed.write.mode("overwrite")
       .partitionBy("shard")
       .parquet(outDir)
+  }
 }
