@@ -72,10 +72,13 @@ object Layout {
     graft.operators.SessionCache.memoOn(spark, dir, s"bloom-orders|$dir") {
       val out = graft.operators.Stage.allocDir(spark, "bloom-q154")
       val n = Tables.orders(spark, dir).count()
+      // blooms are PER ROW GROUP: size for a file's worth of keys, not
+      // the whole table — a table-sized request would hit parquet's
+      // 1 MB bloom cap at larger SFs and silently clamp
       graft.sinks.BloomLayout.writeBloomIndexed(
         ordersProjected(spark, dir).withColumn("day", col("day").cast("long")),
         sortCol = "day", bloomCol = "o_orderkey", outDir = out,
-        nFiles = 16, expectedNdv = math.max(1024L, n))
+        nFiles = 16, expectedNdv = math.max(1024L, n / 16))
       out
     }
 

@@ -64,6 +64,16 @@ object Retrieval {
         "retrieval-tf")
     }
 
+  /** The ONE spelling of the fixed-point BM25 factors — q102, q152's
+    * lexical arm, and q156's re-score all compose these same three
+    * strings (and their DuckDB twins spell the same arithmetic), so a
+    * constant retune cannot silently diverge the family. */
+  private val Bm25NormK = "250 + (750 * dl * n_docs) DIV sum_dl"
+  private val Bm25TfsatK =
+    "(tf * 2200 * 1000) DIV (tf * 1000 + (1200 * norm_k) DIV 1000)"
+  private val Bm25IdfK =
+    "((2 * (n_docs - df) + 1) * 1000) DIV (2 * df + 1)"
+
   /** The corpus scalars every BM25-family operator derives from tf:
     * per-doc length, the 1-row corpus totals, per-token df. */
   private def bm25Scalars(tf: DataFrame)
@@ -89,18 +99,21 @@ object Retrieval {
       .limit(nTerms)
       .select(col("token"), col("df"))
 
-  /** [[bm25]] over a prebuilt (landed) tf table. */
-  def bm25From(tf: DataFrame, nTerms: Int = 8, topK: Int = 3): DataFrame = {
-    val (dl, scal, dfTab) = bm25Scalars(tf)
+  /** [[bm25]] over a prebuilt (landed) tf table. `scalars` lets a
+    * caller that already aggregated (dl, scal, dfTab) — q156's
+    * feedback pass — share them instead of planning the corpus aggs
+    * twice. */
+  def bm25From(tf: DataFrame, nTerms: Int = 8, topK: Int = 3,
+      scalars: Option[(DataFrame, DataFrame, DataFrame)] = None)
+      : DataFrame = {
+    val (dl, scal, dfTab) = scalars.getOrElse(bm25Scalars(tf))
     val qterms = queryTermsOf(dfTab, scal, nTerms)
     tf.join(broadcast(qterms), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(scal))
-      .withColumn("norm_k", expr("250 + (750 * dl * n_docs) DIV sum_dl"))
-      .withColumn("tfsat_k",
-        expr("(tf * 2200 * 1000) DIV (tf * 1000 + (1200 * norm_k) DIV 1000)"))
-      .withColumn("idf_k",
-        expr("((2 * (n_docs - df) + 1) * 1000) DIV (2 * df + 1)"))
+      .withColumn("norm_k", expr(Bm25NormK))
+      .withColumn("tfsat_k", expr(Bm25TfsatK))
+      .withColumn("idf_k", expr(Bm25IdfK))
       .withColumn("score", col("idf_k") * col("tfsat_k"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("token"))
@@ -451,9 +464,7 @@ object Retrieval {
     // landed tf (tfFor); the generic path stages its own. ----
     val tf = tfPre.getOrElse(
       graft.operators.Stage.materialize(tfOf(d), "hybrid-tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val scal = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val dfTab = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val (dl, scal, dfTab) = bm25Scalars(tf)
     val qterms = tf.join(broadcast(qids), tf("doc_id") === qids("qid"))
       .select(col("qid"), col("token")).distinct()
       .join(dfTab, Seq("token"))
@@ -464,11 +475,9 @@ object Retrieval {
       .filter(col("doc_id") =!= col("qid"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(scal))
-      .withColumn("norm_k", expr("250 + (750 * dl * n_docs) DIV sum_dl"))
-      .withColumn("tfsat_k",
-        expr("(tf * 2200 * 1000) DIV (tf * 1000 + (1200 * norm_k) DIV 1000)"))
-      .withColumn("idf_k",
-        expr("((2 * (n_docs - df) + 1) * 1000) DIV (2 * df + 1)"))
+      .withColumn("norm_k", expr(Bm25NormK))
+      .withColumn("tfsat_k", expr(Bm25TfsatK))
+      .withColumn("idf_k", expr(Bm25IdfK))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("idf_k") * col("tfsat_k")).as("lex_score"))
       .withColumn("lex_rnk", row_number().over(
@@ -598,7 +607,10 @@ object Retrieval {
   def prfExpand(tf: DataFrame, nTerms: Int = 8, fbK: Int = 3,
       nExp: Int = 2, topK: Int = 5): DataFrame = {
     val (dl, scal, dfTab) = bm25Scalars(tf)
-    val fb = bm25From(tf, nTerms, fbK)
+    // the feedback pass SHARES the scalars just aggregated — without
+    // the seam one q156 run would plan the corpus-sized dl/df aggs
+    // twice (Catalyst does not dedupe logical subtrees)
+    val fb = bm25From(tf, nTerms, fbK, scalars = Some((dl, scal, dfTab)))
       .select(col("token").as("qterm"), col("doc_id"))
     val expand = tf.join(broadcast(fb), Seq("doc_id"))
       .filter(col("token") =!= col("qterm"))
@@ -620,11 +632,9 @@ object Retrieval {
     tf.join(broadcast(wterms), tf("token") === wterms("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(scal))
-      .withColumn("norm_k", expr("250 + (750 * dl * n_docs) DIV sum_dl"))
-      .withColumn("tfsat_k",
-        expr("(tf * 2200 * 1000) DIV (tf * 1000 + (1200 * norm_k) DIV 1000)"))
-      .withColumn("idf_k",
-        expr("((2 * (n_docs - df) + 1) * 1000) DIV (2 * df + 1)"))
+      .withColumn("norm_k", expr(Bm25NormK))
+      .withColumn("tfsat_k", expr(Bm25TfsatK))
+      .withColumn("idf_k", expr(Bm25IdfK))
       .withColumn("contrib", col("w") * col("idf_k") * col("tfsat_k"))
       .groupBy(col("qterm"), col("doc_id"))
       .agg(

@@ -101,11 +101,27 @@ object ShardExport {
     true
   }
 
+  /** Remove a root-level empty marker (the schema-bearing file a
+    * zero-row overwrite lands) before appending partition dirs: parquet
+    * partition discovery rejects leaf files at two depths, so an
+    * empty-day-0 layout followed by a non-empty append would otherwise
+    * become unreadable. */
+  private def dropEmptyMarker(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .foreach(f => fs.delete(f.getPath, false): Unit)
+  }
+
   def writeShards(df: DataFrame, keyCol: String, outDir: String,
       nShards: Int, maxRecordsPerFile: Long = 0L,
       mode: String = "overwrite"): Unit = {
     val keyed = withShardKey(df, keyCol, nShards)
     if (landedEmpty(keyed, outDir, mode)) return
+    if (mode == "append") dropEmptyMarker(df.sparkSession, outDir)
     val w = keyed
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("draw"))

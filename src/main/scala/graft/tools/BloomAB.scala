@@ -32,10 +32,10 @@ object BloomAB {
     val bDir = java.nio.file.Files.createTempDirectory("bloomab-b").toString
     val sDir = java.nio.file.Files.createTempDirectory("bloomab-s").toString
     BloomLayout.writeBloomIndexed(orders, "day", "o_orderkey", bDir,
-      nFiles = 16, expectedNdv = math.max(1024L, n),
+      nFiles = 16, expectedNdv = math.max(1024L, n / 16),
       blockSize = Some(256L * 1024))
     BloomLayout.writeBloomIndexed(orders, "day", "o_orderkey", sDir,
-      nFiles = 16, expectedNdv = math.max(1024L, n),
+      nFiles = 16, expectedNdv = math.max(1024L, n / 16),
       blockSize = Some(256L * 1024), bloom = false)
     val withB = BloomLayout.rowGroupBloomProbe(spark, bDir, "o_orderkey", keys)
     val noB = BloomLayout.rowGroupBloomProbe(spark, sDir, "o_orderkey", keys)

@@ -58,13 +58,12 @@ object ExportScaleDryRun {
     //     per-batch delta+merge (must be FLAT in lake size) ---
     val batch = docs.filter(col("doc_id") % 10 === 7)
     Seq(1, 10, 50).foreach { n =>
-      val mT = timed {
-        ShardExport.manifest(spark.read.parquet(layouts(n))).collect()
-      }
-      // stored manifest: a driver-pinned 16-row frame (the production
-      // shape — the lake contributes ONLY this table to the batch path)
       val mDf = ShardExport.manifest(spark.read.parquet(layouts(n)))
-      val rows = mDf.collect().toSeq
+      var rows: Seq[org.apache.spark.sql.Row] = Seq.empty
+      val mT = timed { rows = mDf.collect().toSeq }
+      // stored manifest: a driver-pinned 16-row frame (the production
+      // shape — the lake contributes ONLY this table to the batch
+      // path), reusing the rows the timed collect already fetched
       val stored = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), mDf.schema)
       val bT = timed {

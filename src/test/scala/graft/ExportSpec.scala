@@ -157,6 +157,24 @@ class ExportSpec extends AnyFunSuite {
       s"incremental manifest plan rescans the lake layout: $roots")
   }
 
+  test("day-0 empty export then a non-empty append stays readable (root marker dropped)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("day0")
+    // day 0: nothing arrives — the export lands a schema-bearing
+    // empty marker at the root
+    ShardExport.writeShards(docs.limit(0), "doc_id", dir, nShards = 16)
+    assert(spark.read.parquet(dir).count() == 0)
+    // day 1: a real batch appends partition dirs; the root marker must
+    // go, or partition discovery sees leaves at two depths and throws
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    ShardExport.appendShards(batch, "doc_id", dir, nShards = 16)
+    val landed = spark.read.parquet(dir)
+    assert(landed.count() == batch.count())
+    assert(ShardExport.manifest(landed).count() > 0)
+  }
+
   test("q158: split children pair-sum to the parent manifest; split plan has no Exchange; runs stay sorted") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("source"), col("lang"),
