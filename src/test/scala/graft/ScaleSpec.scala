@@ -153,4 +153,44 @@ class ScaleSpec extends AnyFunSuite {
     assert(emitted.getOrElse("2024-01-01 09:00:00.0", 0L) == 1L,
       s"expected 09:00 window emitted with n=1, got $emitted")
   }
+
+  // ---- q159 count-min sketch ----
+
+  private def tfOfDocs(docs: org.apache.spark.sql.DataFrame) =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+
+  test("q159: CMS estimates never undercount, and are exact on the collision-free fixture vocabulary") {
+    val rows = queries.Approximate.q159.run(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("true_cnt"),
+        s"CMS undercounted: $r")
+      assert(r.getAs[Long]("overcount") ==
+        r.getAs[Long]("cms_est") - r.getAs[Long]("true_cnt"))
+    }
+    // the ~30-word fixture vocabulary in 4x1024 cells: collisions in
+    // ALL FOUR rows simultaneously are vanishingly unlikely, so the
+    // min-over-rows estimate should be exact here
+    assert(rows.forall(_.getAs[Long]("overcount") == 0L),
+      "fixture-scale sketch unexpectedly collided in every row")
+  }
+
+  test("q159: the sketch is MERGEABLE — cells(A ∪ B) equals cells(A) ⊕ cells(B)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    def cellsMap(d: org.apache.spark.sql.DataFrame): Map[(Int, Int), Long] =
+      queries.Approximate.cmsCells(tfOfDocs(d)).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Long]("cell_cnt"))
+        .toMap
+    val (ca, cb, cab) = (cellsMap(a), cellsMap(b), cellsMap(docs))
+    val merged = (ca.keySet ++ cb.keySet).map(k =>
+      k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))).toMap
+    assert(merged == cab,
+      "cell-wise sum of the split sketches differs from the union's sketch")
+  }
 }
