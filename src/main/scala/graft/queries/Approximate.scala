@@ -121,5 +121,140 @@ object Approximate {
         CAST(cms_est - true_cnt AS BIGINT) AS overcount
       FROM est"""))
 
-  val all: Seq[Q] = Seq(q39, q159)
+  /** Core of q160: approximate quantiles from a fixed-bin HISTOGRAM —
+    * the deterministic, mergeable quantile structure (the q159 story
+    * applied to q39's other half: where KLL/GK are engine-private,
+    * equi-width bin counts are pure arithmetic both engines replay
+    * exactly). Two passes: exact per-group (min, max, n), then one
+    * hash agg into ≤ groups·bins cells; the estimate walks the 256-row
+    * cumulative per group to the ceil(q·n) rank (INTEGER ceil —
+    * (q·n+99) DIV 100, no float rank) and reports the bin midpoint.
+    * Bin counts ADD cell-wise, so partition partials ARE local
+    * histograms and the shuffle merges them — same mergeability as
+    * the CMS, suite-asserted. At 100 TB: two scans, constant state,
+    * error bounded by one bin width of the [min,max] span. */
+  def histQuantiles(vals: org.apache.spark.sql.DataFrame,
+      bins: Int = 256, qpcts: Seq[Int] = Seq(50, 90, 99))
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = vals.groupBy(col("flag")).agg(
+      min(col("v")).as("mn"), max(col("v")).as("mx"),
+      count(lit(1)).as("n"))
+    val h = vals.join(broadcast(s), "flag")
+      .withColumn("bin", when(col("mx") === col("mn"), lit(0)).otherwise(
+        least(lit(bins - 1),
+          floor((col("v") - col("mn")) * lit(bins)
+            / (col("mx") - col("mn"))).cast("int"))))
+      .groupBy(col("flag"), col("bin")).agg(count(lit(1)).as("c"))
+    val cum = h.withColumn("cum", sum(col("c")).over(
+      Window.partitionBy(col("flag")).orderBy(col("bin"))))
+      .select(col("flag").as("cflag"), col("bin"), col("cum"))
+    val qdf = vals.sparkSession
+      .createDataset(qpcts)(org.apache.spark.sql.Encoders.scalaInt)
+      .toDF("qpct")
+    s.crossJoin(broadcast(qdf))
+      .withColumn("tr", expr("(qpct * n + 99) DIV 100"))
+      .join(cum, col("cflag") === col("flag") && col("cum") >= col("tr"))
+      .groupBy(col("flag"), col("qpct"), col("n"), col("mn"), col("mx"))
+      .agg(min(col("bin")).as("est_bin"))
+      .withColumn("est", when(col("mx") === col("mn"), col("mn"))
+        .otherwise(col("mn")
+          + (col("est_bin") + lit(0.5)) * (col("mx") - col("mn"))
+            / lit(bins.toDouble)))
+      .select(col("flag").as("l_returnflag"), col("qpct"), col("n"),
+        col("est_bin"), col("est"))
+  }
+
+  /** q160 — histogram-quantile estimates (p50/p90/p99 of
+    * l_extendedprice per returnflag) under the exact hash gate. */
+  val q160: Q = Q(
+    "q160_hist_quantiles",
+    run = { (spark, dir) =>
+      histQuantiles(Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v")))
+    },
+    oracle = Some("""
+      WITH l AS (SELECT l_returnflag AS flag, l_extendedprice AS v
+                 FROM lineitem),
+      s AS (SELECT flag, min(v) AS mn, max(v) AS mx,
+              CAST(count(*) AS BIGINT) AS n FROM l GROUP BY flag),
+      b AS (SELECT l.flag,
+              CASE WHEN s.mx = s.mn THEN 0
+                   ELSE LEAST(255, CAST(floor((l.v - s.mn) * 256
+                     / (s.mx - s.mn)) AS INTEGER)) END AS bin
+            FROM l JOIN s USING (flag)),
+      h AS (SELECT flag, bin, CAST(count(*) AS BIGINT) AS c
+            FROM b GROUP BY flag, bin),
+      cum AS (SELECT flag, bin,
+                CAST(sum(c) OVER (PARTITION BY flag ORDER BY bin)
+                  AS BIGINT) AS cum FROM h),
+      qs AS (SELECT CAST(unnest([50, 90, 99]) AS INTEGER) AS qpct),
+      t AS (SELECT s.flag, qs.qpct, s.n, s.mn, s.mx,
+              (qs.qpct * s.n + 99) // 100 AS tr
+            FROM s CROSS JOIN qs),
+      eb AS (SELECT t.flag, t.qpct, t.n, t.mn, t.mx,
+               CAST(min(c.bin) AS INTEGER) AS est_bin
+             FROM t JOIN cum c ON c.flag = t.flag AND c.cum >= t.tr
+             GROUP BY t.flag, t.qpct, t.n, t.mn, t.mx)
+      SELECT flag AS l_returnflag, qpct, n, est_bin,
+        CASE WHEN mx = mn THEN mn
+             ELSE mn + (est_bin + 0.5) * (mx - mn) / 256.0 END AS est
+      FROM eb"""))
+
+  /** Core of q161: LINEAR-COUNTING distinct estimation (Whang et al.
+    * 1990) — the cardinality member of the deterministic sketch trio
+    * (q159 frequency, q160 quantiles): users hash into an m-cell
+    * bitmap via the md5 family, the estimate is m·ln(m/(m−occupied)),
+    * and because the bitmap is a pure function of the input the oracle
+    * replays cells AND estimate exactly — where q77's HLL sketch is
+    * engine-private, this one is hash-gated. Bitmaps OR cell-wise
+    * (occupied(A ∪ B) = |cells(A) ∪ cells(B)| — suite-asserted), so
+    * partition partials merge like every other sketch here. At 100 TB
+    * the state is m bits per group vs count(distinct)'s shuffle of
+    * every distinct key; load factors past ~occupied/m ≈ 0.7 need a
+    * bigger m (the saturated m == occupied case returns NULL rather
+    * than ∞). */
+  def linearCountUsers(events: org.apache.spark.sql.DataFrame,
+      m: Int = 4096): org.apache.spark.sql.DataFrame =
+    events
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      .withColumn("cell",
+        (conv(substring(md5(concat(lit("lc|"),
+          col("user_id").cast("string"))), 1, 4), 16, 10).cast("long")
+          % m).cast("int"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("true_distinct"),
+        countDistinct(col("cell")).as("occupied_cells"))
+      .withColumn("lc_est", when(col("occupied_cells") < m,
+        lit(m.toDouble) * log(lit(m.toDouble)
+          / (lit(m.toDouble) - col("occupied_cells")))))
+
+  /** q161 — linear-counting distinct users per day under the exact
+    * hash gate, with the true count alongside for the accuracy story. */
+  val q161: Q = Q(
+    "q161_linear_count",
+    run = { (spark, dir) => linearCountUsers(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH e AS (SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE),
+                   '%Y-%m-%d') AS day, user_id FROM events),
+      c AS (SELECT day, user_id,
+              CAST(list_sum(list_transform(generate_series(1, 4),
+                p -> (strpos('0123456789abcdef',
+                       substr(md5('lc|' || CAST(user_id AS VARCHAR)),
+                         CAST(p AS INTEGER), 1)) - 1)
+                     * (CAST(1 AS BIGINT)
+                        << CAST(4 * (4 - p) AS INTEGER))))
+                % 4096 AS INTEGER) AS cell
+            FROM e)
+      SELECT day,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct,
+        CAST(count(DISTINCT cell) AS BIGINT) AS occupied_cells,
+        CASE WHEN count(DISTINCT cell) < 4096
+             THEN 4096.0 * ln(4096.0 / (4096.0 - count(DISTINCT cell)))
+             ELSE NULL END AS lc_est
+      FROM c GROUP BY day"""))
+
+  val all: Seq[Q] = Seq(q39, q159, q160, q161)
 }

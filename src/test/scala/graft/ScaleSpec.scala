@@ -178,6 +178,66 @@ class ScaleSpec extends AnyFunSuite {
       "fixture-scale sketch unexpectedly collided in every row")
   }
 
+  test("q160: histogram quantile estimates land within one bin width of the exact percentile") {
+    val rows = queries.Approximate.q160.run(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val exact = Tables.lineitem(spark, TestSpark.sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.50, 0.90, 0.99))")
+        .as("p"),
+        ((max(col("l_extendedprice")) - min(col("l_extendedprice")))
+          / 256.0).as("w"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (ps, w) = exact(r.getString(0))
+      val p = r.getInt(1) match {
+        case 50 => ps(0); case 90 => ps(1); case 99 => ps(2)
+      }
+      assert(math.abs(r.getDouble(4) - p) <= w + 1e-9,
+        s"estimate ${r.getDouble(4)} further than a bin width from $p: $r")
+    }
+  }
+
+  test("q160: histograms are MERGEABLE — binning A and B separately sums to the union's bins") {
+    val vals = Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("v"), col("l_orderkey"))
+    // fixed global bounds so both halves bin identically
+    val Seq(mn, mx) = vals.agg(min("v"), max("v")).collect()
+      .flatMap(r => Seq(r.getDouble(0), r.getDouble(1))).toSeq
+    def binsOf(d: org.apache.spark.sql.DataFrame): Map[(String, Int), Long] =
+      d.withColumn("bin", least(lit(255),
+          floor((col("v") - lit(mn)) * 256 / lit(mx - mn)).cast("int")))
+        .groupBy("flag", "bin").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+    val a = binsOf(vals.filter(col("l_orderkey") % 2 === 0))
+    val b = binsOf(vals.filter(col("l_orderkey") % 2 === 1))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == binsOf(vals))
+  }
+
+  test("q161: linear-count estimates at least the occupied cells and tracks truth at fixture load factors") {
+    val rows = queries.Approximate.q161.run(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tru, occ) = (r.getAs[Long]("true_distinct"),
+        r.getAs[Long]("occupied_cells"))
+      assert(occ <= tru, s"more occupied cells than distinct users: $r")
+      assert(!r.isNullAt(3), s"fixture day saturated the 4096 cells: $r")
+      val est = r.getDouble(3)
+      assert(est >= occ - 1e-9, s"estimate below occupied cells: $r")
+      // fixture load factor is tiny — the estimator must be close
+      assert(math.abs(est - tru) <= math.max(2.0, 0.1 * tru),
+        s"linear count off by >10% at low load: est=$est true=$tru")
+    }
+  }
+
   test("q159: the sketch is MERGEABLE — cells(A ∪ B) equals cells(A) ⊕ cells(B)") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("text"))
