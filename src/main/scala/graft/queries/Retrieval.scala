@@ -424,6 +424,101 @@ object Retrieval {
           AS deltas
       FROM d GROUP BY token, segment"""))
 
+  /** The (doc_id, pos, token) POSITIONAL postings of the registry
+    * corpus — the artifact phrase/proximity queries probe (a positional
+    * inverted index is exactly this table keyed by token) — staged once
+    * per (session, corpus snapshot), the tfFor recipe. Positions are
+    * 0-based split offsets; the EMPTY-token rows are kept so offsets
+    * stay aligned with the raw split (the oracle's 1-based `tl[i]`
+    * indexing is the same sequence shifted by one). */
+  private[graft] def posFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.operators.SessionCache.memoOn(spark, dir, s"retrieval-pos|$dir") {
+      graft.operators.Stage.materialize(
+        Tables.documents(spark, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "token"))),
+        "retrieval-pos")
+    }
+
+  /** Core of q162: exact PHRASE search over positional postings — the
+    * boolean-retrieval operator BM25 can't express (bag-of-words loses
+    * adjacency). Query phrases are self-selected as every ordered pair
+    * of q102's rare query terms (nTerms² candidate phrases, broadcast);
+    * a match is term1 at position p and term2 at p+1 in the same doc.
+    * Emits (w1, w2, doc_id, n_matches, first_pos) for pairs that
+    * actually co-occur adjacently — the phrase-postings table a
+    * quoted-query tier serves from.
+    *
+    * Scale shape: the positional postings are the landed session
+    * artifact (posFor); BOTH join legs are first restricted to the
+    * nTerms rare tokens by a broadcast semi-restriction, so the
+    * adjacency equi-join on (doc_id, pos) shuffles only the rare-term
+    * postings — the df·20 ≤ N rarity rule is again the complexity
+    * bound (a stopword phrase would drag in corpus-sized postings; rare
+    * terms keep both sides bucket-bounded). No window, no driver loop;
+    * at 100 TB the restriction becomes a postings-index lookup and the
+    * adjacency join is per-doc local after the doc_id shuffle. */
+  /** [[phraseSearch]] straight from a (doc_id, text) frame — builds the
+    * tf and positional-postings inputs inline (hand corpora / tests);
+    * the registry rides the session-staged seams instead. */
+  def phraseSearchDocs(docs: DataFrame, nTerms: Int = 8): DataFrame = {
+    val d = docs.filter(col("text").isNotNull)
+    phraseSearch(tfOf(d),
+      d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token"))),
+      nTerms)
+  }
+
+  def phraseSearch(tf: DataFrame, pos: DataFrame,
+      nTerms: Int = 8): DataFrame = {
+    val (_, scal, dfTab) = bm25Scalars(tf)
+    val qt = queryTermsOf(dfTab, scal, nTerms).select(col("token"))
+    val p = pos.join(broadcast(qt), Seq("token"))
+    val left = p.select(col("doc_id"), col("token").as("w1"), col("pos"))
+    val right = p.select(col("doc_id"), col("token").as("w2"),
+      (col("pos") - 1).as("pos"))
+    left.join(right, Seq("doc_id", "pos"))
+      .groupBy(col("w1"), col("w2"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        (min(col("pos")) + 1).cast("long").as("first_pos"))
+  }
+
+  /** q162 — exact phrase (adjacency) search: occurrences of every
+    * ordered rare-term pair as a two-word phrase, per document, with
+    * match count and first 1-based position. */
+  val q162: Q = Q(
+    "q162_phrase_search",
+    run = { (spark, dir) =>
+      phraseSearch(tfFor(spark, dir), posFor(spark, dir))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM d),
+      tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+             FROM toks GROUP BY doc_id, token),
+      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             FROM tf GROUP BY doc_id),
+      scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY token),
+      qt AS (SELECT token FROM (
+               SELECT token,
+                 row_number() OVER (ORDER BY df DESC, token ASC) AS trnk
+               FROM dft CROSS JOIN scal WHERE df * 20 <= n_docs)
+             WHERE trnk <= 8),
+      s AS (SELECT doc_id, string_split(text, ' ') AS tl FROM d),
+      g AS (SELECT doc_id, tl, unnest(generate_series(1, len(tl) - 1)) AS i
+            FROM s),
+      b AS (SELECT doc_id, tl[i] AS w1, tl[i + 1] AS w2, i FROM g),
+      m AS (SELECT b.doc_id, b.w1, b.w2, b.i FROM b
+            JOIN qt q1 ON b.w1 = q1.token
+            JOIN qt q2 ON b.w2 = q2.token)
+      SELECT w1, w2, doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        CAST(min(i) AS BIGINT) AS first_pos
+      FROM m GROUP BY w1, w2, doc_id"""))
+
   /** Core of q152: hybrid lexical+vector retrieval fused with
     * reciprocal-rank fusion (RRF, Cormack/Clarke/Buettcher 2009 — the
     * standard "BM25 arm + embedding arm" production retrieval shape).
@@ -719,5 +814,5 @@ object Retrieval {
               AS INTEGER) AS rnk FROM agg)
       WHERE rnk <= 5"""))
 
-  val all: Seq[Q] = Seq(q102, q103, q108, q122, q124, q152, q156)
+  val all: Seq[Q] = Seq(q102, q103, q108, q122, q124, q152, q156, q162)
 }

@@ -396,4 +396,60 @@ class RetrievalGraphPrivacySpec extends AnyFunSuite {
       assert(ranks == (1 to ranks.length), s"qterm $q ranks not contiguous")
     }
   }
+
+  // ---- q162 phrase_search ----
+
+  test("q162: hand corpus — adjacency only, counted per occurrence, 1-based first_pos") {
+    // a, b, x all df=2 (cap 2*20=40 <= 41 docs passes); top-2 by
+    // (df desc, token asc) = {a, b}, so x never forms a query phrase
+    val docs = (
+      Seq((1L, "a b x a b"), (2L, "b a x")) ++
+      (3L to 41L).map(i => (i, s"pad$i"))).toDF("doc_id", "text")
+    val out = Retrieval.phraseSearchDocs(docs, nTerms = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    // doc 1: "a b" at positions 1 and 4 — counted twice, first at 1;
+    // the non-adjacent co-occurrences (a..b across x) never match
+    assert(out(("a", "b", 1L)) == ((2L, 1L)), s"doc1 a-b: $out")
+    // doc 2: "b a" once at position 1
+    assert(out(("b", "a", 2L)) == ((1L, 1L)), s"doc2 b-a: $out")
+    // nothing else — no (a,a)/(b,b), no phrases with x
+    assert(out.size == 2, s"unexpected phrase rows: $out")
+  }
+
+  test("q162: an empty token from a double space breaks adjacency") {
+    val docs = (
+      Seq((1L, "a b pad"), (2L, "a  b pad")) ++ // doc 2: a<gap>b
+      (3L to 41L).map(i => (i, s"pad$i"))).toDF("doc_id", "text")
+    val out = Retrieval.phraseSearchDocs(docs, nTerms = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out.contains(("a", "b", 1L)), s"adjacent pair missed: $out")
+    assert(!out.contains(("a", "b", 2L)),
+      s"split by an empty token yet matched: $out")
+  }
+
+  test("q162 registry run: phrases within the rare-term set; counts verified on raw text") {
+    val rows = Retrieval.q162.run(spark, dir).collect()
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+    val qset = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
+    assert(qset.size <= 8, s"more than 8 distinct phrase terms: $qset")
+    if (rows.nonEmpty) {
+      // recompute a handful of rows straight from the text
+      val sample = rows.sortBy(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).take(5)
+      val byId = docs.select(col("doc_id"), col("text"))
+        .filter(col("doc_id").isin(sample.map(_.getLong(2)): _*))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      sample.foreach { r =>
+        val toks = byId(r.getLong(2)).split(" ", -1)
+        val hits = toks.zip(toks.drop(1)).zipWithIndex.collect {
+          case ((w1, w2), i)
+            if w1 == r.getString(0) && w2 == r.getString(1) => i + 1
+        }
+        assert(hits.length.toLong == r.getLong(3), s"count wrong for $r")
+        assert(hits.head.toLong == r.getLong(4), s"first_pos wrong for $r")
+      }
+    }
+  }
 }
