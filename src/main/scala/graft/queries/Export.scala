@@ -170,5 +170,50 @@ object Export {
     },
     oracle = Some(manifestOracleSqlFor(2 * nShards)))
 
-  val all: Seq[Q] = Seq(q153, q155, q158)
+  /** q163's OWN appended-then-compacted layout (never the q155 lake —
+    * compaction mutates the landed bytes in place, and the q155 stored
+    * manifest must keep describing the un-appended lake): day-0 export
+    * of doc_id % 10 ∉ {7, 8}, two daily appends (7 then 8), then
+    * SELECTIVE compaction at maxRuns = 2 — shards both batches touched
+    * sit at 3 runs and compact; shards a batch missed stay at ≤ 2 runs
+    * and their bytes are never rewritten. */
+  private[graft] def compactedLayoutFor(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.operators.SessionCache.memoOn(spark, dir,
+      s"shard-compact|$dir|$nShards") {
+      val out = graft.operators.Stage.allocDir(spark, "shards-q163")
+      val docs = docCols(Tables.documents(spark, dir))
+      val m10 = col("doc_id") % 10
+      ShardExport.writeShards(docs.filter(m10 =!= 7 && m10 =!= 8),
+        "doc_id", out, nShards)
+      ShardExport.appendShards(docs.filter(m10 === 7), "doc_id", out, nShards)
+      ShardExport.appendShards(docs.filter(m10 === 8), "doc_id", out, nShards)
+      ShardExport.compactShards(spark, out, maxRuns = 2)
+      out
+    }
+
+  /** q163 — selective LSM-style shard COMPACTION under the hash gate
+    * (the maintenance step q155's appends make necessary: every append
+    * drops one more sorted run per touched shard, degrading the
+    * loader's per-shard stream into a k-way merge): shards above the
+    * run threshold are rewritten as ONE draw-ordered file via a
+    * per-shard directory swap, everything else keeps its exact bytes
+    * ([[graft.sinks.ShardExport.compactShards]] — the compaction set
+    * comes from a bounded nShards-row listing and the rewrite job
+    * shuffles ONLY the selected shards' rows, the q124/q155
+    * ∝-the-touched-set posture). Gated on the compacted layout's
+    * manifest vs the raw full-corpus recompute — hash-green certifies
+    * the rewrite lost, duplicated, and reordered-across-shards NOTHING;
+    * ExportSpec asserts the physical laws the order-insensitive
+    * manifest can't see (single post-compaction run, restored draw
+    * order, untouched-below-threshold bytes, swap atomicity unit). */
+  val q163: Q = Q(
+    "q163_shard_compact",
+    run = { (spark, dir) =>
+      ShardExport.manifest(
+        spark.read.parquet(compactedLayoutFor(spark, dir)))
+    },
+    oracle = Some(manifestOracleSql))
+
+  val all: Seq[Q] = Seq(q153, q155, q158, q163)
 }

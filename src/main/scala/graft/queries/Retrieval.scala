@@ -424,6 +424,83 @@ object Retrieval {
           AS deltas
       FROM d GROUP BY token, segment"""))
 
+  /** Core of q164: the STORAGE BUDGET of the q122 postings layout —
+    * per token, the byte cost of its delta-encoded posting lists under
+    * LEB128-style varint coding (7 payload bits per byte — the coding
+    * real inverted indexes and parquet DELTA_BINARY_PACKED variants
+    * ship) vs the fixed 8-byte raw doc-id encoding, with the per-mille
+    * saving. This is the capacity-planning query an index owner runs
+    * before provisioning a serving tier: gap-coded postings cost
+    * O(df · log(avg_gap)) bytes, not O(df · 8), and the win
+    * concentrates exactly in the high-df tokens that dominate the
+    * index.
+    *
+    * Shape: per (token, segment) the sorted doc-id list is rebuilt as
+    * a segSize-BOUNDED array (the q122 skew bound — even a stopword
+    * yields ceil(N/segSize) bounded lists) and the gap/varint
+    * arithmetic runs INSIDE the array via zip_with/aggregate — pure
+    * codegen'd expressions, no window, no second sort exchange; one
+    * token-keyed agg then folds segments. First id per segment is
+    * absolute, later ids are gaps, exactly the bytes q122's `deltas`
+    * strings would serialize. */
+  def postingsBytes(docs: DataFrame, segSize: Int = 100): DataFrame = {
+    // varint size of v ≥ 0: 1 byte for 0, else ceil(bitlen/7); bitlen
+    // = length(bin(v)) in BOTH engines (minimal binary, no sign bit
+    // for the non-negative gaps/ids here)
+    def vbytes(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(v === 0L, lit(1L))
+        .otherwise(((length(bin(v)) + lit(6)) / lit(7)).cast("long"))
+    val seg = postingsTf(docs, segSize)
+      .groupBy(col("token"), col("segment"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val withPrev = seg.withColumn("prevs",
+      concat(array(lit(0L)),
+        slice(col("ids"), lit(1), size(col("ids")) - lit(1))))
+    withPrev
+      .select(col("token"), size(col("ids")).cast("long").as("n"),
+        aggregate(
+          zip_with(col("ids"), col("prevs"), (x, p) => vbytes(x - p)),
+          lit(0L), (acc, x) => acc + x).as("vlq"))
+      .groupBy(col("token"))
+      .agg(sum(col("n")).as("df"),
+        (sum(col("n")) * 8).as("raw_bytes"),
+        sum(col("vlq")).as("vlq_bytes"))
+      .withColumn("saved_milli",
+        expr("((raw_bytes - vlq_bytes) * 1000) div raw_bytes"))
+  }
+
+  /** q164 — postings storage-budget audit: per token, the varint byte
+    * cost of its segment-chunked delta-encoded posting lists vs the
+    * raw 8-byte encoding, and the per-mille saving — the
+    * capacity-planning readout of the q122 index layout. */
+  val q164: Q = Q(
+    "q164_postings_bytes",
+    run = { (spark, dir) =>
+      postingsBytes(Tables.documentsParallel(spark, dir))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents WHERE text IS NOT NULL),
+      tf AS (SELECT token, doc_id FROM t WHERE len(token) > 0
+             GROUP BY 1, 2),
+      seg AS (SELECT token, doc_id // 100 AS segment,
+                list(doc_id ORDER BY doc_id) AS ids
+              FROM tf GROUP BY 1, 2),
+      b AS (SELECT token, len(ids) AS n,
+              CAST(list_sum(list_transform(generate_series(1, len(ids)),
+                i -> CASE WHEN ids[i] - (CASE WHEN i = 1 THEN 0
+                            ELSE ids[i - 1] END) = 0 THEN 1
+                     ELSE (length(bin(ids[i] - (CASE WHEN i = 1 THEN 0
+                            ELSE ids[i - 1] END))) + 6) // 7 END))
+                AS BIGINT) AS vlq
+            FROM seg)
+      SELECT token, CAST(sum(n) AS BIGINT) AS df,
+        CAST(8 * sum(n) AS BIGINT) AS raw_bytes,
+        CAST(sum(vlq) AS BIGINT) AS vlq_bytes,
+        CAST((8 * sum(n) - sum(vlq)) * 1000 // (8 * sum(n)) AS BIGINT)
+          AS saved_milli
+      FROM b GROUP BY token"""))
+
   /** The (doc_id, pos, token) POSITIONAL postings of the registry
     * corpus — the artifact phrase/proximity queries probe (a positional
     * inverted index is exactly this table keyed by token) — staged once
@@ -517,6 +594,69 @@ object Retrieval {
             JOIN qt q2 ON b.w2 = q2.token)
       SELECT w1, w2, doc_id, CAST(count(*) AS BIGINT) AS n_matches,
         CAST(min(i) AS BIGINT) AS first_pos
+      FROM m GROUP BY w1, w2, doc_id"""))
+
+  /** Core of q165: PROXIMITY search — ordered rare-term pairs
+    * co-occurring within a `window`-token span (Lucene's sloppy-phrase
+    * tier; q162's adjacency is the window=1 special case). The right
+    * leg of the positional self-join fans each occurrence into
+    * `window` (position − δ, δ) candidates so proximity resolves as a
+    * pure EQUI-join on (doc_id, pos) — no range predicate, no
+    * cartesian; the fan-out multiplies only the broadcast-restricted
+    * RARE-term postings (window·|rare postings| rows, the df·20 ≤ N
+    * bound times a constant). Emits per ordered pair per doc the
+    * window count and the closest distance — the readout a
+    * proximity-ranking tier boosts by. */
+  def proximitySearch(tf: DataFrame, pos: DataFrame, nTerms: Int = 8,
+      window: Int = 4): DataFrame = {
+    val (_, scal, dfTab) = bm25Scalars(tf)
+    val qt = queryTermsOf(dfTab, scal, nTerms).select(col("token"))
+    val p = pos.join(broadcast(qt), Seq("token"))
+    val left = p.select(col("doc_id"), col("token").as("w1"), col("pos"))
+    val right = p.select(col("doc_id"), col("token").as("w2"),
+        col("pos").as("p2"))
+      .withColumn("dist", explode(sequence(lit(1), lit(window))))
+      .withColumn("pos", col("p2") - col("dist"))
+    left.join(right, Seq("doc_id", "pos"))
+      .groupBy(col("w1"), col("w2"), col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        min(col("dist")).cast("long").as("min_dist"))
+  }
+
+  /** q165 — windowed proximity search: ordered rare-term pairs within
+    * 4 tokens, per document, with pair count and closest distance. */
+  val q165: Q = Q(
+    "q165_proximity_search",
+    run = { (spark, dir) =>
+      proximitySearch(tfFor(spark, dir), posFor(spark, dir))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM d),
+      tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+             FROM toks GROUP BY doc_id, token),
+      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             FROM tf GROUP BY doc_id),
+      scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY token),
+      qt AS (SELECT token FROM (
+               SELECT token,
+                 row_number() OVER (ORDER BY df DESC, token ASC) AS trnk
+               FROM dft CROSS JOIN scal WHERE df * 20 <= n_docs)
+             WHERE trnk <= 8),
+      s AS (SELECT doc_id, string_split(text, ' ') AS tl FROM d),
+      g AS (SELECT doc_id, tl, unnest(generate_series(1, len(tl))) AS i
+            FROM s),
+      p AS (SELECT doc_id, i, tl[i] AS tok FROM g),
+      m AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2, b.i - a.i AS dist
+            FROM p a JOIN p b ON a.doc_id = b.doc_id
+              AND b.i - a.i BETWEEN 1 AND 4
+            JOIN qt q1 ON a.tok = q1.token
+            JOIN qt q2 ON b.tok = q2.token)
+      SELECT w1, w2, doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        CAST(min(dist) AS BIGINT) AS min_dist
       FROM m GROUP BY w1, w2, doc_id"""))
 
   /** Core of q152: hybrid lexical+vector retrieval fused with
@@ -814,5 +954,6 @@ object Retrieval {
               AS INTEGER) AS rnk FROM agg)
       WHERE rnk <= 5"""))
 
-  val all: Seq[Q] = Seq(q102, q103, q108, q122, q124, q152, q156, q162)
+  val all: Seq[Q] = Seq(q102, q103, q108, q122, q124, q152, q156, q162,
+    q164, q165)
 }

@@ -186,6 +186,68 @@ object ShardExport {
         greatest(col("p_max_key"), col("d_max_key")).as("max_key"))
   }
 
+  /** The per-shard sorted-RUN counts of a landed layout: one bounded
+    * root listing (nShards dirs) + one listing per shard dir — the
+    * driver-side planning input selective compaction reads (at 100 TB
+    * this is the table a compaction scheduler keeps, never the data). */
+  def runCounts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[Int, Int] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Map.empty
+    fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("shard="))
+      .map { d =>
+        val k = d.getPath.getName.stripPrefix("shard=").toInt
+        val files = fs.listStatus(d.getPath).count(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+        k -> files
+      }.toMap
+  }
+
+  /** SELECTIVE in-place COMPACTION — the LSM maintenance step the
+    * append path (q155) makes necessary: each [[appendShards]] drops
+    * one more sorted run into every touched shard dir, so a loader's
+    * per-shard stream degrades from "read one run" to "k-way-merge k
+    * runs" as days accumulate. Compaction rewrites each shard whose
+    * run count exceeds `maxRuns` as ONE file fully ordered by the draw
+    * key, and leaves every other shard's bytes untouched.
+    *
+    * Scale shape: the compaction SET is chosen from [[runCounts]]'s
+    * bounded listing (driver-side, nShards rows — the scheduler's
+    * table); ONE job then reads ONLY the selected shard dirs and
+    * exchanges ONLY their rows (shuffle ∝ the compacted subset, never
+    * the lake — the same ∝-the-touched-set posture as q124/q155), with
+    * a write-sort restoring the single-run order. The swap is a
+    * per-shard directory rename, so readers of an uncompacted shard
+    * never observe a half-written state (the production OPTIMIZE
+    * shape). Returns the compacted shard ids. */
+  def compactShards(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxRuns: Int = 1): Seq[Int] = {
+    val toCompact = runCounts(spark, dir)
+      .filter(_._2 > maxRuns).keys.toSeq.sorted
+    if (toCompact.isEmpty) return Nil
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "-compact-tmp")
+    fs.delete(tmp, true)
+    spark.read.option("basePath", dir)
+      .parquet(toCompact.map(k => s"$dir/shard=$k"): _*)
+      .repartition(toCompact.length, col("shard"))
+      .sortWithinPartitions(col("shard"), col("draw"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(tmp.toString)
+    toCompact.foreach { k =>
+      val dst = new org.apache.hadoop.fs.Path(root, s"shard=$k")
+      fs.delete(dst, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp, s"shard=$k"), dst),
+        s"compaction swap failed for shard=$k")
+    }
+    fs.delete(tmp, true)
+    toCompact
+  }
+
   /** SPLIT a landed layout from `nShardsOld` to `factor ×` as many
     * shards with NO global shuffle: the assignment is the draw's first
     * 4 hex digits mod nShards, and mod classes NEST — v mod 32

@@ -252,4 +252,77 @@ class ExportSpec extends AnyFunSuite {
         ShardExport.withShardKey(incoming, "doc_id", 16)))
     assert(manifestMap(finalManifest) == manifestMap(oneShot))
   }
+
+  // ---- q163 selective shard compaction ----
+
+  private def fileStamps(dir: String): Map[String, Long] =
+    landedFiles(dir).map(f => f.getAbsolutePath -> f.lastModified).toMap
+
+  test("q163: compaction rewrites exactly the above-threshold shards; manifest invariant; order restored; below-threshold bytes untouched") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    // day 0 covers (almost) every shard; two SMALL daily batches touch
+    // only the few shards their 8 docs' draws land in — a genuinely
+    // mixed run-count state, nothing hardcoded about md5 placement
+    val batch1 = docs.orderBy(col("doc_id")).limit(8)
+    val batch2 = docs.orderBy(col("doc_id").desc).limit(8)
+    val b1Ids = batch1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val lake = docs.filter(!col("doc_id").isin(
+      (b1Ids ++ batch2.select("doc_id").collect().map(_.getLong(0))).toSeq: _*))
+    val dir = tmp("cmp")
+    ShardExport.writeShards(lake, "doc_id", dir, nShards = 16)
+    ShardExport.appendShards(batch1, "doc_id", dir, nShards = 16)
+    ShardExport.appendShards(batch2, "doc_id", dir, nShards = 16)
+    val runsBefore = ShardExport.runCounts(spark, dir)
+    val before = manifestMap(ShardExport.manifest(spark.read.parquet(dir)))
+    val stampsBefore = fileStamps(dir)
+    val expected = runsBefore.filter(_._2 > 1).keySet
+    assert(expected.nonEmpty && expected != runsBefore.keySet,
+      s"fixture degenerate — runs $runsBefore give no mixed state")
+    val compacted = ShardExport.compactShards(spark, dir, maxRuns = 1)
+    // exactly the above-threshold shards were selected...
+    assert(compacted.toSet == expected, s"$compacted vs $expected")
+    // ...and each now holds ONE file, fully draw-ordered (the k-way
+    // merge the loader no longer has to do)
+    val runsAfter = ShardExport.runCounts(spark, dir)
+    compacted.foreach(k => assert(runsAfter(k) == 1, s"shard $k runs"))
+    landedFiles(dir).filter(f =>
+      compacted.exists(k => f.getAbsolutePath.contains(s"shard=$k/")))
+      .foreach { f =>
+        val draws = spark.read.parquet(f.getAbsolutePath)
+          .select("draw").collect().map(_.getString(0)).toSeq
+        assert(draws == draws.sorted, s"compacted ${f.getName} not sorted")
+      }
+    // below-threshold shards keep their exact files (path AND mtime —
+    // selective compaction never rewrites quiet shards)
+    val untouched = runsBefore.keySet -- compacted.toSet
+    val stampsAfter = fileStamps(dir)
+    untouched.foreach { k =>
+      val tag = s"shard=$k/"
+      assert(stampsBefore.filter(_._1.contains(tag)) ==
+        stampsAfter.filter(_._1.contains(tag)), s"shard $k bytes rewritten")
+    }
+    // the manifest is INVARIANT — compaction moved bytes, not content
+    val after = manifestMap(ShardExport.manifest(spark.read.parquet(dir)))
+    assert(after == before)
+    // idempotence / threshold law: a second pass at the same threshold
+    // selects nothing and touches nothing
+    assert(ShardExport.compactShards(spark, dir, maxRuns = 1).isEmpty)
+    assert(fileStamps(dir) == stampsAfter)
+  }
+
+  test("q163 registry run: equals q153's full manifest after the append-then-compact lifecycle") {
+    val full = queries.Export.q153.run(spark, TestSpark.sf0001)
+    val comp = queries.Export.q163.run(spark, TestSpark.sf0001)
+    assert(manifestMap(full) == manifestMap(comp))
+    // the landed q163 layout really went through a compaction: every
+    // shard is at ≤ 2 runs (threshold), and at least one shard was
+    // above it pre-compaction iff both batches hit it — certified by
+    // the layout satisfying the threshold invariant
+    val layout = queries.Export.compactedLayoutFor(spark, TestSpark.sf0001)
+    val runs = ShardExport.runCounts(spark, layout)
+    assert(runs.nonEmpty && runs.values.forall(_ <= 2),
+      s"post-compaction run counts above threshold: $runs")
+  }
 }

@@ -428,6 +428,110 @@ class RetrievalGraphPrivacySpec extends AnyFunSuite {
       s"split by an empty token yet matched: $out")
   }
 
+  // ---- q165 proximity search ----
+
+  private def proximityOn(docs: org.apache.spark.sql.DataFrame,
+      nTerms: Int): Array[org.apache.spark.sql.Row] = {
+    val d = docs.filter(col("text").isNotNull)
+    val tf = d.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val pos = d.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+    Retrieval.proximitySearch(tf, pos, nTerms).collect()
+  }
+
+  test("q165: within-window matches only, ordered pairs, closest distance") {
+    // doc 1: a..b at distance 3 (inside the 4 window); doc 2: distance
+    // 5 (outside); q is rare too but loses the top-2 tie to a/b
+    val docs = (
+      Seq((1L, "a q q b"), (2L, "a q q q q b")) ++
+      (3L to 41L).map(i => (i, s"pad$i"))).toDF("doc_id", "text")
+    val out = proximityOn(docs, nTerms = 2)
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(out(("a", "b", 1L)) == ((1L, 3L)), s"doc1: $out")
+    assert(out.size == 1, s"outside-window or unordered pairs leaked: $out")
+  }
+
+  test("q165: multiple windows counted; same-token pairs allowed") {
+    val docs = (
+      Seq((1L, "a b a")) ++
+      (2L to 41L).map(i => (i, s"pad$i"))).toDF("doc_id", "text")
+    val out = proximityOn(docs, nTerms = 2)
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    // ordered pairs within 4 of "a b a": (a,b) at 1, (b,a) at 1,
+    // (a,a) at 2 — the same-token pair is a real repetition signal
+    assert(out(("a", "b", 1L)) == ((1L, 1L)))
+    assert(out(("b", "a", 1L)) == ((1L, 1L)))
+    assert(out(("a", "a", 1L)) == ((1L, 2L)))
+    assert(out.size == 3, s"unexpected rows: $out")
+  }
+
+  test("q165 registry run: subsumes q162 — every phrase row reappears at min_dist 1 with at least its match count") {
+    val prox = Retrieval.q165.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    val phrases = Retrieval.q162.run(spark, dir).collect()
+    phrases.foreach { r =>
+      val key = (r.getString(0), r.getString(1), r.getLong(2))
+      val (nw, md) = prox.getOrElse(key,
+        fail(s"phrase row $key missing from proximity output"))
+      assert(md == 1L, s"adjacent pair $key has min_dist $md")
+      assert(nw >= r.getLong(3), s"window count below phrase count: $key")
+    }
+  }
+
+  // ---- q164 postings storage budget ----
+
+  test("q164: hand corpus — exact varint bytes per segment-delta list") {
+    // "a" in docs 1, 2, 130 → segment 0 list [1,2] (deltas 1,1 → 1+1B)
+    // + segment 1 list [130] (absolute 130 → bin len 8 → 2B): vlq 4;
+    // "z" in doc 0 alone → absolute 0 → the 1-byte zero case
+    val docs = Seq((0L, "z"), (1L, "a"), (2L, "a"), (130L, "a"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.postingsBytes(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == ((3L, 24L, 4L, 833L)), s"a: $out")
+    assert(out("z") == ((1L, 8L, 1L, 875L)), s"z: $out")
+  }
+
+  test("q164: varint byte boundaries at 127/128 and 16383/16384") {
+    // one wide segment so every pair shares a list; second id is the
+    // gap under test (first id 0 costs 1 byte)
+    val docs = Seq(
+      (0L, "b c d e"), (127L, "b"), (128L, "c"),
+      (16383L, "d"), (16384L, "e")).toDF("doc_id", "text")
+    val out = Retrieval.postingsBytes(docs, segSize = 100000).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("b") == 2L, s"gap 127 should be 1+1 bytes: $out")
+    assert(out("c") == 3L, s"gap 128 should be 1+2 bytes: $out")
+    assert(out("d") == 3L, s"gap 16383 should be 1+2 bytes: $out")
+    assert(out("e") == 4L, s"gap 16384 should be 1+3 bytes: $out")
+  }
+
+  test("q164 registry run: df reconciles with the corpus; varint never loses to raw") {
+    val rows = Retrieval.q164.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"vlq > raw for $r")
+      assert(r.getLong(3) >= r.getLong(1), s"vlq below 1 byte/entry: $r")
+      val saved = r.getLong(4)
+      assert(saved >= 0L && saved < 1000L, s"saved_milli out of range: $r")
+    }
+    // df per token equals a direct distinct-doc count
+    val direct = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(direct(r.getString(0)) == r.getLong(1),
+      s"df mismatch for ${r.getString(0)}"))
+  }
+
   test("q162 registry run: phrases within the rare-term set; counts verified on raw text") {
     val rows = Retrieval.q162.run(spark, dir).collect()
     val docs = Tables.documents(spark, dir)
