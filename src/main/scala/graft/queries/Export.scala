@@ -62,10 +62,10 @@ object Export {
     * shape, three landing mechanisms. */
   private def manifestOracleSql: String = manifestOracleSqlFor(nShards)
 
-  private def manifestOracleSqlFor(n: Int): String = s"""
+  private def manifestOracleSqlFor(n: Int, where: String = "TRUE"): String = s"""
       WITH d AS (SELECT doc_id, n_chars, text,
                    md5('shard|' || CAST(doc_id AS VARCHAR)) AS draw
-                 FROM documents),
+                 FROM documents WHERE $where),
       s AS (SELECT doc_id, n_chars, text, draw,
               ${ShardExport.shardSqlExpr("draw", n)} AS shard
             FROM d)
@@ -215,5 +215,48 @@ object Export {
     },
     oracle = Some(manifestOracleSql))
 
-  val all: Seq[Q] = Seq(q153, q155, q158, q163)
+  /** q166's versioned layout lifecycle, committed once per (session,
+    * snapshot): v0 = lake export (doc_id % 10 ≠ 7), v1 = batch append
+    * (% 10 = 7), v2 = logical compaction of every multi-run shard. The
+    * pre-compaction runs stay on disk — v0/v1 snapshots keep reading
+    * them until vacuum. */
+  private[graft] def versionedLayoutFor(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.operators.SessionCache.memoOn(spark, dir,
+      s"shard-versions|$dir|$nShards") {
+      val out = graft.operators.Stage.allocDir(spark, "shards-q166")
+      val docs = docCols(Tables.documents(spark, dir))
+      graft.sinks.VersionedShards.commitAppend(spark,
+        docs.filter(col("doc_id") % 10 =!= 7), "doc_id", out, nShards)
+      graft.sinks.VersionedShards.commitAppend(spark,
+        docs.filter(col("doc_id") % 10 === 7), "doc_id", out, nShards)
+      graft.sinks.VersionedShards.compactCommit(spark, out, nShards)
+      out
+    }
+
+  /** q166 — TIME-TRAVEL snapshot read over the versioned shard layout
+    * (the transaction-log recipe: immutable per-version data files + a
+    * file-level add/remove log that readers resolve through —
+    * [[graft.sinks.VersionedShards]]): the registry query reads the
+    * layout AS OF v0 — the pre-append lake snapshot — *after* v1
+    * appended a batch and v2 logically compacted every multi-run
+    * shard, and emits its manifest. Hash-green against a lake-only
+    * recompute certifies the snapshot is EXACT: the append is
+    * invisible to v0, and the compaction (which rewrote the very
+    * shards v0 reads) left v0's view untouched because superseded
+    * files are logged out, not deleted. ExportSpec asserts the rest of
+    * the lifecycle: v1 ≡ v2 ≡ the full corpus (logical compaction is
+    * content-invariant), single live run per compacted shard, and
+    * vacuum semantics — past-horizon snapshots fail LOUDLY while the
+    * current one stays green. */
+  val q166: Q = Q(
+    "q166_snapshot_read",
+    run = { (spark, dir) =>
+      ShardExport.manifest(
+        graft.sinks.VersionedShards.readAsOf(spark,
+          versionedLayoutFor(spark, dir), 0))
+    },
+    oracle = Some(manifestOracleSqlFor(nShards, "doc_id % 10 <> 7")))
+
+  val all: Seq[Q] = Seq(q153, q155, q158, q163, q166)
 }

@@ -1,0 +1,189 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+/** VERSIONED shard layout with time-travel reads — the transaction-log
+  * recipe (a file-level add/remove log next to immutable data files;
+  * the shape Delta/Iceberg commit protocols standardize) applied to
+  * the [[ShardExport]] serving layout. Reference scope: the durable
+  * sink stage of `dags/wine_etl_kaggle.py:167-202`, extended with the
+  * audit/rollback story a production corpus lake needs.
+  *
+  * Model: every commit lands its files under its OWN `v=<k>/` subtree
+  * (files are IMMUTABLE once written — a later commit never rewrites
+  * them) and appends (version, shard, path, action) rows to a `_log`
+  * table. The live file set as of version v is `adds ≤ v` minus
+  * `removes ≤ v`; readers ALWAYS resolve through the log, never by
+  * listing data dirs. Compaction is therefore LOGICAL: it lands merged
+  * files in a new version and logs remove-rows for the superseded
+  * runs — which old snapshots keep reading until [[vacuum]] reclaims
+  * them past the retention horizon.
+  *
+  * Scale shape: the log is the metadata table — O(#files) rows, read
+  * once per query plan, pruned driver-side to the as-of version (the
+  * same bounded-listing contract as [[ShardExport.runCounts]]); data
+  * jobs touch only live files. At 100 TB the log is the thing that
+  * makes O(1)-cost snapshot reads, exact audits ("what did epoch 3
+  * train on?"), and safe concurrent append+compact possible at all —
+  * re-listing the lake per read is the non-starter. */
+object VersionedShards {
+
+  private val logSchema = StructType(Seq(
+    StructField("shard", IntegerType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("action", StringType, nullable = false)))
+
+  private def hfs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Data files of one version subtree, as (shard, layout-relative
+    * path) — one bounded listing of the freshly-written commit, never
+    * of the whole lake. */
+  private def listVersionFiles(spark: SparkSession, dir: String,
+      v: Int): Seq[(Int, String)] = {
+    val (fs, _) = hfs(spark, dir)
+    val vRoot = new org.apache.hadoop.fs.Path(s"$dir/v=$v")
+    if (!fs.exists(vRoot)) return Nil
+    fs.listStatus(vRoot).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("shard="))
+      .flatMap { d =>
+        val shard = d.getPath.getName.stripPrefix("shard=").toInt
+        fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => shard -> s"v=$v/shard=$shard/${f.getPath.getName}")
+      }
+  }
+
+  private def writeLog(spark: SparkSession, dir: String, v: Int,
+      rows: Seq[(Int, String, String)]): Unit =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (s, p, a) => Row(s, p, a) }, 1), logSchema)
+      .write.mode("overwrite").parquet(s"$dir/_log/v=$v")
+
+  /** The commit log as a DataFrame (version, shard, path, action) —
+    * partition discovery over `_log/v=<k>` supplies `v`. */
+  def log(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("basePath", s"$dir/_log").parquet(s"$dir/_log")
+      .withColumnRenamed("v", "version")
+
+  /** Highest committed version, or -1 for an empty layout — from one
+    * `_log` listing. */
+  def currentVersion(spark: SparkSession, dir: String): Int = {
+    val (fs, _) = hfs(spark, dir)
+    val logRoot = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    if (!fs.exists(logRoot)) return -1
+    val vs = fs.listStatus(logRoot).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toInt)
+    if (vs.isEmpty) -1 else vs.max
+  }
+
+  /** COMMIT a batch as the next version: the ShardExport landing
+    * (same md5 draw/shard purity, every file a sorted run) into the
+    * version's own immutable subtree, plus add-rows in the log.
+    * Returns the committed version. */
+  def commitAppend(spark: SparkSession, batch: DataFrame, keyCol: String,
+      dir: String, nShards: Int): Int =
+    commitAs(spark, batch, keyCol, dir, nShards,
+      currentVersion(spark, dir) + 1)
+
+  /** [[commitAppend]] at a CALLER-CHOSEN version — the replay-
+    * idempotency seam the streaming sink needs: a re-delivered
+    * micro-batch overwrites its own `v=<batchId>` subtree and its own
+    * log rows, so the layout converges to the same state no matter how
+    * many times the batch replays (both writes are mode=overwrite;
+    * nothing appends). */
+  def commitAs(spark: SparkSession, batch: DataFrame, keyCol: String,
+      dir: String, nShards: Int, v: Int): Int = {
+    ShardExport.writeShards(batch, keyCol, s"$dir/v=$v", nShards)
+    writeLog(spark, dir, v,
+      listVersionFiles(spark, dir, v).map { case (s, p) => (s, p, "add") })
+    v
+  }
+
+  /** The LIVE (shard, path) set as of `asOf`: adds ≤ asOf minus
+    * removes ≤ asOf. Driver-side and O(#files) — the log IS the
+    * bounded metadata table. */
+  def liveFiles(spark: SparkSession, dir: String,
+      asOf: Int): Seq[(Int, String)] = {
+    val entries = log(spark, dir).filter(col("version") <= asOf)
+      .select(col("shard"), col("path"), col("action"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    val removed = entries.collect { case (_, p, "remove") => p }.toSet
+    entries.collect {
+      case (s, p, "add") if !removed(p) => (s, p) }.toSeq.sortBy(_._2)
+  }
+
+  /** TIME-TRAVEL read: the layout's content as of version `asOf`,
+    * with `shard` re-attached from the log (data files are immutable;
+    * the log, not a directory listing, decides visibility). Missing
+    * underlying files (vacuumed past the horizon) surface as a read
+    * error — deliberately, a silent partial snapshot would be worse. */
+  def readAsOf(spark: SparkSession, dir: String, asOf: Int): DataFrame = {
+    val live = liveFiles(spark, dir, asOf)
+    val (fs, _) = hfs(spark, dir)
+    live.foreach { case (_, p) =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$p")),
+        s"snapshot as of v$asOf needs vacuumed file $p — past the " +
+          "retention horizon")
+    }
+    require(live.nonEmpty, s"snapshot as of v$asOf holds no files")
+    val byVersion = live.groupBy(_._2.split("/")(0))
+    val parts = byVersion.toSeq.sortBy(_._1).map { case (vdir, files) =>
+      spark.read.option("basePath", s"$dir/$vdir")
+        .parquet(files.map(f => s"$dir/${f._2}"): _*)
+    }
+    parts.reduceLeft(_.unionByName(_))
+  }
+
+  /** LOGICAL compaction commit: shards whose LIVE run count exceeds
+    * `maxRuns` get their live rows rewritten as one draw-ordered file
+    * in the next version; the superseded files are logged `remove`d
+    * but their bytes stay put — snapshots before the compaction keep
+    * reading them until [[vacuum]]. The rewrite job reads and shuffles
+    * ONLY the selected shards' rows (the q163 posture, made
+    * time-travel-safe). Returns (version, compacted shard ids);
+    * version -1 when nothing exceeds the threshold (no empty
+    * commits). */
+  def compactCommit(spark: SparkSession, dir: String, nShards: Int,
+      maxRuns: Int = 1): (Int, Seq[Int]) = {
+    val cur = currentVersion(spark, dir)
+    val live = liveFiles(spark, dir, cur)
+    val byShard = live.groupBy(_._1)
+    val toCompact = byShard.filter(_._2.size > maxRuns).keys.toSeq.sorted
+    if (toCompact.isEmpty) return (-1, Nil)
+    val v = cur + 1
+    val victims = toCompact.flatMap(s => byShard(s))
+    // one read of ONLY the victim files; shard re-derives from draw
+    // (pure function — the same value the log carries)
+    spark.read.parquet(victims.map(f => s"$dir/${f._2}"): _*)
+      .withColumn("shard", ShardExport.shardOf(col("draw"), nShards))
+      .repartition(toCompact.length, col("shard"))
+      .sortWithinPartitions(col("shard"), col("draw"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$dir/v=$v")
+    writeLog(spark, dir, v,
+      victims.map { case (s, p) => (s, p, "remove") } ++
+        listVersionFiles(spark, dir, v).map { case (s, p) => (s, p, "add") })
+    (v, toCompact)
+  }
+
+  /** VACUUM: physically delete files logged `remove`d at any version
+    * ≤ `horizon` — snapshots as of versions before their removal stop
+    * being readable (readAsOf fails loudly), snapshots at or after the
+    * horizon are untouched. Returns the deleted paths. */
+  def vacuum(spark: SparkSession, dir: String, horizon: Int): Seq[String] = {
+    val doomed = log(spark, dir)
+      .filter(col("version") <= horizon && col("action") === "remove")
+      .select(col("path")).collect().map(_.getString(0)).toSeq.sorted
+    val (fs, _) = hfs(spark, dir)
+    doomed.foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$p"), false): Unit)
+    doomed
+  }
+}

@@ -226,4 +226,25 @@ object DocStreams {
       }
       .start()
   }
+
+  /** The q166 versioned lake's STREAMING INGEST arm: each micro-batch
+    * COMMITS as version `batchId` of the transaction-logged layout —
+    * the structured-streaming-into-a-table-format production shape.
+    * Versions are batchId-addressed and both the data subtree and the
+    * log rows are overwrite-mode, so a replayed batch converges to the
+    * identical layout (exactly-once EFFECT from at-least-once
+    * delivery, the foreachBatch idempotency recipe). Every snapshot
+    * as-of batch k is exactly the stream's prefix through k —
+    * suite-asserted against one-shot manifests on an interleaved
+    * split. */
+  def versionedLakeSink(incoming: DataFrame, dir: String, nShards: Int,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sinks.VersionedShards.commitAs(batch.sparkSession, batch,
+          "doc_id", dir, nShards, batchId.toInt): Unit
+      }
+      .start()
 }

@@ -312,6 +312,124 @@ class ExportSpec extends AnyFunSuite {
     assert(fileStamps(dir) == stampsAfter)
   }
 
+  // ---- q166 versioned layout / time travel ----
+
+  test("q166 lifecycle: snapshots are exact at every version; logical compaction is invisible; vacuum kills only past-horizon reads") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val lake = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    val dir = tmp("vers")
+    assert(VersionedShards.commitAppend(spark, lake, "doc_id", dir, 16) == 0)
+    assert(VersionedShards.commitAppend(spark, batch, "doc_id", dir, 16) == 1)
+    val lakeM = manifestMap(ShardExport.manifest(
+      ShardExport.withShardKey(lake, "doc_id", 16)))
+    val fullM = manifestMap(ShardExport.manifest(
+      ShardExport.withShardKey(docs, "doc_id", 16)))
+    // v0 sees the lake only; v1 sees everything
+    assert(manifestMap(ShardExport.manifest(
+      VersionedShards.readAsOf(spark, dir, 0))) == lakeM)
+    assert(manifestMap(ShardExport.manifest(
+      VersionedShards.readAsOf(spark, dir, 1))) == fullM)
+    // logical compaction: selected = live multi-run shards; the new
+    // version's content is IDENTICAL; v0/v1 snapshots still exact
+    // (their files were logged out, not deleted)
+    val multiRun = VersionedShards.liveFiles(spark, dir, 1)
+      .groupBy(_._1).filter(_._2.size > 1).keySet
+    val (v2, compacted) = VersionedShards.compactCommit(spark, dir, 16)
+    assert(v2 == 2 && compacted.toSet == multiRun)
+    assert(manifestMap(ShardExport.manifest(
+      VersionedShards.readAsOf(spark, dir, 2))) == fullM)
+    assert(manifestMap(ShardExport.manifest(
+      VersionedShards.readAsOf(spark, dir, 0))) == lakeM)
+    assert(manifestMap(ShardExport.manifest(
+      VersionedShards.readAsOf(spark, dir, 1))) == fullM)
+    // every compacted shard is now one live run, draw-sorted
+    val liveNow = VersionedShards.liveFiles(spark, dir, 2).groupBy(_._1)
+    compacted.foreach(s => assert(liveNow(s).size == 1, s"shard $s runs"))
+    liveNow.filter(kv => compacted.contains(kv._1)).values.flatten.foreach {
+      case (_, p) =>
+        val draws = spark.read.parquet(s"$dir/$p")
+          .select("draw").collect().map(_.getString(0)).toSeq
+        assert(draws == draws.sorted, s"compacted $p not draw-sorted")
+    }
+    // a compaction pass with nothing above threshold commits NOTHING
+    assert(VersionedShards.compactCommit(spark, dir, 16)._1 == -1)
+    assert(VersionedShards.currentVersion(spark, dir) == 2)
+    // vacuum at the compaction horizon: superseded runs are deleted,
+    // the current snapshot stays exact, pre-compaction snapshots fail
+    // LOUDLY instead of silently shrinking
+    val deleted = VersionedShards.vacuum(spark, dir, 2)
+    assert(deleted.nonEmpty)
+    assert(manifestMap(ShardExport.manifest(
+      VersionedShards.readAsOf(spark, dir, 2))) == fullM)
+    val err = intercept[IllegalArgumentException] {
+      VersionedShards.readAsOf(spark, dir, 0).count()
+    }
+    assert(err.getMessage.contains("vacuum"))
+  }
+
+  test("q166 streaming ingest twin: every snapshot equals its arrival prefix on an interleaved split") {
+    import java.nio.file.Files
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    // interleaved (doc_id % 3) arrival — snapshot-per-prefix must hold
+    // for ANY split, not just id-ordered terciles
+    val streamDir = Files.createTempDirectory("vers_stream").toString
+    (0 until 3).foreach { i =>
+      val part = Files.createTempDirectory(s"vers_p$i").toString
+      docs.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val src = Files.list(java.nio.file.Paths.get(part)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$streamDir/part_$i.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      ()
+    }
+    val lakeDir = tmp("vers-twin")
+    val ckpt = Files.createTempDirectory("vers_ckpt").toString
+    val q = streaming.DocStreams.versionedLakeSink(
+      streaming.DocStreams.readDocs(spark, streamDir), lakeDir, 16, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert(VersionedShards.currentVersion(spark, lakeDir) == 2)
+    // snapshot as-of batch k == one-shot manifest of the k-prefix
+    (0 until 3).foreach { k =>
+      val prefix = docs.filter(col("doc_id") % 3 <= k)
+      assert(manifestMap(ShardExport.manifest(
+        VersionedShards.readAsOf(spark, lakeDir, k))) ==
+        manifestMap(ShardExport.manifest(
+          ShardExport.withShardKey(prefix, "doc_id", 16))),
+        s"snapshot as-of batch $k drifted from its arrival prefix")
+    }
+    // replay idempotency: re-commit batch 1's content at version 1 and
+    // the layout converges to the same snapshots
+    VersionedShards.commitAs(spark,
+      docs.filter(col("doc_id") % 3 === 1), "doc_id", lakeDir, 16, 1)
+    assert(manifestMap(ShardExport.manifest(
+      VersionedShards.readAsOf(spark, lakeDir, 2))) ==
+      manifestMap(ShardExport.manifest(
+        ShardExport.withShardKey(docs, "doc_id", 16))))
+  }
+
+  test("q166 registry run: the as-of-v0 snapshot equals a direct lake manifest") {
+    val snap = queries.Export.q166.run(spark, TestSpark.sf0001)
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val lakeM = manifestMap(ShardExport.manifest(
+      ShardExport.withShardKey(docs.filter(col("doc_id") % 10 =!= 7),
+        "doc_id", 16)))
+    assert(manifestMap(snap) == lakeM)
+  }
+
   test("q163 registry run: equals q153's full manifest after the append-then-compact lifecycle") {
     val full = queries.Export.q153.run(spark, TestSpark.sf0001)
     val comp = queries.Export.q163.run(spark, TestSpark.sf0001)
