@@ -258,5 +258,25 @@ object Export {
     },
     oracle = Some(manifestOracleSqlFor(nShards, "doc_id % 10 <> 7")))
 
-  val all: Seq[Q] = Seq(q153, q155, q158, q163, q166)
+  /** q167 — SNAPSHOT DIFF as a metadata read (the CDC arm of q166):
+    * the docs that arrived between v0 and v1 of the versioned layout,
+    * resolved ENTIRELY from the transaction log — the plan scans only
+    * the files v1 added, never the lake and never a join (at 100 TB:
+    * "what arrived since yesterday" costs a log filter + a batch-sized
+    * scan). The diff refuses intervals containing a compaction (whose
+    * rewritten files carry old rows — file-level diffing would
+    * over-approximate; suite-asserted), which the v0→v1 interval here
+    * never does. Gated on the diff's manifest vs a batch-only DuckDB
+    * recompute — hash-green certifies the metadata diff IS the batch,
+    * row-exact. */
+  val q167: Q = Q(
+    "q167_snapshot_diff",
+    run = { (spark, dir) =>
+      ShardExport.manifest(
+        graft.sinks.VersionedShards.readDiff(spark,
+          versionedLayoutFor(spark, dir), 0, 1))
+    },
+    oracle = Some(manifestOracleSqlFor(nShards, "doc_id % 10 = 7")))
+
+  val all: Seq[Q] = Seq(q153, q155, q158, q163, q166, q167)
 }

@@ -132,7 +132,11 @@ object VersionedShards {
         s"snapshot as of v$asOf needs vacuumed file $p — past the " +
           "retention horizon")
     }
-    require(live.nonEmpty, s"snapshot as of v$asOf holds no files")
+    // zero live files ⟺ every commit ≤ asOf was empty (compaction only
+    // removes what it re-adds): serve the schema-bearing empty marker
+    // the empty commit landed instead of failing — an empty day is a
+    // valid snapshot
+    if (live.isEmpty) return spark.read.parquet(s"$dir/v=$asOf")
     val byVersion = live.groupBy(_._2.split("/")(0))
     val parts = byVersion.toSeq.sortBy(_._1).map { case (vdir, files) =>
       spark.read.option("basePath", s"$dir/$vdir")
@@ -171,6 +175,38 @@ object VersionedShards {
       victims.map { case (s, p) => (s, p, "remove") } ++
         listVersionFiles(spark, dir, v).map { case (s, p) => (s, p, "add") })
     (v, toCompact)
+  }
+
+  /** SNAPSHOT DIFF as a metadata operation: the rows ADDED between
+    * `from` (exclusive) and `to` (inclusive) are exactly the files
+    * logged `add` in that interval — PROVIDED no compaction rewrote
+    * rows in between (a remove-action in the interval means some
+    * "new" files carry old rows, and file-level diffing
+    * over-approximates; this method REFUSES rather than
+    * over-reporting — diff across a compaction by diffing up to the
+    * compaction's predecessor, or resolve row-level with an anti-join).
+    * At 100 TB this is the CDC read: "what docs arrived since
+    * yesterday's snapshot" costs a log filter plus a scan of ONLY the
+    * new files — never a corpus scan, never a join. */
+  def readDiff(spark: SparkSession, dir: String, from: Int,
+      to: Int): DataFrame = {
+    require(from < to, s"diff needs from < to, got $from..$to")
+    val interval = log(spark, dir)
+      .filter(col("version") > from && col("version") <= to)
+      .select(col("path"), col("action"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    require(!interval.exists(_._2 == "remove"),
+      s"versions ($from, $to] contain a compaction — file-level diff " +
+        "would over-approximate; diff in compaction-free intervals")
+    val added = interval.collect { case (p, "add") => p }.sorted
+    // nothing arrived in the interval (every commit was empty): an
+    // empty diff is a valid answer — serve a marker's empty schema
+    if (added.isEmpty) return spark.read.parquet(s"$dir/v=$to")
+    val byVersion = added.groupBy(_.split("/")(0))
+    byVersion.toSeq.sortBy(_._1).map { case (vdir, files) =>
+      spark.read.option("basePath", s"$dir/$vdir")
+        .parquet(files.map(f => s"$dir/$f"): _*)
+    }.reduceLeft(_.unionByName(_))
   }
 
   /** VACUUM: physically delete files logged `remove`d at any version

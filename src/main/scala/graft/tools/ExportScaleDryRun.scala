@@ -82,6 +82,31 @@ object ExportScaleDryRun {
       val t = timed(ShardExport.splitShards(spark, layouts(n), out, 16))
       println(f"q158 splitShards ${n}x: $t%.2f s")
     }
+
+    // --- q163 compaction: SELECTIVE wall must track the selected
+    //     shards' bytes (≈ selected/16 of the full rewrite), never the
+    //     batch that triggered it and never the whole lake ---
+    Seq(1, 10, 50).foreach { n =>
+      val out = tmp(s"c$n")
+      val all = replicate(n)
+      ShardExport.writeShards(all.filter(col("doc_id") % 10 =!= 7),
+        "doc_id", out, 16)
+      ShardExport.appendShards(all.filter(col("doc_id") % 10 === 7),
+        "doc_id", out, 16)
+      // a FEW absolute doc ids → a second run lands in only a few
+      // shards, making them (and only them) exceed maxRuns = 2
+      ShardExport.appendShards(docs.filter(col("doc_id") < 6),
+        "doc_id", out, 16)
+      val t0 = System.nanoTime
+      val sel = ShardExport.compactShards(spark, out, maxRuns = 2)
+      val tSel = (System.nanoTime - t0) / 1e9
+      val t1 = System.nanoTime
+      val full = ShardExport.compactShards(spark, out, maxRuns = 1)
+      val tFull = (System.nanoTime - t1) / 1e9
+      println(f"q163 compact ${n}x: selective ${sel.length}/16 shards " +
+        f"$tSel%.2f s vs remaining-${full.length}-shard full pass " +
+        f"$tFull%.2f s (expect ≈ ${sel.length}/16 of the full-rewrite wall)")
+    }
     spark.stop()
   }
 }

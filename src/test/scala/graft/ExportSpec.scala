@@ -419,6 +419,49 @@ class ExportSpec extends AnyFunSuite {
         ShardExport.withShardKey(docs, "doc_id", 16))))
   }
 
+  test("q167: the metadata diff is row-exact; it refuses compaction-spanning intervals") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val lake = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    val dir = tmp("diff")
+    VersionedShards.commitAppend(spark, lake, "doc_id", dir, 16)
+    VersionedShards.commitAppend(spark, batch, "doc_id", dir, 16)
+    // the v0→v1 diff is the batch, row for row
+    val diff = VersionedShards.readDiff(spark, dir, 0, 1)
+    assert(diff.count() == batch.count())
+    assert(diff.select("doc_id").except(batch.select("doc_id")).isEmpty &&
+      batch.select("doc_id").except(diff.select("doc_id")).isEmpty)
+    // ...and it reads ONLY v1 files: every scanned path sits under v=1
+    diff.queryExecution.analyzed // force resolution
+    val scanned = diff.inputFiles
+    assert(scanned.nonEmpty && scanned.forall(_.contains("/v=1/")),
+      s"diff scanned outside v=1: ${scanned.mkString(",")}")
+    // an interval spanning a compaction is refused, not over-reported
+    val (v2, _) = VersionedShards.compactCommit(spark, dir, 16)
+    assert(v2 == 2)
+    val err = intercept[IllegalArgumentException] {
+      VersionedShards.readDiff(spark, dir, 0, 2)
+    }
+    assert(err.getMessage.contains("compaction"))
+  }
+
+  test("q166/q167: an all-empty history serves empty snapshots and diffs, not errors") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text")).limit(0)
+    val dir = tmp("empty-vers")
+    VersionedShards.commitAppend(spark, docs, "doc_id", dir, 16)
+    VersionedShards.commitAppend(spark, docs, "doc_id", dir, 16)
+    assert(VersionedShards.readAsOf(spark, dir, 0).count() == 0)
+    assert(VersionedShards.readAsOf(spark, dir, 1).count() == 0)
+    assert(VersionedShards.readDiff(spark, dir, 0, 1).count() == 0)
+    assert(VersionedShards.compactCommit(spark, dir, 16)._1 == -1)
+  }
+
   test("q166 registry run: the as-of-v0 snapshot equals a direct lake manifest") {
     val snap = queries.Export.q166.run(spark, TestSpark.sf0001)
     val docs = Tables.documents(spark, TestSpark.sf0001)
