@@ -225,6 +225,98 @@ object GraphOps {
       SELECT part AS part_id, rank AS rank_ppm, rnk FROM f WHERE rnk <= 20"""
     })
 
+  /** Core of q168: PERSONALIZED PageRank — the seeded-restart variant
+    * that turns q101's global centrality into a RELATEDNESS ranking
+    * (related-items / "customers also bought" / seed-expanded
+    * retrieval): teleport mass lands ONLY on the seed set, so scores
+    * measure proximity to the seeds, and mass decays to zero on
+    * anything the seeds can't reach. Integer micro-units throughout:
+    * seeds start at 1 000 000 and re-teleport 150 000 per round,
+    * non-seeds start (and restart) at 0 — a node's rank is therefore
+    * EXACTLY 0 iff it is seed-unreachable (suite-asserted), the
+    * property that makes PPR usable as a reachability-weighted filter.
+    *
+    * Scale shape: IDENTICAL to q101 — the loop iterates over the SAME
+    * session-memoized chunked-CSR index (one staged artifact serves
+    * global and personalized ranking; the memo is literally shared),
+    * rank state stays entity-sized, the per-iteration shuffle is only
+    * the map-side-combined dst agg. The seed predicate is a pure
+    * function of the node id — at 100 TB the teleport vector is a
+    * broadcast-or-bucketed seed table instead, same plan shape. */
+  def personalizedPageRankFrom(index: PageRankIndex,
+      seed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      topK: Int = 20): DataFrame = {
+    val PageRankIndex(adj, nodes, noIn, useBroadcast) = index
+    def base(part: org.apache.spark.sql.Column) =
+      when(seed(part), lit(150000L)).otherwise(lit(0L))
+    val noInRanks = noIn.withColumn("rank", base(col("part")))
+    var ranks = nodes.withColumn("rank",
+      when(seed(col("part")), lit(1000000L)).otherwise(lit(0L)))
+    for (_ <- 1 to iters) {
+      val joined =
+        if (useBroadcast) adj.join(broadcast(ranks), col("src") === col("part"))
+        else adj.join(ranks.hint("merge"), col("src") === col("part"))
+      val inc = joined
+        .select(expr("rank DIV outdeg").as("contrib"),
+          explode(col("dsts")).as("dst"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("inc"))
+      ranks = inc.select(col("dst").as("part"),
+          (base(col("dst")) + expr("(inc * 85) DIV 100")).as("rank"))
+        .unionByName(noInRanks)
+    }
+    ranks.orderBy(col("rank").desc, col("part").asc).limit(topK)
+      .agg(sort_array(collect_list(
+        struct((-col("rank")).as("nr"), col("part").as("part")))).as("s"))
+      .select(posexplode(col("s")).as(Seq("pos", "r")))
+      .select(col("r.part").as("part_id"), (-col("r.nr")).as("rank_ppm"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** q168 — personalized PageRank from the deterministic seed set
+    * part % 50 == 0, riding the SAME session-memoized CSR index as
+    * q101. Top-20 by seeded-restart rank, ties by part id. */
+  val q168: Q = Q(
+    "q168_personalized_pagerank",
+    run = { (spark, dir) =>
+      val bm = spark.conf
+        .getOption("graft.pagerank.broadcastMaxNodes").getOrElse("10000000")
+      val sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
+      personalizedPageRankFrom(graft.operators.SessionCache.memoOn(spark, dir,
+        s"pagerank-index|$dir|auto|bm=$bm|sp=$sp") {
+        buildPageRankIndex(basketsFor(spark, dir))
+      }, p => p % 50 === 0)
+    },
+    oracle = Some {
+      val iterCtes = (1 to iters).map { i =>
+        s"""r$i AS (SELECT n.part,
+           |        CAST(CASE WHEN n.part % 50 = 0 THEN 150000 ELSE 0 END
+           |          + (COALESCE(s.inc, 0) * 85) // 100 AS BIGINT) AS rank
+           |      FROM nodes n LEFT JOIN (
+           |        SELECT ed.dst, CAST(SUM(r.rank // ed.outdeg) AS BIGINT) AS inc
+           |        FROM ed JOIN r${i - 1} r ON ed.src = r.part GROUP BY ed.dst) s
+           |      ON n.part = s.dst)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+                  FROM lineitem),
+      e AS (SELECT DISTINCT a.part AS src, b.part AS dst
+            FROM li a JOIN li b USING (ok) WHERE a.part <> b.part),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+              FROM e GROUP BY src),
+      ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+      nodes AS (SELECT DISTINCT part FROM li),
+      r0 AS (SELECT part,
+               CAST(CASE WHEN part % 50 = 0 THEN 1000000 ELSE 0 END
+                 AS BIGINT) AS rank FROM nodes),
+      $iterCtes,
+      f AS (SELECT part, rank,
+              CAST(row_number() OVER (ORDER BY rank DESC, part ASC)
+                AS INTEGER) AS rnk
+            FROM r$iters)
+      SELECT part AS part_id, rank AS rank_ppm, rnk FROM f WHERE rnk <= 20"""
+    })
+
   /** Core of q130: per-node triangle counts on the undirected
     * co-purchase graph — the clustering-coefficient numerator, the
     * standard "how clique-ish is this entity's neighborhood" signal
@@ -888,5 +980,5 @@ object GraphOps {
       SELECT node AS part_id, dist FROM d4"""
     })
 
-  val all: Seq[Q] = Seq(q101, q130, q131, q133, q140, q141, q143)
+  val all: Seq[Q] = Seq(q101, q130, q131, q133, q140, q141, q143, q168)
 }

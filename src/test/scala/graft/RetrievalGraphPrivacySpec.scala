@@ -64,6 +64,40 @@ class RetrievalGraphPrivacySpec extends AnyFunSuite {
 
   // ---- q102 bm25 ----
 
+  // ---- q168 personalized pagerank ----
+
+  test("q168: hand graph — mass flows from seeds only; unreachable nodes sit at exactly 0") {
+    // component A: seed 150 (50 | 150) co-bought with non-seeds 101 and
+    // 102 (two orders → a star around the seed). component B: {7, 9}
+    // share an order but hold NO seed. order 5 = {999} alone: no edges.
+    val baskets = Seq(
+      (1L, 150L), (1L, 101L),
+      (2L, 150L), (2L, 102L),
+      (3L, 7L), (3L, 9L),
+      (5L, 999L)).toDF("ok", "part")
+    val idx = GraphOps.buildPageRankIndex(baskets)
+    val out = GraphOps.personalizedPageRankFrom(idx,
+      p => p % 50 === 0, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the seed holds the most mass; its neighbors get a share
+    assert(out(150L) > out(101L) && out(150L) > out(102L), s"$out")
+    assert(out(101L) > 0L && out(102L) > 0L, s"seed neighbors dry: $out")
+    // the seedless component and the edgeless node sit at EXACTLY 0 —
+    // the reachability-filter property
+    assert(out(7L) == 0L && out(9L) == 0L && out(999L) == 0L, s"$out")
+    // symmetric non-seed neighbors of the seed tie exactly
+    assert(out(101L) == out(102L), "symmetric seed neighbors must tie")
+  }
+
+  test("q168 registry run: bounded, deterministic, and seeded — positive mass only with seed ancestry") {
+    val rows = GraphOps.q168.run(spark, dir).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val ranks = rows.map(_.getInt(2)).toSeq
+    assert(ranks == (1 to rows.length), "rnk not contiguous")
+    // top rows must carry positive (seed-derived) mass at this fixture
+    assert(rows.head.getLong(1) > 0L, "no seeded mass reached the top")
+  }
+
   test("q102: query terms respect the df cap; scores rank tf sanely") {
     val out = Retrieval.bm25(
       Tables.documents(spark, dir).filter(col("text").isNotNull)).cache()
