@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -397,5 +398,86 @@ object Funnels {
           AS BIGINT) AS p99_est
       FROM cums GROUP BY event_type, g"""))
 
-  val all: Seq[Q] = Seq(q61, q62, q63, q64, q75, q77, q100, q107)
+  /** Core of q172: POSITION-BASED multi-touch attribution (the 40/20/40
+    * "U-shaped" model) — the marketing-analytics generalization of
+    * q100's last-touch: every purchase distributes exactly 1000
+    * milli-credits over the clicks of its journey (the clicks since the
+    * user's previous purchase): first touch 400, last 400, middles
+    * split 200 by integer DIV with the remainder assigned to the FIRST
+    * touch — so Σcredit per converted journey is EXACTLY 1000
+    * (suite-asserted; no float leakage, the gate certifies every credit).
+    * Journeys are cut by a running purchase count (COALESCE'd cumulative
+    * window — an empty frame sums to NULL in both engines, and NULL ≠
+    * NULL would silently drop every user's FIRST journey from the
+    * join); clicks after the last purchase belong to an open journey
+    * and earn nothing (the equi-join to purchases filters them).
+    *
+    * Scale shape: two same-keyed user windows (ONE shuffle — the q93
+    * posture) + one equi-join on (user, journey) where the purchase
+    * side is conversion-sized; no range predicates, no per-journey
+    * collect. */
+  def multiTouch(events: DataFrame): DataFrame = {
+    val e = events.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val j = e.withColumn("journey",
+      coalesce(sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).over(wOrd), lit(0L)))
+    val wj = Window.partitionBy(col("user_id"), col("journey"))
+      .orderBy(col("ts"), col("event_id"))
+    val ranked = j.filter(col("event_type") === "click")
+      .withColumn("r", row_number().over(wj))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy(col("user_id"), col("journey"))))
+    val purchases = j.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("journey"),
+        col("event_id").as("purchase_id"))
+    ranked.join(purchases, Seq("user_id", "journey"))
+      .withColumn("credit_milli", expr("""
+        CASE WHEN m = 1 THEN 1000
+             WHEN m = 2 THEN 500
+             WHEN r = 1 THEN 400 + (200 - (m - 2) * (200 DIV (m - 2)))
+             WHEN r = m THEN 400
+             ELSE 200 DIV (m - 2) END""").cast("long"))
+      .select(col("purchase_id"), col("event_id").as("touch_id"),
+        col("user_id"), col("r").cast("int").as("touch_pos"),
+        col("m").cast("int").as("n_touches"), col("credit_milli"))
+  }
+
+  /** q172 — U-shaped (40/20/40) multi-touch attribution: per
+    * conversion, integer milli-credits over its journey's clicks. */
+  val q172: Q = Q(
+    "q172_multitouch",
+    run = { (spark, dir) => multiTouch(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                   event_id
+                 FROM events WHERE event_type IN ('click', 'purchase')),
+      j AS (SELECT *,
+              COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                ELSE 0 END) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS journey
+            FROM e),
+      c AS (SELECT user_id, journey, ts, event_id,
+              row_number() OVER (PARTITION BY user_id, journey
+                ORDER BY ts, event_id) AS r,
+              count(*) OVER (PARTITION BY user_id, journey) AS m
+            FROM j WHERE event_type = 'click'),
+      p AS (SELECT user_id, journey, event_id AS purchase_id FROM j
+            WHERE event_type = 'purchase')
+      SELECT p.purchase_id, c.event_id AS touch_id, c.user_id,
+        CAST(c.r AS INTEGER) AS touch_pos,
+        CAST(c.m AS INTEGER) AS n_touches,
+        CAST(CASE WHEN c.m = 1 THEN 1000
+             WHEN c.m = 2 THEN 500
+             WHEN c.r = 1 THEN 400 + (200 - (c.m - 2) * (200 // (c.m - 2)))
+             WHEN c.r = c.m THEN 400
+             ELSE 200 // (c.m - 2) END AS BIGINT) AS credit_milli
+      FROM c JOIN p ON c.user_id = p.user_id AND c.journey = p.journey"""))
+
+  val all: Seq[Q] = Seq(q61, q62, q63, q64, q75, q77, q100, q107, q172)
 }

@@ -980,5 +980,101 @@ object GraphOps {
       SELECT node AS part_id, dist FROM d4"""
     })
 
-  val all: Seq[Q] = Seq(q101, q130, q131, q133, q140, q141, q143, q168)
+  /** Core of q169: HITS hubs & authorities (Kleinberg 1999) on the
+    * BIPARTITE part↔supplier graph — the mutual-reinforcement ranking
+    * PageRank can't express (a supplier is important because it ships
+    * important parts, a part because important suppliers ship it; the
+    * two scores are coupled, not one stationary distribution). Integer
+    * micro-units with per-round max-normalization (score·1e6 DIV max —
+    * HITS diverges without normalization; DIV-by-max keeps every score
+    * in [0, 1e6] and both engines replay it digit-by-digit).
+    *
+    * Scale shape: the distinct edge set is STAGED once (it is
+    * referenced twice per round — the iterative-op staging lesson);
+    * each half-round is one equi-join of entity-sized scores into the
+    * edge stream + a map-side-combined agg + a 1-row max broadcast —
+    * nothing edge-sized ever sits in driver memory, no window in the
+    * loop. 4 rounds fixed; the oracle replays them exactly. */
+  def hits(pairs: DataFrame, iters: Int = 4, topK: Int = 10): DataFrame = {
+    val edges = graft.operators.Stage.materialize(
+      pairs.select(col("part"), col("supp")).distinct(), "hits-edges")
+    // each raw half-round table is referenced TWICE (its own max, the
+    // normalize) and feeds the next round's join — STAGED per round
+    // with eager drops (the q133 per-round-state lesson; an unstaged
+    // chain re-derives the edge join 2^rounds times)
+    var auth = edges.select(col("part")).distinct()
+      .withColumn("score", lit(1000000L))
+    var hub = auth // placeholder; overwritten in round 1
+    var spent: Seq[String] = Nil
+    for (_ <- 1 to iters) {
+      val (hRaw, hp) = graft.operators.Stage.materializeWithPath(
+        edges.join(auth, Seq("part"))
+          .groupBy(col("supp")).agg(sum(col("score")).as("raw")),
+        "hits-h")
+      hub = hRaw.crossJoin(broadcast(hRaw.agg(max(col("raw")).as("mx"))))
+        .select(col("supp"), expr("(raw * 1000000) DIV mx").as("score"))
+      val (aRaw, ap) = graft.operators.Stage.materializeWithPath(
+        edges.join(hub, Seq("supp"))
+          .groupBy(col("part")).agg(sum(col("score")).as("raw")),
+        "hits-a")
+      auth = aRaw.crossJoin(broadcast(aRaw.agg(max(col("raw")).as("mx"))))
+        .select(col("part"), expr("(raw * 1000000) DIV mx").as("score"))
+      spent.foreach(p => graft.operators.Stage.drop(edges, p))
+      spent = Seq(hp, ap)
+    }
+    // per-side top-k via orderBy+limit (TakeOrderedAndProject — each
+    // partition keeps k rows) + the q101 bounded collect_list position
+    // derivation: a row_number over a 2-value `side` partition would
+    // move EVERY entity of a side into one partition to rank 10 rows
+    def top(scored: DataFrame, idCol: String, side: String): DataFrame =
+      scored.orderBy(col("score").desc, col(idCol).asc).limit(topK)
+        .agg(sort_array(collect_list(
+          struct((-col("score")).as("ns"), col(idCol).as("id")))).as("s"))
+        .select(posexplode(col("s")).as(Seq("pos", "r")))
+        .select(lit(side).as("side"), col("r.id").as("id"),
+          (-col("r.ns")).as("score_ppm"),
+          (col("pos") + 1).cast("int").as("rnk"))
+    top(auth, "part", "part")
+      .unionByName(top(hub, "supp", "supplier"))
+  }
+
+  /** q169 — HITS on part↔supplier: top-10 authority parts and top-10
+    * hub suppliers after 4 coupled, max-normalized integer rounds. */
+  val q169: Q = Q(
+    "q169_hits_bipartite",
+    run = { (spark, dir) =>
+      hits(Tables.lineitem(spark, dir)
+        .select(col("l_partkey").as("part"), col("l_suppkey").as("supp")))
+    },
+    oracle = Some {
+      val rounds = (1 to 4).map { i =>
+        s"""h${i}r AS (SELECT supp, CAST(SUM(score) AS BIGINT) AS raw
+           |      FROM e JOIN a${i - 1} USING (part) GROUP BY supp),
+           |h$i AS (SELECT supp,
+           |        raw * 1000000 // (SELECT MAX(raw) FROM h${i}r) AS score
+           |      FROM h${i}r),
+           |a${i}r AS (SELECT part, CAST(SUM(score) AS BIGINT) AS raw
+           |      FROM e JOIN h$i USING (supp) GROUP BY part),
+           |a$i AS (SELECT part,
+           |        raw * 1000000 // (SELECT MAX(raw) FROM a${i}r) AS score
+           |      FROM a${i}r)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH e AS (SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+                 FROM lineitem),
+      a0 AS (SELECT DISTINCT part, CAST(1000000 AS BIGINT) AS score FROM e),
+      $rounds,
+      u AS (SELECT 'part' AS side, part AS id, score FROM a4
+            UNION ALL
+            SELECT 'supplier' AS side, supp AS id, score FROM h4),
+      f AS (SELECT side, id, score,
+              CAST(row_number() OVER (PARTITION BY side
+                ORDER BY score DESC, id ASC) AS INTEGER) AS rnk
+            FROM u)
+      SELECT side, id, CAST(score AS BIGINT) AS score_ppm, rnk
+      FROM f WHERE rnk <= 10"""
+    })
+
+  val all: Seq[Q] = Seq(q101, q130, q131, q133, q140, q141, q143, q168,
+    q169)
 }

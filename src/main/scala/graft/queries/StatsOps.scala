@@ -285,5 +285,94 @@ object StatsOps {
         CAST(cum_n AS DOUBLE) / n_total AS cum_share
       FROM r CROSS JOIN t"""))
 
-  val all: Seq[Q] = Seq(q81, q82, q84, q85, q86, q87)
+  /** Core of q170: A/B EXPERIMENT readout — hash-bucketed assignment +
+    * two-proportion effect summary, the analysis loop every
+    * product/data team runs on an events stream. Assignment is the
+    * house md5-draw recipe on the UNIT of randomization (user_id's
+    * first hex digit mod 2) — how real experiment platforms bucket:
+    * pure, stable across sessions, replayed digit-by-digit by the
+    * oracle, immune to "user_id % 2" parity artifacts. Conversion =
+    * the user has ≥ 1 purchase event (unit-level, not event-level — a
+    * heavy clicker never double-counts). The one-row summary carries
+    * per-variant counts, rates in ppm, the rate gap, and the SQUARED
+    * pooled z statistic in milli-units (z² > 3841 ⇔ |z| > 1.96 ⇔
+    * p < 0.05) — ALL integer arithmetic (ppm rates, DIV chains), so
+    * the gate certifies the statistic exactly; no float knife-edges.
+    *
+    * Scale shape: one distinct over (user, variant-expr) + one
+    * distinct over purchasers + a left join and a 2-group agg — the
+    * variant table never materializes (the assignment is an
+    * expression); the final pivot crossJoins two 1-row broadcasts.
+    * At 100 TB the unit table is the only shuffle and it is
+    * user-bounded, not event-bounded. */
+  def abTest(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val variant = (conv(substring(
+      md5(concat(lit("ab|"), col("user_id").cast("string"))), 1, 1),
+      16, 10).cast("long") % 2).as("variant")
+    val users = events.select(col("user_id")).distinct()
+      .select(col("user_id"), variant)
+    val purchasers = events.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().withColumn("cv", lit(1L))
+    val byVariant = users.join(purchasers, Seq("user_id"), "left")
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("cv"), lit(0L))).as("c"))
+    val a = byVariant.filter(col("variant") === 0)
+      .select(col("n").as("n_a"), col("c").as("conv_a"))
+    val b = byVariant.filter(col("variant") === 1)
+      .select(col("n").as("n_b"), col("c").as("conv_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("rate_a_ppm", expr("(conv_a * 1000000) DIV n_a"))
+      .withColumn("rate_b_ppm", expr("(conv_b * 1000000) DIV n_b"))
+      .withColumn("gap_ppm", expr("rate_a_ppm - rate_b_ppm"))
+      .withColumn("pooled_ppm",
+        expr("((conv_a + conv_b) * 1000000) DIV (n_a + n_b)"))
+      .withColumn("z2_milli", expr(
+        """(gap_ppm * gap_ppm * 1000) DIV nullif(
+          |  ((pooled_ppm * (1000000 - pooled_ppm)) DIV 1000000)
+          |  * ((1000000 DIV n_a) + (1000000 DIV n_b)) DIV 1000000,
+          |  0)""".stripMargin))
+      .select(col("n_a"), col("conv_a"), col("rate_a_ppm"),
+        col("n_b"), col("conv_b"), col("rate_b_ppm"),
+        col("gap_ppm"), col("pooled_ppm"), col("z2_milli"))
+  }
+
+  /** q170 — hash-bucketed A/B experiment readout over events:
+    * unit-level conversion, ppm rates, and the exact-integer pooled
+    * z² in milli-units. */
+  val q170: Q = Q(
+    "q170_ab_test",
+    run = { (spark, dir) => abTest(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      v AS (SELECT user_id,
+              CAST((strpos('0123456789abcdef',
+                substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                % 2 AS BIGINT) AS variant
+            FROM u),
+      p AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase'),
+      g AS (SELECT v.variant, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS c
+            FROM v LEFT JOIN p ON v.user_id = p.user_id
+            GROUP BY v.variant),
+      a AS (SELECT n AS n_a, c AS conv_a FROM g WHERE variant = 0),
+      b AS (SELECT n AS n_b, c AS conv_b FROM g WHERE variant = 1),
+      s AS (SELECT n_a, conv_a, (conv_a * 1000000) // n_a AS rate_a_ppm,
+              n_b, conv_b, (conv_b * 1000000) // n_b AS rate_b_ppm,
+              (conv_a * 1000000) // n_a - (conv_b * 1000000) // n_b
+                AS gap_ppm,
+              ((conv_a + conv_b) * 1000000) // (n_a + n_b) AS pooled_ppm
+            FROM a CROSS JOIN b)
+      SELECT n_a, conv_a, rate_a_ppm, n_b, conv_b, rate_b_ppm, gap_ppm,
+        pooled_ppm,
+        (gap_ppm * gap_ppm * 1000) // nullif(
+          ((pooled_ppm * (1000000 - pooled_ppm)) // 1000000)
+          * ((1000000 // n_a) + (1000000 // n_b)) // 1000000, 0)
+          AS z2_milli
+      FROM s"""))
+
+  val all: Seq[Q] = Seq(q81, q82, q84, q85, q86, q87, q170)
 }

@@ -145,5 +145,82 @@ object Warehouse {
       SELECT k, new_name, new_bal, new_seg, 'inserted' FROM ch
       WHERE op = 'I'"""))
 
-  val all: Seq[Q] = Seq(q93, q94)
+  /** Core of q171: POINT-IN-TIME dimension enrichment — the classic
+    * warehouse join ("each fact gets the dimension VERSION valid at
+    * fact time") composed from q93's SCD-2 semantics: the dimension
+    * stream is the run-compacted non-purchase state history, facts are
+    * purchases, and each purchase is enriched with (state_at,
+    * state_since) where state_since is the RUN START — the SCD-2
+    * validity answer, materially different from q13's last-raw-event
+    * (three consecutive clicks are ONE state since the first).
+    *
+    * Spark-first shape: NO interval join and NO range predicate — the
+    * compacted state points and the facts union into one stream and a
+    * single `last(ignoreNulls)` window resolves validity (the q13
+    * as-of recipe applied to an SCD dimension); both windows partition
+    * on user_id, so Catalyst plans ONE shuffle for the whole query. A
+    * state change at the purchase's exact timestamp applies (kind
+    * orders dimension points before facts at equal ts) — the
+    * valid_from ≤ ts inclusive contract, suite-pinned. */
+  def pointInTimeState(events: DataFrame): DataFrame = {
+    val e = events.filter(col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val wDim = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val dim = e.filter(col("event_type") =!= "purchase")
+      .withColumn("prev", lag(col("event_type"), 1).over(wDim))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(0).as("kind"), col("event_type").as("state"))
+    val facts = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("kind"), lit(null).cast("string").as("state"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(facts)
+      .withColumn("state_at", last(col("state"), ignoreNulls = true).over(w))
+      .withColumn("state_since",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+        col("state_at"), col("state_since").as("state_since_us"))
+  }
+
+  /** q171 — SCD-2 point-in-time enrichment: every purchase carries the
+    * user state (non-purchase run) valid at purchase time and that
+    * state's run start. */
+  val q171: Q = Q(
+    "q171_point_in_time",
+    run = { (spark, dir) => pointInTimeState(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                   event_id
+                 FROM events WHERE event_type IS NOT NULL),
+      d0 AS (SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev
+             FROM e WHERE event_type <> 'purchase'),
+      dim AS (SELECT user_id, ts, event_id, 0 AS kind,
+                event_type AS state
+              FROM d0 WHERE prev IS NULL OR prev <> event_type),
+      f AS (SELECT user_id, ts, event_id, 1 AS kind,
+              CAST(NULL AS VARCHAR) AS state
+            FROM e WHERE event_type = 'purchase'),
+      u AS (SELECT * FROM dim UNION ALL SELECT * FROM f),
+      m AS (SELECT user_id, ts, event_id, kind,
+              last_value(state IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, kind, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS state_at,
+              last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS state_since
+            FROM u)
+      SELECT event_id, user_id, ts AS ts_us, state_at,
+        state_since AS state_since_us
+      FROM m WHERE kind = 1"""))
+
+  val all: Seq[Q] = Seq(q93, q94, q171)
 }

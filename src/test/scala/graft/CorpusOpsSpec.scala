@@ -278,6 +278,57 @@ class CorpusOpsSpec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  test("q170: hand events — md5 bucketing, unit-level conversion, exact integer z² (independent JVM-md5 replay)") {
+    val events = Seq(
+      (1L, "view"), (1L, "purchase"), (1L, "purchase"), // one unit-conv
+      (2L, "click"), (3L, "purchase"), (4L, "view"), (5L, "error"),
+      (6L, "view"), (7L, "purchase"), (8L, "click"))
+      .toDF("user_id", "event_type")
+    // independent reimplementation: JVM MessageDigest, not Spark md5
+    def variant(u: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab|$u".getBytes("UTF-8"))
+      ((d(0).toInt >> 4) & 0xf) % 2L
+    }
+    val purch = Set(1L, 3L, 7L)
+    val users = (1L to 8L).toSeq
+    def side(v: Long) = {
+      val us = users.filter(variant(_) == v)
+      (us.size.toLong, us.count(purch).toLong)
+    }
+    val ((na, ca), (nb, cb)) = (side(0), side(1))
+    val out = queries.StatsOps.abTest(events).collect()
+    if (na == 0 || nb == 0) assert(out.isEmpty)
+    else {
+      assert(out.length == 1)
+      val r = out.head
+      val (ra, rb) = (ca * 1000000L / na, cb * 1000000L / nb)
+      val gap = ra - rb
+      val pooled = (ca + cb) * 1000000L / (na + nb)
+      val den = (pooled * (1000000L - pooled) / 1000000L) *
+        (1000000L / na + 1000000L / nb) / 1000000L
+      assert(r.getLong(0) == na && r.getLong(1) == ca && r.getLong(2) == ra)
+      assert(r.getLong(3) == nb && r.getLong(4) == cb && r.getLong(5) == rb)
+      assert(r.getLong(6) == gap && r.getLong(7) == pooled)
+      if (den == 0L) assert(r.isNullAt(8))
+      else assert(r.getLong(8) == gap * gap * 1000L / den,
+        s"z2 ${r.getLong(8)} vs ${gap * gap * 1000L / den}")
+    }
+  }
+
+  test("q170 registry run: one row, counts reconcile with distinct users, z² well-formed") {
+    val rows = queries.StatsOps.q170.run(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val totalUsers = Tables.events(spark, dir)
+      .select(col("user_id")).distinct().count()
+    assert(r.getLong(0) + r.getLong(3) == totalUsers)
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(4) <= r.getLong(3))
+    Seq(2, 5, 7).foreach(i =>
+      assert(r.getLong(i) >= 0L && r.getLong(i) <= 1000000L, s"col $i"))
+    assert(r.isNullAt(8) || r.getLong(8) >= 0L)
+  }
+
   test("q85: profile counts are consistent with direct aggregation") {
     val out = queries.StatsOps.q85.run(spark, dir)
     val events = Tables.events(spark, dir)
@@ -425,6 +476,54 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(4L) == ((Some("click"), 120L)))   // not the prior purchase
     assert(out(5L) == ((None, -1L)))             // direct bucket
     assert(out.size == 3)
+  }
+
+  test("q172: U-shaped credits sum to exactly 1000 per conversion; journeys cut at purchases") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: 5 clicks -> purchase (m=5: 402/66/66/66/400),
+      // then 1 click -> purchase (m=1: 1000), then an UNCONVERTED click
+      (1L, "click", ts("2024-01-01 10:00:00"), 1L),
+      (2L, "click", ts("2024-01-01 10:01:00"), 1L),
+      (3L, "click", ts("2024-01-01 10:02:00"), 1L),
+      (4L, "click", ts("2024-01-01 10:03:00"), 1L),
+      (5L, "click", ts("2024-01-01 10:04:00"), 1L),
+      (6L, "purchase", ts("2024-01-01 10:05:00"), 1L),
+      (7L, "click", ts("2024-01-01 11:00:00"), 1L),
+      (8L, "purchase", ts("2024-01-01 11:01:00"), 1L),
+      (9L, "click", ts("2024-01-01 12:00:00"), 1L),
+      // user 2: 3 clicks -> purchase (m=3: 400/200/400);
+      // a purchase with NO touches earns no rows
+      (10L, "click", ts("2024-01-02 10:00:00"), 2L),
+      (11L, "click", ts("2024-01-02 10:01:00"), 2L),
+      (12L, "click", ts("2024-01-02 10:02:00"), 2L),
+      (13L, "purchase", ts("2024-01-02 10:03:00"), 2L),
+      (14L, "purchase", ts("2024-01-02 10:04:00"), 2L))
+      .toDF("event_id", "event_type", "ts", "user_id")
+    val out = queries.Funnels.multiTouch(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    // m=5 journey: first 400+2 (remainder), mids 66, last 400
+    assert(out((6L, 1L)) == 402L && out((6L, 2L)) == 66L &&
+      out((6L, 4L)) == 66L && out((6L, 5L)) == 400L, s"$out")
+    // m=1 journey: the lone touch takes all 1000
+    assert(out((8L, 7L)) == 1000L, s"$out")
+    // m=3 journey: 400 / 200 / 400
+    assert(out((13L, 10L)) == 400L && out((13L, 11L)) == 200L &&
+      out((13L, 12L)) == 400L, s"$out")
+    // unconverted click 9 and touchless purchase 14 earn nothing
+    assert(!out.keys.exists(k => k._2 == 9L || k._1 == 14L), s"$out")
+    // Σcredit per conversion is EXACTLY 1000
+    out.groupBy(_._1._1).foreach { case (p, credits) =>
+      assert(credits.values.sum == 1000L, s"purchase $p leaks credit") }
+  }
+
+  test("q172 registry run: every credited journey conserves exactly 1000 milli") {
+    val out = queries.Funnels.q172.run(spark, dir)
+    val sums = out.groupBy(col("purchase_id"))
+      .agg(sum(col("credit_milli")).as("s"))
+      .filter(col("s") =!= 1000L).count()
+    assert(sums == 0L, s"$sums conversions leak credit")
   }
 
   test("q132: a source-exclusive token tops its source's keyness list") {

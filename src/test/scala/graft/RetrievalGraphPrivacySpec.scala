@@ -98,6 +98,44 @@ class RetrievalGraphPrivacySpec extends AnyFunSuite {
     assert(rows.head.getLong(1) > 0L, "no seeded mass reached the top")
   }
 
+  // ---- q169 HITS ----
+
+  test("q169: hand bipartite graph — coupled mutual reinforcement, exact integer rounds") {
+    // s1 ships parts {1,2,3}; s2 ships {3}: part 3 (shipped by both)
+    // is the top authority, s1 (3 parts) the top hub. Round 1 exactly:
+    // h(s1)=3e6→1e6, h(s2)=1e6→333333; a(3)=1333333→1e6,
+    // a(1)=a(2)=1e6→750000.
+    val pairs = Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 20L))
+      .toDF("part", "supp")
+    val out = GraphOps.hits(pairs, iters = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out(("supplier", 10L)) == 1000000L, s"$out")
+    assert(out(("supplier", 20L)) == 333333L, s"$out")
+    assert(out(("part", 3L)) == 1000000L, s"$out")
+    assert(out(("part", 1L)) == 750000L && out(("part", 2L)) == 750000L,
+      s"$out")
+    // deeper rounds keep the order and the [0, 1e6] normalization
+    val deep = GraphOps.hits(pairs, iters = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(deep(("part", 3L)) == 1000000L &&
+      deep(("part", 1L)) < 1000000L && deep.values.forall(_ >= 0L))
+  }
+
+  test("q169 registry run: both sides ranked, normalized tops, contiguous ranks") {
+    val rows = GraphOps.q169.run(spark, dir).collect()
+    val bySide = rows.groupBy(_.getString(0))
+    assert(bySide.keySet == Set("part", "supplier"))
+    bySide.foreach { case (side, rs) =>
+      assert(rs.length <= 10 && rs.nonEmpty, s"$side size")
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length),
+        s"$side ranks not contiguous")
+      // max-normalization: the top row of each side sits at exactly 1e6
+      assert(rs.minBy(_.getInt(3)).getLong(2) == 1000000L,
+        s"$side top not normalized")
+      assert(rs.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= 1000000L))
+    }
+  }
+
   test("q102: query terms respect the df cap; scores rank tf sanely") {
     val out = Retrieval.bm25(
       Tables.documents(spark, dir).filter(col("text").isNotNull)).cache()

@@ -128,4 +128,43 @@ class WarehouseSpec extends AnyFunSuite {
         .count() == 0)
     } finally { once.unpersist(); () }
   }
+
+  // ---- q171 point-in-time enrichment ----
+
+  test("q171: purchases carry the state RUN valid at purchase time (run start, not last event)") {
+    val events = Seq(
+      // user 10: view@0, click@1, click@2, purchase@3 — state is the
+      // click RUN since 01:00 (NOT 02:00 — the SCD semantics)
+      (1L, "view", ts("2024-01-01 00:00:00"), 10L),
+      (2L, "click", ts("2024-01-01 01:00:00"), 10L),
+      (3L, "click", ts("2024-01-01 02:00:00"), 10L),
+      (4L, "purchase", ts("2024-01-01 03:00:00"), 10L),
+      // user 20: purchase BEFORE any state — nulls, not a dropped row
+      (5L, "purchase", ts("2024-01-02 00:00:00"), 20L),
+      (6L, "view", ts("2024-01-02 01:00:00"), 20L),
+      // user 30: state change at the purchase's EXACT ts applies
+      (7L, "view", ts("2024-01-03 00:00:00"), 30L),
+      (8L, "error", ts("2024-01-03 05:00:00"), 30L),
+      (9L, "purchase", ts("2024-01-03 05:00:00"), 30L))
+      .toDF("event_id", "event_type", "ts", "user_id")
+    val out = Warehouse.pointInTimeState(events).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getString(3)), Option(r.getTimestamp(4)))).toMap
+    assert(out(4L) == ((Some("click"), Some(ts("2024-01-01 01:00:00")))),
+      s"run-start semantics broken: $out")
+    assert(out(5L) == ((None, None)), s"pre-state purchase: $out")
+    assert(out(9L) == ((Some("error"), Some(ts("2024-01-03 05:00:00")))),
+      s"same-ts state change must apply: $out")
+    assert(out.size == 3)
+  }
+
+  test("q171 registry run: every purchase appears exactly once; state never 'purchase'") {
+    val out = queries.Warehouse.q171.run(spark, TestSpark.sf0001)
+    val purchases = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_type") === "purchase")
+    assert(out.count() == purchases.count())
+    assert(out.filter(col("state_at") === "purchase").count() == 0)
+    // since-ts never after the purchase ts
+    assert(out.filter(col("state_since_us") > col("ts_us")).count() == 0)
+  }
 }
