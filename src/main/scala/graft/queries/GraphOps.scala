@@ -1047,21 +1047,28 @@ object GraphOps {
         .select(col("l_partkey").as("part"), col("l_suppkey").as("supp")))
     },
     oracle = Some {
+      // every h{i}r/a{i}r is referenced TWICE (its own max + the next
+      // join) — MATERIALIZED, or DuckDB inlines the chain and the base
+      // join re-derives 2^rounds times (the same blowup the Spark side
+      // stages against)
       val rounds = (1 to 4).map { i =>
-        s"""h${i}r AS (SELECT supp, CAST(SUM(score) AS BIGINT) AS raw
+        s"""h${i}r AS MATERIALIZED (
+           |      SELECT supp, CAST(SUM(score) AS BIGINT) AS raw
            |      FROM e JOIN a${i - 1} USING (part) GROUP BY supp),
-           |h$i AS (SELECT supp,
+           |h$i AS MATERIALIZED (SELECT supp,
            |        raw * 1000000 // (SELECT MAX(raw) FROM h${i}r) AS score
            |      FROM h${i}r),
-           |a${i}r AS (SELECT part, CAST(SUM(score) AS BIGINT) AS raw
+           |a${i}r AS MATERIALIZED (
+           |      SELECT part, CAST(SUM(score) AS BIGINT) AS raw
            |      FROM e JOIN h$i USING (supp) GROUP BY part),
-           |a$i AS (SELECT part,
+           |a$i AS MATERIALIZED (SELECT part,
            |        raw * 1000000 // (SELECT MAX(raw) FROM a${i}r) AS score
            |      FROM a${i}r)""".stripMargin
       }.mkString(",\n      ")
       s"""
-      WITH e AS (SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
-                 FROM lineitem),
+      WITH e AS MATERIALIZED (
+        SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+        FROM lineitem),
       a0 AS (SELECT DISTINCT part, CAST(1000000 AS BIGINT) AS score FROM e),
       $rounds,
       u AS (SELECT 'part' AS side, part AS id, score FROM a4
