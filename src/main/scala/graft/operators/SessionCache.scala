@@ -58,27 +58,54 @@ object SessionCache {
     cache.keys.filter(_._1 == token).toSeq.foreach(cache.remove(_): Unit)
   }
 
+  @volatile private var warnedUnlisted = false
+
   /** Cheap snapshot fingerprint of an input directory: ONE recursive
-    * driver-side listing folded to (file count, total bytes, max
-    * mtime). An in-place overwrite changes at least one of the three
-    * (a rewritten parquet directory changes mtimes even at identical
-    * size); the cost is a single `listFiles` per memo probe — the same
-    * listing a scan's file index performs, trivial next to the build
-    * it guards. Unreadable paths fingerprint as a constant (the memo
-    * then behaves like the round-11 path-only key). */
+    * driver-side listing, every file's (name, length, mtime) folded
+    * into an order-insensitive 128-bit hash. Per-FILE folding (not the
+    * round-11 aggregate of count/bytes/max-mtime) is what makes a
+    * same-size in-place rewrite within the filesystem's mtime
+    * granularity — coarse on some object stores — still flip the
+    * token: the file NAME set changes on any parquet rewrite
+    * (part-file UUIDs), and two files swapping sizes no longer cancel
+    * in a sum (round-12 ADVICE). XOR of per-file md5s keeps the fold
+    * independent of listing order. The cost stays one `listFiles` per
+    * memo probe — the same listing a scan's file index performs,
+    * trivial next to the build it guards. Unreadable paths fingerprint
+    * as a constant (the memo then degrades to the path-only key) and
+    * WARN once per JVM — a silent degrade hid exactly the staleness
+    * this token exists to prevent. */
   def inputToken(spark: SparkSession, dir: String): String =
     try {
       val p = new Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val it = fs.listFiles(p, true)
-      var n = 0L; var bytes = 0L; var maxM = 0L
+      var n = 0L
+      val acc = new Array[Byte](16)
+      val md = java.security.MessageDigest.getInstance("MD5")
       while (it.hasNext) {
         val s = it.next()
-        n += 1; bytes += s.getLen
-        if (s.getModificationTime > maxM) maxM = s.getModificationTime
+        n += 1
+        md.reset()
+        val d = md.digest(
+          s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
+            .getBytes("UTF-8"))
+        var i = 0
+        while (i < 16) { acc(i) = (acc(i) ^ d(i)).toByte; i += 1 }
       }
-      s"$n:$bytes:$maxM"
-    } catch { case _: Throwable => "unlisted" }
+      val hex = acc.map(b => f"${b & 0xff}%02x").mkString
+      s"$n:$hex"
+    } catch {
+      case e: Throwable =>
+        if (!warnedUnlisted) {
+          warnedUnlisted = true
+          System.err.println(
+            s"[graft.SessionCache] WARNING: could not list $dir for a " +
+              s"snapshot fingerprint ($e) — memo key degrades to " +
+              "path-only; a same-path overwrite would NOT invalidate")
+        }
+        "unlisted"
+    }
 
   /** Build-once per (session, key): returns the cached artifact when
     * present, else runs `build` and retains its result. Synchronized —

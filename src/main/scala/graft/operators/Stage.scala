@@ -145,11 +145,18 @@ object Stage {
     * [[materializeWithPath]]. The caller asserts no live DataFrame still
     * scans it. Failures are logged, never thrown (cleanup must not fail
     * the query that finished its real work). */
-  def drop(df: DataFrame, path: String): Unit = {
+  def drop(df: DataFrame, path: String): Unit =
+    dropDir(df.sparkSession, path)
+
+  /** [[drop]] for a directory handed out by [[allocDir]] — same
+    * unregister-and-delete, no DataFrame needed (the caller landed
+    * bytes through its own writer, e.g. shard compaction scratch). */
+  def dropDir(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
     staged.synchronized(staged -= path): Unit
     try {
       val p = new Path(path)
-      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, true): Unit
     } catch { case e: Throwable =>
       System.err.println(s"[graft.Stage] failed to delete staged dir $path: $e")

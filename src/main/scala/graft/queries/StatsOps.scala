@@ -296,8 +296,18 @@ object StatsOps {
     * heavy clicker never double-counts). The one-row summary carries
     * per-variant counts, rates in ppm, the rate gap, and the SQUARED
     * pooled z statistic in milli-units (z² > 3841 ⇔ |z| > 1.96 ⇔
-    * p < 0.05) — ALL integer arithmetic (ppm rates, DIV chains), so
-    * the gate certifies the statistic exactly; no float knife-edges.
+    * p < 0.05) — ALL integer arithmetic (ppm rates, one exact widened
+    * quotient), so the gate certifies the statistic exactly; no float
+    * knife-edges. The z² term is ONE division over DECIMAL(38,0)
+    * products (oracle: HUGEINT — both truncate the non-negative
+    * quotient identically): z²·1e3 = 1000·gap_ppm²·n_a·n_b DIV
+    * (pooled·(1e6−pooled)·(n_a+n_b)). The round-12 formula chained
+    * `1000000 DIV n` sub-quotients, which truncate to 0 once a variant
+    * exceeds 1e6 units — at the 100× contract the headline statistic
+    * silently nulled; the widened single quotient is exact to 38
+    * digits (per-side units beyond 1e10 before the product nears the
+    * decimal ceiling) and null only in the degenerate pooled ∈ {0, 1e6}
+    * case, where z is genuinely undefined.
     *
     * Scale shape: one distinct over (user, variant-expr) + one
     * distinct over purchasers + a left join and a 2-group agg — the
@@ -329,9 +339,10 @@ object StatsOps {
       .withColumn("pooled_ppm",
         expr("((conv_a + conv_b) * 1000000) DIV (n_a + n_b)"))
       .withColumn("z2_milli", expr(
-        """(gap_ppm * gap_ppm * 1000) DIV nullif(
-          |  ((pooled_ppm * (1000000 - pooled_ppm)) DIV 1000000)
-          |  * ((1000000 DIV n_a) + (1000000 DIV n_b)) DIV 1000000,
+        """(CAST(1000 AS DECIMAL(38,0)) * gap_ppm * gap_ppm * n_a * n_b)
+          |DIV nullif(
+          |  CAST(pooled_ppm AS DECIMAL(38,0)) * (1000000 - pooled_ppm)
+          |    * (n_a + n_b),
           |  0)""".stripMargin))
       .select(col("n_a"), col("conv_a"), col("rate_a_ppm"),
         col("n_b"), col("conv_b"), col("rate_b_ppm"),
@@ -368,10 +379,10 @@ object StatsOps {
             FROM a CROSS JOIN b)
       SELECT n_a, conv_a, rate_a_ppm, n_b, conv_b, rate_b_ppm, gap_ppm,
         pooled_ppm,
-        (gap_ppm * gap_ppm * 1000) // nullif(
-          ((pooled_ppm * (1000000 - pooled_ppm)) // 1000000)
-          * ((1000000 // n_a) + (1000000 // n_b)) // 1000000, 0)
-          AS z2_milli
+        CAST((CAST(1000 AS HUGEINT) * gap_ppm * gap_ppm * n_a * n_b)
+          // nullif(
+            CAST(pooled_ppm AS HUGEINT) * (1000000 - pooled_ppm)
+              * (n_a + n_b), 0) AS BIGINT) AS z2_milli
       FROM s"""))
 
   val all: Seq[Q] = Seq(q81, q82, q84, q85, q86, q87, q170)

@@ -218,19 +218,32 @@ object ShardExport {
     * table); ONE job then reads ONLY the selected shard dirs and
     * exchanges ONLY their rows (shuffle ∝ the compacted subset, never
     * the lake — the same ∝-the-touched-set posture as q124/q155), with
-    * a write-sort restoring the single-run order. The swap is a
-    * per-shard directory rename, so readers of an uncompacted shard
-    * never observe a half-written state (the production OPTIMIZE
-    * shape). Returns the compacted shard ids. */
+    * a write-sort restoring the single-run order.
+    *
+    * Crash contract (round-12 ADVICE — the old shape was
+    * delete-then-rename, and a crash in the gap lost the shard): each
+    * shard swap is rename-aside → rename-in → delete-aside, so EVERY
+    * point in time keeps the shard's rows in exactly one of
+    * `shard=k` / `_old_shard=k` (both renames are single directory
+    * moves; the `_`-prefixed aside dir is invisible to partition
+    * discovery). PER-SHARD the swap is atomic; the SET is not — a
+    * crash mid-loop leaves already-swapped shards compacted and the
+    * rest untouched, and the next [[compactShards]] call first
+    * [[recoverLayout]]s any interrupted swap (roll the aside back when
+    * `shard=k` is missing, drop it when the swap had completed). The
+    * compacted bytes are written to a [[graft.operators.Stage]]-managed
+    * scratch dir (shutdown-reaped; never the only copy of anything),
+    * not a sibling of the layout. Returns the compacted shard ids. */
   def compactShards(spark: org.apache.spark.sql.SparkSession,
       dir: String, maxRuns: Int = 1): Seq[Int] = {
+    recoverLayout(spark, dir)
     val toCompact = runCounts(spark, dir)
       .filter(_._2 > maxRuns).keys.toSeq.sorted
     if (toCompact.isEmpty) return Nil
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "-compact-tmp")
-    fs.delete(tmp, true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      graft.operators.Stage.allocDir(spark, "shard-compact"))
     spark.read.option("basePath", dir)
       .parquet(toCompact.map(k => s"$dir/shard=$k"): _*)
       .repartition(toCompact.length, col("shard"))
@@ -240,12 +253,37 @@ object ShardExport {
       .parquet(tmp.toString)
     toCompact.foreach { k =>
       val dst = new org.apache.hadoop.fs.Path(root, s"shard=$k")
-      fs.delete(dst, true)
+      val aside = new org.apache.hadoop.fs.Path(root, s"_old_shard=$k")
+      require(fs.rename(dst, aside),
+        s"compaction aside-rename failed for shard=$k")
       require(fs.rename(new org.apache.hadoop.fs.Path(tmp, s"shard=$k"), dst),
         s"compaction swap failed for shard=$k")
+      fs.delete(aside, true): Unit
     }
-    fs.delete(tmp, true)
+    graft.operators.Stage.dropDir(spark, tmp.toString)
     toCompact
+  }
+
+  /** Finish or roll back an interrupted [[compactShards]] swap: an
+    * `_old_shard=k` aside dir with `shard=k` present means the swap
+    * completed and only the aside-delete was lost — drop it; without
+    * `shard=k` the crash hit between the two renames — roll the aside
+    * back. Idempotent; called automatically by [[compactShards]], and
+    * public for readers that want the guarantee before planning. */
+  def recoverLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("_old_shard="))
+      .foreach { aside =>
+        val k = aside.getPath.getName.stripPrefix("_old_shard=")
+        val dst = new org.apache.hadoop.fs.Path(root, s"shard=$k")
+        if (fs.exists(dst)) fs.delete(aside.getPath, true): Unit
+        else require(fs.rename(aside.getPath, dst),
+          s"compaction recovery rename failed for shard=$k")
+      }
   }
 
   /** SPLIT a landed layout from `nShardsOld` to `factor ×` as many
@@ -255,12 +293,21 @@ object ShardExport {
     * r or r + nShardsOld·i. The split is therefore per-input-file
     * LOCAL: each task re-keys its own rows and the partitioned write
     * fans them into the child dirs — no Exchange in the plan
-    * (suite-asserted), each output file still a sorted run (filtering
-    * a sorted run preserves order). At 100 TB this is resharding a
-    * serving layout without a cluster-wide shuffle: touch every byte
-    * once, move nothing between executors. Child manifests PAIR-SUM to
-    * the parent's (suite-asserted) — consumers can verify a split from
-    * manifests alone. */
+    * (suite-asserted). At 100 TB this is resharding a serving layout
+    * without a cluster-wide shuffle: touch every byte once, move
+    * nothing between executors. Child manifests PAIR-SUM to the
+    * parent's (suite-asserted) — consumers can verify a split from
+    * manifests alone.
+    *
+    * The task-local `sortWithinPartitions` keeps every OUTPUT file a
+    * single sorted run even over a post-append multi-run parent:
+    * Spark's small-file packing can place two sorted runs of one
+    * parent shard in the same read split, and "filtering a sorted run
+    * preserves order" only covers the single-run case (round-12
+    * ADVICE). The sort is per-task over bytes the task already holds
+    * (no Exchange — the plan assert still proves zero data movement);
+    * on a single-run parent it is a near-no-op pass over
+    * already-ordered rows. */
   def splitShards(spark: org.apache.spark.sql.SparkSession,
       inDir: String, outDir: String, nShardsOld: Int,
       factor: Int = 2): Unit = {
@@ -270,7 +317,9 @@ object ShardExport {
     // deliberately NO repartition: the re-key is per-file local
     // (mod-nesting) and the partitioned write fans each task's rows
     // into its child dirs without an Exchange
-    rekeyed.write.mode("overwrite")
+    rekeyed
+      .sortWithinPartitions(col("shard"), col("draw"))
+      .write.mode("overwrite")
       .partitionBy("shard")
       .parquet(outDir)
   }

@@ -305,15 +305,43 @@ class CorpusOpsSpec extends AnyFunSuite {
       val (ra, rb) = (ca * 1000000L / na, cb * 1000000L / nb)
       val gap = ra - rb
       val pooled = (ca + cb) * 1000000L / (na + nb)
-      val den = (pooled * (1000000L - pooled) / 1000000L) *
-        (1000000L / na + 1000000L / nb) / 1000000L
+      // the single widened quotient (BigInt = the test's HUGEINT):
+      // 1000·gap²·na·nb / (pooled·(1e6−pooled)·(na+nb)), truncated
+      val den = BigInt(pooled) * (1000000L - pooled) * (na + nb)
       assert(r.getLong(0) == na && r.getLong(1) == ca && r.getLong(2) == ra)
       assert(r.getLong(3) == nb && r.getLong(4) == cb && r.getLong(5) == rb)
       assert(r.getLong(6) == gap && r.getLong(7) == pooled)
-      if (den == 0L) assert(r.isNullAt(8))
-      else assert(r.getLong(8) == gap * gap * 1000L / den,
-        s"z2 ${r.getLong(8)} vs ${gap * gap * 1000L / den}")
+      if (den == 0) assert(r.isNullAt(8))
+      else {
+        val want = (BigInt(1000) * gap * gap * na * nb / den).toLong
+        assert(r.getLong(8) == want, s"z2 ${r.getLong(8)} vs $want")
+      }
     }
+  }
+
+  test("q170 at n > 1e6 units per variant: z² survives (round-12 weak — the DIV chain nulled it)") {
+    // 10M synthetic users, ~5M per md5 variant — the scale where the
+    // old `1000000 DIV n` sub-quotients truncated to 0 and nullified
+    // z2_milli. Conversion depends on user_id parity-of-hundreds so
+    // the two md5 variants see (near-identical but nonzero-gap) rates.
+    val events = spark.range(10000000L)
+      .select(col("id").as("user_id"),
+        when(col("id") % 100 < 3, lit("purchase")).otherwise(lit("view"))
+          .as("event_type"))
+    val r = queries.StatsOps.abTest(events).collect().head
+    val (na, ca) = (r.getLong(0), r.getLong(1))
+    val (nb, cb) = (r.getLong(3), r.getLong(4))
+    assert(na > 1000000L && nb > 1000000L, s"fixture too small: $na/$nb")
+    assert(!r.isNullAt(8), "z2_milli null above 1e6 units — truncation back")
+    // the integer z² matches the double-precision statistic computed on
+    // the SAME ppm grid (gap/pooled already truncated to ppm), within
+    // the 1-milli truncation cell
+    val gap = r.getLong(6).toDouble
+    val pooled = r.getLong(7).toDouble
+    val z2 = 1000.0 * gap * gap * na * nb /
+      (pooled * (1000000.0 - pooled) * (na + nb))
+    assert(math.abs(r.getLong(8) - z2) <= 1.0,
+      s"z2_milli ${r.getLong(8)} vs double $z2")
   }
 
   test("q170 registry run: one row, counts reconcile with distinct users, z² well-formed") {

@@ -310,6 +310,83 @@ class ExportSpec extends AnyFunSuite {
     // selects nothing and touches nothing
     assert(ShardExport.compactShards(spark, dir, maxRuns = 1).isEmpty)
     assert(fileStamps(dir) == stampsAfter)
+    // the compaction scratch lives under the Stage-managed staging
+    // root, NOT as a sibling of the layout (round-12 ADVICE: the old
+    // `<dir>-compact-tmp` sibling leaked on a mid-compaction crash)
+    assert(!new java.io.File(dir + "-compact-tmp").exists(),
+      "sibling compact-tmp dir must not exist")
+    // nothing but shard dirs (and Spark's _SUCCESS marker) remains in
+    // the layout — no aside dirs survive a completed compaction
+    val leftovers = new java.io.File(dir).listFiles().toSeq
+      .map(_.getName).filterNot(n =>
+        n.startsWith("shard=") || n.startsWith("_SUCCESS") || n.startsWith("."))
+    assert(leftovers.isEmpty, s"unexpected layout residue: $leftovers")
+  }
+
+  test("q163 crash contract: an interrupted swap recovers — aside rolled back or dropped, content invariant") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("cmpcrash")
+    ShardExport.writeShards(docs, "doc_id", dir, nShards = 8)
+    ShardExport.appendShards(docs.limit(16), "doc_id", dir, nShards = 8)
+    val before = manifestMap(ShardExport.manifest(spark.read.parquet(dir)))
+    val someShard = ShardExport.runCounts(spark, dir)
+      .filter(_._2 > 1).keys.head
+    val root = new java.io.File(dir)
+    // (1) crash BETWEEN the two renames: shard=k gone, aside holds the
+    // rows — the layout's partition discovery skips the _-prefixed
+    // aside, so the shard is transiently invisible, NOT lost
+    val shardDir = new java.io.File(root, s"shard=$someShard")
+    val aside = new java.io.File(root, s"_old_shard=$someShard")
+    assert(shardDir.renameTo(aside))
+    ShardExport.recoverLayout(spark, dir)
+    assert(shardDir.exists() && !aside.exists(), "rollback did not restore")
+    assert(manifestMap(ShardExport.manifest(spark.read.parquet(dir)))
+      == before, "recovered layout content drifted")
+    // (2) crash AFTER the swap, before the aside delete: both exist —
+    // recovery finishes the delete and keeps the (new) shard dir
+    val asideCopy = new java.io.File(root, s"_old_shard=$someShard")
+    assert(asideCopy.mkdir())
+    java.nio.file.Files.write(
+      new java.io.File(asideCopy, "stale.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    ShardExport.recoverLayout(spark, dir)
+    assert(shardDir.exists() && !asideCopy.exists(), "leftover aside kept")
+    // (3) compactShards itself runs recovery first: seed an interrupted
+    // state and let the real call heal + compact in one pass
+    assert(shardDir.renameTo(aside))
+    val compacted = ShardExport.compactShards(spark, dir, maxRuns = 1)
+    assert(compacted.contains(someShard))
+    assert(manifestMap(ShardExport.manifest(spark.read.parquet(dir)))
+      == before, "compaction after recovery lost rows")
+    assert(root.listFiles().forall(f => !f.getName.startsWith("_old_shard=")))
+  }
+
+  test("splitShards on a POST-APPEND multi-run parent: every child file is one sorted run") {
+    // small-file packing places two sorted runs of one parent shard in
+    // the same read split; without the task-local write sort the child
+    // file would be two concatenated runs (round-12 ADVICE)
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val parent = tmp("splitp")
+    val child = tmp("splitc")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    ShardExport.writeShards(half1, "doc_id", parent, nShards = 4)
+    ShardExport.appendShards(half2, "doc_id", parent, nShards = 4)
+    assert(ShardExport.runCounts(spark, parent).values.exists(_ > 1),
+      "fixture degenerate: parent has no multi-run shard")
+    ShardExport.splitShards(spark, parent, child, nShardsOld = 4)
+    landedFiles(child).foreach { f =>
+      val draws = spark.read.parquet(f.getAbsolutePath)
+        .select("draw").collect().map(_.getString(0)).toSeq
+      assert(draws == draws.sorted, s"child ${f.getName} not a sorted run")
+    }
+    // content invariant: children pair-sum to the parent corpus
+    assert(spark.read.parquet(child).count() ==
+      spark.read.parquet(parent).count())
   }
 
   // ---- q166 versioned layout / time travel ----

@@ -136,6 +136,24 @@ class RetrievalGraphPrivacySpec extends AnyFunSuite {
     }
   }
 
+  test("q169: iters = 0 is rejected (round-0 hub state does not exist)") {
+    // the zero-iteration placeholder would emit part ids labeled as
+    // suppliers — a wrong-schema answer; the public method refuses
+    // (round-12 verdict item 3)
+    val pairs = Seq((1L, 10L)).toDF("part", "supp")
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.hits(pairs, iters = 0)
+    }
+    assert(e.getMessage.contains("at least 1 iteration"))
+  }
+
+  test("q169: iters = 1 on a zero-row edge set completes with the output schema") {
+    val empty = Seq.empty[(Long, Long)].toDF("part", "supp")
+    val out = GraphOps.hits(empty, iters = 1)
+    assert(out.columns.toSeq == Seq("side", "id", "score_ppm", "rnk"))
+    assert(out.count() == 0L)
+  }
+
   test("q102: query terms respect the df cap; scores rank tf sanely") {
     val out = Retrieval.bm25(
       Tables.documents(spark, dir).filter(col("text").isNotNull)).cache()

@@ -87,4 +87,25 @@ class SessionCacheSpec extends AnyFunSuite {
     assert(operators.SessionCache
       .inputToken(spark, "/nonexistent/graft/path") == "unlisted")
   }
+
+  test("inputToken flips on a same-size same-mtime rename (per-file fold, not aggregates)") {
+    // the round-11 (count, total bytes, max mtime) aggregate collides
+    // on a same-size rewrite within mtime granularity; the per-file
+    // (name, length, mtime) fold sees the NAME change every parquet
+    // rewrite produces (round-12 ADVICE)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tok2").toString
+    val f1 = new java.io.File(dir, "part-0001.parquet")
+    java.nio.file.Files.write(f1.toPath, "samesize".getBytes)
+    val stamp = 1700000000000L
+    assert(f1.setLastModified(stamp))
+    val t1 = operators.SessionCache.inputToken(spark, dir)
+    // replace with an identically-sized, identically-stamped file under
+    // a DIFFERENT name — count, total bytes and max mtime all collide
+    assert(f1.delete())
+    val f2 = new java.io.File(dir, "part-0002.parquet")
+    java.nio.file.Files.write(f2.toPath, "samesize".getBytes)
+    assert(f2.setLastModified(stamp))
+    val t2 = operators.SessionCache.inputToken(spark, dir)
+    assert(t1 != t2, "aggregate-colliding rewrite did not flip the token")
+  }
 }
