@@ -278,5 +278,34 @@ object Export {
     },
     oracle = Some(manifestOracleSqlFor(nShards, "doc_id % 10 = 7")))
 
-  val all: Seq[Q] = Seq(q153, q155, q158, q163, q166, q167)
+  /** q173 — ROW-LEVEL snapshot diff ACROSS a compaction (the slow-path
+    * CDC arm q167's fast path refuses): the diff interval here is
+    * (v0, current] of the SAME versioned layout, which contains v2's
+    * logical compaction — its remove-rows make the file-level diff
+    * over-approximate (the compacted files re-add old rows), so
+    * [[graft.sinks.VersionedShards.readDiffRows]] resolves the answer
+    * with a (key, whole-row fingerprint) anti-join of the `to`
+    * snapshot against the `from` snapshot instead. Rows rewritten by
+    * the compaction cancel exactly; only v1's genuinely-new batch
+    * survives. Hash-green against the batch-only recompute certifies
+    * the row-level path equals the metadata path's answer even though
+    * the interval is one the metadata path cannot serve — and
+    * ExportSpec asserts the two paths agree verbatim on
+    * compaction-free intervals. On an all-empty history the layout
+    * tops out at v1 and the diff is the empty frame, not an error. */
+  val q173: Q = Q(
+    "q173_snapshot_diff_rows",
+    run = { (spark, dir) =>
+      val layout = versionedLayoutFor(spark, dir)
+      graft.sinks.VersionedShards.readDiffRows(spark, layout, 0,
+          graft.sinks.VersionedShards.currentVersion(spark, layout),
+          "doc_id")
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), col("text"))
+    },
+    oracle = Some("""
+      SELECT doc_id, source, lang, n_chars, text
+      FROM documents WHERE doc_id % 10 = 7"""))
+
+  val all: Seq[Q] = Seq(q153, q155, q158, q163, q166, q167, q173)
 }

@@ -197,7 +197,8 @@ object VersionedShards {
       .collect().map(r => (r.getString(0), r.getString(1)))
     require(!interval.exists(_._2 == "remove"),
       s"versions ($from, $to] contain a compaction — file-level diff " +
-        "would over-approximate; diff in compaction-free intervals")
+        "would over-approximate; diff in compaction-free intervals, or " +
+        "use readDiffRows for the row-level slow path")
     val added = interval.collect { case (p, "add") => p }.sorted
     // nothing arrived in the interval (every commit was empty): an
     // empty diff is a valid answer — serve a marker's empty schema
@@ -207,6 +208,37 @@ object VersionedShards {
       spark.read.option("basePath", s"$dir/$vdir")
         .parquet(files.map(f => s"$dir/$f"): _*)
     }.reduceLeft(_.unionByName(_))
+  }
+
+  /** ROW-LEVEL snapshot diff — the slow-path CDC arm [[readDiff]]'s
+    * refusal points at: rows live as of `to` but not as of `from`,
+    * resolved by an anti-join on (key, whole-row fingerprint). Correct
+    * ACROSS compactions: a logical compaction moves rows between files
+    * without changing them, so every rewritten row cancels in the
+    * anti-join — the over-approximation that forces [[readDiff]] to
+    * refuse remove-containing intervals cannot happen here. The
+    * fingerprint is engine-internal (both sides are computed by this
+    * Spark job — never compared across engines), built over ALL
+    * columns in sorted-name order via `to_json`, so any content change
+    * (not just the key column) surfaces as an added row.
+    *
+    * Cost contract: two snapshot resolutions + one key-partitioned
+    * anti-join — ∝ the SNAPSHOTS, not the interval's new files. At
+    * 100 TB this is the fallback a CDC consumer pays only when its
+    * interval spans an OPTIMIZE; schedule diffs against
+    * compaction-free intervals ([[readDiff]] — scans only the added
+    * files) wherever the log allows. */
+  def readDiffRows(spark: SparkSession, dir: String, from: Int,
+      to: Int, keyCol: String): DataFrame = {
+    require(from < to, s"diff needs from < to, got $from..$to")
+    def keyed(df: DataFrame) = df.withColumn("_fp",
+      md5(to_json(struct(df.columns.sorted.map(col).toIndexedSeq: _*))))
+    val toSnap = readAsOf(spark, dir, to)
+    val fromSnap = readAsOf(spark, dir, from)
+    keyed(toSnap)
+      .join(keyed(fromSnap).select(col(keyCol), col("_fp")),
+        Seq(keyCol, "_fp"), "left_anti")
+      .drop("_fp")
   }
 
   /** VACUUM: physically delete files logged `remove`d at any version

@@ -523,6 +523,43 @@ class ExportSpec extends AnyFunSuite {
       VersionedShards.readDiff(spark, dir, 0, 2)
     }
     assert(err.getMessage.contains("compaction"))
+    // the ROW-LEVEL slow path serves exactly that refused interval:
+    // the compaction's rewritten rows cancel in the (key, fingerprint)
+    // anti-join and only the v1 batch survives
+    val rowDiff = VersionedShards.readDiffRows(spark, dir, 0, 2, "doc_id")
+    assert(rowDiff.count() == batch.count())
+    assert(rowDiff.select("doc_id").except(batch.select("doc_id")).isEmpty &&
+      batch.select("doc_id").except(rowDiff.select("doc_id")).isEmpty)
+    // on a compaction-FREE interval the two paths agree verbatim
+    val fileIds = VersionedShards.readDiff(spark, dir, 0, 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val rowIds = VersionedShards.readDiffRows(spark, dir, 0, 1, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(fileIds == rowIds, "row-level and file-level diffs disagree")
+  }
+
+  test("q173: a row rewritten by compaction never reappears; a CONTENT change does") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("rowdiff")
+    VersionedShards.commitAppend(spark, docs, "doc_id", dir, 16)
+    VersionedShards.commitAppend(spark, docs.limit(12), "doc_id", dir, 16)
+    val (v2, compacted) = VersionedShards.compactCommit(spark, dir, 16)
+    assert(v2 == 2 && compacted.nonEmpty)
+    // v1 re-committed EXISTING rows and v2 rewrote files: the (0, 2]
+    // row-level diff is EMPTY — no content is new, however many files
+    // the interval added
+    assert(VersionedShards.readDiffRows(spark, dir, 0, 2, "doc_id")
+      .isEmpty, "rewritten/duplicate rows leaked into the row diff")
+    // a revised doc (same key, new text) IS new content
+    val revised = docs.limit(3)
+      .withColumn("text", concat(coalesce(col("text"), lit("")), lit(" rev2")))
+    VersionedShards.commitAppend(spark, revised, "doc_id", dir, 16)
+    val d = VersionedShards.readDiffRows(spark, dir, 0, 3, "doc_id")
+    assert(d.count() == 3)
+    assert(d.select("text").collect().forall(_.getString(0).endsWith(" rev2")))
   }
 
   test("q166/q167: an all-empty history serves empty snapshots and diffs, not errors") {
