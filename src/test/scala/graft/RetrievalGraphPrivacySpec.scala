@@ -507,6 +507,41 @@ class RetrievalGraphPrivacySpec extends AnyFunSuite {
     assert(out.size == 2, s"unexpected phrase rows: $out")
   }
 
+  test("q162: multi-phrase corpus — a dozen surviving pairs, replayed independently") {
+    // the driver fixture yields ONE surviving phrase pair at sf0.01
+    // (rare adjacent pairs are scarce — recorded correct-and-matched),
+    // so this constructed corpus is what actually exercises the join
+    // fan-out: 8 rare terms woven into 15 distinct adjacent pairs
+    // across 3 docs, including repeats (n_matches > 1) and
+    // cross-doc reuse (round-12 verdict item 7)
+    val phrased = Seq(
+      (1L, "r1 r2 r3 r4 r1 r2"),
+      (2L, "r5 r6 r7 r8 r5 r6 r7"),
+      (3L, "r2 r1 r4 r3 r8 r7 r5 r6"))
+    val docs = (phrased ++ (4L to 70L).map(i => (i, s"pad$i")))
+      .toDF("doc_id", "text")
+    // every rN appears in exactly TWO docs (df=2) — above the fillers'
+    // df=1, below the df*20 <= 70 cap — so top-8 by (df desc, token
+    // asc) is exactly {r1..r8}
+    val rset = (1 to 8).map(i => s"r$i").toSet
+    // independent replay: sliding-window adjacency over the raw texts
+    val want = phrased.flatMap { case (id, text) =>
+      text.split(" ").toSeq.zipWithIndex.sliding(2).collect {
+        case Seq((w1, i), (w2, _)) if rset(w1) && rset(w2) =>
+          ((w1, w2, id), i + 1) // 1-based position
+      }
+    }.groupBy(_._1).map { case (k, occ) =>
+      k -> ((occ.size.toLong, occ.map(_._2).min.toLong))
+    }
+    assert(want.size == 15, s"fixture arithmetic drifted: ${want.size}")
+    val out = Retrieval.phraseSearchDocs(docs, nTerms = 8).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out == want, s"phrase rows diverge:\n got $out\n want $want")
+    // the repeats really did count per-occurrence
+    assert(out(("r1", "r2", 1L))._1 == 2L && out(("r5", "r6", 2L))._1 == 2L)
+  }
+
   test("q162: an empty token from a double space breaks adjacency") {
     val docs = (
       Seq((1L, "a b pad"), (2L, "a  b pad")) ++ // doc 2: a<gap>b
