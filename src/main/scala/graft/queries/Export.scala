@@ -307,5 +307,107 @@ object Export {
       SELECT doc_id, source, lang, n_chars, text
       FROM documents WHERE doc_id % 10 = 7"""))
 
-  val all: Seq[Q] = Seq(q153, q155, q158, q163, q166, q167, q173)
+  /** q174's lifecycle — the q166 history EXTENDED by a restore commit,
+    * on its OWN layout (registry queries must not mutate each other's
+    * shared artifacts): v0 lake, v1 batch append, v2 logical
+    * compaction, v3 = RESTORE to v0. Committed once per (session,
+    * snapshot); all four versions stay readable. */
+  private[graft] def restoreLayoutFor(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.operators.SessionCache.memoOn(spark, dir,
+      s"shard-versions-restore|$dir|$nShards") {
+      val out = graft.operators.Stage.allocDir(spark, "shards-q174")
+      val docs = docCols(Tables.documents(spark, dir))
+      graft.sinks.VersionedShards.commitAppend(spark,
+        docs.filter(col("doc_id") % 10 =!= 7), "doc_id", out, nShards)
+      graft.sinks.VersionedShards.commitAppend(spark,
+        docs.filter(col("doc_id") % 10 === 7), "doc_id", out, nShards)
+      graft.sinks.VersionedShards.compactCommit(spark, out, nShards)
+      graft.sinks.VersionedShards.restoreTo(spark, out, 0): Unit
+      out
+    }
+
+  /** q174 — RESTORE (rollback) as a log-only commit: after an append
+    * AND a compaction rewrote the lake's files, restoring to v0 must
+    * re-ADD the compaction-superseded originals and REMOVE everything
+    * newer — zero data bytes moved, O(#files) metadata, history
+    * intact (the Delta RESTORE / Iceberg rollback semantics). The
+    * registry reads the CURRENT (post-restore) snapshot's manifest;
+    * hash-green against the lake-only recompute certifies the rollback
+    * state equals v0 exactly even though the restore re-animates files
+    * a remove had superseded — the order-aware per-path log resolution
+    * (latest action wins) that file-level "removes always win" folds
+    * get wrong. ExportSpec asserts the rest: restore-of-restore,
+    * vacuumed-target refusal, and diff-ability of the restore commit. */
+  val q174: Q = Q(
+    "q174_snapshot_restore",
+    run = { (spark, dir) =>
+      val layout = restoreLayoutFor(spark, dir)
+      ShardExport.manifest(
+        graft.sinks.VersionedShards.readAsOf(spark, layout,
+          graft.sinks.VersionedShards.currentVersion(spark, layout)))
+    },
+    oracle = Some(manifestOracleSqlFor(nShards, "doc_id % 10 <> 7")))
+
+  /** q175's lifecycle: v0 = the FULL corpus committed once; v1 = one
+    * MERGE batch carrying both arms of an upsert — revisions (every
+    * doc_id % 10 = 3 gets " v2" appended, n_chars += 3) and inserts
+    * (every doc_id % 10 = 1 re-keyed to doc_id + 1000000 under source
+    * 'merge'). */
+  private[graft] def mergeLayoutFor(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.operators.SessionCache.memoOn(spark, dir,
+      s"shard-versions-merge|$dir|$nShards") {
+      val out = graft.operators.Stage.allocDir(spark, "shards-q175")
+      val docs = docCols(Tables.documents(spark, dir))
+      graft.sinks.VersionedShards.commitAppend(spark, docs, "doc_id", out,
+        nShards)
+      val revised = docs.filter(col("doc_id") % 10 === 3)
+        .withColumn("text",
+          concat(coalesce(col("text"), lit("")), lit(" v2")))
+        .withColumn("n_chars", coalesce(col("n_chars"), lit(0L)) + 3L)
+      val inserted = docs.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("merge").as("source"), col("lang"), col("n_chars"),
+          col("text"))
+      graft.sinks.VersionedShards.mergeCommit(spark,
+        revised.unionByName(inserted), "doc_id", out, nShards): Unit
+      out
+    }
+
+  /** q175 — transactional MERGE (upsert) with a SHARD-PRUNED rewrite:
+    * matched keys replaced, new keys inserted, and the rewrite job
+    * reads ONLY the shards the batch's md5 key assignment can touch —
+    * rewrite ∝ the touched shards, never the lake (the q163
+    * ∝-the-touched-set posture made transactional). The registry reads
+    * the post-merge snapshot's ROWS; hash-green against the DuckDB
+    * replay (corpus minus originals of the revised keys, plus revised
+    * rows, plus inserts) certifies replace-don't-duplicate, insert,
+    * and preserve semantics row-exactly. ExportSpec asserts the
+    * pruning law (untouched shards keep their exact files) and that
+    * the pre-merge snapshot still reads intact. */
+  val q175: Q = Q(
+    "q175_merge_upsert",
+    run = { (spark, dir) =>
+      val layout = mergeLayoutFor(spark, dir)
+      graft.sinks.VersionedShards.readAsOf(spark, layout,
+          graft.sinks.VersionedShards.currentVersion(spark, layout))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), col("text"))
+    },
+    oracle = Some("""
+      SELECT doc_id, source, lang, n_chars, text
+      FROM documents WHERE doc_id % 10 <> 3
+      UNION ALL
+      SELECT doc_id, source, lang,
+        COALESCE(n_chars, 0) + 3 AS n_chars,
+        COALESCE(text, '') || ' v2' AS text
+      FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'merge' AS source, lang,
+        n_chars, text
+      FROM documents WHERE doc_id % 10 = 1"""))
+
+  val all: Seq[Q] = Seq(q153, q155, q158, q163, q166, q167, q173, q174,
+    q175)
 }

@@ -132,7 +132,12 @@ object GraphOps {
       rankState: String = "auto"): DataFrame =
     partPageRankFrom(buildPageRankIndex(baskets, rankState), topK)
 
-  def partPageRankFrom(index: PageRankIndex, topK: Int = 20): DataFrame = {
+  /** The converged GLOBAL rank table after `iters` damped rounds —
+    * the BUILD half of the q48/q169 build/probe seam; entity-sized,
+    * so the registry stages+memoizes it per (session, snapshot,
+    * strategy) and a warm pass pays one small scan + the top-k
+    * instead of the 10-iteration loop. */
+  private[graft] def convergedRanks(index: PageRankIndex): DataFrame = {
     val PageRankIndex(adj, nodes, noIn, useBroadcast) = index
     val noInRanks = noIn.withColumn("rank", lit(150000L))
 
@@ -162,6 +167,12 @@ object GraphOps {
           expr("CAST(150000 + (inc * 85) DIV 100 AS BIGINT)").as("rank"))
         .unionByName(noInRanks)
     }
+    ranks
+  }
+
+  /** PROBE half shared by q101/q168: ranked top-k of a (part, rank)
+    * table. */
+  private[graft] def rankTopK(ranks: DataFrame, topK: Int): DataFrame =
     // final top-k: orderBy+limit plans TakeOrderedAndProject (each
     // partition keeps k rows, driver merges k·p) — never the
     // single-partition WindowExec a partition-less row_number forces
@@ -178,25 +189,48 @@ object GraphOps {
       .select(posexplode(col("s")).as(Seq("pos", "r")))
       .select(col("r.part").as("part_id"), (-col("r.nr")).as("rank_ppm"),
         (col("pos") + 1).cast("int").as("rnk"))
+
+  def partPageRankFrom(index: PageRankIndex, topK: Int = 20): DataFrame =
+    rankTopK(convergedRanks(index), topK)
+
+  /** The (session, snapshot, conf)-memoized index q101/q168 share. */
+  private def pageRankIndexFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PageRankIndex = {
+    // the memo key folds in the CONF VALUES 'auto' resolves from
+    // (broadcast ceiling, bucket count): a mid-session conf change
+    // must rebuild, not silently serve the stale strategy's index
+    // (round-11 ADVICE)
+    val bm = spark.conf
+      .getOption("graft.pagerank.broadcastMaxNodes").getOrElse("10000000")
+    val sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    graft.operators.SessionCache.memoOn(spark, dir,
+      s"pagerank-index|$dir|auto|bm=$bm|sp=$sp") {
+      buildPageRankIndex(basketsFor(spark, dir))
+    }
+  }
+
+  private def pageRankConfKey(
+      spark: org.apache.spark.sql.SparkSession): String = {
+    val bm = spark.conf
+      .getOption("graft.pagerank.broadcastMaxNodes").getOrElse("10000000")
+    val sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    s"bm=$bm|sp=$sp"
   }
 
   /** q101 — part-importance PageRank: parts co-purchased inside the same
     * order form an undirected graph; ten damped integer iterations rank
-    * basket centrality. Top-20, ties broken by part id. */
+    * basket centrality. Top-20, ties broken by part id. The CONVERGED
+    * rank table (entity-sized) is staged + session-memoized on top of
+    * the shared CSR index — a warm pass is one small scan + the top-k,
+    * not the 10-iteration loop (the q48/q169 build/probe seam). */
   val q101: Q = Q(
     "q101_part_pagerank",
     run = { (spark, dir) =>
-      // the memo key folds in the CONF VALUES 'auto' resolves from
-      // (broadcast ceiling, bucket count): a mid-session conf change
-      // must rebuild, not silently serve the stale strategy's index
-      // (round-11 ADVICE)
-      val bm = spark.conf
-        .getOption("graft.pagerank.broadcastMaxNodes").getOrElse("10000000")
-      val sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
-      partPageRankFrom(graft.operators.SessionCache.memoOn(spark, dir,
-        s"pagerank-index|$dir|auto|bm=$bm|sp=$sp") {
-        buildPageRankIndex(basketsFor(spark, dir))
-      })
+      rankTopK(graft.operators.SessionCache.memoOn(spark, dir,
+        s"pagerank-ranks|$dir|auto|iters=$iters|${pageRankConfKey(spark)}") {
+        graft.operators.Stage.materialize(
+          convergedRanks(pageRankIndexFor(spark, dir)), "pagerank-ranks")
+      }, topK = 20)
     },
     oracle = Some {
       val iterCtes = (1 to iters).map { i =>
@@ -243,9 +277,11 @@ object GraphOps {
     * the map-side-combined dst agg. The seed predicate is a pure
     * function of the node id — at 100 TB the teleport vector is a
     * broadcast-or-bucketed seed table instead, same plan shape. */
-  def personalizedPageRankFrom(index: PageRankIndex,
-      seed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-      topK: Int = 20): DataFrame = {
+  /** The converged SEEDED rank table — q168's build half (the q101
+    * [[convergedRanks]] loop with the seed-restart base). */
+  private[graft] def convergedSeededRanks(index: PageRankIndex,
+      seed: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     val PageRankIndex(adj, nodes, noIn, useBroadcast) = index
     def base(part: org.apache.spark.sql.Column) =
       when(seed(part), lit(150000L)).otherwise(lit(0L))
@@ -265,27 +301,29 @@ object GraphOps {
           (base(col("dst")) + expr("(inc * 85) DIV 100")).as("rank"))
         .unionByName(noInRanks)
     }
-    ranks.orderBy(col("rank").desc, col("part").asc).limit(topK)
-      .agg(sort_array(collect_list(
-        struct((-col("rank")).as("nr"), col("part").as("part")))).as("s"))
-      .select(posexplode(col("s")).as(Seq("pos", "r")))
-      .select(col("r.part").as("part_id"), (-col("r.nr")).as("rank_ppm"),
-        (col("pos") + 1).cast("int").as("rnk"))
+    ranks
   }
+
+  def personalizedPageRankFrom(index: PageRankIndex,
+      seed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      topK: Int = 20): DataFrame =
+    rankTopK(convergedSeededRanks(index, seed), topK)
 
   /** q168 — personalized PageRank from the deterministic seed set
     * part % 50 == 0, riding the SAME session-memoized CSR index as
-    * q101. Top-20 by seeded-restart rank, ties by part id. */
+    * q101, with its converged seeded rank table staged + memoized the
+    * same way (the seed predicate is part of the key's identity — the
+    * registry's fixed `% 50` seed keys it by name). Top-20 by
+    * seeded-restart rank, ties by part id. */
   val q168: Q = Q(
     "q168_personalized_pagerank",
     run = { (spark, dir) =>
-      val bm = spark.conf
-        .getOption("graft.pagerank.broadcastMaxNodes").getOrElse("10000000")
-      val sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
-      personalizedPageRankFrom(graft.operators.SessionCache.memoOn(spark, dir,
-        s"pagerank-index|$dir|auto|bm=$bm|sp=$sp") {
-        buildPageRankIndex(basketsFor(spark, dir))
-      }, p => p % 50 === 0)
+      rankTopK(graft.operators.SessionCache.memoOn(spark, dir,
+        s"ppr-ranks|$dir|seed=mod50|iters=$iters|${pageRankConfKey(spark)}") {
+        graft.operators.Stage.materialize(
+          convergedSeededRanks(pageRankIndexFor(spark, dir),
+            p => p % 50 === 0), "ppr-ranks")
+      }, topK = 20)
     },
     oracle = Some {
       val iterCtes = (1 to iters).map { i =>

@@ -106,17 +106,23 @@ object VersionedShards {
     v
   }
 
-  /** The LIVE (shard, path) set as of `asOf`: adds ≤ asOf minus
-    * removes ≤ asOf. Driver-side and O(#files) — the log IS the
-    * bounded metadata table. */
+  /** The LIVE (shard, path) set as of `asOf`: per path, the LATEST
+    * action at version ≤ asOf wins — order-aware, because [[restoreTo]]
+    * legally re-ADDS a path an earlier compaction removed (the
+    * round-12 "removes always win" fold would hide restored files).
+    * Driver-side and O(#files) — the log IS the bounded metadata
+    * table. */
   def liveFiles(spark: SparkSession, dir: String,
       asOf: Int): Seq[(Int, String)] = {
     val entries = log(spark, dir).filter(col("version") <= asOf)
-      .select(col("shard"), col("path"), col("action"))
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
-    val removed = entries.collect { case (_, p, "remove") => p }.toSet
-    entries.collect {
-      case (s, p, "add") if !removed(p) => (s, p) }.toSeq.sortBy(_._2)
+      .select(col("version"), col("shard"), col("path"), col("action"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3)))
+    entries.groupBy(_._3).toSeq
+      .flatMap { case (_, hist) =>
+        val last = hist.maxBy(_._1)
+        if (last._4 == "add") Some((last._2, last._3)) else None
+      }.sortBy(_._2)
   }
 
   /** TIME-TRAVEL read: the layout's content as of version `asOf`,
@@ -133,10 +139,10 @@ object VersionedShards {
           "retention horizon")
     }
     // zero live files ⟺ every commit ≤ asOf was empty (compaction only
-    // removes what it re-adds): serve the schema-bearing empty marker
-    // the empty commit landed instead of failing — an empty day is a
-    // valid snapshot
-    if (live.isEmpty) return spark.read.parquet(s"$dir/v=$asOf")
+    // removes what it re-adds; a restore to an empty snapshot logs the
+    // rest away): serve the schema-bearing empty marker SOME commit
+    // landed instead of failing — an empty day is a valid snapshot
+    if (live.isEmpty) return emptyMarker(spark, dir, asOf)
     val byVersion = live.groupBy(_._2.split("/")(0))
     val parts = byVersion.toSeq.sortBy(_._1).map { case (vdir, files) =>
       spark.read.option("basePath", s"$dir/$vdir")
@@ -202,12 +208,106 @@ object VersionedShards {
     val added = interval.collect { case (p, "add") => p }.sorted
     // nothing arrived in the interval (every commit was empty): an
     // empty diff is a valid answer — serve a marker's empty schema
-    if (added.isEmpty) return spark.read.parquet(s"$dir/v=$to")
+    if (added.isEmpty) return emptyMarker(spark, dir, to)
     val byVersion = added.groupBy(_.split("/")(0))
     byVersion.toSeq.sortBy(_._1).map { case (vdir, files) =>
       spark.read.option("basePath", s"$dir/$vdir")
         .parquet(files.map(f => s"$dir/$f"): _*)
     }.reduceLeft(_.unionByName(_))
+  }
+
+  /** A zero-row schema-bearing frame for empty snapshots/diffs: the
+    * marker parquet of the LATEST data-landing commit ≤ `asOf`,
+    * filtered to nothing. Log-only commits ([[restoreTo]]) land no
+    * `v=<k>` subtree, so `v=asOf` itself may not exist — walk down to
+    * one that does. */
+  private def emptyMarker(spark: SparkSession, dir: String,
+      asOf: Int): DataFrame = {
+    val (fs, _) = hfs(spark, dir)
+    val v = (asOf to 0 by -1).find(k =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$k")))
+    require(v.isDefined,
+      s"no data-landing commit at or before v$asOf — nothing defines " +
+        "the layout's schema yet")
+    spark.read.parquet(s"$dir/v=${v.get}").limit(0)
+  }
+
+  /** RESTORE the layout's CURRENT state to the snapshot as of `v` — as
+    * a NEW log-only commit: files live at `v` but since superseded are
+    * re-ADDed, files added after `v` are REMOVEd. Nothing is deleted
+    * and nothing is rewritten (O(#files) metadata, zero data bytes):
+    * history stays intact, every old snapshot keeps reading, and the
+    * rollback is itself a version you can diff against or roll back
+    * FROM — the table-format restore semantics (Delta RESTORE /
+    * Iceberg rollback). Re-added files must still exist on disk — a
+    * vacuum past `v` already reclaimed them, so the restore REFUSES
+    * loudly rather than committing a snapshot that cannot be read.
+    * Returns the new version. */
+  def restoreTo(spark: SparkSession, dir: String, v: Int): Int = {
+    val cur = currentVersion(spark, dir)
+    require(v >= 0 && v <= cur, s"restore target v$v outside [0, $cur]")
+    val want = liveFiles(spark, dir, v).toSet
+    val have = liveFiles(spark, dir, cur).toSet
+    val (fs, _) = hfs(spark, dir)
+    (want -- have).foreach { case (_, p) =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$p")),
+        s"restore to v$v needs vacuumed file $p — past the retention " +
+          "horizon")
+    }
+    val vNew = cur + 1
+    writeLog(spark, dir, vNew,
+      (have -- want).toSeq.sortBy(_._2)
+        .map { case (s, p) => (s, p, "remove") } ++
+        (want -- have).toSeq.sortBy(_._2)
+          .map { case (s, p) => (s, p, "add") })
+    vNew
+  }
+
+  /** MERGE (upsert) a keyed batch into the current snapshot as the
+    * next version — the transactional `MERGE INTO` shape: rows whose
+    * `keyCol` matches a batch key are REPLACED by the batch row, new
+    * keys are INSERTED, everything else is untouched.
+    *
+    * Scale shape — SHARD-PRUNED rewrite: the md5 shard assignment is a
+    * pure function of the key, so the batch's keys name exactly the
+    * shards that can hold a matched row; only THOSE shards' live files
+    * are read, anti-joined on the batch keys, and re-landed (with the
+    * batch union-ed in) under the new version — rewrite and shuffle
+    * ∝ the touched shards, never the lake (the q124/q163 posture; at
+    * 100 TB with thousands of shards a small upsert touches a
+    * handful). Untouched shards keep their exact files; superseded
+    * victim files are logged `remove`d and stay on disk for old
+    * snapshots until [[vacuum]]. Returns the committed version. */
+  def mergeCommit(spark: SparkSession, batch: DataFrame, keyCol: String,
+      dir: String, nShards: Int): Int = {
+    val cur = currentVersion(spark, dir)
+    val keyedBatch = ShardExport.withShardKey(batch, keyCol, nShards)
+    // the batch's touched-shard set: one bounded distinct over the
+    // batch (batch-sized, driver-collected — ≤ nShards values)
+    val touched = keyedBatch.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val victims = liveFiles(spark, dir, cur).filter(f => touched(f._1))
+    val v = cur + 1
+    val survivors =
+      if (victims.isEmpty) keyedBatch
+      else {
+        val keys = batch.select(col(keyCol)).distinct()
+        spark.read.parquet(victims.map(f => s"$dir/${f._2}"): _*)
+          .withColumn("shard", ShardExport.shardOf(col("draw"), nShards))
+          .join(keys, Seq(keyCol), "left_anti")
+          .unionByName(keyedBatch)
+      }
+    // land ONLY the touched shards' new state; same sorted-run write
+    // discipline as every landing path
+    survivors
+      .repartition(math.max(touched.size, 1), col("shard"))
+      .sortWithinPartitions(col("shard"), col("draw"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$dir/v=$v")
+    writeLog(spark, dir, v,
+      victims.map { case (s, p) => (s, p, "remove") } ++
+        listVersionFiles(spark, dir, v).map { case (s, p) => (s, p, "add") })
+    v
   }
 
   /** ROW-LEVEL snapshot diff — the slow-path CDC arm [[readDiff]]'s
@@ -244,11 +344,23 @@ object VersionedShards {
   /** VACUUM: physically delete files logged `remove`d at any version
     * ≤ `horizon` — snapshots as of versions before their removal stop
     * being readable (readAsOf fails loudly), snapshots at or after the
-    * horizon are untouched. Returns the deleted paths. */
+    * horizon are untouched. [[restoreTo]] makes removes NON-final, so
+    * a removed-by-then file is reclaimed only when nothing at or past
+    * the horizon needs it: it is not live AS OF the horizon and no
+    * later version re-ADDs it (a restore-re-animated file must
+    * survive, or the very snapshot the restore committed would go
+    * dark). Returns the deleted paths. */
   def vacuum(spark: SparkSession, dir: String, horizon: Int): Seq[String] = {
-    val doomed = log(spark, dir)
-      .filter(col("version") <= horizon && col("action") === "remove")
-      .select(col("path")).collect().map(_.getString(0)).toSeq.sorted
+    val entries = log(spark, dir)
+      .select(col("version"), col("path"), col("action"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    val removedByHorizon = entries.collect {
+      case (v, p, "remove") if v <= horizon => p }.toSet
+    val liveAtHorizon = liveFiles(spark, dir, horizon).map(_._2).toSet
+    val readdedAfter = entries.collect {
+      case (v, p, "add") if v > horizon => p }.toSet
+    val doomed =
+      (removedByHorizon -- liveAtHorizon -- readdedAfter).toSeq.sorted
     val (fs, _) = hfs(spark, dir)
     doomed.foreach(p =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$p"), false): Unit)

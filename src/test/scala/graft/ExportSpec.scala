@@ -538,6 +538,112 @@ class ExportSpec extends AnyFunSuite {
     assert(fileIds == rowIds, "row-level and file-level diffs disagree")
   }
 
+  test("q174: restore re-animates compaction-superseded files; restore-of-restore; vacuumed target refuses") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val lake = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    val dir = tmp("restore")
+    VersionedShards.commitAppend(spark, lake, "doc_id", dir, 16)
+    VersionedShards.commitAppend(spark, batch, "doc_id", dir, 16)
+    val (v2, _) = VersionedShards.compactCommit(spark, dir, 16)
+    assert(v2 == 2)
+    // restore to v0: the current snapshot must equal the lake exactly,
+    // including rows whose ORIGINAL files the compaction had removed
+    // (the order-aware per-path log fold — re-adds after removes win)
+    val v3 = VersionedShards.restoreTo(spark, dir, 0)
+    assert(v3 == 3)
+    val cur = VersionedShards.readAsOf(spark, dir, 3)
+    assert(cur.count() == lake.count())
+    assert(cur.select("doc_id").except(lake.select("doc_id")).isEmpty &&
+      lake.select("doc_id").except(cur.select("doc_id")).isEmpty)
+    // nothing was deleted: every pre-restore snapshot still reads
+    assert(VersionedShards.readAsOf(spark, dir, 2).count() == docs.count())
+    assert(VersionedShards.readAsOf(spark, dir, 1).count() == docs.count())
+    // restore OF the restore: roll forward to the full-corpus v2 state
+    val v4 = VersionedShards.restoreTo(spark, dir, 2)
+    assert(VersionedShards.readAsOf(spark, dir, v4).count() == docs.count())
+    // vacuum safety law at horizon 2: v1's compaction-superseded batch
+    // files (needed only by the pre-horizon v1 snapshot) ARE
+    // reclaimable, but every v0 original the restores re-animated must
+    // SURVIVE — deleting one would darken v3's (and the current)
+    // snapshot
+    val doomed = VersionedShards.vacuum(spark, dir, 2)
+    assert(doomed.nonEmpty && doomed.forall(_.startsWith("v=1/")),
+      s"vacuum reclaimed a restore-re-animated file: $doomed")
+    assert(VersionedShards.readAsOf(spark, dir, 3).count() == lake.count())
+    assert(VersionedShards.readAsOf(spark, dir, v4).count() == docs.count())
+  }
+
+  test("q174: restoring to a vacuumed-away snapshot refuses loudly") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("restore-vac")
+    VersionedShards.commitAppend(spark,
+      docs.filter(col("doc_id") % 10 =!= 7), "doc_id", dir, 16)
+    VersionedShards.commitAppend(spark,
+      docs.filter(col("doc_id") % 10 === 7), "doc_id", dir, 16)
+    val (v2, _) = VersionedShards.compactCommit(spark, dir, 16)
+    assert(v2 == 2)
+    // no restore intervenes: the compaction-superseded originals are
+    // genuinely dead past the horizon and vacuum reclaims them
+    val doomed = VersionedShards.vacuum(spark, dir, 2)
+    assert(doomed.nonEmpty)
+    val err = intercept[IllegalArgumentException] {
+      VersionedShards.restoreTo(spark, dir, 0)
+    }
+    assert(err.getMessage.contains("vacuum"))
+  }
+
+  test("q175: merge replaces matched keys, inserts new ones, and rewrites ONLY the touched shards") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("merge")
+    VersionedShards.commitAppend(spark, docs, "doc_id", dir, 16)
+    val preFiles = VersionedShards.liveFiles(spark, dir, 0).toSet
+    // batch: revise 5 docs, insert 3 new keys
+    val revised = docs.orderBy(col("doc_id")).limit(5)
+      .withColumn("text", lit("revised content"))
+    val inserted = docs.orderBy(col("doc_id")).limit(3)
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+      .withColumn("source", lit("ins"))
+    val batch = revised.unionByName(inserted)
+    val v1 = VersionedShards.mergeCommit(spark, batch, "doc_id", dir, 16)
+    assert(v1 == 1)
+    val after = VersionedShards.readAsOf(spark, dir, 1)
+    // cardinality: replaced, not duplicated; inserted, not dropped
+    assert(after.count() == docs.count() + 3)
+    val revisedIds = revised.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val got = after.filter(col("doc_id").isin(revisedIds.toSeq: _*))
+      .select("text").collect().map(_.getString(0))
+    assert(got.length == revisedIds.size &&
+      got.forall(_ == "revised content"), "revision lost or duplicated")
+    assert(after.filter(col("source") === "ins").count() == 3)
+    // pruning law: shards outside the batch's md5 assignment keep
+    // their EXACT file set (paths untouched — no rewrite, no remove)
+    val touched = graft.sinks.ShardExport
+      .withShardKey(batch, "doc_id", 16)
+      .select("shard").distinct().collect().map(_.getInt(0)).toSet
+    val afterFiles = VersionedShards.liveFiles(spark, dir, 1).toSet
+    val untouchedPre = preFiles.filterNot(f => touched(f._1))
+    assert(untouchedPre.subsetOf(afterFiles),
+      "an untouched shard's file was rewritten or removed")
+    assert(touched.size < 16, "fixture degenerate: every shard touched")
+    // the pre-merge snapshot still reads the ORIGINAL content
+    val v0texts = VersionedShards.readAsOf(spark, dir, 0)
+      .filter(col("doc_id").isin(revisedIds.toSeq: _*))
+      .select("text").collect().map(_.getString(0))
+    assert(v0texts.forall(_ != "revised content"),
+      "merge mutated the historical snapshot")
+  }
+
   test("q173: a row rewritten by compaction never reappears; a CONTENT change does") {
     import graft.sinks.VersionedShards
     val docs = Tables.documents(spark, TestSpark.sf0001)
