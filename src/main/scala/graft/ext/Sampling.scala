@@ -374,5 +374,66 @@ object Sampling {
             8, '0') AS keep
       FROM q"""))
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q54, q74, q83)
+  /** Core of q176: PRIORITY SAMPLING (Duffield, Lund & Thorup 2007,
+    * "Priority sampling for estimation of arbitrary subset sums") —
+    * the weighted top-k sample a corpus-mixing pipeline draws when
+    * heavier docs (more chars/tokens) should be proportionally more
+    * likely to survive, while any subset's total weight stays
+    * estimable from the sample alone. Each row gets priority
+    * q = w / u with u uniform; the k highest-priority rows form the
+    * sample. Integerized, engine-replayable: u = (first 8 md5 hex
+    * digits of "prio|key") + 1 ∈ [1, 2³²], priority = (w·2³²) DIV u —
+    * monotone in w/u, exact BIGINT (w·2³² ≤ ~4e13 for any real
+    * n_chars), zero float knife-edges.
+    *
+    * Scale shape: ONE projection (the draw is a pure function of row
+    * identity — re-runs land the identical sample on any cluster
+    * size) + orderBy+limit, which plans TakeOrderedAndProject: every
+    * partition keeps k rows, the driver merges k·p — no global sort,
+    * no shuffle of the corpus, no window. Positions derive from the
+    * ≤ k survivors via the q101 bounded collect_list recipe. */
+  def prioritySample(docs: DataFrame, k: Int = 50): DataFrame = {
+    val w = coalesce(col("n_chars"), lit(0L)) + lit(1L)
+    val u = conv(substring(
+        md5(concat(lit("prio|"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long") + lit(1L)
+    val scored = docs.select(col("doc_id"), w.as("weight"), u.as("u"))
+      .withColumn("priority", expr("(weight * 4294967296) DIV u"))
+    scored.orderBy(col("priority").desc, col("doc_id").asc).limit(k)
+      .agg(sort_array(collect_list(struct((-col("priority")).as("np"),
+        col("doc_id").as("doc_id"), col("weight").as("weight")))).as("s"))
+      .select(posexplode(col("s")).as(Seq("pos", "r")))
+      .select(col("r.doc_id").as("doc_id"), col("r.weight").as("weight"),
+        (-col("r.np")).as("priority"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** q176 — deterministic weighted priority sample of the corpus:
+    * top-50 docs by integer Duffield priority (weight = n_chars + 1),
+    * ranked. */
+  val q176: Q = Q(
+    "q176_priority_sample",
+    run = { (spark, dir) =>
+      prioritySample(Tables.documents(spark, dir))
+    },
+    oracle = Some("""
+      WITH w AS (SELECT doc_id, COALESCE(n_chars, 0) + 1 AS weight
+                 FROM documents),
+      u AS (SELECT doc_id, weight,
+              CAST(list_sum(list_transform(generate_series(1, 8),
+                p -> CAST(strpos('0123456789abcdef',
+                       substr(md5('prio|' || CAST(doc_id AS VARCHAR)),
+                         CAST(p AS INTEGER), 1)) - 1 AS BIGINT)
+                     * (CAST(1 AS BIGINT) << CAST(4 * (8 - p) AS INTEGER))))
+                AS BIGINT) + 1 AS u
+            FROM w),
+      p AS (SELECT doc_id, weight,
+              (weight * 4294967296) // u AS priority FROM u),
+      r AS (SELECT doc_id, weight, priority,
+              CAST(row_number() OVER (ORDER BY priority DESC, doc_id ASC)
+                AS INTEGER) AS rnk
+            FROM p)
+      SELECT doc_id, weight, priority, rnk FROM r WHERE rnk <= 50"""))
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q54, q74, q83, q176)
 }

@@ -479,5 +479,61 @@ object Funnels {
              ELSE 200 // (c.m - 2) END AS BIGINT) AS credit_milli
       FROM c JOIN p ON c.user_id = p.user_id AND c.journey = p.journey"""))
 
-  val all: Seq[Q] = Seq(q61, q62, q63, q64, q75, q77, q100, q107, q172)
+  /** Core of q177: the first-order MARKOV TRANSITION MATRIX of user
+    * event streams — P(next event type | current type), the behavioral
+    * model behind next-action prediction, anomaly scoring ("this
+    * session's transitions are improbable"), and funnel discovery
+    * (q62 checks ONE prescribed path; the matrix surfaces every path's
+    * strength). Per user, events order by (ts, event_id) — event_id
+    * breaks the within-user timestamp ties the fixture deliberately
+    * plants — and consecutive pairs count into a k×k matrix;
+    * probabilities are integer ppm of the row total (n·1e6 DIV row
+    * sum), so the gate certifies the whole matrix exactly. NULL event
+    * types coalesce to the '(null)' sentinel BEFORE the lead, so
+    * "stream ended" (lead = NULL) stays distinguishable from
+    * "transitioned into an untyped event".
+    *
+    * Scale shape: ONE user-partitioned window (one shuffle on
+    * user_id, the q171/q172 key) + a map-side-combined k²-row agg;
+    * the row-total window runs over the k²-row AGGREGATE, not the
+    * events. At 100 TB: event-bounded shuffle once, then kilobytes. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val typed = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        coalesce(col("event_type"), lit("(null)")).as("cur_type"))
+    val bi = typed
+      .withColumn("next_type", lead(col("cur_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowW = Window.partitionBy("cur_type")
+    bi.withColumn("row_n", sum(col("n")).over(rowW))
+      .select(col("cur_type"), col("next_type"), col("n"),
+        expr("(n * 1000000) DIV row_n").as("p_ppm"))
+  }
+
+  /** q177 — event-type Markov transition matrix with exact ppm
+    * probabilities. */
+  val q177: Q = Q(
+    "q177_markov_transitions",
+    run = { (spark, dir) => eventTransitions(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH t AS (SELECT user_id, ts, event_id,
+                   COALESCE(event_type, '(null)') AS cur_type
+                 FROM events WHERE ts IS NOT NULL),
+      s AS (SELECT cur_type,
+              lead(cur_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS next_type
+            FROM t),
+      b AS (SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      r AS (SELECT cur_type, CAST(sum(n) AS BIGINT) AS row_n
+            FROM b GROUP BY 1)
+      SELECT b.cur_type, b.next_type, b.n,
+        (b.n * 1000000) // r.row_n AS p_ppm
+      FROM b JOIN r USING (cur_type)"""))
+
+  val all: Seq[Q] = Seq(q61, q62, q63, q64, q75, q77, q100, q107, q172,
+    q177)
 }

@@ -357,6 +357,67 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.isNullAt(8) || r.getLong(8) >= 0L)
   }
 
+  test("q177: hand streams — ties broken by event_id, null type is a real state, exact ppm rows") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: A -> B -> A (B's two events TIE on ts; event_id orders
+    // them); user 2: A -> (null) — the untyped event is a transition
+    // TARGET, not an end-of-stream
+    val events = Seq(
+      (1L, ts(10), 1L, Option("A")),
+      (3L, ts(20), 1L, Option("B")), // tie at t=20: id 3 before id 4
+      (4L, ts(20), 1L, Option("A")),
+      (5L, ts(10), 2L, Option("A")),
+      (6L, ts(30), 2L, None)
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = queries.Funnels.eventTransitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // transitions: u1 A->B, B->A; u2 A->(null)
+    assert(out(("A", "B")) == ((1L, 500000L)), s"$out")
+    assert(out(("A", "(null)")) == ((1L, 500000L)), s"$out")
+    assert(out(("B", "A")) == ((1L, 1000000L)), s"$out")
+    assert(out.size == 3, s"unexpected transitions: $out")
+  }
+
+  test("q177 registry run: counts conserve (events - users with streams); row ppm sums within truncation") {
+    val out = queries.Funnels.q177.run(spark, dir).collect()
+    val events = Tables.events(spark, dir).filter(col("ts").isNotNull)
+    val expected = events.count() -
+      events.select(col("user_id")).distinct().count()
+    assert(out.map(_.getLong(2)).sum == expected,
+      "transition counts do not conserve")
+    out.groupBy(_.getString(0)).foreach { case (cur, rows) =>
+      val s = rows.map(_.getLong(3)).sum
+      // each row truncates at most 1 ppm below its exact share
+      assert(s <= 1000000L && s > 1000000L - rows.length,
+        s"row $cur ppm sum $s")
+    }
+  }
+
+  test("q176: the integer Duffield priorities replay independently; heavier docs win u-ties") {
+    val docs = Tables.documents(spark, dir)
+    val out = graft.ext.Sampling.prioritySample(docs, k = 50).collect()
+    assert(out.nonEmpty && out.length <= 50)
+    // independent JVM replay of (u, priority) for every emitted doc
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val weights = docs.select(col("doc_id"),
+        (coalesce(col("n_chars"), lit(0L)) + 1L).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = weights.map { case (id, w) =>
+      val u = java.lang.Long.parseLong(md5hex(s"prio|$id").take(8), 16) + 1L
+      (id, w, (w * 4294967296L) / u)
+    }.toSeq
+    val top = all.sortBy { case (id, _, p) => (-p, id) }.take(50)
+    val got = out.sortBy(_.getInt(3)).map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == top, s"priority sample diverges from the replay")
+    // ranks contiguous
+    assert(out.map(_.getInt(3)).sorted.toSeq == (1 to out.length))
+  }
+
   test("q85: profile counts are consistent with direct aggregation") {
     val out = queries.StatsOps.q85.run(spark, dir)
     val events = Tables.events(spark, dir)
