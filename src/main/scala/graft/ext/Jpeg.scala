@@ -1,20 +1,29 @@
 package graft.ext
 
-/** Baseline JPEG decode — pure Scala, no codec library: marker walk,
-  * canonical Huffman tables, MSB-first entropy reader with FF00
-  * byte-unstuffing, dequantize + de-zigzag, separable double-precision
-  * IDCT, and the integer JFIF YCbCr→RGB. Profile (rejected otherwise,
-  * so the caller's stub fallback keeps hostile payloads from killing a
-  * stage): SOF0 (baseline), 8-bit precision, single interleaved scan,
-  * 1 (grayscale) or 3 (YCbCr) components at 1x1 sampling (4:4:4), no
-  * progressive/arithmetic/restart-interval features — the profile the
-  * suite's own encoder emits and the common ground of "decodable
-  * without a codec". Transform accuracy: IEEE double mul/add with fixed
-  * cosine constants is bit-deterministic on the JVM, which is all the
-  * feature contract needs.
+/** Baseline + progressive JPEG decode — pure Scala, no codec library:
+  * marker walk, canonical Huffman tables, MSB-first entropy reader with
+  * FF00 byte-unstuffing, dequantize + de-zigzag, separable
+  * double-precision IDCT, and the integer JFIF YCbCr→RGB. Profile
+  * (rejected otherwise, so the caller's stub fallback keeps hostile
+  * payloads from killing a stage): SOF0 (baseline, one interleaved
+  * scan) or SOF2 (progressive — spectral selection + successive
+  * approximation, DC and AC first/refinement scans with EOB runs per
+  * T.81 §G.1.2), 8-bit precision, 1 (grayscale) or 3 (YCbCr) components
+  * at 1x1 sampling (4:4:4), no arithmetic coding, no restart intervals.
+  * Transform accuracy: IEEE double mul/add with fixed cosine constants
+  * is bit-deterministic on the JVM, which is all the feature contract
+  * needs.
   *
-  * Reference semantics: ITU-T T.81 §F.2 (decoder flow), Annex C
-  * (canonical Huffman), A.3.3 (IDCT definition).
+  * Scale note: baseline decodes block-streaming (no whole-image
+  * coefficient state; 16M-pixel cap); progressive INHERENTLY buffers
+  * every coefficient until the last scan lands, so its pixel cap is
+  * tighter (4M px ≈ 48 MB of Int coefficients for 3 components) — a
+  * per-row bound a mapPartitions batch can hold without pressuring the
+  * executor.
+  *
+  * Reference semantics: ITU-T T.81 §F.2 (decoder flow), §G.1.2
+  * (progressive decode: EOBRUN, DC/AC successive approximation),
+  * Annex C (canonical Huffman), A.3.3 (IDCT definition).
   */
 private[ext] object Jpeg {
 
@@ -150,8 +159,9 @@ private[ext] object Jpeg {
 
   private def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
-  /** Decode a baseline 4:4:4 (or grayscale) JPEG; None when the payload
-    * is outside the profile or structurally broken. */
+  /** Decode a baseline (SOF0) or progressive (SOF2) 4:4:4 / grayscale
+    * JPEG; None when the payload is outside the profile or structurally
+    * broken. */
   def decode(p: Array[Byte]): Option[Decoded] = {
     if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
       return None
@@ -162,21 +172,42 @@ private[ext] object Jpeg {
     val acT = new Array[Huff](4)
     var w = 0; var h = 0
     var nComp = 0
+    val compId = new Array[Int](3)
     val compQ = new Array[Int](3)
-    val compDc = new Array[Int](3)
-    val compAc = new Array[Int](3)
     var sofSeen = false
+    var progressive = false
+    // progressive coefficient store: per component, bxs·bys blocks × 64
+    // coefficients in natural (de-zigzagged) order, accumulated across
+    // scans and only dequantized+IDCT'd at EOI
+    var coef: Array[Array[Int]] = null
+    var bxs = 0; var bys = 0
+    // which components a first (Ah=0) DC scan has covered — the scan
+    // may arrive interleaved (Ns=nComp) or as per-component scans
+    val dcSeen = new Array[Boolean](3)
 
     def u16(off: Int) = ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
 
-    while (pos + 4 <= p.length) {
+    while (pos + 2 <= p.length) {
       if ((p(pos) & 0xff) != 0xff) return None
       val marker = p(pos + 1) & 0xff
       pos += 2
-      if (marker == 0xd9) return None // EOI before any scan
+      if (marker == 0xd9) {
+        // EOI: a progressive stream finalizes here — bands never sent
+        // decode as zero coefficients (the partial-render semantics
+        // every progressive viewer has), but a stream missing its DC
+        // first scan carries no image at all and stays rejected.
+        // Baseline returns from inside its single SOS, so reaching EOI
+        // in baseline mode means no scan arrived: broken.
+        return if (progressive && sofSeen &&
+          (0 until nComp).forall(dcSeen))
+          assemble(w, h, nComp, bxs, bys, coef, qt, qtSeen, compQ)
+        else None
+      }
+      if (pos + 2 > p.length) return None
       val len = u16(pos)
       if (len < 2 || pos + len > p.length) return None
       val seg = pos + 2
+      var nextPos = pos + len
       marker match {
         case 0xdb => // DQT: one or more tables
           var o = seg
@@ -189,22 +220,31 @@ private[ext] object Jpeg {
             qtSeen(tq) = true
             o += 65
           }
-        case 0xc0 => // SOF0 baseline
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
           // every read below stays inside the DECLARED segment — a
           // truncated header must return None, not AIOOBE past pos+len
+          if (sofSeen) return None
+          progressive = marker == 0xc2
           if (pos + len - seg < 6) return None
           if ((p(seg) & 0xff) != 8) return None
           h = u16(seg + 1); w = u16(seg + 3)
           nComp = p(seg + 5) & 0xff
           if (w <= 0 || h <= 0 || !(nComp == 1 || nComp == 3)) return None
           if (pos + len - seg < 6 + 3 * nComp) return None
-          if (w.toLong * h > (1L << 24)) return None // 16M px cap
+          // progressive buffers EVERY coefficient until EOI → tighter cap
+          if (w.toLong * h > (if (progressive) 1L << 22 else 1L << 24))
+            return None
           var ci = 0
           while (ci < nComp) {
             val o = seg + 6 + 3 * ci
             if ((p(o + 1) & 0xff) != 0x11) return None // 1x1 sampling only
+            compId(ci) = p(o) & 0xff
             compQ(ci) = p(o + 2) & 0x0f
             ci += 1
+          }
+          if (progressive) {
+            bxs = (w + 7) / 8; bys = (h + 7) / 8
+            coef = Array.ofDim[Int](nComp, bxs * bys * 64)
           }
           sofSeen = true
         case 0xc4 => // DHT: one or more tables
@@ -223,30 +263,269 @@ private[ext] object Jpeg {
             if (tc == 0) dcT(th) = t else acT(th) = t
             o += 17 + total
           }
-        case 0xda => // SOS: single interleaved scan
+        case 0xdd => // DRI: a nonzero restart interval is out of profile
+          if (pos + len - seg < 2 || u16(seg) != 0) return None
+        case 0xda => // SOS
           if (!sofSeen) return None
           if (pos + len - seg < 1) return None
           val ns = p(seg) & 0xff
-          if (ns != nComp || pos + len - seg < 1 + 2 * ns) return None
+          if (ns < 1 || ns > nComp ||
+            pos + len - seg < 1 + 2 * ns + 3) return None
+          val scanComp = new Array[Int](ns) // component INDEX per slot
+          val scanDc = new Array[Int](ns)
+          val scanAc = new Array[Int](ns)
           var ci = 0
           while (ci < ns) {
             val o = seg + 1 + 2 * ci
-            compDc(ci) = (p(o + 1) & 0xff) >> 4
-            compAc(ci) = p(o + 1) & 0x0f
+            val id = p(o) & 0xff
+            var idx = -1
+            var j = 0
+            while (j < nComp) { if (compId(j) == id) idx = j; j += 1 }
+            if (idx < 0) return None
+            scanComp(ci) = idx
+            scanDc(ci) = (p(o + 1) & 0xff) >> 4
+            scanAc(ci) = p(o + 1) & 0x0f
             ci += 1
           }
-          // entropy-coded data starts after the 3 fixed SOS tail bytes
-          return decodeScan(p, pos + len, w, h, nComp, qt, qtSeen,
-            dcT, acT, compQ, compDc, compAc)
+          val tail = seg + 1 + 2 * ns
+          val ss = p(tail) & 0xff
+          val se = p(tail + 1) & 0xff
+          val ah = (p(tail + 2) & 0xff) >> 4
+          val al = p(tail + 2) & 0x0f
+          if (!progressive) {
+            // baseline: ONE full-band interleaved scan ends the decode
+            if (ns != nComp) return None
+            return decodeScan(p, pos + len, w, h, nComp, qt, qtSeen,
+              dcT, acT, compQ, scanDc, scanAc)
+          }
+          if (ah > 13 || al > 13) return None
+          val next = decodeProgScan(p, pos + len, ss, se, ah, al,
+            scanComp, scanDc, scanAc, dcT, acT, coef, bxs, bys)
+          if (next < 0) return None
+          if (ss == 0 && ah == 0) scanComp.foreach(dcSeen(_) = true)
+          nextPos = next // entropy data consumed up to the next marker
         case m if m >= 0xd0 && m <= 0xd7 => return None // RST outside scan
-        case 0xc2 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
             0xcb | 0xcd | 0xce | 0xcf =>
-          return None // progressive/extended/arithmetic: out of profile
-        case _ => () // APPn/COM/DRI(unused): skip
+          return None // extended/arithmetic/hierarchical: out of profile
+        case _ => () // APPn/COM: skip
       }
-      pos += len
+      pos = nextPos
     }
     None
+  }
+
+  /** One progressive scan (T.81 §G.1.2) decoded into the coefficient
+    * store; returns the byte offset of the next marker's 0xFF, or -1
+    * when the scan is malformed. DC scans (Ss=0, Se=0) walk the MCU
+    * grid interleaved; AC scans are single-component over the band
+    * [Ss, Se] with EOB-run skipping. Ah=0 scans establish coefficients
+    * at precision Al; Ah>0 scans refine one bit (DC: raw bit per block;
+    * AC: correction bits on history-nonzero coefficients plus ±1<<Al
+    * newly-nonzero insertions). */
+  private def decodeProgScan(p: Array[Byte], start: Int, ss: Int, se: Int,
+      ah: Int, al: Int, scanComp: Array[Int], scanDc: Array[Int],
+      scanAc: Array[Int], dcT: Array[Huff], acT: Array[Huff],
+      coef: Array[Array[Int]], bxs: Int, bys: Int): Int = {
+    val r = new BitReader(p, start)
+    val ns = scanComp.length
+    if (ss == 0) { // DC scan
+      if (se != 0) return -1
+      if (ah == 0) {
+        var ci = 0
+        while (ci < ns) { if (dcT(scanDc(ci)) == null) return -1; ci += 1 }
+      }
+      val dcPred = new Array[Int](ns) // prediction resets per scan
+      var by = 0
+      while (by < bys) {
+        var bx = 0
+        while (bx < bxs) {
+          var ci = 0
+          while (ci < ns) {
+            val cc = coef(scanComp(ci))
+            val off = (by * bxs + bx) * 64
+            if (ah == 0) {
+              val t = r.decode(dcT(scanDc(ci)))
+              if (t < 0 || t > 11) return -1
+              val diffBits = if (t == 0) 0 else r.bits(t)
+              if (diffBits < 0) return -1
+              dcPred(ci) += extend(diffBits, t)
+              cc(off) = dcPred(ci) << al
+            } else {
+              val b = r.bit()
+              if (b < 0) return -1
+              if (b == 1) cc(off) |= (1 << al)
+            }
+            ci += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+    } else { // AC scan: exactly one component, band inside (0, 63]
+      if (ns != 1 || se > 63 || ss > se) return -1
+      val huff = acT(scanAc(0))
+      if (huff == null) return -1
+      val cc = coef(scanComp(0))
+      val nBlocks = bxs * bys
+      var eobrun = 0
+      var blk = 0
+      if (ah == 0) { // first scan for this band (G.1.2.2)
+        while (blk < nBlocks) {
+          if (eobrun > 0) eobrun -= 1
+          else {
+            val off = blk * 64
+            var k = ss
+            var done = false
+            while (!done && k <= se) {
+              val rs = r.decode(huff)
+              if (rs < 0) return -1
+              val run = rs >> 4
+              val size = rs & 0x0f
+              if (size == 0) {
+                if (run == 15) k += 16 // ZRL: sixteen zero coefficients
+                else { // EOBn: (1<<n)+ext consecutive end-of-bands
+                  eobrun = (1 << run) - 1
+                  if (run > 0) {
+                    val ext = r.bits(run)
+                    if (ext < 0) return -1
+                    eobrun += ext
+                  }
+                  done = true
+                }
+              } else {
+                k += run
+                if (k > se) return -1
+                val vb = r.bits(size)
+                if (vb < 0) return -1
+                cc(off + Zigzag(k)) = extend(vb, size) << al
+                k += 1
+              }
+            }
+          }
+          blk += 1
+        }
+      } else { // refinement scan (G.1.2.3)
+        val p1 = 1 << al
+        val m1 = -1 << al
+        // one correction bit for a history-nonzero coefficient; -1 on
+        // bit starvation
+        def correct(i: Int): Int = {
+          val b = r.bit()
+          if (b < 0) return -1
+          if (b == 1 && (cc(i) & p1) == 0)
+            cc(i) += (if (cc(i) >= 0) p1 else m1)
+          0
+        }
+        while (blk < nBlocks) {
+          val off = blk * 64
+          var k = ss
+          if (eobrun == 0) {
+            var done = false
+            while (!done && k <= se) {
+              val rs = r.decode(huff)
+              if (rs < 0) return -1
+              var run = rs >> 4
+              val size = rs & 0x0f
+              var newVal = 0
+              if (size == 0) {
+                if (run < 15) { // EOBn; note +0 (not -1): the CURRENT
+                  // block's tail is refined below, then eobrun -= 1
+                  eobrun = 1 << run
+                  if (run > 0) {
+                    val ext = r.bits(run)
+                    if (ext < 0) return -1
+                    eobrun += ext
+                  }
+                  done = true
+                }
+                // run == 15 (ZRL): pass over 16 zero-HISTORY positions,
+                // refining nonzero-history ones along the way
+              } else {
+                if (size != 1) return -1 // refinement inserts only ±1
+                val b = r.bit()
+                if (b < 0) return -1
+                newVal = if (b == 1) p1 else m1
+              }
+              if (!done) {
+                var placed = false
+                while (!placed && k <= se) {
+                  val i = off + Zigzag(k)
+                  if (cc(i) != 0) {
+                    if (correct(i) < 0) return -1
+                  } else if (run == 0) {
+                    if (newVal != 0) cc(i) = newVal
+                    placed = true
+                  } else run -= 1
+                  k += 1
+                }
+                if (!placed && newVal != 0) return -1 // band overrun
+              }
+            }
+          }
+          if (eobrun > 0) {
+            // end-of-band still refines the REST of this block's
+            // nonzero-history coefficients before skipping on
+            while (k <= se) {
+              val i = off + Zigzag(k)
+              if (cc(i) != 0 && correct(i) < 0) return -1
+              k += 1
+            }
+            eobrun -= 1
+          }
+          blk += 1
+        }
+      }
+      if (eobrun != 0) return -1 // EOB run past the last block
+    }
+    // entropy data ends at the next marker (no restart intervals in
+    // profile): scan forward for FF xx, xx != 0 (xx == 0 is stuffing)
+    var q = r.pos
+    while (q + 1 < p.length &&
+      !((p(q) & 0xff) == 0xff && (p(q + 1) & 0xff) != 0)) q += 1
+    if (q + 1 >= p.length) return -1
+    q
+  }
+
+  /** Dequantize + IDCT the progressive coefficient store and assemble
+    * interleaved pixels (the same tail the baseline scan runs inline). */
+  private def assemble(w: Int, h: Int, nComp: Int, bxs: Int, bys: Int,
+      coef: Array[Array[Int]], qt: Array[Array[Int]],
+      qtSeen: Array[Boolean], compQ: Array[Int]): Option[Decoded] = {
+    var ci = 0
+    while (ci < nComp) { if (!qtSeen(compQ(ci))) return None; ci += 1 }
+    val planes = Array.ofDim[Byte](nComp, bxs * 8 * bys * 8)
+    val dq = new Array[Double](64)
+    var by = 0
+    while (by < bys) {
+      var bx = 0
+      while (bx < bxs) {
+        var c = 0
+        while (c < nComp) {
+          val q = qt(compQ(c))
+          val cc = coef(c)
+          val off = (by * bxs + bx) * 64
+          var i = 0
+          while (i < 64) { dq(i) = cc(off + i).toDouble * q(i); i += 1 }
+          val px = idct8x8(dq)
+          val plane = planes(c)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              val v = clamp(math.round(px(yy * 8 + xx)).toInt + 128)
+              plane((by * 8 + yy) * (bxs * 8) + bx * 8 + xx) = v.toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    toRgb(w, h, nComp, planes, bxs * 8)
   }
 
   private def decodeScan(p: Array[Byte], start: Int, w: Int, h: Int,
@@ -317,8 +596,13 @@ private[ext] object Jpeg {
       }
       by += 1
     }
-    // color-convert to interleaved RGB (integer JFIF, ×256 fixed point)
-    val stride = bxs * 8
+    toRgb(w, h, nComp, planes, bxs * 8)
+  }
+
+  /** Color-convert component planes to interleaved RGB (integer JFIF,
+    * ×256 fixed point) or copy out the single grayscale plane. */
+  private def toRgb(w: Int, h: Int, nComp: Int,
+      planes: Array[Array[Byte]], stride: Int): Option[Decoded] = {
     if (nComp == 1) {
       val out = new Array[Byte](w * h)
       var y = 0

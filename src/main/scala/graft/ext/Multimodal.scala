@@ -360,11 +360,11 @@ object Multimodal {
     val frames = moviKids.filter(c => c._1.endsWith("db"))
     val dcFrames = moviKids.filter(c => c._1.endsWith("dc"))
     // MJPEG tier (round-11 verdict item 1): '##dc' chunks of an 'MJPG'
-    // stream are complete baseline JPEGs — route each through the
-    // [[Jpeg]] decoder and report the raw-DIB tier's outputs (per-frame
-    // pixel stats over decoded RGB, fps, first-frame luma thumb). A
-    // frame outside the codec-free baseline profile (corrupt,
-    // progressive, subsampled) drops the WHOLE stream to the metadata
+    // stream are complete JPEGs — route each through the [[Jpeg]]
+    // decoder (baseline or progressive) and report the raw-DIB tier's
+    // outputs (per-frame pixel stats over decoded RGB, fps, first-frame
+    // luma thumb). A frame outside the codec-free profile (corrupt,
+    // arithmetic, subsampled) drops the WHOLE stream to the metadata
     // tier below — channels=0 stays the honest "no pixel stats" label.
     if (bihOk && compression == MjpgFourcc && dcFrames.nonEmpty) {
       val decoded = dcFrames.map { case (_, _, s, e) =>
@@ -798,13 +798,22 @@ object Multimodal {
     Some(out)
   }
 
-  /** REAL baseline-JPEG decode via [[Jpeg]] (pure-Scala marker walk,
-    * canonical Huffman, IDCT, JFIF color convert — profile-bounded to
-    * baseline 8-bit 4:4:4/grayscale; anything fancier returns None and
-    * the router stubs it as `jpeg_corrupt`... i.e. the honest "could
-    * not decode" label, since a progressive JPEG is valid but outside
-    * the codec-free profile). Features mirror the PNG path: stats over
-    * decoded channel bytes, 4x4 Rec.601 luminance thumbnail. */
+  /** REAL JPEG decode via [[Jpeg]] (pure-Scala marker walk, canonical
+    * Huffman, IDCT, JFIF color convert) — baseline SOF0 AND progressive
+    * SOF2 (spectral selection + successive approximation, T.81 §G.1.2),
+    * profile-bounded to 8-bit 4:4:4/grayscale; anything fancier
+    * (arithmetic coding, subsampling, restart intervals) returns None
+    * and the router stubs it as `jpeg_corrupt` — the honest "could not
+    * decode" label. Features mirror the PNG path: stats over decoded
+    * channel bytes, 4x4 Rec.601 luminance thumbnail. */
+  /** Test seam: raw decoded pixels, so the suite can assert the
+    * progressive and baseline encodings of identical coefficients
+    * decode byte-identically (container-level fields like n_bytes and
+    * head_bytes legitimately differ between the two byte streams). */
+  private[graft] def decodeJpegPixels(
+      p: Array[Byte]): Option[(Int, Int, Int, Seq[Byte])] =
+    Jpeg.decode(p).map(d => (d.width, d.height, d.channels, d.rgb.toSeq))
+
   def decodeJpeg(docId: Long, p: Array[Byte]): Option[MediaFeatures] = {
     Jpeg.decode(p).map { d =>
       val (histo, sum) = byteHisto(d.rgb)
@@ -1345,8 +1354,15 @@ object Multimodal {
         jpegOf(16, 8, (bx, by) => (200 - bx * 30, 120, 90 + by * 10),
           acSpike = Some((1, 1))))), // MJPG '00dc' → per-frame JPEG decode
       -27L -> aviMjpegOf(8, 8, 33333, Seq(
-        jpegOf(8, 8, (_, _) => (128, 128, 128)).dropRight(4))))
+        jpegOf(8, 8, (_, _) => (128, 128, 128)).dropRight(4))),
         // ^ sound container, corrupt JPEG frame → metadata tier (channels=0)
+      -28L -> jpegProgressiveOf(16, 8,
+        (bx, by) => (80 + bx * 40, 128 + by * 20, 100),
+        acSpike = Some((17, 1)), dcPlus = 5),
+        // ^ SOF2 multi-scan → full pixel decode (DC+AC refinement paths)
+      -29L -> jpegProgressiveOf(16, 8,
+        (bx, by) => (80 + bx * 40, 128 + by * 20, 100))
+        .dropRight(6)) // truncated mid-scan, no EOI → jpeg_corrupt
   }
 
   /** Deterministic minimal AVI builder (tests + synthetics): RIFF/AVI
@@ -1675,6 +1691,130 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic PROGRESSIVE JPEG encoder (tests + synthetics): the
+    * same coefficient content as [[jpegOf]] — per-block DC + optional
+    * ±1 AC spike on the first Y block — emitted as a real SOF2
+    * multi-scan stream exercising every progressive decode path:
+    * interleaved DC first scan at Al=1, DC refinement (raw bits), per
+    * component AC first scans at Al=1 (all-zero at that precision, so
+    * pure EOB-run chunks including EOB1 with extension bits), and AC
+    * refinement scans that INSERT the spike as a newly-nonzero ±1 and
+    * skip the rest with refinement EOB runs. Because the quantized
+    * coefficients are identical to [[jpegOf]]'s, the decoded pixels
+    * must be byte-identical to the baseline decode — the suite's
+    * equivalence gate. */
+  private[graft] def jpegProgressiveOf(width: Int, height: Int,
+      blockYCbCr: (Int, Int) => (Int, Int, Int),
+      acSpike: Option[(Int, Int)] = None,
+      // added to the FIRST Y block's quantized DC: an odd value makes
+      // the DC refinement bit 1, driving the decoder's set-bit path
+      // (every [[jpegOf]]-shaped DC is 8·(v−128), so its low bits are
+      // always zero and refinement would otherwise be a no-op)
+      dcPlus: Int = 0): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0, "block-aligned fixtures")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int, body: Array[Byte]): Unit = {
+      out.write(0xff); out.write(marker)
+      out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      out.write(body, 0, body.length)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    m(0xdb, Array[Byte](0) ++ Array.fill(64)(1.toByte)) // DQT id 0, all 1s
+    m(0xc2, Array[Byte](8, // SOF2: progressive
+      (height >> 8).toByte, (height & 0xff).toByte,
+      (width >> 8).toByte, (width & 0xff).toByte, 3,
+      1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0))
+    // DC table 0: twelve 4-bit codes for categories 0..11 (as baseline)
+    m(0xc4, Array[Byte](0x00, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      Array.tabulate(12)(_.toByte))
+    // AC table 0, canonical lengths 1..5: EOB0='0', (0,1)='10',
+    // ZRL='110', EOB1='1110', (1,1)='11110'
+    m(0xc4, Array[Byte](0x10, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0x00, 0x01, 0xF0.toByte, 0x10, 0x11))
+    // per-scan entropy writer (bit buffer resets at scan boundaries)
+    var acc = 0; var nBits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nBits += 1
+        if (nBits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00)
+          acc = 0; nBits = 0
+        }
+        i -= 1
+      }
+    }
+    def pad(): Unit = while (nBits != 0) putBits(1, 1)
+    val huffAC = Map(0x00 -> (0, 1), 0x01 -> (2, 2), 0xF0 -> (6, 3),
+      0x10 -> (0xe, 4), 0x11 -> (0x1e, 5)) // symbol -> (code, bits)
+    def putAC(sym: Int): Unit = {
+      val (c, n) = huffAC(sym); putBits(c, n)
+    }
+    // EOB-run chunks: cover n consecutive end-of-bands with the table's
+    // EOB0 (1 block) / EOB1+ext (2 or 3 blocks) symbols
+    def putEobRun(n0: Int): Unit = {
+      var n = n0
+      while (n > 0) {
+        if (n == 1) { putAC(0x00); n = 0 }
+        else if (n == 2) { putAC(0x10); putBits(0, 1); n = 0 }
+        else { putAC(0x10); putBits(1, 1); n -= 3 }
+      }
+    }
+    val bxs = width / 8; val bys = height / 8
+    val nBlocks = bxs * bys
+    def dcOf(c: Int, bx: Int, by: Int): Int = {
+      val (yv, cb, cr) = blockYCbCr(bx, by)
+      8 * (Array(yv, cb, cr)(c) - 128) +
+        (if (c == 0 && bx == 0 && by == 0) dcPlus else 0)
+    }
+    // --- scan 1: DC first, interleaved, Al=1 (predict in the >>1 domain)
+    m(0xda, Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01))
+    val pred = new Array[Int](3)
+    for (by <- 0 until bys; bx <- 0 until bxs; c <- 0 until 3) {
+      val dcAl = dcOf(c, bx, by) >> 1 // arithmetic shift: two's complement
+      val diff = dcAl - pred(c)
+      pred(c) = dcAl
+      val t = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      putBits(t, 4)
+      if (t > 0) putBits(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+    }
+    pad()
+    // --- scan 2: DC refinement, one raw bit (bit 0 of the DC) per block
+    m(0xda, Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10))
+    for (by <- 0 until bys; bx <- 0 until bxs; c <- 0 until 3)
+      putBits(dcOf(c, bx, by) & 1, 1)
+    pad()
+    // --- scans 3-5: AC first per component, band 1..63, Al=1: the ±1
+    // spike vanishes at this precision (1 >> 1 == 0) so every block is
+    // an end-of-band — pure EOB-run chunks
+    for (cid <- 1 to 3) {
+      m(0xda, Array[Byte](1, cid.toByte, 0x00, 1, 63, 0x01))
+      putEobRun(nBlocks)
+      pad()
+    }
+    // --- scans 6-8: AC refinement, Ah=1, Al=0: history is all-zero, so
+    // the spike arrives as a newly-nonzero ±1 after its zero run
+    for (cid <- 1 to 3) {
+      m(0xda, Array[Byte](1, cid.toByte, 0x00, 1, 63, 0x10))
+      acSpike match {
+        case Some((k, v)) if cid == 1 =>
+          var run = k - 1
+          while (run >= 16) { putAC(0xF0); run -= 16 } // ZRL
+          require(run == 0 || run == 1, "fixture spike supports runs 0/1 mod 16")
+          putAC(if (run == 0) 0x01 else 0x11)
+          putBits(if (v >= 0) 1 else 0, 1) // sign of the ±1 insertion
+          putEobRun(nBlocks) // covers this block's tail + the rest
+        case _ =>
+          putEobRun(nBlocks)
+      }
+      pad()
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Deterministic GIF encoder (tests + synthetics): real GIF89a
     * header, global color table, and per-frame LZW streams built with
     * the classic "uncompressed GIF" technique — literal root codes at
@@ -1905,7 +2045,9 @@ object Multimodal {
         (-24, 'mp4', 428, 33.481308411214954, '00000018', '0,0,0,0,0,0,0,8,9,8,7,0,0,0,0,0', '1D150D05010911192129303840485057', 16, 0, 0, 2, 8000, 3750.0),
         (-25, 'mp4', 380, 26.626315789473683, '00000018', '0,0,0,0,2,2,2,2,2,2,2,2,0,0,0,0', '80706050403020100010203040506070', 16, 0, 0, 1, 8000, -4.0),
         (-26, 'avi', 586, 28.344709897610922, '52494646', '0,0,64,0,0,128,64,128,64,128,0,64,64,0,64,0', '50507878505078785050787850507878', 2, 16, 8, 3, 25, 132.83333333333334),
-        (-27, 'avi', 394, 25.83756345177665, '52494646', '299,9,3,6,18,10,16,15,2,0,2,0,4,3,0,7', '5261000072000028006F010101110100', 1, 8, 8, 0, 30, 0.03333333333333333))
+        (-27, 'avi', 394, 25.83756345177665, '52494646', '299,9,3,6,18,10,16,15,2,0,2,0,4,3,0,7', '5261000072000028006F010101110100', 1, 8, 8, 0, 30, 0.03333333333333333),
+        (-28, 'jpeg', 253, 39.537549407114625, 'FFD8FFDB', '0,0,64,0,0,128,64,64,64,0,0,0,0,0,0,0', '51517878515178785050787851517878', 1, 16, 8, 3, 0, 94.07291666666667),
+        (-29, 'jpeg_corrupt', 246, 37.300813008130085, 'FFD8FFDB', '190,13,0,5,2,0,0,1,1,0,0,0,3,10,5,16', 'FF01010101000000FF0003FFFF010100', 1, 0, 0, 0, 0, 37.300813008130085))
       SELECT hx.doc_id,
         CASE WHEN hx.p_null THEN 'empty' ELSE 'unknown' END AS format,
         CAST(hx.n AS INTEGER) AS n_bytes,

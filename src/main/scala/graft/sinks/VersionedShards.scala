@@ -224,8 +224,20 @@ object VersionedShards {
   private def emptyMarker(spark: SparkSession, dir: String,
       asOf: Int): DataFrame = {
     val (fs, _) = hfs(spark, dir)
-    val v = (asOf to 0 by -1).find(k =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$k")))
+    // a v-dir counts only if it holds at least one parquet (a writer
+    // that landed zero rows without the marker discipline leaves a
+    // _SUCCESS-only dir, which carries no schema)
+    def hasParquet(k: Int): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/v=$k")
+      fs.exists(p) && {
+        val it = fs.listFiles(p, true)
+        var found = false
+        while (!found && it.hasNext)
+          found = it.next().getPath.getName.endsWith(".parquet")
+        found
+      }
+    }
+    val v = (asOf to 0 by -1).find(hasParquet)
     require(v.isDefined,
       s"no data-landing commit at or before v$asOf — nothing defines " +
         "the layout's schema yet")
@@ -288,6 +300,14 @@ object VersionedShards {
       .collect().map(_.getInt(0)).toSet
     val victims = liveFiles(spark, dir, cur).filter(f => touched(f._1))
     val v = cur + 1
+    if (touched.isEmpty) {
+      // empty batch ⇒ empty merge: a LOG-ONLY no-op commit. The data
+      // write below would land a fileless `v=<k>` dir (just _SUCCESS),
+      // which carries no schema and would poison [[emptyMarker]]'s
+      // latest-dir walk on an all-empty lake.
+      writeLog(spark, dir, v, Nil)
+      return v
+    }
     val survivors =
       if (victims.isEmpty) keyedBatch
       else {

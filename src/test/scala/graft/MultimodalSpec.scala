@@ -498,13 +498,70 @@ class MultimodalSpec extends AnyFunSuite {
     // truncated entropy data
     assert(ext.Multimodal.decode(1L, color.dropRight(4)).format ==
       "jpeg_corrupt")
-    // progressive (SOF2) is valid JPEG but outside the codec-free
-    // profile: the honest label is the corrupt-stub fallback
+    // flipping SOF0→SOF2 on a BASELINE stream yields malformed
+    // progressive: its single scan has Se=63 with Ss=0, which is not a
+    // legal progressive DC scan — the decoder must reject, not render
     val prog = color.clone()
     val sofAt = (0 until prog.length - 1).find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
     assert(ext.Multimodal.decode(1L, prog).format == "jpeg_corrupt")
+  }
+
+  test("progressive JPEG decodes byte-identical to baseline on the same coefficients") {
+    // DC-only gradients and every AC-spike run shape (0, 1, ZRL, 2xZRL)
+    // across 1-, 2- and 6-block grids: the multi-scan progressive
+    // stream (DC first Al=1, DC refine, AC first with EOB1 runs, AC
+    // refine inserting the spike) must reconstruct the exact
+    // coefficients, so pixels match the baseline decode bit-for-bit
+    val shapes = Seq((8, 8), (16, 8), (24, 16))
+    val contents: Seq[((Int, Int) => (Int, Int, Int), Option[(Int, Int)])] =
+      Seq(((bx: Int, by: Int) => (80 + bx * 40, 128 + by * 20, 100), None),
+        (((_: Int, _: Int) => (128, 128, 128)), Some((1, 1))),
+        (((_: Int, _: Int) => (200, 90, 160)), Some((2, -1))),
+        (((_: Int, _: Int) => (30, 128, 128)), Some((17, 1))),
+        (((_: Int, _: Int) => (250, 140, 110)), Some((34, -1))))
+    for ((w, h) <- shapes; (pix, spike) <- contents) {
+      val base = ext.Multimodal.decodeJpegPixels(
+        ext.Multimodal.jpegOf(w, h, pix, spike))
+      val prog = ext.Multimodal.decodeJpegPixels(
+        ext.Multimodal.jpegProgressiveOf(w, h, pix, spike))
+      assert(base.isDefined && prog == base,
+        s"progressive != baseline at ${w}x$h spike=$spike")
+    }
+  }
+
+  test("progressive DC refinement set-bit path and truncation fallback") {
+    // dcPlus=5: first Y block's quantized DC becomes 5 (odd), so the
+    // DC first scan carries 5>>1=2 and the refinement bit is 1 — the
+    // decoder's |= path must fire. DC-only block: every pixel of that
+    // block is round(5/8)+128 = 129, neutral chroma keeps RGB = Y.
+    val p = ext.Multimodal.jpegProgressiveOf(8, 8,
+      (_, _) => (128, 128, 128), dcPlus = 5)
+    val f = ext.Multimodal.decode(1L, p)
+    assert(f.format == "jpeg" && f.mean_signal == 129.0,
+      s"got ${f.format} mean=${f.mean_signal}")
+    // truncation anywhere (mid-scan or missing EOI) degrades to the
+    // labeled corrupt stub, never a partial render or a crash
+    for (cut <- Seq(1, 4, 9, 30))
+      assert(ext.Multimodal.decode(1L, p.dropRight(cut)).format ==
+        "jpeg_corrupt", s"cut=$cut")
+  }
+
+  test("MJPEG-in-AVI accepts progressive frames through the shared decoder") {
+    val fr1 = ext.Multimodal.jpegProgressiveOf(16, 8,
+      (bx, by) => (80 + bx * 40, 128 + by * 20, 100))
+    val fr2 = ext.Multimodal.jpegOf(16, 8,
+      (bx, by) => (80 + bx * 40, 128 + by * 20, 100))
+    val f = ext.Multimodal.decode(50L,
+      ext.Multimodal.aviMjpegOf(16, 8, 40000, Seq(fr1, fr2)))
+    // both frames carry identical pixel content → identical stats to
+    // an all-baseline stream
+    val ref = ext.Multimodal.decode(50L,
+      ext.Multimodal.aviMjpegOf(16, 8, 40000, Seq(fr2, fr2)))
+    assert(f.format == "avi" && f.channels == 3 &&
+      f.mean_signal == ref.mean_signal &&
+      f.histo16.toSeq == ref.histo16.toSeq)
   }
 
   test("q34 registry run exercises real decode, corrupt fallback, and the stub") {
