@@ -408,6 +408,96 @@ object Export {
         n_chars, text
       FROM documents WHERE doc_id % 10 = 1"""))
 
+  /** q178's lifecycle: v0 = the FULL corpus committed once; v1 = one
+    * DELETE WHERE doc_id % 7 = 2 — a content predicate resolved with
+    * the file-pruned rewrite (victim files found by one
+    * predicate-pushed snapshot pass, only they rewritten). */
+  private[graft] def deleteLayoutFor(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.operators.SessionCache.memoOn(spark, dir,
+      s"shard-versions-delete|$dir|$nShards") {
+      val out = graft.operators.Stage.allocDir(spark, "shards-q178")
+      graft.sinks.VersionedShards.commitAppend(spark,
+        docCols(Tables.documents(spark, dir)), "doc_id", out, nShards)
+      graft.sinks.VersionedShards.deleteCommit(spark, out,
+        col("doc_id") % 7 === 2, nShards): Unit
+      out
+    }
+
+  /** q178 — row-level DELETE as the third DML verb (q175's MERGE covers
+    * UPDATE+INSERT): `DELETE WHERE doc_id % 7 = 2` on the versioned
+    * layout, executed as a FILE-PRUNED rewrite — one predicate-pushed
+    * pass over the live snapshot names the victim files, only those are
+    * rewritten without their matching rows, everything else stays live
+    * byte-identical, and the superseded files keep serving the
+    * pre-delete snapshot. The registry reads the post-delete snapshot's
+    * rows; hash-green against `WHERE doc_id % 7 <> 2` certifies
+    * delete-exactly-the-matches row-exactly. ExportSpec asserts the
+    * pruning law (files with no match keep their exact paths), old
+    * snapshot immutability, and NULL-predicate rows surviving. */
+  val q178: Q = Q(
+    "q178_delete_where",
+    run = { (spark, dir) =>
+      val layout = deleteLayoutFor(spark, dir)
+      graft.sinks.VersionedShards.readAsOf(spark, layout,
+          graft.sinks.VersionedShards.currentVersion(spark, layout))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), col("text"))
+    },
+    oracle = Some("""
+      SELECT doc_id, source, lang, n_chars, text
+      FROM documents WHERE doc_id % 7 <> 2"""))
+
+  /** q179's lifecycle: v0 = the corpus at its ORIGINAL schema; v1 = an
+    * append whose batch carries a NEW `quality` column (doc_id % 10 = 4
+    * re-keyed under +2000000, quality = n_chars % 100) — the
+    * add-a-column evolution committed as plain data, no table-wide
+    * rewrite. */
+  private[graft] def evolveLayoutFor(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.operators.SessionCache.memoOn(spark, dir,
+      s"shard-versions-evolve|$dir|$nShards") {
+      val out = graft.operators.Stage.allocDir(spark, "shards-q179")
+      val docs = docCols(Tables.documents(spark, dir))
+      graft.sinks.VersionedShards.commitAppend(spark, docs, "doc_id",
+        out, nShards)
+      val evolved = docs.filter(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          lit("evo").as("source"), col("lang"), col("n_chars"),
+          col("text"),
+          (coalesce(col("n_chars"), lit(0L)) % 100L).as("quality"))
+      graft.sinks.VersionedShards.commitAppend(spark, evolved, "doc_id",
+        out, nShards): Unit
+      out
+    }
+
+  /** q179 — SCHEMA EVOLUTION on the versioned layout (the Delta/Iceberg
+    * mergeSchema add-column semantics): a later commit lands rows with
+    * a NEW `quality` column as plain data — zero rewrite of existing
+    * files, O(#files) metadata as always — and the CURRENT snapshot
+    * read null-fills the column for every pre-evolution file, while a
+    * snapshot as of v0 still serves exactly the original columns
+    * (suite-asserted). Hash-green against the DuckDB union-by-name
+    * replay certifies the null-fill is row-exact. At 100 TB this is
+    * the only affordable way to add a column: backfilling petabytes to
+    * attach NULLs is the non-starter the log-resolved union avoids. */
+  val q179: Q = Q(
+    "q179_schema_evolution",
+    run = { (spark, dir) =>
+      val layout = evolveLayoutFor(spark, dir)
+      graft.sinks.VersionedShards.readAsOf(spark, layout,
+          graft.sinks.VersionedShards.currentVersion(spark, layout))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("quality"))
+    },
+    oracle = Some("""
+      SELECT doc_id, source, n_chars, CAST(NULL AS BIGINT) AS quality
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, 'evo' AS source, n_chars,
+        COALESCE(n_chars, 0) % 100 AS quality
+      FROM documents WHERE doc_id % 10 = 4"""))
+
   val all: Seq[Q] = Seq(q153, q155, q158, q163, q166, q167, q173, q174,
-    q175)
+    q175, q178, q179)
 }

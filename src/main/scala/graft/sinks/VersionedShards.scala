@@ -129,7 +129,11 @@ object VersionedShards {
     * with `shard` re-attached from the log (data files are immutable;
     * the log, not a directory listing, decides visibility). Missing
     * underlying files (vacuumed past the horizon) surface as a read
-    * error — deliberately, a silent partial snapshot would be worse. */
+    * error — deliberately, a silent partial snapshot would be worse.
+    * Schema note: the snapshot's schema is DERIVED from its live files
+    * (union-by-name with null-fill for evolved columns) — there is no
+    * table-metadata catalog, so a column whose every carrying file has
+    * been deleted/superseded drops out of later snapshots. */
   def readAsOf(spark: SparkSession, dir: String, asOf: Int): DataFrame = {
     val live = liveFiles(spark, dir, asOf)
     val (fs, _) = hfs(spark, dir)
@@ -148,7 +152,12 @@ object VersionedShards {
       spark.read.option("basePath", s"$dir/$vdir")
         .parquet(files.map(f => s"$dir/${f._2}"): _*)
     }
-    parts.reduceLeft(_.unionByName(_))
+    // allowMissingColumns: commits may EVOLVE the schema (add a column
+    // the way Delta/Iceberg mergeSchema does) — files written before
+    // the column existed null-fill it, and an old snapshot read (asOf
+    // before the evolution) still serves exactly its own columns
+    // because only its own files reach this union
+    parts.reduceLeft(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** LOGICAL compaction commit: shards whose LIVE run count exceeds
@@ -321,6 +330,66 @@ object VersionedShards {
     // discipline as every landing path
     survivors
       .repartition(math.max(touched.size, 1), col("shard"))
+      .sortWithinPartitions(col("shard"), col("draw"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$dir/v=$v")
+    writeLog(spark, dir, v,
+      victims.map { case (s, p) => (s, p, "remove") } ++
+        listVersionFiles(spark, dir, v).map { case (s, p) => (s, p, "add") })
+    v
+  }
+
+  /** Row-level DELETE with a FILE-PRUNED rewrite — the `DELETE WHERE`
+    * DML verb on the versioned layout ([[mergeCommit]] covers UPDATE +
+    * INSERT; this is the third arm). The predicate may reference ANY
+    * column, so pruning is file-level rather than shard-level: ONE
+    * predicate-pushed pass over the live snapshot names the victim
+    * files (those holding ≥ 1 matching row — `_metadata.file_path`,
+    * driver-collected, bounded by #files), then the rewrite job reads
+    * ONLY those files, drops the matching rows, and lands the
+    * survivors under the new version. Untouched files stay live
+    * byte-identical; superseded victims are logged `remove`d and keep
+    * serving old snapshots until [[vacuum]].
+    *
+    * SQL DELETE semantics: a row is deleted only when the predicate is
+    * TRUE — NULL-predicate rows SURVIVE (the rewrite filters on
+    * `NOT coalesce(pred, false)`).
+    *
+    * Scale shape: at 100 TB a selective delete (one user's rows, one
+    * day's bad batch) touches a handful of files; the two jobs cost
+    * ∝ the live snapshot scan (predicate-pushed, column-pruned to the
+    * predicate's columns) + ∝ the victim bytes — never a lake rewrite.
+    * Returns the committed version. */
+  def deleteCommit(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column, nShards: Int): Int = {
+    val cur = currentVersion(spark, dir)
+    val live = liveFiles(spark, dir, cur)
+    val v = cur + 1
+    if (live.isEmpty) { writeLog(spark, dir, v, Nil); return v }
+    // log paths are exactly `v=<j>/shard=<k>/<basename>` — the last
+    // three URI segments of `_metadata.file_path`. Basenames ALONE are
+    // not unique (one write task lands the same part-file name under
+    // several shard dirs), so the key keeps the partition segments.
+    def relOf(fp: String): String =
+      fp.split('/').takeRight(3).mkString("/")
+    val byRel = live.map { case (s, rel) => rel -> ((s, rel)) }.toMap
+    // mergeSchema: composes with schema-evolved lakes (a plain read
+    // would adopt one file's schema and silently drop evolved columns)
+    val matched = spark.read.option("mergeSchema", "true")
+      .parquet(live.map(f => s"$dir/${f._2}"): _*)
+      .filter(predicate)
+      .select(col("_metadata.file_path").as("fp"))
+      .distinct().collect()
+      .map(r => relOf(r.getString(0)))
+    if (matched.isEmpty) { writeLog(spark, dir, v, Nil); return v }
+    val victims = matched.toSeq.map(byRel).sortBy(_._2)
+    val survivors = spark.read.option("mergeSchema", "true")
+      .parquet(victims.map(f => s"$dir/${f._2}"): _*)
+      .filter(not(coalesce(predicate, lit(false))))
+      .withColumn("shard", ShardExport.shardOf(col("draw"), nShards))
+    val touchedShards = victims.map(_._1).distinct
+    survivors
+      .repartition(math.max(touchedShards.size, 1), col("shard"))
       .sortWithinPartitions(col("shard"), col("draw"))
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$dir/v=$v")

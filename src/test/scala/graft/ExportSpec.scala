@@ -644,6 +644,88 @@ class ExportSpec extends AnyFunSuite {
       "merge mutated the historical snapshot")
   }
 
+  test("q178: delete removes exactly the matches, rewrites only match-holding files, NULL predicates survive") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+      // plant NULL-predicate rows: SQL DELETE must let them survive
+      .withColumn("n_chars",
+        when(col("doc_id") % 11 === 0, lit(null))
+          .otherwise(col("n_chars")))
+    val dir = tmp("delete")
+    VersionedShards.commitAppend(spark, docs, "doc_id", dir, 16)
+    val preFiles = VersionedShards.liveFiles(spark, dir, 0).toSet
+    // a SELECTIVE content predicate (matches the max-length doc(s), a
+    // couple of files at most — the pruning law below needs no-match
+    // files to exist); still NULL on the planted rows
+    val target = docs.agg(max(col("n_chars"))).collect()(0).getLong(0)
+    val pred = col("n_chars") === target
+    val v1 = VersionedShards.deleteCommit(spark, dir, pred, 16)
+    assert(v1 == 1)
+    val after = VersionedShards.readAsOf(spark, dir, v1)
+    val expectSurvivors = docs.filter(not(coalesce(pred, lit(false))))
+    assert(after.count() == expectSurvivors.count())
+    assert(after.filter(coalesce(pred, lit(false))).count() == 0,
+      "a matching row survived the delete")
+    assert(after.filter(col("n_chars").isNull).count() ==
+      docs.filter(col("n_chars").isNull).count(),
+      "NULL-predicate rows must survive a DELETE")
+    // pruning law: only files that HELD a match were removed; every
+    // other pre-delete file is still live at v1, path-identical
+    val removed = VersionedShards.log(spark, dir)
+      .filter(col("version") === 1 && col("action") === "remove")
+      .select("shard", "path").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(removed.nonEmpty && removed.subsetOf(preFiles))
+    assert(removed.size < preFiles.size,
+      "fixture degenerate: every file held a match")
+    val afterFiles = VersionedShards.liveFiles(spark, dir, v1).toSet
+    assert((preFiles -- removed).subsetOf(afterFiles),
+      "a no-match file was rewritten or dropped")
+    // the pre-delete snapshot still reads every original row
+    assert(VersionedShards.readAsOf(spark, dir, 0).count() == docs.count())
+    // a no-match delete is a LOG-ONLY commit: nothing moves
+    val v2 = VersionedShards.deleteCommit(spark, dir,
+      col("doc_id") === -999L, 16)
+    assert(v2 == 2)
+    assert(VersionedShards.liveFiles(spark, dir, v2).toSet == afterFiles)
+    assert(VersionedShards.readAsOf(spark, dir, v2).count() ==
+      expectSurvivors.count())
+  }
+
+  test("q179: schema evolution null-fills old files; v0 keeps its schema; delete composes via mergeSchema") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("evolve")
+    VersionedShards.commitAppend(spark, docs, "doc_id", dir, 16)
+    val evolved = docs.orderBy(col("doc_id")).limit(4)
+      .withColumn("doc_id", col("doc_id") + 7000000L)
+      .withColumn("quality", lit(7L))
+    VersionedShards.commitAppend(spark, evolved, "doc_id", dir, 16)
+    // time travel is also SCHEMA travel: v0 has no `quality` column
+    assert(!VersionedShards.readAsOf(spark, dir, 0)
+      .columns.contains("quality"))
+    val cur = VersionedShards.readAsOf(spark, dir, 1)
+    assert(cur.columns.contains("quality"))
+    assert(cur.filter(col("quality").isNull).count() == docs.count(),
+      "pre-evolution rows must null-fill the evolved column")
+    assert(cur.filter(col("quality") === 7L).count() == 4)
+    // DML composes with the evolved schema (mergeSchema reads): delete
+    // by the NEW column removes exactly the evolved rows. With every
+    // quality-bearing row gone, only pre-evolution files stay live —
+    // the snapshot schema legitimately reverts (schema is derived from
+    // live files, not a table-metadata catalog)
+    val v2 = VersionedShards.deleteCommit(spark, dir,
+      col("quality") === 7L, 16)
+    val afterDel = VersionedShards.readAsOf(spark, dir, v2)
+    assert(afterDel.count() == docs.count())
+    if (afterDel.columns.contains("quality"))
+      assert(afterDel.filter(col("quality").isNotNull).count() == 0)
+  }
+
   test("q173: a row rewritten by compaction never reappears; a CONTENT change does") {
     import graft.sinks.VersionedShards
     val docs = Tables.documents(spark, TestSpark.sf0001)
