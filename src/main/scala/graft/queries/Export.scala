@@ -411,16 +411,20 @@ object Export {
   /** q178's lifecycle: v0 = the FULL corpus committed once; v1 = one
     * DELETE WHERE doc_id % 7 = 2 — a content predicate resolved with
     * the file-pruned rewrite (victim files found by one
-    * predicate-pushed snapshot pass, only they rewritten). */
+    * predicate-pushed snapshot pass, only they rewritten). Commit
+    * timestamps are PINNED (v0@1000ms, v1@2000ms) so q183's
+    * AS-OF-TIMESTAMP resolution is deterministic under the oracle
+    * gate; production commits default to the wall clock. */
   private[graft] def deleteLayoutFor(
       spark: org.apache.spark.sql.SparkSession, dir: String): String =
     graft.operators.SessionCache.memoOn(spark, dir,
       s"shard-versions-delete|$dir|$nShards") {
       val out = graft.operators.Stage.allocDir(spark, "shards-q178")
       graft.sinks.VersionedShards.commitAppend(spark,
-        docCols(Tables.documents(spark, dir)), "doc_id", out, nShards)
+        docCols(Tables.documents(spark, dir)), "doc_id", out, nShards,
+        ts = 1000L)
       graft.sinks.VersionedShards.deleteCommit(spark, out,
-        col("doc_id") % 7 === 2, nShards): Unit
+        col("doc_id") % 7 === 2, nShards, ts = 2000L): Unit
       out
     }
 
@@ -498,6 +502,110 @@ object Export {
         COALESCE(n_chars, 0) % 100 AS quality
       FROM documents WHERE doc_id % 10 = 4"""))
 
+  /** The grouped aggregate q182 maintains: per (lang, source) doc
+    * count + char sum. Keys ride '(null)' sentinels because the MV
+    * merge JOINS on them (SQL join semantics drop null keys — the
+    * q172 COALESCE lesson applied to group-bys); chars coalesce to 0
+    * so the maintained sum and the recompute agree on groups whose
+    * non-null contributors all churn. */
+  private[graft] def groupedMv(snap: org.apache.spark.sql.DataFrame) =
+    snap.groupBy(
+        coalesce(col("lang"), lit("(null)")).as("lang_k"),
+        coalesce(col("source"), lit("(null)")).as("source_k"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
+
+  /** Fold a [[graft.sinks.VersionedShards.readChanges]] frame into a
+    * stored [[groupedMv]]: inserts add, deletes retract, zero-count
+    * groups drop — every maintained field a decomposable aggregate, so
+    * the fold is EXACT in any arrival order. */
+  private[graft] def mvApply(mv0: org.apache.spark.sql.DataFrame,
+      changes: org.apache.spark.sql.DataFrame) = {
+    val sign = when(col("_change") === "insert", 1L).otherwise(-1L)
+    val delta = changes
+      .select(coalesce(col("lang"), lit("(null)")).as("lang_k"),
+        coalesce(col("source"), lit("(null)")).as("source_k"),
+        sign.as("dn"),
+        (sign * coalesce(col("n_chars"), lit(0L))).as("dc"))
+      .groupBy(col("lang_k"), col("source_k"))
+      .agg(sum(col("dn")).as("d_docs"), sum(col("dc")).as("d_chars"))
+    mv0.join(delta, Seq("lang_k", "source_k"), "full_outer")
+      .select(col("lang_k"), col("source_k"),
+        (coalesce(col("n_docs"), lit(0L)) +
+          coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("sum_chars"), lit(0L)) +
+          coalesce(col("d_chars"), lit(0L))).as("sum_chars"))
+      .filter(col("n_docs") > 0)
+  }
+
+  /** q182 — INCREMENTAL MATERIALIZED-VIEW maintenance from CDC deltas
+    * (the q155 decomposable-manifest recipe generalized to a grouped
+    * aggregate with RETRACTIONS): the stored MV is the per-(lang,
+    * source) rollup of snapshot v0; when the DELETE commits as v1, the
+    * maintenance job folds in
+    * [[graft.sinks.VersionedShards.readChanges]]' insert/delete rows —
+    * +1 per insert, −1 per delete, chars signed the same way — via a
+    * full-outer merge on the group keys, dropping groups whose count
+    * reaches zero. The CDC scan touches ONLY the files the delete
+    * commit added/removed (immutable common files cannot produce
+    * changes — suite-asserted via inputFiles), so maintenance costs
+    * ∝ the touched files while the gated answer equals the full
+    * recompute digit-for-digit. At 100 TB this is the difference
+    * between refreshing a corpus dashboard by rescanning the lake and
+    * folding yesterday's delta into a kilobyte-sized view. */
+  val q182: Q = Q(
+    "q182_incremental_mv",
+    run = { (spark, dir) =>
+      val layout = deleteLayoutFor(spark, dir)
+      val mv0 = graft.operators.SessionCache.memoOn(spark, dir,
+        s"mv0-grouped|$dir|$nShards") {
+        graft.operators.Stage.materialize(
+          groupedMv(graft.sinks.VersionedShards.readAsOf(spark, layout, 0)),
+          "mv0-q182")
+      }
+      mvApply(mv0,
+        graft.sinks.VersionedShards.readChanges(spark, layout, 0, 1,
+          "doc_id"))
+    },
+    oracle = Some("""
+      SELECT COALESCE(lang, '(null)') AS lang_k,
+        COALESCE(source, '(null)') AS source_k,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(COALESCE(n_chars, 0)) AS BIGINT) AS sum_chars
+      FROM documents WHERE doc_id % 7 <> 2
+      GROUP BY 1, 2"""))
+
+  /** q183 — TIME TRAVEL BY TIMESTAMP (`AS OF <ts>`, the form users
+    * actually write — nobody remembers version numbers): q178's layout
+    * commits at pinned ts 1000 (full corpus) and 2000 (the DELETE), and
+    * the query reads BOTH boundary answers — ts=1500 must resolve to
+    * v0 (full corpus) and ts=2500 to v1 (post-delete) — through
+    * [[graft.sinks.VersionedShards.versionAt]]'s one-listing
+    * resolution with the Delta-recipe read-side monotonicity
+    * adjustment. Hash-green certifies the BRACKETING semantics
+    * (latest commit at-or-before the asked instant), which is the
+    * entire contract; the suite pins the edges (exact commit ts,
+    * pre-history refusal, skewed clocks). */
+  val q183: Q = Q(
+    "q183_time_travel_ts",
+    run = { (spark, dir) =>
+      val layout = deleteLayoutFor(spark, dir)
+      def countsAt(ts: Long, label: String) =
+        graft.sinks.VersionedShards.readAsOfTs(spark, layout, ts)
+          .groupBy(coalesce(col("lang"), lit("(null)")).as("lang_k"))
+          .agg(count(lit(1)).as("n_docs"))
+          .select(lit(label).as("as_of"), col("lang_k"), col("n_docs"))
+      countsAt(1500L, "t1500").unionByName(countsAt(2500L, "t2500"))
+    },
+    oracle = Some("""
+      SELECT 't1500' AS as_of, COALESCE(lang, '(null)') AS lang_k,
+        CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 2
+      UNION ALL
+      SELECT 't2500' AS as_of, COALESCE(lang, '(null)') AS lang_k,
+        CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents WHERE doc_id % 7 <> 2 GROUP BY 2"""))
+
   val all: Seq[Q] = Seq(q153, q155, q158, q163, q166, q167, q173, q174,
-    q175, q178, q179)
+    q175, q178, q179, q182, q183)
 }

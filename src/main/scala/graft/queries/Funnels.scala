@@ -534,6 +534,224 @@ object Funnels {
         (b.n * 1000000) // r.row_n AS p_ppm
       FROM b JOIN r USING (cur_type)"""))
 
+  /** Core of q180: TIME-TO-CONVERT distribution per funnel transition —
+    * how long users take between q61's ordered stages, as exact
+    * quartile/tail percentiles. Counting conversions (q61) without
+    * their latency hides the difference between a healthy funnel and
+    * one where purchases trail first views by a week; this is the
+    * latency half of the funnel readout.
+    *
+    * Parity discipline: gaps are EXACT integer microseconds
+    * (`unix_micros`, DuckDB `epoch_us`) — no timestamp subtraction
+    * semantics to align — and the percentile aggregate is the q45
+    * recipe (sort-based exact interpolation, identical in both
+    * engines); the only floating step is the final /1e6 to seconds,
+    * one IEEE division on bit-identical doubles.
+    *
+    * Scale shape: rides the q61 funnel frame (user-keyed shuffles
+    * only), then ONE hash-agg over 3 rows per converted user — the
+    * stack fan-out applies to the per-USER frame, never raw events.
+    * Percentile state is per-group sorted values: at 100 TB the group
+    * count is fixed (3 transitions), so if per-group cardinality
+    * (≈ converting users) outgrew executor memory the q160 fixed-grid
+    * histogram formulation is the drop-in; at any realistic user
+    * count the exact sort is cheap and the answer is exact. */
+  def timeToConvert(events: DataFrame): DataFrame =
+    funnel(events)
+      .select(expr("""stack(3,
+        '1_view_to_click',     unix_micros(t_click)    - unix_micros(t_view),
+        '2_click_to_purchase', unix_micros(t_purchase) - unix_micros(t_click),
+        '3_view_to_purchase',  unix_micros(t_purchase) - unix_micros(t_view)
+        ) AS (step, gap_us)"""))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("n_users"),
+        percentile(col("gap_us"),
+          array(lit(0.25), lit(0.5), lit(0.9))).as("ps"),
+        max(col("gap_us")).as("mx"))
+      .select(col("step"), col("n_users"),
+        (col("ps").getItem(0) / 1000000.0d).as("p25_s"),
+        (col("ps").getItem(1) / 1000000.0d).as("p50_s"),
+        (col("ps").getItem(2) / 1000000.0d).as("p90_s"),
+        (col("mx").cast("double") / 1000000.0d).as("max_s"))
+
+  /** q180 — funnel time-to-convert percentiles per stage transition. */
+  val q180: Q = Q(
+    "q180_funnel_ttc",
+    run = { (spark, dir) => timeToConvert(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events),
+      v AS (SELECT user_id, min(ts) AS t_view FROM e
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.ts) AS t_click FROM e
+            JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e
+            JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id),
+      f AS (SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+            FROM v LEFT JOIN c ON c.user_id = v.user_id
+                   LEFT JOIN p ON p.user_id = v.user_id),
+      g AS (
+        SELECT '1_view_to_click' AS step,
+          epoch_us(t_click) - epoch_us(t_view) AS gap_us
+        FROM f WHERE t_click IS NOT NULL
+        UNION ALL
+        SELECT '2_click_to_purchase',
+          epoch_us(t_purchase) - epoch_us(t_click)
+        FROM f WHERE t_purchase IS NOT NULL
+        UNION ALL
+        SELECT '3_view_to_purchase',
+          epoch_us(t_purchase) - epoch_us(t_view)
+        FROM f WHERE t_purchase IS NOT NULL)
+      SELECT step, CAST(count(*) AS BIGINT) AS n_users,
+        quantile_cont(gap_us, 0.25) / 1000000.0 AS p25_s,
+        quantile_cont(gap_us, 0.5)  / 1000000.0 AS p50_s,
+        quantile_cont(gap_us, 0.9)  / 1000000.0 AS p90_s,
+        CAST(max(gap_us) AS DOUBLE) / 1000000.0 AS max_s
+      FROM g GROUP BY step"""))
+
+  /** Core of q181: CUSUM CHANGEPOINT detection on the daily volume
+    * series of each event type — the day where the cumulative
+    * deviation from the series mean peaks, i.e. the single most likely
+    * mean-shift point (Page 1954's cumulative-sum statistic, argmax
+    * form). q64 flags individual outlier DAYS against a global
+    * mean/std; CUSUM answers the different production question "did
+    * the level CHANGE, and when" — a 20% step that never produces a
+    * 2σ day is invisible to q64 and lights up here.
+    *
+    * All-integer statistic: the textbook S_d = Σ_{i≤d}(n_i − mean) has
+    * a fractional mean, so both engines instead compute
+    * D·S_d = D·prefix_d − d·total (D = #days, total = Σn) — the same
+    * argmax, scaled by a positive constant, in exact BIGINT. Headroom:
+    * D·prefix ≤ 366 · series total, so overflow needs a single type's
+    * annual volume above ~2.5e16 events — document-bounded far past
+    * 100 TB. Tie on |S| → earliest day (both orderings pinned).
+    *
+    * Scale shape: one corpus-sized hash-agg to (type, day) — map-side
+    * combined, the ONLY pass over raw events — then windows over the
+    * per-type day series (≤366 rows per type per year) partitioned on
+    * event_type: tiny keyed partitions, never a global single-partition
+    * window. */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(coalesce(col("event_type"), lit("(null)")).as("event_type"),
+        to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val whole = Window.partitionBy("event_type")
+    val ordered = Window.partitionBy("event_type").orderBy(col("d"))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(abs(col("s_scaled")).desc, col("d").asc)
+    daily
+      .withColumn("days", count(lit(1)).over(whole))
+      .withColumn("total", sum(col("n")).over(whole))
+      .withColumn("idx", row_number().over(ordered))
+      .withColumn("prefix", sum(col("n")).over(ordered))
+      .withColumn("s_scaled",
+        col("days") * col("prefix") - col("idx") * col("total"))
+      .withColumn("rnk", row_number().over(pick))
+      .filter(col("rnk") === 1)
+      .select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("cp_date"),
+        col("s_scaled"), col("days"), col("total"))
+  }
+
+  /** q181 — per-type CUSUM changepoint (day of peak cumulative
+    * deviation, exact integer statistic). */
+  val q181: Q = Q(
+    "q181_cusum_changepoint",
+    run = { (spark, dir) => cusumChangepoint(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT COALESCE(event_type, '(null)') AS event_type,
+          CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      s AS (SELECT event_type, d, n,
+              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                AS days,
+              CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+                AS total,
+              CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                AS BIGINT) AS idx,
+              CAST(sum(n) OVER (PARTITION BY event_type ORDER BY d)
+                AS BIGINT) AS prefix
+            FROM daily),
+      sc AS (SELECT event_type, d, days, total,
+               days * prefix - idx * total AS s_scaled,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY abs(days * prefix - idx * total) DESC, d ASC)
+                 AS rnk
+             FROM s)
+      SELECT event_type, strftime(d, '%Y-%m-%d') AS cp_date,
+        s_scaled, days, total
+      FROM sc WHERE rnk = 1"""))
+
+  /** Core of q185: MEDIAN/MAD robust outlier detection on the daily
+    * series — the 50%-breakdown counterpart of q64's z-scores. The
+    * mean/std q64 standardizes with are themselves dragged by the very
+    * outliers being hunted (one 100× day inflates σ enough to hide a
+    * 5× day); median and MAD (median absolute deviation) ignore up to
+    * half the data being corrupted, which is why robust monitoring
+    * pipelines score against them. Flag: |n − med| > 5·MAD (a plain
+    * multiplier instead of the 1.4826 normal-consistency constant — no
+    * irrational literals to drift).
+    *
+    * Parity: daily counts are exact integers; both medians are the
+    * q45 exact-interpolation percentile over values on a k/2 grid, so
+    * every derived double (dev, 5·MAD, robust z's operands) is
+    * binary-exact and the comparison is deterministic in both engines;
+    * the one inexact op is the final z division, IEEE-identical on
+    * bit-identical inputs.
+    *
+    * Scale shape: one map-side-combined corpus agg to (type, day),
+    * then two percentile aggregates over ≤366-row per-type series and
+    * two broadcast-sized joins back — the q181 tiny-keyed-series
+    * pattern; nothing wider than the day grid ever shuffles again. */
+  def madOutliers(events: DataFrame, k: Double = 5.0): DataFrame = {
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(coalesce(col("event_type"), lit("(null)")).as("event_type"),
+        to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val med = daily.groupBy(col("event_type"))
+      .agg(percentile(col("n"), lit(0.5)).as("med"))
+    val dev = daily.join(med, "event_type")
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    dev.join(mad, "event_type")
+      .select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("d"),
+        col("n"), col("med"), col("mad"),
+        expr("(n - med) / nullif(mad, 0.0)").as("robust_z"),
+        (col("dev") > lit(k) * col("mad")).as("is_outlier"))
+  }
+
+  /** q185 — per-type daily robust (median/MAD) outlier flags. */
+  val q185: Q = Q(
+    "q185_mad_outliers",
+    run = { (spark, dir) => madOutliers(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT COALESCE(event_type, '(null)') AS event_type,
+          CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+              FROM daily GROUP BY 1),
+      dev AS (SELECT daily.event_type, d, n, med,
+                abs(n - med) AS dev
+              FROM daily JOIN med USING (event_type)),
+      mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+              FROM dev GROUP BY 1)
+      SELECT dev.event_type, strftime(d, '%Y-%m-%d') AS d, n, med, mad,
+        (n - med) / nullif(mad, 0.0) AS robust_z,
+        dev > 5.0 * mad AS is_outlier
+      FROM dev JOIN mad USING (event_type)"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q75, q77, q100, q107, q172,
-    q177)
+    q177, q180, q181, q185)
 }

@@ -335,5 +335,121 @@ object Lexical {
       JOIN norms nb ON nb.doc_id = d.doc_b
       WHERE d.dot / (na.nrm * nb.nrm) >= 0.30"""))
 
-  val all: Seq[Q] = Seq(q112, q113, q127)
+  /** Core of q184: PREFIX-FILTERED exact Jaccard set-similarity
+    * self-join (the AllPairs/PPJoin candidate rule — Bayardo, Ma &
+    * Srikant WWW'07; Xiao et al. WWW'08) over each document's DISTINCT
+    * 3-shingle set. The third set-similarity modality alongside q30's
+    * probabilistic MinHash-LSH (recall < 1 by construction) and q24's
+    * corpus-knowledge blocking (source key): prefix filtering is EXACT
+    * with NO blocking key — sub-quadratic candidate generation that
+    * provably loses nothing.
+    *
+    * The rule: order every shingle by ascending corpus df (ties by
+    * shingle string — both engines compare UTF-8 binary, so the order
+    * replays); a doc of set size s only needs its first
+    * s − ⌈τ·s⌉ + 1 shingles in the join — any pair with
+    * J ≥ τ shares ≥ max(⌈τ·s_a⌉, ⌈τ·s_b⌉) shingles (J ≥ τ forces
+    * overlap ≥ τ(s_a+s_b)/(1+τ) ≥ τ·max when the size filter below
+    * holds, and J ≤ min/max < τ kills the pair otherwise), and two
+    * sets sharing t elements under one total order must meet inside
+    * those prefixes. Candidates then pass the size filter
+    * (min·1000 ≥ τ_milli·max) and EXACT integer verification
+    * (n_shared·1000 ≥ τ_milli·(n_a+n_b−n_shared)); jac_milli is the
+    * integer-truncated score — every gate arithmetic-exact in both
+    * engines. The unfiltered law (prefix join ≡ brute-force all-pairs)
+    * is suite-asserted on a fixture slice.
+    *
+    * Scale shape: shingling/df/sizes are one corpus pass of hash-aggs
+    * with map-side combine; the candidate join streams ONLY prefix
+    * rows — each doc's RAREST shingles, so per-shingle bucket sizes
+    * are df-small by construction (the exact-join counterpart of
+    * q30's band buckets); verification is candidate-bounded equi-joins
+    * (|candidates| × shared shingles), never corpus². The one window
+    * (per-doc rank) partitions on doc_id. At τ=0.8 the prefix is ~20%
+    * of each set; no all-pairs anywhere. */
+  def prefixJaccardPairs(docs: org.apache.spark.sql.DataFrame,
+      tauMilli: Int = 800): org.apache.spark.sql.DataFrame = {
+    val sh = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shinglesExpr("toks", 3))
+          .as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val dfTab = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val prefix = sh.join(dfTab, "sh").join(sizes, "doc_id")
+      .withColumn("pos", row_number().over(byRarity))
+      .filter(col("pos") <=
+        col("sz") - expr(s"($tauMilli * sz + 999) div 1000") + 1)
+      .select(col("doc_id"), col("sh"), col("sz"))
+    val cand = prefix
+      .select(col("sh"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("sh").as("sh_b"), col("doc_id").as("doc_b"),
+          col("sz").as("sz_b")),
+        col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
+      .filter(least(col("sz_a"), col("sz_b")) * 1000 >=
+        lit(tauMilli) * greatest(col("sz_a"), col("sz_b")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val shared = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")),
+        Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("n_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("n_b")),
+        "doc_b")
+      .filter(col("n_shared") * 1000 >=
+        lit(tauMilli) * (col("n_a") + col("n_b") - col("n_shared")))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        expr("(n_shared * 1000) div (n_a + n_b - n_shared)")
+          .as("jac_milli"))
+  }
+
+  /** q184 — exact Jaccard ≥ 0.8 pairs via prefix filtering (the
+    * blocking-free exact set-similarity join). */
+  val q184: Q = Q(
+    "q184_prefix_jaccard",
+    run = { (spark, dir) =>
+      prefixJaccardPairs(Tables.documentsParallel(spark, dir))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+            FROM d WHERE len(toks) >= 3),
+      sh AS (SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+             FROM g),
+      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh
+             GROUP BY 1),
+      dfq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+      pr AS (SELECT s.doc_id, s.sh, z.sz,
+               row_number() OVER (PARTITION BY s.doc_id
+                 ORDER BY q.df, s.sh) AS pos
+             FROM sh s JOIN dfq q USING (sh) JOIN sz z USING (doc_id)),
+      pref AS (SELECT doc_id, sh, sz FROM pr
+               WHERE pos <= sz - ((800 * sz + 999) // 1000) + 1),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM pref a JOIN pref b
+                 ON a.sh = b.sh AND a.doc_id < b.doc_id
+               WHERE least(a.sz, b.sz) * 1000 >= 800 * greatest(a.sz, b.sz)),
+      ish AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_shared
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.doc_a
+              JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+              GROUP BY 1, 2)
+      SELECT i.doc_a, i.doc_b, za.sz AS n_a, zb.sz AS n_b, i.n_shared,
+        (i.n_shared * 1000) // (za.sz + zb.sz - i.n_shared) AS jac_milli
+      FROM ish i JOIN sz za ON za.doc_id = i.doc_a
+                 JOIN sz zb ON zb.doc_id = i.doc_b
+      WHERE i.n_shared * 1000 >= 800 * (za.sz + zb.sz - i.n_shared)"""))
+
+  val all: Seq[Q] = Seq(q112, q113, q127, q184)
 }

@@ -59,11 +59,26 @@ object VersionedShards {
   }
 
   private def writeLog(spark: SparkSession, dir: String, v: Int,
-      rows: Seq[(Int, String, String)]): Unit =
+      rows: Seq[(Int, String, String)], ts: Long = -1L): Unit = {
     spark.createDataFrame(
       spark.sparkContext.parallelize(
         rows.map { case (s, p, a) => Row(s, p, a) }, 1), logSchema)
       .write.mode("overwrite").parquet(s"$dir/_log/v=$v")
+    // commit TIMESTAMP, name-encoded in an empty `_ts.<millis>` marker
+    // (underscore prefix AND no '=' — Spark's hidden-file filter keeps
+    // underscore names only when they look like partition dirs, so an
+    // '=' in the name would make the parquet log reader try to read
+    // the marker as data):
+    // [[versionAt]] resolves AS-OF-TIMESTAMP reads from ONE log
+    // listing, zero data reads. Written AFTER the overwrite (which
+    // clears the version dir), so a streaming replay of the same
+    // batchId leaves exactly one marker. -1 = wall clock (the
+    // production default); explicit ts is the deterministic-test seam.
+    val effTs = if (ts >= 0) ts else System.currentTimeMillis()
+    val (fs, _) = hfs(spark, dir)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/_log/v=$v/_ts.$effTs"), true).close()
+  }
 
   /** The commit log as a DataFrame (version, shard, path, action) —
     * partition discovery over `_log/v=<k>` supplies `v`. */
@@ -88,9 +103,9 @@ object VersionedShards {
     * version's own immutable subtree, plus add-rows in the log.
     * Returns the committed version. */
   def commitAppend(spark: SparkSession, batch: DataFrame, keyCol: String,
-      dir: String, nShards: Int): Int =
+      dir: String, nShards: Int, ts: Long = -1L): Int =
     commitAs(spark, batch, keyCol, dir, nShards,
-      currentVersion(spark, dir) + 1)
+      currentVersion(spark, dir) + 1, ts)
 
   /** [[commitAppend]] at a CALLER-CHOSEN version — the replay-
     * idempotency seam the streaming sink needs: a re-delivered
@@ -99,12 +114,59 @@ object VersionedShards {
     * many times the batch replays (both writes are mode=overwrite;
     * nothing appends). */
   def commitAs(spark: SparkSession, batch: DataFrame, keyCol: String,
-      dir: String, nShards: Int, v: Int): Int = {
+      dir: String, nShards: Int, v: Int, ts: Long = -1L): Int = {
     ShardExport.writeShards(batch, keyCol, s"$dir/v=$v", nShards)
     writeLog(spark, dir, v,
-      listVersionFiles(spark, dir, v).map { case (s, p) => (s, p, "add") })
+      listVersionFiles(spark, dir, v).map { case (s, p) => (s, p, "add") },
+      ts)
     v
   }
+
+  /** Commit timestamps, version-ordered, with the Delta-recipe
+    * READ-SIDE monotonicity adjustment: each version's effective ts is
+    * max(its recorded ts, previous effective + 1), so AS-OF-TIMESTAMP
+    * resolution stays well-defined even when commit clocks skew
+    * backwards (adjusting at read time costs nothing per commit and
+    * rewrites no history). One `_log` listing, O(#versions). */
+  def commitTimestamps(spark: SparkSession,
+      dir: String): Seq[(Int, Long)] = {
+    val (fs, _) = hfs(spark, dir)
+    val logRoot = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    if (!fs.exists(logRoot)) return Nil
+    val raw = fs.listStatus(logRoot).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("v="))
+      .flatMap { d =>
+        val v = d.getPath.getName.stripPrefix("v=").toInt
+        fs.listStatus(d.getPath).toSeq
+          .map(_.getPath.getName).find(_.startsWith("_ts."))
+          .map(n => v -> n.stripPrefix("_ts.").toLong)
+      }.sortBy(_._1)
+    var eff = Long.MinValue
+    raw.map { case (v, t) =>
+      eff = if (eff == Long.MinValue) t else math.max(t, eff + 1)
+      v -> eff
+    }
+  }
+
+  /** Resolve an AS-OF-TIMESTAMP to a version: the LATEST version whose
+    * (monotonicity-adjusted) commit ts ≤ `asOfTs`. Refuses timestamps
+    * before the first commit — there is no state to serve, and
+    * silently returning the first commit would claim rows existed
+    * before they did. */
+  def versionAt(spark: SparkSession, dir: String, asOfTs: Long): Int = {
+    val ts = commitTimestamps(spark, dir)
+    require(ts.nonEmpty, s"$dir has no commits — nothing to time-travel to")
+    val at = ts.filter(_._2 <= asOfTs)
+    require(at.nonEmpty,
+      s"asOfTs=$asOfTs precedes the first commit (ts=${ts.head._2}) — " +
+        "no snapshot existed yet")
+    at.last._1
+  }
+
+  /** TIME-TRAVEL read by TIMESTAMP — `SELECT … AS OF <ts>` resolved
+    * via [[versionAt]] then served by the version read. */
+  def readAsOfTs(spark: SparkSession, dir: String, asOfTs: Long): DataFrame =
+    readAsOf(spark, dir, versionAt(spark, dir, asOfTs))
 
   /** The LIVE (shard, path) set as of `asOf`: per path, the LATEST
     * action at version ≤ asOf wins — order-aware, because [[restoreTo]]
@@ -361,11 +423,12 @@ object VersionedShards {
     * predicate's columns) + ∝ the victim bytes — never a lake rewrite.
     * Returns the committed version. */
   def deleteCommit(spark: SparkSession, dir: String,
-      predicate: org.apache.spark.sql.Column, nShards: Int): Int = {
+      predicate: org.apache.spark.sql.Column, nShards: Int,
+      ts: Long = -1L): Int = {
     val cur = currentVersion(spark, dir)
     val live = liveFiles(spark, dir, cur)
     val v = cur + 1
-    if (live.isEmpty) { writeLog(spark, dir, v, Nil); return v }
+    if (live.isEmpty) { writeLog(spark, dir, v, Nil, ts); return v }
     // log paths are exactly `v=<j>/shard=<k>/<basename>` — the last
     // three URI segments of `_metadata.file_path`. Basenames ALONE are
     // not unique (one write task lands the same part-file name under
@@ -381,7 +444,7 @@ object VersionedShards {
       .select(col("_metadata.file_path").as("fp"))
       .distinct().collect()
       .map(r => relOf(r.getString(0)))
-    if (matched.isEmpty) { writeLog(spark, dir, v, Nil); return v }
+    if (matched.isEmpty) { writeLog(spark, dir, v, Nil, ts); return v }
     val victims = matched.toSeq.map(byRel).sortBy(_._2)
     val survivors = spark.read.option("mergeSchema", "true")
       .parquet(victims.map(f => s"$dir/${f._2}"): _*)
@@ -395,7 +458,8 @@ object VersionedShards {
       .parquet(s"$dir/v=$v")
     writeLog(spark, dir, v,
       victims.map { case (s, p) => (s, p, "remove") } ++
-        listVersionFiles(spark, dir, v).map { case (s, p) => (s, p, "add") })
+        listVersionFiles(spark, dir, v).map { case (s, p) => (s, p, "add") },
+      ts)
     v
   }
 
@@ -428,6 +492,74 @@ object VersionedShards {
       .join(keyed(fromSnap).select(col(keyCol), col("_fp")),
         Seq(keyCol, "_fp"), "left_anti")
       .drop("_fp")
+  }
+
+  /** Union-by-name scan of an explicit file subset, grouped per
+    * version subtree so partition columns resolve against the right
+    * basePath; allowMissingColumns composes with schema-evolved
+    * commits (older files null-fill newer columns). */
+  private def readFileSet(spark: SparkSession, dir: String,
+      files: Seq[String]): DataFrame = {
+    val byVersion = files.groupBy(_.split("/")(0))
+    byVersion.toSeq.sortBy(_._1).map { case (vdir, fs) =>
+      spark.read.option("basePath", s"$dir/$vdir")
+        .parquet(fs.map(f => s"$dir/$f"): _*)
+    }.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** BIDIRECTIONAL row-level CDC, file-pruned: every row whose
+    * membership changed between `from` and `to`, tagged
+    * `_change` ∈ {'insert','delete'} — an UPDATE surfaces as the
+    * delete of its old row plus the insert of its new one, which is
+    * exactly the retract/apply pair an incremental consumer (a
+    * maintained aggregate, a downstream index) folds in.
+    *
+    * The cost contract is the reason this exists next to
+    * [[readDiffRows]]: data files are IMMUTABLE, so every file live in
+    * BOTH snapshots contributes identical rows to both sides and can
+    * never produce a change — the job therefore scans ONLY the
+    * symmetric difference of the two live-file sets (log-resolved,
+    * driver-side) and anti-joins those two delta-sized scans on
+    * (key, whole-row fingerprint). Rows a compaction merely moved
+    * between files appear in both scans and cancel. At 100 TB:
+    * "what changed since yesterday" costs the touched files — batch +
+    * rewrite fan-out — never the two full snapshots [[readDiffRows]]
+    * resolves.
+    *
+    * Semantics note: the cancellation is per (key, fingerprint) SET
+    * within each scan pair, matching [[readDiffRows]]; a row
+    * content-identical to one in an untouched common file still
+    * reports (its file changed membership) — the multiset reading an
+    * aggregate consumer wants. The fingerprint is engine-internal
+    * (to_json over sorted column names; null fields omitted, so
+    * evolved null-filled columns don't fake changes). */
+  def readChanges(spark: SparkSession, dir: String, from: Int,
+      to: Int, keyCol: String): DataFrame = {
+    require(from < to, s"changes need from < to, got $from..$to")
+    val fFrom = liveFiles(spark, dir, from).map(_._2).toSet
+    val fTo = liveFiles(spark, dir, to).map(_._2).toSet
+    val onlyTo = (fTo -- fFrom).toSeq.sorted
+    val onlyFrom = (fFrom -- fTo).toSeq.sorted
+    if (onlyTo.isEmpty && onlyFrom.isEmpty)
+      return emptyMarker(spark, dir, to).withColumn("_change", lit("insert"))
+        .filter(lit(false))
+    def keyed(df: DataFrame) = df.withColumn("_fp",
+      md5(to_json(struct(df.columns.sorted.map(col).toIndexedSeq: _*))))
+    val dTo = if (onlyTo.isEmpty) None
+      else Some(keyed(readFileSet(spark, dir, onlyTo)))
+    val dFrom = if (onlyFrom.isEmpty) None
+      else Some(keyed(readFileSet(spark, dir, onlyFrom)))
+    def anti(a: DataFrame, b: Option[DataFrame], tag: String) =
+      b.fold(a) { other =>
+        a.join(other.select(col(keyCol), col("_fp")),
+          Seq(keyCol, "_fp"), "left_anti")
+      }.drop("_fp").withColumn("_change", lit(tag))
+    (dTo.map(anti(_, dFrom, "insert")), dFrom.map(anti(_, dTo, "delete"))) match {
+      case (Some(i), Some(d)) => i.unionByName(d, allowMissingColumns = true)
+      case (Some(i), None)    => i
+      case (None, Some(d))    => d
+      case _                  => throw new IllegalStateException("unreachable")
+    }
   }
 
   /** VACUUM: physically delete files logged `remove`d at any version

@@ -395,6 +395,53 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q180: hand funnel — exact interpolated quartiles per transition, pre-view clicks excluded") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // u1 completes the funnel (gaps 10s, 30s, 40s); u2 stops at click
+    // (gap 20s); u3's only click PRECEDES their first view — ordered
+    // semantics must not count it
+    val events = Seq(
+      (1L, ts(100), 1L, "view"), (2L, ts(110), 1L, "click"),
+      (3L, ts(140), 1L, "purchase"),
+      (4L, ts(100), 2L, "view"), (5L, ts(120), 2L, "click"),
+      (6L, ts(1), 3L, "click"), (7L, ts(2), 3L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = queries.Funnels.timeToConvert(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // view→click gaps {10, 20}: p25 = 12.5, p50 = 15, p90 = 19
+    assert(out("1_view_to_click") == ((2L, 12.5, 15.0, 19.0, 20.0)),
+      s"$out")
+    assert(out("2_click_to_purchase") == ((1L, 30.0, 30.0, 30.0, 30.0)))
+    assert(out("3_view_to_purchase") == ((1L, 40.0, 40.0, 40.0, 40.0)))
+    assert(out.size == 3)
+  }
+
+  test("q181: hand series — CUSUM peaks at the level shift; |S| ties resolve to the earliest day") {
+    import java.sql.Timestamp
+    def at(day: Int, i: Int) =
+      Timestamp.valueOf(f"2024-01-$day%02d 00:00:${i % 60}%02d")
+    // X: 10,10,10 then 20,20,20 — a clean step; the cumulative
+    // deviation bottoms out exactly at the last pre-shift day (day 3)
+    val x = for (d <- 1 to 6; i <- 0 until (if (d <= 3) 10 else 20))
+      yield (d * 100L + i, at(d, i), 1L, "X")
+    // Y: 10,20,10,20 — |S| peaks twice (days 1 and 3); earliest wins
+    val y = for (d <- 1 to 4; i <- 0 until (if (d % 2 == 1) 10 else 20))
+      yield (1000L + d * 100L + i, at(d, i), 2L, "Y")
+    val events = (x ++ y)
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = queries.Funnels.cusumChangepoint(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // X: D=6, T=90; S_3 = 6·30 − 3·90 = −90 (the peak)
+    assert(out("X") == (("2024-01-03", -90L, 6L, 90L)), s"$out")
+    // Y: D=4, T=60; S_1 = 4·10 − 60 = −20 = S_3 — tie → day 1
+    assert(out("Y") == (("2024-01-01", -20L, 4L, 60L)), s"$out")
+  }
+
   test("q176: the integer Duffield priorities replay independently; heavier docs win u-ties") {
     val docs = Tables.documents(spark, dir)
     val out = graft.ext.Sampling.prioritySample(docs, k = 50).collect()

@@ -775,6 +775,116 @@ class ExportSpec extends AnyFunSuite {
     assert(manifestMap(snap) == lakeM)
   }
 
+  test("q182 readChanges: updates surface as delete+insert pairs; scan touches only changed files") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("changes")
+    VersionedShards.commitAppend(spark, docs, "doc_id", dir, 16)
+    // a NARROW merge (2 revisions + 1 insert) so most of the 16 shards
+    // stay untouched — the pruning assertion below needs a nonempty
+    // common-file set to be meaningful
+    val revised = docs.filter(col("doc_id").isin(3L, 13L))
+      .withColumn("text", concat(coalesce(col("text"), lit("")), lit(" v2")))
+    val inserted = docs.filter(col("doc_id") === 1L)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("source"),
+        col("lang"), col("n_chars"), col("text"))
+    VersionedShards.mergeCommit(spark, revised.unionByName(inserted),
+      "doc_id", dir, 16)
+    val ch = VersionedShards.readChanges(spark, dir, 0, 1, "doc_id")
+    val nRev = revised.count(); val nIns = inserted.count()
+    // inserts = revised rows (new content) + genuinely new keys;
+    // deletes = the revised keys' ORIGINAL rows. Untouched rows the
+    // merge rewrite merely moved between files cancel.
+    assert(ch.filter(col("_change") === "insert").count() == nRev + nIns)
+    assert(ch.filter(col("_change") === "delete").count() == nRev)
+    val updKeys = ch.filter(col("_change") === "delete")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(updKeys == revised.select("doc_id").collect()
+      .map(_.getLong(0)).toSet)
+    // file-pruning law: the changes job scans ONLY the symmetric
+    // difference of the two live-file sets — immutable files live in
+    // both snapshots can never produce a change and must not be read
+    def rel(p: String) = p.split('/').takeRight(3).mkString("/")
+    val f0 = VersionedShards.liveFiles(spark, dir, 0).map(_._2).toSet
+    val f1 = VersionedShards.liveFiles(spark, dir, 1).map(_._2).toSet
+    val commonRel = (f0 intersect f1).map(rel)
+    val scannedRel = ch.inputFiles.map(p =>
+      rel(java.net.URLDecoder.decode(p, "UTF-8"))).toSet
+    assert(scannedRel.nonEmpty && commonRel.nonEmpty &&
+      scannedRel.forall(!commonRel.contains(_)),
+      "changes scan read a file common to both snapshots")
+    // the insert side agrees with the snapshot-level row diff
+    val viaSnapshots = VersionedShards.readDiffRows(spark, dir, 0, 1,
+      "doc_id").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaFiles = ch.filter(col("_change") === "insert")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaFiles == viaSnapshots)
+    // an empty commit yields zero changes, not an error
+    VersionedShards.commitAppend(spark, docs.limit(0), "doc_id", dir, 16)
+    assert(VersionedShards.readChanges(spark, dir, 1, 2, "doc_id")
+      .count() == 0)
+  }
+
+  test("q182 MV maintenance across a MERGE equals the full recompute; compaction produces a no-op fold") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("mv-merge")
+    VersionedShards.commitAppend(spark, docs, "doc_id", dir, 16)
+    val revised = docs.filter(col("doc_id") % 10 === 3)
+      .withColumn("n_chars", coalesce(col("n_chars"), lit(0L)) + 7L)
+      .withColumn("source", lit("revised"))
+    VersionedShards.mergeCommit(spark, revised, "doc_id", dir, 16)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val maintained = queries.Export.mvApply(
+      queries.Export.groupedMv(VersionedShards.readAsOf(spark, dir, 0)),
+      VersionedShards.readChanges(spark, dir, 0, 1, "doc_id"))
+    val recomputed = queries.Export.groupedMv(
+      VersionedShards.readAsOf(spark, dir, 1))
+    assert(asMap(maintained) == asMap(recomputed),
+      "maintained MV diverged from the full recompute after a merge")
+    // commit enough duplicate churn to trigger a compaction: rewritten
+    // rows cancel in the CDC, so the fold across it changes nothing
+    VersionedShards.commitAppend(spark, docs.limit(12), "doc_id", dir, 16)
+    val (v3, _) = VersionedShards.compactCommit(spark, dir, 16)
+    assert(v3 == 3)
+    val ch23 = VersionedShards.readChanges(spark, dir, 2, 3, "doc_id")
+    assert(ch23.count() == 0,
+      "a pure compaction leaked rows into the CDC stream")
+  }
+
+  test("q183 versionAt: bracketing, exact-boundary, pre-history refusal, skewed-clock monotonicity") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("ts-travel")
+    VersionedShards.commitAppend(spark, docs.limit(5), "doc_id", dir, 16,
+      ts = 5000L)
+    // clock skew: v1 stamps EARLIER than v0 — the read-side adjustment
+    // must serve it as 5001, keeping resolution well-defined
+    VersionedShards.commitAppend(spark, docs.limit(9), "doc_id", dir, 16,
+      ts = 3000L)
+    assert(VersionedShards.commitTimestamps(spark, dir) ==
+      Seq(0 -> 5000L, 1 -> 5001L))
+    assert(VersionedShards.versionAt(spark, dir, 5000L) == 0) // boundary
+    assert(VersionedShards.versionAt(spark, dir, 5001L) == 1)
+    assert(VersionedShards.versionAt(spark, dir, Long.MaxValue) == 1)
+    val e = intercept[IllegalArgumentException] {
+      VersionedShards.versionAt(spark, dir, 4999L)
+    }
+    assert(e.getMessage.contains("precedes the first commit"))
+    assert(VersionedShards.readAsOfTs(spark, dir, 5000L).count() == 5)
+    assert(VersionedShards.readAsOfTs(spark, dir, 9999L).count() == 9 + 5)
+  }
+
   test("q163 registry run: equals q153's full manifest after the append-then-compact lifecycle") {
     val full = queries.Export.q153.run(spark, TestSpark.sf0001)
     val comp = queries.Export.q163.run(spark, TestSpark.sf0001)

@@ -233,4 +233,64 @@ class LexicalSemDedupSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
       "decimal-quantized idf + order-free sums must make pairs exact")
   }
+
+  test("q184 prefix filtering is EXACT: equals the unfiltered brute-force join on a fixture slice") {
+    import org.apache.spark.sql.functions._
+    // 150 fixture docs: big enough for real near-dup structure, small
+    // enough that the deliberately-unfiltered all-pairs reference stays
+    // a test-only cost
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .filter(col("doc_id") < 150)
+    val viaPrefix = Lexical.prefixJaccardPairs(docs)
+      .select("doc_a", "doc_b", "jac_milli")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: FULL shingle self-join (no prefix, no size filter),
+    // exact Jaccard on every co-shingled pair
+    val sh = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shinglesExpr("toks", 3))
+          .as("sh"))
+      .distinct()
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val brute = sh.select(col("sh"), col("doc_id").as("doc_a"))
+      .join(sh.select(col("sh"), col("doc_id").as("doc_b")),
+        Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("n_a")),
+        "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("n_b")),
+        "doc_b")
+      .filter(col("n_shared") * 1000 >=
+        lit(800) * (col("n_a") + col("n_b") - col("n_shared")))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(n_shared * 1000) div (n_a + n_b - n_shared)")
+          .as("jac_milli"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "slice has no qualifying pairs — test is vacuous")
+    assert(viaPrefix == brute,
+      s"prefix filtering lost/invented pairs: only-brute=" +
+        s"${brute -- viaPrefix}, only-prefix=${viaPrefix -- brute}")
+  }
+
+  test("q184: identical docs score 1000; sub-threshold overlap is absent") {
+    val docs = apDocs(Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l"),       // identical → jac 1000
+      (3L, "a b c d e f g h i j kk l"),      // penultimate-token edit
+      (4L, "p q r s t u v w x y z0 z1")))    // disjoint
+    val out = Lexical.prefixJaccardPairs(docs)
+      .select("doc_a", "doc_b", "jac_milli")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) == 1000L, s"$out")
+    // docs 1 vs 3: 12 tokens → 10 shingles each; editing token 11
+    // rewrites shingles (i j k*) and (j k* l) → inter 8, union 12 →
+    // jac 666 < 800: correctly absent (a LAST-token edit would kill
+    // only one shingle → 818 ≥ 800, still a near-dup)
+    assert(!out.contains((1L, 3L)) && !out.contains((3L, 1L)), s"$out")
+    assert(!out.keys.exists(k => k._1 == 4L || k._2 == 4L), s"$out")
+  }
 }
