@@ -606,6 +606,51 @@ object Export {
         CAST(count(*) AS BIGINT) AS n_docs
       FROM documents WHERE doc_id % 7 <> 2 GROUP BY 2"""))
 
+  /** q186's lifecycle: v0 = the FULL corpus committed once (files
+    * draw-ordered — random with respect to every content column);
+    * v1 = OPTIMIZE ZORDER BY (n_chars, doc_id) as a transactional
+    * commit. */
+  private[graft] def optimizeLayoutFor(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.operators.SessionCache.memoOn(spark, dir,
+      s"shard-versions-optimize|$dir|$nShards") {
+      val out = graft.operators.Stage.allocDir(spark, "shards-q186")
+      graft.sinks.VersionedShards.commitAppend(spark,
+        docCols(Tables.documents(spark, dir)), "doc_id", out, nShards)
+      graft.sinks.VersionedShards.optimizeCommit(spark, out, nShards,
+        pmod(coalesce(col("n_chars"), lit(0L)), lit(256L)).cast("int"),
+        pmod(col("doc_id"), lit(256L)).cast("int")): Unit
+      out
+    }
+
+  /** q186 — OPTIMIZE ZORDER as a COMMIT (the Delta OPTIMIZE shape on
+    * the versioned layout): the live snapshot is rewritten clustered
+    * by the Morton interleave of (n_chars, doc_id) within each shard —
+    * data clustering as just another isolated, time-travelable,
+    * vacuum-reclaimed transaction, completing the layout's DML verb
+    * set (append / merge / delete / compact / restore / evolve /
+    * OPTIMIZE). The registry reads the post-optimize snapshot's rows;
+    * hash-green against the raw table certifies the rewrite moved
+    * bytes and lost NOTHING. The physical claims live in the suite:
+    * row-group skipping on an n_chars band improves versus the
+    * pre-optimize draw-ordered files (footer zone maps), the v0
+    * snapshot still reads byte-identically, and the CDC stream across
+    * the optimize is EMPTY (rows only moved between files). At 100 TB
+    * this is how clustering reaches a serving lake: no downtime, old
+    * epochs keep their exact bytes, readers flip atomically at the
+    * commit. */
+  val q186: Q = Q(
+    "q186_optimize_zorder",
+    run = { (spark, dir) =>
+      val layout = optimizeLayoutFor(spark, dir)
+      graft.sinks.VersionedShards.readAsOf(spark, layout,
+          graft.sinks.VersionedShards.currentVersion(spark, layout))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), col("text"))
+    },
+    oracle = Some("""
+      SELECT doc_id, source, lang, n_chars, text FROM documents"""))
+
   val all: Seq[Q] = Seq(q153, q155, q158, q163, q166, q167, q173, q174,
-    q175, q178, q179, q182, q183)
+    q175, q178, q179, q182, q183, q186)
 }

@@ -752,6 +752,112 @@ object Funnels {
         dev > 5.0 * mad AS is_outlier
       FROM dev JOIN mad USING (event_type)"""))
 
+  /** Core of q187: EXPONENTIALLY-WEIGHTED MOVING AVERAGE smoothing of
+    * the daily series — the trend-following smoother monitoring stacks
+    * put in front of alerting (q64/q185 flag days; the EWMA is the
+    * level estimate drift/alerts are judged against). α = 1/2 with a
+    * 14-day truncated window: the infinite-history recurrence
+    * S_t = αx_t + (1−α)S_{t−1} is not a window function, but with
+    * dyadic α the truncated expansion is EXACT INTEGER arithmetic —
+    * S_t·2^14 = Σ_{j=0..13} n_{t−j}·2^{13−j} (missing history
+    * zero-padded; the dropped tail weighs 2^-14 < one count) — and the
+    * one division by 16384.0 at the end is a power-of-two scale both
+    * engines perform bit-exactly on an exact integer. No irrational
+    * weights, no FP accumulation order, no recurrence.
+    *
+    * Scale shape: the q181 pattern — one map-side-combined corpus agg
+    * to (type, day), then 14 lags over ≤366-row per-type series. */
+  def ewmaDaily(events: DataFrame, window: Int = 14): DataFrame = {
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(coalesce(col("event_type"), lit("(null)")).as("event_type"),
+        to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy(col("d"))
+    val scaled = (0 until window).map { j =>
+      coalesce(lag(col("n"), j).over(w), lit(0L)) *
+        lit(1L << (window - 1 - j))
+    }.reduce(_ + _)
+    daily.select(col("event_type"),
+      date_format(col("d"), "yyyy-MM-dd").as("d"), col("n"),
+      (scaled.cast("double") / lit((1L << window).toDouble)).as("ewma"))
+  }
+
+  /** q187 — per-type daily EWMA level (α=1/2, exact dyadic weights). */
+  val q187: Q = Q(
+    "q187_ewma_daily",
+    run = { (spark, dir) => ewmaDaily(Tables.events(spark, dir)) },
+    oracle = Some {
+      val terms = (0 until 14).map { j =>
+        s"COALESCE(lag(n, $j) OVER (PARTITION BY event_type ORDER BY d)," +
+          s" 0) * ${1L << (13 - j)}"
+      }.mkString(" + ")
+      s"""
+      WITH daily AS (
+        SELECT COALESCE(event_type, '(null)') AS event_type,
+          CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+      SELECT event_type, strftime(d, '%Y-%m-%d') AS d, n,
+        CAST($terms AS DOUBLE) / 16384.0 AS ewma
+      FROM daily"""
+    })
+
+  /** Core of q188: DAY-OF-WEEK SEASONAL INDEX per event type — the
+    * multiplicative seasonality profile (classical decomposition's
+    * seasonal component on the weekly period): mean daily volume on
+    * each weekday over the type's overall mean daily volume, in exact
+    * integer ppm. This is what separates "Saturday is always 40%
+    * quieter" from an incident, and what q64/q185/q181 implicitly
+    * assume away — the deseasonalizing companion.
+    *
+    * Integer exactness at scale: idx = (sum_dow·days_all·1e6) DIV
+    * (days_dow·sum_all) widened through DECIMAL(38,0)/HUGEINT (the
+    * q169 normalize recipe) — BIGINT would overflow once a type passes
+    * ~2.5e7 events/yr. Weekday numbering pinned to 0=Sunday on both
+    * engines (Spark dayofweek()−1 ≡ DuckDB strftime '%w'). */
+  def dowSeasonality(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(coalesce(col("event_type"), lit("(null)")).as("event_type"),
+        to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val whole = Window.partitionBy("event_type")
+    daily
+      .withColumn("dow", (dayofweek(col("d")) - 1).cast("int"))
+      .withColumn("days_all", count(lit(1)).over(whole))
+      .withColumn("sum_all", sum(col("n")).over(whole))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("days_dow"), sum(col("n")).as("sum_dow"),
+        first(col("days_all")).as("days_all"),
+        first(col("sum_all")).as("sum_all"))
+      .select(col("event_type"), col("dow"), col("days_dow"),
+        col("sum_dow"),
+        expr("""CAST((CAST(sum_dow AS DECIMAL(38,0)) * days_all * 1000000)
+                 DIV (days_dow * sum_all) AS BIGINT)""").as("idx_ppm"))
+  }
+
+  /** q188 — weekday seasonal indices in exact ppm. */
+  val q188: Q = Q(
+    "q188_dow_seasonality",
+    run = { (spark, dir) => dowSeasonality(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT COALESCE(event_type, '(null)') AS event_type,
+          CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT event_type,
+              CAST(count(*) AS BIGINT) AS days_all,
+              CAST(sum(n) AS BIGINT) AS sum_all
+            FROM daily GROUP BY 1)
+      SELECT daily.event_type,
+        CAST(strftime(d, '%w') AS INTEGER) AS dow,
+        CAST(count(*) AS BIGINT) AS days_dow,
+        CAST(sum(n) AS BIGINT) AS sum_dow,
+        CAST((CAST(sum(n) AS HUGEINT) * any_value(t.days_all) * 1000000)
+          // (count(*) * any_value(t.sum_all)) AS BIGINT) AS idx_ppm
+      FROM daily JOIN t USING (event_type)
+      GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q75, q77, q100, q107, q172,
-    q177, q180, q181, q185)
+    q177, q180, q181, q185, q187, q188)
 }

@@ -254,6 +254,46 @@ object VersionedShards {
     (v, toCompact)
   }
 
+  /** OPTIMIZE … ZORDER BY as a TRANSACTIONAL commit (the Delta
+    * OPTIMIZE semantics on this layout): every live row is rewritten
+    * into the next version clustered by the Morton interleave of
+    * (`zx`, `zy`) WITHIN its shard — the shard key keeps serving
+    * draw-addressed reads while the intra-file order buys row-group
+    * skipping on the z dims — and the superseded files are logged
+    * `remove`d but stay put, so every pre-optimize snapshot keeps
+    * reading byte-identically until [[vacuum]]. Data clustering
+    * becomes just another commit: isolated, time-travelable, CDC-inert
+    * (rows merely move between files — [[readChanges]] across it is
+    * EMPTY, suite-asserted). `zx`/`zy` must already be 0..255 ints
+    * (the [[ZOrderLayout.mortonTerms]] contract); `blockSize`
+    * shrinks parquet row groups so test-scale files carry many —
+    * production leaves the ~128 MB default. Returns (version,
+    * files rewritten). */
+  def optimizeCommit(spark: SparkSession, dir: String, nShards: Int,
+      zx: org.apache.spark.sql.Column, zy: org.apache.spark.sql.Column,
+      ts: Long = -1L, blockSize: Option[Int] = None): (Int, Int) = {
+    val cur = currentVersion(spark, dir)
+    val live = liveFiles(spark, dir, cur)
+    if (live.isEmpty) return (-1, 0)
+    val v = cur + 1
+    val clustered = spark.read.option("mergeSchema", "true")
+      .parquet(live.map(f => s"$dir/${f._2}"): _*)
+      .withColumn("shard", ShardExport.shardOf(col("draw"), nShards))
+      .withColumn("_zx", zx).withColumn("_zy", zy)
+      .withColumn("_zv", expr(ZOrderLayout.mortonTerms("_zx", "_zy")))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("_zv"), col("draw"))
+      .drop("_zx", "_zy", "_zv")
+    val w = clustered.write.mode("overwrite").partitionBy("shard")
+    blockSize.fold(w)(b => w.option("parquet.block.size", b.toString))
+      .parquet(s"$dir/v=$v")
+    writeLog(spark, dir, v,
+      live.map { case (s, p) => (s, p, "remove") } ++
+        listVersionFiles(spark, dir, v).map { case (s, p) => (s, p, "add") },
+      ts)
+    (v, live.size)
+  }
+
   /** SNAPSHOT DIFF as a metadata operation: the rows ADDED between
     * `from` (exclusive) and `to` (inclusive) are exactly the files
     * logged `add` in that interval — PROVIDED no compaction rewrote

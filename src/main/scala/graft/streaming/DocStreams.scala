@@ -247,4 +247,43 @@ object DocStreams {
           "doc_id", dir, nShards, batchId.toInt): Unit
       }
       .start()
+
+  /** q182's STREAMING arm — continuous materialized-view maintenance:
+    * each micro-batch (1) COMMITS into the versioned lake as version
+    * `batchId` (the [[versionedLakeSink]] exactly-once recipe) and
+    * (2) advances the stored per-(lang, source) rollup by folding
+    * ONLY that commit's CDC rows
+    * ([[graft.sinks.VersionedShards.readChanges]] — file-pruned to the
+    * batch's own files) into the prior view via the same
+    * `Export.mvApply` retract/apply fold the batch registry query
+    * gates. The view is batchId-addressed (`mv_<b>`, overwrite mode)
+    * and its input state is the PREVIOUS batch's landed view, so a
+    * replayed micro-batch re-derives the identical view from identical
+    * inputs — exactly-once effect from at-least-once delivery, with no
+    * trigger ever rescanning the lake (the q151/q155 incremental
+    * discipline applied to a grouped aggregate WITH retractions).
+    * ExportSpec asserts every mv_k equals the full recompute of its
+    * arrival prefix on an interleaved split. */
+  def incrementalMvSink(incoming: DataFrame, lakeDir: String,
+      nShards: Int, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.sinks.VersionedShards.commitAs(spark, batch, "doc_id",
+          lakeDir, nShards, batchId.toInt)
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior = ((batchId - 1) to 0L by -1).iterator
+          .map(i => new org.apache.hadoop.fs.Path(s"$outDir/mv_$i"))
+          .find(fs.exists)
+          .map(p => spark.read.parquet(p.toString))
+          .getOrElse(graft.queries.Export.groupedMv(batch.limit(0)))
+        val changes = graft.sinks.VersionedShards.readChanges(spark,
+          lakeDir, batchId.toInt - 1, batchId.toInt, "doc_id")
+        graft.queries.Export.mvApply(prior, changes)
+          .write.mode("overwrite").parquet(s"$outDir/mv_$batchId")
+      }
+      .start()
 }

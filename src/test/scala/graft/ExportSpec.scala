@@ -496,6 +496,55 @@ class ExportSpec extends AnyFunSuite {
         ShardExport.withShardKey(docs, "doc_id", 16))))
   }
 
+  test("q182 streaming MV twin: every mv_k equals the full recompute of its arrival prefix") {
+    import java.nio.file.Files
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val streamDir = Files.createTempDirectory("mv_stream").toString
+    (0 until 3).foreach { i =>
+      val part = Files.createTempDirectory(s"mv_p$i").toString
+      docs.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val src = Files.list(java.nio.file.Paths.get(part)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$streamDir/part_$i.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      ()
+    }
+    val lakeDir = tmp("mv-lake")
+    val mvDir = tmp("mv-views")
+    val ckpt = Files.createTempDirectory("mv_ckpt").toString
+    val q = streaming.DocStreams.incrementalMvSink(
+      streaming.DocStreams.readDocs(spark, streamDir), lakeDir, 16,
+      mvDir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    (0 until 3).foreach { k =>
+      val streamed = asMap(spark.read.parquet(s"$mvDir/mv_$k"))
+      val recomputed = asMap(queries.Export.groupedMv(
+        docs.filter(col("doc_id") % 3 <= k)))
+      assert(streamed == recomputed,
+        s"streamed MV after batch $k drifted from its prefix recompute")
+    }
+    // replay idempotency: re-fold batch 1 from its landed inputs — the
+    // re-derived view is identical to the one already on disk
+    val before = asMap(spark.read.parquet(s"$mvDir/mv_1"))
+    VersionedShards.commitAs(spark,
+      docs.filter(col("doc_id") % 3 === 1), "doc_id", lakeDir, 16, 1)
+    val replayed = asMap(queries.Export.mvApply(
+      spark.read.parquet(s"$mvDir/mv_0"),
+      VersionedShards.readChanges(spark, lakeDir, 0, 1, "doc_id")))
+    assert(replayed == before, "a replayed micro-batch diverged the MV")
+  }
+
   test("q167: the metadata diff is row-exact; it refuses compaction-spanning intervals") {
     import graft.sinks.VersionedShards
     val docs = Tables.documents(spark, TestSpark.sf0001)
@@ -883,6 +932,55 @@ class ExportSpec extends AnyFunSuite {
     assert(e.getMessage.contains("precedes the first commit"))
     assert(VersionedShards.readAsOfTs(spark, dir, 5000L).count() == 5)
     assert(VersionedShards.readAsOfTs(spark, dir, 9999L).count() == 9 + 5)
+  }
+
+  test("q186 optimize: row-group skipping improves, v0 stays byte-identical, CDC across it is empty") {
+    import graft.sinks.{VersionedShards, ZOrderLayout}
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("optimize")
+    // 2 shards + tiny row groups so each test-scale file carries many
+    VersionedShards.commitAppend(spark, docs, "doc_id", dir, 2)
+    val stamps0 = fileStamps(s"$dir/v=0")
+    val (v1, rewritten) = VersionedShards.optimizeCommit(spark, dir, 2,
+      pmod(coalesce(col("n_chars"), lit(0L)), lit(256L)).cast("int"),
+      pmod(col("doc_id"), lit(256L)).cast("int"),
+      blockSize = Some(16 * 1024))
+    assert(v1 == 1 && rewritten > 0)
+    // content invariance both ways: the optimized snapshot equals the
+    // corpus, and v0 still serves its exact pre-optimize bytes
+    assert(VersionedShards.readAsOf(spark, dir, 1)
+      .select("doc_id").exceptAll(docs.select("doc_id")).count() == 0)
+    assert(fileStamps(s"$dir/v=0") == stamps0,
+      "optimize touched v0's superseded bytes")
+    // CDC inertness: rows only moved between files
+    assert(VersionedShards.readChanges(spark, dir, 0, 1, "doc_id")
+      .count() == 0, "optimize leaked rows into the CDC stream")
+    // the clustering claim, at the granularity that matters: row
+    // groups surviving an n_chars band under footer zone maps. v=0 is
+    // draw-ordered (random w.r.t. n_chars: every row group spans the
+    // range); the optimized files bound the band.
+    val band = Seq(("n_chars", 0L, 63L))
+    val pre = ZOrderLayout.rowGroupZoneMap(spark, s"$dir/v=0/shard=0",
+      Seq("n_chars"))
+    val post = ZOrderLayout.rowGroupZoneMap(spark, s"$dir/v=1/shard=0",
+      Seq("n_chars"))
+    val preHit = ZOrderLayout.overlappingRowGroups(pre, band)
+    val postHit = ZOrderLayout.overlappingRowGroups(post, band)
+    assert(post.size > 1, s"optimized file has ${post.size} row groups — " +
+      "blockSize override did not take; the skipping claim is vacuous")
+    assert(postHit < post.size,
+      s"optimized zone map prunes nothing ($postHit/${post.size})")
+    assert(preHit == pre.size,
+      s"draw-ordered baseline unexpectedly pruned ($preHit/${pre.size})")
+    // vacuum reclaims the superseded v0 bytes; the current snapshot
+    // keeps reading
+    VersionedShards.vacuum(spark, dir, 1)
+    assert(VersionedShards.readAsOf(spark, dir, 1).count() == docs.count())
+    intercept[IllegalArgumentException] {
+      VersionedShards.readAsOf(spark, dir, 0).count()
+    }: Unit
   }
 
   test("q163 registry run: equals q153's full manifest after the append-then-compact lifecycle") {
