@@ -686,6 +686,66 @@ object CorpusOps {
         CAST(g2 AS DOUBLE) AS g2, rnk
       FROM r WHERE rnk <= 10"""))
 
+  /** Core of q189: CROSS-SOURCE QUANTILE NORMALIZATION of a per-doc
+    * score — the calibration step before mixing quality-scored sources
+    * (q88/q110's mixers assume scores are comparable across sources;
+    * raw scores never are — one crawl's "long" is another's median).
+    * Each doc's score maps through its OWN source's decile grid to the
+    * GLOBAL mid-decile value at the same quantile position: a doc at
+    * its source's 7th decile gets the corpus-wide p75 value, whatever
+    * its raw score was — rank-preserving within source, distribution-
+    * aligned across sources (the quantile-normalization recipe from
+    * expression-array statistics, applied to corpus curation).
+    *
+    * Scale shape: the q76 cutpoint discipline — NO global rank/ntile
+    * window (a single-partition sort cannot survive 100 TB); the
+    * per-source grids come from ONE grouped percentile aggregate
+    * (partial-agg tree, #sources × 9 doubles) and the global grid from
+    * one more, both broadcast back; each doc then folds its score over
+    * a 9-element literal array. Value-tied docs land in the same
+    * decile — deterministic where ntile's arbitrary tie-split is not. */
+  def quantileNormalize(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val lens = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_toks"))
+    val sCuts = lens.groupBy(col("source"))
+      .agg(percentile(col("n_toks"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
+    val gMid = lens.agg(percentile(col("n_toks"),
+      array((0 until 10).map(i => lit(0.05 + i / 10.0)): _*)).as("gmid"))
+    lens.join(sCuts, "source").crossJoin(broadcast(gMid))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        expr("size(filter(cuts, c -> c < n_toks))").as("q_dec"),
+        expr("element_at(gmid, size(filter(cuts, c -> c < n_toks)) + 1)")
+          .as("calib"))
+  }
+
+  /** q189 — per-doc source-decile + globally calibrated score. */
+  val q189: Q = Q(
+    "q189_quantile_normalize",
+    run = { (spark, dir) =>
+      quantileNormalize(graft.Tables.documents(spark, dir))
+    },
+    oracle = Some("""
+      WITH lens AS (SELECT doc_id, source,
+                      CAST(len(string_split(text, ' ')) AS INTEGER)
+                        AS n_toks
+                    FROM documents WHERE text IS NOT NULL),
+      scuts AS (SELECT source,
+                  quantile_cont(n_toks,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+                FROM lens GROUP BY source),
+      g AS (SELECT quantile_cont(n_toks,
+              [0.05, 0.15, 0.25, 0.35, 0.45, 0.55, 0.65, 0.75, 0.85, 0.95])
+              AS gmid FROM lens)
+      SELECT doc_id, l.source, n_toks,
+        CAST(len(list_filter(s.cuts, c -> c < n_toks)) AS INTEGER)
+          AS q_dec,
+        g.gmid[len(list_filter(s.cuts, c -> c < n_toks)) + 1] AS calib
+      FROM lens l JOIN scuts s ON s.source = l.source CROSS JOIN g"""))
+
   val all: Seq[Q] =
-    Seq(q67, q68, q69, q70, q71, q72, q76, q78, q80, q90, q95, q132)
+    Seq(q67, q68, q69, q70, q71, q72, q76, q78, q80, q90, q95, q132,
+      q189)
 }

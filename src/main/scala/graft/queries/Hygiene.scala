@@ -167,5 +167,95 @@ object Hygiene {
           AS n_https
       FROM u GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(q91, q92)
+  /** Core of q190: REFERENTIAL-INTEGRITY AUDIT across the warehouse's
+    * seven FK edges — the data-quality contract a lake can't enforce
+    * at write time (no constraints on parquet) and therefore must
+    * AUDIT: per edge, child cardinality, NULL keys (SQL semantics: a
+    * null FK is unknown, not an orphan — counted separately, the q178
+    * null-predicate discipline), and orphans (non-null keys with no
+    * parent). A zero-row violation report is the point: the audit is
+    * the proof, and on fuzzed/ingest-corrupted inputs the counts
+    * localize the break to an edge instead of a failing join somewhere
+    * downstream.
+    *
+    * Scale shape: each edge is one left-anti join on its key —
+    * dimension parents broadcast; the two fact⋈fact edges
+    * (lineitem→orders twice-keyed) shuffle co-partitioned on the FK,
+    * which is the minimum possible cost of checking it. Counts are
+    * map-side-combined; output is 7 rows. */
+  /** One FK edge of the audit: (child cardinality, null FKs, orphans)
+    * as a 1-row frame — the crossJoin glues two 1-row aggregates, the
+    * bounded-scalar shape, never a data cross product. */
+  private[graft] def fkEdge(name: String,
+      child: org.apache.spark.sql.DataFrame, fk: String,
+      parent: org.apache.spark.sql.DataFrame,
+      pk: String): org.apache.spark.sql.DataFrame = {
+    val stats = child.agg(count(lit(1)).as("child_rows"),
+      count(when(col(fk).isNull, 1)).as("null_keys"))
+    val orphans = child.filter(col(fk).isNotNull)
+      .join(parent.select(col(pk).as(fk)), Seq(fk), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    stats.crossJoin(orphans)
+      .select(lit(name).as("fk"), col("child_rows"), col("null_keys"),
+        col("orphans"))
+  }
+
+  def fkAudit(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.Tables
+    def edge(name: String, child: org.apache.spark.sql.DataFrame,
+        fk: String, parent: org.apache.spark.sql.DataFrame,
+        pk: String): org.apache.spark.sql.DataFrame =
+      fkEdge(name, child, fk, parent, pk)
+    Seq(
+      edge("lineitem.l_orderkey->orders", Tables.lineitem(spark, dir),
+        "l_orderkey", Tables.orders(spark, dir), "o_orderkey"),
+      edge("lineitem.l_partkey->part", Tables.lineitem(spark, dir),
+        "l_partkey", Tables.part(spark, dir), "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", Tables.lineitem(spark, dir),
+        "l_suppkey", Tables.supplier(spark, dir), "s_suppkey"),
+      edge("orders.o_custkey->customer", Tables.orders(spark, dir),
+        "o_custkey", Tables.customer(spark, dir), "c_custkey"),
+      edge("customer.c_nationkey->nation", Tables.customer(spark, dir),
+        "c_nationkey", Tables.nation(spark, dir), "n_nationkey"),
+      edge("supplier.s_nationkey->nation", Tables.supplier(spark, dir),
+        "s_nationkey", Tables.nation(spark, dir), "n_nationkey"),
+      edge("nation.n_regionkey->region", Tables.nation(spark, dir),
+        "n_regionkey", Tables.region(spark, dir), "r_regionkey")
+    ).reduce(_.unionByName(_))
+  }
+
+  /** q190 — warehouse FK integrity report (7 edges, exact counts). */
+  val q190: Q = Q(
+    "q190_fk_audit",
+    run = { (spark, dir) => fkAudit(spark, dir) },
+    oracle = Some {
+      def sql(name: String, child: String, fk: String, parent: String,
+          pk: String) = s"""
+        SELECT '$name' AS fk,
+          CAST(count(*) AS BIGINT) AS child_rows,
+          CAST(count(*) FILTER (WHERE $fk IS NULL) AS BIGINT) AS null_keys,
+          CAST(count(*) FILTER (WHERE $fk IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)) AS BIGINT)
+            AS orphans
+        FROM $child c"""
+      Seq(
+        sql("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        sql("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        sql("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        sql("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        sql("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        sql("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"),
+        sql("nation.n_regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey")
+      ).mkString(" UNION ALL ")
+    })
+
+  val all: Seq[Q] = Seq(q91, q92, q190)
 }

@@ -442,6 +442,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out("Y") == (("2024-01-01", -20L, 4L, 60L)), s"$out")
   }
 
+  test("q189: quantile normalization is rank-preserving per source and aligns sources on the global grid") {
+    val out = queries.CorpusOps.q189.run(spark, dir)
+      .select("source", "n_toks", "q_dec", "calib").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // rank preservation: within a source, a longer doc never lands in a
+    // LOWER decile
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      rows.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 <= b._3, s"$src: n_toks ${a._2}→${b._2} dropped " +
+            s"decile ${a._3}→${b._3}")
+        case _ =>
+      }
+    }
+    // cross-source alignment: the calibrated value is a pure function
+    // of the decile — docs from DIFFERENT sources at the same decile
+    // carry the identical global mid-decile value, and there are at
+    // most 10 distinct calibrated values corpus-wide
+    val byDec = out.groupBy(_._3).view.mapValues(_.map(_._4).toSet)
+    byDec.foreach { case (dec, vals) =>
+      assert(vals.size == 1, s"decile $dec maps to ${vals.size} values")
+    }
+    assert(out.map(_._4).toSet.size <= 10)
+  }
+
   test("q176: the integer Duffield priorities replay independently; heavier docs win u-ties") {
     val docs = Tables.documents(spark, dir)
     val out = graft.ext.Sampling.prioritySample(docs, k = 50).collect()

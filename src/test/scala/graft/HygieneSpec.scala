@@ -101,4 +101,32 @@ class HygieneSpec extends AnyFunSuite {
     assert(out("localhost:8080") == ((1L, 1L, 0L)))
     assert(out.size == 2)
   }
+
+  test("q190 fkEdge: orphans counted, null FKs set aside, clean edges report zero") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(99L), None)
+      .toDF("fk_col")
+    val row = Hygiene.fkEdge("child.fk->parent", child, "fk_col",
+      parent, "pk").collect().head
+    assert(row.getString(0) == "child.fk->parent")
+    assert(row.getLong(1) == 5L, "child_rows")
+    assert(row.getLong(2) == 1L, "null_keys — the None row is unknown, not an orphan")
+    assert(row.getLong(3) == 1L, "orphans — only the 99 key")
+    // duplicate matched keys are NOT orphans however many times they repeat
+    val clean = Hygiene.fkEdge("x", Seq(1L, 1L, 1L).toDF("fk_col"),
+      "fk_col", parent, "pk").collect().head
+    assert(clean.getLong(3) == 0L)
+  }
+
+  test("q190 registry run: the fixture warehouse is referentially intact on all 7 edges") {
+    val out = Hygiene.q190.run(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.size == 7)
+    out.foreach { case (edge, (rows, nulls, orphans)) =>
+      assert(rows > 0, s"$edge audited an empty child")
+      assert(orphans == 0L, s"$edge reports $orphans orphans on clean fixtures")
+      assert(nulls >= 0L)
+    }
+  }
 }
