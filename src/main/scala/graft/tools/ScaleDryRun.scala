@@ -192,6 +192,18 @@ object ScaleDryRun {
     println(f"[scale-dry-run] dup_dense_banded_10x $tBand10%8.2f s  ($nBand10 pairs, ratio ${tBand10 / tBand1}%.1fx)")
     println(f"[scale-dry-run] dup_dense_banded_r2_1x  $tBandW1%8.2f s  ($nBandW1 pairs)")
     println(f"[scale-dry-run] dup_dense_banded_r2_10x $tBandW10%8.2f s  ($nBandW10 pairs, ratio ${tBandW10 / tBandW1}%.1fx)")
+    // q184's EXACT prefix-filtered path (τ=0.8, the registry contract)
+    // on the same corpora: candidate generation is bounded by the
+    // prefix shingles' dfs — each doc's RAREST 20% — so the generator
+    // should track the banded path's scaling while provably losing
+    // nothing; the output pair set is quadratic in depth by
+    // construction (depth near-copies of every doc), same as exact.
+    val (tPref1, nPref1) =
+      timed(graft.queries.Lexical.prefixJaccardPairs(docs0))
+    val (tPref10, nPref10) =
+      timed(graft.queries.Lexical.prefixJaccardPairs(dense(10)))
+    println(f"[scale-dry-run] dup_dense_prefix_1x  $tPref1%8.2f s  ($nPref1 pairs)")
+    println(f"[scale-dry-run] dup_dense_prefix_10x $tPref10%8.2f s  ($nPref10 pairs, ratio ${tPref10 / tPref1}%.1fx)")
 
     // ---- HOT-SHINGLE (Zipf-head) corpus: where exact and r=1 banding
     // actually blow up ----
