@@ -651,6 +651,56 @@ object Export {
     oracle = Some("""
       SELECT doc_id, source, lang, n_chars, text FROM documents"""))
 
+  /** q191 — DESCRIBE HISTORY of the versioned layout (the Delta
+    * `DESCRIBE HISTORY` / Iceberg snapshots-table shape — the audit
+    * surface every table format ships, because "what happened to this
+    * table and when" is the first question an operator asks): one row
+    * per commit with its timestamp and file-level add/remove counts,
+    * resolved ENTIRELY from the transaction log + the `_ts.` markers —
+    * zero data reads, O(#versions + #files) metadata.
+    *
+    * The gate is the interesting part: file counts sound
+    * engine-private, but the layout's placement is a PURE md5 function
+    * of row identity, so DuckDB replays them from the raw table — v0
+    * adds one file per populated shard (count of DISTINCT shard over
+    * the corpus), the DELETE at v1 removes every file holding a match
+    * and re-adds those shards that keep survivors. Hash-green
+    * certifies the log's account of history against first principles. */
+  val q191: Q = Q(
+    "q191_describe_history",
+    run = { (spark, dir) =>
+      val layout = deleteLayoutFor(spark, dir)
+      val ts = graft.sinks.VersionedShards.commitTimestamps(spark, layout)
+      val tsDf = spark.createDataFrame(ts.map(t => (t._1, t._2)))
+        .toDF("version", "ts_ms")
+      val counts = graft.sinks.VersionedShards.log(spark, layout)
+        .groupBy(col("version"))
+        .agg(count(when(col("action") === "add", 1)).as("files_added"),
+          count(when(col("action") === "remove", 1)).as("files_removed"))
+      tsDf.join(counts, Seq("version"), "left")
+        .select(col("version"), col("ts_ms"),
+          coalesce(col("files_added"), lit(0L)).as("files_added"),
+          coalesce(col("files_removed"), lit(0L)).as("files_removed"))
+    },
+    oracle = Some {
+      val shard = ShardExport.shardSqlExpr(
+        s"md5('shard|' || CAST(doc_id AS VARCHAR))", nShards)
+      s"""
+      WITH s AS (SELECT doc_id, $shard AS shard FROM documents),
+      v0 AS (SELECT CAST(count(DISTINCT shard) AS BIGINT) AS n FROM s),
+      removed AS (SELECT CAST(count(DISTINCT shard) AS BIGINT) AS n
+                  FROM s WHERE doc_id % 7 = 2),
+      readded AS (SELECT CAST(count(DISTINCT shard) AS BIGINT) AS n
+                  FROM s WHERE doc_id % 7 <> 2 AND shard IN
+                    (SELECT DISTINCT shard FROM s WHERE doc_id % 7 = 2))
+      SELECT 0 AS version, CAST(1000 AS BIGINT) AS ts_ms,
+        v0.n AS files_added, CAST(0 AS BIGINT) AS files_removed FROM v0
+      UNION ALL
+      SELECT 1 AS version, CAST(2000 AS BIGINT) AS ts_ms,
+        readded.n AS files_added, removed.n AS files_removed
+      FROM readded, removed"""
+    })
+
   val all: Seq[Q] = Seq(q153, q155, q158, q163, q166, q167, q173, q174,
-    q175, q178, q179, q182, q183, q186)
+    q175, q178, q179, q182, q183, q186, q191)
 }

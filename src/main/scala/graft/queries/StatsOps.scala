@@ -385,5 +385,117 @@ object StatsOps {
               * (n_a + n_b), 0) AS BIGINT) AS z2_milli
       FROM s"""))
 
-  val all: Seq[Q] = Seq(q81, q82, q84, q85, q86, q87, q170)
+  /** Core of q192: CUPED variance reduction for the A/B readout
+    * (Deng, Xu, Kohavi & Walker WSDM'13 — the pre-experiment-covariate
+    * adjustment every mature experimentation platform applies before
+    * q170's significance math): each unit's post-period activity Y is
+    * adjusted by its PRE-period activity X — Y′ = Y − θ(X − x̄) with
+    * θ = cov(X,Y)/var(X) pooled across variants — removing the
+    * between-user variance the randomization already balanced, so the
+    * same experiment resolves smaller effects (variance shrinks by
+    * exactly ρ², reported as rho2_ppm).
+    *
+    * All-integer discipline: X/Y are event counts split at a fixed
+    * date boundary; every moment (n, Σx, Σy, Σxx, Σyy, Σxy) is an
+    * exact integer hash-agg, θ and the adjusted means are integer
+    * ppm/milli via DECIMAL(38,0)-widened DIV (q169/q188 recipe), and
+    * ρ²_ppm reuses θ_ppm·cov DIV varY so nothing is squared twice.
+    * Headroom: n·Σxy must stay under ~1e19 before the DECIMAL(38)
+    * product of the ρ² numerator saturates — ~1e7 units × 1e3 events
+    * each; beyond that, sample the covariate scan (θ is an estimate,
+    * not an invariant). Truncation compounds identically in both
+    * engines.
+    *
+    * Scale shape: ONE user-keyed hash-agg over events (the only
+    * corpus-sized shuffle — q170's unit-table posture), then 1-row
+    * global moments broadcast into a 2-row per-variant frame. */
+  def cupedReadout(events: org.apache.spark.sql.DataFrame,
+      boundary: String = "2024-01-18"): org.apache.spark.sql.DataFrame = {
+    val variant = (conv(substring(
+      md5(concat(lit("ab|"), col("user_id").cast("string"))), 1, 1),
+      16, 10).cast("long") % 2).as("variant")
+    val xy = events.filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(when(to_date(col("ts")) < lit(boundary), 1)).as("x"),
+        count(when(to_date(col("ts")) >= lit(boundary), 1)).as("y"))
+      .select(col("user_id"), variant, col("x"), col("y"))
+    val moments = xy.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val perVariant = xy.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"))
+    perVariant.crossJoin(broadcast(moments))
+      .withColumn("covn",
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("varxn",
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("varyn",
+        expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .withColumn("theta_ppm",
+        expr("CAST((1000000 * covn) DIV nullif(varxn, 0) AS BIGINT)"))
+      .withColumn("rho2_ppm",
+        expr("CAST((theta_ppm * covn) DIV nullif(varyn, 0) AS BIGINT)"))
+      .withColumn("mean_y_milli", expr("(1000 * sum_y) DIV n_units"))
+      // mean Y′_v·1000 = 1000·Σy_v/n_v − θ·1000·(Σx_v/n_v − Σx/n),
+      // assembled as ONE integer expression over the widened moments
+      .withColumn("mean_y_cuped_milli", expr(
+        """(1000 * sum_y) DIV n_units -
+          |CAST((theta_ppm * (CAST(1000 AS DECIMAL(38,0)) * sum_x * n
+          |                   - CAST(1000 AS DECIMAL(38,0)) * sx * n_units))
+          |  DIV (CAST(1000000 AS DECIMAL(38,0)) * n_units * n)
+          |  AS BIGINT)""".stripMargin))
+      .select(col("variant"), col("n_units"), col("sum_x"), col("sum_y"),
+        col("mean_y_milli"), col("theta_ppm"), col("rho2_ppm"),
+        col("mean_y_cuped_milli"))
+  }
+
+  /** q192 — CUPED-adjusted A/B readout (integer θ, ρ², adjusted
+    * means). */
+  val q192: Q = Q(
+    "q192_cuped",
+    run = { (spark, dir) => cupedReadout(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH xy AS (
+        SELECT user_id,
+          CAST((strpos('0123456789abcdef',
+            substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+            % 2 AS BIGINT) AS variant,
+          CAST(count(*) FILTER (WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE)
+            < DATE '2024-01-18') AS BIGINT) AS x,
+          CAST(count(*) FILTER (WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE)
+            >= DATE '2024-01-18') AS BIGINT) AS y
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY user_id),
+      m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+              CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+              CAST(sum(x * x) AS HUGEINT) AS sxx,
+              CAST(sum(y * y) AS HUGEINT) AS syy,
+              CAST(sum(x * y) AS HUGEINT) AS sxy
+            FROM xy),
+      v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_units,
+              CAST(sum(x) AS BIGINT) AS sum_x,
+              CAST(sum(y) AS BIGINT) AS sum_y
+            FROM xy GROUP BY variant),
+      j AS (SELECT v.*, m.n, m.sx, m.sy,
+              m.n * m.sxy - m.sx * m.sy AS covn,
+              m.n * m.sxx - m.sx * m.sx AS varxn,
+              m.n * m.syy - m.sy * m.sy AS varyn
+            FROM v CROSS JOIN m),
+      t AS (SELECT *, (1000000 * covn) // nullif(varxn, 0) AS theta_ppm
+            FROM j)
+      SELECT variant, n_units, sum_x, sum_y,
+        (1000 * sum_y) // n_units AS mean_y_milli,
+        CAST(theta_ppm AS BIGINT) AS theta_ppm,
+        CAST((theta_ppm * covn) // nullif(varyn, 0) AS BIGINT) AS rho2_ppm,
+        CAST((1000 * sum_y) // n_units -
+          (theta_ppm * (1000 * CAST(sum_x AS HUGEINT) * n
+                        - 1000 * sx * n_units))
+          // (CAST(1000000 AS HUGEINT) * n_units * n) AS BIGINT)
+          AS mean_y_cuped_milli
+      FROM t"""))
+
+  val all: Seq[Q] = Seq(q81, q82, q84, q85, q86, q87, q170, q192)
 }

@@ -442,6 +442,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out("Y") == (("2024-01-01", -20L, 4L, 60L)), s"$out")
   }
 
+  test("q192 CUPED: perfectly-correlated covariate equalizes adjusted means at the global mean") {
+    import java.sql.Timestamp
+    // every user's post-period count EQUALS their pre-period count
+    // (y = x) → θ = 1, ρ² = 1e6 ppm, and the adjusted mean of EVERY
+    // variant collapses to the global mean — the covariate explains
+    // all between-user variance, which is CUPED's best case
+    def t(day: Int, i: Int) =
+      Timestamp.valueOf(f"2024-01-$day%02d 01:00:${i % 60}%02d")
+    val rows = (1L to 12L).flatMap { u =>
+      val k = (u % 4 + 1).toInt // per-user activity level 1..4
+      (0 until k).flatMap(i => Seq(
+        (u * 100 + i, t(3, i), u, "click"),        // pre period
+        (u * 1000 + i, t(25, i), u, "click")))     // post period, same count
+    }
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type")
+    val out = queries.StatsOps.cupedReadout(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(out.size == 2, s"expected both variants, got $out")
+    val totalUnits = out.values.map(_._1).sum
+    val totalY = rows.count(_._2.after(Timestamp.valueOf("2024-01-18 00:00:00")))
+    val globalMeanMilli = 1000L * totalY / totalUnits
+    out.foreach { case (v, (_, meanY, theta, rho2, adj)) =>
+      assert(theta == 1000000L, s"variant $v theta=$theta — y=x must give θ=1")
+      assert(rho2 == 1000000L, s"variant $v rho2=$rho2 — y=x must give ρ²=1")
+      // adjusted means collapse to the global mean (±1 milli truncation)
+      assert(math.abs(adj - globalMeanMilli) <= 1,
+        s"variant $v adjusted $adj vs global $globalMeanMilli (raw $meanY)")
+    }
+    // the adjustment did real work iff the raw means differed
+    assert(out.values.map(_._2).toSet.size >= 1)
+  }
+
   test("q189: quantile normalization is rank-preserving per source and aligns sources on the global grid") {
     val out = queries.CorpusOps.q189.run(spark, dir)
       .select("source", "n_toks", "q_dec", "calib").collect()

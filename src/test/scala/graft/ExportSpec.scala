@@ -983,6 +983,29 @@ class ExportSpec extends AnyFunSuite {
     }: Unit
   }
 
+  test("q191 history: per-commit add/remove counts match the files on disk; no-match deletes log empty commits") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("history")
+    VersionedShards.commitAppend(spark, docs, "doc_id", dir, 16, ts = 10L)
+    VersionedShards.deleteCommit(spark, dir, col("doc_id") === -1L, 16,
+      ts = 20L) // matches nothing → log-only commit
+    VersionedShards.deleteCommit(spark, dir, col("doc_id") % 5 === 0, 16,
+      ts = 30L)
+    val log = VersionedShards.log(spark, dir)
+      .groupBy(col("version"), col("action")).count().collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val v0Files = landedFiles(s"$dir/v=0").size
+    assert(log((0, "add")) == v0Files.toLong)
+    assert(!log.contains((1, "add")) && !log.contains((1, "remove")),
+      "a no-match delete must commit an empty log entry")
+    assert(log((2, "remove")) > 0 && log((2, "add")) > 0)
+    assert(VersionedShards.commitTimestamps(spark, dir) ==
+      Seq(0 -> 10L, 1 -> 20L, 2 -> 30L))
+  }
+
   test("q163 registry run: equals q153's full manifest after the append-then-compact lifecycle") {
     val full = queries.Export.q153.run(spark, TestSpark.sf0001)
     val comp = queries.Export.q163.run(spark, TestSpark.sf0001)
