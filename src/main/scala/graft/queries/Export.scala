@@ -701,6 +701,54 @@ object Export {
       FROM readded, removed"""
     })
 
+  /** q194's lifecycle: src = the FULL corpus committed once; dst =
+    * SHALLOW CLONE of src (zero-copy — v=0 of the clone references
+    * src's files by absolute path); then a DELETE
+    * (doc_id % 9 = 4) committed ON THE CLONE — its rewrite reads the
+    * referenced source bytes and lands survivors in the clone's own
+    * subtree, while src stays untouched (suite-asserted). */
+  private[graft] def cloneLayoutsFor(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] =
+    graft.operators.SessionCache.memoOn(spark, dir,
+      s"shard-versions-clone|$dir|$nShards") {
+      val src = graft.operators.Stage.allocDir(spark, "shards-q194-src")
+      val dst = graft.operators.Stage.allocDir(spark, "shards-q194-dst")
+      graft.sinks.VersionedShards.commitAppend(spark,
+        docCols(Tables.documents(spark, dir)), "doc_id", src, nShards,
+        ts = 1000L)
+      graft.sinks.VersionedShards.cloneLayout(spark, src, dst, ts = 1500L)
+      graft.sinks.VersionedShards.deleteCommit(spark, dst,
+        col("doc_id") % 9 === 4, nShards, ts = 2000L): Unit
+      Seq(src, dst)
+    }
+
+  /** q194 — ZERO-COPY SHALLOW CLONE + divergent branch commit (the
+    * Delta SHALLOW CLONE / Iceberg-branch experimentation shape): the
+    * clone's v=0 is O(#files) metadata referencing the source's bytes
+    * by absolute path; a DELETE then commits ON THE CLONE — reading
+    * the referenced source files, landing survivors in the clone's own
+    * subtree — while the source keeps serving its full corpus
+    * untouched. This is how a curation experiment forks a 100 TB lake:
+    * instantly, with rewrite cost ∝ the experiment's own edits. The
+    * registry reads the diverged clone's rows; hash-green against the
+    * predicate replay certifies the branch state. The suite pins the
+    * rest: clone-is-metadata-only (no data files before the branch
+    * commit), source immutability through the clone's delete, the
+    * clone's vacuum never reclaiming imported files, and the
+    * source-vacuum caveat breaking clone reads LOUDLY. */
+  val q194: Q = Q(
+    "q194_shallow_clone",
+    run = { (spark, dir) =>
+      val Seq(_, dst) = cloneLayoutsFor(spark, dir)
+      graft.sinks.VersionedShards.readAsOf(spark, dst,
+          graft.sinks.VersionedShards.currentVersion(spark, dst))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), col("text"))
+    },
+    oracle = Some("""
+      SELECT doc_id, source, lang, n_chars, text
+      FROM documents WHERE doc_id % 9 <> 4"""))
+
   val all: Seq[Q] = Seq(q153, q155, q158, q163, q166, q167, q173, q174,
-    q175, q178, q179, q182, q183, q186, q191)
+    q175, q178, q179, q182, q183, q186, q191, q194)
 }

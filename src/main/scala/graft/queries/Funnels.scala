@@ -858,6 +858,84 @@ object Funnels {
       FROM daily JOIN t USING (event_type)
       GROUP BY 1, 2"""))
 
+  /** Core of q193: TEMPORAL HOLDOUT EVALUATION of the q177 Markov
+    * next-event model — the missing half of shipping any behavioral
+    * model: q177 fits P(next|cur); this measures whether argmax-next
+    * actually predicts the future, with the only split that doesn't
+    * leak (train on transitions COMPLETING before the boundary, test
+    * on those completing after — a random split would let the model
+    * see the user's own future). Per current state: the trained
+    * argmax prediction (count ties → lexicographically smallest next,
+    * both orderings pinned), test-transition count, hits, and exact
+    * integer hit-rate ppm. States unseen in training predict NULL and
+    * score zero hits — visible, not dropped.
+    *
+    * Scale shape: q177's — ONE user-partitioned window over events
+    * (the only corpus shuffle; both split arms derive from the same
+    * windowed frame), a k²-row train agg, and a broadcast-sized
+    * (state → prediction) join into the test stream. */
+  def markovEval(events: DataFrame,
+      boundary: String = "2024-01-25"): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        coalesce(col("event_type"), lit("(null)")).as("cur_type"))
+      .withColumn("next_type", lead(col("cur_type"), 1).over(w))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val byCount = Window.partitionBy("cur_type")
+      .orderBy(col("n").desc, col("next_type").asc)
+    val pred = pairs.filter(to_date(col("next_ts")) < lit(boundary))
+      .groupBy(col("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(byCount))
+      .filter(col("rnk") === 1)
+      .select(col("cur_type"), col("next_type").as("pred_next"))
+    pairs.filter(to_date(col("next_ts")) >= lit(boundary))
+      .join(pred, Seq("cur_type"), "left")
+      .groupBy(col("cur_type"))
+      .agg(first(col("pred_next")).as("pred_next"),
+        count(lit(1)).as("n_test"),
+        count(when(col("next_type") === col("pred_next"), 1)).as("hits"))
+      .withColumn("hit_ppm", expr("(hits * 1000000) DIV n_test"))
+  }
+
+  /** q193 — leak-free holdout hit-rate of the Markov next-event
+    * predictor. */
+  val q193: Q = Q(
+    "q193_markov_eval",
+    run = { (spark, dir) => markovEval(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH t AS (SELECT user_id, ts, event_id,
+                   COALESCE(event_type, '(null)') AS cur_type
+                 FROM events WHERE ts IS NOT NULL),
+      s AS (SELECT cur_type,
+              lead(cur_type) OVER w AS next_type,
+              lead(ts) OVER w AS next_ts
+            FROM t WINDOW w AS (PARTITION BY user_id
+              ORDER BY ts, event_id)),
+      pairs AS (SELECT * FROM s WHERE next_type IS NOT NULL),
+      train AS (SELECT cur_type, next_type,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM pairs
+                WHERE CAST(next_ts AS DATE) < DATE '2024-01-25'
+                GROUP BY 1, 2),
+      pred AS (SELECT cur_type, next_type AS pred_next FROM (
+                 SELECT cur_type, next_type,
+                   row_number() OVER (PARTITION BY cur_type
+                     ORDER BY n DESC, next_type ASC) AS rnk
+                 FROM train) WHERE rnk = 1),
+      test AS (SELECT p.cur_type, p.next_type, pr.pred_next
+               FROM pairs p LEFT JOIN pred pr USING (cur_type)
+               WHERE CAST(p.next_ts AS DATE) >= DATE '2024-01-25')
+      SELECT cur_type, any_value(pred_next) AS pred_next,
+        CAST(count(*) AS BIGINT) AS n_test,
+        CAST(count(*) FILTER (WHERE next_type = pred_next) AS BIGINT)
+          AS hits,
+        (count(*) FILTER (WHERE next_type = pred_next) * 1000000)
+          // count(*) AS hit_ppm
+      FROM test GROUP BY cur_type"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q75, q77, q100, q107, q172,
-    q177, q180, q181, q185, q187, q188)
+    q177, q180, q181, q185, q187, q188, q193)
 }

@@ -40,6 +40,22 @@ object VersionedShards {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Log paths are layout-RELATIVE for files the layout OWNS
+    * (`v=<k>/shard=<s>/<name>`); a shallow clone ([[cloneLayout]])
+    * imports the source's files by ABSOLUTE path — referenced, never
+    * owned: the clone's [[vacuum]] must not reclaim them. */
+  private def isOwned(p: String): Boolean =
+    !p.startsWith("/") && !p.contains("://")
+
+  private def resolve(dir: String, p: String): String =
+    if (isOwned(p)) s"$dir/$p" else p
+
+  /** The version subtree a file belongs to — the basePath partition
+    * discovery needs to re-attach `shard` — is its resolved path minus
+    * the file and shard segments, wherever the file lives. */
+  private def baseOf(dir: String, p: String): String =
+    resolve(dir, p).split('/').dropRight(2).mkString("/")
+
   /** Data files of one version subtree, as (shard, layout-relative
     * path) — one bounded listing of the freshly-written commit, never
     * of the whole lake. */
@@ -200,7 +216,7 @@ object VersionedShards {
     val live = liveFiles(spark, dir, asOf)
     val (fs, _) = hfs(spark, dir)
     live.foreach { case (_, p) =>
-      require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$p")),
+      require(fs.exists(new org.apache.hadoop.fs.Path(resolve(dir, p))),
         s"snapshot as of v$asOf needs vacuumed file $p — past the " +
           "retention horizon")
     }
@@ -209,10 +225,10 @@ object VersionedShards {
     // rest away): serve the schema-bearing empty marker SOME commit
     // landed instead of failing — an empty day is a valid snapshot
     if (live.isEmpty) return emptyMarker(spark, dir, asOf)
-    val byVersion = live.groupBy(_._2.split("/")(0))
-    val parts = byVersion.toSeq.sortBy(_._1).map { case (vdir, files) =>
-      spark.read.option("basePath", s"$dir/$vdir")
-        .parquet(files.map(f => s"$dir/${f._2}"): _*)
+    val byBase = live.groupBy(f => baseOf(dir, f._2))
+    val parts = byBase.toSeq.sortBy(_._1).map { case (base, files) =>
+      spark.read.option("basePath", base)
+        .parquet(files.map(f => resolve(dir, f._2)): _*)
     }
     // allowMissingColumns: commits may EVOLVE the schema (add a column
     // the way Delta/Iceberg mergeSchema does) — files written before
@@ -242,7 +258,7 @@ object VersionedShards {
     val victims = toCompact.flatMap(s => byShard(s))
     // one read of ONLY the victim files; shard re-derives from draw
     // (pure function — the same value the log carries)
-    spark.read.parquet(victims.map(f => s"$dir/${f._2}"): _*)
+    spark.read.parquet(victims.map(f => resolve(dir, f._2)): _*)
       .withColumn("shard", ShardExport.shardOf(col("draw"), nShards))
       .repartition(toCompact.length, col("shard"))
       .sortWithinPartitions(col("shard"), col("draw"))
@@ -277,7 +293,7 @@ object VersionedShards {
     if (live.isEmpty) return (-1, 0)
     val v = cur + 1
     val clustered = spark.read.option("mergeSchema", "true")
-      .parquet(live.map(f => s"$dir/${f._2}"): _*)
+      .parquet(live.map(f => resolve(dir, f._2)): _*)
       .withColumn("shard", ShardExport.shardOf(col("draw"), nShards))
       .withColumn("_zx", zx).withColumn("_zy", zy)
       .withColumn("_zv", expr(ZOrderLayout.mortonTerms("_zx", "_zy")))
@@ -320,10 +336,10 @@ object VersionedShards {
     // nothing arrived in the interval (every commit was empty): an
     // empty diff is a valid answer — serve a marker's empty schema
     if (added.isEmpty) return emptyMarker(spark, dir, to)
-    val byVersion = added.groupBy(_.split("/")(0))
-    byVersion.toSeq.sortBy(_._1).map { case (vdir, files) =>
-      spark.read.option("basePath", s"$dir/$vdir")
-        .parquet(files.map(f => s"$dir/$f"): _*)
+    val byBase = added.groupBy(baseOf(dir, _))
+    byBase.toSeq.sortBy(_._1).map { case (base, files) =>
+      spark.read.option("basePath", base)
+        .parquet(files.map(resolve(dir, _)): _*)
     }.reduceLeft(_.unionByName(_))
   }
 
@@ -373,7 +389,7 @@ object VersionedShards {
     val have = liveFiles(spark, dir, cur).toSet
     val (fs, _) = hfs(spark, dir)
     (want -- have).foreach { case (_, p) =>
-      require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$p")),
+      require(fs.exists(new org.apache.hadoop.fs.Path(resolve(dir, p))),
         s"restore to v$v needs vacuumed file $p — past the retention " +
           "horizon")
     }
@@ -423,7 +439,7 @@ object VersionedShards {
       if (victims.isEmpty) keyedBatch
       else {
         val keys = batch.select(col(keyCol)).distinct()
-        spark.read.parquet(victims.map(f => s"$dir/${f._2}"): _*)
+        spark.read.parquet(victims.map(f => resolve(dir, f._2)): _*)
           .withColumn("shard", ShardExport.shardOf(col("draw"), nShards))
           .join(keys, Seq(keyCol), "left_anti")
           .unionByName(keyedBatch)
@@ -475,11 +491,11 @@ object VersionedShards {
     // several shard dirs), so the key keeps the partition segments.
     def relOf(fp: String): String =
       fp.split('/').takeRight(3).mkString("/")
-    val byRel = live.map { case (s, rel) => rel -> ((s, rel)) }.toMap
+    val byRel = live.map { case (s, p) => relOf(p) -> ((s, p)) }.toMap
     // mergeSchema: composes with schema-evolved lakes (a plain read
     // would adopt one file's schema and silently drop evolved columns)
     val matched = spark.read.option("mergeSchema", "true")
-      .parquet(live.map(f => s"$dir/${f._2}"): _*)
+      .parquet(live.map(f => resolve(dir, f._2)): _*)
       .filter(predicate)
       .select(col("_metadata.file_path").as("fp"))
       .distinct().collect()
@@ -487,7 +503,7 @@ object VersionedShards {
     if (matched.isEmpty) { writeLog(spark, dir, v, Nil, ts); return v }
     val victims = matched.toSeq.map(byRel).sortBy(_._2)
     val survivors = spark.read.option("mergeSchema", "true")
-      .parquet(victims.map(f => s"$dir/${f._2}"): _*)
+      .parquet(victims.map(f => resolve(dir, f._2)): _*)
       .filter(not(coalesce(predicate, lit(false))))
       .withColumn("shard", ShardExport.shardOf(col("draw"), nShards))
     val touchedShards = victims.map(_._1).distinct
@@ -540,10 +556,10 @@ object VersionedShards {
     * commits (older files null-fill newer columns). */
   private def readFileSet(spark: SparkSession, dir: String,
       files: Seq[String]): DataFrame = {
-    val byVersion = files.groupBy(_.split("/")(0))
-    byVersion.toSeq.sortBy(_._1).map { case (vdir, fs) =>
-      spark.read.option("basePath", s"$dir/$vdir")
-        .parquet(fs.map(f => s"$dir/$f"): _*)
+    val byBase = files.groupBy(baseOf(dir, _))
+    byBase.toSeq.sortBy(_._1).map { case (base, fls) =>
+      spark.read.option("basePath", base)
+        .parquet(fls.map(resolve(dir, _)): _*)
     }.reduceLeft(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -620,11 +636,47 @@ object VersionedShards {
     val liveAtHorizon = liveFiles(spark, dir, horizon).map(_._2).toSet
     val readdedAfter = entries.collect {
       case (v, p, "add") if v > horizon => p }.toSet
+    // a clone never owns its imported (absolute-path) files — its
+    // vacuum reports them reclaimable-elsewhere by SKIPPING them; only
+    // the source layout may physically delete its bytes
     val doomed =
-      (removedByHorizon -- liveAtHorizon -- readdedAfter).toSeq.sorted
+      (removedByHorizon -- liveAtHorizon -- readdedAfter)
+        .toSeq.filter(isOwned).sorted
     val (fs, _) = hfs(spark, dir)
     doomed.foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$p"), false): Unit)
+      fs.delete(new org.apache.hadoop.fs.Path(resolve(dir, p)), false): Unit)
     doomed
+  }
+
+  /** SHALLOW CLONE (zero-copy fork): `dstDir` becomes a NEW versioned
+    * layout whose v=0 log references the source's current live files
+    * by ABSOLUTE path — O(#files) metadata, zero data bytes moved (the
+    * Delta SHALLOW CLONE / Iceberg-branch experimentation shape: fork
+    * a 100 TB lake in milliseconds, then commit against the fork —
+    * deletes, merges, compactions — without touching the source; every
+    * rewrite the clone performs lands in the CLONE's own subtree).
+    * Ownership contract: the clone never owns imported files — its
+    * [[vacuum]] skips them — and, the documented table-format caveat,
+    * vacuuming the SOURCE past a horizon the clone still references
+    * breaks the clone's reads LOUDLY (the readAsOf missing-file
+    * require), exactly as Delta documents for shallow clones. An
+    * all-empty source clones as an empty layout carrying the source's
+    * schema marker so day-0 reads stay schema-bearing. Returns the
+    * clone's version (always 0). */
+  def cloneLayout(spark: SparkSession, srcDir: String, dstDir: String,
+      ts: Long = -1L): Int = {
+    val cur = currentVersion(spark, srcDir)
+    require(cur >= 0, s"$srcDir has no commits to clone")
+    val (srcFs, srcRoot) = hfs(spark, srcDir)
+    val srcAbs = srcFs.makeQualified(srcRoot).toUri.getPath
+    val live = liveFiles(spark, srcDir, cur)
+    writeLog(spark, dstDir, 0,
+      live.map { case (s, p) => (s, resolve(srcAbs, p), "add") }, ts)
+    if (live.isEmpty)
+      // zero-row schema marker (the landedEmpty discipline) so the
+      // clone's own emptyMarker walk finds a local schema source
+      readAsOf(spark, srcDir, cur).limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dstDir/v=0")
+    0
   }
 }

@@ -217,23 +217,41 @@ object ExplainAudit {
       }
       walk(plan)
     }
-    // q101: the entity-sized rank state must broadcast into the CSR
-    // adjacency join every iteration — the edge stream never shuffles
-    val q101Exec = graft.SparkEntry.queries("q101_part_pagerank")(spark, dir)
+    // q101: the registry run is now a memoized PROBE (converged rank
+    // table scan + top-k — round 13's build/probe seam), so the
+    // iteration-plan laws are audited on the BUILD composition
+    // (partPageRank = buildPageRankIndex → convergedRanks → rankTopK,
+    // the exact chain the memo executes on a cold session): the
+    // entity-sized rank state must broadcast into the CSR adjacency
+    // join every iteration — the edge stream never shuffles.
+    val q101Baskets = graft.Tables.lineitem(spark, dir)
+      .select(org.apache.spark.sql.functions.col("l_orderkey").as("ok"),
+        org.apache.spark.sql.functions.col("l_partkey").as("part"))
+      .distinct()
+    val q101Exec = graft.queries.GraphOps.partPageRank(q101Baskets)
       .queryExecution.executedPlan
     val q101Plan = q101Exec.toString
     assert(q101Plan.contains("BroadcastHashJoin"),
-      "q101: rank state not broadcast into the adjacency join")
+      "q101 build: rank state not broadcast into the adjacency join")
     assert(!q101Plan.contains("CartesianProduct"),
-      "q101: iteration join lost its key")
+      "q101 build: iteration join lost its key")
     // final top-k must be the distributed partial top-k; the only Window
     // left is the post-limit rnk over ≤ 20 rows, keyed on a constant —
     // never the AllTuples single-partition shape
     assert(q101Plan.contains("TakeOrderedAndProject"),
-      "q101: final top-k is not TakeOrderedAndProject")
+      "q101 build: final top-k is not TakeOrderedAndProject")
     assert(partitionlessWindows(q101Exec).isEmpty,
-      s"q101: partition-less Window in plan: ${partitionlessWindows(q101Exec)}")
-    println("===== q101 RANK-BROADCAST + TOPK ASSERT OK")
+      s"q101 build: partition-less Window: ${partitionlessWindows(q101Exec)}")
+    // and the registry PROBE itself must stay probe-shaped: a scan of
+    // the staged converged table + TakeOrderedAndProject, with no
+    // iteration joins re-planned
+    val q101ProbeExec = graft.SparkEntry.queries("q101_part_pagerank")(
+      spark, dir).queryExecution.executedPlan
+    assert(q101ProbeExec.toString.contains("TakeOrderedAndProject"),
+      "q101 probe: top-k is not TakeOrderedAndProject")
+    assert(partitionlessWindows(q101ProbeExec).isEmpty,
+      "q101 probe: partition-less Window in probe plan")
+    println("===== q101 BUILD RANK-BROADCAST + PROBE TOPK ASSERT OK")
     // q102: scoring joins tf against the 8-row term table and the 1-row
     // corpus scalars — both must ride broadcasts; only the tf/dl/df
     // aggs may shuffle

@@ -1006,6 +1006,61 @@ class ExportSpec extends AnyFunSuite {
       Seq(0 -> 10L, 1 -> 20L, 2 -> 30L))
   }
 
+  test("q194 shallow clone: metadata-only fork, source immutable through branch DML, ownership contract holds") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val n = docs.count()
+    val src = tmp("clone-src"); val dst = tmp("clone-dst")
+    VersionedShards.commitAppend(spark, docs, "doc_id", src, 16, ts = 10L)
+    val srcStamps = fileStamps(s"$src/v=0")
+    VersionedShards.cloneLayout(spark, src, dst, ts = 20L)
+    // 1. metadata-only: the clone holds a log and NOTHING else
+    assert(!new java.io.File(s"$dst/v=0").exists(),
+      "a shallow clone of a non-empty source must move zero data bytes")
+    assert(VersionedShards.readAsOf(spark, dst, 0).count() == n)
+    // 2. branch DML: delete ON the clone — the rewrite lands in the
+    // clone's own subtree; the source's bytes and content are untouched
+    VersionedShards.deleteCommit(spark, dst, col("doc_id") % 3 === 0, 16,
+      ts = 30L)
+    val expected = docs.filter(col("doc_id") % 3 =!= 0).count()
+    assert(VersionedShards.readAsOf(spark, dst, 1).count() == expected)
+    assert(fileStamps(s"$src/v=0") == srcStamps,
+      "the clone's delete touched source bytes")
+    assert(VersionedShards.readAsOf(spark, src, 0).count() == n)
+    // 3. ownership: the clone's vacuum skips imported (absolute-path)
+    // files — only the source may reclaim them
+    val reclaimed = VersionedShards.vacuum(spark, dst, 1)
+    assert(reclaimed.isEmpty,
+      s"clone vacuum claimed imported files: $reclaimed")
+    assert(fileStamps(s"$src/v=0") == srcStamps)
+    assert(VersionedShards.readAsOf(spark, src, 0).count() == n)
+    // 4. the documented caveat, loud: source-side delete + vacuum
+    // reclaims files the clone's v=0 still references → the clone's
+    // time-travel read fails with the missing-file require, never a
+    // silent partial snapshot
+    VersionedShards.deleteCommit(spark, src, col("doc_id") % 3 === 0, 16,
+      ts = 40L)
+    VersionedShards.vacuum(spark, src, 1)
+    val e = intercept[IllegalArgumentException] {
+      VersionedShards.readAsOf(spark, dst, 0).count()
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("q194 clone of an all-empty source stays schema-bearing") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text")).limit(0)
+    val src = tmp("clone-esrc"); val dst = tmp("clone-edst")
+    VersionedShards.commitAppend(spark, docs, "doc_id", src, 16)
+    VersionedShards.cloneLayout(spark, src, dst)
+    val snap = VersionedShards.readAsOf(spark, dst, 0)
+    assert(snap.count() == 0 && snap.columns.contains("doc_id"))
+  }
+
   test("q163 registry run: equals q153's full manifest after the append-then-compact lifecycle") {
     val full = queries.Export.q153.run(spark, TestSpark.sf0001)
     val comp = queries.Export.q163.run(spark, TestSpark.sf0001)
