@@ -749,6 +749,56 @@ object Export {
       SELECT doc_id, source, lang, n_chars, text
       FROM documents WHERE doc_id % 9 <> 4"""))
 
+  /** q195's lifecycle: TWO CONCURRENT WRITERS (real threads) ingest
+    * the corpus halves through the optimistic-concurrency append —
+    * each claims its version via the atomic reservation, neither
+    * coordinates with the other. Which half lands as v0 vs v1 is a
+    * race; the CONTENT of the current snapshot is not. */
+  private[graft] def concurrentLayoutFor(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.operators.SessionCache.memoOn(spark, dir,
+      s"shard-versions-concurrent|$dir|$nShards") {
+      val out = graft.operators.Stage.allocDir(spark, "shards-q195")
+      val docs = docCols(Tables.documents(spark, dir))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writers = Seq(0, 1).map { half =>
+        Future {
+          graft.sinks.VersionedShards.commitAppendAtomic(spark,
+            docs.filter(col("doc_id") % 2 === half), "doc_id", out,
+            nShards)
+        }
+      }
+      Await.result(Future.sequence(writers), 10.minutes): Unit
+      out
+    }
+
+  /** q195 — OPTIMISTIC CONCURRENCY CONTROL for independent writers
+    * (the Delta commit-protocol shape): two uncoordinated threads
+    * append into one layout, each atomically claiming its version via
+    * create-no-overwrite reservation markers; blind appends have an
+    * empty read-set so first-claim-wins is serializable with no
+    * conflict detection. The registry reads the current snapshot after
+    * the race — hash-green against the full corpus certifies that
+    * WHICHEVER interleaving the scheduler produced, both commits
+    * landed whole (the failure mode this protocol exists to prevent is
+    * a racing writer silently overwriting the other's version). The
+    * suite additionally pins the reservation semantics: a claimed slot
+    * refuses a second claimant, losers advance, crashed reservations
+    * leave harmless gaps. */
+  val q195: Q = Q(
+    "q195_concurrent_appends",
+    run = { (spark, dir) =>
+      val layout = concurrentLayoutFor(spark, dir)
+      graft.sinks.VersionedShards.readAsOf(spark, layout,
+          graft.sinks.VersionedShards.currentVersion(spark, layout))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), col("text"))
+    },
+    oracle = Some("""
+      SELECT doc_id, source, lang, n_chars, text FROM documents"""))
+
   val all: Seq[Q] = Seq(q153, q155, q158, q163, q166, q167, q173, q174,
-    q175, q178, q179, q182, q183, q186, q191, q194)
+    q175, q178, q179, q182, q183, q186, q191, q194, q195)
 }

@@ -138,6 +138,70 @@ object VersionedShards {
     v
   }
 
+  /** Versions currently RESERVED by in-flight atomic committers:
+    * `.reserve-v=<k>` dot-files at the `_log` root (hidden from the
+    * parquet log reader and from [[currentVersion]]'s `v=` filter). */
+  private def reservedVersions(spark: SparkSession,
+      dir: String): Seq[Int] = {
+    val (fs, _) = hfs(spark, dir)
+    val logRoot = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    if (!fs.exists(logRoot)) return Nil
+    fs.listStatus(logRoot).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith(".reserve-v="))
+      .map(_.getPath.getName.stripPrefix(".reserve-v=").toInt)
+  }
+
+  /** Atomically claim version `v`: create-no-overwrite of the
+    * reservation dot-file — the filesystem primitive that FAILS,
+    * never clobbers, when a racing writer got there first (O_EXCL
+    * locally; the if-none-match precondition on object stores). */
+  private[graft] def reserveVersion(spark: SparkSession, dir: String,
+      v: Int): Boolean = synchronized {
+    // synchronized: Hadoop's LOCAL filesystem implements
+    // create(overwrite=false) as exists-then-create (a window HDFS and
+    // preconditioned object stores don't have) — the JVM lock closes
+    // it for same-process writers, the FS primitive remains the
+    // cross-process guard on real deployments
+    val (fs, _) = hfs(spark, dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_log"))
+    try {
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$dir/_log/.reserve-v=$v"), false).close()
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** OPTIMISTIC-CONCURRENCY append — the commit protocol that lets
+    * INDEPENDENT WRITERS ingest into one layout without a coordinator
+    * (the Delta OCC shape): probe the next free version (committed ∪
+    * reserved), claim it with [[reserveVersion]]'s atomic
+    * create-no-overwrite, and land data + log under the claimed
+    * version; a loser re-probes and retries at the next slot. Blind
+    * appends have an empty read-set, so first-claim-wins IS
+    * serializable — no conflict detection needed; rewrite commits
+    * (merge/delete/compact) would additionally need read-set
+    * validation against the winner's changes, which is why they stay
+    * single-writer here (documented). A crash after claiming leaves a
+    * version GAP — harmless: readers resolve through the log and
+    * gaps simply don't exist there. Returns the committed version. */
+  def commitAppendAtomic(spark: SparkSession, batch: DataFrame,
+      keyCol: String, dir: String, nShards: Int, ts: Long = -1L,
+      maxAttempts: Int = 64): Int = {
+    var attempt = math.max(currentVersion(spark, dir),
+      reservedVersions(spark, dir).foldLeft(-1)(math.max)) + 1
+    var tries = 0
+    while (tries < maxAttempts) {
+      if (reserveVersion(spark, dir, attempt))
+        return commitAs(spark, batch, keyCol, dir, nShards, attempt, ts)
+      tries += 1
+      attempt = math.max(attempt + 1,
+        math.max(currentVersion(spark, dir),
+          reservedVersions(spark, dir).foldLeft(-1)(math.max)) + 1)
+    }
+    sys.error(s"commitAppendAtomic: no free version after $maxAttempts " +
+      s"attempts at $dir — writer storm or leaked reservations")
+  }
+
   /** Commit timestamps, version-ordered, with the Delta-recipe
     * READ-SIDE monotonicity adjustment: each version's effective ts is
     * max(its recorded ts, previous effective + 1), so AS-OF-TIMESTAMP

@@ -1061,6 +1061,45 @@ class ExportSpec extends AnyFunSuite {
     assert(snap.count() == 0 && snap.columns.contains("doc_id"))
   }
 
+  test("q195 OCC: claimed slots refuse second claimants, losers advance, crashed reservations leave gaps") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("occ")
+    // reservation semantics: first claim wins, second claim on the
+    // same slot refuses
+    assert(VersionedShards.reserveVersion(spark, dir, 0))
+    assert(!VersionedShards.reserveVersion(spark, dir, 0),
+      "a claimed version accepted a second claimant")
+    // v0 is reserved-but-never-committed (a crashed writer): the next
+    // atomic append must SKIP it, and the gap must stay harmless
+    val landed = VersionedShards.commitAppendAtomic(spark,
+      docs.limit(7), "doc_id", dir, 16)
+    assert(landed == 1, s"atomic append reused a crashed reservation: $landed")
+    assert(VersionedShards.readAsOf(spark, dir, 1).count() == 7,
+      "the gap at v0 broke the snapshot read")
+    val second = VersionedShards.commitAppendAtomic(spark,
+      docs.filter(col("doc_id") >= 7 && col("doc_id") < 10), "doc_id",
+      dir, 16)
+    assert(second == 2)
+    assert(VersionedShards.readAsOf(spark, dir, 2).count() == 10)
+    // 16 genuinely concurrent single-doc writers: every commit lands
+    // whole at a distinct version
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val versions = Await.result(Future.sequence((20L until 36L).map { i =>
+      Future(VersionedShards.commitAppendAtomic(spark,
+        docs.filter(col("doc_id") === i), "doc_id", dir, 16))
+    }), 5.minutes)
+    assert(versions.toSet.size == 16,
+      s"racing writers shared a version: $versions")
+    val cur = VersionedShards.currentVersion(spark, dir)
+    assert(VersionedShards.readAsOf(spark, dir, cur).count() == 10 + 16,
+      "a racing writer's commit was lost")
+  }
+
   test("q163 registry run: equals q153's full manifest after the append-then-compact lifecycle") {
     val full = queries.Export.q153.run(spark, TestSpark.sf0001)
     val comp = queries.Export.q163.run(spark, TestSpark.sf0001)
