@@ -497,5 +497,85 @@ object StatsOps {
           AS mean_y_cuped_milli
       FROM t"""))
 
-  val all: Seq[Q] = Seq(q81, q82, q84, q85, q86, q87, q170, q192)
+  /** Core of q196: MIX-SHIFT DECOMPOSITION of a rate change between
+    * two periods (the Oaxaca/Kitagawa-style "why did the overall
+    * number move" analysis every metrics review runs): the overall
+    * fulfilled-rate change from period 1 to period 2 splits, per
+    * segment, into a WITHIN term (the segment's own rate moved,
+    * weighted at its new share) and a MIX term (traffic shifted
+    * between segments of different base rates, at old rates) —
+    * Δ = Σ_s w2_s·(r2_s − r1_s) + Σ_s (w2_s − w1_s)·r1_s, the exact
+    * asymmetric decomposition. Without this split, a flat overall rate
+    * routinely hides "every segment got worse but mix moved toward the
+    * better segment" — the classic Simpson trap q64-style monitoring
+    * can't see.
+    *
+    * All-integer: counts → ppm rates/weights by integer DIV, the two
+    * contribution terms DIV-truncated from exact products — identical
+    * truncation both engines; the suite asserts the conservation law
+    * (Σ within + Σ mix = overall Δ) to segment-count ppm truncation.
+    *
+    * Scale shape: ONE map-side-combined pass over the fact table
+    * (conditional counts per segment), a 1-row totals broadcast, and a
+    * segments-sized output — no joins wider than the segment dim. */
+  def mixShift(orders: org.apache.spark.sql.DataFrame,
+      y1: Int = 1995, y2: Int = 1996): org.apache.spark.sql.DataFrame = {
+    val yr = year(to_date(col("o_orderdate")))
+    val seg = orders
+      .filter(col("o_orderdate").isNotNull && (yr === y1 || yr === y2))
+      .groupBy(coalesce(col("o_orderpriority"), lit("(null)"))
+        .as("segment"))
+      .agg(count(when(yr === y1, 1)).as("n1"),
+        count(when(yr === y1 && col("o_orderstatus") === "F", 1)).as("f1"),
+        count(when(yr === y2, 1)).as("n2"),
+        count(when(yr === y2 && col("o_orderstatus") === "F", 1)).as("f2"))
+    val totals = seg.agg(sum(col("n1")).as("tn1"), sum(col("n2")).as("tn2"))
+    seg.crossJoin(broadcast(totals))
+      .withColumn("r1_ppm", expr("(f1 * 1000000) DIV nullif(n1, 0)"))
+      .withColumn("r2_ppm", expr("(f2 * 1000000) DIV nullif(n2, 0)"))
+      .withColumn("w1_ppm", expr("(n1 * 1000000) DIV nullif(tn1, 0)"))
+      .withColumn("w2_ppm", expr("(n2 * 1000000) DIV nullif(tn2, 0)"))
+      .withColumn("within_ppm",
+        expr("(w2_ppm * (r2_ppm - r1_ppm)) DIV 1000000"))
+      .withColumn("mix_ppm",
+        expr("((w2_ppm - w1_ppm) * r1_ppm) DIV 1000000"))
+      .select(col("segment"), col("n1"), col("n2"),
+        col("r1_ppm"), col("r2_ppm"), col("w1_ppm"), col("w2_ppm"),
+        col("within_ppm"), col("mix_ppm"))
+  }
+
+  /** q196 — per-segment within/mix decomposition of the fulfilled-rate
+    * change, exact integer ppm. */
+  val q196: Q = Q(
+    "q196_mix_shift",
+    run = { (spark, dir) => mixShift(Tables.orders(spark, dir)) },
+    oracle = Some("""
+      WITH seg AS (
+        SELECT COALESCE(o_orderpriority, '(null)') AS segment,
+          CAST(count(*) FILTER (WHERE year(CAST(o_orderdate AS TIMESTAMP))
+            = 1995) AS BIGINT) AS n1,
+          CAST(count(*) FILTER (WHERE year(CAST(o_orderdate AS TIMESTAMP))
+            = 1995 AND o_orderstatus = 'F') AS BIGINT) AS f1,
+          CAST(count(*) FILTER (WHERE year(CAST(o_orderdate AS TIMESTAMP))
+            = 1996) AS BIGINT) AS n2,
+          CAST(count(*) FILTER (WHERE year(CAST(o_orderdate AS TIMESTAMP))
+            = 1996 AND o_orderstatus = 'F') AS BIGINT) AS f2
+        FROM orders
+        WHERE o_orderdate IS NOT NULL
+          AND year(CAST(o_orderdate AS TIMESTAMP)) IN (1995, 1996)
+        GROUP BY 1),
+      t AS (SELECT CAST(sum(n1) AS BIGINT) AS tn1,
+              CAST(sum(n2) AS BIGINT) AS tn2 FROM seg),
+      r AS (SELECT seg.*,
+              (f1 * 1000000) // nullif(n1, 0) AS r1_ppm,
+              (f2 * 1000000) // nullif(n2, 0) AS r2_ppm,
+              (n1 * 1000000) // nullif(tn1, 0) AS w1_ppm,
+              (n2 * 1000000) // nullif(tn2, 0) AS w2_ppm
+            FROM seg CROSS JOIN t)
+      SELECT segment, n1, n2, r1_ppm, r2_ppm, w1_ppm, w2_ppm,
+        (w2_ppm * (r2_ppm - r1_ppm)) // 1000000 AS within_ppm,
+        ((w2_ppm - w1_ppm) * r1_ppm) // 1000000 AS mix_ppm
+      FROM r"""))
+
+  val all: Seq[Q] = Seq(q81, q82, q84, q85, q86, q87, q170, q192, q196)
 }

@@ -442,6 +442,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out("Y") == (("2024-01-01", -20L, 4L, 60L)), s"$out")
   }
 
+  test("q196 mix-shift: within+mix contributions conserve the overall rate change to truncation") {
+    val out = queries.StatsOps.q196.run(spark, dir).collect()
+    assert(out.nonEmpty)
+    val within = out.map(_.getLong(7)).sum
+    val mix = out.map(_.getLong(8)).sum
+    // independent overall rates straight from the fixture
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate").isNotNull)
+    def rate(y: Int): Long = {
+      val yr = o.filter(year(to_date(col("o_orderdate"))) === y)
+      val n = yr.count(); val f = yr.filter(col("o_orderstatus") === "F").count()
+      f * 1000000L / n
+    }
+    val delta = rate(1996) - rate(1995)
+    // each of the 2·#segments contribution terms truncates < 1 ppm,
+    // and each of the 4·#segments rate/weight inputs contributes < 1
+    // ppm more through the products
+    val tol = 6L * out.length + 2
+    assert(math.abs(within + mix - delta) <= tol,
+      s"decomposition $within + $mix != overall Δ $delta (tol $tol)")
+    // the within term must reflect real per-segment movement: at least
+    // one segment's rate changed
+    assert(out.exists(r => r.getLong(3) != r.getLong(4)))
+  }
+
   test("q192 CUPED: perfectly-correlated covariate equalizes adjusted means at the global mean") {
     import java.sql.Timestamp
     // every user's post-period count EQUALS their pre-period count
