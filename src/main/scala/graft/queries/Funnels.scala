@@ -936,6 +936,69 @@ object Funnels {
           // count(*) AS hit_ppm
       FROM test GROUP BY cur_type"""))
 
+  /** Core of q197: the DEADLINE (windowed) funnel — q61's ordered
+    * stages with per-transition conversion windows (click within 24 h
+    * of first view, purchase within 72 h of that click), the
+    * product-analytics semantics every funnel tool actually ships:
+    * without deadlines a purchase three weeks after an unrelated view
+    * "converts", inflating every step. A user who clicks only outside
+    * the window counts as NOT converted at that stage — exactly as if
+    * the click never happened — and later stages cannot resurrect them
+    * (the windows chain off the QUALIFYING earlier event).
+    *
+    * Parity/scale: same shape as q61 — stage filters are min()
+    * aggregates under an added upper bound (exact microsecond
+    * interval arithmetic in both engines), user-keyed shuffles only. */
+  def deadlineFunnel(events: DataFrame,
+      clickHours: Int = 24, purchaseHours: Int = 72): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("t_view") &&
+        col("ts") <= col("t_view") + expr(s"INTERVAL $clickHours HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("t_click") &&
+        col("ts") <= col("t_click") + expr(s"INTERVAL $purchaseHours HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"),
+        col("t_purchase"),
+        (lit(1) +
+          when(col("t_click").isNotNull, 1).otherwise(0) +
+          when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+  }
+
+  /** q197 — windowed funnel: stages only count inside their
+    * conversion deadlines. */
+  val q197: Q = Q(
+    "q197_funnel_deadline",
+    run = { (spark, dir) => deadlineFunnel(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events),
+      v AS (SELECT user_id, min(ts) AS t_view FROM e
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.ts) AS t_click FROM e
+            JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+              AND e.ts <= v.t_view + INTERVAL 24 HOUR
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e
+            JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+              AND e.ts <= c.t_click + INTERVAL 72 HOUR
+            GROUP BY e.user_id)
+      SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        CAST(1 + (CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END)
+               + (CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+             AS INTEGER) AS stage
+      FROM v LEFT JOIN c ON c.user_id = v.user_id
+             LEFT JOIN p ON p.user_id = v.user_id"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q75, q77, q100, q107, q172,
-    q177, q180, q181, q185, q187, q188, q193)
+    q177, q180, q181, q185, q187, q188, q193, q197)
 }

@@ -222,5 +222,164 @@ object Warehouse {
         state_since AS state_since_us
       FROM m WHERE kind = 1"""))
 
-  val all: Seq[Q] = Seq(q93, q94, q171)
+  /** Core of q198: RFM SEGMENTATION (recency / frequency / monetary —
+    * the classic customer-value scoring every CRM warehouse computes):
+    * per customer, days since last order (relative to the corpus max
+    * date — deterministic, not wall-clock), order count, and exact-
+    * decimal spend, each scored 1..5 by quintile CUTPOINTS — the q76
+    * no-global-window recipe (one grouped percentile aggregate,
+    * broadcast back, per-row fold over a 4-element literal array;
+    * value ties land in the same quintile, deterministic where ntile's
+    * arbitrary tie-split is not). Recency scores INVERTED (most recent
+    * = 5). Monetary sums use the q04 exact-decimal discipline so the
+    * cutpoint comparisons see bit-identical doubles in both engines.
+    *
+    * Scale shape: one customer-keyed hash-agg over orders (the only
+    * corpus shuffle), a 1-row cutpoint broadcast, a per-row fold. */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val base = orders
+      .filter(col("o_orderdate").isNotNull && col("o_custkey").isNotNull)
+    val perCust = base.groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(12,4)")).as("monetary_d"))
+    val anchor = base.agg(max(to_date(col("o_orderdate"))).as("max_d"))
+    val rfm = perCust.crossJoin(broadcast(anchor))
+      .select(col("o_custkey"),
+        datediff(col("max_d"), col("last_d")).as("recency_days"),
+        col("frequency"),
+        col("monetary_d").cast("double").as("monetary"))
+    val cuts = rfm.agg(
+      percentile(col("recency_days"),
+        array((1 to 4).map(i => lit(i / 5.0)): _*)).as("rc"),
+      percentile(col("frequency"),
+        array((1 to 4).map(i => lit(i / 5.0)): _*)).as("fc"),
+      percentile(col("monetary"),
+        array((1 to 4).map(i => lit(i / 5.0)): _*)).as("mc"))
+    rfm.crossJoin(broadcast(cuts))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        expr("5 - size(filter(rc, c -> c < recency_days))").as("r_score"),
+        expr("1 + size(filter(fc, c -> c < frequency))").as("f_score"),
+        expr("1 + size(filter(mc, c -> c < monetary))").as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+  }
+
+  /** q198 — per-customer RFM quintile scores + segment code. */
+  val q198: Q = Q(
+    "q198_rfm_segments",
+    run = { (spark, dir) => rfmSegments(Tables.orders(spark, dir)) },
+    oracle = Some("""
+      WITH base AS (SELECT o_custkey,
+                      CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+                      CAST(o_totalprice AS DECIMAL(12,4)) AS p
+                    FROM orders
+                    WHERE o_orderdate IS NOT NULL
+                      AND o_custkey IS NOT NULL),
+      pc AS (SELECT o_custkey, max(d) AS last_d,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(p) AS DOUBLE) AS monetary
+             FROM base GROUP BY 1),
+      a AS (SELECT max(d) AS max_d FROM base),
+      rfm AS (SELECT o_custkey,
+                CAST(date_diff('day', last_d, max_d) AS INTEGER)
+                  AS recency_days,
+                frequency, monetary
+              FROM pc CROSS JOIN a),
+      cuts AS (SELECT
+          quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rc,
+          quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fc,
+          quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc
+        FROM rfm)
+      SELECT o_custkey, recency_days, frequency, monetary,
+        CAST(5 - len(list_filter(rc, c -> c < recency_days)) AS INTEGER)
+          AS r_score,
+        CAST(1 + len(list_filter(fc, c -> c < frequency)) AS INTEGER)
+          AS f_score,
+        CAST(1 + len(list_filter(mc, c -> c < monetary)) AS INTEGER)
+          AS m_score,
+        CAST(5 - len(list_filter(rc, c -> c < recency_days)) AS VARCHAR)
+          || CAST(1 + len(list_filter(fc, c -> c < frequency)) AS VARCHAR)
+          || CAST(1 + len(list_filter(mc, c -> c < monetary)) AS VARCHAR)
+          AS segment
+      FROM rfm CROSS JOIN cuts"""))
+
+  /** Core of q199: REVENUE CONCENTRATION (the decile Lorenz curve —
+    * "what share of revenue do the top customer-spend deciles carry",
+    * the 80/20 readout behind account-tiering and risk decisions):
+    * customers bucket into spend deciles by CUTPOINTS (q76 recipe — a
+    * global rank window cannot survive 100 TB), spend rides exact
+    * integer TEN-THOUSANDTHS (the decimal sum scaled out — no double
+    * aggregation anywhere), and each decile row carries its customer
+    * count, spend share, and CUMULATIVE share in exact ppm. The
+    * cumulative sum runs over the ≤10-row decile aggregate via a
+    * broadcast triangle join — never a partition-less window.
+    *
+    * Integer headroom: shares widen through DECIMAL(38,0) before the
+    * ×1e6 (total spend in 1e-4 units exceeds BIGINT·1e6 at ~9e8 in
+    * revenue — reachable; the decimal product is exact). */
+  def revenueConcentration(orders: DataFrame): DataFrame = {
+    val spend = orders
+      .filter(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(12,4)")) * 10000)
+        .cast("long").as("cents"))
+    val cuts = spend.agg(percentile(col("cents"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
+    val byDecile = spend.crossJoin(broadcast(cuts))
+      .select(col("cents"),
+        expr("size(filter(cuts, c -> c < cents))").as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("d_cents"))
+    val total = byDecile.agg(sum(col("d_cents")).as("t_cents"))
+    val shared = byDecile.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr(
+        "CAST((CAST(d_cents AS DECIMAL(38,0)) * 1000000) DIV t_cents AS BIGINT)"))
+    // cumulative share over the ≤10-row decile frame: broadcast
+    // triangle join (d2 ≤ d), never a global window
+    shared.alias("a")
+      .join(broadcast(shared.select(col("decile").as("d2"),
+        col("d_cents").as("c2"))), col("d2") <= col("decile"))
+      .groupBy(col("decile"), col("n_customers"), col("d_cents"),
+        col("t_cents"), col("share_ppm"))
+      .agg(sum(col("c2")).as("cum_cents"))
+      .select(col("decile"), col("n_customers"), col("share_ppm"),
+        expr("CAST((CAST(cum_cents AS DECIMAL(38,0)) * 1000000) DIV t_cents AS BIGINT)")
+          .as("cum_share_ppm"))
+  }
+
+  /** q199 — customer-spend decile Lorenz shares, exact integer ppm. */
+  val q199: Q = Q(
+    "q199_revenue_concentration",
+    run = { (spark, dir) =>
+      revenueConcentration(Tables.orders(spark, dir))
+    },
+    oracle = Some("""
+      WITH spend AS (
+        SELECT o_custkey,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) * 10000 AS BIGINT)
+            AS cents
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1),
+      cuts AS (SELECT quantile_cont(cents,
+                 [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+               FROM spend),
+      d AS (SELECT len(list_filter(cuts.cuts, c -> c < cents)) AS decile,
+              cents
+            FROM spend CROSS JOIN cuts),
+      g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+              CAST(sum(cents) AS BIGINT) AS d_cents
+            FROM d GROUP BY 1),
+      t AS (SELECT CAST(sum(d_cents) AS HUGEINT) AS t_cents FROM g)
+      SELECT CAST(g.decile AS INTEGER) AS decile, g.n_customers,
+        CAST((CAST(g.d_cents AS HUGEINT) * 1000000) // t.t_cents
+          AS BIGINT) AS share_ppm,
+        CAST((CAST((SELECT sum(g2.d_cents) FROM g g2
+                    WHERE g2.decile <= g.decile) AS HUGEINT) * 1000000)
+          // t.t_cents AS BIGINT) AS cum_share_ppm
+      FROM g CROSS JOIN t"""))
+
+  val all: Seq[Q] = Seq(q93, q94, q171, q198, q199)
 }

@@ -467,6 +467,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.exists(r => r.getLong(3) != r.getLong(4)))
   }
 
+  test("q197 deadline funnel: out-of-window clicks don't convert and can't be resurrected by later stages") {
+    import java.sql.Timestamp
+    def h(hours: Long) = new Timestamp(hours * 3600 * 1000L)
+    val events = Seq(
+      // u1: click at +2h (in), purchase at +50h after click (in 72h)
+      (1L, h(0), 1L, "view"), (2L, h(2), 1L, "click"),
+      (3L, h(52), 1L, "purchase"),
+      // u2: click at +25h — OUTSIDE the 24h window; the purchase right
+      // after must NOT count (no qualifying click exists)
+      (4L, h(0), 2L, "view"), (5L, h(25), 2L, "click"),
+      (6L, h(26), 2L, "purchase"),
+      // u3: click in-window at +1h, purchase at +80h after click —
+      // outside the 72h purchase window
+      (7L, h(0), 3L, "view"), (8L, h(1), 3L, "click"),
+      (9L, h(81), 3L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = queries.Funnels.deadlineFunnel(events).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2), s"$out")
+    // the UNBOUNDED funnel would have converted u2 and u3 fully —
+    // the deadline is what separates the two operators
+    val unbounded = queries.Funnels.funnel(events).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(unbounded == Map(1L -> 3, 2L -> 3, 3L -> 3), s"$unbounded")
+  }
+
   test("q192 CUPED: perfectly-correlated covariate equalizes adjusted means at the global mean") {
     import java.sql.Timestamp
     // every user's post-period count EQUALS their pre-period count

@@ -167,4 +167,58 @@ class WarehouseSpec extends AnyFunSuite {
     // since-ts never after the purchase ts
     assert(out.filter(col("state_since_us") > col("ts_us")).count() == 0)
   }
+
+  test("q198 RFM: quintiles near-partition customers, recency score inverts, scores agree with raw ranks") {
+    val out = queries.Warehouse.q198.run(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))
+    assert(out.nonEmpty)
+    // each score dimension spans 1..5 and no quintile exceeds a 2/5
+    // share plus ties (value-cutpoint semantics put ties together)
+    Seq[((Long, Int, Long, Double, Int, Int, Int)) => Int](
+      _._5, _._6, _._7).foreach { f =>
+      val scores = out.map(f)
+      assert(scores.forall(s => s >= 1 && s <= 5), "score outside 1..5")
+      assert(scores.toSet.size >= 3, "degenerate quintiles")
+    }
+    // inversion law: the customer(s) with the SMALLEST recency_days
+    // carry the maximal r_score; the largest recency_days the minimal
+    val minR = out.map(_._2).min; val maxR = out.map(_._2).max
+    val rAtMin = out.filter(_._2 == minR).map(_._5).toSet
+    val rAtMax = out.filter(_._2 == maxR).map(_._5).toSet
+    assert(rAtMin.forall(a => out.map(_._5).forall(a >= _)),
+      "most recent customer not at the top recency score")
+    assert(rAtMax.forall(a => out.map(_._5).forall(a <= _)),
+      "least recent customer not at the bottom recency score")
+    // monotone: higher monetary never gets a lower m_score
+    out.sortBy(_._4).sliding(2).foreach {
+      case Array(a, b) => assert(a._7 <= b._7,
+        s"monetary ${a._4}→${b._4} dropped m_score ${a._7}→${b._7}")
+      case _ =>
+    }
+  }
+
+  test("q199 Lorenz: shares conserve to ppm truncation, cumulative is monotone, the top decile dominates") {
+    val out = queries.Warehouse.q199.run(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.nonEmpty && out.length <= 10)
+    val shareSum = out.map(_._3).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - out.length,
+      s"decile shares sum to $shareSum")
+    assert(out.last._4 > 1000000L - out.length.toLong &&
+      out.last._4 <= 1000000L, s"cumulative does not close: ${out.last}")
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4 <= b._4, "cumulative share not monotone")
+        // per-CUSTOMER spend is monotone across deciles by construction
+        // (value cutpoints); per-decile TOTALS need not be — tie skew
+        // can pile customers into one decile
+        assert(a._3 / a._2 <= b._3 / b._2 + 2,
+          s"per-customer share dropped across deciles: $a -> $b")
+      case _ =>
+    }
+    assert(out.last._3 / out.last._2 >= out.head._3 / out.head._2,
+      "top spend decile does not dominate the bottom per customer")
+  }
 }
