@@ -725,7 +725,10 @@ object VersionedShards {
     * breaks the clone's reads LOUDLY (the readAsOf missing-file
     * require), exactly as Delta documents for shallow clones. An
     * all-empty source clones as an empty layout carrying the source's
-    * schema marker so day-0 reads stay schema-bearing. Returns the
+    * schema marker so day-0 reads stay schema-bearing. Scope: clone and
+    * source must live on the SAME filesystem — imports are recorded as
+    * scheme-less absolute paths (a cross-fs clone would need
+    * fully-qualified URIs carried through every reader). Returns the
     * clone's version (always 0). */
   def cloneLayout(spark: SparkSession, srcDir: String, dstDir: String,
       ts: Long = -1L): Int = {
