@@ -168,7 +168,13 @@ object VersionedShards {
       fs.create(new org.apache.hadoop.fs.Path(
         s"$dir/_log/.reserve-v=$v"), false).close()
       true
-    } catch { case _: java.io.IOException => false }
+    } catch {
+      // ONLY already-exists is "lost the race"; any other IOException
+      // (permissions, full disk) must surface — swallowing it would
+      // walk all 64 candidate slots and misreport a writer storm
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException        => false
+    }
   }
 
   /** OPTIMISTIC-CONCURRENCY append — the commit protocol that lets
@@ -215,11 +221,16 @@ object VersionedShards {
     if (!fs.exists(logRoot)) return Nil
     val raw = fs.listStatus(logRoot).toSeq
       .filter(d => d.isDirectory && d.getPath.getName.startsWith("v="))
-      .flatMap { d =>
+      .map { d =>
         val v = d.getPath.getName.stripPrefix("v=").toInt
-        fs.listStatus(d.getPath).toSeq
+        // a crash between the log parquet write and the _ts marker
+        // create leaves a version VISIBLE to currentVersion/readAsOf;
+        // fall back to the log dir's mtime (the Delta recipe) so
+        // AS-OF-TIMESTAMP reads never silently resolve past it
+        val marker = fs.listStatus(d.getPath).toSeq
           .map(_.getPath.getName).find(_.startsWith("_ts."))
-          .map(n => v -> n.stripPrefix("_ts.").toLong)
+          .map(_.stripPrefix("_ts.").toLong)
+        v -> marker.getOrElse(fs.getFileStatus(d.getPath).getModificationTime)
       }.sortBy(_._1)
     var eff = Long.MinValue
     raw.map { case (v, t) =>
@@ -639,20 +650,25 @@ object VersionedShards {
     * BOTH snapshots contributes identical rows to both sides and can
     * never produce a change — the job therefore scans ONLY the
     * symmetric difference of the two live-file sets (log-resolved,
-    * driver-side) and anti-joins those two delta-sized scans on
-    * (key, whole-row fingerprint). Rows a compaction merely moved
-    * between files appear in both scans and cancel. At 100 TB:
-    * "what changed since yesterday" costs the touched files — batch +
-    * rewrite fan-out — never the two full snapshots [[readDiffRows]]
-    * resolves.
+    * driver-side) and diffs those two delta-sized scans as per-(key,
+    * fingerprint) MULTISETS. Rows a compaction merely moved between
+    * files appear in both scans with equal counts and cancel. At
+    * 100 TB: "what changed since yesterday" costs the touched files —
+    * batch + rewrite fan-out — never the two full snapshots
+    * [[readDiffRows]] resolves.
     *
-    * Semantics note: the cancellation is per (key, fingerprint) SET
-    * within each scan pair, matching [[readDiffRows]]; a row
+    * Semantics note: the fold is MULTIPLICITY-exact — each (key,
+    * fingerprint) group contributes |signed count difference| rows, so
+    * a rewrite that drops one of two fully-duplicate rows reports
+    * exactly one delete (a per-group SET anti-join would report
+    * nothing and silently drift any maintained aggregate). A row
     * content-identical to one in an untouched common file still
     * reports (its file changed membership) — the multiset reading an
     * aggregate consumer wants. The fingerprint is engine-internal
     * (to_json over sorted column names; null fields omitted, so
-    * evolved null-filled columns don't fake changes). */
+    * evolved null-filled columns don't fake changes; rows sharing a
+    * fingerprint are therefore column-for-column identical, which is
+    * what lets one representative row stand in for its group). */
   def readChanges(spark: SparkSession, dir: String, from: Int,
       to: Int, keyCol: String): DataFrame = {
     require(from < to, s"changes need from < to, got $from..$to")
@@ -669,17 +685,34 @@ object VersionedShards {
       else Some(keyed(readFileSet(spark, dir, onlyTo)))
     val dFrom = if (onlyFrom.isEmpty) None
       else Some(keyed(readFileSet(spark, dir, onlyFrom)))
-    def anti(a: DataFrame, b: Option[DataFrame], tag: String) =
-      b.fold(a) { other =>
-        a.join(other.select(col(keyCol), col("_fp")),
-          Seq(keyCol, "_fp"), "left_anti")
-      }.drop("_fp").withColumn("_change", lit(tag))
-    (dTo.map(anti(_, dFrom, "insert")), dFrom.map(anti(_, dTo, "delete"))) match {
-      case (Some(i), Some(d)) => i.unionByName(d, allowMissingColumns = true)
-      case (Some(i), None)    => i
-      case (None, Some(d))    => d
-      case _                  => throw new IllegalStateException("unreachable")
+    // one side untouched → the other's multiset IS the change set
+    (dTo, dFrom) match {
+      case (Some(t), None) =>
+        return t.drop("_fp").withColumn("_change", lit("insert"))
+      case (None, Some(f)) =>
+        return f.drop("_fp").withColumn("_change", lit("delete"))
+      case _ => ()
     }
+    // both sides touched: per-(key,fp) signed count diff, one
+    // representative row per group re-expanded |diff| times
+    def repCounts(d: DataFrame, side: String) = {
+      val dataCols = d.columns.filter(_ != "_fp").toIndexedSeq
+      d.groupBy(col(keyCol), col("_fp"))
+        .agg(count(lit(1)).as(s"_cnt_$side"),
+          first(struct(dataCols.map(col): _*)).as(s"_row_$side"))
+    }
+    val joined = repCounts(dTo.get, "to")
+      .join(repCounts(dFrom.get, "from"), Seq(keyCol, "_fp"), "full_outer")
+      .withColumn("_n",
+        coalesce(col("_cnt_to"), lit(0L)) - coalesce(col("_cnt_from"), lit(0L)))
+    def expand(side: String, tag: String) =
+      joined.filter(if (tag == "insert") col("_n") > 0 else col("_n") < 0)
+        .select(explode(array_repeat(col(s"_row_$side"),
+          abs(col("_n")).cast("int"))).as("_row"))
+        .select(col("_row.*"))
+        .withColumn("_change", lit(tag))
+    expand("to", "insert")
+      .unionByName(expand("from", "delete"), allowMissingColumns = true)
   }
 
   /** VACUUM: physically delete files logged `remove`d at any version

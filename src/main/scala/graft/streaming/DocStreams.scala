@@ -275,11 +275,19 @@ object DocStreams {
           lakeDir, nShards, batchId.toInt)
         val fs = new org.apache.hadoop.fs.Path(outDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val prior = ((batchId - 1) to 0L by -1).iterator
-          .map(i => new org.apache.hadoop.fs.Path(s"$outDir/mv_$i"))
-          .find(fs.exists)
-          .map(p => spark.read.parquet(p.toString))
-          .getOrElse(graft.queries.Export.groupedMv(batch.limit(0)))
+        // the fold's input state MUST be exactly the previous batch's
+        // view: folding onto any OLDER mv_k would silently skip the
+        // intermediate deltas — fail loudly instead (outDir/checkpoint
+        // mismatch or manual cleanup)
+        val prior =
+          if (batchId == 0L) graft.queries.Export.groupedMv(batch.limit(0))
+          else {
+            val p = new org.apache.hadoop.fs.Path(s"$outDir/mv_${batchId - 1}")
+            require(fs.exists(p), s"incrementalMvSink: prior view " +
+              s"mv_${batchId - 1} missing under $outDir — refusing to fold " +
+              s"batch $batchId onto a stale view")
+            spark.read.parquet(p.toString)
+          }
         val changes = graft.sinks.VersionedShards.readChanges(spark,
           lakeDir, batchId.toInt - 1, batchId.toInt, "doc_id")
         graft.queries.Export.mvApply(prior, changes)

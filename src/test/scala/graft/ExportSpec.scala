@@ -878,6 +878,85 @@ class ExportSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("readChanges is multiplicity-exact: dropping one of two duplicate rows reports one delete") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("mult")
+    val one = docs.filter(col("doc_id") === 5L)
+    // v0 carries doc 5 TWICE (two fully-identical rows, same key)
+    VersionedShards.commitAppend(spark,
+      docs.filter(col("doc_id") < 40).unionByName(one), "doc_id", dir, 16)
+    assert(VersionedShards.readAsOf(spark, dir, 0)
+      .filter(col("doc_id") === 5L).count() == 2)
+    // the merge upsert collapses key 5 to ONE copy, content unchanged:
+    // a per-(key,fp) SET anti-join would report zero changes here and
+    // silently drift every maintained aggregate by one row
+    VersionedShards.mergeCommit(spark, one, "doc_id", dir, 16)
+    val ch = VersionedShards.readChanges(spark, dir, 0, 1, "doc_id")
+    assert(ch.filter(col("_change") === "insert").count() == 0)
+    val dels = ch.filter(col("_change") === "delete")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(dels == Seq(5L),
+      s"expected exactly one delete of doc 5, got $dels")
+    // and the incremental fold across it equals the full recompute
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val maintained = queries.Export.mvApply(
+      queries.Export.groupedMv(VersionedShards.readAsOf(spark, dir, 0)),
+      ch)
+    val recomputed = queries.Export.groupedMv(
+      VersionedShards.readAsOf(spark, dir, 1))
+    assert(asMap(maintained) == asMap(recomputed),
+      "maintained MV diverged from the recompute on a multiplicity change")
+  }
+
+  test("commitTimestamps survives a crash-orphaned version (no _ts marker) via the log dir's mtime") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("nots")
+    VersionedShards.commitAppend(spark, docs.limit(5), "doc_id", dir, 16,
+      ts = 5000L)
+    VersionedShards.commitAppend(spark, docs.limit(9), "doc_id", dir, 16,
+      ts = 7000L)
+    // simulate the crash window: v1's log parquet landed but the _ts
+    // marker never did
+    val v1 = new java.io.File(s"$dir/_log/v=1")
+    v1.listFiles().filter(_.getName.startsWith("_ts.")).foreach(f =>
+      assert(f.delete()))
+    val ts = VersionedShards.commitTimestamps(spark, dir)
+    assert(ts.map(_._1) == Seq(0, 1),
+      s"a marker-less committed version vanished from the timeline: $ts")
+    assert(ts.head == (0 -> 5000L))
+    // the mtime fallback is a real wall-clock ⇒ later than the fixed
+    // test stamp, and monotonicity still holds
+    assert(ts(1)._2 > ts.head._2)
+    // an AS-OF read after the orphaned commit resolves to v1, never
+    // silently to v0 (v1's rows ARE visible to version reads)
+    assert(VersionedShards.versionAt(spark, dir, Long.MaxValue) == 1)
+  }
+
+  test("reserveVersion: the lost-race signal is exactly the already-exists exception type we catch") {
+    import graft.sinks.VersionedShards
+    val dir = tmp("rsv")
+    assert(VersionedShards.reserveVersion(spark, dir, 3))
+    // pin the FS contract the narrowed catch relies on: a double
+    // create(overwrite=false) throws *FileAlreadyExists*, so any OTHER
+    // IOException (permissions, full disk) provably escapes instead of
+    // being misread as a writer storm
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_log/.reserve-v=3")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ex = intercept[java.io.IOException] { fs.create(p, false).close() }
+    assert(ex.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException]
+      || ex.isInstanceOf[java.nio.file.FileAlreadyExistsException],
+      s"unexpected lost-race exception type: ${ex.getClass}")
+    assert(!VersionedShards.reserveVersion(spark, dir, 3))
+  }
+
   test("q182 MV maintenance across a MERGE equals the full recompute; compaction produces a no-op fold") {
     import graft.sinks.VersionedShards
     val docs = Tables.documents(spark, TestSpark.sf0001)
