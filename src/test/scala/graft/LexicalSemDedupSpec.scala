@@ -293,4 +293,52 @@ class LexicalSemDedupSpec extends AnyFunSuite {
     assert(!out.contains((1L, 3L)) && !out.contains((3L, 1L)), s"$out")
     assert(!out.keys.exists(k => k._1 == 4L || k._2 == 4L), s"$out")
   }
+
+  test("q184 positional filter: strict subset of plain prefix candidates, and exact on the fixture") {
+    import org.apache.spark.sql.functions._
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // constructed kill case, shingle table built directly so rank
+    // positions are controlled: docs 1 and 2 share ONE prefix shingle
+    // s at asymmetric positions (pos 1 vs pos 3), so the match bound
+    // ub = 1 + min(pos)−1 + min(sz−pos) = 1+0+9 = 10 < α = 11 prunes
+    // a pair the bare prefix match admits — and rightly so: the pair's
+    // real overlap is 10/14 ≈ 0.71 < 0.8.
+    import spark.implicits._
+    val boiler = (1 to 11).map(i => f"z boiler $i%02d")
+    val shRows: Seq[(Long, String)] =
+      (boiler.map(1L -> _) :+ (1L -> "m shared")) ++          // doc 1: sz 12
+      (boiler.take(9).map(2L -> _) ++
+        Seq(2L -> "m shared", 2L -> "a early1", 2L -> "a early2")) ++ // doc 2
+      (Seq(3L -> "a early1", 3L -> "a early2") ++
+        (1 to 10).map(i => 3L -> f"u uniq $i%02d")) ++        // df-2 donors
+      (for (d <- Seq(10L, 11L, 12L); g <- boiler) yield d -> g) ++ // boilerplate
+      (boiler.map(4L -> _) :+ (4L -> "m shared"))             // doc 4 ≡ doc 1
+    val sh = shRows.toDF("doc_id", "sh")
+    val bare = pairs(Lexical.prefixCandidates(sh, 800, positional = false))
+    val pos = pairs(Lexical.prefixCandidates(sh, 800))
+    assert(pos.subsetOf(bare), s"positional invented candidates: ${pos -- bare}")
+    // the identical pair always survives
+    assert(bare.contains((1L, 4L)) && pos.contains((1L, 4L)), s"$bare / $pos")
+    // the asymmetric-position pair survives the bare prefix match but
+    // not the positional bound — the pruning this filter exists for
+    assert(bare.contains((1L, 2L)),
+      s"constructed pair never became a bare candidate: $bare — test vacuous")
+    assert(!pos.contains((1L, 2L)),
+      s"positional bound failed to prune the low-overlap pair: $pos")
+    // and pruning is EXACT end-to-end: the verified output is identical
+    val outPos = Lexical.prefixJaccardFrom(sh)
+      .select("doc_a", "doc_b", "jac_milli").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(outPos.exists(t => t._1 == 1L && t._2 == 4L && t._3 == 1000L),
+      s"$outPos")
+    assert(!outPos.exists(t => (t._1, t._2) == ((1L, 2L))), s"$outPos")
+    // fixture-level law: never more candidates than the bare prefix join
+    val fsh = Lexical.shingleRows(
+      Tables.documents(spark, TestSpark.sf0001).filter(col("doc_id") < 150))
+    val fBare = pairs(Lexical.prefixCandidates(fsh, 800, positional = false))
+    val fPos = pairs(Lexical.prefixCandidates(fsh, 800))
+    assert(fPos.subsetOf(fBare),
+      s"positional filter invented fixture candidates (${fBare.size} -> ${fPos.size})")
+  }
 }
