@@ -799,6 +799,71 @@ object Export {
     oracle = Some("""
       SELECT doc_id, source, lang, n_chars, text FROM documents"""))
 
+  /** q200's lifecycle: FOUR uncoordinated writers hit one layout —
+    * two appenders (new keys), one MERGE upserter (existing keys), one
+    * compactor — all through the OCC protocols. The interleaving is a
+    * race; the final content is not: appended keys are disjoint from
+    * merge keys, the compaction preserves multisets, and the rewrite
+    * protocols replan on conflict instead of clobbering. */
+  private[graft] def concurrentRewriteLayoutFor(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.operators.SessionCache.memoOn(spark, dir,
+      s"shard-versions-occ-rewrite|$dir|$nShards") {
+      val out = graft.operators.Stage.allocDir(spark, "shards-q200")
+      val docs = docCols(Tables.documents(spark, dir))
+      // base: two interleaved appends → every shard holds 2 runs, so
+      // the racing compactor has real victims to fight over
+      graft.sinks.VersionedShards.commitAppend(spark,
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", out, nShards)
+      graft.sinks.VersionedShards.commitAppend(spark,
+        docs.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2),
+        "doc_id", out, nShards)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writers: Seq[Future[Any]] = Seq(
+        Future(graft.sinks.VersionedShards.commitAppendAtomic(spark,
+          docs.filter(col("doc_id") % 8 === 3), "doc_id", out, nShards)),
+        Future(graft.sinks.VersionedShards.commitAppendAtomic(spark,
+          docs.filter(col("doc_id") % 8 === 7), "doc_id", out, nShards)),
+        Future(graft.sinks.VersionedShards.mergeCommitAtomic(spark,
+          docs.filter(col("doc_id") % 8 === 0)
+            .withColumn("source", lit("merged")),
+          "doc_id", out, nShards)),
+        Future(graft.sinks.VersionedShards.compactCommitAtomic(spark,
+          out, nShards)))
+      Await.result(Future.sequence(writers), 10.minutes): Unit
+      out
+    }
+
+  /** q200 — OPTIMISTIC CONCURRENCY for REWRITE commits (read-set
+    * validation, the Delta conflict-detection shape): a MERGE upsert
+    * and a compaction race two appenders on one layout, no
+    * coordinator. Every rewrite claims its slot atomically, SETTLES
+    * behind earlier claimants, then validates its read-set against the
+    * winners' log rows — a removed victim or an add in a read shard
+    * forces a replan from the fresh snapshot. Hash-green against the
+    * oracle certifies that WHICHEVER interleaving the scheduler
+    * produced, no commit was lost, no row duplicated, and the upsert
+    * landed over every copy of its keys (the failure modes unvalidated
+    * rewrites produce). The suite additionally pins each conflict
+    * class deterministically (victim-removed, add-in-read-shard,
+    * stale-reservation abandonment). */
+  val q200: Q = Q(
+    "q200_concurrent_rewrite",
+    run = { (spark, dir) =>
+      val layout = concurrentRewriteLayoutFor(spark, dir)
+      graft.sinks.VersionedShards.readAsOf(spark, layout,
+          graft.sinks.VersionedShards.currentVersion(spark, layout))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), col("text"))
+    },
+    oracle = Some("""
+      SELECT doc_id,
+        CASE WHEN doc_id % 8 = 0 THEN 'merged' ELSE source END AS source,
+        lang, n_chars, text
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(q153, q155, q158, q163, q166, q167, q173, q174,
-    q175, q178, q179, q182, q183, q186, q191, q194, q195)
+    q175, q178, q179, q182, q183, q186, q191, q194, q195, q200)
 }

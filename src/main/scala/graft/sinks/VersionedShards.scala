@@ -185,27 +185,239 @@ object VersionedShards {
     * version; a loser re-probes and retries at the next slot. Blind
     * appends have an empty read-set, so first-claim-wins IS
     * serializable — no conflict detection needed; rewrite commits
-    * (merge/delete/compact) would additionally need read-set
-    * validation against the winner's changes, which is why they stay
-    * single-writer here (documented). A crash after claiming leaves a
-    * version GAP — harmless: readers resolve through the log and
-    * gaps simply don't exist there. Returns the committed version. */
+    * (merge/delete/compact) additionally validate their read-set
+    * against the winners' changes — [[commitRewriteAtomic]]. A crash
+    * after claiming leaves a version GAP — harmless: readers resolve
+    * through the log and gaps simply don't exist there. Returns the
+    * committed version. */
   def commitAppendAtomic(spark: SparkSession, batch: DataFrame,
       keyCol: String, dir: String, nShards: Int, ts: Long = -1L,
       maxAttempts: Int = 64): Int = {
+    val v = claimNextSlot(spark, dir, maxAttempts)
+    commitAs(spark, batch, keyCol, dir, nShards, v, ts)
+  }
+
+  /** Claim the next free version slot (committed ∪ reserved), probing
+    * upward — the shared claim loop of the append and rewrite OCC
+    * paths. */
+  private def claimNextSlot(spark: SparkSession, dir: String,
+      maxAttempts: Int): Int = {
     var attempt = math.max(currentVersion(spark, dir),
       reservedVersions(spark, dir).foldLeft(-1)(math.max)) + 1
     var tries = 0
     while (tries < maxAttempts) {
-      if (reserveVersion(spark, dir, attempt))
-        return commitAs(spark, batch, keyCol, dir, nShards, attempt, ts)
+      if (reserveVersion(spark, dir, attempt)) return attempt
       tries += 1
       attempt = math.max(attempt + 1,
         math.max(currentVersion(spark, dir),
           reservedVersions(spark, dir).foldLeft(-1)(math.max)) + 1)
     }
-    sys.error(s"commitAppendAtomic: no free version after $maxAttempts " +
+    sys.error(s"claimNextSlot: no free version after $maxAttempts " +
       s"attempts at $dir — writer storm or leaked reservations")
+  }
+
+  /** Versions whose commit COMPLETED: the `_ts.` marker is written
+    * last by [[writeLog]], so its presence is the resolution signal
+    * the OCC settle wait keys on. */
+  private def resolvedVersions(spark: SparkSession,
+      dir: String): Set[Int] = {
+    val (fs, _) = hfs(spark, dir)
+    val logRoot = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    if (!fs.exists(logRoot)) return Set.empty
+    fs.listStatus(logRoot).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("v="))
+      .filter(d => fs.listStatus(d.getPath)
+        .exists(_.getPath.getName.startsWith("_ts.")))
+      .map(_.getPath.getName.stripPrefix("v=").toInt).toSet
+  }
+
+  /** SETTLE: wait until every reserved slot below `vClaim` has either
+    * landed its log (resolved) or gone STALE — its reservation file's
+    * mtime is older than `settleMs`, the abandoned-writer horizon. A
+    * rewrite must not validate while an earlier claimant is still
+    * in flight: that writer's changes would be invisible to the
+    * read-set check yet serialize BEFORE the rewrite. Liveness
+    * contract (documented on [[commitRewriteAtomic]]): a writer lands
+    * its log within `settleMs` of claiming, or is treated as crashed. */
+  private def settleBelow(spark: SparkSession, dir: String, vClaim: Int,
+      settleMs: Long): Unit = {
+    val (fs, _) = hfs(spark, dir)
+    val logRoot = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    while (true) {
+      val resolved = resolvedVersions(spark, dir)
+      val pending =
+        if (!fs.exists(logRoot)) Nil
+        else fs.listStatus(logRoot).toSeq
+          .filter(f => f.isFile &&
+            f.getPath.getName.startsWith(".reserve-v="))
+          .map(f => f.getPath.getName.stripPrefix(".reserve-v=").toInt ->
+            f.getModificationTime)
+          .filter { case (v, _) => v < vClaim && !resolved(v) }
+      if (pending.isEmpty) return
+      val now = System.currentTimeMillis()
+      if (pending.forall { case (_, mt) => now - mt > settleMs }) return
+      Thread.sleep(50)
+    }
+  }
+
+  /** Read-set validation: did any winner — a version committed in
+    * (vRead, vClaim) — change state this rewrite depended on? Two
+    * conflict classes, both decided from LOG METADATA only (never a
+    * data read): a winner REMOVED one of our victim files (it rewrote
+    * rows we also rewrote), or — for key/predicate-scoped rewrites —
+    * a winner ADDED files in a shard whose content we read
+    * (`conflictOnAdd`): those files may hold rows our plan should have
+    * seen. Returns the first conflict's description. */
+  private def validateRewrite(spark: SparkSession, dir: String,
+      vRead: Int, vClaim: Int, victims: Set[String],
+      conflictOnAdd: Int => Boolean): Option[String] = {
+    val winners = resolvedVersions(spark, dir)
+      .filter(w => w > vRead && w < vClaim).toSeq.sorted
+    winners.iterator.flatMap { w =>
+      spark.read.schema(logSchema).parquet(s"$dir/_log/v=$w").collect()
+        .iterator.flatMap { r =>
+          val (s, p, a) = (r.getInt(0), r.getString(1), r.getString(2))
+          if (a == "remove" && victims(p))
+            Some(s"winner v$w removed victim $p")
+          else if (a == "add" && conflictOnAdd(s))
+            Some(s"winner v$w added files in read shard $s")
+          else None
+        }
+    }.nextOption()
+  }
+
+  /** A rewrite's landing set: the files it supersedes, the replacement
+    * rows (must carry `shard` and `draw`), and the partition count of
+    * the landing write. */
+  final case class RewritePlan(victims: Seq[(Int, String)],
+      replacement: DataFrame, parts: Int)
+
+  /** OPTIMISTIC-CONCURRENCY REWRITE — merge/delete/compact/optimize
+    * commits from INDEPENDENT writers, closing the single-writer
+    * limitation [[commitAppendAtomic]] documents. A rewrite has a
+    * non-empty read-set, so first-claim-wins is NOT enough; the
+    * protocol is the Delta OCC recipe adapted to two-phase claims:
+    *
+    *  1. snapshot-read at vRead = currentVersion; `plan(vRead)` names
+    *     the victim files and computes the replacement rows;
+    *  2. CLAIM the next free slot atomically ([[reserveVersion]]);
+    *  3. SETTLE: wait for every earlier claimant to land or go stale
+    *     ([[settleBelow]]) — claims are ordered, log landings are not,
+    *     and validation must see every commit that serializes first;
+    *  4. VALIDATE the read-set against winners committed in
+    *     (vRead, vClaim) ([[validateRewrite]]); on conflict, release
+    *     the slot and REPLAN from the fresh snapshot;
+    *  5. land replacement data under `v=<vClaim>`, then the log
+    *     (removes of victims + adds), `_ts.` marker last.
+    *
+    * `plan` returning None = nothing to do (returns -1, no commit).
+    * Liveness contract: a writer lands its log within `settleMs` of
+    * claiming — a slower writer is treated as crashed and its commit,
+    * if it lands anyway, is a protocol violation (Delta closes this
+    * window by making the log write itself the claim; a two-phase
+    * claim cannot distinguish slow from dead). Streaming's
+    * batchId-addressed [[commitAs]] must not share a layout with OCC
+    * rewrites — it lands at FIXED versions without claiming.
+    * Returns the committed version, or -1 for a planned no-op. */
+  def commitRewriteAtomic(spark: SparkSession, dir: String,
+      conflictOnAdd: Int => Boolean, maxAttempts: Int = 8,
+      settleMs: Long = 600000L, ts: Long = -1L)(
+      plan: Int => Option[RewritePlan]): Int = {
+    val (fs, _) = hfs(spark, dir)
+    var tries = 0
+    while (tries < maxAttempts) {
+      tries += 1
+      val vRead = currentVersion(spark, dir)
+      plan(vRead) match {
+        case None => return -1
+        case Some(p) =>
+          val vClaim = claimNextSlot(spark, dir, maxAttempts = 64)
+          settleBelow(spark, dir, vClaim, settleMs)
+          val victimSet = p.victims.map(_._2).toSet
+          validateRewrite(spark, dir, vRead, vClaim, victimSet,
+            conflictOnAdd) match {
+            case Some(_) =>
+              // lost: free the slot and replan against the new state
+              fs.delete(new org.apache.hadoop.fs.Path(
+                s"$dir/_log/.reserve-v=$vClaim"), false): Unit
+            case None =>
+              p.replacement
+                .repartition(math.max(p.parts, 1), col("shard"))
+                .sortWithinPartitions(col("shard"), col("draw"))
+                .write.mode("overwrite").partitionBy("shard")
+                .parquet(s"$dir/v=$vClaim")
+              writeLog(spark, dir, vClaim,
+                p.victims.map { case (s, pa) => (s, pa, "remove") } ++
+                  listVersionFiles(spark, dir, vClaim)
+                    .map { case (s, pa) => (s, pa, "add") },
+                ts)
+              return vClaim
+          }
+      }
+    }
+    sys.error(s"commitRewriteAtomic: still conflicting after " +
+      s"$maxAttempts replans at $dir — rewrite storm")
+  }
+
+  /** [[compactCommit]] under the OCC protocol: safe to race against
+    * concurrent appends AND other rewrites. Appends never conflict
+    * with a compaction (its read-set is exactly its victim files;
+    * winner-added runs stay live untouched), so `conflictOnAdd` is
+    * constant-false; a winner that removed one of our victims (another
+    * compaction, a merge, a delete) forces a replan. Returns
+    * (version, compacted shard ids) — (-1, Nil) when no shard exceeds
+    * the threshold at the final read. */
+  def compactCommitAtomic(spark: SparkSession, dir: String,
+      nShards: Int, maxRuns: Int = 1, maxAttempts: Int = 8,
+      settleMs: Long = 600000L, ts: Long = -1L): (Int, Seq[Int]) = {
+    var shards: Seq[Int] = Nil
+    val v = commitRewriteAtomic(spark, dir, _ => false, maxAttempts,
+      settleMs, ts) { vRead =>
+      val byShard = liveFiles(spark, dir, vRead).groupBy(_._1)
+      val toCompact = byShard.filter(_._2.size > maxRuns).keys.toSeq.sorted
+      shards = toCompact
+      if (toCompact.isEmpty) None
+      else {
+        val victims = toCompact.flatMap(s => byShard(s))
+        Some(RewritePlan(victims,
+          spark.read.parquet(victims.map(f => resolve(dir, f._2)): _*)
+            .withColumn("shard", ShardExport.shardOf(col("draw"), nShards)),
+          toCompact.length))
+      }
+    }
+    (v, if (v < 0) Nil else shards)
+  }
+
+  /** [[mergeCommit]] under the OCC protocol. The merge READS the
+    * touched shards' live content, so its read-set is shard-scoped:
+    * a winner's add in a touched shard conflicts (the added file may
+    * carry keys this merge should have upserted over), as does any
+    * winner removing a victim. An empty batch is a planned no-op
+    * (returns -1 — unlike [[mergeCommit]]'s log-only empty commit,
+    * there is nothing to make idempotent here). */
+  def mergeCommitAtomic(spark: SparkSession, batch: DataFrame,
+      keyCol: String, dir: String, nShards: Int, maxAttempts: Int = 8,
+      settleMs: Long = 600000L, ts: Long = -1L): Int = {
+    val keyedBatch = ShardExport.withShardKey(batch, keyCol, nShards)
+    val touched = keyedBatch.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    commitRewriteAtomic(spark, dir, touched.contains, maxAttempts,
+      settleMs, ts) { vRead =>
+      if (touched.isEmpty) None
+      else {
+        val victims = liveFiles(spark, dir, vRead).filter(f => touched(f._1))
+        val survivors =
+          if (victims.isEmpty) keyedBatch
+          else {
+            val keys = batch.select(col(keyCol)).distinct()
+            spark.read.parquet(victims.map(f => resolve(dir, f._2)): _*)
+              .withColumn("shard", ShardExport.shardOf(col("draw"), nShards))
+              .join(keys, Seq(keyCol), "left_anti")
+              .unionByName(keyedBatch)
+          }
+        Some(RewritePlan(victims, survivors, touched.size))
+      }
+    }
   }
 
   /** Commit timestamps, version-ordered, with the Delta-recipe

@@ -1179,6 +1179,136 @@ class ExportSpec extends AnyFunSuite {
       "a racing writer's commit was lost")
   }
 
+  test("OCC rewrite: compaction racing 8 concurrent appends loses no rows and leaves distinct versions") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("occ-rw")
+    // two base appends → every shard at 2 runs → compactable
+    VersionedShards.commitAppend(spark, docs.filter(col("doc_id") < 60),
+      "doc_id", dir, 8)
+    VersionedShards.commitAppend(spark,
+      docs.filter(col("doc_id") >= 60 && col("doc_id") < 120), "doc_id",
+      dir, 8)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val appenders = (0 until 8).map { i =>
+      Future(VersionedShards.commitAppendAtomic(spark,
+        docs.filter(col("doc_id") === (200L + i)), "doc_id", dir, 8))
+    }
+    val compactor = Future(
+      VersionedShards.compactCommitAtomic(spark, dir, 8))
+    val appended = Await.result(Future.sequence(appenders), 5.minutes)
+    val (cv, cShards) = Await.result(compactor, 5.minutes)
+    assert(cv >= 2 && cShards.nonEmpty, s"compaction never landed: $cv")
+    assert((appended :+ cv).toSet.size == 9,
+      s"racing writers shared a version: $appended / $cv")
+    // content law: whatever the interleaving, the final snapshot is
+    // exactly base ∪ appends — the compaction moved rows, never ate one
+    val cur = VersionedShards.currentVersion(spark, dir)
+    val got = VersionedShards.readAsOf(spark, dir, cur)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (docs.filter(col("doc_id") < 120).collect().map(_.getLong(0))
+      ++ (200L until 208L)).map(_ -> 1L).toMap
+    assert(got == want, "rows lost or duplicated across the race")
+  }
+
+  test("OCC rewrite: a winner removing our victims forces a replan (compaction degrades to no-op)") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("occ-cfl")
+    VersionedShards.commitAppend(spark, docs.limit(30), "doc_id", dir, 4)
+    VersionedShards.commitAppend(spark, docs.limit(30), "doc_id", dir, 4)
+    // an in-flight rival claims v2 BEFORE the atomic compactor starts
+    assert(VersionedShards.reserveVersion(spark, dir, 2))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val atomic = Future(VersionedShards.compactCommitAtomic(spark, dir, 4))
+    // wait until the atomic compactor has claimed ITS slot (v3) and is
+    // settling on our pending v2...
+    val logRoot = new java.io.File(s"$dir/_log")
+    val deadline = System.currentTimeMillis() + 60000
+    while (!logRoot.listFiles().exists(_.getName == ".reserve-v=3") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(logRoot.listFiles().exists(_.getName == ".reserve-v=3"))
+    // ...then the rival lands a compaction AT v2, removing the very
+    // victims the atomic plan selected
+    val (rivalV, _) = VersionedShards.compactCommit(spark, dir, 4)
+    assert(rivalV == 2)
+    // the atomic compactor must detect the conflict, replan against
+    // the compacted snapshot, and find nothing left to do
+    val (v, shards) = Await.result(atomic, 2.minutes)
+    assert(v == -1 && shards.isEmpty,
+      s"rewrite ignored the winner's removes and double-compacted: v=$v")
+    // content unchanged throughout
+    assert(VersionedShards.readAsOf(spark, dir,
+      VersionedShards.currentVersion(spark, dir)).count() == 60)
+  }
+
+  test("OCC rewrite: merge validates winner ADDS in touched shards — no duplicate keys survive the race") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("occ-mrg")
+    VersionedShards.commitAppend(spark, docs.filter(col("doc_id") < 50),
+      "doc_id", dir, 4)
+    // rival appender claims v1, then stalls in flight
+    assert(VersionedShards.reserveVersion(spark, dir, 1))
+    val merged = docs.filter(col("doc_id") < 10)
+      .withColumn("source", org.apache.spark.sql.functions.lit("merged"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val merge = Future(VersionedShards.mergeCommitAtomic(spark, merged,
+      "doc_id", dir, 4))
+    val logRoot = new java.io.File(s"$dir/_log")
+    val deadline = System.currentTimeMillis() + 60000
+    while (!logRoot.listFiles().exists(_.getName == ".reserve-v=2") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+    // the rival lands: doc 3 AGAIN (an upsert-relevant key in a shard
+    // the merge reads) — an unvalidated merge would leave doc 3 twice
+    VersionedShards.commitAs(spark, docs.filter(col("doc_id") === 3L),
+      "doc_id", dir, 4, v = 1)
+    val mv = Await.result(merge, 2.minutes)
+    assert(mv >= 2, s"merge never landed: $mv")
+    val cur = VersionedShards.currentVersion(spark, dir)
+    val fin = VersionedShards.readAsOf(spark, dir, cur)
+    val dupes = fin.groupBy("doc_id").count()
+      .filter(col("count") > 1).collect()
+    assert(dupes.isEmpty,
+      s"merge missed the winner's concurrent add: duplicate keys ${dupes.toSeq}")
+    assert(fin.filter(col("doc_id") < 10 && col("source") === "merged")
+      .count() == 10, "replanned merge lost its upserts")
+    assert(fin.count() == 50)
+  }
+
+  test("OCC rewrite: a stale (crashed) reservation below is abandoned after settleMs, not waited on forever") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("occ-stale")
+    VersionedShards.commitAppend(spark, docs.limit(20), "doc_id", dir, 4)
+    VersionedShards.commitAppend(spark, docs.limit(20), "doc_id", dir, 4)
+    // a crashed writer left a reservation that will never resolve
+    assert(VersionedShards.reserveVersion(spark, dir, 2))
+    Thread.sleep(250)
+    val t0 = System.currentTimeMillis()
+    val (v, shards) = VersionedShards.compactCommitAtomic(spark, dir, 4,
+      settleMs = 200L)
+    assert(v == 3 && shards.nonEmpty,
+      s"compaction blocked behind a dead reservation: $v")
+    assert(System.currentTimeMillis() - t0 < 60000)
+    assert(VersionedShards.readAsOf(spark, dir, 3).count() == 40)
+  }
+
   test("q163 registry run: equals q153's full manifest after the append-then-compact lifecycle") {
     val full = queries.Export.q153.run(spark, TestSpark.sf0001)
     val comp = queries.Export.q163.run(spark, TestSpark.sf0001)
