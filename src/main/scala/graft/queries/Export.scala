@@ -864,6 +864,104 @@ object Export {
         lang, n_chars, text
       FROM documents"""))
 
+  /** q201's lifecycle: base commit, then a MERGE that both revises
+    * existing keys (doc_id % 7 == 2 → source 'rev2') and inserts new
+    * ones (doc_id + 10000 for doc_id < 20) — the one-version window
+    * whose change feed must pair revisions as pre/post images. */
+  private[graft] def cdfLayoutFor(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.operators.SessionCache.memoOn(spark, dir,
+      s"shard-versions-cdf|$dir|$nShards") {
+      val out = graft.operators.Stage.allocDir(spark, "shards-q201")
+      val docs = docCols(Tables.documents(spark, dir))
+      graft.sinks.VersionedShards.commitAppend(spark, docs, "doc_id",
+        out, nShards)
+      val revised = docs.filter(col("doc_id") % 7 === 2)
+        .withColumn("source", lit("rev2"))
+      val inserted = docs.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 10000L)
+      graft.sinks.VersionedShards.mergeCommit(spark,
+        revised.unionByName(inserted), "doc_id", out, nShards)
+      out
+    }
+
+  /** q201 — CHANGE DATA FEED with UPDATE PRE/POST IMAGES (the Delta
+    * CDF `_change_type` contract on top of q173/q182's file-pruned
+    * CDC): a key that both lost and gained rows in the version window
+    * is an update — outgoing rows tagged `update_preimage`, incoming
+    * `update_postimage` — while pure arrivals stay `insert` and pure
+    * departures `delete`. This is the shape a downstream incremental
+    * consumer (audit trail, search-index updater, feature store)
+    * actually subscribes to: the retract/apply pair PLUS the knowledge
+    * that they belong to one logical UPDATE. The kind table is
+    * key-sized and the pairing join touches only the delta rows —
+    * the 100 TB cost stays ∝ changed files. */
+  val q201: Q = Q(
+    "q201_change_data_feed",
+    run = { (spark, dir) =>
+      val layout = cdfLayoutFor(spark, dir)
+      graft.sinks.VersionedShards.readChangeFeed(spark, layout, 0, 1,
+          "doc_id")
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), col("text"), col("_change_type"))
+    },
+    oracle = Some("""
+      SELECT doc_id, source, lang, n_chars, text,
+        'update_preimage' AS _change_type
+      FROM documents WHERE doc_id % 7 = 2
+      UNION ALL
+      SELECT doc_id, 'rev2', lang, n_chars, text, 'update_postimage'
+      FROM documents WHERE doc_id % 7 = 2
+      UNION ALL
+      SELECT doc_id + 10000, source, lang, n_chars, text, 'insert'
+      FROM documents WHERE doc_id < 20"""))
+
+  /** q202's lifecycle: two commits build real version history, then
+    * [[graft.sinks.VersionedShards.purgeWhere]] erases doc_id % 13 == 6
+    * from EVERY version — the registry reads the OLDEST snapshot to
+    * certify that time travel stopped serving the purged rows. */
+  private[graft] def purgeLayoutFor(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.operators.SessionCache.memoOn(spark, dir,
+      s"shard-versions-purge|$dir|$nShards") {
+      val out = graft.operators.Stage.allocDir(spark, "shards-q202")
+      val docs = docCols(Tables.documents(spark, dir))
+      graft.sinks.VersionedShards.commitAppend(spark, docs, "doc_id",
+        out, nShards)
+      graft.sinks.VersionedShards.mergeCommit(spark,
+        docs.filter(col("doc_id") % 5 === 1)
+          .withColumn("source", lit("rev")),
+        "doc_id", out, nShards)
+      graft.sinks.VersionedShards.purgeWhere(spark, out,
+        col("doc_id") % 13 === 6)
+      out
+    }
+
+  /** q202 — GDPR PURGE / right-to-be-forgotten across ALL versions:
+    * matching rows are erased from every data file the layout owns by
+    * an in-place read→filter→swap rewrite (the one deliberate breach
+    * of file immutability, exactly as Delta documents its purge
+    * recipe), so TIME TRAVEL stops serving them too — an append-only
+    * history would otherwise keep resurfacing erased user data via
+    * `AS OF` reads. The log, version count, and every non-matching
+    * row's bytes are untouched; cost is ∝ files that actually hold
+    * matching rows (one predicate-pushed metadata-projected scan
+    * names them). The registry reads snapshot v0 — the OLDEST
+    * history — and hash-green against documents-minus-purged
+    * certifies the erasure reached it. */
+  val q202: Q = Q(
+    "q202_gdpr_purge",
+    run = { (spark, dir) =>
+      val layout = purgeLayoutFor(spark, dir)
+      graft.sinks.VersionedShards.readAsOf(spark, layout, 0)
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), col("text"))
+    },
+    oracle = Some("""
+      SELECT doc_id, source, lang, n_chars, text FROM documents
+      WHERE doc_id % 13 <> 6"""))
+
   val all: Seq[Q] = Seq(q153, q155, q158, q163, q166, q167, q173, q174,
-    q175, q178, q179, q182, q183, q186, q191, q194, q195, q200)
+    q175, q178, q179, q182, q183, q186, q191, q194, q195, q200, q201,
+    q202)
 }

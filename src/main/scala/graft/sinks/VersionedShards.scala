@@ -42,10 +42,13 @@ object VersionedShards {
 
   /** Log paths are layout-RELATIVE for files the layout OWNS
     * (`v=<k>/shard=<s>/<name>`); a shallow clone ([[cloneLayout]])
-    * imports the source's files by ABSOLUTE path — referenced, never
-    * owned: the clone's [[vacuum]] must not reclaim them. */
+    * imports the source's files by FULLY-QUALIFIED URI (`file:/…`,
+    * `hdfs://nn/…`, `s3a://bucket/…`) — referenced, never owned: the
+    * clone's [[vacuum]] must not reclaim them, and every reader
+    * resolves the path's OWN FileSystem rather than assuming the
+    * layout's. */
   private def isOwned(p: String): Boolean =
-    !p.startsWith("/") && !p.contains("://")
+    !p.startsWith("/") && !p.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")
 
   private def resolve(dir: String, p: String): String =
     if (isOwned(p)) s"$dir/$p" else p
@@ -501,9 +504,12 @@ object VersionedShards {
     * been deleted/superseded drops out of later snapshots. */
   def readAsOf(spark: SparkSession, dir: String, asOf: Int): DataFrame = {
     val live = liveFiles(spark, dir, asOf)
-    val (fs, _) = hfs(spark, dir)
     live.foreach { case (_, p) =>
-      require(fs.exists(new org.apache.hadoop.fs.Path(resolve(dir, p))),
+      // per-path FileSystem: an imported (clone) file may live on a
+      // DIFFERENT filesystem than the layout — its URI knows which
+      val pp = new org.apache.hadoop.fs.Path(resolve(dir, p))
+      require(pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(pp),
         s"snapshot as of v$asOf needs vacuumed file $p — past the " +
           "retention horizon")
     }
@@ -927,6 +933,81 @@ object VersionedShards {
       .unionByName(expand("from", "delete"), allowMissingColumns = true)
   }
 
+  /** CHANGE DATA FEED view over [[readChanges]] — the Delta CDF
+    * `_change_type` shape: a key that both lost and gained rows in the
+    * window is an UPDATE, its outgoing rows tagged `update_preimage`
+    * and incoming rows `update_postimage`; keys that only gained are
+    * `insert`, only lost are `delete`. Content-level semantics
+    * (inherited from readChanges): a rewrite that lands a row
+    * byte-identical to the one it replaced emits nothing — there is no
+    * change to feed. The kind table is key-sized; the pairing join
+    * adds one shuffle over the delta rows, never a snapshot scan. */
+  def readChangeFeed(spark: SparkSession, dir: String, from: Int,
+      to: Int, keyCol: String): DataFrame = {
+    val ch = readChanges(spark, dir, from, to, keyCol)
+    val kinds = ch.groupBy(col(keyCol)).agg(
+      max(when(col("_change") === "insert", 1).otherwise(0)).as("_has_i"),
+      max(when(col("_change") === "delete", 1).otherwise(0)).as("_has_d"))
+    ch.join(kinds, Seq(keyCol))
+      .withColumn("_change_type",
+        when(col("_has_i") === 1 && col("_has_d") === 1,
+          when(col("_change") === "delete", lit("update_preimage"))
+            .otherwise(lit("update_postimage")))
+          .otherwise(col("_change")))
+      .drop("_has_i", "_has_d", "_change")
+  }
+
+  /** GDPR PURGE — erase every row matching `predicate` from EVERY
+    * version of the layout, the right-to-be-forgotten verb no
+    * append-only log can express: time travel must stop serving the
+    * erased rows too, so affected data files are rewritten IN PLACE
+    * (read → filter → swap under the same path), deliberately breaking
+    * file immutability for exactly this one operation — the same
+    * trade Delta documents for its purge recipe. The log is untouched:
+    * every snapshot keeps its version history and row counts simply
+    * shrink by the purged rows. Only files the layout OWNS are
+    * rewritten — purging a clone does not reach imported source bytes
+    * (run the purge on the source, whose clones then serve the purged
+    * content automatically). One predicate-pushed, metadata-projected
+    * scan over all logged files names the victims; each victim is then
+    * rewritten alone — cost ∝ matching files, never the lake. Returns
+    * the rewritten (layout-relative) paths. */
+  def purgeWhere(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): Seq[String] = {
+    val owned = log(spark, dir).select(col("path")).distinct()
+      .collect().map(_.getString(0)).filter(isOwned).distinct.sorted
+    if (owned.isEmpty) return Nil
+    def relOf(fp: String): String = fp.split('/').takeRight(3).mkString("/")
+    val victims = spark.read.option("mergeSchema", "true")
+      .parquet(owned.map(resolve(dir, _)): _*)
+      .filter(predicate)
+      .select(col("_metadata.file_path").as("fp"))
+      .distinct().collect().map(r => relOf(r.getString(0))).toSet
+    val hit = owned.filter(p => victims(relOf(p)))
+    val (fs, _) = hfs(spark, dir)
+    hit.foreach { p =>
+      val target = new org.apache.hadoop.fs.Path(resolve(dir, p))
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$dir/_log/.purge-tmp-${target.getName}")
+      val survivors = spark.read.parquet(target.toString)
+        .filter(not(coalesce(predicate, lit(false))))
+        .coalesce(1).sortWithinPartitions(col("draw"))
+      survivors.write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"purge rewrite of $p produced no part file"))
+      // swap: rename-aside → rename-in → delete-aside (the
+      // compactShards crash-safe swap discipline)
+      val aside = new org.apache.hadoop.fs.Path(
+        s"$dir/_log/.purge-aside-${target.getName}")
+      require(fs.rename(target, aside), s"purge: rename-aside failed for $p")
+      require(fs.rename(part, target), s"purge: rename-in failed for $p")
+      fs.delete(aside, false)
+      fs.delete(tmp, true): Unit
+    }
+    hit
+  }
+
   /** VACUUM: physically delete files logged `remove`d at any version
     * ≤ `horizon` — snapshots as of versions before their removal stop
     * being readable (readAsOf fails loudly), snapshots at or after the
@@ -970,20 +1051,22 @@ object VersionedShards {
     * breaks the clone's reads LOUDLY (the readAsOf missing-file
     * require), exactly as Delta documents for shallow clones. An
     * all-empty source clones as an empty layout carrying the source's
-    * schema marker so day-0 reads stay schema-bearing. Scope: clone and
-    * source must live on the SAME filesystem — imports are recorded as
-    * scheme-less absolute paths (a cross-fs clone would need
-    * fully-qualified URIs carried through every reader). Returns the
-    * clone's version (always 0). */
+    * schema marker so day-0 reads stay schema-bearing. Imports are
+    * recorded as FULLY-QUALIFIED URIs (`file:/…`, `hdfs://…`,
+    * `s3a://…`) and every reader resolves each path's own FileSystem,
+    * so clone and source may live on DIFFERENT filesystems; the
+    * suite exercises the URI-qualified path end-to-end on the `file:`
+    * scheme (a second live filesystem isn't available in-test).
+    * Returns the clone's version (always 0). */
   def cloneLayout(spark: SparkSession, srcDir: String, dstDir: String,
       ts: Long = -1L): Int = {
     val cur = currentVersion(spark, srcDir)
     require(cur >= 0, s"$srcDir has no commits to clone")
     val (srcFs, srcRoot) = hfs(spark, srcDir)
-    val srcAbs = srcFs.makeQualified(srcRoot).toUri.getPath
+    val srcQual = srcFs.makeQualified(srcRoot).toString
     val live = liveFiles(spark, srcDir, cur)
     writeLog(spark, dstDir, 0,
-      live.map { case (s, p) => (s, resolve(srcAbs, p), "add") }, ts)
+      live.map { case (s, p) => (s, resolve(srcQual, p), "add") }, ts)
     if (live.isEmpty)
       // zero-row schema marker (the landedEmpty discipline) so the
       // clone's own emptyMarker walk finds a local schema source

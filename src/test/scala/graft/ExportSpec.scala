@@ -913,6 +913,88 @@ class ExportSpec extends AnyFunSuite {
       "maintained MV diverged from the recompute on a multiplicity change")
   }
 
+  test("q201 change feed: updates pair as pre/post images; pure arrivals and departures keep their tags") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("cdf")
+    VersionedShards.commitAppend(spark, docs.filter(col("doc_id") < 40),
+      "doc_id", dir, 8)
+    // one commit mixing all three verbs: revise 5, insert 1, delete 7
+    VersionedShards.mergeCommit(spark,
+      docs.filter(col("doc_id") === 5L).withColumn("source", lit("rev"))
+        .unionByName(docs.filter(col("doc_id") === 1L)
+          .withColumn("doc_id", lit(9001L))),
+      "doc_id", dir, 8)
+    VersionedShards.deleteCommit(spark, dir, col("doc_id") === 7L, 8)
+    val feed01 = VersionedShards.readChangeFeed(spark, dir, 0, 1, "doc_id")
+    val tags01 = feed01.select("doc_id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tags01 == Set((5L, "update_preimage"), (5L, "update_postimage"),
+      (9001L, "insert")), s"$tags01")
+    assert(feed01.filter(col("doc_id") === 5L &&
+      col("_change_type") === "update_postimage" &&
+      col("source") === "rev").count() == 1)
+    val tags12 = VersionedShards.readChangeFeed(spark, dir, 1, 2, "doc_id")
+      .select("doc_id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tags12 == Set((7L, "delete")), s"$tags12")
+    // a byte-identical rewrite is NOT a change: merge doc 3 with its
+    // own unchanged row → content-level CDC stays silent
+    VersionedShards.mergeCommit(spark, docs.filter(col("doc_id") === 3L),
+      "doc_id", dir, 8)
+    assert(VersionedShards.readChangeFeed(spark, dir, 2, 3, "doc_id")
+      .count() == 0)
+  }
+
+  test("q202 purge erases matching rows from EVERY snapshot, leaves bytes and history otherwise intact") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("purge")
+    VersionedShards.commitAppend(spark, docs, "doc_id", dir, 8)
+    VersionedShards.mergeCommit(spark,
+      docs.filter(col("doc_id") % 5 === 1).withColumn("source", lit("rev")),
+      "doc_id", dir, 8)
+    val purgedKeys = docs.filter(col("doc_id") % 13 === 6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(purgedKeys.nonEmpty)
+    // cost law setup: remember untouched files' stamps
+    def stamps(v: String) = fileStamps(s"$dir/$v")
+    val v0Before = stamps("v=0"); val v1Before = stamps("v=1")
+    val hit = VersionedShards.purgeWhere(spark, dir,
+      col("doc_id") % 13 === 6).toSet
+    assert(hit.nonEmpty)
+    // EVERY version stops serving the purged keys — including v0,
+    // whose snapshot predates the purge
+    Seq(0, 1).foreach { v =>
+      val snap = VersionedShards.readAsOf(spark, dir, v)
+      assert(snap.filter(col("doc_id").isin(purgedKeys.toSeq: _*))
+        .count() == 0, s"v$v still serves purged rows")
+    }
+    // history shape untouched: same version count, same log rows
+    assert(VersionedShards.currentVersion(spark, dir) == 1)
+    // non-matching rows all survive, revised content preserved
+    val v1 = VersionedShards.readAsOf(spark, dir, 1)
+    assert(v1.count() == docs.count() - purgedKeys.size)
+    assert(v1.filter(col("doc_id") % 5 === 1 && col("source") =!= "rev")
+      .count() == 0)
+    // cost law: only files that held matching rows were rewritten
+    val untouched0 = v0Before.filter { case (f, _) => !hit.exists(f.endsWith) }
+    val untouched1 = v1Before.filter { case (f, _) => !hit.exists(f.endsWith) }
+    assert(untouched0.forall { case (f, t) => stamps("v=0").get(f).contains(t) } &&
+      untouched1.forall { case (f, t) => stamps("v=1").get(f).contains(t) },
+      "purge rewrote files holding no matching rows")
+    // a clone's purge never reaches imported bytes
+    val dst = tmp("purge-clone")
+    VersionedShards.cloneLayout(spark, dir, dst)
+    assert(VersionedShards.purgeWhere(spark, dst,
+      col("doc_id") % 5 === 1).isEmpty,
+      "clone purge rewrote files it does not own")
+  }
+
   test("commitTimestamps survives a crash-orphaned version (no _ts marker) via the log dir's mtime") {
     import graft.sinks.VersionedShards
     val docs = Tables.documents(spark, TestSpark.sf0001)
@@ -1099,6 +1181,13 @@ class ExportSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dst/v=0").exists(),
       "a shallow clone of a non-empty source must move zero data bytes")
     assert(VersionedShards.readAsOf(spark, dst, 0).count() == n)
+    // 1b. imports are FULLY-QUALIFIED URIs (scheme-carrying), so an
+    // imported file's reader resolves ITS filesystem, not the clone's
+    val imported = VersionedShards.log(spark, dst)
+      .filter(col("version") === 0).select("path").collect()
+      .map(_.getString(0))
+    assert(imported.nonEmpty && imported.forall(_.startsWith("file:/")),
+      s"clone imports lost their scheme: ${imported.take(2).toSeq}")
     // 2. branch DML: delete ON the clone — the rewrite lands in the
     // clone's own subtree; the source's bytes and content are untouched
     VersionedShards.deleteCommit(spark, dst, col("doc_id") % 3 === 0, 16,
