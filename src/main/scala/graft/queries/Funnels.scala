@@ -999,6 +999,119 @@ object Funnels {
       FROM v LEFT JOIN c ON c.user_id = v.user_id
              LEFT JOIN p ON p.user_id = v.user_id"""))
 
+  /** Core of q203: TIME-WEIGHTED AVERAGE (TWAP) of `value` per user —
+    * the interval-weighted mean that prices each observation by HOW
+    * LONG it held (the finance TWAP / metrics time-weighted-gauge
+    * fold), where a plain mean over-weights bursts of rapid events.
+    * Each consecutive event pair (ordered by ts, event_id for
+    * determinism) contributes value·duration_µs; the final ratio
+    * divides two EXACT quantities as doubles once — the weighted sum
+    * rides the [[graft.functions.Exact]] decimal recipe
+    * ((11,4)·µs-bigint products summed as DECIMAL, order-free), so
+    * partial-agg reordering can't drift the hash. All-simultaneous
+    * users (total duration 0) emit null, not NaN.
+    *
+    * Scale shape: one window pass per user (shuffle on user_id) + one
+    * map-side-combined agg — no self-join, nothing driver-side. */
+  def twapPerUser(events: DataFrame): DataFrame = {
+    val e = events.filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val seg = e.withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dur", col("next_us") - col("us"))
+    seg.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("dur")).as("dur_us"),
+        sum(graft.functions.Exact.dec(col("value")) * col("dur")).as("wsum"))
+      .select(col("user_id"), col("n_segments"), col("dur_us"),
+        (col("wsum").cast("double") /
+          nullif(col("dur_us"), lit(0L)).cast("double")).as("twap"))
+  }
+
+  /** q203 — per-user time-weighted average value over event intervals. */
+  val q203: Q = Q(
+    "q203_twap",
+    run = { (spark, dir) => twapPerUser(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   event_id, value
+                 FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      seg AS (SELECT user_id, us, value,
+                lead(us) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS next_us
+              FROM e)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
+        CAST(sum(next_us - us) AS BIGINT) AS dur_us,
+        CAST(CAST(sum(CAST(value AS DECIMAL(12,4)) * (next_us - us))
+               AS VARCHAR) AS DOUBLE)
+          / CAST(nullif(sum(next_us - us), 0) AS DOUBLE) AS twap
+      FROM seg WHERE next_us IS NOT NULL
+      GROUP BY user_id"""))
+
+  /** Core of q204: THEIL–SEN robust trend slope per event type — the
+    * median over ALL day-pairs of the pairwise slope (Theil 1950,
+    * Sen 1968), the estimator that shrugs off the outlier days
+    * q64/q185 flag (OLS, by contrast, is dragged by a single incident
+    * spike — this is the robust companion the daily-trend family was
+    * missing). Slopes are EXACT integer ppm/day: (Δn·1e6) DIV Δday
+    * replays digit-for-digit on both engines (signed integer division
+    * truncates toward zero identically — verified), and only the final
+    * median averages two middle values as a double.
+    *
+    * Scale shape: the pair join runs on the (type, day) AGGREGATE —
+    * ≤366 rows per type per year, ~67k pairs — never on events; the
+    * broadcast self-join costs nothing next to the corpus agg that
+    * feeds it. */
+  def theilSenTrend(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(coalesce(col("event_type"), lit("(null)")).as("event_type"),
+        to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        datediff(col("d"), lit("1970-01-01")).as("day"), col("n"))
+    val b = daily.select(col("event_type").as("et2"), col("day").as("d2"),
+      col("n").as("n2"))
+    val pairs = daily
+      .join(broadcast(b),
+        col("event_type") === col("et2") && col("day") < col("d2"))
+      .select(col("event_type"),
+        expr("((n2 - n) * 1000000) DIV (d2 - day)").as("slope_ppm"))
+    val nDays = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        percentile(col("slope_ppm"), lit(0.5)).as("slope_med_ppm"))
+      .join(nDays, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("slope_med_ppm"))
+  }
+
+  /** q204 — per-type Theil–Sen slope of the daily series, exact ppm. */
+  val q204: Q = Q(
+    "q204_theilsen_trend",
+    run = { (spark, dir) => theilSenTrend(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT COALESCE(event_type, '(null)') AS event_type,
+          CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      dd AS (SELECT event_type,
+               datediff('day', DATE '1970-01-01', d) AS day, n
+             FROM daily),
+      pairs AS (SELECT a.event_type,
+                  ((b.n - a.n) * 1000000) // (b.day - a.day) AS slope_ppm
+                FROM dd a JOIN dd b
+                  ON a.event_type = b.event_type AND a.day < b.day),
+      nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+             FROM dd GROUP BY 1)
+      SELECT p.event_type, nd.n_days, CAST(count(*) AS BIGINT) AS n_pairs,
+        median(slope_ppm) AS slope_med_ppm
+      FROM pairs p JOIN nd USING (event_type)
+      GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q75, q77, q100, q107, q172,
-    q177, q180, q181, q185, q187, q188, q193, q197)
+    q177, q180, q181, q185, q187, q188, q193, q197, q203, q204)
 }

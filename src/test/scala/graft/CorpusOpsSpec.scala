@@ -442,6 +442,62 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out("Y") == (("2024-01-01", -20L, 4L, 60L)), s"$out")
   }
 
+  test("q203 TWAP hand case: interval weighting, zero-duration null, tie order, singleton exclusion") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val events = Seq(
+      // user 1: 10.0 held 10 s, then 20.0 held 20 s → twap 50/3
+      (1L, ts(0), 1L, Option(10.0)),
+      (2L, ts(10), 1L, Option(20.0)),
+      (3L, ts(30), 1L, Option(99.0)),   // last value carries no weight
+      // user 2: singleton → no segments, no row
+      (4L, ts(5), 2L, Option(7.0)),
+      // user 3: both events simultaneous → dur 0 → twap null, not NaN
+      (5L, ts(8), 3L, Option(1.0)),
+      (6L, ts(8), 3L, Option(2.0)),
+      // user 4: tie at t=0 ordered by event_id (7 before 8): 3.0 holds
+      // 0 s, 5.0 holds 10 s → twap exactly 5.0
+      (7L, ts(0), 4L, Option(3.0)),
+      (8L, ts(0), 4L, Option(5.0)),
+      (9L, ts(10), 4L, Option(11.0)),
+      // user 5: null value rows are excluded entirely
+      (10L, ts(0), 5L, Option(4.0)),
+      (11L, ts(10), 5L, None),
+      (12L, ts(20), 5L, Option(6.0))
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = queries.Funnels.twapPerUser(events).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 30000000L)
+    assert(math.abs(out(1L)._3.get - 50.0 / 3.0) < 1e-9, s"$out")
+    assert(!out.contains(2L), s"singleton user leaked a row: $out")
+    assert(out(3L) == ((1L, 0L, None)), s"zero-duration twap: $out")
+    assert(out(4L)._3.contains(5.0), s"tie order broke: $out")
+    // user 5: null-value row gone → 4.0 holds the full 20 s
+    assert(out(5L) == ((1L, 20000000L, Some(4.0))), s"$out")
+  }
+
+  test("q204 Theil-Sen hand case: pairwise ppm slopes exact, median over pairs, truncation toward zero") {
+    import java.sql.Timestamp
+    def at(day: Int, i: Int) =
+      new Timestamp((day.toLong * 86400L + i) * 1000L)
+    // A: days 0,1,2 with counts 1,3,2 → slopes {2e6, 5e5, -1e6},
+    //    median 5e5 (odd count picks the middle exactly)
+    val a = for ((d, n) <- Seq((0, 1), (1, 3), (2, 2)); i <- 0 until n)
+      yield (d * 100L + i, at(d, i), 1L, "A")
+    // C: days 0,3 with counts 1,3 → one pair, (2·1e6)//3 = 666666
+    //    (truncated toward zero, matching DuckDB //)
+    val c = for ((d, n) <- Seq((0, 1), (3, 3)); i <- 0 until n)
+      yield (9000L + d * 100L + i, at(d, i), 2L, "C")
+    val events = (a ++ c).toDF("event_id", "ts", "user_id", "event_type")
+    val out = queries.Funnels.theilSenTrend(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("A") == ((3L, 3L, 500000.0)), s"$out")
+    assert(out("C") == ((2L, 1L, 666666.0)), s"$out")
+  }
+
   test("q196 mix-shift: within+mix contributions conserve the overall rate change to truncation") {
     val out = queries.StatsOps.q196.run(spark, dir).collect()
     assert(out.nonEmpty)
