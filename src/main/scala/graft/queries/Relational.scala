@@ -255,5 +255,121 @@ object Relational {
         JOIN nation ON s_nationkey = n_nationkey
       GROUP BY n_name"""))
 
-  val all: Seq[Q] = Seq(q03, q04, q05, q06, q07, q08, q09, q10, q11, q12)
+  /** q205 — SHIPPING-PRIORITY top-k (the TPC-H Q3 shape on this
+    * schema): the 10 highest-revenue unshipped orders for one market
+    * segment — THE canonical 3-way fact join + top-k every warehouse
+    * runs. Plan posture at 100 TB: all three filters reach their scans
+    * (segment on customer, date on orders, date on lineitem) BEFORE
+    * any join; the segment-filtered customer keeps only c_custkey, so
+    * the orders⋈customer semi-shape shuffles minimal bytes; revenue
+    * sums are exact decimals; the ORDER is taken on the DECIMAL (both
+    * engines compare decimals identically — a double sort key could
+    * tie-break differently at the 17th digit) with o_orderkey as the
+    * final tie-break, so the LIMIT boundary is deterministic; Spark
+    * executes it as TakeOrderedAndProject — per-partition top-10 +
+    * driver merge, never a global sort. */
+  val q205: Q = Q(
+    "q205_shipping_priority",
+    run = { (spark, dir) =>
+      val cust = Tables.customer(spark, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") < lit("1998-07-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") > lit("1998-07-01"))
+        .select(col("l_orderkey"),
+          (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(Fine).as("rev_term"))
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(col("rev_term")).as("rev_dec"))
+        .orderBy(col("rev_dec").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"),
+          col("rev_dec").cast(DoubleType).as("revenue"))
+    },
+    oracle = Some("""
+      SELECT o_orderkey, o_orderdate, o_orderpriority,
+        CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue
+      FROM (
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+          sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (1 - CAST(l_discount AS DECIMAL(12,4)))
+              AS DECIMAL(38,12))) AS rev_dec
+        FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-07-01'
+          AND l_shipdate > TIMESTAMP '1998-07-01'
+        GROUP BY 1, 2, 3
+        ORDER BY rev_dec DESC, o_orderkey
+        LIMIT 10)"""))
+
+  /** q206 — LOCAL-SUPPLIER volume (the TPC-H Q5 shape): revenue per
+    * nation from lineitems where supplier and customer share the
+    * nation, one region, one order-date year — the canonical 6-way
+    * snowflake join. Plan posture at 100 TB: region (1 row) and the
+    * region-filtered nation (≤5 rows) BROADCAST into customer and
+    * supplier; the date filter reaches the orders scan; the fact side
+    * joins lineitem⋈orders on orderkey, then customer on custkey, then
+    * supplier on (suppkey AND s_nationkey = c_nationkey) — the
+    * locality predicate rides the supplier join as an equi-condition,
+    * never a post-filter on a wider join; one exact-decimal agg per
+    * nation ends it. */
+  val q206: Q = Q(
+    "q206_local_supplier_volume",
+    run = { (spark, dir) =>
+      val nat = Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(spark, dir)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val sup = Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(Fine).as("rev_term"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev_term")).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    oracle = Some("""
+      SELECT n_name,
+        CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+              * (1 - CAST(l_discount AS DECIMAL(12,4)))
+            AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS revenue,
+        CAST(count(*) AS BIGINT) AS n_lines
+      FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+          AND s_nationkey = c_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name"""))
+
+  val all: Seq[Q] = Seq(q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
+    q205, q206)
 }

@@ -592,6 +592,33 @@ object ExplainAudit {
     assert(!q142Plan.contains("CartesianProduct"),
       "q142: association rules must never plan a cartesian")
     println("===== q142 ASSOC EQUI-JOIN ASSERT OK")
+    // q205: the top-10 must be TakeOrderedAndProject (per-partition
+    // top-k + driver merge), never a global Sort; all three filters
+    // reach their scans as PushedFilters
+    val q205Exec = graft.SparkEntry.queries("q205_shipping_priority")(
+      spark, dir).queryExecution.executedPlan
+    val q205Plan = q205Exec.toString
+    assert(q205Plan.contains("TakeOrderedAndProject"),
+      "q205: top-10 planned a global sort instead of TakeOrdered")
+    assert(q205Plan.contains("PushedFilters: [IsNotNull(c_mktsegment), " +
+      "EqualTo(c_mktsegment,BUILDING)")
+      || q205Plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "q205: segment filter did not reach the customer scan")
+    assert(q205Plan.contains("LessThan(o_orderdate")
+      && q205Plan.contains("GreaterThan(l_shipdate"),
+      "q205: date filters did not reach the orders/lineitem scans")
+    println("===== q205 TAKEORDERED + PUSHDOWN ASSERT OK")
+    // q206: region and nation ride broadcasts; the locality predicate
+    // is an equi-condition inside the supplier join, never a
+    // post-filter (no cartesian, no nested loop)
+    val q206Plan = graft.SparkEntry.queries("q206_local_supplier_volume")(
+      spark, dir).queryExecution.executedPlan.toString
+    assert(q206Plan.contains("BroadcastHashJoin"),
+      "q206: dim joins lost their broadcast")
+    assert(!q206Plan.contains("CartesianProduct") &&
+      !q206Plan.contains("BroadcastNestedLoopJoin"),
+      "q206: locality predicate fell out of the equi-join")
+    println("===== q206 SNOWFLAKE BROADCAST ASSERT OK")
     spark.stop()
   }
 }
