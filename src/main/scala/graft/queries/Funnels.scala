@@ -1112,6 +1112,177 @@ object Funnels {
       FROM pairs p JOIN nd USING (event_type)
       GROUP BY 1, 2"""))
 
+  /** Core of q207: PEAK CONCURRENCY per day — the max number of
+    * simultaneously-active sessions (capacity planning's first
+    * question: "how many concurrent users at the worst minute?").
+    * Sessions are the q79 gaps-and-islands assignment (gap > 30 min,
+    * (ts, event_id) order, µs-exact) collapsed to [first, last] event
+    * intervals (inclusive — a point overlap counts both sides, +1
+    * ordered before −1 at equal instants). The sweep-line is made
+    * DAY-LOCAL so no global sort ever happens: each day's prefix sums
+    * run in a day-partitioned window over that day's boundary events,
+    * and the cross-day state is a CARRY-IN — sessions started before
+    * the day and not yet ended — computed on the ≤366-row per-day
+    * aggregate via the q199 broadcast-triangle recipe (never a
+    * partition-less window). peak = carry + max(0, max prefix):
+    * the day-start level itself is a candidate peak when the day only
+    * drains sessions.
+    *
+    * Scale shape: one user-keyed shuffle (sessionize + interval agg),
+    * one day-keyed shuffle of 2 rows/session, day-table triangle —
+    * at 100 TB the sweep never leaves its day partition. */
+  def peakConcurrency(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events.filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(unix_micros(col("ts"))).as("s_us"),
+        max(unix_micros(col("ts"))).as("e_us"))
+    val bounds = sess.select(col("s_us").as("us"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("e_us").as("us"), lit(-1L).as("delta")))
+      .withColumn("day", to_date(timestamp_micros(col("us"))))
+    val perDay = bounds.groupBy(col("day")).agg(
+      sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_start"),
+      sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_end"))
+    val net = perDay.select(col("day").as("d2"),
+      (col("n_start") - col("n_end")).as("net"))
+    val carry = perDay.join(broadcast(net), col("d2") < col("day"), "left")
+      .groupBy(col("day"), col("n_start"), col("n_end"))
+      .agg(coalesce(sum(col("net")), lit(0L)).as("carry"))
+    val sweep = Window.partitionBy(col("day"))
+      .orderBy(col("us").asc, col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = bounds.withColumn("pfx", sum(col("delta")).over(sweep))
+      .groupBy(col("day")).agg(max(col("pfx")).as("peak_delta"))
+    carry.join(peaks, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_start"), col("n_end"), col("carry"),
+        (col("carry") + greatest(col("peak_delta"), lit(0L))).as("peak"))
+  }
+
+  /** q207 — per-day peak concurrent sessions via a day-local sweep. */
+  val q207: Q = Q(
+    "q207_peak_concurrency",
+    run = { (spark, dir) => peakConcurrency(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH e AS (SELECT event_id, user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                 FROM events WHERE ts IS NOT NULL),
+      m AS (SELECT *, CASE WHEN us - lag(us) OVER
+                  (PARTITION BY user_id ORDER BY us, event_id)
+                  > 1800 * 1000000
+                OR lag(us) OVER (PARTITION BY user_id
+                  ORDER BY us, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_s FROM e),
+      sx AS (SELECT user_id, us,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_idx
+             FROM m),
+      sess AS (SELECT user_id, session_idx, min(us) AS s_us, max(us) AS e_us
+               FROM sx GROUP BY 1, 2),
+      b AS (SELECT s_us AS us, 1 AS delta FROM sess
+            UNION ALL SELECT e_us, -1 FROM sess),
+      bd AS (SELECT us, delta, CAST(make_timestamp(us) AS DATE) AS day
+             FROM b),
+      pd AS (SELECT day,
+               CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_start,
+               CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_end
+             FROM bd GROUP BY 1),
+      cr AS (SELECT p.day, p.n_start, p.n_end,
+               CAST(COALESCE(sum(q.n_start - q.n_end), 0) AS BIGINT)
+                 AS carry
+             FROM pd p LEFT JOIN pd q ON q.day < p.day
+             GROUP BY 1, 2, 3),
+      pk AS (SELECT day, max(pfx) AS peak_delta FROM
+               (SELECT day, sum(delta) OVER (PARTITION BY day
+                  ORDER BY us, delta DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+                FROM bd)
+             GROUP BY 1)
+      SELECT strftime(cr.day, '%Y-%m-%d') AS day, n_start, n_end, carry,
+        CAST(carry + greatest(peak_delta, 0) AS BIGINT) AS peak
+      FROM cr JOIN pk USING (day)"""))
+
+  /** Core of q208: ANCHORED WINDOW FUNNEL depth (the ClickHouse
+    * `windowFunnel` semantic, distinct from q61's per-stage windows):
+    * per user, the deepest prefix of view → click → purchase whose
+    * WHOLE chain fits inside `windowUs` of the anchoring view. Exact
+    * without a triple self-join: with events in (ts, event_id) row
+    * order, the earliest-next-stage chain is OPTIMAL (next-purchase
+    * time is non-decreasing in row order, so the earliest following
+    * click also minimizes the chain's completion time — greedy =
+    * exists), which makes the whole computation two stacked
+    * backward-looking window passes: np = earliest following purchase;
+    * ncp = over following CLICK rows, the earliest np. A view row
+    * reaches depth 3 if ncp ≤ anchor + W, depth 2 if its next click
+    * ≤ anchor + W, else depth 1; the user's depth is the max over
+    * view rows, 0 with no view. Strictly-after = row order (ties
+    * broken by event_id), replayed identically by the oracle.
+    *
+    * Scale shape: one user-keyed shuffle, two window passes, one agg —
+    * no join at all. */
+  def windowFunnelDepth(events: DataFrame,
+      windowUs: Long = 86400L * 1000000L): DataFrame = {
+    val fw = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val e = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    e.withColumn("np",
+        min(when(col("event_type") === "purchase", col("us"))).over(fw))
+      .withColumn("ncp",
+        min(when(col("event_type") === "click", col("np"))).over(fw))
+      .withColumn("nc",
+        min(when(col("event_type") === "click", col("us"))).over(fw))
+      .withColumn("vdepth",
+        when(col("event_type").isNull || col("event_type") =!= "view", 0)
+          .when(col("ncp") <= col("us") + windowUs, 3)
+          .when(col("nc") <= col("us") + windowUs, 2)
+          .otherwise(1))
+      .groupBy(col("user_id"))
+      .agg(max(col("vdepth")).cast("int").as("depth"))
+  }
+
+  /** q208 — per-user anchored 24 h window-funnel depth. */
+  val q208: Q = Q(
+    "q208_window_funnel",
+    run = { (spark, dir) => windowFunnelDepth(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                 FROM events WHERE ts IS NOT NULL),
+      p1 AS (SELECT *, min(CASE WHEN event_type = 'purchase' THEN us END)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+             FROM e),
+      p2 AS (SELECT *,
+               min(CASE WHEN event_type = 'click' THEN np END)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ncp,
+               min(CASE WHEN event_type = 'click' THEN us END)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
+             FROM p1)
+      SELECT user_id, CAST(max(CASE
+          WHEN event_type <> 'view' OR event_type IS NULL THEN 0
+          WHEN ncp <= us + 86400000000 THEN 3
+          WHEN nc <= us + 86400000000 THEN 2
+          ELSE 1 END) AS INTEGER) AS depth
+      FROM p2 GROUP BY user_id"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q75, q77, q100, q107, q172,
-    q177, q180, q181, q185, q187, q188, q193, q197, q203, q204)
+    q177, q180, q181, q185, q187, q188, q193, q197, q203, q204, q207,
+    q208)
 }

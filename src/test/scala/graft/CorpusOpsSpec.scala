@@ -498,6 +498,66 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out("C") == ((2L, 1L, 666666.0)), s"$out")
   }
 
+  test("q207 peak concurrency hand case: overlap counting, point overlap, midnight carry, drain-only day") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val events = Seq(
+      // u1: one session SPANNING midnight (gap 20 min < 30 min)
+      (1L, ts(85800L), 1L), (2L, ts(87000L), 1L),
+      // u2: two sessions on day 1 (6900 s gap splits them)
+      (3L, ts(36000L), 2L), (4L, ts(36300L), 2L),
+      (5L, ts(43200L), 2L), (6L, ts(43260L), 2L),
+      // u3: overlaps u2's first session → concurrency 2
+      (7L, ts(36120L), 3L), (8L, ts(36180L), 3L),
+      // u4: POINT session exactly at u2's session end (inclusive
+      // overlap: +1 ordered before −1 → also concurrency 2)
+      (9L, ts(43260L), 4L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = queries.Funnels.peakConcurrency(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // day 1: 5 starts, 4 ends, no carry, peak 2 (u2∥u3 and u2∥u4)
+    assert(out("1970-01-01") == ((5L, 4L, 0L, 2L)), s"$out")
+    // day 2: drain-only (u1's end): carry 1 IS the peak
+    assert(out("1970-01-02") == ((0L, 1L, 1L, 1L)), s"$out")
+  }
+
+  test("q208 window funnel hand case: anchored depth, early-purchase immunity, tie order, no-view zero") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val events = Seq(
+      // u1: clean chain inside 24 h → 3
+      (1L, ts(0L), 1L, Option("view")), (2L, ts(3600L), 1L, Option("click")),
+      (3L, ts(7200L), 1L, Option("purchase")),
+      // u2: click outside the 24 h anchor window → 1
+      (4L, ts(0L), 2L, Option("view")),
+      (5L, ts(90000L), 2L, Option("click")),
+      (6L, ts(91000L), 2L, Option("purchase")),
+      // u3: click in-window, purchase past the ANCHOR deadline → 2
+      (7L, ts(0L), 3L, Option("view")), (8L, ts(3600L), 3L, Option("click")),
+      (9L, ts(90000L), 3L, Option("purchase")),
+      // u4: no view at all → 0
+      (10L, ts(0L), 4L, Option("click")),
+      (11L, ts(10L), 4L, Option("purchase")),
+      // u5: a purchase BEFORE the click must not complete the chain;
+      // the real purchase at 86390 (≤ 86400) does → 3
+      (12L, ts(0L), 5L, Option("view")), (13L, ts(5L), 5L, Option("purchase")),
+      (14L, ts(10L), 5L, Option("click")),
+      (15L, ts(86390L), 5L, Option("purchase")),
+      // u6: view/click TIE at t=100 — click's larger event_id makes it
+      // row-after (strictly-after = row order) → 3
+      (16L, ts(100L), 6L, Option("view")), (17L, ts(100L), 6L, Option("click")),
+      (18L, ts(200L), 6L, Option("purchase")),
+      // u7: same tie but click BEFORE the view in row order → 1
+      (19L, ts(100L), 7L, Option("click")), (20L, ts(100L), 7L, Option("view")),
+      (21L, ts(200L), 7L, Option("purchase"))
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = queries.Funnels.windowFunnelDepth(events).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0, 5L -> 3,
+      6L -> 3, 7L -> 1), s"$out")
+  }
+
   test("q196 mix-shift: within+mix contributions conserve the overall rate change to truncation") {
     val out = queries.StatsOps.q196.run(spark, dir).collect()
     assert(out.nonEmpty)
