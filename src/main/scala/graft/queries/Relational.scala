@@ -370,6 +370,129 @@ object Relational {
         AND o_orderdate < TIMESTAMP '1998-01-01'
       GROUP BY n_name"""))
 
+  /** q209 — SUPPLIER LEAD TIME: order-to-ship latency distribution per
+    * supplier (count, exact mean, p50/p90, max of day deltas) — the
+    * operational SLA readout every procurement warehouse runs. Plan
+    * posture: lineitem pre-joins only orders' (key, date) projection,
+    * the integer day delta aggregates BEFORE the supplier join (the
+    * q07 eager-agg lesson — the join probe side is supplier-sized, not
+    * line-sized), and the mean is an exact integer-sum / count divided
+    * once as doubles. Percentiles are the sort-based exact aggregate
+    * (≡ quantile_cont, the q45 contract). */
+  val q209: Q = Q(
+    "q209_supplier_leadtime",
+    run = { (spark, dir) =>
+      val lead = Tables.lineitem(spark, dir)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_shipdate"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("lead_days"))
+      val perSupp = lead.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("lead_days").cast("long")).as("lead_sum"),
+          percentile(col("lead_days"),
+            array(lit(0.5), lit(0.9))).as("ps"),
+          max(col("lead_days")).as("lead_max"))
+      perSupp.join(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("n_lines"),
+          (col("lead_sum").cast(DoubleType) /
+            col("n_lines").cast(DoubleType)).as("lead_mean"),
+          col("ps").getItem(0).as("lead_p50"),
+          col("ps").getItem(1).as("lead_p90"),
+          col("lead_max"))
+    },
+    oracle = Some("""
+      SELECT s_name, CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(sum(datediff('day', o_orderdate, l_shipdate)) AS DOUBLE)
+          / count(*) AS lead_mean,
+        quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.5)
+          AS lead_p50,
+        quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.9)
+          AS lead_p90,
+        CAST(max(datediff('day', o_orderdate, l_shipdate)) AS INTEGER)
+          AS lead_max
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name"""))
+
+  /** q210 — MARKET SHARE per order-year (the TPC-H Q8 shape): one
+    * nation's suppliers' share of all revenue shipped into one region,
+    * year over year — the two-level agg (conditional numerator inside
+    * the same pass as the denominator, never two scans) every BI stack
+    * runs. Both revenue sums are exact decimals; the share is ONE
+    * double division of two exact doubles (single IEEE op — bit-equal
+    * in both engines). Dims broadcast; the customer-region and
+    * supplier-nation attributes ride the fact join as projected
+    * columns, so the conditional numerator is a codegen'd CASE inside
+    * the final hash agg. */
+  val q210: Q = Q(
+    "q210_market_share",
+    run = { (spark, dir) =>
+      val nat = Tables.nation(spark, dir)
+      val asia = nat
+        .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cust = Tables.customer(spark, dir)
+        .join(broadcast(asia), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val sup = Tables.supplier(spark, dir)
+        .join(broadcast(nat.select(col("n_nationkey"),
+          col("n_name").as("s_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nation"))
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(Fine).as("rev_term"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(col("rev_term")).as("total_dec"),
+          sum(when(col("s_nation") === "NATION_7", col("rev_term"))
+            .otherwise(lit(BigDecimal(0)).cast(Fine))).as("nation_dec"))
+        .select(col("o_year"),
+          col("total_dec").cast(DoubleType).as("total_rev"),
+          col("nation_dec").cast(DoubleType).as("nation_rev"),
+          (col("nation_dec").cast(DoubleType) /
+            col("total_dec").cast(DoubleType)).as("share"))
+    },
+    oracle = Some("""
+      SELECT year(o_orderdate) AS o_year,
+        CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE) AS total_rev,
+        CAST(CAST(sum(CASE WHEN s_nation = 'NATION_7' THEN rev
+          ELSE CAST(0 AS DECIMAL(38,12)) END) AS VARCHAR) AS DOUBLE)
+          AS nation_rev,
+        CAST(CAST(sum(CASE WHEN s_nation = 'NATION_7' THEN rev
+          ELSE CAST(0 AS DECIMAL(38,12)) END) AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE) AS share
+      FROM (
+        SELECT l_orderkey, l_suppkey,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+            * (1 - CAST(l_discount AS DECIMAL(12,4)))
+            AS DECIMAL(38,12)) AS rev,
+          o_orderdate, o_custkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey) f
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN (SELECT s_suppkey, n_name AS s_nation
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey) s
+        ON l_suppkey = s_suppkey
+      WHERE r_name = 'ASIA'
+      GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-    q205, q206)
+    q205, q206, q209, q210)
 }
