@@ -248,6 +248,37 @@ object DocStreams {
       }
       .start()
 
+  /** q201's STREAMING arm — a CHANGE-DATA-FEED publisher: each
+    * micro-batch (1) commits into the versioned lake as version
+    * `batchId` (the [[versionedLakeSink]] exactly-once recipe) and
+    * (2) publishes that commit's change feed
+    * ([[graft.sinks.VersionedShards.readChangeFeed]] — file-pruned to
+    * the batch's own files, update pre/post images paired) as
+    * `feed_<batchId>` (overwrite mode, so replays converge) — the
+    * production bridge that turns a streaming ingest into the
+    * incremental diet a downstream consumer (index updater, feature
+    * store, audit trail) actually eats. Batch 0's feed is the full
+    * batch tagged `insert` (there is no version −1 to diff against). */
+  def changeFeedSink(incoming: DataFrame, lakeDir: String, nShards: Int,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.sinks.VersionedShards.commitAs(spark, batch, "doc_id",
+          lakeDir, nShards, batchId.toInt)
+        val feed =
+          if (batchId == 0L)
+            graft.sinks.VersionedShards.readAsOf(spark, lakeDir, 0)
+              .drop("shard", "draw").withColumn("_change_type", lit("insert"))
+          else
+            graft.sinks.VersionedShards.readChangeFeed(spark, lakeDir,
+              batchId.toInt - 1, batchId.toInt, "doc_id").drop("shard", "draw")
+        feed.write.mode("overwrite").parquet(s"$outDir/feed_$batchId")
+      }
+      .start()
+
   /** q182's STREAMING arm — continuous materialized-view maintenance:
     * each micro-batch (1) COMMITS into the versioned lake as version
     * `batchId` (the [[versionedLakeSink]] exactly-once recipe) and

@@ -545,6 +545,51 @@ class ExportSpec extends AnyFunSuite {
     assert(replayed == before, "a replayed micro-batch diverged the MV")
   }
 
+  test("q201 streaming CDF twin: each feed_k is exactly its batch's rows as inserts; feeds concatenate to the lake") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val streamDir = Files.createTempDirectory("cdf_stream").toString
+    (0 until 3).foreach { i =>
+      val part = Files.createTempDirectory(s"cdf_p$i").toString
+      docs.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val src = Files.list(java.nio.file.Paths.get(part)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$streamDir/part_$i.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1100000000000L + i * 60000L))
+      ()
+    }
+    val lakeDir = tmp("cdf-lake")
+    val feedDir = tmp("cdf-feeds")
+    val ckpt = Files.createTempDirectory("cdf_ckpt").toString
+    val q = streaming.DocStreams.changeFeedSink(
+      streaming.DocStreams.readDocs(spark, streamDir), lakeDir, 16,
+      feedDir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    (0 until 3).foreach { k =>
+      val feed = spark.read.parquet(s"$feedDir/feed_$k")
+      assert(feed.filter(col("_change_type") =!= "insert").count() == 0,
+        s"append-only stream produced non-insert CDF rows at batch $k")
+      assert(keyset(feed) == keyset(docs.filter(col("doc_id") % 3 === k)),
+        s"feed_$k is not exactly its batch")
+      assert(!feed.columns.contains("shard") && !feed.columns.contains("draw"),
+        "engine-internal columns leaked into the published feed")
+    }
+    // the concatenated feeds replay into the lake's final state
+    val concat = (0 until 3).map(k =>
+      spark.read.parquet(s"$feedDir/feed_$k")).reduce(_.unionByName(_))
+    assert(keyset(concat) == keyset(docs) &&
+      concat.count() == docs.count())
+  }
+
   test("q167: the metadata diff is row-exact; it refuses compaction-spanning intervals") {
     import graft.sinks.VersionedShards
     val docs = Tables.documents(spark, TestSpark.sf0001)
