@@ -511,5 +511,57 @@ object Lexical {
                  JOIN sz zb ON zb.doc_id = i.doc_b
       WHERE i.n_shared * 1000 >= 800 * (za.sz + zb.sz - i.n_shared)"""))
 
-  val all: Seq[Q] = Seq(q112, q113, q127, q184)
+  /** Core of q214: OUT-OF-VOCABULARY rate per source — how much of a
+    * source's token mass falls outside the lake's top-1000 vocabulary,
+    * the drift/quality gate run before adding a new crawl source to a
+    * training mix (a spiking OOV rate means new language, new domain,
+    * or garbage). Vocabulary = the corpus-global top 1000 tokens by
+    * frequency with lexicographic tie-break (deterministic LIMIT
+    * boundary); the rate is exact integer ppm.
+    *
+    * Scale shape: one token-stream hash-agg builds the vocabulary
+    * (bounded output), which then BROADCASTS into a second token pass
+    * as a left-anti membership probe — the corpus is scanned twice but
+    * shuffled only once (the vocab agg); nothing user-sized ever
+    * joins. */
+  def oovRate(docs: org.apache.spark.sql.DataFrame,
+      vocabSize: Int = 1000): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(
+      coalesce(col("source"), lit("??")).as("source"),
+      explode(split(col("text"), " ")).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(vocabSize)
+      .select(col("token"))
+    toks.join(broadcast(vocab), Seq("token"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_oov"))
+      .join(toks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens")), Seq("source"), "right")
+      .select(col("source"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        expr("(coalesce(n_oov, 0) * 1000000) DIV n_tokens").as("oov_ppm"))
+  }
+
+  /** q214 — per-source OOV rate against the lake's top-1000 vocab. */
+  val q214: Q = Q(
+    "q214_oov_rate",
+    run = { (spark, dir) => oovRate(Tables.documents(spark, dir)) },
+    oracle = Some("""
+      WITH toks AS (SELECT COALESCE(source, '??') AS source,
+                      unnest(string_split(text, ' ')) AS token
+                    FROM documents),
+      vocab AS (SELECT token FROM
+                  (SELECT token, count(*) AS n FROM toks GROUP BY 1
+                   ORDER BY n DESC, token LIMIT 1000)),
+      oov AS (SELECT source, CAST(count(*) AS BIGINT) AS n_oov
+              FROM toks LEFT JOIN vocab USING (token)
+              WHERE vocab.token IS NULL GROUP BY 1),
+      tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+              FROM toks GROUP BY 1)
+      SELECT tot.source, n_tokens,
+        CAST(COALESCE(n_oov, 0) AS BIGINT) AS n_oov,
+        CAST((COALESCE(n_oov, 0) * 1000000) // n_tokens AS BIGINT)
+          AS oov_ppm
+      FROM tot LEFT JOIN oov USING (source)"""))
+
+  val all: Seq[Q] = Seq(q112, q113, q127, q184, q214)
 }

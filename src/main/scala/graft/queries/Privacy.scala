@@ -109,5 +109,39 @@ object Privacy {
         CAST(count(*) AS BIGINT) AS n_cells
       FROM m GROUP BY source, lang"""))
 
-  val all: Seq[Q] = Seq(q104, q106)
+  /** Core of q213: ℓ-DIVERSITY audit (Machanavajjhala et al. 2007) —
+    * the k-anonymity companion q106 leaves open: a class can hold ≥ k
+    * members yet expose everyone's SENSITIVE value if they all share
+    * it (the homogeneity attack). Quasi-identifier = (source, 500-char
+    * length band); sensitive attribute = lang. A class is ℓ-diverse
+    * when it carries ≥ ℓ distinct sensitive values; the audit emits
+    * every class with its size, distinct-sensitive count, and verdict —
+    * the release gate runs BEFORE publishing, on the aggregate only.
+    *
+    * Scale shape: one hash-agg over the QI (class count bounded by
+    * source × band vocabulary, never corpus size); the distinct count
+    * is per-class exact (bounded by the lang vocabulary). */
+  def lDiversity(docs: DataFrame, l: Int = 3): DataFrame =
+    docs.select(coalesce(col("source"), lit("??")).as("source"),
+        (coalesce(col("n_chars"), lit(0L)) / 500L).cast("long").as("band"),
+        coalesce(col("lang"), lit("??")).as("lang"))
+      .groupBy(col("source"), col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+
+  /** q213 — ℓ-diversity (ℓ=3) audit of the (source, band) release. */
+  val q213: Q = Q(
+    "q213_ldiversity",
+    run = { (spark, dir) => lDiversity(Tables.documents(spark, dir)) },
+    oracle = Some("""
+      SELECT COALESCE(source, '??') AS source,
+        COALESCE(n_chars, 0) // 500 AS band,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT COALESCE(lang, '??')) AS BIGINT)
+          AS n_sensitive,
+        count(DISTINCT COALESCE(lang, '??')) >= 3 AS diverse
+      FROM documents GROUP BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(q104, q106, q213)
 }

@@ -493,6 +493,99 @@ object Relational {
       WHERE r_name = 'ASIA'
       GROUP BY 1"""))
 
+  /** q211 — RETURNED-ITEMS report (the TPC-H Q10 shape): the 20
+    * customers who returned the most revenue in one half-year — the
+    * churn-risk / fraud-triage list. Plan posture: the returnflag
+    * filter reaches the lineitem scan and the date filter the orders
+    * scan; revenue aggregates per customer BEFORE the customer join
+    * (q07 eager-agg — the join probe side is customer-sized); nation
+    * broadcasts; the top-20 is taken on the exact DECIMAL with
+    * c_custkey tie-break (deterministic LIMIT boundary) via
+    * TakeOrderedAndProject. */
+  val q211: Q = Q(
+    "q211_returned_items",
+    run = { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(Fine).as("rev_term"))
+      val ord = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-07-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val perCust = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev_term")).as("rev_dec"))
+      perCust
+        .join(Tables.customer(spark, dir),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .orderBy(col("rev_dec").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"),
+          col("rev_dec").cast(DoubleType).as("lost_revenue"))
+    },
+    oracle = Some("""
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+        CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS lost_revenue
+      FROM (
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+          sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (1 - CAST(l_discount AS DECIMAL(12,4)))
+              AS DECIMAL(38,12))) AS rev_dec
+        FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY rev_dec DESC, c_custkey
+        LIMIT 20)"""))
+
+  /** q212 — LATE-SHIPMENT SLA per order priority: the share of orders
+    * with ≥ 1 line shipped more than 90 days after the order date, in
+    * exact integer ppm — the fulfillment-ops readout. Per-order flags
+    * collapse with max() at (order, priority) grain, then one hash-agg
+    * per priority; orders with no lines count as on-time via the left
+    * join. No doubles anywhere: ppm = late·1e6 DIV n replays exactly. */
+  val q212: Q = Q(
+    "q212_late_shipment_sla",
+    run = { (spark, dir) =>
+      val late = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .join(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(max(when(
+          // timestamp + interval (never date_add: it truncates to DATE
+          // and would silently shift non-midnight order timestamps)
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+          1L).otherwise(0L)).as("is_late"))
+      late.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("is_late")).as("n_late"))
+        .select(col("o_orderpriority"), col("n_orders"), col("n_late"),
+          expr("(n_late * 1000000) DIV n_orders").as("late_ppm"))
+    },
+    oracle = Some("""
+      WITH per_order AS (
+        SELECT o_orderkey, o_orderpriority,
+          max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END) AS is_late
+        FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2)
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(is_late) AS BIGINT) AS n_late,
+        CAST((sum(is_late) * 1000000) // count(*) AS BIGINT) AS late_ppm
+      FROM per_order GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-    q205, q206, q209, q210)
+    q205, q206, q209, q210, q211, q212)
 }
