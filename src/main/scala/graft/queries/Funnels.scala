@@ -1282,7 +1282,83 @@ object Funnels {
           ELSE 1 END) AS INTEGER) AS depth
       FROM p2 GROUP BY user_id"""))
 
+  /** Core of q215: TIME-TO-CONVERT SURVIVAL CURVE — for each horizon
+    * k = 0..14 days, the exact fraction of viewers whose FIRST
+    * purchase at-or-after their first view landed within k days (the
+    * cumulative-incidence readout growth teams plot; the q180
+    * time-to-convert distribution's cohort-level integral). Pure
+    * counts, no hazards, no logs: conv_ppm = converted·1e6 DIV
+    * viewers replays exactly.
+    *
+    * Scale shape: one user-keyed agg collapses events to (first view,
+    * first qualifying purchase); day buckets aggregate to ≤ a few
+    * hundred rows; the cumulative count rides a broadcast triangle
+    * join of the 15-row horizon table against the day buckets (the
+    * q199 recipe — never a partition-less window); the viewer total is
+    * a 1-row broadcast. */
+  def conversionSurvival(events: DataFrame, maxDays: Int = 14): DataFrame = {
+    val spark = events.sparkSession
+    val firsts = events.filter(col("ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts"))))
+          .as("v_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("p_any_us"))
+      .filter(col("v_us").isNotNull)
+    // first purchase AT-OR-AFTER the first view needs a second pass:
+    // the unconditional first purchase may precede the view
+    val conv = events.filter(col("ts").isNotNull &&
+        col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .join(firsts.select(col("user_id"), col("v_us")), "user_id")
+      .filter(col("us") >= col("v_us"))
+      .groupBy(col("user_id"))
+      // integer DIV, never the double `/` (exact at any magnitude)
+      .agg(expr("(min(us) - any_value(v_us)) DIV 86400000000").as("d"))
+    val byDay = conv.groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val viewers = firsts.agg(count(lit(1)).as("n_viewers"))
+    val ks = spark.range(0, maxDays + 1).select(col("id").as("k"))
+    ks.join(broadcast(byDay), col("d") <= col("k"), "left")
+      .groupBy(col("k"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_converted"))
+      .crossJoin(broadcast(viewers))
+      .select(col("k"), col("n_viewers"), col("n_converted"),
+        expr("(n_converted * 1000000) DIV n_viewers").as("conv_ppm"))
+  }
+
+  /** q215 — cumulative conversion (survival complement) at day k. */
+  val q215: Q = Q(
+    "q215_conversion_survival",
+    run = { (spark, dir) => conversionSurvival(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH f AS (SELECT user_id,
+                   min(CASE WHEN event_type = 'view'
+                       THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v_us
+                 FROM events WHERE ts IS NOT NULL
+                 GROUP BY 1),
+      viewers AS (SELECT CAST(count(*) AS BIGINT) AS n_viewers FROM f
+                  WHERE v_us IS NOT NULL),
+      conv AS (SELECT e.user_id,
+                 (min(epoch_us(CAST(e.ts AS TIMESTAMP))) - any_value(f.v_us))
+                   // 86400000000 AS d
+               FROM events e JOIN f ON e.user_id = f.user_id
+               WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+                 AND f.v_us IS NOT NULL
+                 AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= f.v_us
+               GROUP BY 1),
+      byday AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM conv
+                GROUP BY 1),
+      ks AS (SELECT unnest(generate_series(0, 14)) AS k)
+      SELECT CAST(k AS BIGINT) AS k, n_viewers,
+        CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_converted,
+        CAST((COALESCE(sum(n), 0) * 1000000) // n_viewers AS BIGINT)
+          AS conv_ppm
+      FROM ks LEFT JOIN byday ON d <= k
+      CROSS JOIN viewers
+      GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q75, q77, q100, q107, q172,
     q177, q180, q181, q185, q187, q188, q193, q197, q203, q204, q207,
-    q208)
+    q208, q215)
 }

@@ -558,6 +558,33 @@ class CorpusOpsSpec extends AnyFunSuite {
       6L -> 3, 7L -> 1), s"$out")
   }
 
+  test("q215 conversion survival hand case: day buckets, pre-view purchase immunity, non-viewer exclusion") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val events = Seq(
+      // u1: converts 1 s before the day boundary → day 0
+      (1L, ts(0L), 1L, "view"), (2L, ts(86399L), 1L, "purchase"),
+      // u2: converts exactly AT the boundary → day 1
+      (3L, ts(0L), 2L, "view"), (4L, ts(86400L), 2L, "purchase"),
+      // u3: a purchase BEFORE the first view must not count; the
+      // qualifying one lands on day 2
+      (5L, ts(100L), 3L, "view"), (6L, ts(50L), 3L, "purchase"),
+      (7L, ts(200000L), 3L, "purchase"),
+      // u4: viewer who never converts
+      (8L, ts(0L), 4L, "view"),
+      // u5: purchaser with no view — not a viewer at all
+      (9L, ts(0L), 5L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = queries.Funnels.conversionSurvival(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.size == 15 && out.values.forall(_._1 == 4L), s"$out")
+    assert(out(0L) == ((4L, 1L, 250000L)), s"$out")
+    assert(out(1L) == ((4L, 2L, 500000L)), s"$out")
+    assert(out(2L) == ((4L, 3L, 750000L)), s"$out")
+    assert(out(14L) == ((4L, 3L, 750000L)), s"$out")
+  }
+
   test("q196 mix-shift: within+mix contributions conserve the overall rate change to truncation") {
     val out = queries.StatsOps.q196.run(spark, dir).collect()
     assert(out.nonEmpty)
