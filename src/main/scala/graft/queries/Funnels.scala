@@ -1324,7 +1324,8 @@ object Funnels {
       .agg(coalesce(sum(col("n")), lit(0L)).as("n_converted"))
       .crossJoin(broadcast(viewers))
       .select(col("k"), col("n_viewers"), col("n_converted"),
-        expr("(n_converted * 1000000) DIV n_viewers").as("conv_ppm"))
+        expr("(n_converted * 1000000) DIV nullif(n_viewers, 0)")
+          .as("conv_ppm"))
   }
 
   /** q215 — cumulative conversion (survival complement) at day k. */
@@ -1352,7 +1353,7 @@ object Funnels {
       ks AS (SELECT unnest(generate_series(0, 14)) AS k)
       SELECT CAST(k AS BIGINT) AS k, n_viewers,
         CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_converted,
-        CAST((COALESCE(sum(n), 0) * 1000000) // n_viewers AS BIGINT)
+        CAST((COALESCE(sum(n), 0) * 1000000) // nullif(n_viewers, 0) AS BIGINT)
           AS conv_ppm
       FROM ks LEFT JOIN byday ON d <= k
       CROSS JOIN viewers
