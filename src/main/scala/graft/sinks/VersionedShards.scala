@@ -959,6 +959,27 @@ object VersionedShards {
       .drop("_has_i", "_has_d", "_change")
   }
 
+  /** [[readChangeFeed]] at PER-COMMIT granularity: the multi-version
+    * window (from, to] decomposes into one feed per commit, each
+    * carrying its `_commit_version` — what a consumer replaying
+    * history commit-by-commit (exactly-once downstream apply, audit
+    * ordering) needs, where the windowed feed would net out
+    * intermediate states. Still file-pruned: each commit's feed scans
+    * only that commit's file delta; versions absent from the log
+    * (reservation gaps) contribute nothing. */
+  def readChangeFeedByCommit(spark: SparkSession, dir: String,
+      from: Int, to: Int, keyCol: String): DataFrame = {
+    require(from < to, s"feed needs from < to, got $from..$to")
+    val committed = resolvedVersions(spark, dir)
+      .filter(w => w > from && w <= to).toSeq.sorted
+    require(committed.nonEmpty,
+      s"no commits in ($from, $to] at $dir — nothing to feed")
+    committed.map { w =>
+      readChangeFeed(spark, dir, w - 1, w, keyCol)
+        .withColumn("_commit_version", lit(w))
+    }.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** GDPR PURGE — erase every row matching `predicate` from EVERY
     * version of the layout, the right-to-be-forgotten verb no
     * append-only log can express: time travel must stop serving the

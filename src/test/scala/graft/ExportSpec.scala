@@ -993,6 +993,48 @@ class ExportSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("per-commit change feed: commit-grain replay vs the windowed feed's netting") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("cdf-commits")
+    VersionedShards.commitAppend(spark, docs.filter(col("doc_id") < 30),
+      "doc_id", dir, 8)
+    // v1 revises doc 5; v2 deletes it
+    VersionedShards.mergeCommit(spark,
+      docs.filter(col("doc_id") === 5L).withColumn("source", lit("rev")),
+      "doc_id", dir, 8)
+    VersionedShards.deleteCommit(spark, dir, col("doc_id") === 5L, 8)
+    val by = VersionedShards.readChangeFeedByCommit(spark, dir, 0, 2,
+      "doc_id")
+    val tags = by.select("_commit_version", "doc_id", "_change_type", "source")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSet
+    // commit grain: v1 = the pre/post pair; v2 = delete of the REVISED row
+    assert(tags.exists(t => t._1 == 1 && t._3 == "update_preimage" && t._4 != "rev"))
+    assert(tags.exists(t => t._1 == 1 && t._3 == "update_postimage" && t._4 == "rev"))
+    assert(tags.exists(t => t._1 == 2 && t._3 == "delete" && t._4 == "rev"))
+    assert(tags.size == 3, s"$tags")
+    // the windowed feed NETS the revision away: only the original
+    // row's departure remains
+    val windowed = VersionedShards.readChangeFeed(spark, dir, 0, 2,
+      "doc_id").select("doc_id", "_change_type", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(windowed.size == 1 &&
+      windowed.head._2 == "delete" && windowed.head._3 != "rev",
+      s"windowed feed should net to one original-row delete: $windowed")
+    // gaps contribute nothing: a reserved-never-committed version
+    // inside the window is invisible
+    assert(VersionedShards.reserveVersion(spark, dir, 3))
+    VersionedShards.commitAppendAtomic(spark,
+      docs.filter(col("doc_id") === 100L), "doc_id", dir, 8) // skips to v4
+    val spanning = VersionedShards.readChangeFeedByCommit(spark, dir, 2, 4,
+      "doc_id")
+    assert(spanning.select("_commit_version").distinct().collect()
+      .map(_.getInt(0)).toSet == Set(4))
+  }
+
   test("q202 purge erases matching rows from EVERY snapshot, leaves bytes and history otherwise intact") {
     import graft.sinks.VersionedShards
     val docs = Tables.documents(spark, TestSpark.sf0001)
