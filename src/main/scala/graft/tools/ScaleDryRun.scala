@@ -730,6 +730,81 @@ object ScaleDryRun {
       emb10.filter(col("embedding").isNotNull)))
     println(f"[scale-dry-run] q134_covariance_1x     $tCv1%8.2f s")
     println(f"[scale-dry-run] q134_covariance_10x    $tCv10%8.2f s  (ratio ${tCv10 / tCv1}%.1fx)")
+
+    // ---- round-14 legs ----
+    // q205/q206: the TPC-H multi-join block on 10x facts over the FIXED
+    // dimension catalog — the hostile direction for join planning (probe
+    // sides grow 10x, dims don't; broadcasts and pushdown must keep the
+    // plan fact-bounded). li10/o10 carry duplicated keys, which only
+    // densifies the joins — fine for plan scaling, meaningless for
+    // output semantics (not checked here; the oracle gate owns that).
+    val cust0 = spark.read.parquet(s"$dir/customer.parquet")
+    import graft.functions.Exact.{dec, Fine}
+    def q205shape(lix: DataFrame, ox: DataFrame): DataFrame = {
+      val c = cust0.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val or = ox.filter(col("o_orderdate") < lit("1998-07-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = lix.filter(col("l_shipdate") > lit("1998-07-01"))
+        .select(col("l_orderkey"),
+          (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(Fine).as("rev_term"))
+      or.join(c, col("o_custkey") === col("c_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(col("rev_term")).as("rev_dec"))
+        .orderBy(col("rev_dec").desc, col("o_orderkey")).limit(10)
+    }
+    val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o0 = spark.read.parquet(s"$dir/orders.parquet")
+    val (tQ3a, _) = timed(q205shape(li0, o0))
+    val (tQ3b, _) = timed(q205shape(li, o))
+    println(f"[scale-dry-run] q205_topk_1x           $tQ3a%8.2f s")
+    println(f"[scale-dry-run] q205_topk_10x          $tQ3b%8.2f s  (ratio ${tQ3b / tQ3a}%.1fx — 10x facts, fixed dims)")
+    def q206shape(lix: DataFrame, ox: DataFrame): DataFrame = {
+      val nat = spark.read.parquet(s"$dir/nation.parquet")
+        .join(broadcast(spark.read.parquet(s"$dir/region.parquet")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val c = cust0.join(broadcast(nat),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val or = ox.filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val sup = spark.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      lix.select(col("l_orderkey"), col("l_suppkey"),
+          (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(Fine).as("rev_term"))
+        .join(or, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev_term")).as("rev"), count(lit(1)).as("n"))
+    }
+    val (tQ5a, _) = timed(q206shape(li0, o0))
+    val (tQ5b, _) = timed(q206shape(li, o))
+    println(f"[scale-dry-run] q206_snowflake_1x      $tQ5a%8.2f s")
+    println(f"[scale-dry-run] q206_snowflake_10x     $tQ5b%8.2f s  (ratio ${tQ5b / tQ5a}%.1fx)")
+    // q207: the day-local sweep at 10x events over 10x fresh users —
+    // sessions grow in COUNT, the per-day window partitioning must keep
+    // the sweep day-bounded (a global-sort formulation would blow past
+    // linear here)
+    val (tPk1, _) = timed(graft.queries.Funnels.peakConcurrency(ev0))
+    val (tPk10, _) = timed(graft.queries.Funnels.peakConcurrency(ev10))
+    println(f"[scale-dry-run] q207_peak_conc_1x      $tPk1%8.2f s")
+    println(f"[scale-dry-run] q207_peak_conc_10x     $tPk10%8.2f s  (ratio ${tPk10 / tPk1}%.1fx)")
+    // q208: two stacked backward windows per user — one shuffle, no
+    // join; per-user depth is constant so 10x users must stay ~linear
+    val (tWf1, _) = timed(graft.queries.Funnels.windowFunnelDepth(ev0))
+    val (tWf10, _) = timed(graft.queries.Funnels.windowFunnelDepth(ev10))
+    println(f"[scale-dry-run] q208_window_funnel_1x  $tWf1%8.2f s")
+    println(f"[scale-dry-run] q208_window_funnel_10x $tWf10%8.2f s  (ratio ${tWf10 / tWf1}%.1fx)")
     spark.stop()
   }
 }
