@@ -586,6 +586,91 @@ object Relational {
         CAST((sum(is_late) * 1000000) // count(*) AS BIGINT) AS late_ppm
       FROM per_order GROUP BY 1"""))
 
+  /** q216 — CUSTOMER ORDER-COUNT DISTRIBUTION (the TPC-H Q13 shape):
+    * how many customers placed exactly k orders, INCLUDING k = 0 — the
+    * count-of-counts histogram whose zero bucket forces the left join
+    * (an inner join silently drops never-ordered customers, the
+    * classic Q13 trap). Two stacked hash-aggs: per-customer counts
+    * (count(o_orderkey), which ignores the left join's null rows),
+    * then the distribution over those counts — both map-side
+    * combined, output bounded by max order count. */
+  val q216: Q = Q(
+    "q216_order_count_distribution",
+    run = { (spark, dir) =>
+      Tables.customer(spark, dir).select(col("c_custkey"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("n_customers"))
+    },
+    oracle = Some("""
+      SELECT c_count, CAST(count(*) AS BIGINT) AS n_customers
+      FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1)
+      GROUP BY 1"""))
+
+  /** q217 — SOLE-BLAME SUPPLIER analysis (the TPC-H Q21 shape,
+    * DECORRELATED): suppliers who were the ONLY late shipper in a
+    * multi-supplier order — the vendor-accountability report. The
+    * textbook formulation is a doubly-correlated EXISTS / NOT EXISTS;
+    * the scale formulation is pure aggregation: collapse lineitem to
+    * (order, supplier, any_late) grain, roll up per order to
+    * (n_suppliers, n_late_suppliers), and blame the late supplier of
+    * every order with n_suppliers ≥ 2 ∧ n_late_suppliers = 1 — two
+    * hash-aggs and one order-keyed equi-join-back instead of two
+    * correlated subquery rescans per row. Late = shipped > 90 days
+    * after order date (this schema has no commit/receipt dates).
+    * Top-10 by blame count, s_name tie-break. */
+  val q217: Q = Q(
+    "q217_sole_blame_supplier",
+    run = { (spark, dir) =>
+      val perOs = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+          1L).otherwise(0L)).as("late"))
+      val perOrder = perOs.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
+        .select(col("l_orderkey").as("bo"))
+      perOs.filter(col("late") === 1L)
+        .join(perOrder, col("l_orderkey") === col("bo"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_blamed"))
+        .join(Tables.supplier(spark, dir),
+          col("l_suppkey") === col("s_suppkey"))
+        .orderBy(col("n_blamed").desc, col("s_name"))
+        .limit(10)
+        .select(col("s_name"), col("n_blamed"))
+    },
+    oracle = Some("""
+      WITH per_os AS (
+        SELECT l_orderkey, l_suppkey,
+          max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END) AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      per_order AS (
+        SELECT l_orderkey
+        FROM per_os GROUP BY 1
+        HAVING count(*) >= 2 AND sum(late) = 1)
+      SELECT s_name, CAST(count(*) AS BIGINT) AS n_blamed
+      FROM per_os
+        JOIN per_order USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE late = 1
+      GROUP BY 1
+      ORDER BY n_blamed DESC, s_name
+      LIMIT 10"""))
+
   val all: Seq[Q] = Seq(q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-    q205, q206, q209, q210, q211, q212)
+    q205, q206, q209, q210, q211, q212, q216, q217)
 }
