@@ -671,6 +671,56 @@ object Relational {
       ORDER BY n_blamed DESC, s_name
       LIMIT 10"""))
 
+  /** q219 — INTER-ORDER GAP distribution per market segment: the
+    * repeat-purchase cadence readout (retention teams watch its drift;
+    * inventory teams plan to its p90). Per customer, consecutive
+    * orders ordered by (o_orderdate, o_orderkey — the tie-break makes
+    * same-day orders deterministic) yield integer day gaps via one
+    * customer-keyed window; per segment, the exact sort-based
+    * percentiles and an exact integer-sum mean. Two shuffles total
+    * (customer window, segment agg), output bounded by segment
+    * count. */
+  val q219: Q = Q(
+    "q219_interorder_gaps",
+    run = { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val gaps = Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate"), col("prev")).as("gap_days"))
+      gaps.join(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap_days").cast("long")).as("gap_sum"),
+          percentile(col("gap_days"), array(lit(0.5), lit(0.9))).as("ps"))
+        .select(col("c_mktsegment"), col("n_gaps"),
+          (col("gap_sum").cast(DoubleType) /
+            col("n_gaps").cast(DoubleType)).as("gap_mean"),
+          col("ps").getItem(0).as("gap_p50"),
+          col("ps").getItem(1).as("gap_p90"))
+    },
+    oracle = Some("""
+      WITH g AS (
+        SELECT o_custkey,
+          datediff('day',
+            lag(o_orderdate) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS gap_days
+        FROM orders)
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+        CAST(sum(gap_days) AS DOUBLE) / count(*) AS gap_mean,
+        quantile_cont(gap_days, 0.5) AS gap_p50,
+        quantile_cont(gap_days, 0.9) AS gap_p90
+      FROM g JOIN customer ON o_custkey = c_custkey
+      WHERE gap_days IS NOT NULL
+      GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-    q205, q206, q209, q210, q211, q212, q216, q217)
+    q205, q206, q209, q210, q211, q212, q216, q217, q219)
 }

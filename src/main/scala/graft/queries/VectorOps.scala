@@ -383,5 +383,50 @@ object VectorOps {
         (rem.vec_id IS NOT NULL) AS removed
       FROM asg a LEFT JOIN rem ON a.vec_id = rem.vec_id"""))
 
-  val all: Seq[Q] = Seq(q25, q32, q66, q89, q105, q111)
+  /** q218 — EMBEDDING-STORE HYGIENE AUDIT per label: the vector-store
+    * checks run before anything consumes a new embedding batch — null
+    * vectors (upstream encode failures), zero-norm vectors (cosine is
+    * undefined on them; they poison ANN graphs silently), and the
+    * squared-norm distribution (a shifted norm profile flags an
+    * encoder version change). Squared norms, never norms: sq = ⟨v,v⟩
+    * via the codegen'd `vec_dot_f` fold (≡ DuckDB's in-order double
+    * fold, the q25-proven identity) is a deterministic per-row double,
+    * and the MEAN sums those as exact decimals — summing sqrt values
+    * would be FP-order-dependent. One hash-agg over the store; label
+    * cardinality bounds the output. */
+  val q218: Q = Q(
+    "q218_embedding_audit",
+    run = { (spark, dir) =>
+      VectorFunctions.registerVecDot(spark)
+      Tables.embeddings(spark, dir)
+        .select(col("label"),
+          when(col("embedding").isNull, lit(null))
+            .otherwise(expr("CAST(vec_dot_f(embedding, embedding) AS DOUBLE)"))
+            .as("sq"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("sq").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col("sq") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+          (sum(col("sq").cast("decimal(30,12)")).cast("double") /
+            nullif(count(col("sq")), lit(0L))).as("mean_sq_norm"),
+          min(col("sq")).as("min_sq_norm"),
+          max(col("sq")).as("max_sq_norm"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT label,
+          CASE WHEN embedding IS NULL THEN NULL
+            ELSE list_sum(list_transform(embedding::DOUBLE[], x -> x*x))
+          END AS sq
+        FROM embeddings)
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        CAST(sum(CASE WHEN sq IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_null,
+        CAST(sum(CASE WHEN sq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        CAST(CAST(sum(CAST(sq AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
+          / nullif(count(sq), 0) AS mean_sq_norm,
+        min(sq) AS min_sq_norm,
+        max(sq) AS max_sq_norm
+      FROM e GROUP BY label"""))
+
+  val all: Seq[Q] = Seq(q25, q32, q66, q89, q105, q111, q218)
 }
