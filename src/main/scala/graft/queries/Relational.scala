@@ -721,6 +721,300 @@ object Relational {
       WHERE gap_days IS NOT NULL
       GROUP BY 1"""))
 
+  /** q220 — NATION-PAIR TRADE VOLUME (the TPC-H Q7 shape): revenue
+    * shipped between two trading nations, both directions, per ship
+    * year. The textbook disjunction
+    * `(n1=A ∧ n2=B) ∨ (n1=B ∧ n2=A)` is re-expressed as two
+    * SARGable per-side IN filters plus one cross-side inequality —
+    * `supp_nation ∈ {A,B}` prunes supplier BEFORE its broadcast,
+    * `cust_nation ∈ {A,B}` prunes customer before the fact join, and
+    * `supp_nation ≠ cust_nation` (equivalent to the disjunction once
+    * both sides are restricted to the pair) rides the final join as a
+    * cheap post-predicate instead of forcing an un-pushable OR over
+    * the 5-way join. Dims broadcast; the only shuffles are
+    * lineitem⋈orders and the orders⋈customer key exchange. Exact
+    * decimal revenue; output bounded by 2 directions × years. */
+  val q220: Q = Q(
+    "q220_nation_pair_trade",
+    run = { (spark, dir) =>
+      val pair = Seq("NATION_3", "NATION_24")
+      val n = Tables.nation(spark, dir)
+        .filter(col("n_name").isin(pair: _*))
+      val supp = Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val li = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(Fine).as("rev_term"))
+      li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rev_term")).cast(DoubleType).as("revenue"))
+    },
+    oracle = Some("""
+      SELECT supp_nation, cust_nation, l_year,
+        CAST(CAST(sum(rev_term) AS VARCHAR) AS DOUBLE) AS revenue
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS INTEGER) AS l_year,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+              * (1 - CAST(l_discount AS DECIMAL(12,4)))
+            AS DECIMAL(38,12)) AS rev_term
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_24')
+            OR (n1.n_name = 'NATION_24' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01')
+      GROUP BY 1, 2, 3"""))
+
+  /** q221 — TOP SUPPLIER(S) by quarterly revenue (the TPC-H Q15
+    * shape): suppliers whose revenue over one quarter EQUALS the
+    * global maximum — the `HAVING total = (SELECT max(...))` scalar
+    * subquery, decorrelated into one per-supplier hash-agg plus a
+    * 1-row global-max re-agg that BROADCASTS back over the
+    * per-supplier table (never a second scan of lineitem, never a
+    * sort). Ties all survive, exactly as the spec's view formulation
+    * requires, because the equality is tested on the exact DECIMAL
+    * sum — a double compare could drop or add a tie at the 17th
+    * digit. Supplier names arrive via broadcast. */
+  val q221: Q = Q(
+    "q221_top_supplier",
+    run = { (spark, dir) =>
+      val perSupp = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+        .select(col("l_suppkey"),
+          (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(Fine).as("rev_term"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("rev_term")).as("rev_dec"))
+      val top = perSupp.agg(max(col("rev_dec")).as("max_dec"))
+      perSupp.join(broadcast(top), col("rev_dec") === col("max_dec"))
+        .join(broadcast(Tables.supplier(spark, dir)
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast(DoubleType).as("total_revenue"))
+    },
+    oracle = Some("""
+      WITH revenue AS (
+        SELECT l_suppkey,
+          sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (1 - CAST(l_discount AS DECIMAL(12,4)))
+              AS DECIMAL(38,12))) AS rev_dec
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name,
+        CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS total_revenue
+      FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+      WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)"""))
+
+  /** q222 — SMALL-QUANTITY REVENUE LEAK (the TPC-H Q17 shape): the
+    * average yearly revenue that would vanish if orders below 20 % of
+    * a part's mean order quantity were refused, for one brand. The
+    * textbook per-row correlated subquery
+    * `l_quantity < 0.2 * (SELECT avg(l_quantity) WHERE l_partkey = p)`
+    * decorrelates into ONE per-part agg over the brand-pruned lineitem
+    * slice joined back on partkey. Two exactness tricks: the brand's
+    * partkeys broadcast-prune lineitem BEFORE the agg (partkey
+    * determines brand, so the per-part average over the pruned slice
+    * is identical to the spec's all-lineitem average); and the 20 %
+    * threshold is tested WITHOUT division —
+    * `qty < 0.2·(sum/cnt)  ⇔  qty·5·cnt < sum` for positive counts —
+    * so the predicate is pure decimal×integer arithmetic, immune to
+    * FP-division rounding at the boundary. */
+  val q222: Q = Q(
+    "q222_small_qty_revenue",
+    run = { (spark, dir) =>
+      val bparts = Tables.part(spark, dir)
+        .filter(col("p_brand") === "Brand#3")
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(spark, dir)
+        .join(broadcast(bparts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val perPart = li.groupBy(col("l_partkey").as("pp"))
+        .agg(sum(dec(col("l_quantity"))).as("qty_sum"),
+          count(lit(1)).as("qty_cnt"))
+      li.join(perPart, col("l_partkey") === col("pp"))
+        .filter(dec(col("l_quantity")) * lit(5) * col("qty_cnt") <
+          col("qty_sum"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    },
+    oracle = Some("""
+      WITH li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#3'),
+      per_part AS (
+        SELECT l_partkey AS pp,
+          sum(CAST(l_quantity AS DECIMAL(12,4))) AS qty_sum,
+          count(*) AS qty_cnt
+        FROM li GROUP BY 1)
+      SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)))
+          AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
+      FROM li JOIN per_part ON l_partkey = pp
+      WHERE CAST(l_quantity AS DECIMAL(12,4)) * 5 * qty_cnt < qty_sum"""))
+
+  /** q223 — LARGE-VOLUME CUSTOMERS (the TPC-H Q18 shape): the top-100
+    * orders whose total quantity exceeds a threshold, with their
+    * customers. The `HAVING sum(l_quantity) > 250 IN`-subquery
+    * decorrelates into one per-order hash-agg whose HAVING output IS
+    * the probe set — the agg result joins back to orders/customer
+    * directly (never an IN over a second lineitem scan). The qty agg
+    * runs BEFORE any dimension join so only qualifying orders (a few
+    * per ten thousand) reach the customer join; top-100 is taken on
+    * (o_totalprice DESC, o_orderkey) — the fixture double is stored,
+    * not computed, so it is bit-identical in both engines, and the
+    * orderkey tie-break makes the LIMIT boundary deterministic —
+    * executed as TakeOrderedAndProject. Quantities sum in exact
+    * decimal. */
+  val q223: Q = Q(
+    "q223_large_volume_customers",
+    run = { (spark, dir) =>
+      val big = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+        .filter(col("qty_dec") > lit(250))
+      big.join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate"), col("o_totalprice")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(spark, dir)
+            .select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("qty_dec").cast(DoubleType).as("total_qty"))
+    },
+    oracle = Some("""
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        CAST(CAST(qty_dec AS VARCHAR) AS DOUBLE) AS total_qty
+      FROM (
+        SELECT l_orderkey,
+          sum(CAST(l_quantity AS DECIMAL(12,4))) AS qty_dec
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(l_quantity AS DECIMAL(12,4))) > 250)
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100"""))
+
+  /** q224 — DISJUNCTIVE-PREDICATE REVENUE (the TPC-H Q19 shape,
+    * adapted to this schema's columns): revenue from three OR'd
+    * brand/size/quantity conjunctions. The OR references BOTH join
+    * sides, so it cannot push anywhere as-is; the scale trick is the
+    * DERIVED per-side envelope — part prunes to the three brands at
+    * its scan (`p_brand IN (...)` is the union of the brand legs) and
+    * lineitem prunes to `l_quantity ∈ [1,30]` (the union of the
+    * quantity legs) BEFORE the join, then the exact disjunction runs
+    * as a cheap post-join filter over the already-tiny slice. Part
+    * broadcasts; one scalar exact-decimal output. */
+  val q224: Q = Q(
+    "q224_disjunctive_revenue",
+    run = { (spark, dir) =>
+      val p = Tables.part(spark, dir)
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#4"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val li = Tables.lineitem(spark, dir)
+        .filter(col("l_quantity").between(1, 30))
+        .select(col("l_partkey"), col("l_quantity"),
+          (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(Fine).as("rev_term"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 30) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#4" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(col("rev_term")).cast(DoubleType).as("revenue"))
+    },
+    oracle = Some("""
+      SELECT CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+            * (1 - CAST(l_discount AS DECIMAL(12,4)))
+          AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#4' AND p_size BETWEEN 20 AND 50
+             AND l_quantity BETWEEN 20 AND 30)"""))
+
+  /** q225 — DORMANT HIGH-BALANCE CUSTOMERS per nation (the TPC-H Q22
+    * shape — the win-back campaign target list): customers whose
+    * balance exceeds the positive-balance average but who placed NO
+    * order since 1999. Two decorrelations in one query: the scalar
+    * `> (SELECT avg(...))` becomes a 1-row (sum, cnt) broadcast tested
+    * WITHOUT division (`bal·cnt > sum` — cnt > 0, so the inequality
+    * is equivalent and boundary-exact in decimal), and the
+    * `NOT EXISTS` becomes a LEFT ANTI join against the date-pruned
+    * orders projection (the date filter reaches the orders scan;
+    * only o_custkey survives into the anti probe). Nation broadcasts;
+    * per-nation count + exact balance sum. */
+  val q225: Q = Q(
+    "q225_dormant_customers",
+    run = { (spark, dir) =>
+      val cust = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val avgRow = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(dec(col("c_acctbal"))).as("bal_sum"),
+          count(lit(1)).as("bal_cnt"))
+      val recent = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast(TimestampType))
+        .select(col("o_custkey"))
+      cust.join(broadcast(avgRow))
+        .filter(dec(col("c_acctbal")) * col("bal_cnt") > col("bal_sum"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(spark, dir)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_custs"),
+          dsum(col("c_acctbal")).as("bal_total"))
+    },
+    oracle = Some("""
+      WITH avg_row AS (
+        SELECT sum(CAST(c_acctbal AS DECIMAL(12,4))) AS bal_sum,
+          count(*) AS bal_cnt
+        FROM customer WHERE c_acctbal > 0)
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
+        CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS VARCHAR)
+          AS DOUBLE) AS bal_total
+      FROM customer
+        CROSS JOIN avg_row
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE CAST(c_acctbal AS DECIMAL(12,4)) * bal_cnt > bal_sum
+        AND c_custkey NOT IN (
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+      GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-    q205, q206, q209, q210, q211, q212, q216, q217, q219)
+    q205, q206, q209, q210, q211, q212, q216, q217, q219,
+    q220, q221, q222, q223, q224, q225)
 }

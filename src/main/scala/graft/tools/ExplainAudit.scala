@@ -619,6 +619,56 @@ object ExplainAudit {
       !q206Plan.contains("BroadcastNestedLoopJoin"),
       "q206: locality predicate fell out of the equi-join")
     println("===== q206 SNOWFLAKE BROADCAST ASSERT OK")
+    // q220: the pair-IN filters reach the scans (nation prunes before
+    // its broadcast; the lineitem date range prunes the fact scan) and
+    // the cross-side inequality never degrades the joins to a
+    // nested-loop or cartesian
+    val q220Plan = graft.SparkEntry.queries("q220_nation_pair_trade")(
+      spark, dir).queryExecution.executedPlan.toString
+    assert(q220Plan.contains("In(n_name"),
+      "q220: nation pair IN filter did not reach the nation scan")
+    assert(q220Plan.contains("GreaterThanOrEqual(l_shipdate")
+      && q220Plan.contains("LessThan(l_shipdate"),
+      "q220: ship-date range did not reach the lineitem scan")
+    assert(!q220Plan.contains("CartesianProduct") &&
+      !q220Plan.contains("BroadcastNestedLoopJoin"),
+      "q220: pair disjunction degraded a join")
+    println("===== q220 PAIR-PUSHDOWN ASSERT OK")
+    // q221: the HAVING-max decorrelation must have NO global sort and
+    // the 1-row max must ride a broadcast back over the per-supplier agg
+    val q221Plan = graft.SparkEntry.queries("q221_top_supplier")(
+      spark, dir).queryExecution.executedPlan.toString
+    assert(!q221Plan.contains("Sort "),
+      "q221: scalar-max decorrelation planned a sort")
+    assert(q221Plan.contains("BroadcastHashJoin"),
+      "q221: global max did not broadcast back")
+    println("===== q221 SCALAR-MAX BROADCAST ASSERT OK")
+    // q223: top-100 must be TakeOrderedAndProject, and the qty HAVING
+    // agg must run before the dimension joins
+    val q223Plan = graft.SparkEntry.queries("q223_large_volume_customers")(
+      spark, dir).queryExecution.executedPlan.toString
+    assert(q223Plan.contains("TakeOrderedAndProject"),
+      "q223: top-100 planned a global sort instead of TakeOrdered")
+    println("===== q223 TAKEORDERED ASSERT OK")
+    // q224: the derived per-side envelopes reach both scans even though
+    // the exact OR references both join sides
+    val q224Plan = graft.SparkEntry.queries("q224_disjunctive_revenue")(
+      spark, dir).queryExecution.executedPlan.toString
+    assert(q224Plan.contains("In(p_brand"),
+      "q224: brand-union envelope did not reach the part scan")
+    assert(q224Plan.contains("GreaterThanOrEqual(l_quantity")
+      && q224Plan.contains("LessThanOrEqual(l_quantity"),
+      "q224: quantity envelope did not reach the lineitem scan")
+    println("===== q224 DISJUNCTION-ENVELOPE PUSHDOWN ASSERT OK")
+    // q225: the NOT-EXISTS decorrelation must plan a LEFT ANTI join and
+    // the date filter must reach the orders scan before the anti probe
+    val q225Plan = graft.SparkEntry.queries("q225_dormant_customers")(
+      spark, dir).queryExecution.executedPlan.toString
+    assert(q225Plan.contains("LeftAnti"),
+      "q225: NOT EXISTS did not plan a left-anti join")
+    assert(q225Plan.contains("GreaterThanOrEqual(o_orderdate"),
+      "q225: date filter did not reach the orders scan")
+    println("===== q225 ANTI-JOIN + PUSHDOWN ASSERT OK")
     spark.stop()
   }
 }
