@@ -1359,7 +1359,87 @@ object Funnels {
       CROSS JOIN viewers
       GROUP BY 1, 2"""))
 
+  /** q227 — AUTOCORRELATION of the daily-revenue series at lags 1 and
+    * 7 (the seasonality diagnostic behind q188's weekday profile: a
+    * high lag-7 ACF says "weekly cycle", a high lag-1 says
+    * "momentum"). The series is the exact-decimal daily sum of order
+    * totals; pairs align CALENDAR days (day, day+k) via an equi-join
+    * on the lagged date — gap days simply contribute no pair, which is
+    * the honest treatment for an irregular series (a row-number lag
+    * would silently pair revenue across a gap). Pearson runs on the
+    * q82 recipe: five exact decimal/integer moment sums per lag —
+    * order-free under Spark's partial+final aggregation — then ONE
+    * fixed double expression over the 1-row-per-lag result; products
+    * stay inside DECIMAL(37,8) because the daily total is bounded to
+    * DECIMAL(18,4) (documented domain: < 10^14/day — beyond any
+    * realistic revenue). The daily table is calendar-bounded (never
+    * corpus-sized), so the lag join broadcasts. */
+  val q227: Q = Q(
+    "q227_revenue_autocorrelation",
+    run = { (spark, dir) =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val daily = Tables.orders(spark, dir)
+        .select(to_date(col("o_orderdate")).as("day"),
+          col("o_totalprice").cast(DecimalType(12, 4)).as("p"))
+        .groupBy(col("day"))
+        .agg(sum(col("p")).cast(DecimalType(18, 4)).as("x"))
+      val pairs = Seq(1, 7).map { k =>
+        daily.join(
+          broadcast(daily.select(col("day").as("bday"), col("x").as("y"))),
+          col("bday") === date_add(col("day"), k))
+          .select(lit(k).as("lag"), col("x"), col("y"))
+      }.reduce(_ unionByName _)
+      val m = pairs.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("sy2"),
+          sum(col("x") * col("y")).as("sxy"))
+      m.select(col("lag"), col("n").as("n_pairs"),
+        ((col("n").cast(DoubleType) * col("sxy").cast(DoubleType) -
+          col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+          sqrt((col("n").cast(DoubleType) * col("sx2").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) *
+            (col("n").cast(DoubleType) * col("sy2").cast(DoubleType) -
+              col("sy").cast(DoubleType) * col("sy").cast(DoubleType))))
+          .as("acf"))
+    },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+          -- (19,4) not (18,4): DuckDB stores ≤18-digit decimals in
+          -- int64 and refuses the x*x promotion; 19 digits forces
+          -- HUGEINT storage and the (38,8) product sits exactly at the
+          -- cap. Spark keeps (18,4) → (37,8); values are identical.
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,4)))
+            AS DECIMAL(19,4)) AS x
+        FROM orders GROUP BY 1),
+      pairs AS (
+        SELECT 1 AS lag, a.x AS x, b.x AS y
+        FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 1 DAY
+        UNION ALL
+        SELECT 7 AS lag, a.x AS x, b.x AS y
+        FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 7 DAY),
+      m AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n,
+          sum(x) AS sx, sum(x * x) AS sx2,
+          sum(y) AS sy, sum(y * y) AS sy2, sum(x * y) AS sxy
+        FROM pairs GROUP BY 1)
+      SELECT CAST(lag AS INTEGER) AS lag, n AS n_pairs,
+        (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) -
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+           * CAST(CAST(sy AS VARCHAR) AS DOUBLE)) /
+        sqrt((CAST(n AS DOUBLE) * CAST(CAST(sx2 AS VARCHAR) AS DOUBLE) -
+              CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) *
+             (CAST(n AS DOUBLE) * CAST(CAST(sy2 AS VARCHAR) AS DOUBLE) -
+              CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+          AS acf
+      FROM m"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q75, q77, q100, q107, q172,
     q177, q180, q181, q185, q187, q188, q193, q197, q203, q204, q207,
-    q208, q215)
+    q208, q215, q227)
 }

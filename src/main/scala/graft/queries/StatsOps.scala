@@ -577,5 +577,127 @@ object StatsOps {
         ((w2_ppm - w1_ppm) * r1_ppm) // 1000000 AS mix_ppm
       FROM r"""))
 
-  val all: Seq[Q] = Seq(q81, q82, q84, q85, q86, q87, q170, q192, q196)
+  /** q226 — BENFORD FIRST-DIGIT AUDIT over order totals (the classic
+    * fabricated-data / fraud screen: organically grown money amounts
+    * follow log10(1+1/d); synthesized ones usually don't). The first
+    * digit is taken from the DECIMAL(18,2) string rendering — never
+    * from log10 (whose library rounding may disagree across engines at
+    * exact powers of ten) and never from the raw double's string (whose
+    * scientific-notation cutover is engine-specific); fixed-point
+    * decimal→string is plain-format in both engines by contract. The
+    * expected ppm per digit are integer literals of
+    * round(log10(1+1/d)·1e6) — identical constants on both sides.
+    * One digit hash-agg (9-row output), total via 1-row broadcast,
+    * deviations in exact integer ppm. Domain-gated to amounts ≥ 1 (a
+    * leading "0." or "-" digit has no Benford expectation). */
+  val q226: Q = Q(
+    "q226_benford_audit",
+    run = { (spark, dir) =>
+      val expCase =
+        "CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091 " +
+          "WHEN '3' THEN 124939 WHEN '4' THEN 96910 WHEN '5' THEN 79181 " +
+          "WHEN '6' THEN 66947 WHEN '7' THEN 57992 WHEN '8' THEN 51153 " +
+          "ELSE 45757 END"
+      val digits = Tables.orders(spark, dir)
+        .filter(col("o_totalprice") >= 1)
+        .select(substring(col("o_totalprice").cast(DecimalType(18, 2))
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n_obs"))
+      val total = digits.agg(sum(col("n_obs")).as("n_total"))
+      digits.join(broadcast(total))
+        .withColumn("obs_ppm", expr("(n_obs * 1000000) DIV n_total"))
+        .withColumn("exp_ppm", expr(expCase))
+        .select(col("digit"), col("n_obs"), col("obs_ppm"), col("exp_ppm"),
+          (col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT substring(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+            AS VARCHAR), 1, 1) AS digit,
+          CAST(count(*) AS BIGINT) AS n_obs
+        FROM orders WHERE o_totalprice >= 1
+        GROUP BY 1),
+      t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM d)
+      SELECT digit, n_obs,
+        (n_obs * 1000000) // n_total AS obs_ppm,
+        CAST(CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+          WHEN '3' THEN 124939 WHEN '4' THEN 96910 WHEN '5' THEN 79181
+          WHEN '6' THEN 66947 WHEN '7' THEN 57992 WHEN '8' THEN 51153
+          ELSE 45757 END AS INTEGER) AS exp_ppm,
+        (n_obs * 1000000) // n_total
+          - CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+            WHEN '3' THEN 124939 WHEN '4' THEN 96910 WHEN '5' THEN 79181
+            WHEN '6' THEN 66947 WHEN '7' THEN 57992 WHEN '8' THEN 51153
+            ELSE 45757 END AS dev_ppm
+      FROM d CROSS JOIN t"""))
+
+  /** q228 — CHI-SQUARE INDEPENDENCE CELLS for market segment × order
+    * priority (the "is the mix shifting by segment" readout behind
+    * q196's decomposition): the full contingency table with observed
+    * count, expected count (milli-units), and per-cell χ² contribution
+    * (ppm). ALL exact integer arithmetic: expected = r·c/N is emitted
+    * as (r·c·1000) DIV N, and the χ² cell (o−e)²/e rewrites
+    * division-free as ((o·N − r·c)²·10⁶) DIV (r·c·N) — the numerator
+    * reaches ~10²³ at sf0.1 so it runs in DECIMAL(38,0) on the Spark
+    * side and HUGEINT in the oracle, in lockstep (the q170 recipe).
+    * Margins derive from the cell table itself (≤ segments×priorities
+    * rows — never a second fact scan) and ride 1-row/tiny broadcasts. */
+  val q228: Q = Q(
+    "q228_chisq_cells",
+    run = { (spark, dir) =>
+      val cells = Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderpriority"))
+        .join(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_obs"))
+      val rowTot = cells.groupBy(col("c_mktsegment").as("rseg"))
+        .agg(sum(col("n_obs")).as("r_tot"))
+      val colTot = cells.groupBy(col("o_orderpriority").as("cpri"))
+        .agg(sum(col("n_obs")).as("c_tot"))
+      val nTot = cells.agg(sum(col("n_obs")).as("n_tot"))
+      cells
+        .join(broadcast(rowTot), col("c_mktsegment") === col("rseg"))
+        .join(broadcast(colTot), col("o_orderpriority") === col("cpri"))
+        .join(broadcast(nTot))
+        .withColumn("exp_milli", expr(
+          "(CAST(r_tot AS DECIMAL(38,0)) * c_tot * 1000) DIV n_tot"))
+        .withColumn("chi2_ppm", expr(
+          """((CAST(n_obs AS DECIMAL(38,0)) * n_tot
+            |   - CAST(r_tot AS DECIMAL(38,0)) * c_tot)
+            |  * (CAST(n_obs AS DECIMAL(38,0)) * n_tot
+            |     - CAST(r_tot AS DECIMAL(38,0)) * c_tot)
+            |  * 1000000)
+            |DIV (CAST(r_tot AS DECIMAL(38,0)) * c_tot * n_tot)"""
+            .stripMargin))
+        .select(col("c_mktsegment"), col("o_orderpriority"), col("n_obs"),
+          col("exp_milli").cast("long").as("exp_milli"),
+          col("chi2_ppm").cast("long").as("chi2_ppm"))
+    },
+    oracle = Some("""
+      WITH cells AS (
+        SELECT c_mktsegment, o_orderpriority,
+          CAST(count(*) AS HUGEINT) AS n_obs
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      r AS (SELECT c_mktsegment AS rseg, sum(n_obs) AS r_tot
+            FROM cells GROUP BY 1),
+      c AS (SELECT o_orderpriority AS cpri, sum(n_obs) AS c_tot
+            FROM cells GROUP BY 1),
+      t AS (SELECT sum(n_obs) AS n_tot FROM cells)
+      SELECT c_mktsegment, o_orderpriority,
+        CAST(n_obs AS BIGINT) AS n_obs,
+        CAST((r_tot * c_tot * 1000) // n_tot AS BIGINT) AS exp_milli,
+        CAST(((n_obs * n_tot - r_tot * c_tot)
+              * (n_obs * n_tot - r_tot * c_tot) * 1000000)
+          // (r_tot * c_tot * n_tot) AS BIGINT) AS chi2_ppm
+      FROM cells
+        JOIN r ON c_mktsegment = rseg
+        JOIN c ON o_orderpriority = cpri
+        CROSS JOIN t"""))
+
+  val all: Seq[Q] = Seq(q81, q82, q84, q85, q86, q87, q170, q192, q196,
+    q226, q228)
 }
