@@ -698,6 +698,70 @@ object StatsOps {
         JOIN c ON o_orderpriority = cpri
         CROSS JOIN t"""))
 
+  /** q229 — KENDALL RANK CORRELATION (τ) between daily order volume
+    * and daily revenue (the robust "do busier days actually make more
+    * money" check — immune to the outlier days that bend Pearson, and
+    * the natural companion to q204's Theil–Sen, which is the same
+    * pairwise machinery pointed at slopes). ALL-INTEGER exactness: for
+    * every day pair i<j classify concordant / discordant / x-tie /
+    * y-tie by comparing an integer count and an exact decimal sum —
+    * no ranks, no doubles until nothing is left to round. τ_a is
+    * emitted in exact ppm ((C−D)·10⁶ DIV pairs). The pairwise
+    * self-join is CALENDAR-BOUNDED (days, not rows — ~3 k days even at
+    * decade retention ⇒ ≤ ~10⁷ pairs), so the quadratic blowup that
+    * makes Kendall infeasible row-wise is structurally capped; the
+    * tiny daily table broadcasts. */
+  val q229: Q = Q(
+    "q229_kendall_tau",
+    run = { (spark, dir) =>
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("x"),
+          sum(col("o_totalprice").cast(DecimalType(12, 4))).as("y"))
+      val b = daily.select(col("day").as("bday"), col("x").as("bx"),
+        col("y").as("by"))
+      val pairs = daily.join(broadcast(b), col("day") < col("bday"))
+        .select(
+          when(col("x") === col("bx"), 1L).otherwise(0L).as("tie_x"),
+          when(col("y") === col("by"), 1L).otherwise(0L).as("tie_y"),
+          when(col("x") =!= col("bx") && col("y") =!= col("by") &&
+            ((col("x") < col("bx")) === (col("y") < col("by"))), 1L)
+            .otherwise(0L).as("conc"),
+          when(col("x") =!= col("bx") && col("y") =!= col("by") &&
+            ((col("x") < col("bx")) =!= (col("y") < col("by"))), 1L)
+            .otherwise(0L).as("disc"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(col("conc")).as("concordant"),
+        sum(col("disc")).as("discordant"),
+        sum(col("tie_x")).as("ties_x"),
+        sum(col("tie_y")).as("ties_y"))
+        .withColumn("tau_a_ppm",
+          expr("((concordant - discordant) * 1000000) DIV n_pairs"))
+    },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x,
+          sum(CAST(o_totalprice AS DECIMAL(12,4))) AS y
+        FROM orders GROUP BY 1),
+      p AS (
+        SELECT
+          CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tie_x,
+          CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS tie_y,
+          CASE WHEN a.x <> b.x AND a.y <> b.y
+            AND ((a.x < b.x) = (a.y < b.y)) THEN 1 ELSE 0 END AS conc,
+          CASE WHEN a.x <> b.x AND a.y <> b.y
+            AND ((a.x < b.x) <> (a.y < b.y)) THEN 1 ELSE 0 END AS disc
+        FROM daily a JOIN daily b ON a.day < b.day)
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(conc) AS BIGINT) AS concordant,
+        CAST(sum(disc) AS BIGINT) AS discordant,
+        CAST(sum(tie_x) AS BIGINT) AS ties_x,
+        CAST(sum(tie_y) AS BIGINT) AS ties_y,
+        CAST(((sum(conc) - sum(disc)) * 1000000) // count(*) AS BIGINT)
+          AS tau_a_ppm
+      FROM p"""))
+
   val all: Seq[Q] = Seq(q81, q82, q84, q85, q86, q87, q170, q192, q196,
-    q226, q228)
+    q226, q228, q229)
 }

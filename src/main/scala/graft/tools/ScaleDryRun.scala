@@ -805,6 +805,56 @@ object ScaleDryRun {
     val (tWf10, _) = timed(graft.queries.Funnels.windowFunnelDepth(ev10))
     println(f"[scale-dry-run] q208_window_funnel_1x  $tWf1%8.2f s")
     println(f"[scale-dry-run] q208_window_funnel_10x $tWf10%8.2f s  (ratio ${tWf10 / tWf1}%.1fx)")
+    // q220: the 5-way nation-pair join at 10x facts over fixed dims —
+    // the per-side IN pruning must keep the broadcast sides constant
+    // and the fact-fact shuffles the only thing that scales
+    def q220shape(lix: DataFrame, ox: DataFrame): DataFrame = {
+      val nfil = spark.read.parquet(s"$dir/nation.parquet")
+        .filter(col("n_name").isin("NATION_3", "NATION_24"))
+      val sp = spark.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(nfil), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cu = cust0.select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(nfil), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      lix.filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(Fine).as("rev_term"))
+        .join(broadcast(sp), col("l_suppkey") === col("s_suppkey"))
+        .join(ox.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cu, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rev_term")).as("rev"))
+    }
+    val (tQ7a, _) = timed(q220shape(li0, o0))
+    val (tQ7b, _) = timed(q220shape(li, o))
+    println(f"[scale-dry-run] q220_pair_trade_1x     $tQ7a%8.2f s")
+    println(f"[scale-dry-run] q220_pair_trade_10x    $tQ7b%8.2f s  (ratio ${tQ7b / tQ7a}%.1fx — 10x facts, fixed dims)")
+    // q223: the HAVING-agg probe set at 10x lineitem — the qty agg is
+    // the only full-fact pass; the join-back sees just the qualifying
+    // orders and the top-100 stays TakeOrdered (no global sort)
+    def q223shape(lix: DataFrame, ox: DataFrame): DataFrame = {
+      val big = lix.select(col("l_orderkey"), col("l_quantity"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+        .filter(col("qty_dec") > lit(250))
+      big.join(ox.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust0.select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    }
+    val (tQ18a, _) = timed(q223shape(li0, o0))
+    val (tQ18b, _) = timed(q223shape(li, o))
+    println(f"[scale-dry-run] q223_large_vol_1x      $tQ18a%8.2f s")
+    println(f"[scale-dry-run] q223_large_vol_10x     $tQ18b%8.2f s  (ratio ${tQ18b / tQ18a}%.1fx)")
     spark.stop()
   }
 }
