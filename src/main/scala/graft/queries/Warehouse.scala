@@ -381,5 +381,142 @@ object Warehouse {
           // t.t_cents AS BIGINT) AS cum_share_ppm
       FROM g CROSS JOIN t"""))
 
-  val all: Seq[Q] = Seq(q93, q94, q171, q198, q199)
+  /** q230 — CALENDAR DENSIFY (gap-fill): the zero-filled daily revenue
+    * series every reporting layer and every downstream time-series
+    * model (q187's EWMA, q227's ACF) actually wants — a day with no
+    * orders must appear as an explicit zero row, not silently vanish
+    * (a moving average over a gappy series is just wrong). The day
+    * spine is generated from the 1-row (min, max) bound via
+    * `sequence()` — calendar-bounded (≤ ~3.7 k rows per decade), so
+    * the spine and the daily aggregate BOTH broadcast and nothing here
+    * scales with the fact table except the one daily hash-agg. Gap
+    * days carry an explicit flag; days render as strings (the DATE
+    * hash-parity rule). */
+  val q230: Q = Q(
+    "q230_calendar_densify",
+    run = { (spark, dir) =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(12, 4))).as("rev_dec"))
+      val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("sday"))
+      spine.join(broadcast(daily), col("sday") === col("day"), "left")
+        .select(date_format(col("sday"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n_orders"),
+          coalesce(col("rev_dec").cast(DoubleType), lit(0.0)).as("revenue"),
+          when(col("n").isNull, 1).otherwise(0).as("is_gap"))
+    },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS n,
+          sum(CAST(o_totalprice AS DECIMAL(12,4))) AS rev_dec
+        FROM orders GROUP BY 1),
+      b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      spine AS (
+        SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+          CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS sday
+        FROM b)
+      SELECT strftime(sday, '%Y-%m-%d') AS day,
+        COALESCE(n, 0) AS n_orders,
+        COALESCE(CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE), 0.0) AS revenue,
+        CAST(CASE WHEN daily.day IS NULL THEN 1 ELSE 0 END AS INTEGER)
+          AS is_gap
+      FROM spine LEFT JOIN daily ON sday = daily.day"""))
+
+  /** q231 — YEAR-OVER-YEAR monthly revenue growth (the BI staple —
+    * MoM is noise, YoY cancels seasonality): monthly exact-decimal
+    * revenue keyed on the INTEGER month index y·12+(m−1) — never the
+    * label string — so "twelve months earlier" is a plain equi-join on
+    * ym−12 (label arithmetic would need date parsing; a LAG window
+    * over months with gaps would silently compare against the wrong
+    * month). Growth in exact signed ppm over integer cents (the q199
+    * recipe; both engines truncate toward zero). The monthly table is
+    * calendar-bounded ⇒ the lag side broadcasts; months without a
+    * prior-year counterpart are reported with NULL growth (explicit,
+    * not dropped — a dashboard needs the row). */
+  val q231: Q = Q(
+    "q231_yoy_growth",
+    run = { (spark, dir) =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val monthly = Tables.orders(spark, dir)
+        .groupBy((year(col("o_orderdate")) * 12 +
+          month(col("o_orderdate")) - 1).as("ym"))
+        .agg(
+          (sum(col("o_totalprice").cast(DecimalType(12, 4))) * 10000)
+            .cast("long").as("cents"))
+      val prev = monthly.select(col("ym").as("pym"), col("cents").as("pcents"))
+      monthly.join(broadcast(prev), col("pym") === col("ym") - 12, "left")
+        .select(
+          concat(
+            format_string("%04d", (col("ym") / 12).cast("int")), lit("-"),
+            format_string("%02d", pmod(col("ym"), lit(12)) + 1)).as("month"),
+          (col("cents").cast(DoubleType) / 10000.0).as("revenue"),
+          (col("pcents").cast(DoubleType) / 10000.0).as("revenue_prev_year"),
+          // DECIMAL(38,0), not BIGINT: cents·10⁶ passes 2⁶³ once a
+          // month's revenue exceeds ~9·10⁸ units — true at warehouse
+          // scale even though the fixture stays under it
+          expr("((CAST(cents AS DECIMAL(38,0)) - pcents) * 1000000)" +
+            " DIV pcents").cast("long").as("yoy_ppm"))
+    },
+    oracle = Some("""
+      WITH monthly AS (
+        SELECT year(CAST(o_orderdate AS TIMESTAMP)) * 12
+            + month(CAST(o_orderdate AS TIMESTAMP)) - 1 AS ym,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) * 10000 AS BIGINT)
+            AS cents
+        FROM orders GROUP BY 1)
+      SELECT printf('%04d-%02d', a.ym // 12, a.ym % 12 + 1) AS month,
+        CAST(a.cents AS DOUBLE) / 10000.0 AS revenue,
+        CAST(b.cents AS DOUBLE) / 10000.0 AS revenue_prev_year,
+        CAST(((CAST(a.cents AS HUGEINT) - b.cents) * 1000000) // b.cents
+          AS BIGINT) AS yoy_ppm
+      FROM monthly a LEFT JOIN monthly b ON b.ym = a.ym - 12"""))
+
+  /** q232 — RELATIONAL DIVISION: customers active in EVERY order year
+    * (the "for-all" query shape — universal quantification — that
+    * naive SQL writes as doubly-nested NOT EXISTS and that none of the
+    * join family covers): decorrelated to the distinct-count-equality
+    * form — per customer, count DISTINCT order years; keep those whose
+    * count equals the UNIVERSE cardinality (a 1-row broadcast of
+    * count(DISTINCT year) over the whole table). Two hash-aggs and a
+    * broadcast; the NOT-EXISTS² formulation would rescan orders per
+    * (customer, year). Output: per-nation counts of always-active
+    * customers (nation broadcasts). */
+  val q232: Q = Q(
+    "q232_division_loyal",
+    run = { (spark, dir) =>
+      val perCust = Tables.orders(spark, dir)
+        .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+        .groupBy(col("o_custkey"))
+        .agg(countDistinct(col("yr")).as("n_years"))
+      val universe = Tables.orders(spark, dir)
+        .agg(countDistinct(year(col("o_orderdate"))).as("all_years"))
+      perCust.join(broadcast(universe), col("n_years") === col("all_years"))
+        .join(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_loyal"))
+    },
+    oracle = Some("""
+      WITH per_cust AS (
+        SELECT o_custkey,
+          count(DISTINCT year(CAST(o_orderdate AS TIMESTAMP))) AS n_years
+        FROM orders GROUP BY 1),
+      u AS (SELECT count(DISTINCT year(CAST(o_orderdate AS TIMESTAMP)))
+              AS all_years FROM orders)
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_loyal
+      FROM per_cust CROSS JOIN u
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_years = all_years
+      GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(q93, q94, q171, q198, q199, q230, q231, q232)
 }
