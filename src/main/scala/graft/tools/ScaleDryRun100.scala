@@ -267,6 +267,68 @@ object ScaleDryRun100 {
     row("skew100_aqe_split", tAqe, nAqe, f"  speedup ${tPlain / tAqe}%.1fx")
     require(nPlain == nSalt && nPlain == nAqe,
       s"skew mitigation changed row multiplicity: $nPlain / $nSalt / $nAqe")
+
+    // ---- round-14 TPC-H block at 1x/10x/100x ----
+    // q220 shape: the 5-way nation-pair join. Orderkeys offset per copy
+    // (joins stay 1:1); custkeys FIXED — the realistic 100x world is
+    // more orders per customer, so the customer join's fan-in grows
+    // while both broadcast sides stay constant.
+    def q220Case(mult: Int): Double = {
+      val li = growKeyed(li0, mult, Seq("l_orderkey"))
+      val o = growKeyed(o0, mult, Seq("o_orderkey"))
+      import graft.functions.Exact._
+      val nfil = spark.read.parquet(s"$dir/nation.parquet")
+        .filter(col("n_name").isin("NATION_3", "NATION_24"))
+      val sp = spark.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(nfil), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cu = spark.read.parquet(s"$dir/customer.parquet")
+        .join(broadcast(nfil), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val (t, n) = timed(
+        li.filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1998-01-01"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).as("l_year"),
+            (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .cast(Fine).as("rev_term"))
+          .join(broadcast(sp), col("l_suppkey") === col("s_suppkey"))
+          .join(o.select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cu, col("o_custkey") === col("c_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(sum(col("rev_term")).as("rev")))
+      row(s"q220_pair_trade_${mult}x", t, n)
+      t
+    }
+    val pt1 = q220Case(1); val pt10 = q220Case(10); val pt100 = q220Case(100)
+    println(f"[scale-100] RATIO q220_pair_trade 10x=${pt10 / pt1}%.1fx 100x=${pt100 / pt1}%.1fx")
+    // q223 shape: HAVING-agg probe set + TakeOrdered top-100 — the only
+    // full-fact pass is the per-order qty agg; qualifying orders stay a
+    // fixed FRACTION, so the join-back grows linearly but small
+    def q223Case(mult: Int): Double = {
+      val li = growKeyed(li0, mult, Seq("l_orderkey"))
+      val o = growKeyed(o0, mult, Seq("o_orderkey"))
+      import graft.functions.Exact._
+      val (t, n) = timed {
+        val big = li.select(col("l_orderkey"), col("l_quantity"))
+          .groupBy(col("l_orderkey"))
+          .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+          .filter(col("qty_dec") > lit(250))
+        big.join(o.select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate"), col("o_totalprice")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(spark.read.parquet(s"$dir/customer.parquet")
+              .select(col("c_custkey"), col("c_name"))),
+            col("o_custkey") === col("c_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+      }
+      row(s"q223_large_vol_${mult}x", t, n)
+      t
+    }
+    val lv1 = q223Case(1); val lv10 = q223Case(10); val lv100 = q223Case(100)
+    println(f"[scale-100] RATIO q223_large_vol  10x=${lv10 / lv1}%.1fx 100x=${lv100 / lv1}%.1fx")
     spark.stop()
   }
 }
