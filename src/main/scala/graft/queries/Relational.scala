@@ -628,15 +628,22 @@ object Relational {
   val q217: Q = Q(
     "q217_sole_blame_supplier",
     run = { (spark, dir) =>
+      // agg BELOW the join: the late test compares each line's shipdate
+      // to the same per-order threshold, so `any line late` ≡
+      // `max(shipdate) late` — collapse lineitem to (order, supplier,
+      // max_ship) BEFORE touching orders, and the join probes
+      // order×supplier-grain rows instead of every line (the map-side
+      // combine also shrinks the one fact shuffle to that grain)
       val perOs = Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("max_ship"))
         .join(Tables.orders(spark, dir)
           .select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("l_orderkey"), col("l_suppkey"))
-        .agg(max(when(
-          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
-          1L).otherwise(0L)).as("late"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          when(col("max_ship") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+            1L).otherwise(0L).as("late"))
       val perOrder = perOs.groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
         .filter(col("n_supp") >= 2 && col("n_late") === 1)
