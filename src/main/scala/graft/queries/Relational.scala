@@ -556,21 +556,29 @@ object Relational {
   val q212: Q = Q(
     "q212_late_shipment_sla",
     run = { (spark, dir) =>
-      val late = Tables.orders(spark, dir)
+      // agg BELOW the join (the q217 trick): the per-order late test is
+      // `any line > od+90` ≡ `max(shipdate) > od+90`, so lineitem
+      // collapses to per-order max_ship BEFORE orders appears — the
+      // left join probes order-grain rows, never lines, and the old
+      // per-(orderkey, priority) re-agg disappears entirely (the join
+      // is 1:1, the priority rollup reads it directly). An order with
+      // no lines left-joins a null max_ship → the when() is false →
+      // on-time, exactly the old left-join semantics.
+      val perOrder = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("max_ship"))
+      Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_orderdate"),
           col("o_orderpriority"))
-        .join(Tables.lineitem(spark, dir)
-          .select(col("l_orderkey"), col("l_shipdate")),
-          col("o_orderkey") === col("l_orderkey"), "left")
-        .groupBy(col("o_orderkey"), col("o_orderpriority"))
-        .agg(max(when(
-          // timestamp + interval (never date_add: it truncates to DATE
-          // and would silently shift non-midnight order timestamps)
-          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
-          1L).otherwise(0L)).as("is_late"))
-      late.groupBy(col("o_orderpriority"))
+        .join(perOrder, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("is_late")).as("n_late"))
+          sum(when(
+            // timestamp + interval (never date_add: it truncates to
+            // DATE and would silently shift non-midnight timestamps)
+            col("max_ship") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+            1L).otherwise(0L)).as("n_late"))
         .select(col("o_orderpriority"), col("n_orders"), col("n_late"),
           expr("(n_late * 1000000) DIV n_orders").as("late_ppm"))
     },
