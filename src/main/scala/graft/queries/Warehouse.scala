@@ -518,5 +518,114 @@ object Warehouse {
       WHERE n_years = all_years
       GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(q93, q94, q171, q198, q199, q230, q231, q232)
+  /** q233 — GAINS / LIFT TABLE by score decile (the standard
+    * model-eval readout this engine's A/B and CUPED queries stop short
+    * of: "if we rank by this score, how concentrated are the
+    * positives?"): score = line value in exact cents, positive =
+    * returned line. Deciles come from the q199 recipe — a 9-cut
+    * percentile broadcast + `size(filter(cuts, c < score))`, never a
+    * global rank window; per-decile positive rate, share of all
+    * positives, and lift vs the base rate all in exact integer
+    * ppm/milli with the cross products in DECIMAL(38,0)/HUGEINT
+    * (pos·N overflows int64 at warehouse scale). Global totals are a
+    * 1-row broadcast re-agg of the ≤10-row decile table. */
+  val q233: Q = Q(
+    "q233_gains_table",
+    run = { (spark, dir) =>
+      val scored = Tables.lineitem(spark, dir)
+        .select(
+          (col("l_extendedprice").cast("decimal(12,4)") * 10000)
+            .cast("long").as("score_cents"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+      val cuts = scored.agg(percentile(col("score_cents"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
+      val byDecile = scored.crossJoin(broadcast(cuts))
+        .select(expr("size(filter(cuts, c -> c < score_cents))")
+          .as("decile"), col("pos"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      val totals = byDecile.agg(sum(col("n")).as("nn"),
+        sum(col("n_pos")).as("pp"))
+      byDecile.join(broadcast(totals))
+        .select(col("decile"), col("n"), col("n_pos"),
+          expr("(n_pos * 1000000) DIV n").as("pos_rate_ppm"),
+          expr("(n_pos * 1000000) DIV pp").as("pos_share_ppm"),
+          expr("CAST((CAST(n_pos AS DECIMAL(38,0)) * nn * 1000)" +
+            " DIV (CAST(n AS DECIMAL(38,0)) * pp) AS BIGINT)")
+            .as("lift_milli"))
+    },
+    oracle = Some("""
+      WITH scored AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 10000
+            AS BIGINT) AS score_cents,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        FROM lineitem),
+      cuts AS (SELECT quantile_cont(score_cents,
+                 [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+               FROM scored),
+      d AS (SELECT len(list_filter(cuts.cuts, c -> c < score_cents))
+              AS decile, pos
+            FROM scored CROSS JOIN cuts),
+      g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(pos) AS BIGINT) AS n_pos
+            FROM d GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+              CAST(sum(n_pos) AS BIGINT) AS pp FROM g)
+      SELECT CAST(decile AS INTEGER) AS decile, n, n_pos,
+        (n_pos * 1000000) // n AS pos_rate_ppm,
+        (n_pos * 1000000) // pp AS pos_share_ppm,
+        CAST((CAST(n_pos AS HUGEINT) * nn * 1000)
+          // (CAST(n AS HUGEINT) * pp) AS BIGINT) AS lift_milli
+      FROM g CROSS JOIN t"""))
+
+  /** q234 — FIRST-MONTH COHORT REPEAT-PURCHASE RATE (the CRM readout
+    * beside q62's event-retention cohorts, on the warehouse side): of
+    * customers whose FIRST order landed in month M, what fraction
+    * ordered again within 90 days? ONE customer-keyed shuffle total:
+    * the per-customer first order is a window min, the repeat flag a
+    * same-key agg over the window's output (co-partitioned — Spark
+    * plans no second exchange), the cohort rollup reads
+    * customer-grain rows. The repeat test is STRICTLY after the first
+    * instant (`>` excludes the first order and any same-instant
+    * duplicate — deterministic in both engines) and inclusive at the
+    * 90-day boundary. Rates in exact integer ppm. */
+  val q234: Q = Q(
+    "q234_cohort_repeat",
+    run = { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+      val perCust = Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderdate"))
+        .withColumn("first_dt", min(col("o_orderdate")).over(w))
+        .groupBy(col("o_custkey"), col("first_dt"))
+        .agg(max(when(col("o_orderdate") > col("first_dt") &&
+          col("o_orderdate") <= col("first_dt") + expr("INTERVAL 90 DAY"),
+          1L).otherwise(0L)).as("repeat90"))
+      perCust
+        .groupBy(date_format(col("first_dt"), "yyyy-MM").as("cohort_month"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("repeat90")).as("n_repeat"))
+        .select(col("cohort_month"), col("n_customers"), col("n_repeat"),
+          expr("(n_repeat * 1000000) DIV n_customers").as("repeat_ppm"))
+    },
+    oracle = Some("""
+      WITH f AS (
+        SELECT o_custkey, o_orderdate,
+          min(o_orderdate) OVER (PARTITION BY o_custkey) AS first_dt
+        FROM orders),
+      per_cust AS (
+        SELECT o_custkey, first_dt,
+          max(CASE WHEN o_orderdate > first_dt
+                AND o_orderdate <= first_dt + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END) AS repeat90
+        FROM f GROUP BY 1, 2)
+      SELECT strftime(first_dt, '%Y-%m') AS cohort_month,
+        CAST(count(*) AS BIGINT) AS n_customers,
+        CAST(sum(repeat90) AS BIGINT) AS n_repeat,
+        (CAST(sum(repeat90) AS BIGINT) * 1000000) // count(*)
+          AS repeat_ppm
+      FROM per_cust GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(q93, q94, q171, q198, q199, q230, q231, q232,
+    q233, q234)
 }
