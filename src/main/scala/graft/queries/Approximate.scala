@@ -3,29 +3,140 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
-/** Approximate aggregates (SURVEY.md §2.8 exclusions: tested by bounds,
-  * not hash-matched — HLL++ and KLL/GK sketches are engine-specific).
-  * These are the 100 TB workhorses: approx_count_distinct is one pass +
-  * constant memory vs count(distinct)'s shuffle of every distinct value;
-  * approx_percentile replaces the exact median's full sort.
+/** Approximate aggregates — the 100 TB workhorses: a cardinality or
+  * quantile sketch is one pass + constant memory vs count(distinct)'s
+  * shuffle of every distinct value / the exact median's full sort.
+  * Every sketch here is built on the repo's deterministic md5 hash
+  * family, so construction, registers/cells, AND estimates are
+  * hash-gated against the DuckDB oracle digit-by-digit (q39 HLL, q159
+  * CMS, q160 histogram quantiles, q161 linear counting); the analytic
+  * guarantees (error bounds, mergeability) are suite-asserted on top.
+  * The one remaining engine-private sketch is q77's DataSketches
+  * rolling HLL (Approximate2), bounded in-suite.
   */
 object Approximate {
 
-  /** q39 — sketch aggregates per returnflag (rows-only check; error
-    * bounds vs exact are asserted in ApproxSpec). */
+  /** Core of q39: a DETERMINISTIC HyperLogLog (Flajolet et al. 2007)
+    * over the md5 hash family — the q161 linear-counting drain applied
+    * to the last engine-private sketch arm: where Spark's
+    * approx_count_distinct rides a private xxHash HLL++ the oracle
+    * cannot replay, this one derives register index (first 2 hex
+    * chars → 0..255) and rank (1 + leading zero BITS of the next 48
+    * bits, via the leading-`0`-hex-run length plus the first non-zero
+    * nibble's zero count — pure string/integer work both engines
+    * replay digit-by-digit). The register sum Σ2^(−M_j) is kept EXACT:
+    * Σ2^(49−M_j) is an integer ≤ 256·2^48 < 2^57, absent registers
+    * contribute 2^49 each, and the only float ops are ONE fixed
+    * α·m²·2^49/S expression (plus the standard linear-counting
+    * small-range arm, q161's formula) — identical text in both
+    * engines, so the estimate hash-gates alongside the exact count.
+    *
+    * Scale shape: ONE hash agg into ≤ flags·256 register cells (max
+    * merges, so partition partials ARE local HLLs — the mergeability
+    * that makes HLL the distributed cardinality structure), plus the
+    * exact count(distinct) carried for the accuracy story; the final
+    * reducer sees 256 rows per group regardless of corpus size. */
+  def hllDistinct(rows: org.apache.spark.sql.DataFrame,
+      m: Int = 256): org.apache.spark.sql.DataFrame = {
+    val base = rows
+      .withColumn("hx", md5(concat(lit("hll|"), col("k").cast("string"))))
+      .withColumn("reg", expr("CAST(conv(substr(hx, 1, 2), 16, 10) AS INT)"))
+      .withColumn("tail", expr("substr(hx, 3, 12)"))
+      .withColumn("z",
+        length(regexp_extract(col("tail"), "^0*", 0)).cast("int"))
+      .withColumn("rnk", expr(
+        """CASE WHEN z = 12 THEN 49 ELSE z * 4 + 1 +
+          |  CASE WHEN CAST(conv(substr(tail, z + 1, 1), 16, 10) AS INT) >= 8
+          |         THEN 0
+          |       WHEN CAST(conv(substr(tail, z + 1, 1), 16, 10) AS INT) >= 4
+          |         THEN 1
+          |       WHEN CAST(conv(substr(tail, z + 1, 1), 16, 10) AS INT) >= 2
+          |         THEN 2
+          |       ELSE 3 END END""".stripMargin))
+    val regs = base.groupBy(col("flag"), col("reg"))
+      .agg(max(col("rnk")).as("mx"))
+    val sums = regs.groupBy(col("flag"))
+      .agg(count(lit(1)).cast("long").as("occupied_regs"),
+        expr("sum(shiftleft(CAST(1 AS BIGINT), 49 - mx))").as("s_occ"))
+    val exact = rows.groupBy(col("flag"))
+      .agg(countDistinct(col("k")).as("true_distinct"))
+    exact.join(sums, "flag")
+      .withColumn("reg_sum", expr(
+        s"s_occ + ($m - occupied_regs) * shiftleft(CAST(1 AS BIGINT), 49)"))
+      // `D` suffix on every float literal: Spark parses bare `256.0`
+      // as DECIMAL and would run part of this in decimal arithmetic
+      // (decimal-division rounding ≠ the oracle's pure-double chain)
+      .withColumn("raw_est", expr(
+        s"(0.7213D / (1.0D + 1.079D / $m.0D)) * $m.0D * $m.0D " +
+          "* pow(2.0D, 49) / CAST(reg_sum AS DOUBLE)"))
+      .withColumn("hll_est", expr(
+        s"CASE WHEN occupied_regs < $m AND raw_est <= 2.5D * $m.0D " +
+          s"THEN $m.0D * ln($m.0D / CAST($m - occupied_regs AS DOUBLE)) " +
+          "ELSE raw_est END"))
+      .select(col("flag"), col("true_distinct"), col("occupied_regs"),
+        col("reg_sum"), col("hll_est"))
+  }
+
+  /** q39 — md5-register HLL distinct-parts estimate per returnflag
+    * under the EXACT hash gate (registers, register sum, and estimate
+    * all replayed by the oracle; the ±1.04/√m accuracy bound is
+    * suite-asserted in ScaleSpec). */
   val q39: Q = Q(
     "q39_approx_aggs",
     run = { (spark, dir) =>
-      Tables.lineitem(spark, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
-            .as("approx_median_price"),
-          approx_percentile(col("l_extendedprice"), lit(0.99), lit(10000))
-            .as("approx_p99_price"))
+      hllDistinct(Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("flag"), col("l_partkey").as("k")))
+        .withColumnRenamed("flag", "l_returnflag")
     },
-    oracle = None)
+    oracle = Some("""
+      WITH b AS (
+        SELECT l_returnflag AS flag, l_partkey AS k,
+          md5('hll|' || CAST(l_partkey AS VARCHAR)) AS hx
+        FROM lineitem),
+      r AS (
+        SELECT flag, k,
+          CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
+            AS INTEGER) AS reg,
+          substr(hx, 3, 12) AS tail,
+          CAST(length(regexp_extract(substr(hx, 3, 12), '^0*', 0))
+            AS INTEGER) AS z
+        FROM b),
+      rk AS (
+        SELECT flag, reg,
+          CASE WHEN z = 12 THEN 49 ELSE z * 4 + 1 +
+            CASE WHEN strpos('0123456789abcdef', substr(tail, z + 1, 1)) - 1
+                   >= 8 THEN 0
+                 WHEN strpos('0123456789abcdef', substr(tail, z + 1, 1)) - 1
+                   >= 4 THEN 1
+                 WHEN strpos('0123456789abcdef', substr(tail, z + 1, 1)) - 1
+                   >= 2 THEN 2
+                 ELSE 3 END END AS rnk
+        FROM r),
+      regs AS (SELECT flag, reg, max(rnk) AS mx FROM rk GROUP BY 1, 2),
+      sums AS (
+        SELECT flag, CAST(count(*) AS BIGINT) AS occupied_regs,
+          CAST(sum(CAST(1 AS BIGINT) << CAST(49 - mx AS INTEGER))
+            AS BIGINT) AS s_occ
+        FROM regs GROUP BY 1),
+      t AS (SELECT l_returnflag AS flag,
+              CAST(count(DISTINCT l_partkey) AS BIGINT) AS true_distinct
+            FROM lineitem GROUP BY 1),
+      j AS (
+        SELECT t.flag, t.true_distinct, s.occupied_regs,
+          CAST(s.s_occ + (256 - s.occupied_regs)
+            * (CAST(1 AS BIGINT) << 49) AS BIGINT) AS reg_sum
+        FROM t JOIN sums s USING (flag)),
+      e AS (
+        SELECT flag, true_distinct, occupied_regs, reg_sum,
+          (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * pow(2.0, 49)
+            / CAST(reg_sum AS DOUBLE) AS raw_est
+        FROM j)
+      SELECT flag AS l_returnflag, true_distinct, occupied_regs, reg_sum,
+        CASE WHEN occupied_regs < 256 AND raw_est <= 2.5 * 256.0
+             THEN 256.0 * ln(256.0 / (256.0 - occupied_regs))
+             ELSE raw_est END AS hll_est
+      FROM e"""))
 
   /** Core of q159: a COUNT-MIN SKETCH over the corpus token stream —
     * the mergeable heavy-hitter structure (Cormode & Muthukrishnan

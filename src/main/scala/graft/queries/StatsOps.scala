@@ -245,10 +245,12 @@ object StatsOps {
     * as a QUERY, not just a mitigation). Scale shape: the top-10 comes
     * from orderBy+limit (TakeOrderedAndProject — a distributed
     * partial-top-k, never a global sort of the key frame, whose
-    * cardinality at 100 TB is unbounded); the rank/cum-share window then
-    * runs over ten rows. The cumulative sum over the limited frame
-    * equals the full-frame prefix because both use the same total
-    * order. */
+    * cardinality at 100 TB is unbounded); rank and running sum over the
+    * ten surviving rows come from a broadcast TRIANGLE join on the same
+    * total order (the q199 recipe — rank = count of peers at-or-above,
+    * cum_n = their sum), so no partition-less window exists anywhere in
+    * the plan. The triangle prefix over the limited frame equals the
+    * full-frame prefix because both use the same total order. */
   val q87: Q = Q(
     "q87_skew_report",
     run = { (spark, dir) =>
@@ -256,13 +258,13 @@ object StatsOps {
       val top10 = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("l_partkey").asc).limit(10)
       val total = li.agg(count(lit(1)).as("n_total"))
-      val w = Window.partitionBy().orderBy(col("n").desc, col("l_partkey").asc)
-      val run = Window.partitionBy()
-        .orderBy(col("n").desc, col("l_partkey").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      top10
-        .withColumn("rank", row_number().over(w))
-        .withColumn("cum_n", sum(col("n")).over(run))
+      val peers = top10.select(col("l_partkey").as("pk2"), col("n").as("n2"))
+      top10.join(broadcast(peers),
+          col("n2") > col("n") ||
+            (col("n2") === col("n") && col("pk2") <= col("l_partkey")))
+        .groupBy(col("l_partkey"), col("n"))
+        .agg(count(lit(1)).cast("int").as("rank"),
+          sum(col("n2")).as("cum_n"))
         .crossJoin(broadcast(total))
         .select(col("rank"), col("l_partkey"), col("n"),
           (col("n").cast(DoubleType) / col("n_total")).as("share"),
@@ -419,11 +421,32 @@ object StatsOps {
       .agg(count(when(to_date(col("ts")) < lit(boundary), 1)).as("x"),
         count(when(to_date(col("ts")) >= lit(boundary), 1)).as("y"))
       .select(col("user_id"), variant, col("x"), col("y"))
+    cupedFromXY(xy)
+  }
+
+  /** Moment assembly of [[cupedReadout]] from a prepared (user_id,
+    * variant, x, y) frame — split out so the envelope guard below is
+    * testable without 10^19 synthetic events. */
+  private[graft] def cupedFromXY(
+      xy: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val moments = xy.agg(count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
       sum(col("x") * col("x")).as("sxx"),
       sum(col("y") * col("y")).as("syy"),
       sum(col("x") * col("y")).as("sxy"))
+      // LOUD envelope (dictEncode precedent): the ρ² numerator
+      // θ_ppm·covn rides DECIMAL(38,0), and past n·Σxy ≈ 1e19 the
+      // widened products start saturating SILENTLY (non-ANSI decimal
+      // overflow → null, truncation before that). Fail the job at the
+      // documented headroom boundary instead — a filter (not a pruned
+      // projection) so the optimizer cannot drop the assertion.
+      .filter(assert_true(
+        expr("CAST(n AS DECIMAL(38,0)) * sxy " +
+          "< CAST('10000000000000000000' AS DECIMAL(38,0))"),
+        concat(lit("q192 CUPED envelope exceeded: n*Sxy = "),
+          expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy AS STRING)"),
+          lit(" >= 1e19 — sample the covariate scan (theta is an " +
+            "estimate, not an invariant)"))).isNull)
     val perVariant = xy.groupBy(col("variant"))
       .agg(count(lit(1)).as("n_units"),
         sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"))

@@ -669,6 +669,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.values.map(_._2).toSet.size >= 1)
   }
 
+  test("q192 CUPED: moments past the n*Sxy ~1e19 envelope fail LOUDLY, not silently") {
+    import spark.implicits._
+    // 10 users at x = y = 9.48e8 → Σxy ≈ 8.99e18 (still inside BIGINT,
+    // so the moment sums themselves don't trip ANSI overflow first) but
+    // n·Σxy ≈ 9e19 — just past the documented ~1e19 headroom; the
+    // round-15 guard must raise, not truncate
+    val big = 948000000L
+    val xyOver = (1L to 10L).map(u => (u, u % 2, big, big))
+      .toDF("user_id", "variant", "x", "y")
+    val e = intercept[Exception] {
+      queries.StatsOps.cupedFromXY(xyOver).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("CUPED envelope exceeded")),
+      s"expected the loud envelope error, got: $e")
+    // and a same-shape frame INSIDE the envelope still computes
+    val xyOk = (1L to 10L).map(u => (u, u % 2, u, u * 2))
+      .toDF("user_id", "variant", "x", "y")
+    assert(queries.StatsOps.cupedFromXY(xyOk).count() == 2)
+  }
+
   test("q189: quantile normalization is rank-preserving per source and aligns sources on the global grid") {
     val out = queries.CorpusOps.q189.run(spark, dir)
       .select("source", "n_toks", "q_dec", "calib").collect()

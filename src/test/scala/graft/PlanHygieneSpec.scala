@@ -9,11 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanHygieneSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  /** Queries whose partition-less window is bounded by construction
-    * (runs AFTER a limit/TakeOrderedAndProject over an
-    * operator-constant row count) — the only acceptable reason for
-    * the single-partition window shape. */
-  private val boundedGlobalWindowOk = Set("q87_skew_report") // 10-row top-k
+  /** Queries whose partition-less window is bounded by construction —
+    * the only acceptable reason for the single-partition window shape.
+    * Empty since round 15: q87 (the last member) now ranks its 10-row
+    * top-k frame via the q199 broadcast-triangle recipe. */
+  private val boundedGlobalWindowOk = Set.empty[String]
 
   test("no registry query plans a CartesianProduct; all queries plan") {
     import org.apache.spark.sql.execution.SparkPlan
