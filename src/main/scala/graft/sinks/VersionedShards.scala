@@ -11,22 +11,41 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * sink stage of `dags/wine_etl_kaggle.py:167-202`, extended with the
   * audit/rollback story a production corpus lake needs.
   *
-  * Model: every commit lands its files under its OWN `v=<k>/` subtree
-  * (files are IMMUTABLE once written — a later commit never rewrites
-  * them) and appends (version, shard, path, action) rows to a `_log`
-  * table. The live file set as of version v is `adds ≤ v` minus
-  * `removes ≤ v`; readers ALWAYS resolve through the log, never by
-  * listing data dirs. Compaction is therefore LOGICAL: it lands merged
-  * files in a new version and logs remove-rows for the superseded
-  * runs — which old snapshots keep reading until [[vacuum]] reclaims
-  * them past the retention horizon.
+  * Model (round 15 — ATOMIC SINGLE-FILE COMMITS, the Delta log
+  * protocol): every commit STAGES its payload under its own
+  * `d-<id>/` subtree (files are IMMUTABLE once written — a later
+  * commit never rewrites them) and its (shard, path, action) manifest
+  * parquet under `_log/m-<id>/`, both at contention-free random ids;
+  * the COMMIT itself is then the atomic materialization of ONE
+  * POINTER file `_log/c-<v>-<seq>` whose content binds the version to
+  * its manifest, data subtree, and timestamp ([[atomicPublishFile]] —
+  * the exact name is the contended unit, the content is complete the
+  * instant the name exists). Version
+  * allocation IS commit: an optimistic writer targets
+  * currentVersion+1 and a failed create means that exact version just
+  * committed — there is no claim/commit window, no reservation to go
+  * stale, and NO LIVENESS ASSUMPTION: a writer may stall arbitrarily
+  * long between staging and publish and still lands (at whatever
+  * version is next when it wakes). Versions committed by the
+  * optimistic paths are therefore contiguous, and a crash before
+  * publish leaves only invisible orphans ([[gcOrphans]] reclaims
+  * them) — never a half-visible commit.
   *
-  * Scale shape: the log is the metadata table — O(#files) rows, read
-  * once per query plan, pruned driver-side to the as-of version (the
-  * same bounded-listing contract as [[ShardExport.runCounts]]); data
-  * jobs touch only live files. At 100 TB the log is the thing that
-  * makes O(1)-cost snapshot reads, exact audits ("what did epoch 3
-  * train on?"), and safe concurrent append+compact possible at all —
+  * The live file set as of version v is the order-aware fold of
+  * manifests ≤ v; readers ALWAYS resolve through the log, never by
+  * listing data dirs. Compaction is LOGICAL: it lands merged files in
+  * a new commit and logs remove-rows for the superseded runs — which
+  * old snapshots keep reading until [[vacuum]] reclaims them past the
+  * retention horizon.
+  *
+  * Scale shape: the log is the metadata table — O(#files) rows across
+  * O(#versions) single-file manifests read in ONE pruned scan, the
+  * same bounded-listing contract as [[ShardExport.runCounts]] (Delta
+  * reads its JSON commits the same way, checkpointing past ~10³ —
+  * the seam where a checkpoint manifest would slot in); data jobs
+  * touch only live files. At 100 TB the log is the thing that makes
+  * O(1)-cost snapshot reads, exact audits ("what did epoch 3 train
+  * on?"), and safe concurrent append+compact possible at all —
   * re-listing the lake per read is the non-starter. */
 object VersionedShards {
 
@@ -59,231 +78,287 @@ object VersionedShards {
   private def baseOf(dir: String, p: String): String =
     resolve(dir, p).split('/').dropRight(2).mkString("/")
 
-  /** Data files of one version subtree, as (shard, layout-relative
-    * path) — one bounded listing of the freshly-written commit, never
-    * of the whole lake. */
-  private def listVersionFiles(spark: SparkSession, dir: String,
-      v: Int): Seq[(Int, String)] = {
+  /** One committed version pointer: version and replay generation
+    * (fixed-version re-publishes bump it; the highest seq is the
+    * version's truth) from the pointer's NAME `c-<v>-<seq>` — the
+    * exact name IS the atomic unit, so two contenders for one slot
+    * collide by construction — plus commit timestamp, manifest id
+    * (`_log/m-<mId>/`), and the commit's own data subtree (`d-<dId>/`,
+    * if it landed one) from the pointer's CONTENT, which is complete
+    * the instant the name exists ([[atomicPublishFile]]). */
+  private[graft] final case class Commit(v: Int, seq: Int, ts: Long,
+      mId: String, dId: Option[String])
+
+  private val PointerName = "c-(\\d+)-(\\d+)".r
+
+  private def newId(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+
+  /** EVERY pointer file, superseded replay generations included —
+    * the reference set [[gcOrphans]] must honor. */
+  private def allPointers(spark: SparkSession,
+      dir: String): Seq[Commit] = {
     val (fs, _) = hfs(spark, dir)
-    val vRoot = new org.apache.hadoop.fs.Path(s"$dir/v=$v")
-    if (!fs.exists(vRoot)) return Nil
-    fs.listStatus(vRoot).toSeq
+    val logRoot = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    if (!fs.exists(logRoot)) return Nil
+    fs.listStatus(logRoot).toSeq.filter(_.isFile)
+      .flatMap(f => f.getPath.getName match {
+        case PointerName(v, seq) =>
+          val in = fs.open(f.getPath)
+          val body = try {
+            val buf = new Array[Byte](256)
+            val n = in.read(buf)
+            new String(buf, 0, math.max(n, 0),
+              java.nio.charset.StandardCharsets.UTF_8)
+          } finally in.close()
+          val Array(ts, m, d) = body.trim.split(' ')
+          Some(Commit(v.toInt, seq.toInt, ts.toLong, m,
+            if (d == "none") None else Some(d)))
+        case _ => None
+      })
+  }
+
+  /** The COMMITTED history: one winner per version (highest replay
+    * seq), version-ordered — resolved from ONE `_log` listing. A
+    * pointer file exists ⟺ its commit completed; there is no
+    * in-between state to filter. */
+  private[graft] def commits(spark: SparkSession,
+      dir: String): Seq[Commit] =
+    allPointers(spark, dir).groupBy(_.v).map(_._2.maxBy(_.seq))
+      .toSeq.sortBy(_.v)
+
+  /** The atomic commit primitive: materialize `content` at the EXACT
+    * name `_log/<name>`, failing — never clobbering, never exposing a
+    * partial file — when the name already exists. The content is
+    * fully written and closed at a hidden temp first; the atomic step
+    * is then a metadata-only namespace operation:
+    *
+    *  - `file:` — `link(2)` via `Files.createLink`: atomic
+    *    create-with-fail AND the new name carries the complete bytes
+    *    the instant it exists (an O_EXCL create+write would expose an
+    *    empty-file window a crashed winner could never fill);
+    *  - HDFS — `rename` (refuses an existing destination there);
+    *  - object stores — the if-none-match conditional put (the Delta
+    *    LogStore contract; S3 needs it for exactly this reason).
+    *
+    * Returns true = this writer's content is the name's content
+    * forever; false = lost the race to a COMPLETE rival commit. */
+  private[graft] def atomicPublishFile(spark: SparkSession, dir: String,
+      name: String, content: String): Boolean = {
+    val (fs, _) = hfs(spark, dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_log"))
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_log/.tmp-${newId()}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/_log/$name")
+    val won =
+      if (fs.getScheme == "file")
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          // ONLY already-exists is "lost the race"; any other
+          // IOException (permissions, full disk) must surface —
+          // swallowing it would misreport a writer storm
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      else fs.rename(tmp, dst)
+    fs.delete(tmp, false)
+    won
+  }
+
+  /** PUBLISH version `v`: the atomic pointer create that IS the
+    * commit. True = committed; false = some other writer committed
+    * exactly (`v`, `seq`) first (their pointer exists — a COMPLETE
+    * commit the caller can immediately validate against; contrast the
+    * old reservation scheme, where a lost race meant an in-flight
+    * claim of unknown fate). */
+  private def publish(spark: SparkSession, dir: String, v: Int, seq: Int,
+      mId: String, dId: Option[String], ts: Long): Boolean = {
+    val effTs = if (ts >= 0) ts else System.currentTimeMillis()
+    atomicPublishFile(spark, dir, s"c-$v-$seq",
+      s"$effTs $mId ${dId.getOrElse("none")}")
+  }
+
+  /** [[publish]] for the SINGLE-WRITER commit paths (fixed version,
+    * seq 0): a lost race here is a contract violation — fail loudly
+    * instead of silently shadowing either writer's commit (what the
+    * old overwrite-the-log-dir scheme would have done). */
+  private def publishStrict(spark: SparkSession, dir: String, v: Int,
+      mId: String, dId: Option[String], ts: Long): Unit =
+    if (!publish(spark, dir, v, 0, mId, dId, ts))
+      sys.error(s"version v$v already committed at $dir — a concurrent " +
+        "writer raced a single-writer commit path; use the OCC " +
+        "commit*Atomic variants for independent writers")
+
+  /** Stage one commit's manifest rows as a parquet at a
+    * contention-free id — fully written and closed BEFORE the pointer
+    * that makes them visible can exist. Returns the manifest id. */
+  private def stageManifest(spark: SparkSession, dir: String,
+      rows: Seq[(Int, String, String)]): String = {
+    val mId = newId()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (s, p, a) => Row(s, p, a) }, 1), logSchema)
+      .write.mode("overwrite").parquet(s"$dir/_log/m-$mId")
+    mId
+  }
+
+  /** Data files of one staged subtree, as (shard, layout-relative
+    * path) — one bounded listing of the freshly-staged payload, never
+    * of the whole lake. */
+  private def listStagedFiles(spark: SparkSession, dir: String,
+      dId: String): Seq[(Int, String)] = {
+    val (fs, _) = hfs(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/d-$dId")
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
       .filter(d => d.isDirectory && d.getPath.getName.startsWith("shard="))
       .flatMap { d =>
         val shard = d.getPath.getName.stripPrefix("shard=").toInt
         fs.listStatus(d.getPath).toSeq
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => shard -> s"v=$v/shard=$shard/${f.getPath.getName}")
+          .map(f => shard -> s"d-$dId/shard=$shard/${f.getPath.getName}")
       }
   }
 
-  private def writeLog(spark: SparkSession, dir: String, v: Int,
-      rows: Seq[(Int, String, String)], ts: Long = -1L): Unit = {
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        rows.map { case (s, p, a) => Row(s, p, a) }, 1), logSchema)
-      .write.mode("overwrite").parquet(s"$dir/_log/v=$v")
-    // commit TIMESTAMP, name-encoded in an empty `_ts.<millis>` marker
-    // (underscore prefix AND no '=' — Spark's hidden-file filter keeps
-    // underscore names only when they look like partition dirs, so an
-    // '=' in the name would make the parquet log reader try to read
-    // the marker as data):
-    // [[versionAt]] resolves AS-OF-TIMESTAMP reads from ONE log
-    // listing, zero data reads. Written AFTER the overwrite (which
-    // clears the version dir), so a streaming replay of the same
-    // batchId leaves exactly one marker. -1 = wall clock (the
-    // production default); explicit ts is the deterministic-test seam.
-    val effTs = if (ts >= 0) ts else System.currentTimeMillis()
-    val (fs, _) = hfs(spark, dir)
-    fs.create(new org.apache.hadoop.fs.Path(
-      s"$dir/_log/v=$v/_ts.$effTs"), true).close()
+  /** Stage a batch as a ShardExport landing (same md5 draw/shard
+    * purity, every file a sorted run) under a fresh `d-<id>/` subtree;
+    * returns the id and the staged add-set. A zero-row batch lands the
+    * schema-bearing empty marker (ShardExport's landedEmpty
+    * discipline) — zero add rows, but the subtree still anchors
+    * [[emptyMarker]]'s schema walk via the pointer's dId. */
+  private def stageShards(spark: SparkSession, batch: DataFrame,
+      keyCol: String, dir: String,
+      nShards: Int): (String, Seq[(Int, String)]) = {
+    val dId = newId()
+    ShardExport.writeShards(batch, keyCol, s"$dir/d-$dId", nShards)
+    (dId, listStagedFiles(spark, dir, dId))
   }
 
-  /** The commit log as a DataFrame (version, shard, path, action) —
-    * partition discovery over `_log/v=<k>` supplies `v`. */
-  def log(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("basePath", s"$dir/_log").parquet(s"$dir/_log")
-      .withColumnRenamed("v", "version")
+  /** The commit log as a DataFrame (shard, path, action, version) —
+    * ONE pruned scan over the committed manifests, version re-attached
+    * by a broadcast join on the manifest id in the file path. */
+  def log(spark: SparkSession, dir: String): DataFrame = {
+    val cs = commits(spark, dir)
+    if (cs.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(logSchema.fields :+
+          StructField("version", IntegerType, nullable = false)))
+    val vmap = spark.createDataFrame(cs.map(c => (c.mId, c.v)))
+      .toDF("mId", "version")
+    spark.read.schema(logSchema)
+      .parquet(cs.map(c => s"$dir/_log/m-${c.mId}"): _*)
+      .withColumn("mId", regexp_extract(col("_metadata.file_path"),
+        "m-([0-9a-f]+)/", 1))
+      .join(broadcast(vmap), "mId")
+      .select(col("shard"), col("path"), col("action"), col("version"))
+  }
 
   /** Highest committed version, or -1 for an empty layout — from one
     * `_log` listing. */
-  def currentVersion(spark: SparkSession, dir: String): Int = {
-    val (fs, _) = hfs(spark, dir)
-    val logRoot = new org.apache.hadoop.fs.Path(s"$dir/_log")
-    if (!fs.exists(logRoot)) return -1
-    val vs = fs.listStatus(logRoot).toSeq
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith("v="))
-      .map(_.getPath.getName.stripPrefix("v=").toInt)
-    if (vs.isEmpty) -1 else vs.max
-  }
+  def currentVersion(spark: SparkSession, dir: String): Int =
+    commits(spark, dir).lastOption.map(_.v).getOrElse(-1)
 
-  /** COMMIT a batch as the next version: the ShardExport landing
-    * (same md5 draw/shard purity, every file a sorted run) into the
-    * version's own immutable subtree, plus add-rows in the log.
+  /** A version's own data subtree (for tests/tools that inspect
+    * physical bytes — everything else resolves through the log). */
+  private[graft] def dataRootOf(spark: SparkSession, dir: String,
+      v: Int): Option[String] =
+    commits(spark, dir).find(_.v == v).flatMap(_.dId)
+      .map(id => s"$dir/d-$id")
+
+  /** COMMIT a batch as the next version — the SINGLE-WRITER append
+    * (use [[commitAppendAtomic]] when independent writers race): stage
+    * payload + manifest, then one atomic publish at currentVersion+1.
     * Returns the committed version. */
   def commitAppend(spark: SparkSession, batch: DataFrame, keyCol: String,
-      dir: String, nShards: Int, ts: Long = -1L): Int =
-    commitAs(spark, batch, keyCol, dir, nShards,
-      currentVersion(spark, dir) + 1, ts)
-
-  /** [[commitAppend]] at a CALLER-CHOSEN version — the replay-
-    * idempotency seam the streaming sink needs: a re-delivered
-    * micro-batch overwrites its own `v=<batchId>` subtree and its own
-    * log rows, so the layout converges to the same state no matter how
-    * many times the batch replays (both writes are mode=overwrite;
-    * nothing appends). */
-  def commitAs(spark: SparkSession, batch: DataFrame, keyCol: String,
-      dir: String, nShards: Int, v: Int, ts: Long = -1L): Int = {
-    ShardExport.writeShards(batch, keyCol, s"$dir/v=$v", nShards)
-    writeLog(spark, dir, v,
-      listVersionFiles(spark, dir, v).map { case (s, p) => (s, p, "add") },
-      ts)
+      dir: String, nShards: Int, ts: Long = -1L): Int = {
+    val (dId, files) = stageShards(spark, batch, keyCol, dir, nShards)
+    val mId = stageManifest(spark, dir,
+      files.map { case (s, p) => (s, p, "add") })
+    val v = currentVersion(spark, dir) + 1
+    publishStrict(spark, dir, v, mId, Some(dId), ts)
     v
   }
 
-  /** Versions currently RESERVED by in-flight atomic committers:
-    * `.reserve-v=<k>` dot-files at the `_log` root (hidden from the
-    * parquet log reader and from [[currentVersion]]'s `v=` filter). */
-  private def reservedVersions(spark: SparkSession,
-      dir: String): Seq[Int] = {
-    val (fs, _) = hfs(spark, dir)
-    val logRoot = new org.apache.hadoop.fs.Path(s"$dir/_log")
-    if (!fs.exists(logRoot)) return Nil
-    fs.listStatus(logRoot).toSeq
-      .filter(f => f.isFile && f.getPath.getName.startsWith(".reserve-v="))
-      .map(_.getPath.getName.stripPrefix(".reserve-v=").toInt)
-  }
-
-  /** Atomically claim version `v`: create-no-overwrite of the
-    * reservation dot-file — the filesystem primitive that FAILS,
-    * never clobbers, when a racing writer got there first (O_EXCL
-    * locally; the if-none-match precondition on object stores). */
-  private[graft] def reserveVersion(spark: SparkSession, dir: String,
-      v: Int): Boolean = synchronized {
-    // synchronized: Hadoop's LOCAL filesystem implements
-    // create(overwrite=false) as exists-then-create (a window HDFS and
-    // preconditioned object stores don't have) — the JVM lock closes
-    // it for same-process writers, the FS primitive remains the
-    // cross-process guard on real deployments
-    val (fs, _) = hfs(spark, dir)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_log"))
-    try {
-      fs.create(new org.apache.hadoop.fs.Path(
-        s"$dir/_log/.reserve-v=$v"), false).close()
-      true
-    } catch {
-      // ONLY already-exists is "lost the race"; any other IOException
-      // (permissions, full disk) must surface — swallowing it would
-      // walk all 64 candidate slots and misreport a writer storm
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException        => false
-    }
+  /** [[commitAppend]] at a CALLER-CHOSEN version — the replay-
+    * idempotency seam the streaming sink needs: a re-delivered
+    * micro-batch stages a FRESH payload + manifest and publishes a
+    * higher replay generation (seq) for the same version; readers
+    * resolve each version to its highest seq, so the layout converges
+    * to the last replay's state no matter how many times the batch
+    * replays — and, unlike the old overwrite-in-place scheme, a reader
+    * concurrent with the replay sees the old complete commit or the
+    * new one, never a half-rewritten log dir. Superseded generations'
+    * payloads become [[gcOrphans]] food. */
+  def commitAs(spark: SparkSession, batch: DataFrame, keyCol: String,
+      dir: String, nShards: Int, v: Int, ts: Long = -1L): Int = {
+    val (dId, files) = stageShards(spark, batch, keyCol, dir, nShards)
+    val mId = stageManifest(spark, dir,
+      files.map { case (s, p) => (s, p, "add") })
+    var seq = allPointers(spark, dir).filter(_.v == v)
+      .map(_.seq).foldLeft(-1)(math.max) + 1
+    while (!publish(spark, dir, v, seq, mId, Some(dId), ts)) seq += 1
+    v
   }
 
   /** OPTIMISTIC-CONCURRENCY append — the commit protocol that lets
     * INDEPENDENT WRITERS ingest into one layout without a coordinator
-    * (the Delta OCC shape): probe the next free version (committed ∪
-    * reserved), claim it with [[reserveVersion]]'s atomic
-    * create-no-overwrite, and land data + log under the claimed
-    * version; a loser re-probes and retries at the next slot. Blind
-    * appends have an empty read-set, so first-claim-wins IS
+    * (the Delta OCC shape): stage payload + manifest ONCE, then try to
+    * publish at currentVersion+1; a failed atomic create means that
+    * version just committed under another writer, so retry one higher.
+    * Blind appends have an empty read-set, so any-slot-wins IS
     * serializable — no conflict detection needed; rewrite commits
     * (merge/delete/compact) additionally validate their read-set
     * against the winners' changes — [[commitRewriteAtomic]]. A crash
-    * after claiming leaves a version GAP — harmless: readers resolve
-    * through the log and gaps simply don't exist there. Returns the
+    * before publish leaves only invisible staged orphans
+    * ([[gcOrphans]]); committed versions stay contiguous. Returns the
     * committed version. */
   def commitAppendAtomic(spark: SparkSession, batch: DataFrame,
       keyCol: String, dir: String, nShards: Int, ts: Long = -1L,
       maxAttempts: Int = 64): Int = {
-    val v = claimNextSlot(spark, dir, maxAttempts)
-    commitAs(spark, batch, keyCol, dir, nShards, v, ts)
-  }
-
-  /** Claim the next free version slot (committed ∪ reserved), probing
-    * upward — the shared claim loop of the append and rewrite OCC
-    * paths. */
-  private def claimNextSlot(spark: SparkSession, dir: String,
-      maxAttempts: Int): Int = {
-    var attempt = math.max(currentVersion(spark, dir),
-      reservedVersions(spark, dir).foldLeft(-1)(math.max)) + 1
+    val (dId, files) = stageShards(spark, batch, keyCol, dir, nShards)
+    val mId = stageManifest(spark, dir,
+      files.map { case (s, p) => (s, p, "add") })
     var tries = 0
     while (tries < maxAttempts) {
-      if (reserveVersion(spark, dir, attempt)) return attempt
       tries += 1
-      attempt = math.max(attempt + 1,
-        math.max(currentVersion(spark, dir),
-          reservedVersions(spark, dir).foldLeft(-1)(math.max)) + 1)
+      val v = currentVersion(spark, dir) + 1
+      if (publish(spark, dir, v, 0, mId, Some(dId), ts)) return v
     }
-    sys.error(s"claimNextSlot: no free version after $maxAttempts " +
-      s"attempts at $dir — writer storm or leaked reservations")
-  }
-
-  /** Versions whose commit COMPLETED: the `_ts.` marker is written
-    * last by [[writeLog]], so its presence is the resolution signal
-    * the OCC settle wait keys on. */
-  private def resolvedVersions(spark: SparkSession,
-      dir: String): Set[Int] = {
-    val (fs, _) = hfs(spark, dir)
-    val logRoot = new org.apache.hadoop.fs.Path(s"$dir/_log")
-    if (!fs.exists(logRoot)) return Set.empty
-    fs.listStatus(logRoot).toSeq
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith("v="))
-      .filter(d => fs.listStatus(d.getPath)
-        .exists(_.getPath.getName.startsWith("_ts.")))
-      .map(_.getPath.getName.stripPrefix("v=").toInt).toSet
-  }
-
-  /** SETTLE: wait until every reserved slot below `vClaim` has either
-    * landed its log (resolved) or gone STALE — its reservation file's
-    * mtime is older than `settleMs`, the abandoned-writer horizon. A
-    * rewrite must not validate while an earlier claimant is still
-    * in flight: that writer's changes would be invisible to the
-    * read-set check yet serialize BEFORE the rewrite. Liveness
-    * contract (documented on [[commitRewriteAtomic]]): a writer lands
-    * its log within `settleMs` of claiming, or is treated as crashed. */
-  private def settleBelow(spark: SparkSession, dir: String, vClaim: Int,
-      settleMs: Long): Unit = {
-    val (fs, _) = hfs(spark, dir)
-    val logRoot = new org.apache.hadoop.fs.Path(s"$dir/_log")
-    while (true) {
-      val resolved = resolvedVersions(spark, dir)
-      val pending =
-        if (!fs.exists(logRoot)) Nil
-        else fs.listStatus(logRoot).toSeq
-          .filter(f => f.isFile &&
-            f.getPath.getName.startsWith(".reserve-v="))
-          .map(f => f.getPath.getName.stripPrefix(".reserve-v=").toInt ->
-            f.getModificationTime)
-          .filter { case (v, _) => v < vClaim && !resolved(v) }
-      if (pending.isEmpty) return
-      val now = System.currentTimeMillis()
-      if (pending.forall { case (_, mt) => now - mt > settleMs }) return
-      Thread.sleep(50)
-    }
+    sys.error(s"commitAppendAtomic: no free version after $maxAttempts " +
+      s"attempts at $dir — writer storm")
   }
 
   /** Read-set validation: did any winner — a version committed in
-    * (vRead, vClaim) — change state this rewrite depended on? Two
+    * (vRead, vTry) — change state this rewrite depended on? Two
     * conflict classes, both decided from LOG METADATA only (never a
     * data read): a winner REMOVED one of our victim files (it rewrote
     * rows we also rewrote), or — for key/predicate-scoped rewrites —
     * a winner ADDED files in a shard whose content we read
     * (`conflictOnAdd`): those files may hold rows our plan should have
-    * seen. Returns the first conflict's description. */
+    * seen. The winner set is COMPLETE by construction: versions are
+    * allocated by the atomic publish itself, so every version below
+    * the one we are about to take is fully committed — the settle
+    * wait (and its slow-equals-crashed misjudgment) the old two-phase
+    * claim needed no longer exists. Returns the first conflict. */
   private def validateRewrite(spark: SparkSession, dir: String,
-      vRead: Int, vClaim: Int, victims: Set[String],
+      vRead: Int, vTry: Int, victims: Set[String],
       conflictOnAdd: Int => Boolean): Option[String] = {
-    val winners = resolvedVersions(spark, dir)
-      .filter(w => w > vRead && w < vClaim).toSeq.sorted
+    val winners = commits(spark, dir)
+      .filter(c => c.v > vRead && c.v < vTry)
     winners.iterator.flatMap { w =>
-      spark.read.schema(logSchema).parquet(s"$dir/_log/v=$w").collect()
+      spark.read.schema(logSchema).parquet(s"$dir/_log/m-${w.mId}")
+        .collect()
         .iterator.flatMap { r =>
           val (s, p, a) = (r.getInt(0), r.getString(1), r.getString(2))
           if (a == "remove" && victims(p))
-            Some(s"winner v$w removed victim $p")
+            Some(s"winner v${w.v} removed victim $p")
           else if (a == "add" && conflictOnAdd(s))
-            Some(s"winner v$w added files in read shard $s")
+            Some(s"winner v${w.v} added files in read shard $s")
           else None
         }
     }.nextOption()
@@ -297,36 +372,40 @@ object VersionedShards {
 
   /** OPTIMISTIC-CONCURRENCY REWRITE — merge/delete/compact/optimize
     * commits from INDEPENDENT writers, closing the single-writer
-    * limitation [[commitAppendAtomic]] documents. A rewrite has a
-    * non-empty read-set, so first-claim-wins is NOT enough; the
-    * protocol is the Delta OCC recipe adapted to two-phase claims:
+    * limitation [[commitAppend]] documents. A rewrite has a non-empty
+    * read-set, so any-slot-wins is NOT enough; the protocol is the
+    * Delta OCC recipe, with the atomic pointer create playing the
+    * role of the atomic log-file write:
     *
     *  1. snapshot-read at vRead = currentVersion; `plan(vRead)` names
     *     the victim files and computes the replacement rows;
-    *  2. CLAIM the next free slot atomically ([[reserveVersion]]);
-    *  3. SETTLE: wait for every earlier claimant to land or go stale
-    *     ([[settleBelow]]) — claims are ordered, log landings are not,
-    *     and validation must see every commit that serializes first;
-    *  4. VALIDATE the read-set against winners committed in
-    *     (vRead, vClaim) ([[validateRewrite]]); on conflict, release
-    *     the slot and REPLAN from the fresh snapshot;
-    *  5. land replacement data under `v=<vClaim>`, then the log
-    *     (removes of victims + adds), `_ts.` marker last.
+    *  2. STAGE replacement data under a fresh `d-<id>/` and the
+    *     manifest (removes of victims + adds) under `_log/m-<id>/` —
+    *     invisible until published;
+    *  3. VALIDATE the read-set against winners committed in
+    *     (vRead, vTry) where vTry = currentVersion+1
+    *     ([[validateRewrite]]) — every such winner is COMPLETE, since
+    *     version allocation is the publish itself; on conflict,
+    *     abandon the staged payload (GC food) and REPLAN from the
+    *     fresh snapshot;
+    *  4. PUBLISH at vTry with one atomic pointer create. A lost race
+    *     (another writer just committed vTry) loops back to 3 — the
+    *     new winner joins the validation set — without restaging.
     *
     * `plan` returning None = nothing to do (returns -1, no commit).
-    * Liveness contract: a writer lands its log within `settleMs` of
-    * claiming — a slower writer is treated as crashed and its commit,
-    * if it lands anyway, is a protocol violation (Delta closes this
-    * window by making the log write itself the claim; a two-phase
-    * claim cannot distinguish slow from dead). Streaming's
+    * NO LIVENESS CONTRACT: claim ≡ commit, so a writer stalled
+    * arbitrarily long between staging and publish simply lands later
+    * at a higher version with full validation against everything that
+    * landed meanwhile — slow can never be mistaken for crashed (the
+    * round-14 `settleMs` abandonment window is gone; its horizon
+    * survives only as [[gcOrphans]]' payload-GC age). Streaming's
     * batchId-addressed [[commitAs]] must not share a layout with OCC
-    * rewrites — it lands at FIXED versions without claiming.
+    * rewrites — it lands at FIXED versions without racing.
     * Returns the committed version, or -1 for a planned no-op. */
   def commitRewriteAtomic(spark: SparkSession, dir: String,
       conflictOnAdd: Int => Boolean, maxAttempts: Int = 8,
-      settleMs: Long = 600000L, ts: Long = -1L)(
+      ts: Long = -1L)(
       plan: Int => Option[RewritePlan]): Int = {
-    val (fs, _) = hfs(spark, dir)
     var tries = 0
     while (tries < maxAttempts) {
       tries += 1
@@ -334,27 +413,31 @@ object VersionedShards {
       plan(vRead) match {
         case None => return -1
         case Some(p) =>
-          val vClaim = claimNextSlot(spark, dir, maxAttempts = 64)
-          settleBelow(spark, dir, vClaim, settleMs)
+          val dId = newId()
+          p.replacement
+            .repartition(math.max(p.parts, 1), col("shard"))
+            .sortWithinPartitions(col("shard"), col("draw"))
+            .write.mode("overwrite").partitionBy("shard")
+            .parquet(s"$dir/d-$dId")
           val victimSet = p.victims.map(_._2).toSet
-          validateRewrite(spark, dir, vRead, vClaim, victimSet,
-            conflictOnAdd) match {
-            case Some(_) =>
-              // lost: free the slot and replan against the new state
-              fs.delete(new org.apache.hadoop.fs.Path(
-                s"$dir/_log/.reserve-v=$vClaim"), false): Unit
-            case None =>
-              p.replacement
-                .repartition(math.max(p.parts, 1), col("shard"))
-                .sortWithinPartitions(col("shard"), col("draw"))
-                .write.mode("overwrite").partitionBy("shard")
-                .parquet(s"$dir/v=$vClaim")
-              writeLog(spark, dir, vClaim,
-                p.victims.map { case (s, pa) => (s, pa, "remove") } ++
-                  listVersionFiles(spark, dir, vClaim)
-                    .map { case (s, pa) => (s, pa, "add") },
-                ts)
-              return vClaim
+          val mId = stageManifest(spark, dir,
+            p.victims.map { case (s, pa) => (s, pa, "remove") } ++
+              listStagedFiles(spark, dir, dId)
+                .map { case (s, pa) => (s, pa, "add") })
+          var conflicted = false
+          while (!conflicted) {
+            val vTry = currentVersion(spark, dir) + 1
+            validateRewrite(spark, dir, vRead, vTry, victimSet,
+              conflictOnAdd) match {
+              case Some(_) =>
+                // lost: the staged payload + manifest become GC-able
+                // orphans; replan against the new state
+                conflicted = true
+              case None =>
+                if (publish(spark, dir, vTry, 0, mId, Some(dId), ts))
+                  return vTry
+              // else: a writer just took vTry — revalidate against it
+            }
           }
       }
     }
@@ -372,10 +455,10 @@ object VersionedShards {
     * the threshold at the final read. */
   def compactCommitAtomic(spark: SparkSession, dir: String,
       nShards: Int, maxRuns: Int = 1, maxAttempts: Int = 8,
-      settleMs: Long = 600000L, ts: Long = -1L): (Int, Seq[Int]) = {
+      ts: Long = -1L): (Int, Seq[Int]) = {
     var shards: Seq[Int] = Nil
     val v = commitRewriteAtomic(spark, dir, _ => false, maxAttempts,
-      settleMs, ts) { vRead =>
+      ts) { vRead =>
       val byShard = liveFiles(spark, dir, vRead).groupBy(_._1)
       val toCompact = byShard.filter(_._2.size > maxRuns).keys.toSeq.sorted
       shards = toCompact
@@ -400,12 +483,12 @@ object VersionedShards {
     * there is nothing to make idempotent here). */
   def mergeCommitAtomic(spark: SparkSession, batch: DataFrame,
       keyCol: String, dir: String, nShards: Int, maxAttempts: Int = 8,
-      settleMs: Long = 600000L, ts: Long = -1L): Int = {
+      ts: Long = -1L): Int = {
     val keyedBatch = ShardExport.withShardKey(batch, keyCol, nShards)
     val touched = keyedBatch.select(col("shard")).distinct()
       .collect().map(_.getInt(0)).toSet
     commitRewriteAtomic(spark, dir, touched.contains, maxAttempts,
-      settleMs, ts) { vRead =>
+      ts) { vRead =>
       if (touched.isEmpty) None
       else {
         val victims = liveFiles(spark, dir, vRead).filter(f => touched(f._1))
@@ -431,22 +514,10 @@ object VersionedShards {
     * rewrites no history). One `_log` listing, O(#versions). */
   def commitTimestamps(spark: SparkSession,
       dir: String): Seq[(Int, Long)] = {
-    val (fs, _) = hfs(spark, dir)
-    val logRoot = new org.apache.hadoop.fs.Path(s"$dir/_log")
-    if (!fs.exists(logRoot)) return Nil
-    val raw = fs.listStatus(logRoot).toSeq
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith("v="))
-      .map { d =>
-        val v = d.getPath.getName.stripPrefix("v=").toInt
-        // a crash between the log parquet write and the _ts marker
-        // create leaves a version VISIBLE to currentVersion/readAsOf;
-        // fall back to the log dir's mtime (the Delta recipe) so
-        // AS-OF-TIMESTAMP reads never silently resolve past it
-        val marker = fs.listStatus(d.getPath).toSeq
-          .map(_.getPath.getName).find(_.startsWith("_ts."))
-          .map(_.stripPrefix("_ts.").toLong)
-        v -> marker.getOrElse(fs.getFileStatus(d.getPath).getModificationTime)
-      }.sortBy(_._1)
+    // the pointer NAME carries the commit ts, and a pointer exists iff
+    // its commit completed — the old scheme's crash-orphaned-version
+    // mtime fallback has no case left to cover
+    val raw = commits(spark, dir).map(c => c.v -> c.ts)
     var eff = Long.MinValue
     raw.map { case (v, t) =>
       eff = if (eff == Long.MinValue) t else math.max(t, eff + 1)
@@ -551,15 +622,17 @@ object VersionedShards {
     val victims = toCompact.flatMap(s => byShard(s))
     // one read of ONLY the victim files; shard re-derives from draw
     // (pure function — the same value the log carries)
+    val dId = newId()
     spark.read.parquet(victims.map(f => resolve(dir, f._2)): _*)
       .withColumn("shard", ShardExport.shardOf(col("draw"), nShards))
       .repartition(toCompact.length, col("shard"))
       .sortWithinPartitions(col("shard"), col("draw"))
       .write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$dir/v=$v")
-    writeLog(spark, dir, v,
+      .parquet(s"$dir/d-$dId")
+    val mId = stageManifest(spark, dir,
       victims.map { case (s, p) => (s, p, "remove") } ++
-        listVersionFiles(spark, dir, v).map { case (s, p) => (s, p, "add") })
+        listStagedFiles(spark, dir, dId).map { case (s, p) => (s, p, "add") })
+    publishStrict(spark, dir, v, mId, Some(dId), -1L)
     (v, toCompact)
   }
 
@@ -593,13 +666,14 @@ object VersionedShards {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("_zv"), col("draw"))
       .drop("_zx", "_zy", "_zv")
+    val dId = newId()
     val w = clustered.write.mode("overwrite").partitionBy("shard")
     blockSize.fold(w)(b => w.option("parquet.block.size", b.toString))
-      .parquet(s"$dir/v=$v")
-    writeLog(spark, dir, v,
+      .parquet(s"$dir/d-$dId")
+    val mId = stageManifest(spark, dir,
       live.map { case (s, p) => (s, p, "remove") } ++
-        listVersionFiles(spark, dir, v).map { case (s, p) => (s, p, "add") },
-      ts)
+        listStagedFiles(spark, dir, dId).map { case (s, p) => (s, p, "add") })
+    publishStrict(spark, dir, v, mId, Some(dId), ts)
     (v, live.size)
   }
 
@@ -638,17 +712,17 @@ object VersionedShards {
 
   /** A zero-row schema-bearing frame for empty snapshots/diffs: the
     * marker parquet of the LATEST data-landing commit ≤ `asOf`,
-    * filtered to nothing. Log-only commits ([[restoreTo]]) land no
-    * `v=<k>` subtree, so `v=asOf` itself may not exist — walk down to
-    * one that does. */
+    * filtered to nothing. Log-only commits ([[restoreTo]], no-op
+    * merges/deletes) carry no data subtree (dId = none) — walk down
+    * the pointer history to one that does. */
   private def emptyMarker(spark: SparkSession, dir: String,
       asOf: Int): DataFrame = {
     val (fs, _) = hfs(spark, dir)
-    // a v-dir counts only if it holds at least one parquet (a writer
-    // that landed zero rows without the marker discipline leaves a
-    // _SUCCESS-only dir, which carries no schema)
-    def hasParquet(k: Int): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/v=$k")
+    // a data subtree counts only if it holds at least one parquet (a
+    // writer that landed zero rows without the marker discipline
+    // leaves a _SUCCESS-only dir, which carries no schema)
+    def hasParquet(root: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(root)
       fs.exists(p) && {
         val it = fs.listFiles(p, true)
         var found = false
@@ -657,11 +731,13 @@ object VersionedShards {
         found
       }
     }
-    val v = (asOf to 0 by -1).find(hasParquet)
-    require(v.isDefined,
+    val hit = commits(spark, dir).filter(_.v <= asOf).reverse
+      .collectFirst { case c if c.dId.exists(id =>
+        hasParquet(s"$dir/d-$id")) => c.dId.get }
+    require(hit.isDefined,
       s"no data-landing commit at or before v$asOf — nothing defines " +
         "the layout's schema yet")
-    spark.read.parquet(s"$dir/v=${v.get}").limit(0)
+    spark.read.parquet(s"$dir/d-${hit.get}").limit(0)
   }
 
   /** RESTORE the layout's CURRENT state to the snapshot as of `v` — as
@@ -687,11 +763,12 @@ object VersionedShards {
           "horizon")
     }
     val vNew = cur + 1
-    writeLog(spark, dir, vNew,
+    val mId = stageManifest(spark, dir,
       (have -- want).toSeq.sortBy(_._2)
         .map { case (s, p) => (s, p, "remove") } ++
         (want -- have).toSeq.sortBy(_._2)
           .map { case (s, p) => (s, p, "add") })
+    publishStrict(spark, dir, vNew, mId, None, -1L)
     vNew
   }
 
@@ -721,11 +798,11 @@ object VersionedShards {
     val victims = liveFiles(spark, dir, cur).filter(f => touched(f._1))
     val v = cur + 1
     if (touched.isEmpty) {
-      // empty batch ⇒ empty merge: a LOG-ONLY no-op commit. The data
-      // write below would land a fileless `v=<k>` dir (just _SUCCESS),
-      // which carries no schema and would poison [[emptyMarker]]'s
-      // latest-dir walk on an all-empty lake.
-      writeLog(spark, dir, v, Nil)
+      // empty batch ⇒ empty merge: a LOG-ONLY no-op commit (no data
+      // subtree at all — [[emptyMarker]] walks only dId-carrying
+      // pointers, so a schema-less commit can't poison it).
+      publishStrict(spark, dir, v, stageManifest(spark, dir, Nil),
+        None, -1L)
       return v
     }
     val survivors =
@@ -739,14 +816,16 @@ object VersionedShards {
       }
     // land ONLY the touched shards' new state; same sorted-run write
     // discipline as every landing path
+    val dId = newId()
     survivors
       .repartition(math.max(touched.size, 1), col("shard"))
       .sortWithinPartitions(col("shard"), col("draw"))
       .write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$dir/v=$v")
-    writeLog(spark, dir, v,
+      .parquet(s"$dir/d-$dId")
+    val mId = stageManifest(spark, dir,
       victims.map { case (s, p) => (s, p, "remove") } ++
-        listVersionFiles(spark, dir, v).map { case (s, p) => (s, p, "add") })
+        listStagedFiles(spark, dir, dId).map { case (s, p) => (s, p, "add") })
+    publishStrict(spark, dir, v, mId, Some(dId), -1L)
     v
   }
 
@@ -777,7 +856,10 @@ object VersionedShards {
     val cur = currentVersion(spark, dir)
     val live = liveFiles(spark, dir, cur)
     val v = cur + 1
-    if (live.isEmpty) { writeLog(spark, dir, v, Nil, ts); return v }
+    if (live.isEmpty) {
+      publishStrict(spark, dir, v, stageManifest(spark, dir, Nil), None, ts)
+      return v
+    }
     // log paths are exactly `v=<j>/shard=<k>/<basename>` — the last
     // three URI segments of `_metadata.file_path`. Basenames ALONE are
     // not unique (one write task lands the same part-file name under
@@ -793,22 +875,26 @@ object VersionedShards {
       .select(col("_metadata.file_path").as("fp"))
       .distinct().collect()
       .map(r => relOf(r.getString(0)))
-    if (matched.isEmpty) { writeLog(spark, dir, v, Nil, ts); return v }
+    if (matched.isEmpty) {
+      publishStrict(spark, dir, v, stageManifest(spark, dir, Nil), None, ts)
+      return v
+    }
     val victims = matched.toSeq.map(byRel).sortBy(_._2)
     val survivors = spark.read.option("mergeSchema", "true")
       .parquet(victims.map(f => resolve(dir, f._2)): _*)
       .filter(not(coalesce(predicate, lit(false))))
       .withColumn("shard", ShardExport.shardOf(col("draw"), nShards))
     val touchedShards = victims.map(_._1).distinct
+    val dId = newId()
     survivors
       .repartition(math.max(touchedShards.size, 1), col("shard"))
       .sortWithinPartitions(col("shard"), col("draw"))
       .write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$dir/v=$v")
-    writeLog(spark, dir, v,
+      .parquet(s"$dir/d-$dId")
+    val mId = stageManifest(spark, dir,
       victims.map { case (s, p) => (s, p, "remove") } ++
-        listVersionFiles(spark, dir, v).map { case (s, p) => (s, p, "add") },
-      ts)
+        listStagedFiles(spark, dir, dId).map { case (s, p) => (s, p, "add") })
+    publishStrict(spark, dir, v, mId, Some(dId), ts)
     v
   }
 
@@ -966,12 +1052,12 @@ object VersionedShards {
     * ordering) needs, where the windowed feed would net out
     * intermediate states. Still file-pruned: each commit's feed scans
     * only that commit's file delta; versions absent from the log
-    * (reservation gaps) contribute nothing. */
+    * (fixed-version batchId gaps) contribute nothing. */
   def readChangeFeedByCommit(spark: SparkSession, dir: String,
       from: Int, to: Int, keyCol: String): DataFrame = {
     require(from < to, s"feed needs from < to, got $from..$to")
-    val committed = resolvedVersions(spark, dir)
-      .filter(w => w > from && w <= to).toSeq.sorted
+    val committed = commits(spark, dir).map(_.v)
+      .filter(w => w > from && w <= to)
     require(committed.nonEmpty,
       s"no commits in ($from, $to] at $dir — nothing to feed")
     committed.map { w =>
@@ -1061,6 +1147,46 @@ object VersionedShards {
     doomed
   }
 
+  /** GC of ORPHANED payloads: staged data subtrees (`d-<id>/`) and
+    * manifests (`_log/m-<id>/`) that NO pointer references — the
+    * leavings of a writer that crashed before publish or a rewrite
+    * that lost its validation and replanned. This is the only place
+    * the old settle horizon survives: `olderThanMs` is a payload AGE
+    * bound (an unreferenced subtree younger than it may belong to a
+    * writer still staging), never a writer-liveness judgment — a slow
+    * writer's about-to-publish payload is protected by age, and once
+    * it publishes, by reference. Returns the reclaimed roots. */
+  def gcOrphans(spark: SparkSession, dir: String,
+      olderThanMs: Long = 600000L): Seq[String] = {
+    val (fs, _) = hfs(spark, dir)
+    val now = System.currentTimeMillis()
+    // ALL pointer generations count as references: superseded replay
+    // payloads are unreachable through readers but deleting them is
+    // vacuum-horizon policy, not orphan GC
+    val ptrs = allPointers(spark, dir)
+    val refD = ptrs.flatMap(_.dId).toSet
+    val refM = ptrs.map(_.mId).toSet
+    def sweep(root: org.apache.hadoop.fs.Path, prefix: String,
+        referenced: Set[String]): Seq[String] =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith(prefix))
+        .filter { d =>
+          val id = d.getPath.getName.stripPrefix(prefix)
+          !referenced(id) && now - d.getModificationTime > olderThanMs
+        }
+        .map { d => fs.delete(d.getPath, true); d.getPath.getName }
+    val logRoot = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    val tmps =
+      if (!fs.exists(logRoot)) Nil
+      else fs.listStatus(logRoot).toSeq
+        .filter(f => f.isFile && f.getPath.getName.startsWith(".tmp-") &&
+          now - f.getModificationTime > olderThanMs)
+        .map { f => fs.delete(f.getPath, false); f.getPath.getName }
+    (sweep(new org.apache.hadoop.fs.Path(dir), "d-", refD) ++
+      sweep(logRoot, "m-", refM) ++ tmps).sorted
+  }
+
   /** SHALLOW CLONE (zero-copy fork): `dstDir` becomes a NEW versioned
     * layout whose v=0 log references the source's current live files
     * by ABSOLUTE path — O(#files) metadata, zero data bytes moved (the
@@ -1088,13 +1214,19 @@ object VersionedShards {
     val (srcFs, srcRoot) = hfs(spark, srcDir)
     val srcQual = srcFs.makeQualified(srcRoot).toString
     val live = liveFiles(spark, srcDir, cur)
-    writeLog(spark, dstDir, 0,
-      live.map { case (s, p) => (s, resolve(srcQual, p), "add") }, ts)
-    if (live.isEmpty)
-      // zero-row schema marker (the landedEmpty discipline) so the
-      // clone's own emptyMarker walk finds a local schema source
-      readAsOf(spark, srcDir, cur).limit(0).coalesce(1)
-        .write.mode("overwrite").parquet(s"$dstDir/v=0")
+    val dId =
+      if (live.nonEmpty) None
+      else {
+        // zero-row schema marker (the landedEmpty discipline) so the
+        // clone's own emptyMarker walk finds a local schema source
+        val id = newId()
+        readAsOf(spark, srcDir, cur).limit(0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dstDir/d-$id")
+        Some(id)
+      }
+    val mId = stageManifest(spark, dstDir,
+      live.map { case (s, p) => (s, resolve(srcQual, p), "add") })
+    publishStrict(spark, dstDir, 0, mId, dId, ts)
     0
   }
 }

@@ -605,11 +605,14 @@ class ExportSpec extends AnyFunSuite {
     assert(diff.count() == batch.count())
     assert(diff.select("doc_id").except(batch.select("doc_id")).isEmpty &&
       batch.select("doc_id").except(diff.select("doc_id")).isEmpty)
-    // ...and it reads ONLY v1 files: every scanned path sits under v=1
+    // ...and it reads ONLY v1 files: every scanned path sits under
+    // v1's own data subtree
     diff.queryExecution.analyzed // force resolution
+    val root1 = new java.io.File(
+      VersionedShards.dataRootOf(spark, dir, 1).get).getName
     val scanned = diff.inputFiles
-    assert(scanned.nonEmpty && scanned.forall(_.contains("/v=1/")),
-      s"diff scanned outside v=1: ${scanned.mkString(",")}")
+    assert(scanned.nonEmpty && scanned.forall(_.contains(s"/$root1/")),
+      s"diff scanned outside $root1: ${scanned.mkString(",")}")
     // an interval spanning a compaction is refused, not over-reported
     val (v2, _) = VersionedShards.compactCommit(spark, dir, 16)
     assert(v2 == 2)
@@ -665,7 +668,9 @@ class ExportSpec extends AnyFunSuite {
     // SURVIVE — deleting one would darken v3's (and the current)
     // snapshot
     val doomed = VersionedShards.vacuum(spark, dir, 2)
-    assert(doomed.nonEmpty && doomed.forall(_.startsWith("v=1/")),
+    val batchRoot = new java.io.File(
+      VersionedShards.dataRootOf(spark, dir, 1).get).getName
+    assert(doomed.nonEmpty && doomed.forall(_.startsWith(s"$batchRoot/")),
       s"vacuum reclaimed a restore-re-animated file: $doomed")
     assert(VersionedShards.readAsOf(spark, dir, 3).count() == lake.count())
     assert(VersionedShards.readAsOf(spark, dir, v4).count() == docs.count())
@@ -1024,11 +1029,11 @@ class ExportSpec extends AnyFunSuite {
     assert(windowed.size == 1 &&
       windowed.head._2 == "delete" && windowed.head._3 != "rev",
       s"windowed feed should net to one original-row delete: $windowed")
-    // gaps contribute nothing: a reserved-never-committed version
-    // inside the window is invisible
-    assert(VersionedShards.reserveVersion(spark, dir, 3))
-    VersionedShards.commitAppendAtomic(spark,
-      docs.filter(col("doc_id") === 100L), "doc_id", dir, 8) // skips to v4
+    // gaps contribute nothing: a version absent from the log (a
+    // fixed-version batchId jump, the one legal gap source) inside the
+    // window is invisible
+    VersionedShards.commitAs(spark,
+      docs.filter(col("doc_id") === 100L), "doc_id", dir, 8, v = 4)
     val spanning = VersionedShards.readChangeFeedByCommit(spark, dir, 2, 4,
       "doc_id")
     assert(spanning.select("_commit_version").distinct().collect()
@@ -1049,8 +1054,9 @@ class ExportSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(purgedKeys.nonEmpty)
     // cost law setup: remember untouched files' stamps
-    def stamps(v: String) = fileStamps(s"$dir/$v")
-    val v0Before = stamps("v=0"); val v1Before = stamps("v=1")
+    def stamps(v: Int) =
+      fileStamps(VersionedShards.dataRootOf(spark, dir, v).get)
+    val v0Before = stamps(0); val v1Before = stamps(1)
     val hit = VersionedShards.purgeWhere(spark, dir,
       col("doc_id") % 13 === 6).toSet
     assert(hit.nonEmpty)
@@ -1071,8 +1077,8 @@ class ExportSpec extends AnyFunSuite {
     // cost law: only files that held matching rows were rewritten
     val untouched0 = v0Before.filter { case (f, _) => !hit.exists(f.endsWith) }
     val untouched1 = v1Before.filter { case (f, _) => !hit.exists(f.endsWith) }
-    assert(untouched0.forall { case (f, t) => stamps("v=0").get(f).contains(t) } &&
-      untouched1.forall { case (f, t) => stamps("v=1").get(f).contains(t) },
+    assert(untouched0.forall { case (f, t) => stamps(0).get(f).contains(t) } &&
+      untouched1.forall { case (f, t) => stamps(1).get(f).contains(t) },
       "purge rewrote files holding no matching rows")
     // a clone's purge never reaches imported bytes
     val dst = tmp("purge-clone")
@@ -1082,48 +1088,66 @@ class ExportSpec extends AnyFunSuite {
       "clone purge rewrote files it does not own")
   }
 
-  test("commitTimestamps survives a crash-orphaned version (no _ts marker) via the log dir's mtime") {
+  test("a crash before publish leaves NO visible commit; gcOrphans reclaims only unreferenced payloads") {
     import graft.sinks.VersionedShards
     val docs = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("source"), col("lang"),
         col("n_chars"), col("text"))
-    val dir = tmp("nots")
+    val dir = tmp("crash")
     VersionedShards.commitAppend(spark, docs.limit(5), "doc_id", dir, 16,
       ts = 5000L)
     VersionedShards.commitAppend(spark, docs.limit(9), "doc_id", dir, 16,
       ts = 7000L)
-    // simulate the crash window: v1's log parquet landed but the _ts
-    // marker never did
-    val v1 = new java.io.File(s"$dir/_log/v=1")
-    v1.listFiles().filter(_.getName.startsWith("_ts.")).foreach(f =>
-      assert(f.delete()))
-    val ts = VersionedShards.commitTimestamps(spark, dir)
-    assert(ts.map(_._1) == Seq(0, 1),
-      s"a marker-less committed version vanished from the timeline: $ts")
-    assert(ts.head == (0 -> 5000L))
-    // the mtime fallback is a real wall-clock ⇒ later than the fixed
-    // test stamp, and monotonicity still holds
-    assert(ts(1)._2 > ts.head._2)
-    // an AS-OF read after the orphaned commit resolves to v1, never
-    // silently to v0 (v1's rows ARE visible to version reads)
+    // simulate the crash window: a writer staged a payload subtree and
+    // a manifest but died before its atomic publish — under claim ≡
+    // commit there is NO pointer, so the commit simply never happened
+    docs.limit(3).write.parquet(s"$dir/d-00000000000000aa")
+    docs.limit(1).select(lit(0).as("shard"), lit("x").as("path"),
+      lit("add").as("action"))
+      .write.parquet(s"$dir/_log/m-00000000000000bb")
+    assert(VersionedShards.currentVersion(spark, dir) == 1,
+      "a staged-but-unpublished commit became visible")
+    assert(VersionedShards.commitTimestamps(spark, dir) ==
+      Seq(0 -> 5000L, 1 -> 7000L),
+      "the orphan leaked into the timeline")
     assert(VersionedShards.versionAt(spark, dir, Long.MaxValue) == 1)
+    assert(VersionedShards.readAsOf(spark, dir, 1).count() == 14)
+    // GC reclaims exactly the unreferenced leavings — never a
+    // committed version's payload (age bound -1 = everything old)
+    val swept = VersionedShards.gcOrphans(spark, dir, olderThanMs = -1L)
+    assert(swept == Seq("d-00000000000000aa", "m-00000000000000bb"),
+      s"gc swept the wrong set: $swept")
+    assert(VersionedShards.readAsOf(spark, dir, 1).count() == 14 &&
+      VersionedShards.readAsOf(spark, dir, 0).count() == 5,
+      "gc touched a committed payload")
   }
 
-  test("reserveVersion: the lost-race signal is exactly the already-exists exception type we catch") {
+  test("atomicPublishFile: first writer wins the exact name, content is complete and immutable") {
     import graft.sinks.VersionedShards
     val dir = tmp("rsv")
-    assert(VersionedShards.reserveVersion(spark, dir, 3))
-    // pin the FS contract the narrowed catch relies on: a double
-    // create(overwrite=false) throws *FileAlreadyExists*, so any OTHER
-    // IOException (permissions, full disk) provably escapes instead of
-    // being misread as a writer storm
-    val p = new org.apache.hadoop.fs.Path(s"$dir/_log/.reserve-v=3")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ex = intercept[java.io.IOException] { fs.create(p, false).close() }
-    assert(ex.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException]
-      || ex.isInstanceOf[java.nio.file.FileAlreadyExistsException],
-      s"unexpected lost-race exception type: ${ex.getClass}")
-    assert(!VersionedShards.reserveVersion(spark, dir, 3))
+    assert(VersionedShards.atomicPublishFile(spark, dir, "c-probe",
+      "first-writer"))
+    // the loser's publish must refuse — and must not clobber or even
+    // dent the winner's content (link(2)/rename-no-replace semantics)
+    assert(!VersionedShards.atomicPublishFile(spark, dir, "c-probe",
+      "second-writer"),
+      "a second publish at a taken name claimed success")
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_log/c-probe")), "UTF-8")
+    assert(body == "first-writer",
+      s"the loser's content leaked into the committed pointer: $body")
+    // pin the FS contract the narrowed catch relies on: a second
+    // link(2) at an existing name throws *FileAlreadyExists*, so any
+    // OTHER IOException (permissions, full disk) provably escapes
+    // instead of being misread as a writer storm
+    val src = java.nio.file.Paths.get(s"$dir/_log/c-probe")
+    val ex = intercept[java.nio.file.FileAlreadyExistsException] {
+      java.nio.file.Files.createLink(src, src)
+    }
+    assert(ex != null)
+    // losers leave no temp litter behind
+    assert(!new java.io.File(s"$dir/_log").listFiles()
+      .exists(_.getName.startsWith(".tmp-")), "temp litter left behind")
   }
 
   test("q182 MV maintenance across a MERGE equals the full recompute; compaction produces a no-op fold") {
@@ -1190,7 +1214,8 @@ class ExportSpec extends AnyFunSuite {
     val dir = tmp("optimize")
     // 2 shards + tiny row groups so each test-scale file carries many
     VersionedShards.commitAppend(spark, docs, "doc_id", dir, 2)
-    val stamps0 = fileStamps(s"$dir/v=0")
+    val root0 = VersionedShards.dataRootOf(spark, dir, 0).get
+    val stamps0 = fileStamps(root0)
     val (v1, rewritten) = VersionedShards.optimizeCommit(spark, dir, 2,
       pmod(coalesce(col("n_chars"), lit(0L)), lit(256L)).cast("int"),
       pmod(col("doc_id"), lit(256L)).cast("int"),
@@ -1200,7 +1225,7 @@ class ExportSpec extends AnyFunSuite {
     // corpus, and v0 still serves its exact pre-optimize bytes
     assert(VersionedShards.readAsOf(spark, dir, 1)
       .select("doc_id").exceptAll(docs.select("doc_id")).count() == 0)
-    assert(fileStamps(s"$dir/v=0") == stamps0,
+    assert(fileStamps(root0) == stamps0,
       "optimize touched v0's superseded bytes")
     // CDC inertness: rows only moved between files
     assert(VersionedShards.readChanges(spark, dir, 0, 1, "doc_id")
@@ -1210,9 +1235,10 @@ class ExportSpec extends AnyFunSuite {
     // draw-ordered (random w.r.t. n_chars: every row group spans the
     // range); the optimized files bound the band.
     val band = Seq(("n_chars", 0L, 63L))
-    val pre = ZOrderLayout.rowGroupZoneMap(spark, s"$dir/v=0/shard=0",
+    val root1 = VersionedShards.dataRootOf(spark, dir, 1).get
+    val pre = ZOrderLayout.rowGroupZoneMap(spark, s"$root0/shard=0",
       Seq("n_chars"))
-    val post = ZOrderLayout.rowGroupZoneMap(spark, s"$dir/v=1/shard=0",
+    val post = ZOrderLayout.rowGroupZoneMap(spark, s"$root1/shard=0",
       Seq("n_chars"))
     val preHit = ZOrderLayout.overlappingRowGroups(pre, band)
     val postHit = ZOrderLayout.overlappingRowGroups(post, band)
@@ -1245,7 +1271,8 @@ class ExportSpec extends AnyFunSuite {
     val log = VersionedShards.log(spark, dir)
       .groupBy(col("version"), col("action")).count().collect()
       .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-    val v0Files = landedFiles(s"$dir/v=0").size
+    val v0Files = landedFiles(
+      VersionedShards.dataRootOf(spark, dir, 0).get).size
     assert(log((0, "add")) == v0Files.toLong)
     assert(!log.contains((1, "add")) && !log.contains((1, "remove")),
       "a no-match delete must commit an empty log entry")
@@ -1262,10 +1289,12 @@ class ExportSpec extends AnyFunSuite {
     val n = docs.count()
     val src = tmp("clone-src"); val dst = tmp("clone-dst")
     VersionedShards.commitAppend(spark, docs, "doc_id", src, 16, ts = 10L)
-    val srcStamps = fileStamps(s"$src/v=0")
+    val srcRoot0 = VersionedShards.dataRootOf(spark, src, 0).get
+    val srcStamps = fileStamps(srcRoot0)
     VersionedShards.cloneLayout(spark, src, dst, ts = 20L)
     // 1. metadata-only: the clone holds a log and NOTHING else
-    assert(!new java.io.File(s"$dst/v=0").exists(),
+    assert(new java.io.File(dst).listFiles().toSeq
+        .forall(_.getName == "_log"),
       "a shallow clone of a non-empty source must move zero data bytes")
     assert(VersionedShards.readAsOf(spark, dst, 0).count() == n)
     // 1b. imports are FULLY-QUALIFIED URIs (scheme-carrying), so an
@@ -1281,7 +1310,7 @@ class ExportSpec extends AnyFunSuite {
       ts = 30L)
     val expected = docs.filter(col("doc_id") % 3 =!= 0).count()
     assert(VersionedShards.readAsOf(spark, dst, 1).count() == expected)
-    assert(fileStamps(s"$src/v=0") == srcStamps,
+    assert(fileStamps(srcRoot0) == srcStamps,
       "the clone's delete touched source bytes")
     assert(VersionedShards.readAsOf(spark, src, 0).count() == n)
     // 3. ownership: the clone's vacuum skips imported (absolute-path)
@@ -1289,7 +1318,7 @@ class ExportSpec extends AnyFunSuite {
     val reclaimed = VersionedShards.vacuum(spark, dst, 1)
     assert(reclaimed.isEmpty,
       s"clone vacuum claimed imported files: $reclaimed")
-    assert(fileStamps(s"$src/v=0") == srcStamps)
+    assert(fileStamps(srcRoot0) == srcStamps)
     assert(VersionedShards.readAsOf(spark, src, 0).count() == n)
     // 4. the documented caveat, loud: source-side delete + vacuum
     // reclaims files the clone's v=0 still references → the clone's
@@ -1316,31 +1345,30 @@ class ExportSpec extends AnyFunSuite {
     assert(snap.count() == 0 && snap.columns.contains("doc_id"))
   }
 
-  test("q195 OCC: claimed slots refuse second claimants, losers advance, crashed reservations leave gaps") {
+  test("q195 OCC: publish is first-create-wins, losers advance, crashed stagers consume nothing") {
     import graft.sinks.VersionedShards
     val docs = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("source"), col("lang"),
         col("n_chars"), col("text"))
     val dir = tmp("occ")
-    // reservation semantics: first claim wins, second claim on the
-    // same slot refuses
-    assert(VersionedShards.reserveVersion(spark, dir, 0))
-    assert(!VersionedShards.reserveVersion(spark, dir, 0),
-      "a claimed version accepted a second claimant")
-    // v0 is reserved-but-never-committed (a crashed writer): the next
-    // atomic append must SKIP it, and the gap must stay harmless
+    // claim ≡ commit: a writer that STAGED a payload but crashed
+    // before its atomic publish consumes no version at all — the next
+    // atomic append lands at v0 and the history stays contiguous
+    docs.limit(3).write.parquet(s"$dir/d-00000000000000cc")
     val landed = VersionedShards.commitAppendAtomic(spark,
       docs.limit(7), "doc_id", dir, 16)
-    assert(landed == 1, s"atomic append reused a crashed reservation: $landed")
-    assert(VersionedShards.readAsOf(spark, dir, 1).count() == 7,
-      "the gap at v0 broke the snapshot read")
+    assert(landed == 0,
+      s"a crashed stager consumed a version slot: landed at v$landed")
+    assert(VersionedShards.readAsOf(spark, dir, 0).count() == 7)
     val second = VersionedShards.commitAppendAtomic(spark,
       docs.filter(col("doc_id") >= 7 && col("doc_id") < 10), "doc_id",
       dir, 16)
-    assert(second == 2)
-    assert(VersionedShards.readAsOf(spark, dir, 2).count() == 10)
+    assert(second == 1)
+    assert(VersionedShards.readAsOf(spark, dir, 1).count() == 10)
     // 16 genuinely concurrent single-doc writers: every commit lands
-    // whole at a distinct version
+    // whole at a distinct version, and — new under the atomic pointer
+    // protocol — the versions are CONTIGUOUS (allocation is the
+    // publish itself; nothing can burn a slot)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -1348,8 +1376,8 @@ class ExportSpec extends AnyFunSuite {
       Future(VersionedShards.commitAppendAtomic(spark,
         docs.filter(col("doc_id") === i), "doc_id", dir, 16))
     }), 5.minutes)
-    assert(versions.toSet.size == 16,
-      s"racing writers shared a version: $versions")
+    assert(versions.toSet == (2 to 17).toSet,
+      s"racing writers shared or burned a version: $versions")
     val cur = VersionedShards.currentVersion(spark, dir)
     assert(VersionedShards.readAsOf(spark, dir, cur).count() == 10 + 16,
       "a racing writer's commit was lost")
@@ -1392,6 +1420,26 @@ class ExportSpec extends AnyFunSuite {
     assert(got == want, "rows lost or duplicated across the race")
   }
 
+  /** A compaction-shaped [[VersionedShards.RewritePlan]] over `dir`'s
+    * multi-run shards — the in-test twin of compactCommitAtomic's
+    * internal plan, exposed so the conflict tests can inject rivals at
+    * the plan seam deterministically. */
+  private def planCompact(dir: String, nShards: Int)(vRead: Int)
+      : Option[graft.sinks.VersionedShards.RewritePlan] = {
+    import graft.sinks.VersionedShards
+    val byShard = VersionedShards.liveFiles(spark, dir, vRead).groupBy(_._1)
+    val multi = byShard.filter(_._2.size > 1).keys.toSeq.sorted
+    if (multi.isEmpty) None
+    else {
+      val victims = multi.flatMap(s => byShard(s))
+      Some(VersionedShards.RewritePlan(victims,
+        spark.read.parquet(victims.map(f => s"$dir/${f._2}"): _*)
+          .withColumn("shard",
+            ShardExport.shardOf(col("draw"), nShards)),
+        multi.length))
+    }
+  }
+
   test("OCC rewrite: a winner removing our victims forces a replan (compaction degrades to no-op)") {
     import graft.sinks.VersionedShards
     val docs = Tables.documents(spark, TestSpark.sf0001)
@@ -1400,28 +1448,30 @@ class ExportSpec extends AnyFunSuite {
     val dir = tmp("occ-cfl")
     VersionedShards.commitAppend(spark, docs.limit(30), "doc_id", dir, 4)
     VersionedShards.commitAppend(spark, docs.limit(30), "doc_id", dir, 4)
-    // an in-flight rival claims v2 BEFORE the atomic compactor starts
-    assert(VersionedShards.reserveVersion(spark, dir, 2))
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val atomic = Future(VersionedShards.compactCommitAtomic(spark, dir, 4))
-    // wait until the atomic compactor has claimed ITS slot (v3) and is
-    // settling on our pending v2...
-    val logRoot = new java.io.File(s"$dir/_log")
-    val deadline = System.currentTimeMillis() + 60000
-    while (!logRoot.listFiles().exists(_.getName == ".reserve-v=3") &&
-        System.currentTimeMillis() < deadline) Thread.sleep(20)
-    assert(logRoot.listFiles().exists(_.getName == ".reserve-v=3"))
-    // ...then the rival lands a compaction AT v2, removing the very
-    // victims the atomic plan selected
-    val (rivalV, _) = VersionedShards.compactCommit(spark, dir, 4)
-    assert(rivalV == 2)
+    // the rival lands BETWEEN this writer's snapshot/plan and its
+    // publish — injected at the plan seam, so the interleaving is
+    // DETERMINISTIC (the old two-phase protocol needed reservation
+    // polling and a settle window to stage this; claim ≡ commit makes
+    // the race a plain sequential schedule)
+    var plans = 0
+    val v = VersionedShards.commitRewriteAtomic(spark, dir,
+      _ => false) { vRead =>
+      plans += 1
+      val p = planCompact(dir, 4)(vRead)
+      if (plans == 1) {
+        assert(p.isDefined, "every shard should be at 2 runs")
+        // rival compaction commits v2, removing the very victims this
+        // plan selected
+        val (rivalV, _) = VersionedShards.compactCommit(spark, dir, 4)
+        assert(rivalV == 2)
+      }
+      p
+    }
     // the atomic compactor must detect the conflict, replan against
     // the compacted snapshot, and find nothing left to do
-    val (v, shards) = Await.result(atomic, 2.minutes)
-    assert(v == -1 && shards.isEmpty,
-      s"rewrite ignored the winner's removes and double-compacted: v=$v")
+    assert(plans == 2 && v == -1,
+      s"rewrite ignored the winner's removes and double-compacted: " +
+        s"v=$v after $plans plans")
     // content unchanged throughout
     assert(VersionedShards.readAsOf(spark, dir,
       VersionedShards.currentVersion(spark, dir)).count() == 60)
@@ -1435,25 +1485,34 @@ class ExportSpec extends AnyFunSuite {
     val dir = tmp("occ-mrg")
     VersionedShards.commitAppend(spark, docs.filter(col("doc_id") < 50),
       "doc_id", dir, 4)
-    // rival appender claims v1, then stalls in flight
-    assert(VersionedShards.reserveVersion(spark, dir, 1))
     val merged = docs.filter(col("doc_id") < 10)
       .withColumn("source", org.apache.spark.sql.functions.lit("merged"))
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val merge = Future(VersionedShards.mergeCommitAtomic(spark, merged,
-      "doc_id", dir, 4))
-    val logRoot = new java.io.File(s"$dir/_log")
-    val deadline = System.currentTimeMillis() + 60000
-    while (!logRoot.listFiles().exists(_.getName == ".reserve-v=2") &&
-        System.currentTimeMillis() < deadline) Thread.sleep(20)
-    // the rival lands: doc 3 AGAIN (an upsert-relevant key in a shard
-    // the merge reads) — an unvalidated merge would leave doc 3 twice
-    VersionedShards.commitAs(spark, docs.filter(col("doc_id") === 3L),
-      "doc_id", dir, 4, v = 1)
-    val mv = Await.result(merge, 2.minutes)
-    assert(mv >= 2, s"merge never landed: $mv")
+    val keyedBatch = ShardExport.withShardKey(merged, "doc_id", 4)
+    val touched = keyedBatch.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    // the merge-shaped rewrite, with the rival injected at the plan
+    // seam: AFTER the merge snapshots v0 but BEFORE it publishes, a
+    // blind append lands doc 3 AGAIN in a shard the merge reads — an
+    // unvalidated merge would leave doc 3 twice
+    var plans = 0
+    val mv = VersionedShards.commitRewriteAtomic(spark, dir,
+      touched.contains) { vRead =>
+      plans += 1
+      if (plans == 1)
+        VersionedShards.commitAppend(spark,
+          docs.filter(col("doc_id") === 3L), "doc_id", dir, 4)
+      val victims = VersionedShards.liveFiles(spark, dir, vRead)
+        .filter(f => touched(f._1))
+      val keys = merged.select(col("doc_id")).distinct()
+      val survivors = spark.read
+        .parquet(victims.map(f => s"$dir/${f._2}"): _*)
+        .withColumn("shard", ShardExport.shardOf(col("draw"), 4))
+        .join(keys, Seq("doc_id"), "left_anti")
+        .unionByName(keyedBatch)
+      Some(VersionedShards.RewritePlan(victims, survivors, touched.size))
+    }
+    assert(plans == 2, "merge did not replan around the winner's add")
+    assert(mv == 2, s"merge landed at the wrong version: $mv")
     val cur = VersionedShards.currentVersion(spark, dir)
     val fin = VersionedShards.readAsOf(spark, dir, cur)
     val dupes = fin.groupBy("doc_id").count()
@@ -1465,24 +1524,43 @@ class ExportSpec extends AnyFunSuite {
     assert(fin.count() == 50)
   }
 
-  test("OCC rewrite: a stale (crashed) reservation below is abandoned after settleMs, not waited on forever") {
+  test("OCC rewrite: a slow-but-alive writer always lands — stalls can never be judged as crashes") {
     import graft.sinks.VersionedShards
     val docs = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("source"), col("lang"),
         col("n_chars"), col("text"))
-    val dir = tmp("occ-stale")
+    val dir = tmp("occ-slow")
     VersionedShards.commitAppend(spark, docs.limit(20), "doc_id", dir, 4)
     VersionedShards.commitAppend(spark, docs.limit(20), "doc_id", dir, 4)
-    // a crashed writer left a reservation that will never resolve
-    assert(VersionedShards.reserveVersion(spark, dir, 2))
-    Thread.sleep(250)
-    val t0 = System.currentTimeMillis()
-    val (v, shards) = VersionedShards.compactCommitAtomic(spark, dir, 4,
-      settleMs = 200L)
-    assert(v == 3 && shards.nonEmpty,
-      s"compaction blocked behind a dead reservation: $v")
-    assert(System.currentTimeMillis() - t0 < 60000)
-    assert(VersionedShards.readAsOf(spark, dir, 3).count() == 40)
+    // the round-14 protocol's one structural hazard: a writer slower
+    // than settleMs between claim and log-land was treated as crashed
+    // and a racing rewrite validated past it. Under claim ≡ commit
+    // there is no such judgment to get wrong: this compactor stalls
+    // mid-flight (holding its plan) while TWO rivals commit, then
+    // wakes and lands at the next version, validated against both.
+    var plans = 0
+    val v = VersionedShards.commitRewriteAtomic(spark, dir,
+      _ => false) { vRead =>
+      plans += 1
+      val p = planCompact(dir, 4)(vRead)
+      if (plans == 1) {
+        VersionedShards.commitAppend(spark,
+          docs.filter(col("doc_id") === 200L), "doc_id", dir, 4)
+        VersionedShards.commitAppend(spark,
+          docs.filter(col("doc_id") === 201L), "doc_id", dir, 4)
+        Thread.sleep(250) // longer than the old test's whole settle
+      }
+      p
+    }
+    // appends never remove this plan's victims and a compaction has no
+    // conflictOnAdd read-set, so the stalled writer lands FIRST TRY at
+    // the slot after the rivals — never abandoned, never replanned
+    assert(plans == 1 && v == 4,
+      s"slow writer failed to land cleanly: v=$v after $plans plans")
+    assert(VersionedShards.readAsOf(spark, dir, 4).count() == 42)
+    // and the rivals' rows are intact (nobody's commit was stolen)
+    assert(VersionedShards.readAsOf(spark, dir, 4)
+      .filter(col("doc_id") >= 200L).count() == 2)
   }
 
   test("q163 registry run: equals q153's full manifest after the append-then-compact lifecycle") {
