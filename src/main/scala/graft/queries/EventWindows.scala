@@ -199,5 +199,49 @@ object EventWindows {
           AS converted
       FROM s GROUP BY user_id, session_idx"""))
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q79, q99)
+  /** Core of q235: purchase↔error PAIRS — each purchase joined to the
+    * same user's errors in the strictly-preceding 5 minutes. This is
+    * the pair-grain sibling of q36's per-purchase count and the BATCH
+    * TWIN of the streaming stream-stream join
+    * (`EventStreams.purchaseErrorJoin` — identical key + interval
+    * predicate; StreamingSpec proves ROW-SET equality between the two
+    * across arrival splits, so the watermark-bounded streaming state
+    * provably loses nothing on in-watermark data). Scale shape: one
+    * user-keyed equi-join with the interval bound riding it as a
+    * post-condition — both sides co-partition on user_id, state ∝
+    * per-user events in the window, never a time-only theta join. */
+  def purchaseErrorPairs(
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val e = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+    p.join(e,
+        col("user_id") === col("err_user") &&
+          col("err_ts") >= col("ts") - expr("INTERVAL 5 MINUTES") &&
+          col("err_ts") < col("ts"))
+      .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+        col("err_id"), col("err_ts").as("err_ts_us"))
+  }
+
+  /** q235 — the stream-stream join's batch twin, hash-gated (the
+    * round-13/14 verdicts' missing registry half of the streaming
+    * interval join). */
+  val q235: Q = Q(
+    "q235_stream_join_twin",
+    run = { (spark, dir) => purchaseErrorPairs(Tables.events(spark, dir)) },
+    oracle = Some("""
+      WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                    event_type FROM events),
+      p AS (SELECT event_id, user_id, ts FROM ev
+            WHERE event_type = 'purchase'),
+      e AS (SELECT event_id AS err_id, user_id AS err_user, ts AS err_ts
+            FROM ev WHERE event_type = 'error')
+      SELECT p.event_id, p.user_id, p.ts AS ts_us, e.err_id,
+        e.err_ts AS err_ts_us
+      FROM p JOIN e ON p.user_id = e.err_user
+        AND e.err_ts >= p.ts - INTERVAL 5 MINUTE AND e.err_ts < p.ts"""))
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q79, q99, q235)
 }

@@ -74,15 +74,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/batch_*").count() == 2000)
   }
 
-  test("stream-stream interval join equals the batch formulation") {
-    val joined = EventStreams.purchaseErrorJoin(
-      EventStreams.readEvents(spark, eventsDir))
-    val got = EventStreams.runToMemory(joined, "ssjoin_out", OutputMode.Append)
-    // batch twin: q36 counts errors per purchase; the join row count must
-    // equal the batch sum of n_errors_5m
-    val batchTotal = graft.queries.Advanced.q36.run(spark, TestSpark.sf0001)
-      .agg(sum(col("n_errors_5m"))).head().getLong(0)
-    assert(got.count() == batchTotal)
+  test("stream-stream interval join equals the batch twin q235 ROW-EXACTLY, across arrival splits") {
+    // the registry twin (q235) is the ground truth; run the streaming
+    // join over TWO different physical arrival splits of the same
+    // events and demand row-set equality each time — the watermarked
+    // stream-stream state provably loses nothing on in-watermark data
+    val want = graft.queries.EventWindows.q235
+      .run(spark, TestSpark.sf0001).cache()
+    try {
+      // split A: everything in one file (single micro-batch)
+      val gotOne = EventStreams.runToMemory(
+        EventStreams.purchaseErrorJoin(
+          EventStreams.readEvents(spark, eventsDir)),
+        "ssjoin_out", OutputMode.Append)
+      // split B: the error side arrives a WHOLE MICRO-BATCH before the
+      // purchase side (two processAllAvailable rounds with a file copy
+      // in between), so the join must buffer error state across
+      // batches. Errors first: the purchase-side watermark is still
+      // unadvanced when they arrive, so nothing is droppable-as-late —
+      // the law isolates state buffering from late-data policy.
+      val d2 = Files.createTempDirectory("events_split_stage")
+      val flat = Files.createTempDirectory("events_split")
+      val ev = graft.Tables.events(spark, TestSpark.sf0001)
+      ev.filter(col("event_type") =!= "purchase").coalesce(1)
+        .write.parquet(s"$d2/errs")
+      ev.filter(col("event_type") === "purchase").coalesce(1)
+        .write.parquet(s"$d2/purch")
+      def firstParquet(part: String) = new java.io.File(s"$d2/$part")
+        .listFiles().find(_.getName.endsWith(".parquet")).get.toPath
+      Files.copy(firstParquet("errs"), flat.resolve("a.parquet"))
+      val joined = EventStreams.purchaseErrorJoin(
+        EventStreams.readEvents(spark, flat.toString))
+      val q = joined.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("ssjoin_split_out").start()
+      q.processAllAvailable()
+      Files.copy(firstParquet("purch"), flat.resolve("b.parquet"))
+      q.processAllAvailable()
+      q.stop()
+      val gotSplit = spark.table("ssjoin_split_out")
+      Seq("one-file" -> gotOne, "split-arrival" -> gotSplit).foreach {
+        case (tag, got) =>
+          assert(got.count() == want.count(), s"$tag: row count")
+          assert(got.exceptAll(want).count() == 0 &&
+            want.exceptAll(got).count() == 0,
+            s"$tag: streaming join diverged from batch twin q235")
+      }
+    } finally { want.unpersist(); () }
   }
 
   test("streaming funnel state machine equals batch q61 on ordered arrival") {
