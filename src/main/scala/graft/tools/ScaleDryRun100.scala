@@ -329,6 +329,45 @@ object ScaleDryRun100 {
     }
     val lv1 = q223Case(1); val lv10 = q223Case(10); val lv100 = q223Case(100)
     println(f"[scale-100] RATIO q223_large_vol  10x=${lv10 / lv1}%.1fx 100x=${lv100 / lv1}%.1fx")
+
+    // ---- exact-percentile cut family (q233/q199/q107/q45/q219) ----
+    // Spark's exact Percentile buffers a value→count map, partial-
+    // aggregated then merged at ONE final reducer — the unproven bound
+    // the round-14 verdict flagged. Two growth directions:
+    //  * fixture-like: 100x rows, SAME price catalog → the map stays
+    //    catalog-sized (the documented q233 contract);
+    //  * adversarial: every copy's cents offset → distinct values grow
+    //    100x (60M distinct at 100x) — the worst case for the merge.
+    val scored0 = li0.select(
+      (col("l_extendedprice").cast("decimal(12,4)") * 10000)
+        .cast("long").as("score_cents"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+    def growScored(mult: Int, offsetCents: Boolean): DataFrame =
+      (0 until mult).map { i =>
+        if (i == 0 || !offsetCents) scored0
+        else scored0.select(
+          (col("score_cents") + lit(i * 10000000000L)).as("score_cents"),
+          col("pos"))
+      }.reduce(_ unionByName _).repartition(cpus.toInt)
+    def gainsCase(tag: String, scored: DataFrame): Double = {
+      val cuts = scored.agg(percentile(col("score_cents"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
+      val (t, n) = timed(
+        scored.crossJoin(broadcast(cuts))
+          .select(expr("size(filter(cuts, c -> c < score_cents))")
+            .as("decile"), col("pos"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos")))
+      row(s"gains_cut_$tag", t, n)
+      t
+    }
+    val gc1 = gainsCase("1x", growScored(1, offsetCents = false))
+    val gc10 = gainsCase("10x_catalog", growScored(10, offsetCents = false))
+    val gc100 = gainsCase("100x_catalog", growScored(100, offsetCents = false))
+    val ga10 = gainsCase("10x_distinct", growScored(10, offsetCents = true))
+    val ga100 = gainsCase("100x_distinct", growScored(100, offsetCents = true))
+    println(f"[scale-100] RATIO gains_catalog   10x=${gc10 / gc1}%.1fx 100x=${gc100 / gc1}%.1fx")
+    println(f"[scale-100] RATIO gains_distinct  10x=${ga10 / gc1}%.1fx 100x=${ga100 / gc1}%.1fx")
     spark.stop()
   }
 }
