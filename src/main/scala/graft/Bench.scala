@@ -50,11 +50,32 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // DRIFT CANARY (round 15): one FROZEN, registry-independent probe
+    // — a plain lineitem scan+agg defined inline here so no future
+    // round's query edits can touch it — measured at the head of every
+    // timed pass. Identical code measured 149.5–202.6 s across the
+    // round-14 close window (BASELINE.md), so raw cross-round ratios
+    // can hide a real 1.5x regression behind "drift": the canary gives
+    // each run a machine-speed yardstick, and `gate_ratio_norm` =
+    // raw ratio ÷ (this run's canary / baseline's canary) divides the
+    // window's drift out.
+    def canaryOnce(): Double = {
+      import org.apache.spark.sql.functions.{sum, avg, count, lit}
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
+        .queryExecution.toRdd.count(): Unit
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
     // FULL untimed warm-up pass: pays JIT/codegen/footer caches AND
     // every session-amortized artifact build exactly once, so the three
     // timed passes below are all warm. Its wall time is the round's
     // build-cost record (`warmup_total`).
     val w0 = System.nanoTime()
+    canaryOnce(): Unit // pay the canary's JIT inside the warm-up too
     ordered0.foreach { case (_, fn) =>
       try { fn(spark, sfDir).queryExecution.toRdd.count(): Unit }
       catch { case _: Throwable => () }
@@ -81,16 +102,19 @@ object Bench {
     val nPasses = 3
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
+    val canaries = scala.collection.mutable.ListBuffer[Double]()
     val passTotals = (0 until nPasses).map { _ =>
       // settle the heap between passes so one pass's garbage doesn't
       // become the next pass's GC pause
       System.gc()
+      canaries += canaryOnce() // machine-speed yardstick, per pass
       val p0 = System.nanoTime()
       ordered.foreach { case (name, fn) =>
         once(fn).foreach(dt => samples(name) = dt :: samples(name))
       }
       (System.nanoTime() - p0) / 1e9
     }
+    val canaryMin = canaries.min
 
     val results = ordered.map { case (name, _) =>
       val s = samples(name)
@@ -138,6 +162,29 @@ object Bench {
       case (k, v) if v > 0 && baseline.get(k).exists(_ > 0) =>
         k -> f"${v / baseline(k)}%.2f"
     })
+    // drift factor: this run's canary vs the baseline's recorded
+    // canary (absent in pre-round-15 baselines -> 1.0, norm == raw)
+    val baseCanary = try {
+      val txt = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("bench/baseline_queries.json"))
+      """"canary_min"\s*:\s*([0-9.eE+-]+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+    val drift = baseCanary.filter(_ > 0).map(canaryMin / _).getOrElse(1.0)
+    val gateRatioNorm = jmap(results.collect {
+      case (k, v) if v > 0 && baseline.get(k).exists(_ > 0) =>
+        k -> f"${v / baseline(k) / drift}%.2f"
+    })
+    // the drift-proof breach list: normalized ratio > 2 AND real
+    // absolute growth — a degraded window inflates raw ratios (false
+    // alarms the 0.2 s floor absorbs) but can never MASK a true
+    // regression here, because masking requires drift > 1 which
+    // DEFLATES nothing on the normalized axis
+    val gateBreachesNorm = results.collect {
+      case (k, v) if v > 0 && baseline.get(k).exists(b =>
+          b > 0 && v / b / drift > 2.0 && v - b > 0.2) =>
+        "\"" + k + "\""
+    }.mkString("[", ",", "]")
     // a breach is a RATIO violation that is also a real absolute
     // regression: session-amortized probes have 10-20 ms baselines, so
     // a pure-ratio gate flags 30 ms of scheduler noise as 3x (the
@@ -158,8 +205,9 @@ object Bench {
     // the tail window intact; with run/outputStrategy := StdoutOutput
     // (build.sbt) it also arrives unprefixed. Consumers that want the
     // per-query map read the first {"metric" line of the full output.
+    val canaryArr = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","spread":$spread,"noisy":$noisy,"failed":$failed,"gate_ratio":$gateRatio,"gate_breaches":$gateBreaches,"warmup_total":${f"$warmupTotal%.2f"},"pass_totals":$passes,"unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}"""
+      s"""{"metric":"total","spread":$spread,"noisy":$noisy,"failed":$failed,"gate_ratio":$gateRatio,"gate_ratio_norm":$gateRatioNorm,"gate_breaches":$gateBreaches,"gate_breaches_norm":$gateBreachesNorm,"canary":$canaryArr,"canary_min":${f"$canaryMin%.3f"},"drift":${f"$drift%.3f"},"warmup_total":${f"$warmupTotal%.2f"},"pass_totals":$passes,"unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}"""
     println(fullLine)
     // the driver's stdout tail is front-truncating, so per-query history
     // survived only in BASELINE.md prose through round 9 — persist the
@@ -172,7 +220,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist bench/last_run.json: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","warmup_total":${f"$warmupTotal%.2f"},"pass_totals":$passes,"n_queries":${results.size},"failed":$failed,"gate_breaches":$gateBreaches,"queries":{}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","warmup_total":${f"$warmupTotal%.2f"},"pass_totals":$passes,"canary_min":${f"$canaryMin%.3f"},"drift":${f"$drift%.3f"},"n_queries":${results.size},"failed":$failed,"gate_breaches":$gateBreaches,"gate_breaches_norm":$gateBreachesNorm,"queries":{}}""")
     spark.stop()
   }
 }

@@ -961,7 +961,64 @@ object Export {
       SELECT doc_id, source, lang, n_chars, text FROM documents
       WHERE doc_id % 13 <> 6"""))
 
+  /** q236 — TABLE-CONSTRAINT AUDIT (round 15, the registry face of
+    * `VersionedShards.addConstraint`'s CHECK-on-write enforcement —
+    * the Delta `ALTER TABLE ADD CONSTRAINT` shape wiring the
+    * reference's pandera-stage semantics into the lakehouse layer):
+    * for a fixed candidate constraint set, ONE corpus pass reports
+    * per-constraint violation counts under SQL CHECK semantics
+    * (violation = predicate FALSE; NULL passes) and whether ADD
+    * CONSTRAINT would be accepted on the current data (the
+    * existing-rows-must-satisfy rule). Enforcement itself — reject a
+    * violating ingest commit all-or-nothing, refuse a retro-fitted
+    * constraint, first-create-wins on racing ADDs — is pinned in
+    * ExportSpec; this audit is the exactly-gated readout. Scale shape:
+    * one scan, conditional-sum partials, a 4-row stack of the 1-row
+    * aggregate. */
+  val q236: Q = Q(
+    "q236_table_constraints",
+    run = { (spark, dir) =>
+      val checks = Seq(
+        ("doc_id_not_null", "doc_id IS NOT NULL"),
+        ("n_chars_nonneg", "n_chars >= 0"),
+        ("text_nonempty", "length(text) > 0"),
+        ("lang_known", "lang IN ('en','de','fr','es','it')"))
+      val docs = Tables.documents(spark, dir)
+      val sums = checks.zipWithIndex.map { case ((_, p), i) =>
+        sum(when(not(coalesce(expr(p), lit(true))), 1L).otherwise(0L))
+          .as(s"v$i")
+      }
+      val aggd = docs.agg(count(lit(1)).as("n_rows"), sums: _*)
+      aggd.select(col("n_rows"), expr(
+          "stack(4, " + checks.zipWithIndex.map { case ((n, _), i) =>
+            s"'$n', v$i" }.mkString(", ") +
+            ") AS (constraint_name, n_violations)"))
+        .select(col("constraint_name"), col("n_rows"),
+          col("n_violations"),
+          (col("n_violations") === 0L).as("would_enforce"))
+    },
+    oracle = Some("""
+      WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN NOT COALESCE(doc_id IS NOT NULL, TRUE)
+          THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        CAST(sum(CASE WHEN NOT COALESCE(n_chars >= 0, TRUE)
+          THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        CAST(sum(CASE WHEN NOT COALESCE(length(text) > 0, TRUE)
+          THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        CAST(sum(CASE WHEN NOT COALESCE(
+            lang IN ('en','de','fr','es','it'), TRUE)
+          THEN 1 ELSE 0 END) AS BIGINT) AS v3
+        FROM documents)
+      SELECT constraint_name, n_rows, n_violations,
+        n_violations = 0 AS would_enforce
+      FROM (
+        SELECT 'doc_id_not_null' AS constraint_name, n_rows,
+          v0 AS n_violations FROM a
+        UNION ALL SELECT 'n_chars_nonneg', n_rows, v1 FROM a
+        UNION ALL SELECT 'text_nonempty', n_rows, v2 FROM a
+        UNION ALL SELECT 'lang_known', n_rows, v3 FROM a)"""))
+
   val all: Seq[Q] = Seq(q153, q155, q158, q163, q166, q167, q173, q174,
     q175, q178, q179, q182, q183, q186, q191, q194, q195, q200, q201,
-    q202)
+    q202, q236)
 }

@@ -96,6 +96,20 @@ object VersionedShards {
 
   /** EVERY pointer file, superseded replay generations included —
     * the reference set [[gcOrphans]] must honor. */
+  /** Read one tiny metadata file's full UTF-8 body (pointers,
+    * constraint predicates — both bounded-size by construction). */
+  private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, cap: Int = 4096): String = {
+    val in = fs.open(path)
+    try {
+      val buf = new Array[Byte](cap)
+      var off = 0
+      var n = in.read(buf, off, cap - off)
+      while (n > 0) { off += n; n = in.read(buf, off, cap - off) }
+      new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   private def allPointers(spark: SparkSession,
       dir: String): Seq[Commit] = {
     val (fs, _) = hfs(spark, dir)
@@ -104,14 +118,7 @@ object VersionedShards {
     fs.listStatus(logRoot).toSeq.filter(_.isFile)
       .flatMap(f => f.getPath.getName match {
         case PointerName(v, seq) =>
-          val in = fs.open(f.getPath)
-          val body = try {
-            val buf = new Array[Byte](256)
-            val n = in.read(buf)
-            new String(buf, 0, math.max(n, 0),
-              java.nio.charset.StandardCharsets.UTF_8)
-          } finally in.close()
-          val Array(ts, m, d) = body.trim.split(' ')
+          val Array(ts, m, d) = readSmall(fs, f.getPath).trim.split(' ')
           Some(Commit(v.toInt, seq.toInt, ts.toLong, m,
             if (d == "none") None else Some(d)))
         case _ => None
@@ -234,6 +241,7 @@ object VersionedShards {
   private def stageShards(spark: SparkSession, batch: DataFrame,
       keyCol: String, dir: String,
       nShards: Int): (String, Seq[(Int, String)]) = {
+    enforceConstraints(spark, dir, batch)
     val dId = newId()
     ShardExport.writeShards(batch, keyCol, s"$dir/d-$dId", nShards)
     (dId, listStagedFiles(spark, dir, dId))
@@ -484,6 +492,7 @@ object VersionedShards {
   def mergeCommitAtomic(spark: SparkSession, batch: DataFrame,
       keyCol: String, dir: String, nShards: Int, maxAttempts: Int = 8,
       ts: Long = -1L): Int = {
+    enforceConstraints(spark, dir, batch)
     val keyedBatch = ShardExport.withShardKey(batch, keyCol, nShards)
     val touched = keyedBatch.select(col("shard")).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -789,6 +798,7 @@ object VersionedShards {
     * snapshots until [[vacuum]]. Returns the committed version. */
   def mergeCommit(spark: SparkSession, batch: DataFrame, keyCol: String,
       dir: String, nShards: Int): Int = {
+    enforceConstraints(spark, dir, batch)
     val cur = currentVersion(spark, dir)
     val keyedBatch = ShardExport.withShardKey(batch, keyCol, nShards)
     // the batch's touched-shard set: one bounded distinct over the
@@ -1186,6 +1196,78 @@ object VersionedShards {
     (sweep(new org.apache.hadoop.fs.Path(dir), "d-", refD) ++
       sweep(logRoot, "m-", refM) ++ tmps).sorted
   }
+
+  /** TABLE-LEVEL CHECK CONSTRAINTS (the Delta `ALTER TABLE ADD
+    * CONSTRAINT` shape — the validation module's predicate evaluation
+    * wired into the commit protocol, closing the loop between the
+    * reference's pandera stage and the lakehouse layer): a constraint
+    * is a SQL predicate persisted as ONE atomically-created file
+    * `_log/k-<name>` (the same [[atomicPublishFile]] primitive as
+    * commits, so two writers racing ADD CONSTRAINT on one name collide
+    * deterministically), and every INGEST commit path — append,
+    * fixed-version replay, OCC append, merge batch — evaluates the
+    * active set over its incoming rows BEFORE staging: a violating
+    * batch rejects the WHOLE commit (all-or-nothing, offending sample
+    * in the error) and the layout is untouched. Rewrites that only
+    * MOVE already-ingested rows (compact, optimize, delete, restore)
+    * skip re-validation. NULL predicate results follow SQL CHECK
+    * semantics (NULL = pass) — add an explicit IS NOT NULL constraint
+    * to reject nulls. ADD CONSTRAINT on a non-empty layout validates
+    * the EXISTING snapshot first and refuses rather than retro-fitting
+    * (Delta semantics). At 100 TB enforcement costs one predicate
+    * evaluation over each incoming BATCH — never a lake scan. */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+      predicateSql: String): Unit = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name '$name' must be [A-Za-z0-9_]+")
+    val cur = currentVersion(spark, dir)
+    if (cur >= 0 && liveFiles(spark, dir, cur).nonEmpty) {
+      val bad = readAsOf(spark, dir, cur)
+        .filter(!coalesce(expr(predicateSql), lit(true)))
+        .limit(3).collect()
+      require(bad.isEmpty,
+        s"cannot add constraint '$name' CHECK ($predicateSql): existing " +
+          s"rows violate it, e.g. ${bad.mkString("; ")}")
+    }
+    if (!atomicPublishFile(spark, dir, s"k-$name", predicateSql))
+      sys.error(s"constraint '$name' already exists at $dir")
+  }
+
+  /** Drop a constraint by name (no-op if absent). */
+  def dropConstraint(spark: SparkSession, dir: String,
+      name: String): Unit = {
+    val (fs, _) = hfs(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_log/k-$name"),
+      false): Unit
+  }
+
+  /** The layout's active constraints, name → SQL predicate. */
+  def tableConstraints(spark: SparkSession,
+      dir: String): Map[String, String] = {
+    val (fs, _) = hfs(spark, dir)
+    val logRoot = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    if (!fs.exists(logRoot)) return Map.empty
+    fs.listStatus(logRoot).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith("k-"))
+      .map(f => f.getPath.getName.stripPrefix("k-") ->
+        readSmall(fs, f.getPath).trim)
+      .toMap
+  }
+
+  /** Enforce the active constraint set on an incoming batch — called
+    * by every ingest path before staging. Violation = predicate FALSE
+    * (NULL passes, per SQL CHECK); the error carries up to 3 offending
+    * rows. */
+  private def enforceConstraints(spark: SparkSession, dir: String,
+      batch: DataFrame): Unit =
+    tableConstraints(spark, dir).toSeq.sortBy(_._1)
+      .foreach { case (n, p) =>
+        val bad = batch.filter(!coalesce(expr(p), lit(true)))
+          .limit(3).collect()
+        if (bad.nonEmpty)
+          sys.error(s"commit rejected: constraint '$n' CHECK ($p) " +
+            s"violated by incoming rows, e.g. ${bad.mkString("; ")}")
+      }
 
   /** SHALLOW CLONE (zero-copy fork): `dstDir` becomes a NEW versioned
     * layout whose v=0 log references the source's current live files

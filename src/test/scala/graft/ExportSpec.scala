@@ -1563,6 +1563,70 @@ class ExportSpec extends AnyFunSuite {
       .filter(col("doc_id") >= 200L).count() == 2)
   }
 
+  test("q236 table constraints: CHECK-on-write rejects violating ingests whole, refuses retro-fit, races deterministically") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+      .filter(col("doc_id").isNotNull)
+    val dir = tmp("constraints")
+    // constraints on the empty layout: no existing rows to validate
+    VersionedShards.addConstraint(spark, dir, "doc_id_not_null",
+      "doc_id IS NOT NULL")
+    VersionedShards.addConstraint(spark, dir, "n_chars_nonneg",
+      "n_chars >= 0")
+    assert(VersionedShards.tableConstraints(spark, dir).keySet ==
+      Set("doc_id_not_null", "n_chars_nonneg"))
+    // racing ADD on the same name: first create wins, second refuses
+    val dup = intercept[Exception] {
+      VersionedShards.addConstraint(spark, dir, "doc_id_not_null",
+        "doc_id IS NOT NULL")
+    }
+    assert(dup.getMessage.contains("already exists"))
+    // a clean ingest commits
+    val v0 = VersionedShards.commitAppend(spark, docs.limit(40),
+      "doc_id", dir, 8)
+    assert(v0 == 0 && VersionedShards.readAsOf(spark, dir, 0).count() == 40)
+    // a violating batch rejects the WHOLE commit — all-or-nothing:
+    // the two clean rows in it must not land either
+    val dirty = docs.limit(2).unionByName(
+      docs.limit(1).withColumn("n_chars", lit(-5L)))
+    val rej = intercept[Exception] {
+      VersionedShards.commitAppendAtomic(spark, dirty, "doc_id", dir, 8)
+    }
+    assert(rej.getMessage.contains("n_chars_nonneg"),
+      s"wrong rejection: ${rej.getMessage}")
+    assert(VersionedShards.currentVersion(spark, dir) == 0,
+      "a rejected commit changed the layout")
+    // NULL passes (SQL CHECK semantics): a null n_chars row ingests
+    val v1 = VersionedShards.commitAppend(spark,
+      docs.limit(1).withColumn("n_chars",
+        lit(null).cast("long")).withColumn("doc_id", lit(999999L)),
+      "doc_id", dir, 8)
+    assert(v1 == 1)
+    // a merge batch is enforced too
+    val rejM = intercept[Exception] {
+      VersionedShards.mergeCommitAtomic(spark,
+        docs.limit(1).withColumn("n_chars", lit(-1L)), "doc_id", dir, 8)
+    }
+    assert(rejM.getMessage.contains("n_chars_nonneg"))
+    // ADD CONSTRAINT the existing data violates is REFUSED, not
+    // retro-fitted (the null-n_chars row fails a NOT NULL check)
+    val retro = intercept[Exception] {
+      VersionedShards.addConstraint(spark, dir, "n_chars_not_null",
+        "n_chars IS NOT NULL")
+    }
+    assert(retro.getMessage.contains("existing"))
+    assert(!VersionedShards.tableConstraints(spark, dir)
+      .contains("n_chars_not_null"))
+    // dropped constraint stops gating
+    VersionedShards.dropConstraint(spark, dir, "n_chars_nonneg")
+    val v2 = VersionedShards.commitAppend(spark,
+      docs.limit(1).withColumn("n_chars", lit(-7L))
+        .withColumn("doc_id", lit(888888L)), "doc_id", dir, 8)
+    assert(v2 == 2)
+  }
+
   test("q163 registry run: equals q153's full manifest after the append-then-compact lifecycle") {
     val full = queries.Export.q153.run(spark, TestSpark.sf0001)
     val comp = queries.Export.q163.run(spark, TestSpark.sf0001)

@@ -54,4 +54,42 @@ object TransformProperties extends Properties("graft.transforms") {
           case (None, f) => f == 0.0
         }
     }
+
+  /** q30's AND-amplification law (round-15 verdict item 7): on a
+    * constructed corpus of 200 pairs at EXACT shingle-set Jaccard 0.5
+    * (two 32-token docs sharing their first 22 tokens in a pair-unique
+    * vocabulary → |A∩B| = 20, |A∪B| = 40 — the boundary shingles all
+    * differ), the measured band-collision survival must track the
+    * analytic 1 − (1 − J^r)^b at each (r, b), and be monotone in the
+    * banding direction. Deterministic under the fixed md5 slot family:
+    * each pair's shingles are distinct strings, so collision outcomes
+    * are independent draws from the hash family (σ ≈ 0.02–0.03 at
+    * n = 200; tolerance 0.08 ≈ 3σ). Pairs are source-isolated, so the
+    * survival count is exactly the emitted-pair count. */
+  property("q30 banding: candidate survival matches 1-(1-J^r)^b across (r,b), monotone") = {
+    val nPairs = 200
+    val docs = (0 until nPairs).flatMap { p =>
+      val shared = (0 until 22).map(i => s"a${p}x$i")
+      val tailA = (22 until 32).map(i => s"a${p}x$i")
+      val tailB = (0 until 10).map(i => s"b${p}x$i")
+      Seq((2L * p, s"s$p", (shared ++ tailA).mkString(" ")),
+        (2L * p + 1, s"s$p", (shared ++ tailB).mkString(" ")))
+    }.toDF("doc_id", "source", "text")
+    val j = 0.5
+    val cases = Seq((1, 8), (2, 8), (2, 4), (4, 4))
+    val survival = cases.map { case (r, b) =>
+      val got = graft.ext.MinHashDedup
+        .bandedJaccardPairs(docs, 0.4, numTables = b, bandWidth = r)
+        .count().toDouble / nPairs
+      (r, b, got)
+    }
+    Prop.all(
+      (survival.map { case (r, b, s) =>
+        val analytic = 1.0 - math.pow(1.0 - math.pow(j, r), b)
+        Prop(math.abs(s - analytic) < 0.08) :|
+          f"(r=$r,b=$b): measured $s%.3f vs analytic $analytic%.3f"
+      } :+ (Prop(survival.map(_._3).zip(survival.map(_._3).tail)
+        .forall { case (hi, lo) => hi >= lo }) :|
+        s"banding survival not monotone: $survival")): _*)
+  }
 }
