@@ -1403,6 +1403,14 @@ object Funnels {
           col("o_totalprice").cast(DecimalType(12, 4)).as("p"))
         .groupBy(col("day"))
         .agg(sum(col("p")).cast(DecimalType(18, 4)).as("x"))
+        // LOUD envelope (ADVICE r14): under a non-ANSI session the
+        // (18,4) cast silently NULLs past the documented 10^14/day
+        // bound while the oracle's (19,4) path errors — fail the job
+        // instead, matching the oracle's failure mode (a filter, not
+        // a pruned projection, so the optimizer keeps it)
+        .filter(assert_true(col("x").isNotNull,
+          lit("q227 daily revenue exceeds the DECIMAL(18,4) envelope " +
+            "(>= 1e14/day) — widen the moment decimals")).isNull)
       val pairs = Seq(1, 7).map { k =>
         daily.join(
           broadcast(daily.select(col("day").as("bday"), col("x").as("y"))),

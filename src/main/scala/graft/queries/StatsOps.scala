@@ -758,8 +758,12 @@ object StatsOps {
         sum(col("disc")).as("discordant"),
         sum(col("tie_x")).as("ties_x"),
         sum(col("tie_y")).as("ties_y"))
+        // DIV nullif: on a degenerate input (< 2 distinct days) both
+        // engines must agree on NULL — bare `// 0` raises in DuckDB
+        // while Spark DIV yields NULL (ADVICE r14)
         .withColumn("tau_a_ppm",
-          expr("((concordant - discordant) * 1000000) DIV n_pairs"))
+          expr("((concordant - discordant) * 1000000)" +
+            " DIV nullif(n_pairs, 0)"))
     },
     oracle = Some("""
       WITH daily AS (
@@ -781,8 +785,8 @@ object StatsOps {
         CAST(sum(disc) AS BIGINT) AS discordant,
         CAST(sum(tie_x) AS BIGINT) AS ties_x,
         CAST(sum(tie_y) AS BIGINT) AS ties_y,
-        CAST(((sum(conc) - sum(disc)) * 1000000) // count(*) AS BIGINT)
-          AS tau_a_ppm
+        CAST(((sum(conc) - sum(disc)) * 1000000)
+          // nullif(count(*), 0) AS BIGINT) AS tau_a_ppm
       FROM p"""))
 
   val all: Seq[Q] = Seq(q81, q82, q84, q85, q86, q87, q170, q192, q196,

@@ -445,8 +445,12 @@ object Warehouse {
         .groupBy((year(col("o_orderdate")) * 12 +
           month(col("o_orderdate")) - 1).as("ym"))
         .agg(
+          // DECIMAL(38,0) END-TO-END (ADVICE r14): a .cast("long")
+          // here wraps silently past 2^63 under legacy decimal casts
+          // while the oracle errors; the decimal carries exactly at
+          // any revenue scale and the yoy expression already widens
           (sum(col("o_totalprice").cast(DecimalType(12, 4))) * 10000)
-            .cast("long").as("cents"))
+            .cast(DecimalType(38, 0)).as("cents"))
       val prev = monthly.select(col("ym").as("pym"), col("cents").as("pcents"))
       monthly.join(broadcast(prev), col("pym") === col("ym") - 12, "left")
         .select(
@@ -528,7 +532,19 @@ object Warehouse {
     * positives, and lift vs the base rate all in exact integer
     * ppm/milli with the cross products in DECIMAL(38,0)/HUGEINT
     * (pos·N overflows int64 at warehouse scale). Global totals are a
-    * 1-row broadcast re-agg of the ≤10-row decile table. */
+    * 1-row broadcast re-agg of the ≤10-row decile table.
+    *
+    * Scale bound, MEASURED (round 15, tools/PercentileCutDryRun):
+    * Spark's exact Percentile merges a value→count map at one final
+    * reducer, so the binding quantity is DISTINCT score values, not
+    * rows. With the score = line cents (bounded by the part price
+    * catalog — this query's contract), 100× rows cost 40.6× wall
+    * (sub-linear; map stays catalog-sized). With ADVERSARIAL distinct
+    * growth (values offset per copy: 60 M distinct at 100×) the same
+    * plan costs 131× — the measured cliff. Rule: exact percentile
+    * cuts require a catalog-bounded score column; for unbounded
+    * values use the q160 fixed-bin histogram quantiles (mergeable,
+    * constant state) as the cut source. */
   val q233: Q = Q(
     "q233_gains_table",
     run = { (spark, dir) =>
@@ -537,6 +553,15 @@ object Warehouse {
           (col("l_extendedprice").cast("decimal(12,4)") * 10000)
             .cast("long").as("score_cents"),
           when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+      // STANDING ASSUMPTION (ADVICE r14): decile assignment compares
+      // integer cents against INTERPOLATED-double cuts, so hash parity
+      // relies on Spark `percentile` and DuckDB `quantile_cont`
+      // producing bit-identical interpolants — both compute
+      // lo + frac·(hi−lo) over exact integer inputs with the same
+      // IEEE ops (validated green on fixture + fuzz), but a last-ulp
+      // formula divergence in either engine would flip a score lying
+      // exactly on a cut; the engine-independent alternative (exact
+      // integer lower+frac cut pairs) is the documented fallback.
       val cuts = scored.agg(percentile(col("score_cents"),
         array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
       val byDecile = scored.crossJoin(broadcast(cuts))
