@@ -423,6 +423,11 @@ object Export {
       graft.sinks.VersionedShards.commitAppend(spark,
         docCols(Tables.documents(spark, dir)), "doc_id", out, nShards,
         ts = 1000L)
+      // CHECKPOINT mid-history (round 15): q178's snapshot read and
+      // q191's history audit then resolve through checkpoint + tail
+      // manifest, and their hash gates certify the checkpointed log()
+      // is row-identical to the manifest-only one
+      graft.sinks.VersionedShards.checkpoint(spark, out): Unit
       graft.sinks.VersionedShards.deleteCommit(spark, out,
         col("doc_id") % 7 === 2, nShards, ts = 2000L): Unit
       out

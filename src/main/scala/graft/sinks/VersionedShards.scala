@@ -40,9 +40,10 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *
   * Scale shape: the log is the metadata table — O(#files) rows across
   * O(#versions) single-file manifests read in ONE pruned scan, the
-  * same bounded-listing contract as [[ShardExport.runCounts]] (Delta
-  * reads its JSON commits the same way, checkpointing past ~10³ —
-  * the seam where a checkpoint manifest would slot in); data jobs
+  * same bounded-listing contract as [[ShardExport.runCounts]]; past
+  * that, [[checkpoint]] consolidates the covered prefix into one
+  * parquet so log resolution is O(1 + tail), the Delta checkpoint
+  * read path (round 15 — the seam closed); data jobs
   * touch only live files. At 100 TB the log is the thing that makes
   * O(1)-cost snapshot reads, exact audits ("what did epoch 3 train
   * on?"), and safe concurrent append+compact possible at all —
@@ -247,15 +248,11 @@ object VersionedShards {
     (dId, listStagedFiles(spark, dir, dId))
   }
 
-  /** The commit log as a DataFrame (shard, path, action, version) —
-    * ONE pruned scan over the committed manifests, version re-attached
-    * by a broadcast join on the manifest id in the file path. */
-  def log(spark: SparkSession, dir: String): DataFrame = {
-    val cs = commits(spark, dir)
-    if (cs.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(logSchema.fields :+
-          StructField("version", IntegerType, nullable = false)))
+  /** Manifest rows of the given commits as (shard, path, action,
+    * version) — ONE pruned scan, version re-attached by a broadcast
+    * join on the manifest id in the file path. */
+  private def manifestRows(spark: SparkSession, dir: String,
+      cs: Seq[Commit]): DataFrame = {
     val vmap = spark.createDataFrame(cs.map(c => (c.mId, c.v)))
       .toDF("mId", "version")
     spark.read.schema(logSchema)
@@ -264,6 +261,90 @@ object VersionedShards {
         "m-([0-9a-f]+)/", 1))
       .join(broadcast(vmap), "mId")
       .select(col("shard"), col("path"), col("action"), col("version"))
+  }
+
+  private def emptyLog(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(logSchema.fields :+
+        StructField("version", IntegerType, nullable = false)))
+
+  /** The commit log as a DataFrame (shard, path, action, version).
+    * Without a checkpoint: one pruned scan over all committed
+    * manifests. With one ([[checkpoint]]): the consolidated parquet
+    * serves every version it covers at its CURRENT winner seq, and
+    * only the TAIL (commits past the checkpoint, plus any whose winner
+    * seq advanced since — a fixed-version replay) reads its manifest —
+    * O(1 + tail) metadata files instead of O(#versions), the Delta
+    * checkpoint read path. */
+  def log(spark: SparkSession, dir: String): DataFrame = {
+    val cs = commits(spark, dir)
+    if (cs.isEmpty) return emptyLog(spark)
+    latestCheckpoint(spark, dir) match {
+      case None => manifestRows(spark, dir, cs)
+      case Some((cv, pId)) =>
+        val ck = spark.read.parquet(s"$dir/_log/p-$pId")
+        // sentinel rows (action = "ckpt", shard = winner seq) record
+        // exactly which (version, seq) the checkpoint covers — they
+        // make EMPTY manifests (log-only commits) distinguishable
+        // from not-covered ones
+        val covered = ck.filter(col("action") === "ckpt")
+          .select(col("version"), col("shard"))
+          .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+        val seqOf = cs.map(c => c.v -> c.seq).toMap
+        val stale = covered.collect {
+          case (v, sq) if !seqOf.get(v).contains(sq) => v
+        }.toSeq.sorted
+        val fresh = cs.filter(c =>
+          c.v > cv || !covered.get(c.v).contains(c.seq))
+        val ckData0 = ck.filter(col("action") =!= "ckpt")
+          .select(col("shard"), col("path"), col("action"), col("version"))
+        val ckData = if (stale.isEmpty) ckData0
+          else ckData0.filter(!col("version").isin(stale.map(Int.box): _*))
+        if (fresh.isEmpty) ckData
+        else ckData.unionByName(manifestRows(spark, dir, fresh))
+    }
+  }
+
+  private val CkptName = "x-(\\d+)".r
+
+  /** The newest checkpoint, as (covered-through version, parquet id). */
+  private def latestCheckpoint(spark: SparkSession,
+      dir: String): Option[(Int, String)] = {
+    val (fs, _) = hfs(spark, dir)
+    val logRoot = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    if (!fs.exists(logRoot)) return None
+    fs.listStatus(logRoot).toSeq.filter(_.isFile)
+      .flatMap(f => f.getPath.getName match {
+        case CkptName(v) => Some(v.toInt -> readSmall(fs, f.getPath).trim)
+        case _ => None
+      }).sortBy(_._1).lastOption
+  }
+
+  /** CHECKPOINT the commit log (the Delta checkpoint-parquet shape —
+    * the O(#versions) log-read seam closed): consolidate every
+    * committed manifest ≤ currentVersion into ONE parquet under
+    * `_log/p-<id>/` — data rows plus one sentinel row per covered
+    * (version, winner-seq) — and publish the pointer `_log/x-<V>`
+    * atomically (content = the parquet id; racing checkpointers of the
+    * same V collide on the exact name and the loser's parquet becomes
+    * [[gcOrphans]] food). Fully TRANSPARENT to every reader: [[log]]
+    * output is row-identical with or without it (suite-pinned, and
+    * q178/q191 hash-gate it through a checkpointed registry layout);
+    * older manifests stay on disk, so time travel, replay supersession
+    * and GC semantics are unchanged. Returns the covered-through
+    * version, or -1 on an empty layout / lost race. */
+  def checkpoint(spark: SparkSession, dir: String): Int = {
+    val cs = commits(spark, dir)
+    if (cs.isEmpty) return -1
+    val v = cs.last.v
+    val pId = newId()
+    val sentinels = spark.createDataFrame(
+      cs.map(c => (c.seq, "", "ckpt", c.v)))
+      .toDF("shard", "path", "action", "version")
+    manifestRows(spark, dir, cs).unionByName(sentinels)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_log/p-$pId")
+    if (atomicPublishFile(spark, dir, s"x-$v", pId)) v else -1
   }
 
   /** Highest committed version, or -1 for an empty layout — from one
@@ -1176,6 +1257,15 @@ object VersionedShards {
     val ptrs = allPointers(spark, dir)
     val refD = ptrs.flatMap(_.dId).toSet
     val refM = ptrs.map(_.mId).toSet
+    val (fsx, _) = hfs(spark, dir)
+    val logRootX = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    // checkpoint parquets referenced by an x- pointer are live; a
+    // loser's unpublished parquet ages out like any staged orphan
+    val refP =
+      if (!fsx.exists(logRootX)) Set.empty[String]
+      else fsx.listStatus(logRootX).toSeq
+        .filter(f => f.isFile && f.getPath.getName.startsWith("x-"))
+        .map(f => readSmall(fsx, f.getPath).trim).toSet
     def sweep(root: org.apache.hadoop.fs.Path, prefix: String,
         referenced: Set[String]): Seq[String] =
       if (!fs.exists(root)) Nil
@@ -1194,7 +1284,8 @@ object VersionedShards {
           now - f.getModificationTime > olderThanMs)
         .map { f => fs.delete(f.getPath, false); f.getPath.getName }
     (sweep(new org.apache.hadoop.fs.Path(dir), "d-", refD) ++
-      sweep(logRoot, "m-", refM) ++ tmps).sorted
+      sweep(logRoot, "m-", refM) ++
+      sweep(logRoot, "p-", refP) ++ tmps).sorted
   }
 
   /** TABLE-LEVEL CHECK CONSTRAINTS (the Delta `ALTER TABLE ADD

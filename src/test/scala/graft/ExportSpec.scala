@@ -1627,6 +1627,67 @@ class ExportSpec extends AnyFunSuite {
     assert(v2 == 2)
   }
 
+  test("log checkpoint: transparent to every reader, replay-safe, GC-protected") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+    val dir = tmp("ckpt")
+    // base = the 30 LOWEST doc_ids; idA/idB = the two HIGHEST — the
+    // tail-commit and replay rows are provably disjoint from the base
+    val ids = docs.select(col("doc_id")).orderBy(col("doc_id").desc)
+      .limit(2).collect().map(_.getLong(0))
+    val (idA, idB) = (ids(0), ids(1))
+    val base = docs.orderBy(col("doc_id").asc).limit(30)
+    VersionedShards.commitAppend(spark, base, "doc_id", dir, 4,
+      ts = 1000L)
+    VersionedShards.mergeCommit(spark,
+      base.limit(5).withColumn("source", lit("rev")), "doc_id", dir, 4)
+    VersionedShards.deleteCommit(spark, dir, col("doc_id") === -1L, 4)
+    def logRows() = VersionedShards.log(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getInt(3))).toSet
+    val before = logRows()
+    // checkpoint at v2 (covers an append, a merge, a log-only delete)
+    assert(VersionedShards.checkpoint(spark, dir) == 2)
+    assert(logRows() == before, "checkpointed log() changed rows")
+    // commits PAST the checkpoint ride the tail manifests
+    VersionedShards.commitAppend(spark,
+      docs.filter(col("doc_id") === idA), "doc_id", dir, 4)
+    val after = logRows()
+    assert(after.size > before.size &&
+      after.filter(_._4 <= 2) == before,
+      "tail commit broke the checkpointed prefix")
+    val snapBefore = VersionedShards.readAsOf(spark, dir, 3)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a fixed-version REPLAY at a CHECKPOINTED version supersedes its
+    // checkpointed rows — log() must serve the replay's manifest, not
+    // the stale prefix (the seq-sentinel rule)
+    VersionedShards.commitAs(spark,
+      docs.filter(col("doc_id") === idB), "doc_id", dir, 4, v = 3)
+    val replayed = logRows()
+    assert(replayed.exists(r => r._4 == 3 && r._2.nonEmpty),
+      "replayed version lost its rows")
+    assert(VersionedShards.readAsOf(spark, dir, 3)
+      .filter(col("doc_id") === idB).count() == 1,
+      "snapshot did not serve the replay")
+    assert(VersionedShards.readAsOf(spark, dir, 3)
+      .filter(col("doc_id") === idA).count() == 0,
+      "stale checkpointed rows for the replayed version survived")
+    assert(snapBefore.contains(idA), "pre-replay snapshot sanity")
+    // GC keeps the referenced checkpoint parquet; an unpublished
+    // (loser) checkpoint parquet ages out
+    docs.limit(1).write.parquet(s"$dir/_log/p-00000000000000dd")
+    val swept = VersionedShards.gcOrphans(spark, dir, olderThanMs = -1L)
+    assert(swept.contains("p-00000000000000dd"),
+      s"orphan checkpoint parquet not swept: $swept")
+    assert(logRows() == replayed, "GC touched the live checkpoint")
+    // a SECOND checkpoint at the new head covers the replay
+    assert(VersionedShards.checkpoint(spark, dir) == 3)
+    assert(logRows() == replayed, "re-checkpoint changed rows")
+  }
+
   test("q163 registry run: equals q153's full manifest after the append-then-compact lifecycle") {
     val full = queries.Export.q153.run(spark, TestSpark.sf0001)
     val comp = queries.Export.q163.run(spark, TestSpark.sf0001)
