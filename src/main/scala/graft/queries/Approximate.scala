@@ -44,14 +44,16 @@ object Approximate {
       .withColumn("tail", expr("substr(hx, 3, 12)"))
       .withColumn("z",
         length(regexp_extract(col("tail"), "^0*", 0)).cast("int"))
+      // decode the first non-zero nibble ONCE (a projection column,
+      // not three repeated conv() calls inside the CASE — Catalyst
+      // does not CSE across WHEN branches)
+      .withColumn("nib", expr("CASE WHEN z = 12 THEN -1 ELSE " +
+        "CAST(conv(substr(tail, z + 1, 1), 16, 10) AS INT) END"))
       .withColumn("rnk", expr(
         """CASE WHEN z = 12 THEN 49 ELSE z * 4 + 1 +
-          |  CASE WHEN CAST(conv(substr(tail, z + 1, 1), 16, 10) AS INT) >= 8
-          |         THEN 0
-          |       WHEN CAST(conv(substr(tail, z + 1, 1), 16, 10) AS INT) >= 4
-          |         THEN 1
-          |       WHEN CAST(conv(substr(tail, z + 1, 1), 16, 10) AS INT) >= 2
-          |         THEN 2
+          |  CASE WHEN nib >= 8 THEN 0
+          |       WHEN nib >= 4 THEN 1
+          |       WHEN nib >= 2 THEN 2
           |       ELSE 3 END END""".stripMargin))
     val regs = base.groupBy(col("flag"), col("reg"))
       .agg(max(col("rnk")).as("mx"))
