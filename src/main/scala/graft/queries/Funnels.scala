@@ -221,40 +221,119 @@ object Funnels {
         ON du.day <= grid.g AND du.day >= grid.g - INTERVAL 6 DAY
       GROUP BY du.event_type, grid.g"""))
 
-  /** Core of q77: the SKETCH formulation of q75. One DataSketches HLL
-    * sketch per (type, day) — corpus-sized work happens exactly once,
-    * in that partial-aggregable sketch build — then the 7-day window is
-    * a UNION OF SKETCHES (hll_union_agg), which is the whole point:
-    * distinct counts don't decompose over sliding windows but sketches
-    * do, so the window pass touches #types × #days × 7 sketch blobs,
-    * never the users. At 100 TB this is the difference between
-    * re-scanning a week of raw events per day and merging seven ~KB
-    * sketches; the exact q75 stays as the oracle-checkable formulation
-    * and the suite pins the estimate to it. */
-  def rollingDistinctUsersSketch(e: DataFrame): DataFrame = {
-    val daily = e.select(col("event_type"), to_date(col("ts")).as("day"),
-        col("user_id"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    val grid = daily.select(col("day").as("g")).distinct()
-    daily.join(broadcast(grid),
+  /** KMV sketch size for q77 and its streaming twin: the sketch is
+    * EXACT below this many distinct users per (type, 7-day window) and
+    * a (K−1)/θ estimate above (std error 1/√(K−2) ≈ 2.2%). */
+  val KmvK: Int = 2048
+
+  /** The q77 estimate from a merged KMV set: exact cardinality while
+    * the set is not full, (K−1)/θ once it is — θ = the K-th smallest
+    * 48-bit hash normalized by 2^48 (Bar-Yossef et al. 2002). ONE fixed
+    * double expression ((K−1)·2^48 is exactly representable: 11-bit
+    * mantissa), identical text in Spark, DuckDB, and the streaming
+    * twin's JVM arithmetic, so all three produce the same double. */
+  private[graft] def kmvEstExpr(cCol: String, kthCol: String) =
+    expr(s"CASE WHEN $cCol < $KmvK THEN CAST($cCol AS DOUBLE) " +
+      s"ELSE ${(KmvK - 1).toDouble}D * pow(2.0D, 48) " +
+      s"/ CAST($kthCol AS DOUBLE) END")
+
+  /** Core of q77: the SKETCH formulation of q75, drained (round 16)
+    * from the engine-private DataSketches HLL to a DETERMINISTIC
+    * KMV/theta sketch (k minimum values — Bar-Yossef et al. 2002; the
+    * same structure DataSketches' theta sketch dense-mode keeps) on the
+    * repo's md5 hash family, so the driver gate is a TRUE hash gate:
+    * per (type, day) the sketch is the K smallest distinct 48-bit user
+    * hashes, the 7-day window is a UNION OF SKETCHES (the K smallest of
+    * a union are each among their own day's K smallest — min-K is a
+    * commutative mergeable monoid, exactly the property q77 exists to
+    * demonstrate), and the estimate is exact below K / (K−1)/θ above —
+    * every step pure integer/string work DuckDB replays digit-by-digit.
+    *
+    * Why KMV and not the q39 register HLL here: the suite pins every
+    * (type, day) row within 2% of exact q75, and fixture windows hold
+    * 3–1,452 users — one register collision among 15 users is a >2%
+    * LC error at any practical m, while KMV (like DataSketches' own
+    * sparse mode) is EXACT until K distinct hashes land. The estimate
+    * arm is suite-exercised on a constructed >K corpus instead.
+    *
+    * Scale shape: corpus-sized work happens exactly once, in the
+    * (type, day, h) dedup (the same shuffle exact q75 pays); the
+    * min-K cut bounds per-day state to K longs, so the window pass
+    * merges #types × #days × 7 sketches of ≤K values each, never the
+    * users. At 100 TB this is the difference between re-scanning a
+    * week of raw events per day and merging seven ~16 KB sketches.
+    * (The row_number cut is sort-based and spillable; a typed min-K
+    * Aggregator would add map-side partials — the upgrade path if the
+    * daily dedup itself ever dominates.) */
+  def rollingDistinctUsersSketch(e: DataFrame, k: Int = KmvK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = e.select(col("event_type"), to_date(col("ts")).as("day"),
+        conv(substring(md5(concat(lit("kmv|"),
+          col("user_id").cast("string"))), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .distinct() // the one corpus-sized shuffle — same as q75's dedup
+    val daily = hashed.withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"), col("day"))
+          .orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .select(col("event_type"), col("day"), col("h"))
+    val grid = e.select(to_date(col("ts")).as("g")).distinct()
+    val win = daily.join(broadcast(grid),
         col("day") <= col("g") && col("day") >= date_sub(col("g"), 6))
+      .select(col("event_type"), col("g"), col("h")).distinct()
+    win.withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"), col("g")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
       .groupBy(col("event_type"), col("g"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("users_7d_est"))
+      .agg(count(lit(1)).as("c"),
+        max(when(col("rn") === k, col("h"))).as("kth"))
+      .withColumn("users_7d_est", kmvEstExpr("c", "kth"))
       .select(col("event_type"),
         date_format(col("g"), "yyyy-MM-dd").as("day"), col("users_7d_est"))
   }
 
-  /** q77 — rolling 7-day distinct users via mergeable HLL sketches
-    * (rows-only in the driver gate: sketch estimates are
-    * engine-specific; the suite asserts ≤2% deviation from exact q75
-    * on every (type, day) row). */
+  /** q77 — rolling 7-day distinct users via mergeable KMV sketches,
+    * under the EXACT hash gate (hashes, min-K sets, and estimates all
+    * replayed by the oracle); the suite additionally pins every row
+    * within 2% of exact q75 and exercises the >K estimate arm on a
+    * constructed corpus. */
   val q77: Q = Q(
     "q77_rolling_users_sketch",
     run = { (spark, dir) =>
       rollingDistinctUsersSketch(Tables.events(spark, dir))
     },
-    oracle = None)
+    oracle = Some("""
+      WITH e AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   user_id FROM events),
+      hs AS (SELECT DISTINCT event_type, day,
+               CAST(list_sum(list_transform(generate_series(1, 12),
+                 p -> (strpos('0123456789abcdef',
+                        substr(md5('kmv|' || CAST(user_id AS VARCHAR)),
+                          CAST(p AS INTEGER), 1)) - 1)
+                      * (CAST(1 AS BIGINT)
+                         << CAST(4 * (12 - p) AS INTEGER))))
+                 AS BIGINT) AS h
+             FROM e),
+      daily AS (SELECT event_type, day, h FROM (
+                  SELECT event_type, day, h, row_number() OVER
+                    (PARTITION BY event_type, day ORDER BY h) AS rn
+                  FROM hs)
+                WHERE rn <= 2048),
+      grid AS (SELECT DISTINCT day AS g FROM e),
+      win AS (SELECT DISTINCT d.event_type, grid.g, d.h
+              FROM daily d JOIN grid
+                ON d.day <= grid.g AND d.day >= grid.g - INTERVAL 6 DAY),
+      ranked AS (SELECT event_type, g, h, row_number() OVER
+                   (PARTITION BY event_type, g ORDER BY h) AS rn
+                 FROM win),
+      agg AS (SELECT event_type, g, CAST(count(*) AS BIGINT) AS c,
+                max(CASE WHEN rn = 2048 THEN h END) AS kth
+              FROM ranked WHERE rn <= 2048 GROUP BY 1, 2)
+      SELECT event_type, strftime(g, '%Y-%m-%d') AS day,
+        CASE WHEN c < 2048 THEN CAST(c AS DOUBLE)
+             ELSE 2047.0 * pow(2.0, 48) / CAST(kth AS DOUBLE) END
+          AS users_7d_est
+      FROM agg"""))
 
   /** Core of q100 over any (event_id, user_id, ts, event_type) frame:
     * last-touch attribution — for every purchase, the user's most

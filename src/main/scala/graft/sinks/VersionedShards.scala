@@ -95,45 +95,81 @@ object VersionedShards {
   private def newId(): String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(16)
 
-  /** EVERY pointer file, superseded replay generations included —
-    * the reference set [[gcOrphans]] must honor. */
+  /** The metadata small-file size bound: pointer bodies are tens of
+    * bytes by construction; constraint predicates are capped at ADD
+    * time ([[addConstraint]]) so a read-back can never truncate. */
+  private[graft] val MetaFileCap = 4096
+
   /** Read one tiny metadata file's full UTF-8 body (pointers,
-    * constraint predicates — both bounded-size by construction). */
+    * constraint predicates). FAILS LOUDLY past [[MetaFileCap]] — the
+    * old silent truncation could hand [[enforceConstraints]] a mangled
+    * (possibly still-parseable, hence WRONG) predicate. */
   private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
-      path: org.apache.hadoop.fs.Path, cap: Int = 4096): String = {
+      path: org.apache.hadoop.fs.Path, cap: Int = MetaFileCap): String = {
     val in = fs.open(path)
     try {
-      val buf = new Array[Byte](cap)
+      val buf = new Array[Byte](cap + 1)
       var off = 0
-      var n = in.read(buf, off, cap - off)
-      while (n > 0) { off += n; n = in.read(buf, off, cap - off) }
+      var n = in.read(buf, off, cap + 1 - off)
+      while (n > 0) { off += n; n = in.read(buf, off, cap + 1 - off) }
+      require(off <= cap,
+        s"metadata file $path exceeds the $cap-byte cap — corrupt, or " +
+          "written outside the layout's own commit/constraint paths")
       new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
   }
 
-  private def allPointers(spark: SparkSession,
-      dir: String): Seq[Commit] = {
+  /** (version, seq) of EVERY pointer file — superseded replay
+    * generations included, the reference set [[gcOrphans]] must honor
+    * — derived from pointer NAMES alone: one `_log` listing, ZERO
+    * content reads. currentVersion and the publish retry loops run on
+    * every commit attempt, so reading each pointer's body there was
+    * O(#versions) small-file reads per commit — O(n²) over a table's
+    * lifetime, the exact scale cliff checkpoints close for manifests. */
+  private def pointerKeys(spark: SparkSession,
+      dir: String): Seq[(Int, Int)] = {
     val (fs, _) = hfs(spark, dir)
     val logRoot = new org.apache.hadoop.fs.Path(s"$dir/_log")
     if (!fs.exists(logRoot)) return Nil
     fs.listStatus(logRoot).toSeq.filter(_.isFile)
       .flatMap(f => f.getPath.getName match {
-        case PointerName(v, seq) =>
-          val Array(ts, m, d) = readSmall(fs, f.getPath).trim.split(' ')
-          Some(Commit(v.toInt, seq.toInt, ts.toLong, m,
-            if (d == "none") None else Some(d)))
+        case PointerName(v, seq) => Some(v.toInt -> seq.toInt)
         case _ => None
       })
   }
 
+  /** One winner (v, seq) per version, version-ordered — names only. */
+  private def winnerKeys(spark: SparkSession,
+      dir: String): Seq[(Int, Int)] =
+    pointerKeys(spark, dir).groupBy(_._1).map(_._2.maxBy(_._2))
+      .toSeq.sortBy(_._1)
+
+  /** Read ONE pointer's content (ts, manifest id, data id) — the lazy
+    * per-commit complement of [[pointerKeys]]. */
+  private def readCommit(spark: SparkSession, dir: String,
+      v: Int, seq: Int): Commit = {
+    val (fs, _) = hfs(spark, dir)
+    val Array(ts, m, d) = readSmall(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/_log/c-$v-$seq")).trim.split(' ')
+    Commit(v, seq, ts.toLong, m, if (d == "none") None else Some(d))
+  }
+
+  /** EVERY pointer with content — [[gcOrphans]]' reference set, which
+    * genuinely needs every generation's manifest/data ids. */
+  private def allPointers(spark: SparkSession,
+      dir: String): Seq[Commit] =
+    pointerKeys(spark, dir)
+      .map { case (v, seq) => readCommit(spark, dir, v, seq) }
+
   /** The COMMITTED history: one winner per version (highest replay
     * seq), version-ordered — resolved from ONE `_log` listing. A
     * pointer file exists ⟺ its commit completed; there is no
-    * in-between state to filter. */
+    * in-between state to filter. Reads each winner's content — callers
+    * that need names only should use the key helpers above. */
   private[graft] def commits(spark: SparkSession,
       dir: String): Seq[Commit] =
-    allPointers(spark, dir).groupBy(_.v).map(_._2.maxBy(_.seq))
-      .toSeq.sortBy(_.v)
+    winnerKeys(spark, dir)
+      .map { case (v, seq) => readCommit(spark, dir, v, seq) }
 
   /** The atomic commit primitive: materialize `content` at the EXACT
     * name `_log/<name>`, failing — never clobbering, never exposing a
@@ -173,10 +209,28 @@ object VersionedShards {
           // swallowing it would misreport a writer storm
           case _: java.nio.file.FileAlreadyExistsException => false
         }
-      else fs.rename(tmp, dst)
+      else if (AtomicRenameSchemes(fs.getScheme)) fs.rename(tmp, dst)
+      else {
+        // object-store rename (s3a/gcs/abfs) is a non-atomic
+        // check-then-copy: two racing writers can BOTH see "no
+        // destination" and both return true — one commit silently
+        // lost. The Delta LogStore contract needs an if-none-match
+        // conditional put there; until such a hook exists, failing
+        // loudly is the only safe behavior.
+        fs.delete(tmp, false)
+        sys.error(s"atomicPublishFile: scheme '${fs.getScheme}' has no " +
+          "atomic no-clobber rename — commits on object stores need a " +
+          "conditional-put LogStore (if-none-match); point the layout " +
+          "at file:/hdfs storage or add that hook")
+      }
     fs.delete(tmp, false)
     won
   }
+
+  /** Filesystems whose `rename` refuses an existing destination
+    * ATOMICALLY (the HDFS NameNode namespace op and equivalents).
+    * `file:` never reaches this set — it commits via `link(2)`. */
+  private val AtomicRenameSchemes = Set("hdfs", "viewfs", "webhdfs")
 
   /** PUBLISH version `v`: the atomic pointer create that IS the
     * commit. True = committed; false = some other writer committed
@@ -277,10 +331,11 @@ object VersionedShards {
     * O(1 + tail) metadata files instead of O(#versions), the Delta
     * checkpoint read path. */
   def log(spark: SparkSession, dir: String): DataFrame = {
-    val cs = commits(spark, dir)
-    if (cs.isEmpty) return emptyLog(spark)
+    val keys = winnerKeys(spark, dir)
+    if (keys.isEmpty) return emptyLog(spark)
     latestCheckpoint(spark, dir) match {
-      case None => manifestRows(spark, dir, cs)
+      case None => manifestRows(spark, dir,
+        keys.map { case (v, s) => readCommit(spark, dir, v, s) })
       case Some((cv, pId)) =>
         val ck = spark.read.parquet(s"$dir/_log/p-$pId")
         // sentinel rows (action = "ckpt", shard = winner seq) record
@@ -290,12 +345,18 @@ object VersionedShards {
         val covered = ck.filter(col("action") === "ckpt")
           .select(col("version"), col("shard"))
           .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
-        val seqOf = cs.map(c => c.v -> c.seq).toMap
+        val seqOf = keys.toMap
         val stale = covered.collect {
           case (v, sq) if !seqOf.get(v).contains(sq) => v
         }.toSeq.sorted
-        val fresh = cs.filter(c =>
-          c.v > cv || !covered.get(c.v).contains(c.seq))
+        // pointer CONTENT is read only for the tail — commits past the
+        // checkpoint or whose winner seq advanced since (fixed-version
+        // replays); everything covered resolves from the parquet, so
+        // log resolution is O(1 + tail) for manifests AND pointers
+        val fresh = keys.collect {
+          case (v, s) if v > cv || !covered.get(v).contains(s) =>
+            readCommit(spark, dir, v, s)
+        }
         val ckData0 = ck.filter(col("action") =!= "ckpt")
           .select(col("shard"), col("path"), col("action"), col("version"))
         val ckData = if (stale.isEmpty) ckData0
@@ -334,29 +395,56 @@ object VersionedShards {
     * and GC semantics are unchanged. Returns the covered-through
     * version, or -1 on an empty layout / lost race. */
   def checkpoint(spark: SparkSession, dir: String): Int = {
-    val cs = commits(spark, dir)
-    if (cs.isEmpty) return -1
-    val v = cs.last.v
+    val keys = winnerKeys(spark, dir)
+    if (keys.isEmpty) return -1
+    val v = keys.last._1
     val pId = newId()
     val sentinels = spark.createDataFrame(
-      cs.map(c => (c.seq, "", "ckpt", c.v)))
+      keys.map { case (vv, s) => (s, "", "ckpt", vv) })
       .toDF("shard", "path", "action", "version")
-    manifestRows(spark, dir, cs).unionByName(sentinels)
+    // build from log(), not raw manifests: the data rows are
+    // row-identical (suite-pinned transparency) and a PRIOR checkpoint
+    // serves its covered prefix, so checkpointing itself is
+    // O(1 + tail) — the auto-cadence below would otherwise re-read the
+    // whole manifest history every N commits
+    log(spark, dir).unionByName(sentinels)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_log/p-$pId")
     if (atomicPublishFile(spark, dir, s"x-$v", pId)) v else -1
   }
 
+  /** AUTO-CHECKPOINT cadence (round-16, the Delta
+    * `checkpointInterval` shape): every ingest commit whose version is
+    * a multiple of this triggers [[checkpoint]], so long histories
+    * never regress to O(#versions) log reads without anyone calling
+    * checkpoint() by hand. */
+  val CheckpointEvery: Int = 10
+
+  /** Piggybacked on the ingest commit paths, AFTER the publish — a
+    * checkpoint failure must never fail a committed ingest (the commit
+    * is already durable; the next multiple retries), and a lost x-V
+    * race just means another writer checkpointed the same prefix. */
+  private def maybeCheckpoint(spark: SparkSession, dir: String,
+      v: Int): Unit =
+    if (v > 0 && v % CheckpointEvery == 0)
+      try checkpoint(spark, dir): Unit
+      catch { case e: Throwable =>
+        System.err.println(s"[versioned-shards] auto-checkpoint at " +
+          s"v$v failed (commit unaffected): ${e.getMessage}")
+      }
+
   /** Highest committed version, or -1 for an empty layout — from one
-    * `_log` listing. */
+    * `_log` listing, NAMES ONLY (this runs inside every publish retry
+    * loop; pointer bodies are never needed to allocate a slot). */
   def currentVersion(spark: SparkSession, dir: String): Int =
-    commits(spark, dir).lastOption.map(_.v).getOrElse(-1)
+    winnerKeys(spark, dir).lastOption.map(_._1).getOrElse(-1)
 
   /** A version's own data subtree (for tests/tools that inspect
     * physical bytes — everything else resolves through the log). */
   private[graft] def dataRootOf(spark: SparkSession, dir: String,
       v: Int): Option[String] =
-    commits(spark, dir).find(_.v == v).flatMap(_.dId)
+    winnerKeys(spark, dir).find(_._1 == v)
+      .flatMap { case (vv, seq) => readCommit(spark, dir, vv, seq).dId }
       .map(id => s"$dir/d-$id")
 
   /** COMMIT a batch as the next version — the SINGLE-WRITER append
@@ -370,6 +458,7 @@ object VersionedShards {
       files.map { case (s, p) => (s, p, "add") })
     val v = currentVersion(spark, dir) + 1
     publishStrict(spark, dir, v, mId, Some(dId), ts)
+    maybeCheckpoint(spark, dir, v)
     v
   }
 
@@ -388,9 +477,10 @@ object VersionedShards {
     val (dId, files) = stageShards(spark, batch, keyCol, dir, nShards)
     val mId = stageManifest(spark, dir,
       files.map { case (s, p) => (s, p, "add") })
-    var seq = allPointers(spark, dir).filter(_.v == v)
-      .map(_.seq).foldLeft(-1)(math.max) + 1
+    var seq = pointerKeys(spark, dir).collect { case (`v`, s) => s }
+      .foldLeft(-1)(math.max) + 1
     while (!publish(spark, dir, v, seq, mId, Some(dId), ts)) seq += 1
+    maybeCheckpoint(spark, dir, v)
     v
   }
 
@@ -416,7 +506,10 @@ object VersionedShards {
     while (tries < maxAttempts) {
       tries += 1
       val v = currentVersion(spark, dir) + 1
-      if (publish(spark, dir, v, 0, mId, Some(dId), ts)) return v
+      if (publish(spark, dir, v, 0, mId, Some(dId), ts)) {
+        maybeCheckpoint(spark, dir, v)
+        return v
+      }
     }
     sys.error(s"commitAppendAtomic: no free version after $maxAttempts " +
       s"attempts at $dir — writer storm")
@@ -437,8 +530,11 @@ object VersionedShards {
   private def validateRewrite(spark: SparkSession, dir: String,
       vRead: Int, vTry: Int, victims: Set[String],
       conflictOnAdd: Int => Boolean): Option[String] = {
-    val winners = commits(spark, dir)
-      .filter(c => c.v > vRead && c.v < vTry)
+    // runs inside the OCC retry loop: resolve names first, read the
+    // content of ONLY the (vRead, vTry) window's winners
+    val winners = winnerKeys(spark, dir)
+      .filter { case (v, _) => v > vRead && v < vTry }
+      .map { case (v, s) => readCommit(spark, dir, v, s) }
     winners.iterator.flatMap { w =>
       spark.read.schema(logSchema).parquet(s"$dir/_log/m-${w.mId}")
         .collect()
@@ -523,8 +619,10 @@ object VersionedShards {
                 // orphans; replan against the new state
                 conflicted = true
               case None =>
-                if (publish(spark, dir, vTry, 0, mId, Some(dId), ts))
+                if (publish(spark, dir, vTry, 0, mId, Some(dId), ts)) {
+                  maybeCheckpoint(spark, dir, vTry)
                   return vTry
+                }
               // else: a writer just took vTry — revalidate against it
             }
           }
@@ -1147,7 +1245,7 @@ object VersionedShards {
   def readChangeFeedByCommit(spark: SparkSession, dir: String,
       from: Int, to: Int, keyCol: String): DataFrame = {
     require(from < to, s"feed needs from < to, got $from..$to")
-    val committed = commits(spark, dir).map(_.v)
+    val committed = winnerKeys(spark, dir).map(_._1)
       .filter(w => w > from && w <= to)
     require(committed.nonEmpty,
       s"no commits in ($from, $to] at $dir — nothing to feed")
@@ -1308,20 +1406,65 @@ object VersionedShards {
     * (Delta semantics). At 100 TB enforcement costs one predicate
     * evaluation over each incoming BATCH — never a lake scan. */
   def addConstraint(spark: SparkSession, dir: String, name: String,
-      predicateSql: String): Unit = {
+      predicateSql: String,
+      // deterministic schedule seam (suite-only): runs between the
+      // snapshot validation and the k-file publish — the window where
+      // a racing ingest can read the not-yet-existing constraint set
+      beforePublish: () => Unit = () => ()): Unit = {
     require(name.matches("[A-Za-z0-9_]+"),
       s"constraint name '$name' must be [A-Za-z0-9_]+")
+    // reject at WRITE time what readSmall would refuse at read time —
+    // an over-cap predicate must never be half-persisted
+    require(predicateSql
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        <= MetaFileCap,
+      s"constraint '$name' predicate exceeds $MetaFileCap UTF-8 bytes")
+    def violations(df: DataFrame): Array[Row] =
+      df.filter(!coalesce(expr(predicateSql), lit(true))).limit(3).collect()
     val cur = currentVersion(spark, dir)
     if (cur >= 0 && liveFiles(spark, dir, cur).nonEmpty) {
-      val bad = readAsOf(spark, dir, cur)
-        .filter(!coalesce(expr(predicateSql), lit(true)))
-        .limit(3).collect()
+      val bad = violations(readAsOf(spark, dir, cur))
       require(bad.isEmpty,
         s"cannot add constraint '$name' CHECK ($predicateSql): existing " +
           s"rows violate it, e.g. ${bad.mkString("; ")}")
     }
+    beforePublish()
     if (!atomicPublishFile(spark, dir, s"k-$name", predicateSql))
       sys.error(s"constraint '$name' already exists at $dir")
+    // ACTIVATION-RACE re-validation: constraints live outside the
+    // commit log, so an ingest that read the constraint set BEFORE the
+    // k-file existed can land violating rows between our snapshot read
+    // and the publish above. Re-validate every version committed since
+    // the snapshot (an OCC-style loop like commitRewriteAtomic's); on
+    // violation the constraint retracts itself and fails loudly.
+    // RESIDUAL window, documented: a writer that read the (empty)
+    // constraint set before the k-file existed and is still staging
+    // can publish AFTER this loop finishes — closing that needs
+    // constraints inside commit metadata (Delta makes ADD CONSTRAINT a
+    // log commit so OCC conflict detection covers it); bounded here by
+    // one ingest's staging time, vs the old UNBOUNDED silent hole.
+    var vChecked = math.max(cur, -1)
+    var rounds = 0
+    while (rounds < 8 && currentVersion(spark, dir) > vChecked) {
+      val vNow = currentVersion(spark, dir)
+      val before = liveFiles(spark, dir, math.max(vChecked, 0))
+        .map(_._2).toSet
+      val added =
+        if (vChecked < 0) liveFiles(spark, dir, vNow)
+        else liveFiles(spark, dir, vNow).filterNot(f => before(f._2))
+      if (added.nonEmpty) {
+        val bad = violations(spark.read.parquet(
+          added.map(f => resolve(dir, f._2)): _*))
+        if (bad.nonEmpty) {
+          dropConstraint(spark, dir, name)
+          sys.error(s"constraint '$name' CHECK ($predicateSql) retracted: " +
+            s"rows committed during activation violate it, " +
+            s"e.g. ${bad.mkString("; ")}")
+        }
+      }
+      vChecked = vNow
+      rounds += 1
+    }
   }
 
   /** Drop a constraint by name (no-op if absent). */

@@ -389,32 +389,48 @@ object EventStreams {
 
   final case class DayUser(event_type: String, day: String, user_id: Long)
   final case class SketchWindowRow(event_type: String, day: String,
-      users_7d_est: Long, seq: Long)
-  /** Per-type state: one serialized HLL sketch per day plus a monotone
-    * sequence number (stamped on emitted rows so a keep-last consumer
-    * can supersede earlier estimates of the same (type, day)). */
-  final case class TypeSketchState(days: Map[String, Array[Byte]], seq: Long)
+      users_7d_est: Double, seq: Long)
+  /** Per-type state: one KMV sketch (sorted distinct min-K 48-bit user
+    * hashes) per day plus a monotone sequence number (stamped on
+    * emitted rows so a keep-last consumer can supersede earlier
+    * estimates of the same (type, day)). */
+  final case class TypeSketchState(days: Map[String, Array[Long]], seq: Long)
+
+  /** The batch q77 user hash, replayed in JVM arithmetic: the first 12
+    * hex chars of md5("kmv|" || user_id) = the first 6 digest bytes as
+    * a big-endian 48-bit value (what Spark's conv(substr(hex,1,12),16,
+    * 10) and the DuckDB oracle's nibble sum both compute). */
+  private def kmvHash(userId: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(("kmv|" + userId.toString)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+      ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+      ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
 
   /** Streaming twin of the batch q77 rolling 7-day distinct-users
     * sketch: a per-event_type state machine (flatMapGroupsWithState,
-    * update mode) holding ONE DataSketches HLL sketch per day — the
-    * same lgConfigK=12 / HLL_8 configuration as Spark's
-    * `hll_sketch_agg`, so on any prefix of the stream the emitted
-    * estimate is EXACTLY the batch q77 value over the events seen so
-    * far (suite-asserted, not approximately). Each trigger updates the
-    * touched days' sketches and re-emits every (type, day) whose 7-day
-    * window intersects a touched day, with a per-key monotone `seq` for
-    * keep-last semantics downstream.
+    * update mode) holding ONE deterministic KMV sketch per day — the
+    * IDENTICAL md5 min-K structure and estimate formula as batch q77
+    * (graft.queries.Funnels.rollingDistinctUsersSketch), so on any
+    * prefix of the stream the emitted estimate is EXACTLY the batch
+    * q77 value over the events seen so far (suite-asserted, not
+    * approximately — keeping the K smallest distinct hashes is an
+    * idempotent commutative fold, so incremental == batch). Each
+    * trigger updates the touched days' sketches and re-emits every
+    * (type, day) whose 7-day window intersects a touched day, with a
+    * per-key monotone `seq` for keep-last semantics downstream.
     *
-    * Because HLL sketches are commutative mergeable monoids, the final
+    * Because min-K sets are commutative mergeable monoids, the final
     * state is arrival-order-INDEPENDENT — late or shuffled events
     * converge to the same per-day sketches, a strictly stronger
     * contract than the funnel/sessionize twins' ordered-arrival one.
-    * State per type is #days × ~KB sketch blobs — bounded by the
+    * State per type is #days × ≤K longs (~16 KB) — bounded by the
     * calendar, not the user count, which is the whole point of the
-    * sketch formulation at 100 TB (the batch side merges 7 blobs per
-    * grid day instead of re-scanning a week of raw events; the
-    * streaming side carries those blobs as keyed state).
+    * sketch formulation at 100 TB (the batch side merges 7 sketches
+    * per grid day instead of re-scanning a week of raw events; the
+    * streaming side carries those sketches as keyed state).
     *
     * GRID CONTRACT: batch q77 windows every type over the GLOBAL
     * distinct-day grid, but a per-key state machine cannot observe
@@ -428,7 +444,7 @@ object EventStreams {
     * rows where the type was quiet on g but active in the prior six
     * days (suite-asserted on a sparse-day fixture). */
   def streamingRollingUsersSketch(events: DataFrame): Dataset[SketchWindowRow] = {
-    import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+    val k = graft.queries.Funnels.KmvK
     val spark = events.sparkSession
     import spark.implicits._
     events.select(col("event_type"),
@@ -439,16 +455,19 @@ object EventStreams {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (etype: String, rows: Iterator[DayUser], state: GroupState[TypeSketchState]) =>
           val st = state.getOption.getOrElse(TypeSketchState(Map.empty, 0L))
-          val sketches = scala.collection.mutable.Map.empty[String, HllSketch]
-          st.days.foreach { case (d, b) =>
-            sketches(d) = HllSketch.heapify(b)
-          }
-          val touched = scala.collection.mutable.Set.empty[String]
+          val sketches = scala.collection.mutable.Map.empty[String, Array[Long]]
+          st.days.foreach { case (d, hs) => sketches(d) = hs }
+          val fresh = scala.collection.mutable
+            .Map.empty[String, scala.collection.mutable.Set[Long]]
           rows.foreach { r =>
-            val sk = sketches.getOrElseUpdate(r.day,
-              new HllSketch(12, TgtHllType.HLL_8))
-            sk.update(r.user_id)
-            touched += r.day
+            fresh.getOrElseUpdate(r.day,
+              scala.collection.mutable.Set.empty[Long]) += kmvHash(r.user_id)
+          }
+          val touched = fresh.keySet.toSet
+          fresh.foreach { case (d, hs) =>
+            val merged = (sketches.getOrElse(d, Array.emptyLongArray) ++ hs)
+              .distinct.sorted.take(k)
+            sketches(d) = merged
           }
           val typeDays = sketches.keys.map(java.time.LocalDate.parse).toSeq
           val seq = st.seq + 1
@@ -459,15 +478,19 @@ object EventStreams {
             .distinct
             .sortBy(_.toString)
             .map { g =>
-              val u = new Union(12)
-              typeDays.filter(d => !d.isAfter(g) && !d.isBefore(g.minusDays(6)))
-                .foreach(d => u.update(sketches(d.toString)))
-              SketchWindowRow(etype, g.toString,
-                Math.round(u.getResult(TgtHllType.HLL_8).getEstimate), seq)
+              // min-K of the union: the batch plan's distinct + rn <= K
+              val u = typeDays
+                .filter(d => !d.isAfter(g) && !d.isBefore(g.minusDays(6)))
+                .iterator.flatMap(d => sketches(d.toString))
+                .toArray.distinct.sorted
+              // the SAME fixed double expression as batch q77's
+              // kmvEstExpr — identical operands, identical order
+              val est =
+                if (u.length < k) u.length.toDouble
+                else (k - 1).toDouble * math.pow(2.0, 48) / u(k - 1).toDouble
+              SketchWindowRow(etype, g.toString, est, seq)
             }
-          state.update(TypeSketchState(
-            sketches.map { case (k, v) => k -> v.toUpdatableByteArray }.toMap,
-            seq))
+          state.update(TypeSketchState(sketches.toMap, seq))
           out.iterator
       }
   }

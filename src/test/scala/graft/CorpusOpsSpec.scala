@@ -122,6 +122,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(bad.count() == 0, s"sketch off by >2%: ${bad.head(3).mkString}")
   }
 
+  test("q77: the >K estimate arm tracks truth on a constructed corpus") {
+    // fixtures never fill the K=2048 min-K set (max 7-day window holds
+    // 1,452 users at sf0.1), so the (K-1)/θ arm needs its own law:
+    // 6,000 distinct users on one day → the window set is FULL and the
+    // estimate must land within 3σ ≈ 1/√(K−2)·3 ≈ 6.7% of truth; a
+    // second day with the same users must not move the union (min-K
+    // union idempotence — the mergeability q77 exists to demonstrate)
+    import spark.implicits._
+    val n = 6000
+    val day1 = (1 to n).map(u =>
+      (u.toLong, "2024-03-01 10:00:00", u.toLong, "click"))
+    val day2 = (1 to n).map(u =>
+      (n + u.toLong, "2024-03-02 10:00:00", u.toLong, "click"))
+    val e = (day1 ++ day2)
+      .toDF("event_id", "tss", "user_id", "event_type")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val out = queries.Funnels.rollingDistinctUsersSketch(e)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set("2024-03-01", "2024-03-02"))
+    out.foreach { case (d, est) =>
+      assert(math.abs(est - n) / n < 0.067,
+        s"KMV estimate off at $d: $est vs $n")
+    }
+    // idempotence: day 2's window = day1 ∪ day2 over the SAME users —
+    // the merged min-K set, hence the estimate, must be identical
+    assert(out("2024-03-01") == out("2024-03-02"),
+      "min-K union of identical user sets must be idempotent")
+  }
+
   test("q76: deciles partition the corpus and are ordered by length") {
     val out = CorpusOps.q76.run(spark, dir).cache()
     try {

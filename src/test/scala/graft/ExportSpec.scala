@@ -1688,6 +1688,93 @@ class ExportSpec extends AnyFunSuite {
     assert(logRows() == replayed, "re-checkpoint changed rows")
   }
 
+  test("auto-checkpoint: a long commitAppend history carries its own checkpoints; readers unchanged") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+      .filter(col("doc_id").isNotNull)
+      .orderBy(col("doc_id").asc).limit(25).collect()
+    val schema = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text")).schema
+    val dir = tmp("autockpt")
+    // 25 one-row ingests — NOBODY calls checkpoint(); the cadence
+    // (CheckpointEvery = 10) must fire at v10 and v20 on its own, so a
+    // 100-commit history reads O(1 + tail) manifests, not O(#versions)
+    docs.foreach { r =>
+      VersionedShards.commitAppend(spark,
+        spark.createDataFrame(java.util.List.of(r), schema), "doc_id",
+        dir, 2): Unit
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val xs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_log"))
+      .map(_.getPath.getName).filter(_.startsWith("x-")).sorted
+    assert(xs.toSeq == Seq("x-10", "x-20"),
+      s"auto-checkpoint cadence wrong: ${xs.mkString(",")}")
+    // transparency: the checkpointed log serves every row every reader
+    // would get from raw manifests
+    assert(VersionedShards.readAsOf(spark, dir, 24).count() == 25)
+    assert(VersionedShards.log(spark, dir)
+      .filter(col("action") === "add").count() == 25)
+  }
+
+  test("constraint predicates past the metadata cap are rejected at ADD time, never truncated") {
+    import graft.sinks.VersionedShards
+    val dir = tmp("bigpred")
+    // a >4096-byte predicate: silently truncating it on read-back
+    // could hand enforcement a mangled-but-parseable predicate
+    val big = "doc_id IN (" + (1 to 1200).mkString(", ") + ")"
+    assert(big.length > VersionedShards.MetaFileCap)
+    val e = intercept[Exception] {
+      VersionedShards.addConstraint(spark, dir, "huge_in_list", big)
+    }
+    assert(e.getMessage.contains("exceeds"), e.getMessage)
+    assert(!VersionedShards.tableConstraints(spark, dir)
+      .contains("huge_in_list"))
+  }
+
+  test("constraint activation race: rows committed by a pre-constraint reader are caught and the constraint retracts") {
+    import graft.sinks.VersionedShards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"))
+      .filter(col("doc_id").isNotNull)
+    val dir = tmp("kraces")
+    VersionedShards.commitAppend(spark, docs.limit(5), "doc_id", dir, 2)
+    // the race, on the deterministic seam: an ingest whose constraint
+    // read happened BEFORE k-<name> existed lands violating rows after
+    // the snapshot validation passed — the activation re-validation
+    // loop must catch it and retract the constraint loudly
+    val e = intercept[Exception] {
+      VersionedShards.addConstraint(spark, dir, "n_chars_nonneg",
+        "n_chars >= 0",
+        beforePublish = () => {
+          VersionedShards.commitAppend(spark,
+            docs.limit(1).withColumn("n_chars", lit(-3L))
+              .withColumn("doc_id", lit(777777L)), "doc_id", dir, 2): Unit
+        })
+    }
+    assert(e.getMessage.contains("retracted"), e.getMessage)
+    assert(!VersionedShards.tableConstraints(spark, dir)
+      .contains("n_chars_nonneg"),
+      "a violated constraint survived activation")
+    // the racing commit itself is durable — constraints gate ingests,
+    // they never roll back someone else's committed version
+    assert(VersionedShards.readAsOf(spark, dir,
+      VersionedShards.currentVersion(spark, dir))
+      .filter(col("n_chars") < 0).count() == 1)
+    // and a clean re-ADD now succeeds against the repaired... no —
+    // against the CURRENT state it must refuse (the violating row is
+    // in the snapshot), proving the retraction left truthful state
+    val retro = intercept[Exception] {
+      VersionedShards.addConstraint(spark, dir, "n_chars_nonneg",
+        "n_chars >= 0")
+    }
+    assert(retro.getMessage.contains("existing"))
+  }
+
   test("q163 registry run: equals q153's full manifest after the append-then-compact lifecycle") {
     val full = queries.Export.q153.run(spark, TestSpark.sf0001)
     val comp = queries.Export.q163.run(spark, TestSpark.sf0001)

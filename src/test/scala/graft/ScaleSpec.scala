@@ -86,13 +86,18 @@ class ScaleSpec extends AnyFunSuite {
 
   test("q39 HLL estimate stays within the analytic error of exact") {
     // m=256 registers → standard error 1.04/√256 ≈ 6.5%; assert a 3σ
-    // band (~20%). true_distinct rides in the same output row.
+    // band (~20%). The exact count lives HERE, not in the timed plan —
+    // carrying it there doubled q39's cost (round-16 trim).
     val out = graft.queries.Approximate.q39.run(spark, TestSpark.sf0001)
       .collect()
-      .map(r => r.getString(0) ->
-        (r.getAs[Long]("true_distinct"), r.getAs[Double]("hll_est"))).toMap
-    assert(out.nonEmpty)
-    out.foreach { case (flag, (ed, est)) =>
+      .map(r => r.getString(0) -> r.getAs[Double]("hll_est")).toMap
+    val exact = graft.Tables.lineitem(spark, TestSpark.sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("ed"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty && out.keySet == exact.keySet)
+    out.foreach { case (flag, est) =>
+      val ed = exact(flag)
       assert(math.abs(est - ed) / ed < 0.2,
         s"$flag HLL estimate off: $est vs exact $ed")
     }
