@@ -738,21 +738,29 @@ object GraphOps {
     * only the NEW nodes) against the staged edge set + a hash distinct
     * + an anti-join against the visited set — all equi-keyed, nothing
     * edge-sized ever re-derived (frontier and visited are staged per
-    * round; superseded stages drop eagerly — the q133 lesson). The
-    * frontier can only shrink once the component is exhausted; a run
-    * whose LAST round still found new nodes warns on stderr (the q133
-    * convergence detector), so a truncated traversal is never silent. */
-  def bfsHops(baskets: DataFrame, rounds: Int = 4): DataFrame = {
+    * round; superseded stages drop eagerly — the q133 lesson).
+    *
+    * Termination (round 16): the loop runs TO CONVERGENCE — it exits
+    * as soon as a round's frontier is empty (every reachable node
+    * found) — under a `maxRounds` cap that bounds the staged-round
+    * count on a pathological diameter; only a run that HITS the cap
+    * with a non-empty frontier warns on stderr (the q133 convergence
+    * detector), so a truncated traversal is never silent and the
+    * common case (co-occurrence graphs have single-digit diameters)
+    * never warns. The oracle replays the CAP's worth of rounds —
+    * post-convergence rounds are no-ops, so the fixpoint is
+    * round-count-independent and the hash gate holds at any SF. */
+  def bfsHops(baskets: DataFrame, maxRounds: Int = 16): DataFrame = {
     val (edges, edgesPath) = undirectedEdges(baskets)
     bfsHopsFrom(edges,
-      () => graft.operators.Stage.drop(edges, edgesPath), rounds)
+      () => graft.operators.Stage.drop(edges, edgesPath), maxRounds)
   }
 
   /** Traversal over an already-staged undirected edge stream;
     * `dropEdges` runs when the traversal no longer needs the stream
     * (a no-op for session-shared artifacts). */
   private def bfsHopsFrom(edges: DataFrame, dropEdges: () => Unit,
-      rounds: Int): DataFrame = {
+      maxRounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // seed = min node id — one 1-row driver collect (bounded-collect
@@ -770,29 +778,35 @@ object GraphOps {
     // round 2 on it is the previous round's staged f_{i-1}, droppable
     // as soon as the round that consumed it has its outputs on disk
     var frontierPath = ""
-    var lastGrew = false
-    for (i <- 1 to rounds) {
+    var grew = true
+    var i = 1
+    while (i <= maxRounds && grew) {
       val next = graft.operators.Stage.materializeWithPath(
         edges.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node")).distinct()
           .join(visited._1, Seq("node"), "left_anti"),
         s"bfs-f$i")
-      val nv = graft.operators.Stage.materializeWithPath(
-        visited._1.unionAll(next._1.withColumn("hop", lit(i))),
-        s"bfs-v$i")
-      graft.operators.Stage.drop(visited._1, visited._2)
+      grew = next._1.limit(1).count() > 0
+      val nv =
+        if (grew) {
+          val staged = graft.operators.Stage.materializeWithPath(
+            visited._1.unionAll(next._1.withColumn("hop", lit(i))),
+            s"bfs-v$i")
+          graft.operators.Stage.drop(visited._1, visited._2)
+          staged
+        } else visited // empty frontier adds nothing — converged
       // f_{i-1} fed both writes above and nothing further reads it —
       // drop eagerly (round-10 ADVICE: frontiers accumulated to hook)
       if (frontierPath.nonEmpty) graft.operators.Stage.drop(frontier, frontierPath)
       visited = nv
       frontier = next._1.select(col("node"))
       frontierPath = next._2
-      lastGrew = next._1.limit(1).count() > 0
+      i += 1
     }
-    if (lastGrew)
+    if (grew)
       System.err.println(s"[bfs] WARNING: frontier still non-empty after " +
-        s"$rounds rounds — nodes beyond $rounds hops are NOT in the output; " +
-        "raise `rounds` to traverse further")
+        s"$maxRounds rounds — nodes beyond $maxRounds hops are NOT in the " +
+        "output; raise `maxRounds` to traverse further")
     // the last frontier is folded into v_rounds; only the visited
     // table must outlive the call
     if (frontierPath.nonEmpty) graft.operators.Stage.drop(frontier, frontierPath)
@@ -802,7 +816,10 @@ object GraphOps {
   }
 
   /** q140 — BFS hop tiers from the minimum part id over the co-purchase
-    * graph, 4 rounds. */
+    * graph, run to convergence under a 16-round cap. The oracle
+    * replays all 16 rounds — rounds past convergence are no-ops (empty
+    * frontiers), so both sides reach the same fixpoint regardless of
+    * where the engine's early exit fired. */
   val q140: Q = Q(
     "q140_bfs_hops",
     run = { (spark, dir) =>
@@ -810,12 +827,12 @@ object GraphOps {
       // round — memoizing the projection makes a warm pass one
       // node-sized scan (the q169 build/probe seam)
       graft.operators.SessionCache.memoOn(spark, dir,
-        s"bfs-converged|$dir|rounds=4") {
-        bfsHopsFrom(ugraphFor(spark, dir), () => (), rounds = 4)
+        s"bfs-converged|$dir|cap=16") {
+        bfsHopsFrom(ugraphFor(spark, dir), () => (), maxRounds = 16)
       }
     },
     oracle = Some {
-      val rounds = (1 to 4).map { i =>
+      val rounds = (1 to 16).map { i =>
         s"""f$i AS MATERIALIZED (
            |        SELECT DISTINCT e.dst AS node FROM f${i - 1} f
            |        JOIN ue e ON e.src = f.node
@@ -834,7 +851,7 @@ object GraphOps {
       v0 AS MATERIALIZED (SELECT min(pa) AS node, 0 AS hop FROM e),
       f0 AS (SELECT node FROM v0),
       $rounds
-      SELECT node AS part_id, CAST(hop AS BIGINT) AS hop FROM v4"""
+      SELECT node AS part_id, CAST(hop AS BIGINT) AS hop FROM v16"""
     })
 
   /** Core of q141: synchronous label propagation community detection
@@ -961,15 +978,24 @@ object GraphOps {
         col("w")))
   }
 
-  def weightedPaths(baskets: DataFrame, rounds: Int = 4): DataFrame = {
+  /** Bellman-Ford relaxation run TO CONVERGENCE (round 16): each round
+    * is one edge-stream join + a node-keyed min agg, and the loop
+    * exits as soon as a round changes NO (node, dist) row — the
+    * anti-join change detector every round (node-sized, exact: a
+    * changed distance with an unchanged node count must not hide) —
+    * under a `maxRounds` cap bounding the staged-round count. Only a
+    * cap-hitting run warns; the oracle replays the cap's worth of
+    * rounds, where post-convergence rounds are no-ops, so the hash
+    * gate certifies the same fixpoint at any SF. */
+  def weightedPaths(baskets: DataFrame, maxRounds: Int = 16): DataFrame = {
     val (edges, edgesPath) = graft.operators.Stage.materializeWithPath(
       weightedEdgeStream(baskets), "sssp-edges")
     weightedPathsFrom(edges,
-      () => graft.operators.Stage.drop(edges, edgesPath), rounds)
+      () => graft.operators.Stage.drop(edges, edgesPath), maxRounds)
   }
 
   private def weightedPathsFrom(edges: DataFrame, dropEdges: () => Unit,
-      rounds: Int): DataFrame = {
+      maxRounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val seedRow = edges.agg(min(col("src"))).collect()(0)
@@ -979,8 +1005,9 @@ object GraphOps {
     }
     var dist = graft.operators.Stage.materializeWithPath(
       Seq((seedRow.getLong(0), 0L)).toDF("node", "dist"), "sssp-d0")
-    var lastImproved = false
-    for (i <- 1 to rounds) {
+    var improved = true
+    var i = 1
+    while (i <= maxRounds && improved) {
       val nd = graft.operators.Stage.materializeWithPath(
         dist._1
           .unionAll(edges
@@ -988,37 +1015,35 @@ object GraphOps {
             .select(col("dst").as("node"), (col("dist") + col("w")).as("dist")))
           .groupBy(col("node")).agg(min(col("dist")).as("dist")),
         s"sssp-d$i")
-      if (i == rounds)
-        // exact-change detector: metadata-cheap counts first, then an
-        // anti-join only on the final round (a changed distance with an
-        // unchanged node count must not hide)
-        lastImproved = nd._1.join(dist._1, Seq("node", "dist"), "left_anti")
-          .limit(1).count() > 0
+      improved = nd._1.join(dist._1, Seq("node", "dist"), "left_anti")
+        .limit(1).count() > 0
       graft.operators.Stage.drop(dist._1, dist._2)
       dist = nd
+      i += 1
     }
-    if (lastImproved)
+    if (improved)
       System.err.println(s"[sssp] WARNING: distances still improving after " +
-        s"$rounds rounds — paths longer than $rounds edges are NOT final; " +
-        "raise `rounds`")
+        s"$maxRounds rounds — paths longer than $maxRounds edges are NOT " +
+        "final; raise `maxRounds`")
     dropEdges()
     dist._1.select(col("node").as("part_id"), col("dist"))
   }
 
-  /** q143 — rarity-weighted shortest distances from the minimum part id,
-    * 4 Bellman-Ford rounds. */
+  /** q143 — rarity-weighted shortest distances from the minimum part
+    * id, Bellman-Ford to convergence under a 16-round cap (the oracle
+    * replays all 16; post-convergence rounds are no-ops). */
   val q143: Q = Q(
     "q143_weighted_paths",
     run = { (spark, dir) =>
       // final distance table is staged by the last relaxation round —
       // memoize the projection so a warm pass is one node-sized scan
       graft.operators.SessionCache.memoOn(spark, dir,
-        s"sssp-converged|$dir|rounds=4") {
-        weightedPathsFrom(wgraphFor(spark, dir), () => (), rounds = 4)
+        s"sssp-converged|$dir|cap=16") {
+        weightedPathsFrom(wgraphFor(spark, dir), () => (), maxRounds = 16)
       }
     },
     oracle = Some {
-      val rounds = (1 to 4).map { i =>
+      val rounds = (1 to 16).map { i =>
         s"""d$i AS MATERIALIZED (
            |        SELECT node, min(dist) AS dist FROM (
            |          SELECT node, dist FROM d${i - 1}
@@ -1040,7 +1065,7 @@ object GraphOps {
       d0 AS MATERIALIZED (
         SELECT min(pa) AS node, CAST(0 AS BIGINT) AS dist FROM wp),
       $rounds
-      SELECT node AS part_id, dist FROM d4"""
+      SELECT node AS part_id, dist FROM d16"""
     })
 
   /** Core of q169: HITS hubs & authorities (Kleinberg 1999) on the

@@ -43,7 +43,9 @@ object MiningScaleDryRun {
         graft.queries.GraphOps.labelProp(df).count()
       }
       time(s"weightedPaths $name") {
-        graft.queries.GraphOps.weightedPaths(df).count()
+        // fixed 4 rounds: the dry-run measures per-round edge-scan
+        // growth, so the round count must not vary with the dataset
+        graft.queries.GraphOps.weightedPaths(df, maxRounds = 4).count()
       }
       time(s"assocRules $name") {
         graft.queries.Mining.assocRules(df).count()

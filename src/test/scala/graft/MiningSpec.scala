@@ -68,13 +68,22 @@ class MiningSpec extends AnyFunSuite {
 
   // ---- q140 BFS hops ----
 
-  test("bfsHops walks a chain exactly and stops at the round budget") {
+  test("bfsHops walks a chain exactly and stops at an explicit round cap") {
     // chain 1-2-3-4-5-6-7 via two-item baskets; seed = min node = 1
+    val baskets = (1L to 6L).map(i => (i, i)) ++ (1L to 6L).map(i => (i, i + 1))
+    val got = GraphOps.bfsHops(baskets.toDF("ok", "part"), maxRounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // capped at 4: nodes 1..5 at hops 0..4; 6 and 7 beyond the budget
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("bfsHops runs to CONVERGENCE by default — the whole chain lands") {
+    // round-16 contract: the loop exits on an empty frontier, so the
+    // default cap (16) traverses the full 6-hop chain with no warning
     val baskets = (1L to 6L).map(i => (i, i)) ++ (1L to 6L).map(i => (i, i + 1))
     val got = GraphOps.bfsHops(baskets.toDF("ok", "part"))
       .as[(Long, Long)].collect().toMap
-    // 4 rounds: nodes 1..5 at hops 0..4; 6 and 7 beyond the budget
-    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    assert(got == (1L to 7L).map(n => n -> (n - 1)).toMap)
   }
 
   test("bfsHops assigns the SHORTEST hop when paths diverge") {
@@ -126,14 +135,23 @@ class MiningSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 200000L, 3L -> 400000L))
   }
 
-  test("weightedPaths stops at the round budget on a chain") {
-    // chain 1-2-3-4-5-6, each edge co-count 1 (w=1000000); 4 rounds
-    // reach node 5 at 4000000 and leave node 6 out
+  test("weightedPaths stops at an explicit round cap on a chain") {
+    // chain 1-2-3-4-5-6, each edge co-count 1 (w=1000000); capped at 4
+    // rounds it reaches node 5 at 4000000 and leaves node 6 out
     val baskets = (1L to 5L).map(i => (i, i)) ++ (1L to 5L).map(i => (i, i + 1))
-    val got = GraphOps.weightedPaths(baskets.toDF("ok", "part"))
+    val got = GraphOps.weightedPaths(baskets.toDF("ok", "part"), maxRounds = 4)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 0L, 2L -> 1000000L, 3L -> 2000000L,
       4L -> 3000000L, 5L -> 4000000L))
+  }
+
+  test("weightedPaths runs to CONVERGENCE by default — distances final, chain complete") {
+    // round-16 contract: the per-round change detector exits the loop
+    // once no (node, dist) row improves — node 6 lands at 5 edges
+    val baskets = (1L to 5L).map(i => (i, i)) ++ (1L to 5L).map(i => (i, i + 1))
+    val got = GraphOps.weightedPaths(baskets.toDF("ok", "part"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 6L).map(n => n -> (n - 1) * 1000000L).toMap)
   }
 
   // ---- q144 item-item CF ----
