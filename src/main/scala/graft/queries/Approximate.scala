@@ -45,8 +45,11 @@ object Approximate {
       .withColumn("hx", md5(concat(lit("hll|"), col("k").cast("string"))))
       .withColumn("reg", expr("CAST(conv(substr(hx, 1, 2), 16, 10) AS INT)"))
       .withColumn("tail", expr("substr(hx, 3, 12)"))
+      // leading-zero run via TRIM, not regexp_extract — the regex
+      // engine per row was the plan's hottest expression (round-16
+      // A/B); trim(LEADING) is a plain character scan in both engines
       .withColumn("z",
-        length(regexp_extract(col("tail"), "^0*", 0)).cast("int"))
+        expr("12 - length(trim(LEADING '0' FROM tail))").cast("int"))
       // decode the first non-zero nibble ONCE (a projection column,
       // not three repeated conv() calls inside the CASE — Catalyst
       // does not CSE across WHEN branches)
@@ -101,7 +104,7 @@ object Approximate {
              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
             AS INTEGER) AS reg,
           substr(hx, 3, 12) AS tail,
-          CAST(length(regexp_extract(substr(hx, 3, 12), '^0*', 0))
+          CAST(12 - length(ltrim(substr(hx, 3, 12), '0'))
             AS INTEGER) AS z
         FROM b),
       rk AS (

@@ -541,18 +541,49 @@ object Warehouse {
     * catalog — this query's contract), 100× rows cost 40.6× wall
     * (sub-linear; map stays catalog-sized). With ADVERSARIAL distinct
     * growth (values offset per copy: 60 M distinct at 100×) the same
-    * plan costs 131× — the measured cliff. Rule: exact percentile
-    * cuts require a catalog-bounded score column; for unbounded
-    * values use the q160 fixed-bin histogram quantiles (mergeable,
-    * constant state) as the cut source. */
+    * plan costs 131× — the measured cliff. Rule, IMPLEMENTED as the
+    * q237 cut-source seam: exact percentile cuts require a
+    * catalog-bounded score column; for unbounded values use [[q237]]'s
+    * fixed-bin histogram cuts (mergeable, constant state regardless of
+    * distinct growth — A/B'd under the adversarial generator in
+    * tools/PercentileCutDryRun). */
+  /** The gains-table score stream: line value in exact cents, positive
+    * = returned line — shared by q233 (exact cuts) and q237 (histogram
+    * cuts). */
+  private def scoredLines(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        (col("l_extendedprice").cast("decimal(12,4)") * 10000)
+          .cast("long").as("score_cents"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+
+  /** The gains rollup downstream of ANY 9-cut source (exact percentile
+    * or histogram quantiles — the q233/q237 cut-source seam): decile
+    * by cut-array fold, per-decile positive rate / share / lift in
+    * exact integer ppm/milli, totals a 1-row broadcast re-agg. */
+  private[graft] def gainsFromCuts(scored: DataFrame,
+      cuts: DataFrame): DataFrame = {
+    val byDecile = scored.crossJoin(broadcast(cuts))
+      .select(expr("size(filter(cuts, c -> c < score_cents))")
+        .as("decile"), col("pos"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    val totals = byDecile.agg(sum(col("n")).as("nn"),
+      sum(col("n_pos")).as("pp"))
+    byDecile.join(broadcast(totals))
+      .select(col("decile"), col("n"), col("n_pos"),
+        expr("(n_pos * 1000000) DIV n").as("pos_rate_ppm"),
+        expr("(n_pos * 1000000) DIV pp").as("pos_share_ppm"),
+        expr("CAST((CAST(n_pos AS DECIMAL(38,0)) * nn * 1000)" +
+          " DIV (CAST(n AS DECIMAL(38,0)) * pp) AS BIGINT)")
+          .as("lift_milli"))
+  }
+
   val q233: Q = Q(
     "q233_gains_table",
     run = { (spark, dir) =>
-      val scored = Tables.lineitem(spark, dir)
-        .select(
-          (col("l_extendedprice").cast("decimal(12,4)") * 10000)
-            .cast("long").as("score_cents"),
-          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+      val scored = scoredLines(spark, dir)
       // STANDING ASSUMPTION (ADVICE r14): decile assignment compares
       // integer cents against INTERPOLATED-double cuts, so hash parity
       // relies on Spark `percentile` and DuckDB `quantile_cont`
@@ -564,20 +595,7 @@ object Warehouse {
       // integer lower+frac cut pairs) is the documented fallback.
       val cuts = scored.agg(percentile(col("score_cents"),
         array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
-      val byDecile = scored.crossJoin(broadcast(cuts))
-        .select(expr("size(filter(cuts, c -> c < score_cents))")
-          .as("decile"), col("pos"))
-        .groupBy(col("decile"))
-        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
-      val totals = byDecile.agg(sum(col("n")).as("nn"),
-        sum(col("n_pos")).as("pp"))
-      byDecile.join(broadcast(totals))
-        .select(col("decile"), col("n"), col("n_pos"),
-          expr("(n_pos * 1000000) DIV n").as("pos_rate_ppm"),
-          expr("(n_pos * 1000000) DIV pp").as("pos_share_ppm"),
-          expr("CAST((CAST(n_pos AS DECIMAL(38,0)) * nn * 1000)" +
-            " DIV (CAST(n AS DECIMAL(38,0)) * pp) AS BIGINT)")
-            .as("lift_milli"))
+      gainsFromCuts(scored, cuts)
     },
     oracle = Some("""
       WITH scored AS (
@@ -651,6 +669,103 @@ object Warehouse {
           AS repeat_ppm
       FROM per_cust GROUP BY 1"""))
 
+  /** HISTOGRAM decile cuts for [[q237]] — the q160 fixed-bin recipe as
+    * a cut SOURCE, all-integer: one exact (min, max, n) pass, one hash
+    * agg into ≤`bins` cells (counts ADD cell-wise, so partition
+    * partials ARE local histograms — constant state under ANY distinct
+    * growth, where exact `Percentile` merges a value→count map at one
+    * reducer), a ≤bins² broadcast triangle for the cumulative (never a
+    * partition-less window), and per-decile target ranks in integer
+    * ceil arithmetic. The cut value is the estimated bin's UPPER BOUND
+    * `mn + ((eb+1)·(mx−mn)) DIV bins` — integer DIV, no float anywhere,
+    * so the oracle replays every cut digit-by-digit. Returns the 1-row
+    * sorted 9-cut array the gains rollup broadcasts. */
+  private[graft] def histCuts(scored: DataFrame,
+      bins: Int = 256): DataFrame = {
+    val spark = scored.sparkSession
+    val s = scored.agg(min(col("score_cents")).as("mn"),
+      max(col("score_cents")).as("mx"), count(lit(1)).as("n"))
+    val h = scored.crossJoin(broadcast(s))
+      .select(when(col("mx") === col("mn"), lit(0L)).otherwise(
+        least(lit((bins - 1).toLong),
+          expr(s"((score_cents - mn) * $bins) DIV (mx - mn)"))).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    val cum = h.as("a")
+      .join(broadcast(h.as("b")), col("b.bin") <= col("a.bin"))
+      .groupBy(col("a.bin").as("cbin")).agg(sum(col("b.c")).as("cum"))
+    val qd = spark.createDataset((1 to 9).map(_ * 10))(
+      org.apache.spark.sql.Encoders.scalaInt).toDF("qpct")
+    s.crossJoin(broadcast(qd))
+      .withColumn("tr", expr("(qpct * n + 99) DIV 100"))
+      .join(cum, col("cum") >= col("tr"))
+      .groupBy(col("qpct"), col("mn"), col("mx"))
+      .agg(min(col("cbin")).as("eb"))
+      .select(expr(s"mn + ((eb + 1) * (mx - mn)) DIV $bins").as("cut"))
+      .agg(array_sort(collect_list(col("cut"))).as("cuts"))
+  }
+
+  /** q237 — GAINS TABLE FROM HISTOGRAM CUTS: q233's rollup on the
+    * UNBOUNDED-score cut path (the round-15 measured cliff turned into
+    * code): exact `Percentile` cuts merge a value→count map at ONE
+    * reducer, so adversarial distinct growth costs 131× at 100× data —
+    * and on round-16's degraded window it KILLED the JVM outright
+    * (driver heartbeat death mid-merge at 60 M distinct) — while this
+    * histogram cut source holds constant state (256 integer cells,
+    * mergeable by addition) at the price of bin-granular cut
+    * placement: the round-16 A/B (PercentileCutDryRun `hist`) measured
+    * 2.2× at 10× and 89.4× at 100× adversarial distinct — row-bound
+    * ~linear scan scaling with NO distinct-growth term, on the same
+    * window where the exact path died. Same scored stream, same
+    * exact-integer gains rollup, TRUE hash gate (the cut arithmetic is
+    * all integer DIV); the suite pins the decile partition (sizes sum
+    * to N) and cross-checks totals against exact q233. */
+  val q237: Q = Q(
+    "q237_gains_hist",
+    run = { (spark, dir) =>
+      val scored = scoredLines(spark, dir)
+      gainsFromCuts(scored, histCuts(scored))
+    },
+    oracle = Some("""
+      WITH scored AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 10000
+            AS BIGINT) AS score_cents,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        FROM lineitem),
+      s AS (SELECT min(score_cents) AS mn, max(score_cents) AS mx,
+              CAST(count(*) AS BIGINT) AS n FROM scored),
+      b AS (SELECT CASE WHEN s.mx = s.mn THEN 0
+                   ELSE LEAST(255, ((score_cents - s.mn) * 256)
+                     // (s.mx - s.mn)) END AS bin
+            FROM scored CROSS JOIN s),
+      h AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+      cum AS (SELECT bin,
+                CAST(sum(c) OVER (ORDER BY bin) AS BIGINT) AS cum
+              FROM h),
+      qs AS (SELECT CAST(unnest([10,20,30,40,50,60,70,80,90])
+               AS INTEGER) AS qpct),
+      eb AS (SELECT t.qpct, t.mn, t.mx, CAST(min(c.bin) AS BIGINT) AS eb
+             FROM (SELECT q.qpct, s.mn, s.mx,
+                     (q.qpct * s.n + 99) // 100 AS tr
+                   FROM qs q CROSS JOIN s) t
+             JOIN cum c ON c.cum >= t.tr
+             GROUP BY 1, 2, 3),
+      cuts AS (SELECT list_sort(list(mn + ((eb + 1) * (mx - mn)) // 256))
+                 AS cuts FROM eb),
+      d AS (SELECT len(list_filter(cuts.cuts, c -> c < score_cents))
+              AS decile, pos
+            FROM scored CROSS JOIN cuts),
+      g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(pos) AS BIGINT) AS n_pos
+            FROM d GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+              CAST(sum(n_pos) AS BIGINT) AS pp FROM g)
+      SELECT CAST(decile AS INTEGER) AS decile, n, n_pos,
+        (n_pos * 1000000) // n AS pos_rate_ppm,
+        (n_pos * 1000000) // pp AS pos_share_ppm,
+        CAST((CAST(n_pos AS HUGEINT) * nn * 1000)
+          // (CAST(n AS HUGEINT) * pp) AS BIGINT) AS lift_milli
+      FROM g CROSS JOIN t"""))
+
   val all: Seq[Q] = Seq(q93, q94, q171, q198, q199, q230, q231, q232,
-    q233, q234)
+    q233, q234, q237)
 }

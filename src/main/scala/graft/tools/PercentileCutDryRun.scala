@@ -73,13 +73,41 @@ object PercentileCutDryRun {
     scored0.agg(count(lit(1))).queryExecution.toRdd.count(): Unit
     gainsCase("warm", grow(1, offsetCents = false)): Unit
 
-    val gc1 = gainsCase("1x", grow(1, offsetCents = false))
-    val gc10 = gainsCase("10x_catalog", grow(10, offsetCents = false))
-    val gc100 = gainsCase("100x_catalog", grow(100, offsetCents = false))
-    val ga10 = gainsCase("10x_distinct", grow(10, offsetCents = true))
-    val ga100 = gainsCase("100x_distinct", grow(100, offsetCents = true))
-    println(f"[pcut] RATIO gains_catalog  10x=${gc10 / gc1}%.1fx 100x=${gc100 / gc1}%.1fx")
-    println(f"[pcut] RATIO gains_distinct 10x=${ga10 / gc1}%.1fx 100x=${ga100 / gc1}%.1fx")
+    // the round-16 cut-source seam: the SAME gains rollup fed by q237's
+    // all-integer fixed-bin histogram cuts — constant cut state (256
+    // cells merged by addition) under ANY distinct growth, so the
+    // adversarial direction that cliffs the exact path must stay in
+    // the catalog path's ~linear band here
+    def histCase(tag: String, scored: DataFrame): Double = {
+      val (t, n) = timed(graft.queries.Warehouse.gainsFromCuts(
+        scored, graft.queries.Warehouse.histCuts(scored)))
+      row(s"gains_hist_$tag", t, n)
+      t
+    }
+    histCase("warm", grow(1, offsetCents = false)): Unit
+
+    // case selector: `exact`, `hist`, or (default) both — the exact
+    // 100x-adversarial leg can kill the JVM outright on a degraded
+    // window (round-16: driver heartbeat death in the single-reducer
+    // value→count merge at 60 M distinct), which is itself the
+    // measurement, but it must not take the hist legs down with it
+    val which = args.headOption.getOrElse("all")
+
+    if (which == "all" || which == "exact") {
+      val gc1 = gainsCase("1x", grow(1, offsetCents = false))
+      val gc10 = gainsCase("10x_catalog", grow(10, offsetCents = false))
+      val gc100 = gainsCase("100x_catalog", grow(100, offsetCents = false))
+      val ga10 = gainsCase("10x_distinct", grow(10, offsetCents = true))
+      val ga100 = gainsCase("100x_distinct", grow(100, offsetCents = true))
+      println(f"[pcut] RATIO gains_catalog  10x=${gc10 / gc1}%.1fx 100x=${gc100 / gc1}%.1fx")
+      println(f"[pcut] RATIO gains_distinct 10x=${ga10 / gc1}%.1fx 100x=${ga100 / gc1}%.1fx")
+    }
+    if (which == "all" || which == "hist") {
+      val gh1 = histCase("1x", grow(1, offsetCents = false))
+      val gh10 = histCase("10x_distinct", grow(10, offsetCents = true))
+      val gh100 = histCase("100x_distinct", grow(100, offsetCents = true))
+      println(f"[pcut] RATIO hist_distinct  10x=${gh10 / gh1}%.1fx 100x=${gh100 / gh1}%.1fx")
+    }
     spark.stop()
   }
 }

@@ -102,6 +102,26 @@ class SeriesStatsSpec extends AnyFunSuite {
     assert(out.length == 3)
   }
 
+  test("q237: histogram cuts partition the corpus into near-even deciles agreeing with exact q233's totals") {
+    // the cut-source seam law: q237 (fixed-bin histogram cuts, the
+    // unbounded-score path) must produce a COMPLETE decile partition
+    // whose totals equal exact-percentile q233's — the two paths answer
+    // the same question, differing only in cut placement granularity
+    val hist = queries.Warehouse.q237.run(spark, TestSpark.sf0001).collect()
+    val exact = queries.Warehouse.q233.run(spark, TestSpark.sf0001).collect()
+    def n(r: Row) = r.getAs[Long]("n")
+    def np(r: Row) = r.getAs[Long]("n_pos")
+    assert(hist.map(_.getAs[Int]("decile")).toSet == (0 to 9).toSet)
+    assert(hist.map(n).sum == exact.map(n).sum,
+      "histogram deciles dropped or duplicated rows")
+    assert(hist.map(np).sum == exact.map(np).sum)
+    // 256 bins over the cents range place every cut within one bin of
+    // the true decile boundary — sizes stay within 30% of N/10
+    val tenth = hist.map(n).sum / 10.0
+    hist.foreach(r => assert(math.abs(n(r) - tenth) < 0.3 * tenth,
+      s"histogram decile far from even: $r"))
+  }
+
   test("q232: a customer missing one year is excluded; an every-year customer counts") {
     val custSchema = StructType(Seq(
       StructField("c_custkey", LongType), StructField("c_name", StringType),
