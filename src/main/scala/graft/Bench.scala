@@ -104,26 +104,31 @@ object Bench {
       java.nio.file.Files
         .readString(java.nio.file.Paths.get("bench/baseline_queries.json"))
     } catch { case _: Throwable => "" }
-    val baseline: Map[String, Double] = try {
-      // ratios are only meaningful at the baseline's own scale factor —
-      // a cross-SF comparison would flag every cheap-probe query. The
-      // recorded sf may be a bare number ("0.1") or a full sfDir path
-      // ("/root/testdata/sf0.1") — compare by the sfN.N path segment.
-      // (Round-12 fix: the original bare-number regex never matched the
-      // committed path form, silently emptying every gate_ratio map.)
+    // ratios are only meaningful at the baseline's own scale factor —
+    // a cross-SF comparison would flag every cheap-probe query. The
+    // recorded sf may be a bare number ("0.1") or a full sfDir path
+    // ("/root/testdata/sf0.1") — compare by the sfN.N path segment.
+    // (Round-12 fix: the original bare-number regex never matched the
+    // committed path form, silently emptying every gate_ratio map.)
+    val sfMatches: Boolean = try {
       val baseSf = """"sf"\s*:\s*"?([^",}\s]+)"?""".r
         .findFirstMatchIn(baselineTxt).map(_.group(1))
       def sfTag(p: String): String =
         p.split('/').filter(_.nonEmpty).lastOption.getOrElse(p)
-      if (baseSf.exists(s =>
-          sfTag(sfDir) == sfTag(s) || sfTag(sfDir) == s"sf$s"))
+      baseSf.exists(s => sfTag(sfDir) == sfTag(s) || sfTag(sfDir) == s"sf$s")
+    } catch { case _: Throwable => false }
+    val baseline: Map[String, Double] =
+      if (!sfMatches) Map.empty
+      else try {
         """"(q[0-9][^"]*)"\s*:\s*([0-9.eE+-]+)""".r
           .findAllMatchIn(baselineTxt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      else Map.empty
-    } catch { case _: Throwable => Map.empty }
+      } catch { case _: Throwable => Map.empty }
+    // the canary yardstick is SF-bound too (it scans sfDir's lineitem)
+    // — normalizing against another SF's canary would be nonsense
     val baseCanary: Option[Double] =
-      """"canary_min"\s*:\s*([0-9.eE+-]+)""".r
+      if (!sfMatches) None
+      else """"canary_min"\s*:\s*([0-9.eE+-]+)""".r
         .findFirstMatchIn(baselineTxt)
         .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
 
