@@ -257,36 +257,44 @@ object Funnels {
     * arm is suite-exercised on a constructed >K corpus instead.
     *
     * Scale shape: corpus-sized work happens exactly once, in the
-    * (type, day, h) dedup (the same shuffle exact q75 pays); the
-    * min-K cut bounds per-day state to K longs, so the window pass
-    * merges #types × #days × 7 sketches of ≤K values each, never the
-    * users. At 100 TB this is the difference between re-scanning a
-    * week of raw events per day and merging seven ~16 KB sketches.
-    * (The row_number cut is sort-based and spillable; a typed min-K
-    * Aggregator would add map-side partials — the upgrade path if the
-    * daily dedup itself ever dominates.) */
+    * daily dense_rank (ONE exchange+sort — equal hashes share a rank,
+    * so dedup happens inside the min-K sort instead of as its own
+    * shuffle); the min-K cut bounds per-day state to K longs, so the
+    * window pass merges #types × #days × 7 sketches of ≤K values
+    * each, never the users. Measured (RollingSketchDryRun, fresh
+    * users per copy): 100× data costs the exact q75 plan 62.8× wall
+    * vs 32.4× here — the sketch crosses over at ~10× and wins 1.6×
+    * absolute at 100×. (The rank cut is sort-based and spillable; a
+    * typed min-K Aggregator would add map-side partials — the upgrade
+    * path if the daily sort ever dominates.) */
   def rollingDistinctUsersSketch(e: DataFrame, k: Int = KmvK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hashed = e.select(col("event_type"), to_date(col("ts")).as("day"),
-        conv(substring(md5(concat(lit("kmv|"),
-          col("user_id").cast("string"))), 1, 12), 16, 10)
-          .cast("long").as("h"))
-      .distinct() // the one corpus-sized shuffle — same as q75's dedup
-    val daily = hashed.withColumn("rn", row_number().over(
+      conv(substring(md5(concat(lit("kmv|"),
+        col("user_id").cast("string"))), 1, 12), 16, 10)
+        .cast("long").as("h"))
+    // dense_rank dedups LOGICALLY inside the min-K sort (equal hashes
+    // share a rank), so the corpus pays ONE exchange+sort instead of a
+    // distinct-agg exchange followed by a window exchange (round-16
+    // A/B); the explicit distinct then runs on ≤ K·days survivor rows
+    val daily = hashed.withColumn("dr", dense_rank().over(
         Window.partitionBy(col("event_type"), col("day"))
           .orderBy(col("h"))))
-      .filter(col("rn") <= k)
-      .select(col("event_type"), col("day"), col("h"))
+      .filter(col("dr") <= k)
+      .select(col("event_type"), col("day"), col("h")).distinct()
     val grid = e.select(to_date(col("ts")).as("g")).distinct()
+    // same trick at the window level: the 7-day union's duplicates
+    // (one user active on several days of the window) collapse into
+    // shared dense ranks — no pre-distinct exchange
     val win = daily.join(broadcast(grid),
         col("day") <= col("g") && col("day") >= date_sub(col("g"), 6))
-      .select(col("event_type"), col("g"), col("h")).distinct()
-    win.withColumn("rn", row_number().over(
+      .select(col("event_type"), col("g"), col("h"))
+    win.withColumn("dr", dense_rank().over(
         Window.partitionBy(col("event_type"), col("g")).orderBy(col("h"))))
-      .filter(col("rn") <= k)
+      .filter(col("dr") <= k)
       .groupBy(col("event_type"), col("g"))
-      .agg(count(lit(1)).as("c"),
-        max(when(col("rn") === k, col("h"))).as("kth"))
+      .agg(max(col("dr")).as("c"),
+        max(when(col("dr") === k, col("h"))).as("kth"))
       .withColumn("users_7d_est", kmvEstExpr("c", "kth"))
       .select(col("event_type"),
         date_format(col("g"), "yyyy-MM-dd").as("day"), col("users_7d_est"))
