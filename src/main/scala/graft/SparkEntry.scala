@@ -14,7 +14,7 @@ object SparkEntry {
     * §2.8 when a query lands; PlanHygieneSpec asserts the registry
     * matches, so a landed-but-undeclared (or declared-but-unregistered)
     * query fails the suite instead of silently drifting from the docs. */
-  val declaredCount = 237
+  val declaredCount = 238
 
   /** Every implemented query, in registry order. */
   def registry: Seq[Q] =

@@ -369,5 +369,127 @@ object Approximate {
              ELSE NULL END AS lc_est
       FROM c GROUP BY day"""))
 
-  val all: Seq[Q] = Seq(q39, q159, q160, q161)
+  /** Core of q238: BLOOM-FILTER SEMI-JOIN (Bloom 1970 — the shuffle
+    * killer every distributed engine ships as "runtime filter" /
+    * "bloom join", here as an explicit deterministic operator on the
+    * md5 hash family so the DuckDB oracle replays every bit): the
+    * build side's keys set d=3 positions each in an m=2^20-bit space
+    * (positions = three disjoint 5-hex-char slices of ONE
+    * md5("bf|key") — 60 of the 128 bits, exactly 20 bits per slice, no
+    * modulo bias, one hash evaluation per row where naive per-function
+    * salting pays d; slicing one digest is the standard Bloom
+    * construction and strictly stronger than Kirsch–Mitzenmacher
+    * double hashing), and the probe side keeps a row only when ALL d
+    * of its positions are set. Realized Spark-first as d
+    * BROADCAST LEFT-SEMI joins against the ONE distinct bit table —
+    * no shuffle of the fact side, no driver-side bitmap literal, no
+    * UDF; the bit table is ≤ min(d·|keys|, m) ints broadcast once and
+    * reused across the three joins (exchange reuse).
+    *
+    * Scale shape: this is the 100 TB pre-filter pattern — the exact
+    * semi-join shuffles (or broadcasts) the full key set against the
+    * full fact scan, while the bloom pass costs three broadcast hash
+    * probes per row and forwards only true matches + an analytically
+    * bounded false-positive residue ((1−e^(−dn/m))^d ≈ 0.06% at the
+    * sf0.1 key count) to the exact verification join. No false
+    * negatives EVER (a set bit is never cleared) — suite-asserted,
+    * with the FP band. The output counts both sides of that story:
+    * per flag, rows the bloom passed, rows truly matching, and the
+    * false-positive residue the verification join absorbed. */
+  def bloomSemiJoin(facts: org.apache.spark.sql.DataFrame,
+      keys: org.apache.spark.sql.DataFrame,
+      d: Int = 3): org.apache.spark.sql.DataFrame = {
+    def hx(c: org.apache.spark.sql.Column) =
+      md5(concat(lit("bf|"), c.cast("string")))
+    def sliceOf(r: Int, h: org.apache.spark.sql.Column) =
+      conv(substring(h, 1 + 5 * r, 5), 16, 10).cast("long")
+    val bits = keys.withColumn("hx", hx(col("k")))
+      .select(explode(array(
+        (0 until d).map(r => sliceOf(r, col("hx"))): _*)).as("pos"))
+      .distinct()
+    val probes = (0 until d).foldLeft(
+        facts.withColumn("hx", hx(col("k")))) { (df, r) =>
+      df.withColumn(s"h$r", sliceOf(r, col("hx")))
+    }
+    // the SAME bits frame in every probe (left_semi adds no columns,
+    // so no ambiguity) — identical subtrees let ReuseExchange build
+    // the broadcast bit table ONCE for all d probes
+    val passed = (0 until d).foldLeft(probes) { (df, r) =>
+      df.join(broadcast(bits), col(s"h$r") === bits("pos"), "left_semi")
+    }
+    // ONE pass over the survivors: the verification is a broadcast
+    // LEFT join against the marked key set (keys are distinct, so no
+    // row duplication), and pass/true/fp all come from a single agg —
+    // a separate semi-join branch would re-run the whole probe chain
+    passed
+      .join(broadcast(keys.withColumn("hit", lit(1L))), Seq("k"), "left")
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_pass"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_true"))
+      .withColumn("n_false_pos", col("n_pass") - col("n_true"))
+  }
+
+  /** q238 — bloom semi-join of lineitem against high-value orders
+    * (o_totalprice > 400000) under the EXACT hash gate: bit positions,
+    * pass set, and false-positive residue all replayed by the oracle. */
+  val q238: Q = Q(
+    "q238_bloom_semijoin",
+    run = { (spark, dir) =>
+      bloomSemiJoin(
+        Tables.lineitem(spark, dir).select(
+          col("l_orderkey").as("k"), col("l_returnflag").as("flag")),
+        Tables.orders(spark, dir)
+          .filter(col("o_totalprice") > 400000)
+          .select(col("o_orderkey").as("k")))
+        .withColumnRenamed("flag", "l_returnflag")
+    },
+    oracle = Some("""
+      WITH qual AS (SELECT o_orderkey AS k FROM orders
+                    WHERE o_totalprice > 400000),
+      rs AS (SELECT unnest(generate_series(0, 2)) AS r),
+      bits AS (SELECT DISTINCT
+                 CAST(list_sum(list_transform(generate_series(1, 5),
+                   p -> (strpos('0123456789abcdef',
+                          substr(md5('bf|' || CAST(qual.k AS VARCHAR)),
+                            CAST(5 * rs.r + p AS INTEGER), 1)) - 1)
+                        * (CAST(1 AS BIGINT)
+                           << CAST(4 * (5 - p) AS INTEGER))))
+                   AS BIGINT) AS pos
+               FROM qual CROSS JOIN rs),
+      ph AS (SELECT l_returnflag AS flag, l_orderkey AS k,
+               md5('bf|' || CAST(l_orderkey AS VARCHAR)) AS hx
+             FROM lineitem),
+      probes AS (SELECT flag, k,
+                   CAST(list_sum(list_transform(generate_series(1, 5),
+                     p -> (strpos('0123456789abcdef',
+                            substr(hx, CAST(p AS INTEGER), 1)) - 1)
+                          * (CAST(1 AS BIGINT)
+                             << CAST(4 * (5 - p) AS INTEGER))))
+                     AS BIGINT) AS h0,
+                   CAST(list_sum(list_transform(generate_series(1, 5),
+                     p -> (strpos('0123456789abcdef',
+                            substr(hx, CAST(5 + p AS INTEGER), 1)) - 1)
+                          * (CAST(1 AS BIGINT)
+                             << CAST(4 * (5 - p) AS INTEGER))))
+                     AS BIGINT) AS h1,
+                   CAST(list_sum(list_transform(generate_series(1, 5),
+                     p -> (strpos('0123456789abcdef',
+                            substr(hx, CAST(10 + p AS INTEGER), 1)) - 1)
+                          * (CAST(1 AS BIGINT)
+                             << CAST(4 * (5 - p) AS INTEGER))))
+                     AS BIGINT) AS h2
+                 FROM ph),
+      pass AS (SELECT flag, k FROM probes
+               WHERE h0 IN (SELECT pos FROM bits)
+                 AND h1 IN (SELECT pos FROM bits)
+                 AND h2 IN (SELECT pos FROM bits))
+      SELECT flag AS l_returnflag,
+        CAST(count(*) AS BIGINT) AS n_pass,
+        CAST(count(*) FILTER (WHERE k IN (SELECT k FROM qual))
+          AS BIGINT) AS n_true,
+        CAST(count(*) - count(*) FILTER (WHERE k IN (SELECT k FROM qual))
+          AS BIGINT) AS n_false_pos
+      FROM pass GROUP BY flag"""))
+
+  val all: Seq[Q] = Seq(q39, q159, q160, q161, q238)
 }

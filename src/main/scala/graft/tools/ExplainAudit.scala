@@ -669,6 +669,28 @@ object ExplainAudit {
     assert(q225Plan.contains("GreaterThanOrEqual(o_orderdate"),
       "q225: date filter did not reach the orders scan")
     println("===== q225 ANTI-JOIN + PUSHDOWN ASSERT OK")
+    // q238 (round 16): the bloom pre-filter is d broadcast LEFT-SEMI
+    // probes + the broadcast verification semi — the fact side must
+    // plan NO sort-merge join and NO cartesian; every semi join rides
+    // a broadcast (the whole point: nothing fact-sized shuffles to
+    // decide membership)
+    val q238Plan = graft.SparkEntry.queries("q238_bloom_semijoin")(
+      spark, dir).queryExecution.executedPlan.toString
+    val q238Semis = q238Plan.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    val q238Truth = q238Plan.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftOuter"))
+    assert(q238Semis >= 3,
+      s"q238: expected >=3 broadcast left-semi bloom probes, " +
+        s"found $q238Semis")
+    assert(q238Truth >= 1,
+      "q238: the verification must be ONE broadcast left-outer marked " +
+        "join (a semi branch would re-run the whole probe chain)")
+    assert(!q238Plan.contains("SortMergeJoin"),
+      "q238: a bloom probe fell back to a sort-merge join")
+    assert(!q238Plan.contains("CartesianProduct"),
+      "q238: bloom probe planned a cartesian")
+    println("===== q238 BLOOM BROADCAST-SEMI ASSERT OK")
     spark.stop()
   }
 }

@@ -258,6 +258,38 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q238 bloom semi-join: ZERO false negatives; FP residue inside the analytic band") {
+    val facts = graft.Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_orderkey").as("k"), col("l_returnflag").as("flag"))
+    val keys = graft.Tables.orders(spark, TestSpark.sf0001)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("k"))
+    val out = graft.queries.Approximate.bloomSemiJoin(facts, keys)
+      .collect()
+    // the bloom guarantee: a set bit is never cleared, so every true
+    // match passes — n_true per flag must equal the exact semi-join
+    val exact = facts.join(keys, Seq("k"), "left_semi")
+      .groupBy(col("flag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty && out.map(_.getString(0)).toSet == exact.keySet)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_true") == exact(r.getString(0)),
+        s"FALSE NEGATIVE: $r vs exact ${exact(r.getString(0))}")
+      assert(r.getAs[Long]("n_false_pos") >= 0 &&
+        r.getAs[Long]("n_pass") ==
+          r.getAs[Long]("n_true") + r.getAs[Long]("n_false_pos"))
+    }
+    // FP band: per-probe FP probability (1 − e^(−dn/m))^d over the
+    // non-matching rows; 5× + 5 slack absorbs the deterministic hash's
+    // fixed draw
+    val n = keys.count().toDouble
+    val p = math.pow(1 - math.exp(-3.0 * n / (1 << 20)), 3)
+    val nonMatch = facts.count() - exact.values.sum
+    val fpTotal = out.map(_.getAs[Long]("n_false_pos")).sum
+    assert(fpTotal <= 5 * p * nonMatch + 5,
+      s"FP residue $fpTotal above the analytic band (${p * nonMatch} expected)")
+  }
+
   test("q159: the sketch is MERGEABLE — cells(A ∪ B) equals cells(A) ⊕ cells(B)") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("text"))
