@@ -403,17 +403,26 @@ object Approximate {
       md5(concat(lit("bf|"), c.cast("string")))
     def sliceOf(r: Int, h: org.apache.spark.sql.Column) =
       conv(substring(h, 1 + 5 * r, 5), 16, 10).cast("long")
-    val bits = keys.withColumn("hx", hx(col("k")))
-      .select(explode(array(
-        (0 until d).map(r => sliceOf(r, col("hx"))): _*)).as("pos"))
-      .distinct()
+    // staged once (round 16): the before-plan showed NO ReuseExchange —
+    // the bit table (scan + md5 + explode + distinct + broadcast) was
+    // BUILT THREE TIMES, once per probe. The staged table is bounded by
+    // the operator constant m = 2^20 positions regardless of key count,
+    // so the write is O(min(d·|keys|, m)) and each probe's broadcast
+    // build becomes a read of one tiny parquet.
+    val bits = graft.operators.Stage.materialize(
+      keys.withColumn("hx", hx(col("k")))
+        .select(explode(array(
+          (0 until d).map(r => sliceOf(r, col("hx"))): _*)).as("pos"))
+        .distinct(),
+      "q238-bloom-bits")
     val probes = (0 until d).foldLeft(
         facts.withColumn("hx", hx(col("k")))) { (df, r) =>
       df.withColumn(s"h$r", sliceOf(r, col("hx")))
     }
-    // the SAME bits frame in every probe (left_semi adds no columns,
-    // so no ambiguity) — identical subtrees let ReuseExchange build
-    // the broadcast bit table ONCE for all d probes
+    // the SAME staged bits frame in every probe (left_semi adds no
+    // columns, so no ambiguity); each probe broadcasts a read of the
+    // one staged file — evaluate-once by construction, not by hoping
+    // ReuseExchange fires (it did not, see above)
     val passed = (0 until d).foldLeft(probes) { (df, r) =>
       df.join(broadcast(bits), col(s"h$r") === bits("pos"), "left_semi")
     }

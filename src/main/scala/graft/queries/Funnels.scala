@@ -1224,17 +1224,25 @@ object Funnels {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = events.filter(col("ts").isNotNull)
-      .select(col("event_id"), col("user_id"), col("ts"))
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
-      .withColumn("new_s",
-        when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
-          .otherwise(0L))
-      .withColumn("session_idx", sum(col("new_s")).over(run))
-      .groupBy(col("user_id"), col("session_idx"))
-      .agg(min(unix_micros(col("ts"))).as("s_us"),
-        max(unix_micros(col("ts"))).as("e_us"))
+    // Round 16 (guide §2.4): `sess` is referenced by bounds (twice, via
+    // the start/end union), which itself feeds perDay AND the sweep —
+    // Catalyst duplicated the whole sessionize (two window passes over
+    // the event stream) FOUR times (the r16 before-plan scans events
+    // 16×). Staged once, the downstream aggregates re-read a
+    // session-grain parquet instead of re-sessionizing.
+    val sess = graft.operators.Stage.materialize(
+      events.filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(min(unix_micros(col("ts"))).as("s_us"),
+          max(unix_micros(col("ts"))).as("e_us")),
+      "q207-sess")
     val bounds = sess.select(col("s_us").as("us"), lit(1L).as("delta"))
       .unionAll(sess.select(col("e_us").as("us"), lit(-1L).as("delta")))
       .withColumn("day", to_date(timestamp_micros(col("us"))))

@@ -165,7 +165,13 @@ object Mining {
     * when small (not forced — the item table grows with the catalog,
     * the q128 advice). N rides a 1-row cross join, not a collect. */
   def assocRules(baskets: DataFrame): DataFrame = {
-    val li = baskets.distinct()
+    // staged once (round 16, guide §2.4): `li` feeds the basket count,
+    // the item supports, and BOTH self-join sides — the before-plan
+    // re-ran the distinct agg (scan + exchange + final agg) for every
+    // reference (10 scans of the basket source). One distinct pass,
+    // three cheap re-reads of a (ok, part) parquet.
+    val li = graft.operators.Stage.materialize(
+      baskets.distinct(), "assoc-li")
     val n = li.select(col("ok")).distinct().agg(count("*").as("n"))
     val itemSupp = li.groupBy(col("part")).agg(count("*").as("supp_one"))
     val pairs = li.select(col("ok"), col("part").as("pa"))
@@ -235,7 +241,9 @@ object Mining {
     * bounded (Σ|basket|²), supports map-side combined, the top-k is a
     * per-item rank window (partitioned, never global). */
   def itemCf(baskets: DataFrame): DataFrame = {
-    val li = baskets.distinct()
+    // staged for the same reason as [[assocRules]] (8 scans before)
+    val li = graft.operators.Stage.materialize(
+      baskets.distinct(), "cf-li")
     val itemSupp = li.groupBy(col("part")).agg(count(lit(1)).as("supp_one"))
     val co = li.select(col("ok"), col("part").as("pa"))
       .join(li.select(col("ok").as("ok2"), col("part").as("pb")),

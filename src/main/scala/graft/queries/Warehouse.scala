@@ -561,17 +561,37 @@ object Warehouse {
   /** The gains rollup downstream of ANY 9-cut source (exact percentile
     * or histogram quantiles — the q233/q237 cut-source seam): decile
     * by cut-array fold, per-decile positive rate / share / lift in
-    * exact integer ppm/milli, totals a 1-row broadcast re-agg. */
+    * exact integer ppm/milli.
+    *
+    * Round 16 (guide §2.4 "remove shuffles outright"): the decile
+    * rollup used to be REFERENCED TWICE — once directly and once under
+    * the 1-row totals re-agg joined back — and Catalyst duplicated the
+    * whole subtree (the r16 before-plan shows the scan, the cut source,
+    * and both exchanges twice; with the old percentile cut source that
+    * meant TWO ObjectHashAggregate percentile evaluations per q233
+    * run). The rollup is ≤ 11 rows by construction (decile =
+    * size(filter(9-cut array)) ∈ 0..9, plus at most a null-cuts row),
+    * so it is collected ONCE under the bounded-collect contract and
+    * both the totals and the final projection run on the driver-local
+    * relation — the scored stream is now scanned exactly once here, and
+    * the ppm/milli expressions are UNCHANGED (exact integer DIV with
+    * the DECIMAL(38,0) cross products), so every output digit is
+    * identical. */
   private[graft] def gainsFromCuts(scored: DataFrame,
       cuts: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
     val byDecile = scored.crossJoin(broadcast(cuts))
       .select(expr("size(filter(cuts, c -> c < score_cents))")
         .as("decile"), col("pos"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
-    val totals = byDecile.agg(sum(col("n")).as("nn"),
+    // ≤ 11 rows, see above; a LocalRelation (no RDD scan job)
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    byDecile.collect().foreach(rows.add)
+    val local = spark.createDataFrame(rows, byDecile.schema)
+    val totals = local.agg(sum(col("n")).as("nn"),
       sum(col("n_pos")).as("pp"))
-    byDecile.join(broadcast(totals))
+    local.join(broadcast(totals))
       .select(col("decile"), col("n"), col("n_pos"),
         expr("(n_pos * 1000000) DIV n").as("pos_rate_ppm"),
         expr("(n_pos * 1000000) DIV pp").as("pos_share_ppm"),
@@ -580,21 +600,108 @@ object Warehouse {
           .as("lift_milli"))
   }
 
+  /** EXACT multi-percentile cuts at histogram cost (round 16, guide
+    * §1.2 "the distributed algorithm" + §2.3): bit-identical to
+    * `percentile(v, array(qs))` on a BIGINT column — replicates
+    * `PercentileBase.getPercentile` verbatim (verified against the
+    * Spark 4.1.2 bytecode): position = (N−1).toDouble·q; lowerKey /
+    * higherKey = the sorted-multiset elements at 1-based ranks
+    * floor(position)+1 / ceil(position)+1; result = lowerKey when the
+    * ranks or keys coincide, else
+    * (higher−position)·lowerKey + (position−lower)·higherKey — the
+    * same JVM ops in the same order, because the assembly runs ON the
+    * driver (bounded: ≤ `bins` histogram cells + ≤ 2·|qs| keys — the
+    * kmeans/bpeLearn bounded-collect contract, never data-sized).
+    *
+    * Why: Spark's `Percentile` is an ObjectHashAggregate whose state is
+    * a value→count OpenHashMap MERGED AT ONE REDUCER — 583 k distinct
+    * keys at sf0.1, the round-15 MEASURED 131×-at-100× adversarial
+    * cliff. This path replaces it with three codegen passes whose
+    * distributed state is constant: (1) min/max/count, (2) a
+    * `bins`-cell integer histogram (map-side combined — partials add
+    * cell-wise under ANY distinct growth), (3) row_number over ONLY the
+    * ≤ 2·|qs| candidate bins holding a target rank (≈ n·2|qs|/bins
+    * rows). Duplicate-skew caveat: one hot VALUE concentrates its bin,
+    * so pass 3 degrades toward a one-partition sort of that bin — still
+    * never worse than the old plan's global single-reducer map merge,
+    * and the exact-percentile outputs are unchanged either way.
+    * Returns the 1-row `cuts` array<double> in `qs` order (exactly what
+    * the old `percentile(...)` agg returned). */
+  private[graft] def exactPercentileCuts(scored: DataFrame, valueCol: String,
+      qs: Seq[Double], bins: Int = 8192): DataFrame = {
+    val spark = scored.sparkSession
+    val v = col(valueCol)
+    val st = scored.agg(min(v).as("mn"), max(v).as("mx"),
+      count(lit(1)).as("n")).head()
+    if (st.isNullAt(0) || st.getLong(2) == 0L)
+      return spark.range(1)
+        .select(lit(null).cast("array<double>").as("cuts"))
+    val mn = st.getLong(0); val mx = st.getLong(1); val n = st.getLong(2)
+    // PercentileBase.getPercentile replicated: (N−1) long→double, ×q
+    val positions = qs.map(q => (n - 1).toDouble * q)
+    val ranks: Seq[Long] = positions.flatMap(p =>
+      Seq(math.floor(p).toLong + 1L, math.ceil(p).toLong + 1L))
+      .distinct.sorted
+    val keyAt: Map[Long, Long] =
+      if (mn == mx) ranks.map(_ -> mn).toMap
+      else {
+        val binE = least(lit((bins - 1).toLong),
+          expr(s"(($valueCol - ${mn}L) * ${bins}L) DIV ${mx - mn}L"))
+        val hist = scored.select(binE.as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+        // rows in bins strictly before each bin (1-based global rank
+        // r lives in the first bin with start + count ≥ r)
+        var acc = 0L
+        val binStart = hist.map { case (b, c) =>
+          val s = acc; acc += c; (b, s, c)
+        }
+        val rankBin: Map[Long, Long] = ranks.map(r =>
+          r -> binStart.find { case (_, s, c) => s + c >= r }.get._1).toMap
+        val candBins = rankBin.values.toSeq.distinct.sorted
+        val startOf = binStart.map { case (b, s, _) => b -> s }.toMap
+        val startExpr = candBins.tail.foldLeft(
+          when(col("bin") === candBins.head, lit(startOf(candBins.head)))) {
+          (acc, b) => acc.when(col("bin") === b, lit(startOf(b)))
+        }
+        val w = Window.partitionBy(col("bin")).orderBy(v.asc)
+        scored.select(v, binE.as("bin"))
+          .filter(col("bin").isin(candBins: _*))
+          .withColumn("grank", row_number().over(w) + startExpr)
+          .filter(col("grank").isin(ranks: _*))
+          .collect().map(r => r.getLong(2) -> r.getLong(0)).toMap
+      }
+    val cuts = positions.map { pos =>
+      val lower = math.floor(pos).toLong
+      val higher = math.ceil(pos).toLong
+      val lowerKey = keyAt(lower + 1).toDouble
+      if (higher == lower) lowerKey
+      else {
+        val higherKey = keyAt(higher + 1).toDouble
+        if (higherKey == lowerKey) lowerKey
+        else (higher - pos) * lowerKey + (pos - lower) * higherKey
+      }
+    }
+    spark.range(1).select(array(cuts.map(lit(_)): _*).as("cuts"))
+  }
+
   val q233: Q = Q(
     "q233_gains_table",
     run = { (spark, dir) =>
       val scored = scoredLines(spark, dir)
       // STANDING ASSUMPTION (ADVICE r14): decile assignment compares
       // integer cents against INTERPOLATED-double cuts, so hash parity
-      // relies on Spark `percentile` and DuckDB `quantile_cont`
-      // producing bit-identical interpolants — both compute
-      // lo + frac·(hi−lo) over exact integer inputs with the same
-      // IEEE ops (validated green on fixture + fuzz), but a last-ulp
-      // formula divergence in either engine would flip a score lying
-      // exactly on a cut; the engine-independent alternative (exact
-      // integer lower+frac cut pairs) is the documented fallback.
-      val cuts = scored.agg(percentile(col("score_cents"),
-        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
+      // relies on the engine's percentile semantics and DuckDB
+      // `quantile_cont` producing bit-identical interpolants — both
+      // compute the same IEEE interpolation over exact integer inputs
+      // (validated green on fixture + fuzz; since round 16 the Spark
+      // side is [[exactPercentileCuts]], pinned bit-identical to the
+      // `percentile` agg by WarehouseSpec), but a last-ulp formula
+      // divergence would flip a score lying exactly on a cut; the
+      // engine-independent alternative (exact integer lower+frac cut
+      // pairs) is the documented fallback.
+      val cuts = exactPercentileCuts(scored, "score_cents",
+        (1 to 9).map(_ / 10.0))
       gainsFromCuts(scored, cuts)
     },
     oracle = Some("""
@@ -683,25 +790,41 @@ object Warehouse {
   private[graft] def histCuts(scored: DataFrame,
       bins: Int = 256): DataFrame = {
     val spark = scored.sparkSession
-    val s = scored.agg(min(col("score_cents")).as("mn"),
-      max(col("score_cents")).as("mx"), count(lit(1)).as("n"))
-    val h = scored.crossJoin(broadcast(s))
-      .select(when(col("mx") === col("mn"), lit(0L)).otherwise(
-        least(lit((bins - 1).toLong),
-          expr(s"((score_cents - mn) * $bins) DIV (mx - mn)"))).as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
-    val cum = h.as("a")
-      .join(broadcast(h.as("b")), col("b.bin") <= col("a.bin"))
-      .groupBy(col("a.bin").as("cbin")).agg(sum(col("b.c")).as("cum"))
-    val qd = spark.createDataset((1 to 9).map(_ * 10))(
-      org.apache.spark.sql.Encoders.scalaInt).toDF("qpct")
-    s.crossJoin(broadcast(qd))
-      .withColumn("tr", expr("(qpct * n + 99) DIV 100"))
-      .join(cum, col("cum") >= col("tr"))
-      .groupBy(col("qpct"), col("mn"), col("mx"))
-      .agg(min(col("cbin")).as("eb"))
-      .select(expr(s"mn + ((eb + 1) * (mx - mn)) DIV $bins").as("cut"))
-      .agg(array_sort(collect_list(col("cut"))).as("cuts"))
+    // Round 16 (guide §2.4): the old all-DataFrame formulation
+    // referenced the 1-row (mn,mx,n) agg twice and the ≤bins-cell
+    // histogram twice (the cumulative triangle), and Catalyst
+    // duplicated each subtree — the r16 before-plan carried 60
+    // Exchanges and re-scanned the scored stream for every reference.
+    // The histogram is bounded by the operator constant `bins`, so the
+    // cut ASSEMBLY (cumulative + target ranks + bin upper bounds) moves
+    // to the driver under the bounded-collect contract: two codegen
+    // scans total (stats + histogram), all-integer arithmetic
+    // replicated verbatim (nonneg Long / == SQL DIV), cut values
+    // digit-identical.
+    val st = scored.agg(min(col("score_cents")).as("mn"),
+      max(col("score_cents")).as("mx"), count(lit(1)).as("n")).head()
+    def out(cuts: Seq[Long]): DataFrame =
+      spark.range(1).select(
+        (if (cuts.isEmpty) array().cast("array<bigint>")
+         else array(cuts.map(lit(_)): _*)).as("cuts"))
+    if (st.isNullAt(0) || st.getLong(2) == 0L) return out(Seq.empty)
+    val mn = st.getLong(0); val mx = st.getLong(1); val n = st.getLong(2)
+    val hist: Seq[(Long, Long)] =
+      if (mn == mx) Seq(0L -> n)
+      else scored.select(least(lit((bins - 1).toLong),
+          expr(s"((score_cents - ${mn}L) * ${bins}L) DIV ${mx - mn}L"))
+          .as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .sortBy(_._1).toIndexedSeq
+    var acc = 0L
+    val cum = hist.map { case (b, c) => acc += c; (b, acc) }
+    val cuts = (1 to 9).map(_ * 10).map { qpct =>
+      val tr = (qpct * n + 99L) / 100L
+      val eb = cum.find(_._2 >= tr).get._1
+      mn + ((eb + 1L) * (mx - mn)) / bins
+    }.sorted
+    out(cuts)
   }
 
   /** q237 — GAINS TABLE FROM HISTOGRAM CUTS: q233's rollup on the

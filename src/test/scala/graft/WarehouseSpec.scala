@@ -221,4 +221,48 @@ class WarehouseSpec extends AnyFunSuite {
     assert(out.last._3 / out.last._2 >= out.head._3 / out.head._2,
       "top spend decile does not dominate the bottom per customer")
   }
+
+  test("exactPercentileCuts is BIT-identical to the percentile agg " +
+      "(fixture + adversarial: ties on cuts, hot duplicates, tiny n, " +
+      "constant column, negatives)") {
+    def aggCuts(df: org.apache.spark.sql.DataFrame): Seq[Double] = {
+      val r = df.agg(percentile(col("v"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts")).head()
+      if (r.isNullAt(0)) null else r.getSeq[Double](0)
+    }
+    def fastCuts(df: org.apache.spark.sql.DataFrame): Seq[Double] = {
+      val r = Warehouse.exactPercentileCuts(df, "v",
+        (1 to 9).map(_ / 10.0)).head()
+      if (r.isNullAt(0)) null else r.getSeq[Double](0)
+    }
+    def check(vals: Seq[Long], label: String): Unit = {
+      val df = vals.toDF("v")
+      val (a, f) = (aggCuts(df), fastCuts(df))
+      assert(a == f ||
+        (a != null && f != null && a.size == f.size &&
+          a.zip(f).forall { case (x, y) =>
+            java.lang.Double.doubleToRawLongBits(x) ==
+              java.lang.Double.doubleToRawLongBits(y) }),
+        s"$label: agg=$a fast=$f")
+    }
+    // the real q233 stream at sf0.001
+    val scored = graft.Tables.lineitem(spark, TestSpark.sf0001)
+      .select((col("l_extendedprice").cast("decimal(12,4)") * 10000)
+        .cast("long").as("v"))
+    check(scored.collect().map(_.getLong(0)).toIndexedSeq, "sf0.001 cents")
+    // adversarial shapes (small bins force every code path: duplicate
+    // keys straddling ranks, lower==higher collapse, hot-value bins)
+    check(Seq(1L), "n=1")
+    check(Seq(5L, 5L), "n=2 equal")
+    check(Seq(1L, 2L), "n=2 distinct")
+    check(Seq(-7L, -7L, 0L, 3L), "negatives + dup")
+    check(Seq.fill(1000)(42L), "constant column")
+    check((1L to 100L) ++ Seq.fill(900)(50L), "hot value 50")
+    check((0L until 1000L).map(i => i % 10), "10 heavy duplicates")
+    check(Seq.tabulate(997)(i => (i * i * 2654435761L) % 100000),
+      "pseudo-random")
+    // empty input: both sides yield the null-cuts row
+    val empty = spark.emptyDataset[Long].toDF("v")
+    assert(aggCuts(empty) == null && fastCuts(empty) == null)
+  }
 }
