@@ -83,12 +83,17 @@ object DataMix {
         "((cnt_tgt + 1) * (raw_total + v_size) * 1000) DIV " +
           "((cnt_raw + 1) * (tgt_total + v_size))"))
       .select(col("token"), col("ratio_k"))
-    val scored = tf.join(broadcast(ratio), "token")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("tf")).as("dl"),
-        sum(col("tf") * col("ratio_k")).as("score_raw"))
-      .withColumn("score_k", expr("score_raw DIV dl"))
-      .select(col("doc_id"), col("lang"), col("dl"), col("score_k"))
+    // staged (round 16): `scored` feeds the selection mean AND the
+    // final projection — unstaged, the tf⋈ratio scoring agg ran twice
+    // per run. Doc-grain rows.
+    val scored = graft.operators.Stage.materialize(
+      tf.join(broadcast(ratio), "token")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("tf")).as("dl"),
+          sum(col("tf") * col("ratio_k")).as("score_raw"))
+        .withColumn("score_k", expr("score_raw DIV dl"))
+        .select(col("doc_id"), col("lang"), col("dl"), col("score_k")),
+      "dsir-scored")
     val mean = scored.agg(sum(col("score_k")).as("sum_score"),
       count(lit(1)).as("n_docs"))
     scored.crossJoin(broadcast(mean))

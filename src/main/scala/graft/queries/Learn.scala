@@ -63,10 +63,19 @@ object Learn {
     * seam so a stream can score against a once-staged static model
     * ([[graft.streaming.DocStreams.nbScoreSink]]). */
   def nbModel(trainDocs: DataFrame): (DataFrame, DataFrame) = {
-    val train = tokensOf(trainDocs)
-    val cc = train.groupBy(col("lang"), col("word"))
-      .agg(count(lit(1)).as("c"))
-      .select(col("lang").as("m_lang"), col("word"), col("c"))
+    // staged (round 16, guide §2.4): `train` feeds the (class, word)
+    // counts AND the vocabulary distinct, and `cc` feeds the per-class
+    // totals AND the scorer's join — unstaged, the tokenize+explode ran
+    // 3× and the vocabulary×k agg 2× per q125 run (12 scans of the doc
+    // source in the r16 before-plan). Both stages are bounded: token
+    // grain for train, vocabulary×k for cc.
+    val train = graft.operators.Stage.materialize(
+      tokensOf(trainDocs), "nb-train-toks")
+    val cc = graft.operators.Stage.materialize(
+      train.groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("lang").as("m_lang"), col("word"), col("c")),
+      "nb-cc")
     val tots = cc.groupBy(col("m_lang")).agg(sum(col("c")).as("tot"))
     val vsz = train.select(col("word")).distinct()
       .agg(count(lit(1)).as("vsz"))

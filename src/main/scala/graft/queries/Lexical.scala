@@ -421,11 +421,17 @@ object Lexical {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val dfTab = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
-    val prefix = sh.join(dfTab, "sh").join(sizes, "doc_id")
-      .withColumn("pos", row_number().over(byRarity))
-      .filter(col("pos") <=
-        col("sz") - expr(s"($tauMilli * sz + 999) div 1000") + 1)
-      .select(col("doc_id"), col("sh"), col("sz"), col("pos"))
+    // staged (round 16, guide §2.4): `prefix` is both sides of the
+    // candidate self-join — unstaged, the df join + rank window ran
+    // twice (the r16 before-plan re-derived it per side; 20 scans of
+    // the staged shingle table). Prefix-grain rows (≤ |sh|).
+    val prefix = graft.operators.Stage.materialize(
+      sh.join(dfTab, "sh").join(sizes, "doc_id")
+        .withColumn("pos", row_number().over(byRarity))
+        .filter(col("pos") <=
+          col("sz") - expr(s"($tauMilli * sz + 999) div 1000") + 1)
+        .select(col("doc_id"), col("sh"), col("sz"), col("pos")),
+      "pj-prefix")
     val matched = prefix
       .select(col("sh"), col("doc_id").as("doc_a"), col("sz").as("sz_a"),
         col("pos").as("pos_a"))

@@ -191,15 +191,22 @@ object Tokenize {
     val toks = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
         split(col("text"), " ").as("a"))
-    val trans = toks.select(col("doc_id"), col("source"),
+    // staged (round 16, guide §2.4): `trans` feeds the model build AND
+    // the scorer, and `big` feeds the unigram rollup AND the scoring
+    // join — unstaged, the zip_with transition explode ran 3× and the
+    // bigram agg 2× per run (8 scans in the r16 before-plan). trans is
+    // transition-grain, big is train-bigram-vocabulary-bounded.
+    val trans = graft.operators.Stage.materialize(
+      toks.select(col("doc_id"), col("source"),
         explode(expr(
           "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1)," +
             " (x, y) -> struct(x AS w1, y AS w2))")).as("t"))
       .select(col("doc_id"), col("source"),
-        col("t.w1").as("w1"), col("t.w2").as("w2"))
+        col("t.w1").as("w1"), col("t.w2").as("w2")), "lm-trans")
     val train = trans.filter(col("source") === refSource)
-    val big = train.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c"))
+    val big = graft.operators.Stage.materialize(
+      train.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c")), "lm-big")
     val uni = big.groupBy(col("w1")).agg(sum(col("c")).as("cw1"))
     val vsz = toks.filter(col("source") === refSource)
       .select(explode(col("a")).as("word")).distinct()
