@@ -199,7 +199,11 @@ object CorpusOps {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         explode(TextFunctions.shinglesExpr("toks", 3)).as("s"))
-      .distinct()
+    // no global .distinct(): shinglesExpr is array_distinct per doc and
+    // doc_id is in the key, so the (doc_id, s) rows are ALREADY unique —
+    // the round-16 before-plan paid a full corpus-wide exchange + agg
+    // for a no-op (guide §2.4 "a distinct on data that is already
+    // unique")
 
   /** The hot (boilerplate) shingle set of a corpus: distinct 3-grams
     * appearing in ≥ minDocs documents. Vocabulary-bounded output —

@@ -378,7 +378,8 @@ object Lexical {
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.shinglesExpr("toks", 3))
           .as("sh"))
-      .distinct()
+    // no global .distinct(): shinglesExpr is array_distinct per doc, so
+    // (doc_id, sh) rows are already unique (round 16, guide §2.4)
 
   /** The registry's session-STAGED full-shingle table (the q97
     * rare-shingles discipline, uncapped because prefix filtering needs

@@ -273,7 +273,8 @@ object TextOps {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         explode(TextFunctions.shinglesExpr("toks", 3)).as("shingle"))
-      .distinct()
+    // no global .distinct(): shinglesExpr is array_distinct per doc, so
+    // (doc_id, shingle) rows are already unique (round 16, guide §2.4)
     // rare-shingle universe: df-capped (the hot set is vocabulary-
     // bounded, so the exclusion join broadcasts at any corpus size).
     // The shared (doc, shingle) subtree is deliberately NOT
