@@ -196,13 +196,19 @@ object PipelineOps {
 
   /** Core of q59 over any (doc_id, source, text) frame. */
   def crossSourceOverlap(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val sh = docs.filter(col("text").isNotNull)
-      .select(col("source"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("source"),
-        explode(graft.functions.TextFunctions.shinglesExpr("toks", 3))
-          .as("s"))
-      .distinct()
+    // staged (round 16, guide §2.4): the (source, shingle) distinct —
+    // a REAL distinct here, collapsing per-doc shingles across a whole
+    // source — feeds both self-join sides; unstaged it ran twice.
+    // Vocabulary × |sources| rows.
+    val sh = graft.operators.Stage.materialize(
+      docs.filter(col("text").isNotNull)
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.shinglesExpr("toks", 3))
+            .as("s"))
+        .distinct(),
+      "xsrc-sh")
     sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
