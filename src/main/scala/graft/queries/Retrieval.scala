@@ -357,11 +357,32 @@ object Retrieval {
     * (old index minus touched keys) ∪ this == full rebuild. */
   def postingsUpdate(corpus: DataFrame, batch: DataFrame,
       segSize: Int = 100): DataFrame = {
-    val allTf = postingsTf(corpus.unionByName(batch), segSize)
-    val touched = postingsTf(batch, segSize)
+    // round 17 (guide §2.4): ONE tokenize pass instead of two — the old
+    // shape tokenized the full union for the recompute AND re-tokenized
+    // the batch for the touched-key set. The union rows are tagged by
+    // side before the explode, the tf agg carries max(tag), and the
+    // staged tf table serves both the touched derivation and the
+    // semi-joined recompute (it is referenced twice — Catalyst would
+    // otherwise re-run the tokenize+agg per reference). tf counts are
+    // unchanged (the tag never enters the group key), and `touched` is
+    // exactly the batch's (token, segment) set: a pair carries
+    // max(tag)=1 iff some batch row produced it.
+    val tagged = corpus.withColumn("_b", lit(0))
+      .unionByName(batch.withColumn("_b", lit(1)))
+    val tf = graft.operators.Stage.materialize(
+      tagged.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("_b"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"), max(col("_b")).as("_anyb"))
+        .withColumn("segment", expr(s"doc_id div $segSize")),
+      "postings-tf")
+    val touched = tf.filter(col("_anyb") === 1)
       .select(col("token"), col("segment")).distinct()
-    postingsFinish(allTf.join(broadcast(touched),
-      Seq("token", "segment"), "left_semi"))
+    postingsFinish(tf
+      .select(col("token"), col("doc_id"), col("tf"), col("segment"))
+      .join(broadcast(touched), Seq("token", "segment"), "left_semi"))
   }
 
   /** q124 — incremental postings maintenance: the q115 batch split
@@ -841,7 +862,30 @@ object Retrieval {
     * terms, never the corpus. */
   def prfExpand(tf: DataFrame, nTerms: Int = 8, fbK: Int = 3,
       nExp: Int = 2, topK: Int = 5): DataFrame = {
-    val (dl, scal, dfTab) = bm25Scalars(tf)
+    val spark = tf.sparkSession
+    // round 17 (guide §2.4): the 1-row corpus scalars were referenced
+    // four times (both query-term picks, the expansion rarity filter,
+    // the final re-score) and each reference re-planned the dl agg
+    // under it — they now collect to a LocalRelation once (the
+    // bounded-collect contract). dl/dfTab themselves stay lazy: staging
+    // them was MEASURED SLOWER at sf0.1 (1.62 → 1.97 s — two parquet
+    // writes against re-aggs over the already-staged session tf), and
+    // at scale the tf input this operator rides is the landed
+    // `retrieval-tf` artifact, so each re-agg is one scan of that
+    // parquet, not a corpus re-tokenize.
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfTab = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scRow = dl
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")).head()
+    val scal = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(
+        scRow.getLong(0),
+        if (scRow.isNullAt(1)) null else scRow.getLong(1))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("sum_dl",
+          org.apache.spark.sql.types.LongType, nullable = true))))
     // the feedback pass SHARES the scalars just aggregated — without
     // the seam one q156 run would plan the corpus-sized dl/df aggs
     // twice (Catalyst does not dedupe logical subtrees)

@@ -685,6 +685,162 @@ object Warehouse {
     spark.range(1).select(array(cuts.map(lit(_)): _*).as("cuts"))
   }
 
+  /** GROUPED exact percentiles over a DOUBLE column at histogram cost
+    * (round 17 — [[exactPercentileCuts]] generalized per group, the
+    * verdict-queued q45 recipe): bit-identical to
+    * `groupBy(g).agg(percentile(v, array(qs)), min(v), max(v))` when
+    * the grouping column is catalog-bounded (the caller contract — q45
+    * groups on l_returnflag's 3-value domain; every collect here is
+    * ≤ |groups|·bins histogram cells or ≤ |groups|·2·|qs| candidate
+    * keys, never data-sized).
+    *
+    * Replication contract, per group with n non-null values:
+    * position = (n−1)·q; lower/higher keys at 1-based multiset ranks
+    * floor(position)+1 / ceil(position)+1 under the DoubleType total
+    * order (the same order the window sort uses, so −0.0 < 0.0 and NaN
+    * sorts last); result = lowerKey when the ranks coincide or
+    * the keys compare equal under PRIMITIVE double == (PercentileBase
+    * compares boxed keys with Scala's cooperative numeric equality, so
+    * −0.0 == 0.0 short-circuits to lowerKey and NaN == NaN
+    * interpolates), else
+    * (higher−pos)·lowerKey + (pos−lower)·higherKey — the same JVM ops
+    * in the same order as `PercentileBase.getPercentile`.
+    *
+    * The per-group bin function floor((v−mn)/(mx−mn)·bins) is monotone
+    * non-decreasing in v (each IEEE step is correctly rounded and
+    * monotone), so per-bin counts + within-bin sorts reproduce exact
+    * multiset ranks; groups whose min/max carry identical bits skip the
+    * probe entirely (every key equals mn). Returns one entry per group:
+    * (key, cuts in qs order or null when the group has no non-null
+    * values, min, max). */
+  private[graft] def exactGroupedPercentilesDouble(df: DataFrame,
+      groupCol: String, valueCol: String, qs: Seq[Double],
+      bins: Int = 8192): Seq[(Any, Seq[Double], Any, Any)] = {
+    import java.lang.{Double => JDouble}
+    val g = col(groupCol); val v = col(valueCol)
+    def keyEq(c: org.apache.spark.sql.Column, key: Any) =
+      if (key == null) c.isNull else c === lit(key)
+    // pass 1: per-group bounds + non-null count (bounded collect)
+    val stats = df.groupBy(g)
+      .agg(min(v).as("mn"), max(v).as("mx"), count(v).as("nv"))
+      .collect()
+      .map(r => (r.get(0),
+        if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+        r.getLong(3)))
+    // a group is degenerate (every key == mn, answer mn for every cut)
+    // only when min/max carry identical bits AND that value is neither
+    // ±0.0 nor NaN: codegen min/max compare primitively, so −0.0/0.0
+    // mixes (and NaN mixes) can report equal bounds while the
+    // percentile agg still distinguishes the keys — those groups take
+    // the general path, whose NaN bin function degrades to ONE bin and
+    // the within-bin sort stays exact under the DoubleType total order
+    def degenerate(mn: Double, mx: Double): Boolean =
+      JDouble.doubleToLongBits(mn) == JDouble.doubleToLongBits(mx) &&
+        mn != 0.0 && !JDouble.isNaN(mn)
+    val general = stats.filter { case (_, mn, mx, n) =>
+      n > 0L && !degenerate(mn, mx)
+    }
+    val keyAt: Map[Any, Map[Long, Double]] = if (general.isEmpty) Map.empty
+    else {
+      def binOf(mn: Double, mx: Double) = {
+        // driver-side scale factor: multiply beats ANSI's throwing /0,
+        // and a ±Inf/NaN factor (zero-mix or NaN-bearing group) makes
+        // EVERY row's product NaN-or-constant → the nanvl/clamp below
+        // sends the whole group to one bin, where the within-bin sort
+        // is exact. Monotone non-decreasing in v for any factor ≥ 0.
+        val k = bins / (mx - mn)
+        least(lit((bins - 1).toDouble),
+          greatest(lit(0.0),
+            nanvl(floor((v - lit(mn)) * lit(k)), lit(0.0)))).cast("long")
+      }
+      val binE = general.tail.foldLeft(
+        when(keyEq(g, general.head._1), binOf(general.head._2, general.head._3))) {
+        (acc, gi) => acc.when(keyEq(g, gi._1), binOf(gi._2, gi._3))
+      }
+      val generalPred = general.map(gi => keyEq(g, gi._1))
+        .reduce(_ || _)
+      val withBin = df.filter(v.isNotNull && generalPred)
+        .select(g.as("gk"), v.as("vv"), binE.as("bin"))
+      // pass 2: per-(group, bin) histogram (≤ |groups|·bins cells)
+      val hist = withBin.groupBy(col("gk"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      // per group: candidate bins + their start offsets + needed ranks
+      case class Probe(key: Any, ranks: Seq[Long], cands: Seq[Long],
+          startOf: Map[Long, Long])
+      val probes = general.map { case (key, _, _, n) =>
+        val positions = qs.map(q => (n - 1).toDouble * q)
+        val ranks = positions.flatMap(p =>
+          Seq(math.floor(p).toLong + 1L, math.ceil(p).toLong + 1L))
+          .distinct.sorted
+        var acc = 0L
+        val binStart = hist(key).sortBy(_._2).map { case (_, b, c) =>
+          val s = acc; acc += c; (b, s, c)
+        }
+        val rankBin = ranks.map(r =>
+          r -> binStart.find { case (_, s, c) => s + c >= r }.get._1).toMap
+        Probe(key, ranks, rankBin.values.toSeq.distinct.sorted,
+          binStart.map { case (b, s, _) => b -> s }.toMap)
+      }
+      // pass 3: exact keys at the needed ranks — sort ONLY candidate
+      // bins, offset each by its bin start (≈ n·2|qs|/bins rows sorted)
+      val candPred = probes.map(p =>
+        keyEq(col("gk"), p.key) && col("bin").isin(p.cands: _*))
+        .reduce(_ || _)
+      val kbStarts = probes.toSeq.flatMap(p =>
+        p.cands.map(b => (p.key, b, p.startOf(b))))
+      val startE = kbStarts.tail.foldLeft(
+        when(keyEq(col("gk"), kbStarts.head._1) &&
+          col("bin") === kbStarts.head._2, lit(kbStarts.head._3))) {
+        (acc, kb) =>
+          acc.when(keyEq(col("gk"), kb._1) && col("bin") === kb._2,
+            lit(kb._3))
+      }
+      val rankPred = probes.map(p =>
+        keyEq(col("gk"), p.key) && col("grank").isin(p.ranks: _*))
+        .reduce(_ || _)
+      val w = Window.partitionBy(col("gk"), col("bin"))
+        .orderBy(col("vv").asc)
+      withBin.filter(candPred)
+        .withColumn("grank", row_number().over(w) + startE)
+        .filter(rankPred)
+        .collect()
+        .map(r => (r.get(0), r.getLong(3), r.getDouble(1)))
+        .groupBy(_._1)
+        .map { case (k, rows) => k -> rows.map(t => t._2 -> t._3).toMap }
+    }
+    // driver-side interpolation — PercentileBase.getPercentile verbatim
+    stats.toSeq.map { case (key, mn, mx, n) =>
+      if (n == 0L) (key, null, null, null)
+      else {
+        val cuts =
+          if (degenerate(mn, mx)) qs.map(_ => mn)
+          else {
+            val at = keyAt(key)
+            qs.map { q =>
+              val pos = (n - 1).toDouble * q
+              val lower = math.floor(pos).toLong
+              val higher = math.ceil(pos).toLong
+              val lowerKey = at(lower + 1L)
+              if (higher == lower) lowerKey
+              else {
+                val higherKey = at(higher + 1L)
+                // primitive ==, NOT Double.compare: PercentileBase's
+                // `higherKey == lowerKey` is Scala cooperative numeric
+                // equality on boxed keys (−0.0 == 0.0 short-circuits to
+                // lowerKey; NaN == NaN interpolates)
+                if (higherKey == lowerKey) lowerKey
+                else (higher - pos) * lowerKey + (pos - lower) * higherKey
+              }
+            }
+          }
+        (key, cuts, mn: java.lang.Double, mx: java.lang.Double)
+      }
+    }
+  }
+
   val q233: Q = Q(
     "q233_gains_table",
     run = { (spark, dir) =>

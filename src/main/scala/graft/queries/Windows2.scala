@@ -49,25 +49,36 @@ object Windows2 {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
       FROM o"""))
 
-  /** Q45 — grouped exact percentiles (sort-based aggregate; linear
-    * interpolation in both engines). */
+  /** Q45 — grouped exact percentiles (linear interpolation in both
+    * engines). Round 17: the exact `Percentile` agg was the registry's
+    * last ObjectHashAggregate whose state is a value→count map merged
+    * per group key (~190k distinct prices per flag at sf0.1 — the same
+    * single-reducer cliff q233 hit at 100×); the cuts now come from
+    * [[Warehouse.exactGroupedPercentilesDouble]] — three codegen passes
+    * with constant distributed state (per-group bounds, a bins-cell
+    * histogram, a rank-pruned candidate sort), pinned bit-identical to
+    * the agg by WarehouseSpec. min/max ride the recipe's first pass. */
   val q45: Q = Q(
     "q45_percentiles",
     run = { (spark, dir) =>
-      // one array-percentile call: a single counting structure per group
-      // instead of three (3x less state, one final sort)
-      Tables.lineitem(spark, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          percentile(col("l_extendedprice"),
-            array(lit(0.25), lit(0.5), lit(0.75))).as("ps"),
-          min(col("l_extendedprice")).as("lo"),
-          max(col("l_extendedprice")).as("hi"))
-        .select(col("l_returnflag"),
-          col("ps").getItem(0).as("p25"),
-          col("ps").getItem(1).as("median"),
-          col("ps").getItem(2).as("p75"),
-          col("lo"), col("hi"))
+      val res = Warehouse.exactGroupedPercentilesDouble(
+        Tables.lineitem(spark, dir)
+          .select(col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice", Seq(0.25, 0.5, 0.75))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      res.foreach { case (key, cuts, lo, hi) =>
+        rows.add(org.apache.spark.sql.Row(key,
+          if (cuts == null) null else cuts(0),
+          if (cuts == null) null else cuts(1),
+          if (cuts == null) null else cuts(2), lo, hi))
+      }
+      spark.createDataFrame(rows, StructType(Seq(
+        StructField("l_returnflag", StringType),
+        StructField("p25", DoubleType),
+        StructField("median", DoubleType),
+        StructField("p75", DoubleType),
+        StructField("lo", DoubleType),
+        StructField("hi", DoubleType))))
     },
     oracle = Some("""
       SELECT l_returnflag,

@@ -669,20 +669,24 @@ object ExplainAudit {
     assert(q225Plan.contains("GreaterThanOrEqual(o_orderdate"),
       "q225: date filter did not reach the orders scan")
     println("===== q225 ANTI-JOIN + PUSHDOWN ASSERT OK")
-    // q238 (round 16): the bloom pre-filter is d broadcast LEFT-SEMI
-    // probes + the broadcast verification semi — the fact side must
-    // plan NO sort-merge join and NO cartesian; every semi join rides
-    // a broadcast (the whole point: nothing fact-sized shuffles to
-    // decide membership)
+    // q238 (round 17 shape): the d semi-join probes are FUSED into one
+    // broadcast bitmap row tested with element_at shift/AND — the fact
+    // side must plan NO join at all for membership (no LeftSemi
+    // anywhere), only the single broadcast left-outer verification;
+    // still no sort-merge and no cartesian (the 1-row bitmap rides a
+    // broadcast nested-loop, which is not a CartesianProduct node)
     val q238Plan = graft.SparkEntry.queries("q238_bloom_semijoin")(
       spark, dir).queryExecution.executedPlan.toString
-    val q238Semis = q238Plan.linesIterator.count(l =>
-      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    val q238Semis = q238Plan.linesIterator.count(_.contains("LeftSemi"))
     val q238Truth = q238Plan.linesIterator.count(l =>
       l.contains("BroadcastHashJoin") && l.contains("LeftOuter"))
-    assert(q238Semis >= 3,
-      s"q238: expected >=3 broadcast left-semi bloom probes, " +
-        s"found $q238Semis")
+    val q238Bitmap = q238Plan.linesIterator.count(l =>
+      l.contains("element_at") && l.contains("shiftleft"))
+    assert(q238Semis == 0,
+      s"q238: membership must be the fused bitmap test, found " +
+        s"$q238Semis semi-join probes")
+    assert(q238Bitmap >= 1,
+      "q238: the broadcast-bitmap element_at/shiftleft probe is missing")
     assert(q238Truth >= 1,
       "q238: the verification must be ONE broadcast left-outer marked " +
         "join (a semi branch would re-run the whole probe chain)")
@@ -690,7 +694,7 @@ object ExplainAudit {
       "q238: a bloom probe fell back to a sort-merge join")
     assert(!q238Plan.contains("CartesianProduct"),
       "q238: bloom probe planned a cartesian")
-    println("===== q238 BLOOM BROADCAST-SEMI ASSERT OK")
+    println("===== q238 BLOOM FUSED-BITMAP ASSERT OK")
     spark.stop()
   }
 }

@@ -265,4 +265,67 @@ class WarehouseSpec extends AnyFunSuite {
     val empty = spark.emptyDataset[Long].toDF("v")
     assert(aggCuts(empty) == null && fastCuts(empty) == null)
   }
+
+  test("exactGroupedPercentilesDouble is BIT-identical to the grouped " +
+      "percentile agg (fixture + adversarial: nulls, tiny groups, " +
+      "constant group, hot values, signed zero, negatives)") {
+    def bits(d: java.lang.Double): Long =
+      if (d == null) Long.MinValue + 17
+      else java.lang.Double.doubleToRawLongBits(d)
+    def aggSide(df: org.apache.spark.sql.DataFrame, qs: Seq[Double])
+        : Map[Any, (Seq[Long], Long, Long)] =
+      df.groupBy(col("g"))
+        .agg(percentile(col("v"), array(qs.map(lit(_)): _*)).as("ps"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .collect().map { r =>
+          r.get(0) -> ((
+            if (r.isNullAt(1)) null
+            else r.getSeq[Double](1).map(java.lang.Double.doubleToRawLongBits),
+            bits(if (r.isNullAt(2)) null else r.getDouble(2)),
+            bits(if (r.isNullAt(3)) null else r.getDouble(3))))
+        }.toMap
+    def fastSide(df: org.apache.spark.sql.DataFrame, qs: Seq[Double],
+        bins: Int): Map[Any, (Seq[Long], Long, Long)] =
+      Warehouse.exactGroupedPercentilesDouble(df, "g", "v", qs, bins)
+        .map { case (k, cuts, lo, hi) =>
+          k -> ((
+            if (cuts == null) null
+            else cuts.map(java.lang.Double.doubleToRawLongBits),
+            bits(lo.asInstanceOf[java.lang.Double]),
+            bits(hi.asInstanceOf[java.lang.Double])))
+        }.toMap
+    def check(rows: Seq[(String, Option[Double])], label: String,
+        qs: Seq[Double] = Seq(0.25, 0.5, 0.75), bins: Int = 8192): Unit = {
+      val df = rows.toDF("g", "v")
+      val (a, f) = (aggSide(df, qs), fastSide(df, qs, bins))
+      assert(a == f, s"$label: agg=$a fast=$f")
+    }
+    // the real q45 input at sf0.001
+    val li = graft.Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      .collect().map(r => (r.getString(0), Some(r.getDouble(1)): Option[Double]))
+      .toIndexedSeq
+    check(li, "sf0.001 lineitem")
+    check(li, "sf0.001 lineitem, tiny bins (multi-rank bins)", bins = 4)
+    // adversarial shapes
+    check(Seq(("a", Some(1.0))), "single row")
+    check(Seq(("a", Some(5.0)), ("a", Some(5.0)), ("b", Some(1.0)),
+      ("b", Some(2.0))), "n=2 equal / n=2 distinct")
+    check(Seq(("a", Some(-7.5)), ("a", Some(-7.5)), ("a", Some(0.0)),
+      ("a", Some(3.25))), "negatives + dup")
+    check(Seq.fill(500)(("c", Some(42.0))) ++
+      Seq(("d", Some(1.0)), ("d", Some(2.0))),
+      "constant group beside a tiny one")
+    check((1 to 100).map(i => ("h", Some(i.toDouble))) ++
+      Seq.fill(900)(("h", Some(50.0))),
+      "hot value straddling ranks", bins = 8)
+    check(Seq(("z", Some(-0.0)), ("z", Some(0.0)), ("z", Some(0.0))),
+      "signed-zero interpolation")
+    check(Seq(("n", Some(1.0)), ("n", None), ("n", Some(3.0)),
+      ("e", None)), "nulls inside a group; all-null group")
+    check(Seq.tabulate(997)(i =>
+      ((i % 3).toString,
+        Some(((i * i * 2654435761L) % 100000).toDouble / 7.0))),
+      "pseudo-random three groups", bins = 16)
+  }
 }
