@@ -245,10 +245,27 @@ object Bench {
       }
       // stdout: full line first (head of output, for consumers that
       // want the per-query map), SHORT headline last — the driver
-      // parses the LAST {"metric" line it can read, and the ~300-char
-      // headline always fits the tail window intact
+      // parses the LAST {"metric" line it can read from a 2000-char
+      // FRONT-truncated tail (measured across BENCH_r12–r16), so the
+      // final line must stay comfortably under that window after the
+      // trailing sbt "[success]" line (~80 chars). Round 17 (verdict
+      // item): the final line now carries the TOP-N most expensive
+      // queries (3 decimals) so the driver's PERF per_query/scaling
+      // blocks stop arriving empty — sized adaptively (40 → 20 → 0)
+      // against a 1700-char budget so a degraded run with long
+      // failed/breach lists can never head-clip the line into
+      // unparseability (the rc-124 failure mode this emission order
+      // exists to prevent). `queries_top` records the truncation.
+      val topQs = results.filter(_._2 > 0).sortBy(-_._2)
+      def shortLine(n: Int): String = {
+        val take = topQs.take(n)
+        val qsTop = jmap(take.map { case (k, v) => k -> f"$v%.3f" })
+        s"""{"metric":"total","value":$total,$common,"queries_top":${take.size},"queries":$qsTop}"""
+      }
+      val short = Seq(40, 20, 0).map(shortLine).find(_.length <= 1700)
+        .getOrElse(shortLine(0))
       println(fullLine)
-      println(s"""{"metric":"total","value":$total,$common,"queries":{}}""")
+      println(short)
       Console.flush()
       lastEmitNs = System.nanoTime()
     }

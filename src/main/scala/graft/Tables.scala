@@ -10,8 +10,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `.explain("formatted")`: `PushedFilters`, `ReadSchema`).
   */
 object Tables {
+  /** Round 17 (verdict item: the per-query session floor): the resolved
+    * DataFrame — file listing + footer schema read + analysis — is
+    * memoized per (session, dir, name). Every one of the 238 registry
+    * queries re-called `spark.read.parquet` per construction per bench
+    * pass, re-listing and re-footer-reading the same immutable fixture
+    * file thousands of times per bench run. The memo returns the SAME
+    * immutable DataFrame (a logical plan — reuse is free and
+    * side-effect-less); keys carry the session token, so a new session
+    * re-resolves. Fixture tables are immutable for the life of a
+    * session (the driver contract: one sfDir per process), which is
+    * exactly the raw-`memo` contract. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.operators.SessionCache.memo(spark, s"tables|$dir|$name") {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -35,6 +48,11 @@ object Tables {
     *  - ordinary UTC-adjusted µs/ms timestamp: pass through.
     */
   def events(s: SparkSession, d: String): DataFrame =
+    graft.operators.SessionCache.memo(s, s"tables|$d|events-normalized") {
+      eventsUnmemoized(s, d)
+    }
+
+  private def eventsUnmemoized(s: SparkSession, d: String): DataFrame =
     withNanosAsLong(s) {
       import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}

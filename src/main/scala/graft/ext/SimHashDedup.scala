@@ -31,49 +31,31 @@ import graft.{Q, Tables}
   */
 object SimHashDedup {
 
-  /** md5-family 64-bit SimHash as a 16-hex-char string, over the `hs`
-    * column (array of per-token md5 hex strings). Bit (p,k) of the
-    * signature = sign of Σ_tokens (2·bit_k(nibble_p(md5)) − 1); each
-    * output hex char packs its 4 bit votes back into a nibble. Ties
-    * (vote sum 0) resolve to bit 0 — `> 0` strictly — in both engines. */
-  private val simhashMd5Expr =
-    "CASE WHEN hs IS NULL THEN NULL ELSE concat_ws(''," +
-      " transform(nibs, vals ->" +
-      " substr('0123456789abcdef', 1 +" +
-      " aggregate(sequence(0, 3), 0, (nib, k) ->" +
-      " nib + IF(aggregate(vals, 0, (acc, v) ->" +
-      " acc + IF((v >> k) & 1 = 1, 1, -1)) > 0," +
-      " CAST(shiftleft(1, k) AS INT), 0)), 1))) END"
-
   /** q31 — per-doc md5-family simhash + 4×4-hex-char band keys + number
     * of same-band candidate docs (0 when no near-dup shares a band).
     * Output is per-document so the result is always non-empty; null-text
-    * docs carry NULL signature/bands and 0 candidates. */
+    * docs carry NULL signature/bands and 0 candidates.
+    *
+    * Round 17: the signature projection is the codegen'd
+    * [[graft.functions.SimHashMd5]] expression — one MessageDigest MD5
+    * per token and a tight 64-vote loop, replacing the interpreted
+    * HOF chain (per-token md5 hex strings → two conv() radix decodes →
+    * 16 intermediate vote arrays → 64 aggregate() folds per row, ~64
+    * interpreted lambda dispatches per token). Same signature digit for
+    * digit — the DuckDB oracle replays it, and TextVectorSpec pins the
+    * expression against the old SQL formulation. */
   val q31: Q = Q(
     "q31_dedup_simhash",
     run = { (spark, dir) =>
+      graft.functions.TextFunctions.registerSimHashMd5(spark)
       // staged once to temp parquet: the signature table feeds the band
       // self-join (both sides) plus the final join. A persist() here
       // would leak cached blocks to non-Bench callers; staging gives the
       // same evaluate-once guarantee with no session cache state.
       val sigs = graft.operators.Stage.materialize(
         Tables.documentsParallel(spark, dir)
-          .withColumn("hs",
-            expr("transform(array_distinct(split(text, ' ')), t -> md5(t))"))
-          // round 16: decode each token hash's 16 leading hex chars with
-          // TWO base conversions (8-hex halves) + integer shift/mask,
-          // instead of 16 per-character string parses — same nibble
-          // values (conv is a pure radix decode), ~8× fewer string ops
-          // in the signature projection, which dominates q31's cost
-          .withColumn("hl", expr(
-            "transform(hs, h -> struct(" +
-              "CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT) AS hi," +
-              "CAST(conv(substr(h, 9, 8), 16, 10) AS BIGINT) AS lo))"))
-          .withColumn("nibs", expr(
-            "transform(sequence(0, 15), p -> transform(hl, v ->" +
-              " CAST(IF(p < 8, shiftright(v.hi, 4 * (7 - p))," +
-              " shiftright(v.lo, 4 * (15 - p))) & 15 AS INT)))"))
-          .withColumn("simhash", expr(simhashMd5Expr))
+          .withColumn("simhash",
+            expr("simhash_md5(array_distinct(split(text, ' ')))"))
           .select(Seq(col("doc_id"), col("simhash")) ++
             (0 until 4).map(i =>
               substring(col("simhash"), 1 + 4 * i, 4).as(s"band$i")): _*),

@@ -68,6 +68,26 @@ object TextFunctions {
     SimHash64(exprs.head)
   }
 
+  /** md5-family SimHash signature (codegen'd — see [[SimHashMd5]])
+    * registered as SQL function `simhash_md5(tokens)`. */
+  def registerSimHashMd5(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val ident =
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_md5")
+    if (!reg.functionExists(ident))
+      reg.createOrReplaceTempFunction("simhash_md5", simHashMd5Builder,
+        "built-in")
+  }
+
+  /** Arity-checked builder shared by the temp-function path and
+    * GraftExtensions. */
+  val simHashMd5Builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression = { exprs =>
+    require(exprs.length == 1,
+      s"simhash_md5 expects 1 argument, got ${exprs.length}")
+    SimHashMd5(exprs.head)
+  }
+
   /** k-minhash signature (codegen'd — see [[MinHashK]]) registered as
     * SQL function `minhash_k(shingles, k)`. */
   def registerMinHash(spark: org.apache.spark.sql.SparkSession): Unit = {

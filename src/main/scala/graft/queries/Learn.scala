@@ -53,7 +53,14 @@ object Learn {
     * sorts.
     */
   private def tokensOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("lang"),
+    // the round-robin spread lives HERE (round 17), on the one leg that
+    // does CPU-heavy per-row work — q125's callers used to pass
+    // documentsParallel, which made the per-class/corpus COUNT legs
+    // shuffle the full text payload round-robin too (the r17
+    // before-plan shows three full-document RoundRobin exchanges; two
+    // of them fed plain counts)
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
 
@@ -63,21 +70,23 @@ object Learn {
     * seam so a stream can score against a once-staged static model
     * ([[graft.streaming.DocStreams.nbScoreSink]]). */
   def nbModel(trainDocs: DataFrame): (DataFrame, DataFrame) = {
-    // staged (round 16, guide §2.4): `train` feeds the (class, word)
-    // counts AND the vocabulary distinct, and `cc` feeds the per-class
-    // totals AND the scorer's join — unstaged, the tokenize+explode ran
-    // 3× and the vocabulary×k agg 2× per q125 run (12 scans of the doc
-    // source in the r16 before-plan). Both stages are bounded: token
-    // grain for train, vocabulary×k for cc.
-    val train = graft.operators.Stage.materialize(
-      tokensOf(trainDocs), "nb-train-toks")
+    // staged (round 16, guide §2.4): `cc` feeds the per-class totals,
+    // the vocabulary count AND the scorer's join — unstaged, the
+    // tokenize+explode ran 3× and the vocabulary×k agg 2× per q125 run
+    // (12 scans of the doc source in the r16 before-plan). Round 17:
+    // the token-grain `train` stage is GONE — tokenize feeds the cc agg
+    // directly (its only remaining consumer), and the vocabulary size
+    // comes from cc itself (distinct word over (m_lang, word) rows is
+    // exactly distinct word over the train tokens), so one run pays one
+    // tokenize and one vocabulary×k-bounded staging write instead of a
+    // token-grain write plus two derived scans.
     val cc = graft.operators.Stage.materialize(
-      train.groupBy(col("lang"), col("word"))
+      tokensOf(trainDocs).groupBy(col("lang"), col("word"))
         .agg(count(lit(1)).as("c"))
         .select(col("lang").as("m_lang"), col("word"), col("c")),
       "nb-cc")
     val tots = cc.groupBy(col("m_lang")).agg(sum(col("c")).as("tot"))
-    val vsz = train.select(col("word")).distinct()
+    val vsz = cc.select(col("word")).distinct()
       .agg(count(lit(1)).as("vsz"))
     val nAll = trainDocs.agg(count(lit(1)).as("nall"))
     val classes = trainDocs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
@@ -129,7 +138,7 @@ object Learn {
     * deterministic doc slice and scored on the held-out 1/5. */
   val q125: Q = Q(
     "q125_nb_langid",
-    run = { (spark, dir) => nbLangId(Tables.documentsParallel(spark, dir)) },
+    run = { (spark, dir) => nbLangId(Tables.documents(spark, dir)) },
     oracle = Some(s"""
       WITH base AS (SELECT doc_id, lang, text FROM documents
                     WHERE text IS NOT NULL AND lang IS NOT NULL),

@@ -416,23 +416,38 @@ object Lexical {
     * fan-out the bill (sf0.1: 2.10 → 1.41 s). `positional = false` is
     * the measurement/proof seam the suite uses to certify the filter
     * only ever SHRINKS the candidate set. */
-  private[graft] def prefixCandidates(sh: org.apache.spark.sql.DataFrame,
-      tauMilli: Int, positional: Boolean = true)
-      : org.apache.spark.sql.DataFrame = {
+  /** The ranked-prefix table of a distinct-shingle frame: each doc's
+    * rarest sz − ⌈τ·sz⌉ + 1 shingles with their global rarity rank and
+    * the doc's set size — STAGED (round 16, guide §2.4: it is both
+    * sides of the candidate self-join; unstaged, the df join + rank
+    * window ran twice). Round 17: exposed as its own builder so the
+    * registry can session-memoize it — the prefix index of a corpus
+    * snapshot is a build-once artifact exactly like the shingle table
+    * it derives from, and the round-16 shape rebuilt it (df agg + size
+    * agg + join + window + write) on every q184 invocation. */
+  private[graft] def prefixTable(sh: org.apache.spark.sql.DataFrame,
+      tauMilli: Int): org.apache.spark.sql.DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val dfTab = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
-    // staged (round 16, guide §2.4): `prefix` is both sides of the
-    // candidate self-join — unstaged, the df join + rank window ran
-    // twice (the r16 before-plan re-derived it per side; 20 scans of
-    // the staged shingle table). Prefix-grain rows (≤ |sh|).
-    val prefix = graft.operators.Stage.materialize(
+    graft.operators.Stage.materialize(
       sh.join(dfTab, "sh").join(sizes, "doc_id")
         .withColumn("pos", row_number().over(byRarity))
         .filter(col("pos") <=
           col("sz") - expr(s"($tauMilli * sz + 999) div 1000") + 1)
         .select(col("doc_id"), col("sh"), col("sz"), col("pos")),
       "pj-prefix")
+  }
+
+  /** Candidate pairs now CARRY (sz_a, sz_b) — the sizes are already on
+    * the prefix rows, so the verification no longer re-aggregates and
+    * re-joins a standalone sizes table per side (round 17: 2 joins + 2
+    * aggs dropped from the q184 plan). */
+  private[graft] def prefixCandidates(sh: org.apache.spark.sql.DataFrame,
+      tauMilli: Int, positional: Boolean = true,
+      prebuilt: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val prefix = prebuilt.getOrElse(prefixTable(sh, tauMilli))
     val matched = prefix
       .select(col("sh"), col("doc_id").as("doc_a"), col("sz").as("sz_a"),
         col("pos").as("pos_a"))
@@ -442,7 +457,8 @@ object Lexical {
       .filter(least(col("sz_a"), col("sz_b")) * 1000 >=
         lit(tauMilli) * greatest(col("sz_a"), col("sz_b")))
     if (!positional)
-      return matched.select(col("doc_a"), col("doc_b")).distinct()
+      return matched.select(col("doc_a"), col("doc_b"), col("sz_a"),
+        col("sz_b")).distinct()
     matched
       .withColumn("ub",
         lit(1) + least(col("pos_a"), col("pos_b")) - 1 +
@@ -453,24 +469,22 @@ object Lexical {
       // ub ≥ ceil(τm(sz_a+sz_b)/(1000+τm)) ⟺ ub·(1000+τm) ≥ τm·(sz_a+sz_b)
       .filter(col("ub") * lit(1000 + tauMilli) >=
         lit(tauMilli) * (col("sz_a") + col("sz_b")))
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
   }
 
   def prefixJaccardFrom(sh: org.apache.spark.sql.DataFrame,
-      tauMilli: Int = 800): org.apache.spark.sql.DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val cand = prefixCandidates(sh, tauMilli)
+      tauMilli: Int = 800,
+      prebuiltPrefix: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val cand = prefixCandidates(sh, tauMilli, prebuilt = prebuiltPrefix)
     val shared = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh")),
         Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"),
+        first(col("sz_a")).as("n_a"), first(col("sz_b")).as("n_b"))
     shared
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("n_a")),
-        "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("n_b")),
-        "doc_b")
       .filter(col("n_shared") * 1000 >=
         lit(tauMilli) * (col("n_a") + col("n_b") - col("n_shared")))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
@@ -480,11 +494,15 @@ object Lexical {
   }
 
   /** q184 — exact Jaccard ≥ 0.8 pairs via prefix filtering (the
-    * blocking-free exact set-similarity join). */
+    * blocking-free exact set-similarity join). The ranked-prefix index
+    * is session-memoized beside the shingle table it derives from. */
   val q184: Q = Q(
     "q184_prefix_jaccard",
     run = { (spark, dir) =>
-      prefixJaccardFrom(shinglesFor(spark, dir))
+      val sh = shinglesFor(spark, dir)
+      val prefix = graft.operators.SessionCache.memoOn(spark, dir,
+        s"pj-prefix|800|$dir")(prefixTable(sh, 800))
+      prefixJaccardFrom(sh, 800, Some(prefix))
     },
     oracle = Some("""
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -47,6 +47,55 @@ class TextVectorSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("codegen'd SimHashMd5 equals the interpreted HOF md5 chain") {
+    TextFunctions.registerSimHashMd5(spark)
+    // the r16 SQL formulation, kept verbatim as the parity reference:
+    // per-token md5 hex → two conv() radix decodes → per-(p,k) vote
+    // folds → hex re-pack, ties-to-0 via strict > 0
+    val ref =
+      "CASE WHEN hs IS NULL THEN NULL ELSE concat_ws(''," +
+        " transform(nibs, vals ->" +
+        " substr('0123456789abcdef', 1 +" +
+        " aggregate(sequence(0, 3), 0, (nib, k) ->" +
+        " nib + IF(aggregate(vals, 0, (acc, v) ->" +
+        " acc + IF((v >> k) & 1 = 1, 1, -1)) > 0," +
+        " CAST(shiftleft(1, k) AS INT), 0)), 1))) END"
+    def withRef(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("hs", expr("transform(toks, t -> md5(t))"))
+      .withColumn("hl", expr(
+        "transform(hs, h -> struct(" +
+          "CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT) AS hi," +
+          "CAST(conv(substr(h, 9, 8), 16, 10) AS BIGINT) AS lo))"))
+      .withColumn("nibs", expr(
+        "transform(sequence(0, 15), p -> transform(hl, v ->" +
+          " CAST(IF(p < 8, shiftright(v.hi, 4 * (7 - p))," +
+          " shiftright(v.lo, 4 * (15 - p))) & 15 AS INT)))"))
+      .withColumn("a", expr(ref))
+      .withColumn("b", expr("simhash_md5(toks)"))
+    val docs = withRef(Tables.documents(spark, TestSpark.sf0001).limit(150)
+      .withColumn("toks", expr("array_distinct(split(text, ' '))")))
+    assert(docs.filter(!(col("a") <=> col("b"))).count() == 0,
+      "codegen signature drifted from the md5 HOF reference on fixture")
+    // adversarial: null text, empty-string token, unicode, single token
+    import spark.implicits._
+    val adv = withRef(Seq(
+      Some(Seq("")), None, Some(Seq("héllo", "wörld", "héllo")),
+      Some(Seq("a")), Some(Seq.empty[String]),
+      Some((1 to 200).map(i => s"tok$i"))).toDF("toks"))
+    assert(adv.filter(!(col("a") <=> col("b"))).count() == 0,
+      "codegen signature drifted on adversarial token arrays")
+    // interpreted eval path (no codegen) must agree too
+    val one = graft.functions.SimHashMd5(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("x", "y", "z"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+      .eval(null).toString
+    val viaSql = adv.sparkSession.sql(
+      "SELECT simhash_md5(array('x','y','z'))").head().getString(0)
+    assert(one == viaSql)
+  }
+
   test("MinHashK codegen equals the interpreted eval path") {
     // a doGenCode bug would silently diverge from nullSafeEval inside
     // whole-stage codegen; force both execution modes and compare
