@@ -196,19 +196,22 @@ object PipelineOps {
 
   /** Core of q59 over any (doc_id, source, text) frame. */
   def crossSourceOverlap(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // staged (round 16, guide §2.4): the (source, shingle) distinct —
-    // a REAL distinct here, collapsing per-doc shingles across a whole
-    // source — feeds both self-join sides; unstaged it ran twice.
-    // Vocabulary × |sources| rows.
-    val sh = graft.operators.Stage.materialize(
-      docs.filter(col("text").isNotNull)
+    // The (source, shingle) distinct — a REAL distinct, collapsing
+    // per-doc shingles across a whole source — feeds both self-join
+    // sides. Round 16 staged it; round 17 re-A/B'd per the verdict
+    // (item 8) and REVERTED: the self-join's two references are the
+    // same exchange, which AQE stage reuse already deduplicates, so the
+    // staging write was pure I/O cost (staged 1.36 s vs unstaged 1.24 s
+    // warm, controls equal — the q217 lesson again: staging only pays
+    // when the duplicated subtree carries windows/aggs ABOVE the
+    // exchange that reuse cannot absorb).
+    val sh = docs.filter(col("text").isNotNull)
         .select(col("source"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("source"),
           explode(graft.functions.TextFunctions.shinglesExpr("toks", 3))
             .as("s"))
-        .distinct(),
-      "xsrc-sh")
+        .distinct()
     sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
@@ -508,9 +511,16 @@ object PipelineOps {
         .select(col("doc_id"), col("source"),
           explode(graft.functions.TextFunctions.shinglesExpr("toks", 3))
             .as("shingle"))
+    // round 17 (guide §2.4): the per-doc shingle count used to be a
+    // self-join against a groupBy of the SAME stream — Catalyst planned
+    // the tokenize+shingle derivation once per reference (and AQE's
+    // exchange reuse only saves it when the agg side is not broadcast).
+    // A doc-partitioned window computes the identical n in ONE pass and
+    // one exchange; per-window state is doc-bounded.
     def withCounts(sh: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame =
-      sh.join(sh.groupBy("doc_id").agg(count(lit(1)).as("n")), "doc_id")
+      sh.withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val a = withCounts(shingledRaw(incoming))
     // `restrictCorpus` (the q124 touched-key recipe, used by q151):
     // every corpus-side SHUFFLE must be bounded by the batch's touch
