@@ -275,13 +275,6 @@ object ScaleDryRun {
     val (tFun10, _) = timed(graft.queries.Funnels.funnel(ev10))
     println(f"[scale-dry-run] q61_funnel_1x          $tFun1%8.2f s")
     println(f"[scale-dry-run] q61_funnel_10x         $tFun10%8.2f s  (ratio ${tFun10 / tFun1}%.1fx)")
-    // q207 peak concurrency at 10x events (round-17 verdict item 7:
-    // scale evidence for the staged-session shape — the sessionize
-    // windows and the day-sweep all read the ONE staged session table)
-    val (tPc1, _) = timed(graft.queries.Funnels.peakConcurrency(ev0))
-    val (tPc10, _) = timed(graft.queries.Funnels.peakConcurrency(ev10))
-    println(f"[scale-dry-run] q207_peak_conc_1x      $tPc1%8.2f s")
-    println(f"[scale-dry-run] q207_peak_conc_10x     $tPc10%8.2f s  (ratio ${tPc10 / tPc1}%.1fx)")
     // q142 association rules at 10x baskets (fresh order keys per copy
     // so baskets grow in COUNT, not in per-basket width — the staged
     // distinct-basket shape must scale with Σ|basket|²)
